@@ -1,0 +1,124 @@
+"""Batch runner: logical Plan -> Ray Data execution.
+
+Execution model (vs the reference's three goroutines per job,
+/root/reference/execute/execute.go:35-47): the source becomes a Ray
+Dataset; every branch becomes ONE fused zero-copy ``map_batches`` stage
+(the whole transform chain in a single Python call per Arrow block)
+terminated by its sink. Fan-out runs each branch as its own lazy pipeline
+over the same source Dataset — blocks are shared by reference in the
+object store instead of the reference's per-branch EventList copy
+(/root/reference/execute/transformNode.go:38-57).
+
+Scale note: stateless recompute of a shared transform prefix is
+deliberately preferred over mid-pipeline materialization — at 100 TB the
+extra CPU beats pinning the whole intermediate in the object store. The
+streaming runner (vaero_ray/streaming) processes each epoch's batch once
+through all branches, single-pass, exactly like the reference's per-capsule
+interpreter.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+import ray.data as rd
+
+from vaero_ray.planner import Plan, Planner, SinkSpec
+from vaero_ray.sinks.parquet_sink import write_partitioned
+from vaero_ray.sources.fixtures import make_log_events
+from vaero_ray.sources.transcripts import make_transcripts
+
+# sinks that the reference implements as stdout-equivalent stubs
+# (sink_datadog.go:23-30, sink_elastic.go:23-30, sink_splunk.go:23-30)
+_COLLECT_SINKS = {"stdout", "datadog", "elastic", "splunk"}
+
+
+def resolve_source(spec, source_data=None) -> rd.Dataset:
+    """Source -> Dataset. ``source_data`` (Dataset/Table/path) overrides.
+
+    Built-in source ops:
+      parquet      args[path] (file/dir/list) -> read_parquet, with
+                   args[columns] pruning when given
+      random       reference demo feed (source_random.go:16-33) -> fixture
+      transcripts  synthetic transcript stream (FIXTURES.md F1)
+    Pull-cadence args (interval etc.) only matter to the streaming shell.
+    """
+    if source_data is not None:
+        if isinstance(source_data, rd.Dataset):
+            return source_data
+        if isinstance(source_data, pa.Table):
+            return rd.from_arrow(source_data)
+        return rd.read_parquet(source_data)
+    if spec is None:
+        raise ValueError("plan has no source and no source_data given")
+    if spec.op == "parquet" or spec.op == "s3":
+        path = spec.args.get("path") or os.path.join(spec.args.get("bucket", ""), spec.args.get("prefix", ""))
+        cols = spec.args.get("columns")
+        return rd.read_parquet(path, columns=cols)
+    if spec.op == "random":
+        return rd.from_arrow(make_log_events(n=spec.args.get("n", 64), seed=spec.args.get("seed", 7)))
+    if spec.op == "transcripts":
+        return rd.from_arrow(
+            make_transcripts(
+                n_convs=spec.args.get("n_convs", 50),
+                mean_turns=spec.args.get("mean_turns", 20),
+                seed=spec.args.get("seed", 42),
+            )
+        )
+    raise ValueError(f"unsupported batch source: {spec.op!r}")
+
+
+def run_batch(
+    plan_or_graph: Plan | list,
+    source_data: Any = None,
+    out_dir: str | None = None,
+    collect: bool = True,
+) -> dict[str, Any]:
+    """Execute every branch; returns {branch_key: result}.
+
+    Collect-style sinks (stdout + the reference's stub sinks) return a
+    pyarrow.Table; parquet/s3 sinks write prefix-partitioned Parquet under
+    ``out_dir/branch_key`` and return the path. Sinkless branches return
+    the lazy Dataset.
+    """
+    plan = plan_or_graph if isinstance(plan_or_graph, Plan) else Planner(plan_or_graph).plan
+    src = resolve_source(plan.source, source_data)
+
+    results: dict[str, Any] = {}
+    for i, branch in enumerate(plan.branches):
+        fn = branch.compile()
+        ds = src.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        sink = branch.sink
+        key = f"b{i}:{sink.op}" if sink else f"b{i}:none"
+        if sink is None:
+            results[key] = ds
+        elif sink.op in _COLLECT_SINKS:
+            tbl = _collect(ds)
+            if sink.op == "stdout" and not collect:
+                print(tbl.to_pandas().to_string())
+            results[key] = tbl
+        elif sink.op in ("parquet", "s3", "file"):
+            base = out_dir or "/tmp/vaero_ray_out"
+            path = os.path.join(base, key.replace(":", "_"))
+            write_partitioned(
+                ds,
+                path,
+                timestamp_key=sink.args.get("timestamp_key", "timestamp"),
+                filename_prefix=sink.args.get("filename_prefix", "%Y/%m/%d"),
+            )
+            results[key] = path
+        else:
+            raise ValueError(f"unsupported sink: {sink.op!r}")
+    return results
+
+
+def _collect(ds: rd.Dataset) -> pa.Table:
+    tables = [ref for ref in ds.to_arrow_refs()]
+    import ray
+
+    tables = ray.get(tables)
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
