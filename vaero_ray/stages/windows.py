@@ -1,0 +1,208 @@
+"""Event-time windows over Ray Data (mandated extension, SURVEY.md §2b).
+
+The reference has no windows (confirmed in SURVEY.md §2a, "Operators the
+reference does NOT have"); these are the north-star extensions, designed
+Ray-Data-first:
+
+- tumbling / sliding window ASSIGNMENT is stateless per-row arithmetic on
+  the int64 microsecond view of ``ts`` — a zero-copy ``map_batches`` stage
+  (sliding emits one row per overlapping window via vectorized repeat);
+- session windows need per-key gap merging — ``groupby(key).map_groups``
+  over ts-sorted groups;
+- windowed aggregation is TWO-PHASE: a per-block partial aggregate
+  (pyarrow ``Table.group_by`` inside ``map_batches``) collapses each block
+  to one row per (key, window) BEFORE the shuffle, then a small Ray
+  ``groupby().aggregate`` merges partials. Hot keys (Zipf conversations)
+  are thereby pre-collapsed per block — the shuffle moves partials, not
+  rows, which is the salting-equivalent for commutative aggregates. An
+  explicit ``add_salt`` helper covers the non-commutative cases.
+
+All window columns are named deterministically (``window_start``) so DuckDB
+oracles can reproduce them with epoch arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+US = 1_000_000
+
+
+def _ts_us(tbl: pa.Table, ts_col: str) -> pa.Array:
+    col = tbl.column(ts_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.timestamp("us")).cast(pa.int64())
+
+
+def assign_tumbling(tbl: pa.Table, ts_col: str = "ts", size_s: int = 60, out_col: str = "window_start") -> pa.Table:
+    """Append ``out_col`` = floor(ts / size) * size as timestamp[us].
+
+    Stateless; use as ``ds.map_batches(partial(assign_tumbling, size_s=60),
+    batch_format="pyarrow")``. Epoch-anchored like SQL
+    ``to_timestamp(floor(epoch(ts)/size)*size)``.
+    """
+    us = _ts_us(tbl, ts_col)
+    size = size_s * US
+    start = pc.multiply(pc.floor(pc.divide(pc.cast(us, pa.float64()), size)), float(size))
+    start = pc.cast(start, pa.int64()).cast(pa.timestamp("us"))
+    return tbl.append_column(out_col, start)
+
+
+def assign_sliding(
+    tbl: pa.Table,
+    ts_col: str = "ts",
+    size_s: int = 300,
+    slide_s: int = 60,
+    out_col: str = "window_start",
+) -> pa.Table:
+    """Flat-map: one output row per window overlapping each event
+    (size/slide windows per row), vectorized via index-repeat + take.
+
+    A row with time t belongs to windows starting in
+    (t - size, t] stepped by slide, anchored at epoch.
+    """
+    if size_s % slide_s != 0:
+        raise ValueError("size_s must be a multiple of slide_s")
+    k = size_s // slide_s
+    us = np.asarray(_ts_us(tbl, ts_col))
+    slide = slide_s * US
+    last_start = (us // slide) * slide  # latest window containing the row
+    n = len(us)
+    idx = np.repeat(np.arange(n, dtype=np.int64), k)
+    offs = np.tile(np.arange(k, dtype=np.int64) * slide, n)
+    starts = np.repeat(last_start, k) - offs
+    keep = starts >= 0
+    out = tbl.take(pa.array(idx[keep]))
+    return out.append_column(out_col, pa.array(starts[keep]).cast(pa.timestamp("us")))
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap_s: int = 300,
+    out_col: str = "session_id",
+) -> rd.Dataset:
+    """Session windows: per key, ts-sorted events closer than ``gap_s`` share
+    a session. ``out_col`` is the 0-based session ordinal within the key.
+
+    One shuffle (groupby(key)); per-group logic is vectorized pandas.
+    Partitioning assumption: one key's events fit one group task (bounded
+    by per-conversation length, which the generator caps — SURVEY.md §7
+    risk 6).
+    """
+    gap_us = gap_s * US
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].astype("int64")
+        new = (ts.diff().fillna(0) > gap_us).astype("int64")
+        g[out_col] = new.cumsum()
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+class AggSpec:
+    """(col, fn, alias) with fn in sum|count|min|max|mean."""
+
+    def __init__(self, col: str | None, fn: str, alias: str):
+        if fn not in ("sum", "count", "min", "max", "mean"):
+            raise ValueError(f"unsupported agg fn: {fn}")
+        self.col, self.fn, self.alias = col, fn, alias
+
+
+def windowed_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: Iterable[AggSpec],
+    ts_col: str = "ts",
+    size_s: int | None = 60,
+    window_col: str = "window_start",
+) -> rd.Dataset:
+    """Two-phase grouped aggregate, optionally windowed.
+
+    Phase 1 (map_batches, no shuffle): assign tumbling windows, then a
+    pyarrow ``group_by`` collapses the block to one partial row per
+    (keys..., window). Phase 2 (the one shuffle): Ray groupby merges
+    partials with Sum/Min/Max. ``mean`` is finalized as sum/count in a last
+    stateless stage. Output columns = keys + [window_col] + aliases.
+    """
+    aggs = list(aggs)
+    group_cols = list(keys) + ([window_col] if size_s is not None else [])
+
+    # phase-1 partial spec: pyarrow group_by aggregations
+    pa_aggs: list[tuple[str, str]] = []
+    need_count = False
+    for a in aggs:
+        if a.fn == "count":
+            need_count = True
+        elif a.fn == "mean":
+            pa_aggs.append((a.col, "sum"))
+            need_count = True
+        else:
+            pa_aggs.append((a.col, a.fn))
+    # always carry a row count for count/mean finalization
+    pa_aggs_dedup = sorted(set(pa_aggs))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if size_s is not None:
+            tbl = assign_tumbling(tbl, ts_col, size_s, window_col)
+        gb_aggs = list(pa_aggs_dedup)
+        if need_count or not gb_aggs:
+            gb_aggs.append((group_cols[0], "count"))
+        out = tbl.group_by(group_cols).aggregate(gb_aggs)
+        if need_count or not pa_aggs_dedup:
+            out = out.rename_columns(
+                [c if c != f"{group_cols[0]}_count" else "__pcount" for c in out.column_names]
+            )
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    # phase-2 merge: sum partial sums/counts, min of mins, max of maxes
+    ray_aggs = []
+    for col, fn in pa_aggs_dedup:
+        pname = f"{col}_{fn}"
+        if fn == "sum":
+            ray_aggs.append(Sum(pname, alias_name=pname))
+        elif fn == "min":
+            ray_aggs.append(Min(pname, alias_name=pname))
+        elif fn == "max":
+            ray_aggs.append(Max(pname, alias_name=pname))
+    if need_count or not pa_aggs_dedup:
+        ray_aggs.append(Sum("__pcount", alias_name="__pcount"))
+    merged = partials.groupby(group_cols).aggregate(*ray_aggs)
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {c: tbl.column(c) for c in group_cols}
+        for a in aggs:
+            if a.fn == "count":
+                cols[a.alias] = tbl.column("__pcount")
+            elif a.fn == "mean":
+                cols[a.alias] = pc.divide(
+                    pc.cast(tbl.column(f"{a.col}_sum"), pa.float64()),
+                    pc.cast(tbl.column("__pcount"), pa.float64()),
+                )
+            else:
+                cols[a.alias] = tbl.column(f"{a.col}_{a.fn}")
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_salt(tbl: pa.Table, n_salts: int = 16, out_col: str = "salt") -> pa.Table:
+    """Uniform salt column for explicitly salted two-step shuffles of
+    non-commutative group logic on hot keys: group on (key, salt) first,
+    then merge the per-salt results on key alone (SURVEY.md §2b skew row).
+    Deterministic (row-position based within the block)."""
+    n = tbl.num_rows
+    return tbl.append_column(out_col, pa.array(np.arange(n, dtype=np.int64) % n_salts))
