@@ -1,0 +1,97 @@
+"""Deterministic transcript-shaped table derived from the ``events`` table.
+
+The driver's correctness gate compares Ray pipelines against DuckDB SQL
+over the pre-registered testdata views (region..embeddings) — the
+transcript fixture (BASELINE.json input_hint) is NOT among them. So the
+oracle-checked transcript pipelines run over a transcript table DERIVED
+from ``events`` with logic expressible identically in Ray and ANSI SQL:
+
+  conv_id  = 'conv-' || user_id || '-' || strftime(ts, '%Y%m%d')
+  turn_idx = row_number per conv ordered by (ts, event_id), 0-based, int32
+  role     = view/signup -> user, click/purchase -> assistant, error -> tool
+  text     = 'event {id} {type} {props} user{uid}@example.com'
+  tool     = 'search' for errors else ''
+  ts       = ts
+
+The SQL form is ``TRANSCRIPTS_CTE``; the Ray form is
+``derive_transcripts`` (stateless map_batches + ONE groupby(conv_id)
+shuffle for turn numbering). Both must stay in lockstep — tested in
+tests/test_entry.py.
+
+(The richer synthetic generator in vaero_ray/sources/transcripts.py stays
+the primary fixture for unit/property/bench tests.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+TRANSCRIPTS_CTE = """transcripts AS (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y%m%d') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+                                 ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type IN ('view', 'signup') THEN 'user'
+              WHEN event_type IN ('click', 'purchase') THEN 'assistant'
+              ELSE 'tool' END AS role,
+         'event ' || CAST(event_id AS VARCHAR) || ' ' || event_type || ' ' || props
+             || ' user' || CAST(user_id AS VARCHAR) || '@example.com' AS text,
+         CASE WHEN event_type = 'error' THEN 'search' ELSE '' END AS tool,
+         ts
+  FROM events)"""
+
+_ROLE_KEYS = pa.array(["view", "signup", "click", "purchase", "error"])
+_ROLE_VALS = pa.array(["user", "user", "assistant", "assistant", "tool"])
+
+
+def _prep(tbl: pa.Table) -> pa.Table:
+    """Stateless column derivation (everything except turn_idx)."""
+    ts = tbl.column("ts")
+    uid = pc.cast(tbl.column("user_id"), pa.string())
+    day = pc.strftime(ts.combine_chunks().cast(pa.timestamp("us")), format="%Y%m%d")
+    conv_id = pc.binary_join_element_wise("conv-", uid, "-", day, "")
+    et = tbl.column("event_type")
+    role = pc.take(_ROLE_VALS, pc.index_in(et, _ROLE_KEYS))
+    text = pc.binary_join_element_wise(
+        "event ",
+        pc.cast(tbl.column("event_id"), pa.string()),
+        " ",
+        et,
+        " ",
+        tbl.column("props"),
+        " user",
+        uid,
+        "@example.com",
+        "",
+    )
+    tool = pc.if_else(pc.equal(et, "error"), "search", "")
+    return pa.table(
+        {
+            "conv_id": conv_id,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+            "event_id": tbl.column("event_id"),
+        }
+    )
+
+
+def _number_turns(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    g["turn_idx"] = pd.array(range(len(g)), dtype="int32")
+    return g
+
+
+def derive_transcripts(sf_dir: str) -> rd.Dataset:
+    """events.parquet -> transcript table (conv_id, turn_idx, role, text,
+    tool, ts). One shuffle (turn numbering per conversation)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    ds = ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.groupby("conv_id").map_groups(_number_turns, batch_format="pandas")
+    return ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])

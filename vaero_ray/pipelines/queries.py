@@ -1,0 +1,482 @@
+"""The driver-facing query catalog: named Ray pipelines + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver's testdata tables (pre-registered DuckDB views). Transcript-engine
+pipelines run over the transcript table derived from ``events``
+(see derived.py) so their oracles are pure SQL.
+
+Conventions for the driver's compare (row-count + schema + order-
+insensitive value-hash):
+- every computed column is aliased identically in Ray and SQL;
+- SUMs of integers are CAST AS BIGINT in SQL (DuckDB would return
+  HUGEINT) to match Arrow int64;
+- double aggregates are ROUNDed identically on both sides;
+- ratio-style outputs are avoided in oracle-checked queries (banker's
+  vs half-away rounding could differ at exact .5 ULPs) — counts only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from vaero_ray.pipelines.derived import TRANSCRIPTS_CTE, derive_transcripts
+from vaero_ray.stages.ann import brute_force_topk, ivf_topk, train_centroids
+from vaero_ray.stages.dedup import exact_dedup, minhash_lsh_dup_edges, simhash_signatures
+from vaero_ray.stages.stitch import stitch_conversations, stitch_exchanges
+from vaero_ray.stages.textstats import LangId, token_counts
+from vaero_ray.stages.windows import AggSpec, assign_sliding, sessionize, windowed_aggregate
+from vaero_ray.transforms import compile_chain
+
+QueryFn = Callable[[str], Any]
+
+_EMAIL_RE = r"user\d+@example\.com"
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# ------------------------------------------------------------------
+# Vaero core transforms (reference §2a) over the events table
+# ------------------------------------------------------------------
+
+def q_vaero_add_rename_delete(sf_dir: str):
+    chain = compile_chain(
+        [
+            ("add", {"path": "pipeline", "value": "p1"}),
+            ("rename", {"path": "value", "new_path": "score"}),
+            ("delete", {"path": "props"}),
+        ]
+    )
+    return _events(sf_dir).map_batches(chain, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ADD_RENAME_DELETE = """
+SELECT event_id, ts, user_id, event_type, value AS score, 'p1' AS pipeline FROM events
+"""
+
+
+def q_vaero_filter_regexp(sf_dir: str):
+    chain = compile_chain([("filter_regexp", {"path": "event_type", "regex": "^(click|view)$"})])
+    return _events(sf_dir).map_batches(chain, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FILTER_REGEXP = """
+SELECT * FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+"""
+
+
+def q_vaero_mask(sf_dir: str):
+    chain = compile_chain([("mask", {"path": "props", "regex": r"\d+", "replace_expr": "#"})])
+    ds = _events(sf_dir, columns=["event_id", "props"])
+    return ds.map_batches(chain, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MASK = r"""
+SELECT event_id, regexp_replace(props, '\d+', '#', 'g') AS props FROM events
+"""
+
+
+def q_vaero_parse_regexp(sf_dir: str):
+    chain = compile_chain([("parse_regexp", {"path": "props", "regex": r'"k": (?P<k_val>\d+)'})])
+    ds = _events(sf_dir, columns=["event_id", "props"])
+    out = ds.map_batches(chain, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["event_id", "k_val"])
+
+
+SQL_PARSE_REGEXP = r"""
+SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_val FROM events
+"""
+
+
+def q_vaero_select(sf_dir: str):
+    chain = compile_chain([("select", {"path": "event_type"})])
+    return _events(sf_dir, columns=["event_type"]).map_batches(
+        chain, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_SELECT = "SELECT event_type FROM events"
+
+
+# ------------------------------------------------------------------
+# Windows / watermark-tier operators (north_star §2b) over events
+# ------------------------------------------------------------------
+
+def q_tumbling_window_agg(sf_dir: str):
+    ds = _events(sf_dir, columns=["event_type", "ts", "value"])
+    out = windowed_aggregate(
+        ds,
+        keys=["event_type"],
+        aggs=[AggSpec(None, "count", "n_events"), AggSpec("value", "sum", "sum_value")],
+        ts_col="ts",
+        size_s=3600,
+    )
+    # hash-safe money math: value has 2 decimals, so sum*100 is an exact
+    # integer up to float error; round-to-int recovers it identically in
+    # Arrow and DuckDB (a ROUND(...,3) double would differ in low bits)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"),
+            "sum_value_cents",
+            pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100)), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TUMBLING = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window_count(sf_dir: str):
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+    ds = ds.map_batches(
+        partial(assign_sliding, ts_col="ts", size_s=7200, slide_s=3600),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return windowed_aggregate(
+        ds, keys=["event_type", "window_start"], aggs=[AggSpec(None, "count", "n_events")], size_s=None
+    )
+
+
+SQL_SLIDING = """
+SELECT event_type, window_start, COUNT(*) AS n_events FROM (
+  SELECT event_type, date_trunc('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+) GROUP BY 1, 2
+"""
+
+
+def q_session_window_stats(sf_dir: str):
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    ds = sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
+    return windowed_aggregate(
+        ds,
+        keys=["user_id", "session_id"],
+        aggs=[
+            AggSpec(None, "count", "n_events"),
+            AggSpec("ts", "min", "start_ts"),
+            AggSpec("ts", "max", "end_ts"),
+        ],
+        size_s=None,
+    )
+
+
+SQL_SESSION = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM d
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------
+# Transcript engine (derived transcript table; see derived.py)
+# ------------------------------------------------------------------
+
+def q_transcripts_derive(sf_dir: str):
+    return derive_transcripts(sf_dir)
+
+
+SQL_TRANSCRIPTS = f"WITH {TRANSCRIPTS_CTE} SELECT * FROM transcripts"
+
+
+def q_transcript_stitch(sf_dir: str):
+    return stitch_conversations(derive_transcripts(sf_dir))
+
+
+SQL_STITCH = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       COUNT(*) FILTER (WHERE role = 'user') AS n_user,
+       COUNT(*) FILTER (WHERE role = 'assistant') AS n_assistant,
+       COUNT(*) FILTER (WHERE role = 'tool') AS n_tool,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS transcript,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def q_transcript_exchanges(sf_dir: str):
+    from vaero_ray.stages.stitch import assign_exchanges
+
+    return assign_exchanges(derive_transcripts(sf_dir))
+
+
+SQL_EXCHANGES = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       COUNT(CASE WHEN role = 'user' THEN 1 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) AS exchange_idx
+FROM transcripts
+"""
+
+
+def q_transcript_stitch_exchanges(sf_dir: str):
+    return stitch_exchanges(derive_transcripts(sf_dir))
+
+
+SQL_STITCH_EXCHANGES = f"""
+WITH {TRANSCRIPTS_CTE}, e AS (
+  SELECT *, COUNT(CASE WHEN role = 'user' THEN 1 END)
+                OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS UNBOUNDED PRECEDING) AS exchange_idx
+  FROM transcripts
+)
+SELECT conv_id, exchange_idx,
+       COALESCE(string_agg(CASE WHEN role = 'user' THEN text END,
+                           chr(10) ORDER BY turn_idx), '') AS user_text,
+       COALESCE(string_agg(CASE WHEN role = 'assistant' THEN text END,
+                           chr(10) ORDER BY turn_idx), '') AS assistant_text,
+       COUNT(CASE WHEN role = 'tool' THEN 1 END) AS n_tool_calls,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_flagship_windowed_route(sf_dir: str):
+    """The headline pipeline: transcripts -> Vaero transform chain (mask
+    PII emails, route user/assistant turns) -> tumbling 1h windowed
+    per-role aggregate. Composition of reference semantics (§2a) with the
+    mandated window tier (§2b)."""
+    ds = derive_transcripts(sf_dir)
+    chain = compile_chain(
+        [
+            ("mask", {"path": "text", "regex": _EMAIL_RE, "replace_expr": "<email>"}),
+            ("filter_regexp", {"path": "role", "regex": "^(user|assistant)$"}),
+        ]
+    )
+    ds = ds.map_batches(chain, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.append_column("n_chars", pc.cast(pc.utf8_length(t.column("text")), pa.int64())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return windowed_aggregate(
+        ds,
+        keys=["role"],
+        aggs=[AggSpec(None, "count", "n_turns"), AggSpec("n_chars", "sum", "sum_chars")],
+        ts_col="ts",
+        size_s=3600,
+    )
+
+
+SQL_FLAGSHIP = rf"""
+WITH {TRANSCRIPTS_CTE}, m AS (
+  SELECT role, date_trunc('hour', ts) AS window_start,
+         length(regexp_replace(text, 'user\d+@example\.com', '<email>', 'g')) AS nc
+  FROM transcripts
+  WHERE regexp_matches(role, '^(user|assistant)$')
+)
+SELECT role, window_start, COUNT(*) AS n_turns,
+       CAST(SUM(nc) AS BIGINT) AS sum_chars
+FROM m GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------
+# Training-data ops: dedup / text stats / similarity search
+# ------------------------------------------------------------------
+
+def q_exact_dedup_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(ds, text_col="text", id_col="doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def q_doc_token_stats(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def extra(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "n_bpe_tokens": t.column("n_bpe_tokens"),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(txt, r"[^\w\s]"), pa.int64()),
+                "n_digits": pc.cast(pc.count_substring_regex(txt, r"\d"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(extra, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+       len(regexp_extract_all(text, '\d')) AS n_digits
+FROM documents
+"""
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "=", vec_id)])
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+
+def q_ann_topk_bruteforce(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, _query_vec(sf_dir), k=10, round_dp=6)
+
+
+SQL_ANN_TOPK = """
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    (SELECT CAST(embedding AS DOUBLE[])
+                                     FROM embeddings WHERE vec_id = 0)), 6) AS cosine_sim
+FROM embeddings e
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+# TPC-H-ish sanity aggregate: proves the generic two-phase agg path
+def q_lineitem_pricing(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = windowed_aggregate(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs=[
+            AggSpec("l_quantity", "sum", "sum_qty"),
+            AggSpec("l_extendedprice", "sum", "sum_base_price"),
+            AggSpec(None, "count", "count_order"),
+        ],
+        size_s=None,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        # quantities are integral doubles; prices have 2 decimals — emit
+        # exact integers (units / cents) so value hashes can't drift
+        t = t.set_column(
+            t.column_names.index("sum_qty"), "sum_qty", pc.cast(pc.round(t.column("sum_qty")), pa.int64())
+        )
+        return t.set_column(
+            t.column_names.index("sum_base_price"),
+            "sum_base_cents",
+            pc.cast(pc.round(pc.multiply(t.column("sum_base_price"), 100)), pa.int64()),
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_cents,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------
+# Non-SQL-expressible ops (driver records rows-only checks)
+# ------------------------------------------------------------------
+
+def q_minhash_dup_edges(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dup_edges(ds, threshold=0.7)
+
+
+def q_simhash_signatures(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_signatures, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_id(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2).select_columns(
+        ["doc_id", "pred_lang"]
+    )
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = train_centroids(ds, n_centroids=8)
+    return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=3)
+
+
+QUERIES: dict[str, QueryFn] = {
+    "vaero_add_rename_delete": q_vaero_add_rename_delete,
+    "vaero_filter_regexp": q_vaero_filter_regexp,
+    "vaero_mask": q_vaero_mask,
+    "vaero_parse_regexp": q_vaero_parse_regexp,
+    "vaero_select": q_vaero_select,
+    "tumbling_window_agg": q_tumbling_window_agg,
+    "sliding_window_count": q_sliding_window_count,
+    "session_window_stats": q_session_window_stats,
+    "transcripts_derive": q_transcripts_derive,
+    "transcript_stitch": q_transcript_stitch,
+    "transcript_exchanges": q_transcript_exchanges,
+    "transcript_stitch_exchanges": q_transcript_stitch_exchanges,
+    "flagship_windowed_route": q_flagship_windowed_route,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_token_stats": q_doc_token_stats,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "lineitem_pricing": q_lineitem_pricing,
+    "minhash_dup_edges": q_minhash_dup_edges,
+    "simhash_signatures": q_simhash_signatures,
+    "lang_id": q_lang_id,
+    "ann_topk_ivf": q_ann_topk_ivf,
+}
+
+ORACLES: dict[str, str] = {
+    "vaero_add_rename_delete": SQL_ADD_RENAME_DELETE,
+    "vaero_filter_regexp": SQL_FILTER_REGEXP,
+    "vaero_mask": SQL_MASK,
+    "vaero_parse_regexp": SQL_PARSE_REGEXP,
+    "vaero_select": SQL_SELECT,
+    "tumbling_window_agg": SQL_TUMBLING,
+    "sliding_window_count": SQL_SLIDING,
+    "session_window_stats": SQL_SESSION,
+    "transcripts_derive": SQL_TRANSCRIPTS,
+    "transcript_stitch": SQL_STITCH,
+    "transcript_exchanges": SQL_EXCHANGES,
+    "transcript_stitch_exchanges": SQL_STITCH_EXCHANGES,
+    "flagship_windowed_route": SQL_FLAGSHIP,
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "doc_token_stats": SQL_TOKEN_STATS,
+    "ann_topk_bruteforce": SQL_ANN_TOPK,
+    "lineitem_pricing": SQL_LINEITEM,
+    # minhash_dup_edges / simhash_signatures / lang_id / ann_topk_ivf:
+    # intentionally no SQL oracle (hash-family / model ops) -> rows-only
+}

@@ -1,0 +1,214 @@
+"""Deduplication operators over document tables (training-data ops).
+
+Not in the reference (it has no dedup — SURVEY.md §2a "operators the
+reference does NOT have"); these are the standard large-corpus dedup
+family, Ray-Data-first:
+
+- exact_dedup: content-hash per batch (vectorized, deterministic) ->
+  groupby(hash) -> keep min-id row per group. The shuffle moves
+  (hash, id, payload) rows partitioned by hash — at 100 TB you'd project
+  payload off before the shuffle and re-join survivors by id; here the
+  payload rides along because the testdata docs are small.
+- minhash_lsh: shingle -> 64-perm MinHash signature (one numpy matmul per
+  batch) -> band rows -> groupby(band_id, band_hash) buckets -> per-bucket
+  signature-estimated Jaccard vs the bucket's min doc -> dup edges.
+  Single-round min-label union (a full connected-components loop is a
+  documented extension; one round already collapses typical near-dup
+  clusters whose members share a band with the cluster min).
+- simhash: 64-bit token-hash majority signature per doc; near-dups =
+  hamming(sig_a, sig_b) <= k, bucketed by 16-bit chunks (4 bands).
+
+All per-batch math is numpy; signatures are uint64. Determinism: hashes
+are polynomial/multiplicative with fixed constants — no PYTHONHASHSEED
+dependence, stable across workers and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_bytes_rolling(texts: "pd.Series") -> np.ndarray:
+    """Deterministic 64-bit content hash per string (vectorized FNV-1a over
+    a byte matrix would need padding; this uses pandas' stable siphash)."""
+    return pd.util.hash_array(texts.to_numpy(dtype=object), categorize=False).astype(np.uint64)
+
+
+def with_content_hash(tbl: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
+    h = _hash_bytes_rolling(tbl.column(col).to_pandas())
+    return tbl.append_column(out, pa.array(h, pa.uint64()))
+
+
+def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Keep the min-``id_col`` row per distinct ``text_col`` value.
+
+    hash-partition + per-group first (two stages: stateless hash, one
+    shuffle on the 64-bit hash). Hash collisions are broken by comparing
+    the actual text within the group."""
+
+    def add_h(tbl: pa.Table) -> pa.Table:
+        return with_content_hash(tbl, text_col, "__h")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # same hash may (rarely) cover different texts: dedup per text
+        g = g.sort_values(id_col, kind="mergesort")
+        return g.drop_duplicates(subset=[text_col], keep="first")
+
+    out = (
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+    return out.drop_columns(["__h"])
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit rolling hashes of all k-character shingles (polynomial mod
+    2^64 via uint64 wraparound; deterministic)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    n = len(b) - k + 1
+    base = np.uint64(1111111111111111111)
+    powers = base ** np.arange(k, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k)
+    return (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+
+
+def _perm_params(num_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    tbl: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_perm: int = 64,
+) -> pa.Table:
+    """(id, signature fixed_size_list<uint64>[num_perm]) per doc."""
+    a, b = _perm_params(num_perm)
+    texts = tbl.column(text_col).to_pylist()
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t, shingle_k)
+        # (a * x + b) mod Mersenne61, min over shingles, per permutation
+        vals = (a[None, :] * (sh[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
+        sigs[i] = vals.min(axis=0)
+    return pa.table(
+        {
+            id_col: tbl.column(id_col),
+            "signature": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), pa.uint64()), num_perm
+            ),
+        }
+    )
+
+
+def minhash_lsh_dup_edges(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> rd.Dataset:
+    """Near-duplicate edges (doc_id, dup_of, est_jaccard) via MinHash+LSH.
+
+    Pipeline: signatures per batch (no shuffle) -> explode to one row per
+    band (band_id, band_hash, doc_id, signature) -> groupby(band_id,
+    band_hash) -> per bucket, estimate Jaccard of each doc against the
+    bucket's min doc from signature agreement; emit edges >= threshold.
+    Edges are deduplicated by (doc_id): keep the smallest dup_of.
+    """
+    rows_per_band = num_perm // bands
+
+    def sig_stage(tbl: pa.Table) -> pa.Table:
+        return minhash_signatures(tbl, text_col, id_col, shingle_k, num_perm)
+
+    def band_stage(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sig = np.asarray(tbl.column("signature").combine_chunks().flatten()).reshape(
+            len(ids), num_perm
+        )
+        n = len(ids)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        # hash each band's slice of the signature to one uint64
+        chunks = sig.reshape(n, bands, rows_per_band)
+        bh = chunks[:, :, 0].copy()
+        for j in range(1, rows_per_band):
+            bh = bh * _FNV_PRIME + chunks[:, :, j]
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(sig, bands, axis=0).reshape(-1), pa.uint64()), num_perm
+                ),
+            }
+        )
+
+    def bucket_stage(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": [], "est_jaccard": []}).astype(
+                {id_col: "int64", "dup_of": "int64", "est_jaccard": "float64"}
+            )
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(subset=[id_col])
+        sig = np.stack(g["signature"].to_numpy())
+        ids = g[id_col].to_numpy()
+        est = (sig == sig[0]).mean(axis=1)
+        keep = (est >= threshold) & (ids != ids[0])
+        return pd.DataFrame(
+            {id_col: ids[keep], "dup_of": ids[0], "est_jaccard": est[keep]}
+        )
+
+    edges = (
+        ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_stage, batch_format="pandas")
+    )
+
+    def min_dup(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("dup_of", kind="mergesort").iloc[:1]
+        return r[[c for c in (id_col, "dup_of", "est_jaccard")]]
+
+    return edges.groupby(id_col).map_groups(min_dup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash_signatures(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash over deterministic token hashes: for each doc, each
+    token votes its hash bits +1/-1; the signature keeps the majority bit.
+    Vectorized per doc (token-hash matrix -> bit unpack -> column sums)."""
+    texts = tbl.column(text_col).to_pylist()
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.uint64)
+    one = np.uint64(1)
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = pd.util.hash_array(np.array(toks, dtype=object), categorize=False).astype(np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & one).astype(np.int64)
+        majority = (2 * bits - 1).sum(axis=0) > 0
+        out[i] = (majority.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return pa.table({id_col: tbl.column(id_col), "simhash": pa.array(out, pa.uint64())})

@@ -56,8 +56,8 @@ def stitch_conversations(
                 "n_assistant": pd.array([int((roles == "assistant").sum())], dtype="int64"),
                 "n_tool": pd.array([int((roles == "tool").sum())], dtype="int64"),
                 "transcript": [sep.join(roles.str.cat(g["text"], sep=": "))],
-                "first_ts": [g["ts"].min()],
-                "last_ts": [g["ts"].max()],
+                "first_ts": pd.Series([g["ts"].min()], dtype="datetime64[us]"),
+                "last_ts": pd.Series([g["ts"].max()], dtype="datetime64[us]"),
             }
         )
 
@@ -87,6 +87,8 @@ def stitch_exchanges(ds: rd.Dataset, key: str = "conv_id") -> rd.Dataset:
         df = pd.DataFrame(out)
         df["exchange_idx"] = df["exchange_idx"].astype("int64")
         df["n_tool_calls"] = df["n_tool_calls"].astype("int64")
+        df["start_ts"] = df["start_ts"].astype("datetime64[us]")
+        df["end_ts"] = df["end_ts"].astype("datetime64[us]")
         return df
 
     def fused(g: pd.DataFrame) -> pd.DataFrame:

@@ -194,9 +194,19 @@ def windowed_aggregate(
                 )
             else:
                 cols[a.alias] = tbl.column(f"{a.col}_{a.fn}")
+        # normalize every timestamp to us — Ray's shuffle/groupby machinery
+        # can round-trip keys through numpy/pandas and come back as [s]/[ns]
+        cols = {
+            k: (v.cast(pa.timestamp("us")) if pa.types.is_timestamp(_type_of(v)) else v)
+            for k, v in cols.items()
+        }
         return pa.table(cols)
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _type_of(v: pa.ChunkedArray | pa.Array) -> pa.DataType:
+    return v.type
 
 
 def add_salt(tbl: pa.Table, n_salts: int = 16, out_col: str = "salt") -> pa.Table:
