@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark driver for the vaero_ray engine.
+
+Default mode: time the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and print
+ONE JSON line::
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ...}
+
+``--scaling`` mode (north_rule two-cluster-size criterion, sandbox
+proxy per task instructions): generate a deterministic synthetic
+transcript Parquet (sources/transcripts.py) once under /tmp, run the
+identical flagship windowed transform+route+sink job in TWO FRESH
+PROCESSES at num_cpus=8 and num_cpus=32, and report turns/sec at both
+plus scaling efficiency (thr32/thr8)/4. Results land in BASELINE.md.
+
+This script OWNS its Ray session (unlike __ray_entry__.py, where the
+driver owns it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+# Headline subset of the query catalog: one per operator family, sized so
+# a full pass at sf0.1 stays in low tens of seconds. Full catalog still
+# runs via the driver's queries() gate.
+BENCH_QUERIES = [
+    "flagship_windowed_route",      # transcripts -> mask/route -> tumbling agg
+    "vaero_mask",                   # regex-heavy stateless transform
+    "vaero_add_rename_delete",      # metadata-only transform chain
+    "session_window_stats",         # per-key session windows (shuffle)
+    "transcript_stitch_exchanges",  # stateful turn-sequence join
+    "exact_dedup_docs",             # hash dedup
+    "doc_token_stats",              # text analysis kernels
+    "minhash_dup_edges",            # MinHash+LSH near-dup
+    "ann_topk_bruteforce",          # embedding similarity search
+    "lineitem_pricing",             # two-phase aggregate, 600k rows
+]
+
+TRANSCRIPT_TURNS = 2_000_000  # scaling-run input size (~1.1 GB of text)
+
+
+def _consume(res) -> int:
+    """Execute a query result fully without driver-side materialization of
+    the data; return the row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    raise TypeError(f"unexpected result type {type(res)!r}")
+
+
+def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from vaero_ray.pipelines.queries import QUERIES
+
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            rows[name] = _consume(QUERIES[name](sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+
+        # turns/sec on the flagship: input turns = events rows (transcripts
+        # are derived 1:1 from the events table)
+        import pyarrow.parquet as pq
+
+        n_turns = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+        flagship_s = timings.get("flagship_windowed_route")
+        tps = round(n_turns / flagship_s, 1) if flagship_s else None
+        return {
+            "metric": "headline pipeline suite wall time (flagship windowed transform+route, "
+            "vaero transforms, windows/sessions, stitch join, dedup, textstats, ANN, 2-phase agg)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "turns_per_sec": tps,
+            "rows": rows,
+        }
+    finally:
+        ray.shutdown()
+
+
+# ----------------------------------------------------------------------
+# Scaling mode
+# ----------------------------------------------------------------------
+
+def _scaling_input(path: str) -> str:
+    from vaero_ray.sources.transcripts import write_transcripts
+
+    n_convs = max(1, TRANSCRIPT_TURNS // 20)
+    return write_transcripts(path, n_convs=n_convs, mean_turns=20, seed=42, row_group_size=65536)
+
+
+def run_scaling_child(input_path: str, num_cpus: int, out_dir: str) -> dict:
+    """One fresh-process scaling run: the flagship windowed
+    transform+route+sink job over the synthetic transcript stream."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        import pyarrow.parquet as pq
+
+        from vaero_ray.pipelines.flagship import flagship_over_transcripts
+
+        n_turns = pq.ParquetFile(input_path).metadata.num_rows
+        t0 = time.perf_counter()
+        flagship_over_transcripts(input_path, out_dir)
+        elapsed = time.perf_counter() - t0
+        return {
+            "num_cpus": num_cpus,
+            "n_turns": n_turns,
+            "sec": round(elapsed, 3),
+            "turns_per_sec": round(n_turns / elapsed, 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(input_path: str, cpu_lo: int = 8, cpu_hi: int = 32) -> dict:
+    _scaling_input(input_path)
+    runs = {}
+    for cpus in (cpu_lo, cpu_hi):
+        out_dir = f"/tmp/vaero_ray_scaling_out_{cpus}"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             "--input", input_path, "--cpus", str(cpus), "--out-dir", out_dir],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaling child ({cpus} cpus) failed:\n{proc.stderr[-4000:]}")
+        runs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo = runs[cpu_lo]["turns_per_sec"]
+    thr_hi = runs[cpu_hi]["turns_per_sec"]
+    factor = cpu_hi / cpu_lo
+    eff = round((thr_hi / thr_lo) / factor, 3)
+    return {
+        "metric": f"flagship scaling efficiency {cpu_lo}->{cpu_hi} cpus (fresh processes, same input)",
+        "value": eff,
+        "unit": "efficiency",
+        "queries": {f"cpus_{c}": runs[c]["sec"] for c in (cpu_lo, cpu_hi)},
+        "sf": input_path,
+        "num_cpus": cpu_hi,
+        "runs": runs,
+        "scaling_efficiency": eff,
+        "speedup": round(thr_hi / thr_lo, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--queries", default=None, help="comma-separated subset of BENCH_QUERIES")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--input", default="/tmp/vaero_ray_bench/transcripts_2m.parquet")
+    ap.add_argument("--out-dir", default="/tmp/vaero_ray_scaling_out")
+    args = ap.parse_args()
+
+    if args.scaling_child:
+        print(json.dumps(run_scaling_child(args.input, args.cpus, args.out_dir)))
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling(args.input)))
+        return
+    names = args.queries.split(",") if args.queries else BENCH_QUERIES
+    print(json.dumps(run_suite(args.sf_dir, args.cpus, names)))
+
+
+if __name__ == "__main__":
+    main()

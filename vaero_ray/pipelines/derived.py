@@ -79,19 +79,23 @@ def _prep(tbl: pa.Table) -> pa.Table:
     )
 
 
-def _number_turns(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    g["turn_idx"] = pd.array(range(len(g)), dtype="int32")
-    return g
+def _number_turns_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized turn numbering across every conversation in a bucket."""
+    df = df.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+    df["turn_idx"] = df.groupby("conv_id", sort=False).cumcount().astype("int32")
+    return df
 
 
 def derive_transcripts(sf_dir: str) -> rd.Dataset:
     """events.parquet -> transcript table (conv_id, turn_idx, role, text,
-    tool, ts). One shuffle (turn numbering per conversation)."""
+    tool, ts). One bucketed shuffle (turn numbering per conversation);
+    see stages/keyed.py for why buckets, not per-group map_groups."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
     ds = ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.groupby("conv_id").map_groups(_number_turns, batch_format="pandas")
+    ds = bucketed_map_groups(ds, "conv_id", _number_turns_bucket)
     return ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])

@@ -1,0 +1,69 @@
+"""Bucketed keyed shuffle: the scale-path replacement for per-group
+``groupby(key).map_groups``.
+
+Ray Data's ``map_groups`` invokes the UDF once per group; with millions of
+small conversations that is millions of Python calls + DataFrame
+constructions — per-call overhead dominates (measured ~10x the useful
+work on the transcript fixtures). The engine's keyed stages instead:
+
+1. append ``__bucket = hash64(key) % num_buckets`` in a stateless
+   zero-copy ``map_batches`` stage (deterministic pandas siphash, stable
+   across processes — required for resumable/checkpointed runs);
+2. ``groupby("__bucket").map_groups(fn)`` — ONE UDF call per bucket, same
+   single all-to-all exchange as grouping by the key itself (a bucket is
+   a coarser unit of the same partitioning);
+3. ``fn`` receives every row of the bucket and applies VECTORIZED pandas
+   group logic (``groupby(key).cumcount()/cumsum()/agg``) across all keys
+   in the bucket at once.
+
+Partitioning assumption (document per call site): one bucket's rows fit in
+one task's heap — pick ``num_buckets`` >= dataset_bytes / target_task_mem.
+All keys of one conversation land in one bucket by construction, so any
+per-key logic stays correct.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+BUCKET_COL = "__bucket"
+# sizing default: testdata fits comfortably; 100 TB runs pass an explicit
+# num_buckets ~ input_bytes / 256 MB
+DEFAULT_BUCKETS = 64
+
+
+def hash_bucket(values, num_buckets: int) -> "pd.Series":
+    """Deterministic (cross-process) bucket of a key array."""
+    import numpy as np
+
+    arr = values.to_numpy() if hasattr(values, "to_numpy") else np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in "USO":
+        h = pd.util.hash_array(arr.astype(object), categorize=False)
+    else:
+        h = pd.util.hash_array(arr, categorize=False)
+    return (h % num_buckets).astype("int64")
+
+
+def bucketed_map_groups(
+    ds: rd.Dataset,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """One shuffle; ``fn`` sees each bucket (all rows of ``num_buckets``-th
+    of the key space) as one DataFrame WITHOUT the bucket column and must
+    itself group by ``key`` (vectorized)."""
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(key).to_pandas()
+        return tbl.append_column(BUCKET_COL, pa.array(hash_bucket(col, num_buckets)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=[BUCKET_COL]))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")

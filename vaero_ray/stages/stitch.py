@@ -12,27 +12,39 @@ BASELINE.json invariant):
   next user turn (assistant reply + tool calls).
 - ``stitch_conversations``: one row per conversation — turn counts per
   role, the turn-ordered concatenated transcript, first/last event time.
+- ``stitch_exchanges``: one row per (conversation, exchange) — user /
+  assistant texts joined, tool-call count, start/end event time.
 
-Both are ONE shuffle: ``groupby(conv_id)`` with vectorized pandas group
-logic. Partitioning assumption: a single conversation fits in one group
-task (bounded per-conversation length; hot-key aggregates should use the
-two-phase path in windows.py instead).
+All are ONE bucketed shuffle (stages/keyed.py): hash(conv_id) buckets,
+one vectorized pandas call per bucket (groupby(conv_id).cumsum / .agg
+across every conversation in the bucket at once) instead of one Python
+call per conversation. Partitioning assumption: a bucket's conversations
+fit one task's heap (num_buckets sized to input bytes).
 """
 
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
 import ray.data as rd
 
+from vaero_ray.stages.keyed import DEFAULT_BUCKETS, bucketed_map_groups
 
-def assign_exchanges(ds: rd.Dataset, key: str = "conv_id", order: str = "turn_idx", role: str = "role") -> rd.Dataset:
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
-        g["exchange_idx"] = (g[role] == "user").astype("int64").cumsum()
-        return g
 
-    return ds.groupby(key).map_groups(per_conv, batch_format="pandas")
+def assign_exchanges(
+    ds: rd.Dataset,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order], kind="mergesort")
+        df["exchange_idx"] = (
+            df[role].eq("user").astype("int64").groupby(df[key].to_numpy(), sort=False).cumsum()
+        )
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets)
 
 
 def stitch_conversations(
@@ -40,60 +52,62 @@ def stitch_conversations(
     key: str = "conv_id",
     order: str = "turn_idx",
     sep: str = "\n",
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> rd.Dataset:
     """One row per conversation:
     conv_id, n_turns, n_user, n_assistant, n_tool, transcript (turn-ordered
     ``role: text`` lines), first_ts, last_ts (event-time min/max)."""
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
-        roles = g["role"]
-        return pd.DataFrame(
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order], kind="mergesort")
+        keys = df[key]
+        line = df["role"].str.cat(df["text"], sep=": ")
+        g = df.groupby(key, sort=False)
+        out = pd.DataFrame(
             {
-                key: [g[key].iloc[0]],
-                "n_turns": pd.array([len(g)], dtype="int64"),
-                "n_user": pd.array([int((roles == "user").sum())], dtype="int64"),
-                "n_assistant": pd.array([int((roles == "assistant").sum())], dtype="int64"),
-                "n_tool": pd.array([int((roles == "tool").sum())], dtype="int64"),
-                "transcript": [sep.join(roles.str.cat(g["text"], sep=": "))],
-                "first_ts": pd.Series([g["ts"].min()], dtype="datetime64[us]"),
-                "last_ts": pd.Series([g["ts"].max()], dtype="datetime64[us]"),
+                "n_turns": g.size().astype("int64"),
+                "n_user": df["role"].eq("user").groupby(keys, sort=False).sum().astype("int64"),
+                "n_assistant": df["role"].eq("assistant").groupby(keys, sort=False).sum().astype("int64"),
+                "n_tool": df["role"].eq("tool").groupby(keys, sort=False).sum().astype("int64"),
+                "transcript": line.groupby(keys, sort=False).agg(sep.join),
+                "first_ts": g["ts"].min().astype("datetime64[us]"),
+                "last_ts": g["ts"].max().astype("datetime64[us]"),
             }
         )
+        out.index.name = key
+        return out.reset_index()
 
-    return ds.groupby(key).map_groups(per_conv, batch_format="pandas")
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets)
 
 
-def stitch_exchanges(ds: rd.Dataset, key: str = "conv_id") -> rd.Dataset:
+def stitch_exchanges(
+    ds: rd.Dataset, key: str = "conv_id", num_buckets: int = DEFAULT_BUCKETS
+) -> rd.Dataset:
     """One row per (conversation, exchange): exchange_idx, texts of the
     user / assistant side, number of tool calls. Exchange assignment and
-    stitching share the conv_id grouping, so both run in ONE map_groups
-    (one shuffle total) — used by the flagship pipeline."""
+    stitching share the conv_id bucketing, so both run in ONE shuffle —
+    used by the flagship pipeline."""
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for ex_idx, ex in g.groupby("exchange_idx", sort=True):
-            out.append(
-                {
-                    key: ex[key].iloc[0],
-                    "exchange_idx": ex_idx,
-                    "user_text": "\n".join(ex.loc[ex["role"] == "user", "text"]),
-                    "assistant_text": "\n".join(ex.loc[ex["role"] == "assistant", "text"]),
-                    "n_tool_calls": int((ex["role"] == "tool").sum()),
-                    "start_ts": ex["ts"].min(),
-                    "end_ts": ex["ts"].max(),
-                }
-            )
-        df = pd.DataFrame(out)
-        df["exchange_idx"] = df["exchange_idx"].astype("int64")
-        df["n_tool_calls"] = df["n_tool_calls"].astype("int64")
-        df["start_ts"] = df["start_ts"].astype("datetime64[us]")
-        df["end_ts"] = df["end_ts"].astype("datetime64[us]")
-        return df
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "turn_idx"], kind="mergesort")
+        df["exchange_idx"] = (
+            df["role"].eq("user").astype("int64").groupby(df[key].to_numpy(), sort=False).cumsum()
+        )
+        gcols = [key, "exchange_idx"]
+        g = df.groupby(gcols, sort=False)
+        base = pd.DataFrame(
+            {
+                "n_tool_calls": df["role"].eq("tool").groupby([df[key], df["exchange_idx"]], sort=False)
+                .sum().astype("int64"),
+                "start_ts": g["ts"].min().astype("datetime64[us]"),
+                "end_ts": g["ts"].max().astype("datetime64[us]"),
+            }
+        )
+        for role_name, col in (("user", "user_text"), ("assistant", "assistant_text")):
+            sub = df[df["role"] == role_name]
+            joined = sub.groupby([sub[key], sub["exchange_idx"]], sort=False)["text"].agg("\n".join)
+            base[col] = joined.reindex(base.index, fill_value="")
+        base = base.reset_index()
+        return base[[key, "exchange_idx", "user_text", "assistant_text", "n_tool_calls", "start_ts", "end_ts"]]
 
-    def fused(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="mergesort")
-        g["exchange_idx"] = (g["role"] == "user").astype("int64").cumsum()
-        return per_conv(g)
-
-    return ds.groupby(key).map_groups(fused, batch_format="pandas")
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets)

@@ -94,21 +94,23 @@ def sessionize(
     """Session windows: per key, ts-sorted events closer than ``gap_s`` share
     a session. ``out_col`` is the 0-based session ordinal within the key.
 
-    One shuffle (groupby(key)); per-group logic is vectorized pandas.
-    Partitioning assumption: one key's events fit one group task (bounded
-    by per-conversation length, which the generator caps — SURVEY.md §7
-    risk 6).
+    One bucketed shuffle (stages/keyed.py): the break/cumsum logic runs
+    vectorized across every key in a bucket at once. Partitioning
+    assumption: one bucket's rows fit one task's heap.
     """
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
     gap_us = gap_s * US
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].astype("int64")
-        new = (ts.diff().fillna(0) > gap_us).astype("int64")
-        g[out_col] = new.cumsum()
-        return g
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        ts = df[ts_col].astype("int64")
+        same_key = df[key].eq(df[key].shift())
+        brk = ((ts.diff() > gap_us) & same_key).astype("int64")
+        df[out_col] = brk.groupby(df[key].to_numpy(), sort=False).cumsum()
+        return df
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return bucketed_map_groups(ds, key, per_bucket)
 
 
 class AggSpec:
