@@ -122,26 +122,9 @@ class AggSpec:
         self.col, self.fn, self.alias = col, fn, alias
 
 
-def windowed_aggregate(
-    ds: rd.Dataset,
-    keys: list[str],
-    aggs: Iterable[AggSpec],
-    ts_col: str = "ts",
-    size_s: int | None = 60,
-    window_col: str = "window_start",
-) -> rd.Dataset:
-    """Two-phase grouped aggregate, optionally windowed.
-
-    Phase 1 (map_batches, no shuffle): assign tumbling windows, then a
-    pyarrow ``group_by`` collapses the block to one partial row per
-    (keys..., window). Phase 2 (the one shuffle): Ray groupby merges
-    partials with Sum/Min/Max. ``mean`` is finalized as sum/count in a last
-    stateless stage. Output columns = keys + [window_col] + aliases.
-    """
-    aggs = list(aggs)
-    group_cols = list(keys) + ([window_col] if size_s is not None else [])
-
-    # phase-1 partial spec: pyarrow group_by aggregations
+def _plan_partials(aggs: list[AggSpec]) -> tuple[list[tuple[str, str]], bool]:
+    """Partial-column plan: (col, fn) pyarrow group_by aggs + whether a
+    row count must be carried (for count/mean finalization)."""
     pa_aggs: list[tuple[str, str]] = []
     need_count = False
     for a in aggs:
@@ -152,8 +135,25 @@ def windowed_aggregate(
             need_count = True
         else:
             pa_aggs.append((a.col, a.fn))
-    # always carry a row count for count/mean finalization
-    pa_aggs_dedup = sorted(set(pa_aggs))
+    return sorted(set(pa_aggs)), need_count
+
+
+def partial_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: list[AggSpec],
+    ts_col: str = "ts",
+    size_s: int | None = 60,
+    window_col: str = "window_start",
+) -> rd.Dataset:
+    """Phase 1 (map_batches, NO shuffle): assign tumbling windows, collapse
+    each block to one MERGEABLE partial row per (keys..., window) via
+    pyarrow ``group_by``. Partial columns: ``{col}_{fn}`` + ``__pcount``.
+    Partials of partials merge associatively (sum of sums, min of mins…) —
+    the property the streaming engine uses to carry open-window state
+    across epochs."""
+    group_cols = list(keys) + ([window_col] if size_s is not None else [])
+    pa_aggs_dedup, need_count = _plan_partials(aggs)
 
     def partial(tbl: pa.Table) -> pa.Table:
         if size_s is not None:
@@ -166,11 +166,28 @@ def windowed_aggregate(
             out = out.rename_columns(
                 [c if c != f"{group_cols[0]}_count" else "__pcount" for c in out.column_names]
             )
+        # canonical us timestamps in partials (stable across state round-trips)
+        for i, name in enumerate(out.column_names):
+            if pa.types.is_timestamp(out.column(i).type):
+                out = out.set_column(i, name, out.column(i).cast(pa.timestamp("us")))
         return out
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    # phase-2 merge: sum partial sums/counts, min of mins, max of maxes
+
+def merge_partials(
+    partials: rd.Dataset,
+    keys: list[str],
+    aggs: list[AggSpec],
+    size_s: int | None = 60,
+    window_col: str = "window_start",
+) -> rd.Dataset:
+    """Phase 2 (the one shuffle): Ray groupby merges partial columns
+    (sum of sums/counts, min of mins, max of maxes). Idempotent under
+    re-merging — streaming unions previous state with new partials and
+    calls this again."""
+    group_cols = list(keys) + ([window_col] if size_s is not None else [])
+    pa_aggs_dedup, need_count = _plan_partials(aggs)
     ray_aggs = []
     for col, fn in pa_aggs_dedup:
         pname = f"{col}_{fn}"
@@ -183,6 +200,29 @@ def windowed_aggregate(
     if need_count or not pa_aggs_dedup:
         ray_aggs.append(Sum("__pcount", alias_name="__pcount"))
     merged = partials.groupby(group_cols).aggregate(*ray_aggs)
+
+    def canon_us(tbl: pa.Table) -> pa.Table:
+        # Ray's aggregate round-trips timestamps through numpy and can
+        # emit [s]/[ns] — normalize to canonical us so downstream epoch
+        # arithmetic (window close, state round-trips) stays exact
+        for i, name in enumerate(tbl.column_names):
+            if pa.types.is_timestamp(tbl.column(i).type):
+                tbl = tbl.set_column(i, name, tbl.column(i).cast(pa.timestamp("us")))
+        return tbl
+
+    return merged.map_batches(canon_us, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def finalize_partials(
+    merged: rd.Dataset,
+    keys: list[str],
+    aggs: list[AggSpec],
+    size_s: int | None = 60,
+    window_col: str = "window_start",
+) -> rd.Dataset:
+    """Phase 3 (stateless): partial columns -> user-facing aliases; mean =
+    sum/count; timestamps normalized to us."""
+    group_cols = list(keys) + ([window_col] if size_s is not None else [])
 
     def finalize(tbl: pa.Table) -> pa.Table:
         cols: dict[str, pa.ChunkedArray | pa.Array] = {c: tbl.column(c) for c in group_cols}
@@ -205,6 +245,24 @@ def windowed_aggregate(
         return pa.table(cols)
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def windowed_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: Iterable[AggSpec],
+    ts_col: str = "ts",
+    size_s: int | None = 60,
+    window_col: str = "window_start",
+) -> rd.Dataset:
+    """Two-phase grouped aggregate, optionally windowed: partial per block
+    (no shuffle) -> merge (one shuffle) -> finalize (stateless). The three
+    phases are exposed separately for the streaming engine, which inserts
+    its carried open-window state between partial and merge."""
+    aggs = list(aggs)
+    partials = partial_aggregate(ds, keys, aggs, ts_col, size_s, window_col)
+    merged = merge_partials(partials, keys, aggs, size_s, window_col)
+    return finalize_partials(merged, keys, aggs, size_s, window_col)
 
 
 def _type_of(v: pa.ChunkedArray | pa.Array) -> pa.DataType:

@@ -1,0 +1,15 @@
+"""Streaming shell: micro-batch epochs over a growing Parquet directory
+with event-time watermarks, carried window state, and an exactly-once
+checkpointed sink (SURVEY.md §2b / §3.4)."""
+
+from vaero_ray.streaming.checkpoint import CheckpointStore, EpochManifest
+from vaero_ray.streaming.job import WM_FINAL, StreamingWindowedJob
+from vaero_ray.streaming.sink import write_deterministic
+
+__all__ = [
+    "CheckpointStore",
+    "EpochManifest",
+    "StreamingWindowedJob",
+    "WM_FINAL",
+    "write_deterministic",
+]

@@ -1,0 +1,231 @@
+"""Micro-batch streaming driver: epoch loop with event-time watermarks,
+carried open-window state, and the exactly-once checkpointed sink.
+
+Model (SURVEY.md §2b, §3.4): the stream is a growing directory of Parquet
+files. Each epoch deterministically claims the next unconsumed files
+(sorted order), runs the SAME Ray Data stages as the batch engine —
+
+  read_parquet(epoch files)
+    -> stateless transform chain        (fused map_batches, zero-copy)
+    -> partial_aggregate                (per-block mergeable partials)
+    -> drop late partials               (windows closed at prev watermark)
+    -> union(carried state) -> merge    (the one shuffle; small: partials)
+    -> split closed/open on new watermark
+         closed -> finalize -> deterministic per-partition Parquet + lineage
+         open   -> state snapshot (same deterministic writer)
+    -> fsync'd atomic manifest commit   (checkpoint.py)
+
+Watermark: wm_k = max(wm_{k-1}, max event ts in epoch k - allowed_lateness).
+A window [s, s+size) closes when wm >= s+size; rows arriving for an
+already-closed window are LATE and dropped (counted in metrics) — the
+exactly-once contract is over non-late data, matching the north_star
+("for the same input stream and watermark").
+
+Determinism / resume: epoch composition is a pure function of the
+committed manifests; every output and state file is a canonically-sorted
+pure function of (epoch inputs, prev state). A SIGKILL anywhere before
+the manifest rename makes the rerun byte-identical (tests/test_streaming.py
+proves bit-identity under kill-resume).
+
+Scale: per-epoch shuffles move PARTIALS (one row per key x window per
+block), not events; state is hash-partitioned Parquet re-read lazily each
+epoch; the driver touches only lineage rows and manifests, never data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from vaero_ray.stages.windows import (
+    AggSpec,
+    US,
+    finalize_partials,
+    merge_partials,
+    partial_aggregate,
+)
+from vaero_ray.streaming.checkpoint import CheckpointStore, EpochManifest
+from vaero_ray.streaming.sink import write_deterministic
+
+WM_FINAL = 1 << 62  # watermark value marking end-of-stream finalization
+
+
+@dataclass
+class StreamingWindowedJob:
+    input_dir: str
+    out_dir: str
+    ckpt_dir: str
+    keys: list[str]
+    aggs: list[AggSpec]
+    ts_col: str = "ts"
+    size_s: int = 3600
+    window_col: str = "window_start"
+    allowed_lateness_s: int = 0
+    transform: Callable[[rd.Dataset], rd.Dataset] | None = None
+    num_partitions: int = 8
+    max_files_per_epoch: int = 1
+    extra_read_kw: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.store = CheckpointStore(self.ckpt_dir)
+        # internal: always carry max(ts) in partials to advance the
+        # watermark without a second pass over the input (dedups with any
+        # user max(ts) agg via _plan_partials)
+        self._state_aggs = list(self.aggs) + [AggSpec(self.ts_col, "max", "__wm_ts")]
+
+    # -- epoch planning (pure function of committed manifests) ---------
+    def pending_files(self) -> list[str]:
+        consumed = self.store.consumed_files()
+        files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
+        return [f for f in files if f not in consumed]
+
+    def _prev(self) -> tuple[int, int, str | None]:
+        """(next_epoch, prev_watermark_us, prev_state_path)"""
+        last = self.store.last()
+        if last is None:
+            return 0, -(1 << 62), None
+        return last.epoch + 1, last.watermark_us, last.state_path
+
+    # -- one epoch ------------------------------------------------------
+    def run_epoch(self, finalize: bool = False) -> EpochManifest | None:
+        t0 = time.perf_counter()
+        epoch, prev_wm, prev_state = self._prev()
+        if prev_wm >= WM_FINAL:
+            return None  # stream already finalized
+        files = [] if finalize else self.pending_files()[: self.max_files_per_epoch]
+        if not files and not finalize:
+            return None  # nothing to do
+
+        size_us = self.size_s * US
+        parts: list[rd.Dataset] = []
+        rows_in = 0
+        if files:
+            rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            ds = rd.read_parquet(files, **self.extra_read_kw)
+            if self.transform is not None:
+                ds = self.transform(ds)
+            live = partial_aggregate(
+                ds, self.keys, self._state_aggs, self.ts_col, self.size_s, self.window_col
+            )
+            parts.append(live)
+        if prev_state is not None and os.path.isdir(prev_state) and glob.glob(
+            os.path.join(prev_state, "**", "*.parquet"), recursive=True
+        ):
+            parts.append(rd.read_parquet(prev_state))
+
+        cols = None
+        merged_tbl_ds = None
+        rows_late = 0
+        epoch_max_ts = None
+        if parts:
+            # normalize column order so union of state + live partials is valid
+            cols = sorted(parts[0].schema().names)
+            parts = [p.select_columns(cols) for p in parts]
+            unioned = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+            merged = merge_partials(unioned, self.keys, self._state_aggs, self.size_s, self.window_col)
+            # materialize ONCE: everything below consumes these small partial
+            # blocks repeatedly (late/closed/open splits + watermark max)
+            merged_tbl_ds = merged.materialize()
+
+            wm_col = f"{self.ts_col}_max"
+            mx = merged_tbl_ds.max(wm_col)
+            epoch_max_ts = None if mx is None else int(pa.scalar(mx).cast(pa.int64()).as_py())
+
+        # late = windows already closed at the PREVIOUS watermark
+        def split(tbl: pa.Table, lo_us: int, hi_us: int) -> pa.Table:
+            we = pc.add(pc.cast(tbl.column(self.window_col), pa.int64()), 0)
+            wend = pc.add(we, size_us)
+            keep = pc.and_(pc.greater(wend, lo_us), pc.less_equal(wend, hi_us))
+            return tbl.filter(keep)
+
+        new_wm = prev_wm
+        if epoch_max_ts is not None:
+            new_wm = max(prev_wm, epoch_max_ts - self.allowed_lateness_s * US)
+        if finalize:
+            new_wm = WM_FINAL
+
+        closed_lineage = pa.table({})
+        state_lineage = pa.table({})
+        rows_out = 0
+        state_rows = 0
+        state_path = None
+        if merged_tbl_ds is not None:
+            late_ds = merged_tbl_ds.map_batches(
+                lambda t: split(t, -(1 << 62), prev_wm), batch_format="pyarrow"
+            )
+            rows_late = int(late_ds.sum("__pcount") or 0)
+            closed = merged_tbl_ds.map_batches(
+                lambda t: split(t, prev_wm, new_wm), batch_format="pyarrow"
+            )
+            open_ds = merged_tbl_ds.map_batches(
+                lambda t: split(t, new_wm, 1 << 62), batch_format="pyarrow"
+            )
+            final = finalize_partials(closed, self.keys, self.aggs, self.size_s, self.window_col)
+            closed_lineage = write_deterministic(
+                final, self.out_dir, epoch, self.keys[0], self.num_partitions
+            )
+            rows_out = sum(closed_lineage.column("rows").to_pylist()) if closed_lineage.num_rows else 0
+            state_path = self.store.state_path_for(epoch)
+            state_lineage = write_deterministic(
+                open_ds.select_columns(cols), state_path, epoch, self.keys[0], self.num_partitions
+            )
+            state_rows = sum(state_lineage.column("rows").to_pylist()) if state_lineage.num_rows else 0
+
+        manifest = EpochManifest(
+            epoch=epoch,
+            input_files=files,
+            watermark_us=new_wm,
+            rows_in=rows_in,
+            rows_late=rows_late,
+            rows_out=rows_out,
+            partitions={
+                str(r["partition"]): {"rows": r["rows"], "files": [r["path"]], "sha256": [r["sha256"]]}
+                for r in (closed_lineage.to_pylist() if closed_lineage.num_rows else [])
+            },
+            state_rows=state_rows,
+            state_path=state_path,
+        )
+        self.store.commit(manifest)
+        self.store.append_metrics(
+            {
+                "epoch": epoch,
+                "rows_in": rows_in,
+                "rows_late": rows_late,
+                "rows_out": rows_out,
+                "state_rows": state_rows,
+                "watermark_us": new_wm,
+                "watermark_lag_us": (epoch_max_ts - new_wm) if epoch_max_ts is not None else None,
+                "n_partitions_out": manifest.partitions and len(manifest.partitions) or 0,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+        )
+        return manifest
+
+    # -- drive to completion -------------------------------------------
+    def run(self, max_epochs: int | None = None, finalize: bool = True) -> list[EpochManifest]:
+        out: list[EpochManifest] = []
+        while max_epochs is None or len(out) < max_epochs:
+            m = self.run_epoch()
+            if m is None:
+                break
+            out.append(m)
+        if finalize and (max_epochs is None or len(out) < max_epochs) and not self.pending_files():
+            m = self.run_epoch(finalize=True)
+            if m is not None:
+                out.append(m)
+        return out
+
+    # -- exactly-once read view ----------------------------------------
+    def committed_output(self) -> rd.Dataset:
+        files = self.store.committed_output_files()
+        if not files:
+            raise ValueError("no committed output yet")
+        return rd.read_parquet(files)

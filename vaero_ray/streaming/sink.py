@@ -1,0 +1,73 @@
+"""Deterministic partitioned Parquet writer for the exactly-once sink.
+
+One file per (hash-partition, epoch), named ``p={bucket}/epoch-{k}.parquet``
+— a pure function of the partition contents: rows are canonically sorted
+on every column before writing, so re-running a crashed epoch overwrites
+the file byte-identically (pyarrow emits no wall-clock metadata). This
+replaces the reference's inherently non-resumable wall-clock/UUID
+filenames (/root/reference/execute/sinkNode.go:190-225).
+
+Executed as ``groupby(bucket).map_groups`` — each partition's file is
+written INSIDE the Ray task that holds its rows (no driver round-trip);
+only the tiny lineage table (partition, rows, path, sha256) is collected.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from vaero_ray.stages.keyed import BUCKET_COL, hash_bucket
+
+LINEAGE_SCHEMA = pa.schema(
+    [("partition", pa.int64()), ("rows", pa.int64()), ("path", pa.string()), ("sha256", pa.string())]
+)
+
+
+def add_partition_col(tbl: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    return tbl.append_column(BUCKET_COL, pa.array(hash_bucket(tbl.column(key).to_pandas(), num_partitions)))
+
+
+def write_deterministic(
+    ds: rd.Dataset,
+    base_dir: str,
+    epoch: int,
+    partition_key: str,
+    num_partitions: int,
+) -> pa.Table:
+    """Write ``ds`` as one canonical file per hash-partition of
+    ``partition_key``; returns the lineage table (small: one row per
+    non-empty partition)."""
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return add_partition_col(tbl, partition_key, num_partitions)
+
+    def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df[BUCKET_COL].iloc[0])
+        df = df.drop(columns=[BUCKET_COL])
+        df = df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
+        # no '=' in dir names: hive-partition inference would otherwise
+        # resurrect the bucket as a phantom column on read
+        pdir = os.path.join(base_dir, f"part-{bucket}")
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, f"epoch-{epoch:08d}.parquet")
+        tmp = path + ".tmp"
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        pq.write_table(tbl, tmp, row_group_size=1 << 20)
+        os.replace(tmp, path)
+        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        return pd.DataFrame(
+            {"partition": [bucket], "rows": [len(df)], "path": [path], "sha256": [digest]}
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    lineage_ds = tagged.groupby(BUCKET_COL).map_groups(write_partition, batch_format="pandas")
+    rows = lineage_ds.take_all()  # tiny: <= num_partitions rows
+    if not rows:
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
