@@ -367,6 +367,59 @@ ORDER BY cosine_sim DESC, vec_id LIMIT 10
 """
 
 
+# ------------------------------------------------------------------
+# Streaming engine through the SQL gate: the micro-batch epoch driver
+# (watermarks + exactly-once checkpointed sink) must converge to the
+# same rows as a batch/SQL tumbling aggregate once the stream ends.
+# ------------------------------------------------------------------
+
+def q_streaming_tumbling_agg(sf_dir: str):
+    import os
+    import shutil
+
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}"
+    ind = f"{base}/events_in"
+    if not os.path.isdir(ind):
+        tmp = ind + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        n = t.num_rows
+        for i in range(4):  # 4 arrival chunks = 4 epochs
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+        os.replace(tmp, ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["event_type"],
+        aggs=[AggSpec(None, "count", "n_events"), AggSpec("value", "sum", "sum_value")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,  # arrival chunks are ts-sorted
+        num_partitions=4,
+    )
+    job.run()
+    return job.committed_output().map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"),
+            "sum_value_cents",
+            pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100)), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STREAMING_TUMBLING = SQL_TUMBLING  # identical final answer by design
+
+
 # TPC-H-ish sanity aggregate: proves the generic two-phase agg path
 def q_lineitem_pricing(sf_dir: str):
     ds = rd.read_parquet(
@@ -453,6 +506,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_token_stats": q_doc_token_stats,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "lineitem_pricing": q_lineitem_pricing,
+    "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "minhash_dup_edges": q_minhash_dup_edges,
     "simhash_signatures": q_simhash_signatures,
     "lang_id": q_lang_id,
@@ -477,6 +531,7 @@ ORACLES: dict[str, str] = {
     "doc_token_stats": SQL_TOKEN_STATS,
     "ann_topk_bruteforce": SQL_ANN_TOPK,
     "lineitem_pricing": SQL_LINEITEM,
+    "streaming_tumbling_agg": SQL_STREAMING_TUMBLING,
     # minhash_dup_edges / simhash_signatures / lang_id / ann_topk_ivf:
     # intentionally no SQL oracle (hash-family / model ops) -> rows-only
 }
