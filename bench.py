@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "lineitem_pricing",             # two-phase aggregate, 600k rows
 ]
 
-TRANSCRIPT_TURNS = 2_000_000  # scaling-run input size (~1.1 GB of text)
+TRANSCRIPT_TURNS = 16_000_000  # scaling-run input size (~8 GB of text)
 
 
 def _consume(res) -> int:
@@ -107,10 +107,21 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
 # ----------------------------------------------------------------------
 
 def _scaling_input(path: str) -> str:
-    from vaero_ray.sources.transcripts import write_transcripts
+    from vaero_ray.sources.transcripts import write_transcripts_chunks
 
     n_convs = max(1, TRANSCRIPT_TURNS // 20)
-    return write_transcripts(path, n_convs=n_convs, mean_turns=20, seed=42, row_group_size=65536)
+    return write_transcripts_chunks(path, n_files=128, n_convs=n_convs, mean_turns=20, seed=42)
+
+
+def _n_turns(input_path: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = [input_path] if os.path.isfile(input_path) else sorted(
+        glob.glob(os.path.join(input_path, "*.parquet"))
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def run_scaling_child(input_path: str, num_cpus: int, out_dir: str) -> dict:
@@ -120,11 +131,9 @@ def run_scaling_child(input_path: str, num_cpus: int, out_dir: str) -> dict:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
-        import pyarrow.parquet as pq
-
         from vaero_ray.pipelines.flagship import flagship_over_transcripts
 
-        n_turns = pq.ParquetFile(input_path).metadata.num_rows
+        n_turns = _n_turns(input_path)
         t0 = time.perf_counter()
         flagship_over_transcripts(input_path, out_dir)
         elapsed = time.perf_counter() - t0
@@ -175,7 +184,7 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="comma-separated subset of BENCH_QUERIES")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
-    ap.add_argument("--input", default="/tmp/vaero_ray_bench/transcripts_2m.parquet")
+    ap.add_argument("--input", default="/tmp/vaero_ray_bench/transcripts_16m")
     ap.add_argument("--out-dir", default="/tmp/vaero_ray_scaling_out")
     args = ap.parse_args()
 

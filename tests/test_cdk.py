@@ -1,0 +1,169 @@
+"""Connector CDK + secrets tests (no network — fake transports/clocks).
+
+Oracle: the reference CDK semantics (SURVEY.md §2a user-extension
+surface): steady pacing, backoff on 429/5xx with give-up on other 4xx,
+cursor persisted around polls (okta pattern: max(published)+1ms), and the
+secret subprocess protocol (JSON map on stdin -> JSON values on stdout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from vaero_ray.cdk import ApiCursor, BackoffRateLimiter, GiveUpError, HTTPConnector, SteadyRateLimiter
+from vaero_ray.cdk.http_connector import jsonarray_event_breaker
+from vaero_ray.cdk.pull_driver import PullSourceDriver, events_to_table
+from vaero_ray.secrets import SecretResolver
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+        self.sleeps = []
+
+    def clock(self):
+        return self.t
+
+    def sleep(self, s):
+        self.sleeps.append(s)
+        self.t += s
+
+
+def test_steady_rate_limiter_paces():
+    fc = FakeClock()
+    rl = SteadyRateLimiter(max_calls_per_period=2, limit_period=10, clock=fc.clock, sleep=fc.sleep)
+    rl.wait()  # first call free
+    rl.wait()  # must wait the 5 s slot
+    assert fc.sleeps == [5.0]
+    fc.t += 7.0
+    rl.wait()  # 7 s already elapsed > slot -> no sleep
+    assert fc.sleeps == [5.0]
+
+
+def test_backoff_retries_then_succeeds():
+    fc = FakeClock()
+    rl = BackoffRateLimiter(max_retries=6, base_delay=1.0, sleep=fc.sleep)
+    statuses = iter([429, 503, 200])
+
+    out = rl.call(lambda: (next(statuses), "ok"))
+    assert out == "ok"
+    assert fc.sleeps == [1.0, 2.0]  # exponential
+
+
+def test_backoff_gives_up_on_4xx_immediately():
+    rl = BackoffRateLimiter(max_retries=6, sleep=lambda s: None)
+    with pytest.raises(GiveUpError) as e:
+        rl.call(lambda: (403, "forbidden"))
+    assert e.value.attempts == 1
+
+
+def test_backoff_exhausts_retries():
+    rl = BackoffRateLimiter(max_retries=2, base_delay=0, sleep=lambda s: None)
+    with pytest.raises(GiveUpError) as e:
+        rl.call(lambda: (500, "boom"))
+    assert e.value.attempts == 3  # initial + 2 retries
+
+
+class OktaLike(HTTPConnector):
+    """Paginated connector with okta-style cursor advance
+    (max(published)+1, source_okta.py:116-130 pattern)."""
+
+    def __init__(self, pages, **kw):
+        self.pages = pages  # list of list[event]
+        self._served = 0
+        super().__init__("https://example.test", transport=self._fake_transport, **kw)
+
+    def _fake_transport(self, url, params, headers):
+        # 'since' param filters events (incremental sync)
+        since = params.get("since", -1)
+        if self._served >= len(self.pages):
+            return 200, json.dumps([])
+        page = [e for e in self.pages[self._served] if e["published"] >= since]
+        self._served += 1
+        return 200, json.dumps(page)
+
+    def subpath(self):
+        return "/api/v1/logs"
+
+    def get_request_params(self, cursor_value, page_token):
+        p = {}
+        if cursor_value is not None:
+            p["since"] = cursor_value
+        if page_token is not None:
+            p["page"] = page_token
+        return p
+
+    def parse_response(self, body):
+        events = json.loads(body)
+        if not events:
+            return [], None
+        return events, max(e["published"] for e in events) + 1
+
+    def get_next_page_token(self, status, body, events):
+        return None if not events else self._served
+
+
+def test_connector_poll_and_cursor(tmp_path):
+    cur = ApiCursor(str(tmp_path / "cursor.json"))
+    pages = [
+        [{"id": 1, "published": 10}, {"id": 2, "published": 20}],
+        [{"id": 3, "published": 30}],
+    ]
+    c = OktaLike(pages, cursor=cur, sleep=lambda s: None, clock=lambda: 0.0)
+    events = c.poll()
+    assert [e["id"] for e in events] == [1, 2, 3]
+    assert cur.read() == 31  # max(published)+1 persisted
+
+    # next poll resumes from cursor: nothing new
+    c2 = OktaLike([[{"id": 2, "published": 20}]], cursor=cur, sleep=lambda s: None, clock=lambda: 0.0)
+    assert c2.poll() == []  # filtered by since=31
+
+
+def test_jsonarray_event_breaker():
+    body = '[{"a": 1, "b": {"c": 2}}, {"a": 2}]'
+    events = jsonarray_event_breaker(body)
+    assert len(events) == 2
+    assert json.loads(events[0])["b"]["c"] == 2
+    with pytest.raises(Exception):
+        jsonarray_event_breaker('{"not": "array"}')
+
+
+def test_pull_driver_lands_chunks(tmp_path):
+    pages = [[{"id": 1, "published": 10, "meta": {"x": 1}}], [{"id": 2, "published": 20}]]
+    c = OktaLike(pages, sleep=lambda s: None, clock=lambda: 0.0)
+    fc = FakeClock()
+    d = PullSourceDriver(c, str(tmp_path / "stream"), interval_s=10, sleep=fc.sleep, clock=fc.clock)
+    written = d.run(max_polls=1)
+    assert len(written) == 1
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(written[0])
+    assert t.num_rows == 2
+    assert json.loads(t.column("meta")[0].as_py()) == {"x": 1}  # nested kept as JSON
+    # sequence numbering resumes after restart
+    d2 = PullSourceDriver(c, str(tmp_path / "stream"), interval_s=10, sleep=fc.sleep, clock=fc.clock)
+    assert d2._seq == 1
+
+
+def test_secret_resolver(tmp_path):
+    provider = tmp_path / "provider.py"
+    provider.write_text(
+        "import sys, json\n"
+        "m = json.load(sys.stdin)\n"
+        "print(json.dumps({k: f'val-{k}' for k in m}))\n"
+    )
+    spec = {
+        "command": f"python {provider}",
+        "secrets": [{"api_token": "token"}, {"db_pass": "password"}],
+        "cache_time_seconds": 3600,
+        "timeout_seconds": 10,
+    }
+    r = SecretResolver(spec)
+    args = r.resolve_into({"host": "h"})
+    assert args == {"host": "h", "token": "val-api_token", "password": "val-db_pass"}
+    # cached: refresh within ttl is a no-op (same values, no re-exec needed)
+    args2 = r.maybe_refresh(dict(args))
+    assert args2 == args

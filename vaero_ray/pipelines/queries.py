@@ -31,7 +31,13 @@ from vaero_ray.stages.ann import brute_force_topk, ivf_topk, train_centroids
 from vaero_ray.stages.dedup import exact_dedup, minhash_lsh_dup_edges, simhash_signatures
 from vaero_ray.stages.stitch import stitch_conversations, stitch_exchanges
 from vaero_ray.stages.textstats import LangId, token_counts
-from vaero_ray.stages.windows import AggSpec, assign_sliding, sessionize, windowed_aggregate
+from vaero_ray.stages.windows import (
+    AggSpec,
+    assign_sliding,
+    session_aggregate,
+    sessionize,
+    windowed_aggregate,
+)
 from vaero_ray.transforms import compile_chain
 
 QueryFn = Callable[[str], Any]
@@ -162,17 +168,18 @@ SELECT event_type, window_start, COUNT(*) AS n_events FROM (
 
 
 def q_session_window_stats(sf_dir: str):
+    # fused sessionize + per-session aggregate: ONE bucketed shuffle
     ds = _events(sf_dir, columns=["user_id", "ts"])
-    ds = sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
-    return windowed_aggregate(
+    return session_aggregate(
         ds,
-        keys=["user_id", "session_id"],
+        key="user_id",
+        ts_col="ts",
+        gap_s=1800,
         aggs=[
             AggSpec(None, "count", "n_events"),
             AggSpec("ts", "min", "start_ts"),
             AggSpec("ts", "max", "end_ts"),
         ],
-        size_s=None,
     )
 
 

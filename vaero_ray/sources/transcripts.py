@@ -24,6 +24,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 BASE_TS_US = np.int64(1_767_225_600_000_000)  # 2026-01-01T00:00:00Z in micros
@@ -124,27 +125,48 @@ def make_transcripts(
         k = rng.random(n) < disorder_frac
         ts = ts + np.where(k, rng.integers(-8_000_000, 8_000_000, n), 0)
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv_idx.astype("U8"), 8))
+    # conv ids built per CONVERSATION then gathered (np.char over every
+    # row is 10x slower)
+    per_conv = np.char.add("conv-", np.char.zfill(np.arange(n_convs).astype("U8"), 8))
+    conv_id = per_conv[conv_idx]
 
     # text: "{role} turn {t} of {conv}: " + lorem + " user{n}@example.com"
+    # lorem drawn from a seeded pool of pre-joined sentences — building
+    # 10^8 individual words is ~10x the cost of the whole table; a 4096-
+    # sentence pool keeps lengths/content varied and generation O(n) takes
     lo, hi = words_per_turn
-    wc = rng.integers(lo, hi + 1, n)
-    widx = rng.integers(0, len(_WORDS), int(wc.sum()))
-    words = _WORDS[widx]
-    bounds = np.cumsum(wc)[:-1]
-    lorem = np.array([" ".join(chunk) for chunk in np.split(words, bounds)], dtype=object)
-    head = (
-        role.astype(object) + " turn " + turn_idx.astype("U8").astype(object) + " of " + conv_id.astype(object)
+    pool_rng = np.random.default_rng(seed ^ 0x5EED)
+    pool = [
+        " ".join(_WORDS[pool_rng.integers(0, len(_WORDS), pool_rng.integers(lo, hi + 1))])
+        for _ in range(4096)
+    ]
+    pool_pa = pa.array(pool, pa.large_string())
+    lorem_pa = pc.take(pool_pa, pa.array(rng.integers(0, len(pool), n)))
+    head = pc.binary_join_element_wise(
+        pa.array(role, pa.string()),
+        " turn ",
+        pa.array(turn_idx.astype("U8"), pa.string()),
+        " of ",
+        pa.array(conv_id, pa.string()),
+        ": ",
+        "",
     )
-    email = " user" + rng.integers(0, 1000, n).astype("U4").astype(object) + "@example.com"
-    text = head + ": " + lorem + email
+    email = pc.binary_join_element_wise(
+        " user", pa.array(rng.integers(0, 1000, n).astype("U4"), pa.string()), "@example.com", ""
+    )
+    text = pc.binary_join_element_wise(
+        head.cast(pa.large_string()),
+        lorem_pa,
+        email.cast(pa.large_string()),
+        pa.scalar("", pa.large_string()),
+    )
 
     return pa.table(
         {
             "conv_id": pa.array(conv_id, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.large_string()),
+            "text": text,
             "tool": pa.array(tool, pa.string()),
             "ts": pa.array(ts, pa.timestamp("us")),
         },
@@ -171,3 +193,34 @@ def write_transcripts(
     pq.write_table(tbl, tmp, row_group_size=row_group_size)
     os.replace(tmp, path)
     return path
+
+
+def write_transcripts_chunks(
+    dir_path: str,
+    n_files: int = 64,
+    n_convs: int = 50,
+    mean_turns: int = 20,
+    seed: int = 42,
+    **kw,
+) -> str:
+    """Materialize transcripts as a DIRECTORY of ``n_files`` chunk files.
+
+    Ray Data's parquet read parallelism is per-file at this scale — a
+    single multi-GB file decodes in one task and serializes the whole
+    pipeline behind it (measured: flat ~4.5 s decode regardless of CPU
+    count). Multi-file layout is also what a real transcript stream looks
+    like (one file per arrival chunk). Idempotent."""
+    done = os.path.join(dir_path, "_DONE")
+    if os.path.exists(done):
+        return dir_path
+    tbl = make_transcripts(n_convs=n_convs, mean_turns=mean_turns, seed=seed, **kw)
+    os.makedirs(dir_path, exist_ok=True)
+    n = tbl.num_rows
+    for i in range(n_files):
+        lo, hi = i * n // n_files, (i + 1) * n // n_files
+        tmp = os.path.join(dir_path, f".chunk-{i:05d}.tmp")
+        pq.write_table(tbl.slice(lo, hi - lo), tmp, row_group_size=65536)
+        os.replace(tmp, os.path.join(dir_path, f"chunk-{i:05d}.parquet"))
+    with open(done, "w") as fh:
+        fh.write(f"{n}\n")
+    return dir_path

@@ -53,18 +53,21 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     shuffle on the 64-bit hash). Hash collisions are broken by comparing
     the actual text within the group."""
 
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
     def add_h(tbl: pa.Table) -> pa.Table:
         return with_content_hash(tbl, text_col, "__h")
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # same hash may (rarely) cover different texts: dedup per text
-        g = g.sort_values(id_col, kind="mergesort")
-        return g.drop_duplicates(subset=[text_col], keep="first")
+    def keep_first_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a given text share __h, hence a bucket; dedup on the
+        # actual text (hash collisions break correctly), min id wins
+        df = df.sort_values(id_col, kind="mergesort")
+        return df.drop_duplicates(subset=[text_col], keep="first")
 
-    out = (
-        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__h")
-        .map_groups(keep_first, batch_format="pandas")
+    out = bucketed_map_groups(
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
+        "__h",
+        keep_first_bucket,
     )
     return out.drop_columns(["__h"])
 
@@ -163,32 +166,53 @@ def minhash_lsh_dup_edges(
             }
         )
 
-    def bucket_stage(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col: [], "dup_of": [], "est_jaccard": []}).astype(
-                {id_col: "int64", "dup_of": "int64", "est_jaccard": "float64"}
+    def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
+        """One shard of band-hash space: for EVERY (band_id, band_hash)
+        bucket at once, estimate each doc's Jaccard against the bucket's
+        min-id doc (vectorized: first-row index repeated per group)."""
+        df = df.sort_values(["band_id", "band_hash", id_col], kind="mergesort", ignore_index=True)
+        df = df.drop_duplicates(subset=["band_id", "band_hash", id_col], ignore_index=True)
+        if not len(df):
+            return pd.DataFrame(
+                {id_col: pd.array([], dtype="int64"), "dup_of": pd.array([], dtype="int64"),
+                 "est_jaccard": pd.array([], dtype="float64")}
             )
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(subset=[id_col])
-        sig = np.stack(g["signature"].to_numpy())
-        ids = g[id_col].to_numpy()
-        est = (sig == sig[0]).mean(axis=1)
-        keep = (est >= threshold) & (ids != ids[0])
+        sig = np.stack(df["signature"].to_numpy())
+        ids = df[id_col].to_numpy()
+        grp = df.groupby(["band_id", "band_hash"], sort=False)
+        pos = grp.cumcount().to_numpy()
+        sizes = grp[id_col].transform("size").to_numpy()
+        first_idx = np.arange(len(df)) - pos  # index of each row's bucket head
+        est = (sig == sig[first_idx]).mean(axis=1)
+        keep = (pos > 0) & (est >= threshold) & (sizes > 1)
         return pd.DataFrame(
-            {id_col: ids[keep], "dup_of": ids[0], "est_jaccard": est[keep]}
+            {id_col: ids[keep], "dup_of": ids[first_idx[keep]], "est_jaccard": est[keep]}
+        )
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        # shard band space: co-locates all rows of a (band, hash) bucket
+        return tbl.append_column(
+            "__shard", pa.array((tbl.column("band_hash").to_numpy() % np.uint64(64)).astype(np.int64))
         )
 
     edges = (
         ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_stage, batch_format="pandas")
+        .map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(
+            lambda df: bucket_stage(df.drop(columns=["__shard"])), batch_format="pandas"
+        )
     )
 
-    def min_dup(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.sort_values("dup_of", kind="mergesort").iloc[:1]
-        return r[[c for c in (id_col, "dup_of", "est_jaccard")]]
+    # a doc can match in several bands/buckets: keep its smallest dup_of
+    def min_dup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "dup_of"], kind="mergesort")
+        return df.drop_duplicates(subset=[id_col], keep="first")
 
-    return edges.groupby(id_col).map_groups(min_dup, batch_format="pandas")
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    return bucketed_map_groups(edges, id_col, min_dup_bucket, num_buckets=16)
 
 
 # ---------------------------------------------------------------- SimHash

@@ -113,6 +113,56 @@ def sessionize(
     return bucketed_map_groups(ds, key, per_bucket)
 
 
+def session_aggregate(
+    ds: rd.Dataset,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap_s: int = 300,
+    aggs: "list[AggSpec] | None" = None,
+    session_col: str = "session_id",
+) -> rd.Dataset:
+    """Fused sessionize + per-session aggregate in ONE bucketed shuffle.
+
+    ``sessionize(...)`` followed by a grouped aggregate on
+    (key, session_id) would shuffle twice; since session assignment
+    already co-locates each key's rows in a bucket, the per-session
+    aggregate runs vectorized in the same pandas pass. Output columns:
+    key, session_col, aliases. Supported fns: count/sum/min/max/mean.
+    """
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    aggs = aggs or [AggSpec(None, "count", "n_events")]
+    gap_us = gap_s * US
+
+    # prune before the shuffle: the output only contains key/session/aliases,
+    # so only key, ts and agg inputs need to move (dropping a text column
+    # here cuts the exchange by ~20x on transcript tables)
+    needed = {key, ts_col} | {a.col for a in aggs if a.col is not None}
+    if set(ds.schema().names) - needed:
+        ds = ds.select_columns(sorted(needed))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        ts = df[ts_col].astype("int64")
+        same_key = df[key].eq(df[key].shift())
+        brk = ((ts.diff() > gap_us) & same_key).astype("int64")
+        df[session_col] = brk.groupby(df[key].to_numpy(), sort=False).cumsum()
+        g = df.groupby([key, session_col], sort=False)
+        out: dict = {}
+        for a in aggs:
+            if a.fn == "count":
+                out[a.alias] = g.size().astype("int64")
+            elif a.fn == "mean":
+                out[a.alias] = g[a.col].mean()
+            else:
+                out[a.alias] = getattr(g[a.col], a.fn)()
+                if pd.api.types.is_datetime64_any_dtype(df[a.col]):
+                    out[a.alias] = out[a.alias].astype("datetime64[us]")
+        return pd.DataFrame(out).reset_index()
+
+    return bucketed_map_groups(ds, key, per_bucket)
+
+
 class AggSpec:
     """(col, fn, alias) with fn in sum|count|min|max|mean."""
 
@@ -213,6 +263,51 @@ def merge_partials(
     return merged.map_batches(canon_us, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def merge_partial_tables(tables: list[pa.Table], group_cols: list[str], aggs: list[AggSpec]) -> pa.Table:
+    """Pure-table phase 2: merge partial tables (associative: sum of sums,
+    min of mins, max of maxes, sum of partial counts). The actor-pool
+    state store calls this to fold epoch partials into held state."""
+    pa_aggs_dedup, need_count = _plan_partials(list(aggs))
+    plan: list[tuple[str, str]] = []
+    for col, fn in pa_aggs_dedup:
+        plan.append((f"{col}_{fn}", "sum" if fn == "sum" else fn))
+    if need_count or not pa_aggs_dedup:
+        plan.append(("__pcount", "sum"))
+    cols = group_cols + [p for p, _ in plan]
+    tbl = pa.concat_tables([t.select(cols) for t in tables], promote_options="default")
+    out = tbl.group_by(group_cols).aggregate(plan)
+    out = out.rename_columns(group_cols + [p for p, _ in plan])
+    for i, name in enumerate(out.column_names):
+        if pa.types.is_timestamp(out.column(i).type):
+            out = out.set_column(i, name, out.column(i).cast(pa.timestamp("us")))
+    return out
+
+
+def finalize_table(tbl: pa.Table, group_cols: list[str], aggs: list[AggSpec]) -> pa.Table:
+    """Pure-table phase 3: partial columns -> user-facing aliases; mean =
+    sum/count; timestamps normalized to us. Used by the Dataset wrapper
+    below and directly by the actor-pool state store (which finalizes a
+    partition's closed windows inside the actor)."""
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {c: tbl.column(c) for c in group_cols}
+    for a in aggs:
+        if a.fn == "count":
+            cols[a.alias] = tbl.column("__pcount")
+        elif a.fn == "mean":
+            cols[a.alias] = pc.divide(
+                pc.cast(tbl.column(f"{a.col}_sum"), pa.float64()),
+                pc.cast(tbl.column("__pcount"), pa.float64()),
+            )
+        else:
+            cols[a.alias] = tbl.column(f"{a.col}_{a.fn}")
+    # normalize every timestamp to us — Ray's shuffle/groupby machinery
+    # can round-trip keys through numpy/pandas and come back as [s]/[ns]
+    cols = {
+        k: (v.cast(pa.timestamp("us")) if pa.types.is_timestamp(_type_of(v)) else v)
+        for k, v in cols.items()
+    }
+    return pa.table(cols)
+
+
 def finalize_partials(
     merged: rd.Dataset,
     keys: list[str],
@@ -220,31 +315,13 @@ def finalize_partials(
     size_s: int | None = 60,
     window_col: str = "window_start",
 ) -> rd.Dataset:
-    """Phase 3 (stateless): partial columns -> user-facing aliases; mean =
-    sum/count; timestamps normalized to us."""
+    """Phase 3 (stateless Dataset stage): see finalize_table."""
     group_cols = list(keys) + ([window_col] if size_s is not None else [])
-
-    def finalize(tbl: pa.Table) -> pa.Table:
-        cols: dict[str, pa.ChunkedArray | pa.Array] = {c: tbl.column(c) for c in group_cols}
-        for a in aggs:
-            if a.fn == "count":
-                cols[a.alias] = tbl.column("__pcount")
-            elif a.fn == "mean":
-                cols[a.alias] = pc.divide(
-                    pc.cast(tbl.column(f"{a.col}_sum"), pa.float64()),
-                    pc.cast(tbl.column("__pcount"), pa.float64()),
-                )
-            else:
-                cols[a.alias] = tbl.column(f"{a.col}_{a.fn}")
-        # normalize every timestamp to us — Ray's shuffle/groupby machinery
-        # can round-trip keys through numpy/pandas and come back as [s]/[ns]
-        cols = {
-            k: (v.cast(pa.timestamp("us")) if pa.types.is_timestamp(_type_of(v)) else v)
-            for k, v in cols.items()
-        }
-        return pa.table(cols)
-
-    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return merged.map_batches(
+        lambda t: finalize_table(t, group_cols, aggs),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def windowed_aggregate(

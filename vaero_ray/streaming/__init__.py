@@ -5,10 +5,12 @@ checkpointed sink (SURVEY.md §2b / §3.4)."""
 from vaero_ray.streaming.checkpoint import CheckpointStore, EpochManifest
 from vaero_ray.streaming.job import WM_FINAL, StreamingWindowedJob
 from vaero_ray.streaming.sink import write_deterministic
+from vaero_ray.streaming.stitch_job import StreamingStitchJob
 
 __all__ = [
     "CheckpointStore",
     "EpochManifest",
+    "StreamingStitchJob",
     "StreamingWindowedJob",
     "WM_FINAL",
     "write_deterministic",

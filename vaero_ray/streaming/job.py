@@ -73,6 +73,11 @@ class StreamingWindowedJob:
     num_partitions: int = 8
     max_files_per_epoch: int = 1
     extra_read_kw: dict = field(default_factory=dict)
+    # "parquet": state snapshot re-read lazily per epoch (purely
+    # deterministic, zero resident memory). "actors": partitioned
+    # actor-pool state store (state stays in memory across epochs;
+    # snapshots only for recovery) — see state_actors.py.
+    state_backend: str = "parquet"
 
     def __post_init__(self):
         self.store = CheckpointStore(self.ckpt_dir)
@@ -80,6 +85,34 @@ class StreamingWindowedJob:
         # watermark without a second pass over the input (dedups with any
         # user max(ts) agg via _plan_partials)
         self._state_aggs = list(self.aggs) + [AggSpec(self.ts_col, "max", "__wm_ts")]
+        self._actor_store = None
+        # committed epoch the actor pool mirrors: -2 = never synced by this
+        # object (always restore first), -1 = empty stream start
+        self._actors_synced_to: int = -2
+        if self.state_backend not in ("parquet", "actors"):
+            raise ValueError(f"unknown state_backend {self.state_backend!r}")
+
+    # -- actor-pool backend helpers ------------------------------------
+    def _actors(self):
+        if self._actor_store is None:
+            import hashlib
+
+            from vaero_ray.streaming.state_actors import ActorStateStore
+
+            job_id = hashlib.md5(os.path.abspath(self.ckpt_dir).encode()).hexdigest()[:10]
+            group_cols = list(self.keys) + [self.window_col]
+            self._actor_store = ActorStateStore(
+                job_id, self.num_partitions, group_cols, self._state_aggs
+            )
+        return self._actor_store
+
+    def _sync_actors(self, last_epoch: int, prev_state: str | None) -> None:
+        """Reset actor state to the last COMMITTED snapshot unless it
+        already mirrors it (fresh driver, prior in-epoch failure, or a
+        second job object sharing the pool all resync here)."""
+        if self._actors_synced_to != last_epoch:
+            self._actors().restore_all(prev_state)
+            self._actors_synced_to = last_epoch
 
     # -- epoch planning (pure function of committed manifests) ---------
     def pending_files(self) -> list[str]:
@@ -103,6 +136,8 @@ class StreamingWindowedJob:
         files = [] if finalize else self.pending_files()[: self.max_files_per_epoch]
         if not files and not finalize:
             return None  # nothing to do
+        if self.state_backend == "actors":
+            return self._run_epoch_actors(epoch, prev_wm, prev_state, files, finalize, t0)
 
         size_us = self.size_s * US
         parts: list[rd.Dataset] = []
@@ -205,6 +240,83 @@ class StreamingWindowedJob:
                 "watermark_lag_us": (epoch_max_ts - new_wm) if epoch_max_ts is not None else None,
                 "n_partitions_out": manifest.partitions and len(manifest.partitions) or 0,
                 "wall_s": round(time.perf_counter() - t0, 3),
+            }
+        )
+        return manifest
+
+    def _run_epoch_actors(
+        self,
+        epoch: int,
+        prev_wm: int,
+        prev_state: str | None,
+        files: list[str],
+        finalize: bool,
+        t0: float,
+    ) -> EpochManifest:
+        """Actor-pool backend epoch: route partials to the state actors,
+        advance watermark, actors close+write+snapshot, commit."""
+        last_epoch = epoch - 1 if epoch > 0 else -1
+        self._sync_actors(last_epoch, prev_state)
+        self._actors_synced_to = -2  # dirty until this epoch commits
+        size_us = self.size_s * US
+        rows_in = 0
+        rows_late = 0
+        epoch_max_ts = None
+        if files:
+            rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            ds = rd.read_parquet(files, **self.extra_read_kw)
+            if self.transform is not None:
+                ds = self.transform(ds)
+            partials = partial_aggregate(
+                ds, self.keys, self._state_aggs, self.ts_col, self.size_s, self.window_col
+            )
+            rows_late, epoch_max_ts = self._actors().route_partials(
+                partials, self.keys[0], prev_wm, size_us, self.window_col, f"{self.ts_col}_max"
+            )
+
+        new_wm = prev_wm
+        if epoch_max_ts is not None:
+            new_wm = max(prev_wm, epoch_max_ts - self.allowed_lateness_s * US)
+        if finalize:
+            new_wm = WM_FINAL
+
+        group_cols = list(self.keys) + [self.window_col]
+        lineage = self._actors().close_and_write(
+            new_wm, size_us, self.window_col, self.out_dir, epoch, self.aggs, group_cols
+        )
+        rows_out = sum(r["rows"] for r in lineage)
+        state_path = self.store.state_path_for(epoch)
+        state_rows = self._actors().snapshot_all(state_path, epoch)
+
+        manifest = EpochManifest(
+            epoch=epoch,
+            input_files=files,
+            watermark_us=new_wm,
+            rows_in=rows_in,
+            rows_late=rows_late,
+            rows_out=rows_out,
+            partitions={
+                str(r["partition"]): {"rows": r["rows"], "files": r["files"], "sha256": r["sha256"]}
+                for r in lineage
+            },
+            state_rows=state_rows,
+            state_path=state_path,
+            extra={"state_backend": "actors"},
+        )
+        self.store.commit(manifest)
+        self._actors_synced_to = epoch
+        self.store.append_metrics(
+            {
+                "epoch": epoch,
+                "rows_in": rows_in,
+                "rows_late": rows_late,
+                "rows_out": rows_out,
+                "state_rows": state_rows,
+                "watermark_us": new_wm,
+                "watermark_lag_us": (epoch_max_ts - new_wm) if epoch_max_ts is not None else None,
+                "n_partitions_out": len(manifest.partitions),
+                "wall_s": round(time.perf_counter() - t0, 3),
+                "state_backend": "actors",
             }
         )
         return manifest

@@ -33,6 +33,23 @@ def add_partition_col(tbl: pa.Table, key: str, num_partitions: int) -> pa.Table:
     return tbl.append_column(BUCKET_COL, pa.array(hash_bucket(tbl.column(key).to_pandas(), num_partitions)))
 
 
+def write_partition_file(df: "pd.DataFrame", base_dir: str, bucket: int, epoch: int) -> tuple[str, str, int]:
+    """Canonical in-task write of one partition's epoch file:
+    sort on all columns -> part-{bucket}/epoch-{k}.parquet (atomic rename)
+    -> (path, sha256, rows). Byte-identical across re-runs of the same
+    epoch; shared by the windowed sink and the stitch job."""
+    df = df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
+    pdir = os.path.join(base_dir, f"part-{bucket}")
+    os.makedirs(pdir, exist_ok=True)
+    path = os.path.join(pdir, f"epoch-{epoch:08d}.parquet")
+    tmp = path + f".tmp{os.getpid()}"
+    tbl = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    pq.write_table(tbl, tmp, row_group_size=1 << 20)
+    os.replace(tmp, path)
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    return path, digest, len(df)
+
+
 def write_deterministic(
     ds: rd.Dataset,
     base_dir: str,
@@ -48,21 +65,13 @@ def write_deterministic(
         return add_partition_col(tbl, partition_key, num_partitions)
 
     def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # dir name has no '=': hive-partition inference would otherwise
+        # resurrect the bucket as a phantom column on read
         bucket = int(df[BUCKET_COL].iloc[0])
         df = df.drop(columns=[BUCKET_COL])
-        df = df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
-        # no '=' in dir names: hive-partition inference would otherwise
-        # resurrect the bucket as a phantom column on read
-        pdir = os.path.join(base_dir, f"part-{bucket}")
-        os.makedirs(pdir, exist_ok=True)
-        path = os.path.join(pdir, f"epoch-{epoch:08d}.parquet")
-        tmp = path + ".tmp"
-        tbl = pa.Table.from_pandas(df, preserve_index=False)
-        pq.write_table(tbl, tmp, row_group_size=1 << 20)
-        os.replace(tmp, path)
-        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        path, digest, rows = write_partition_file(df, base_dir, bucket, epoch)
         return pd.DataFrame(
-            {"partition": [bucket], "rows": [len(df)], "path": [path], "sha256": [digest]}
+            {"partition": [bucket], "rows": [rows], "path": [path], "sha256": [digest]}
         )
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
