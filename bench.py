@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "lineitem_pricing",             # two-phase aggregate, 600k rows
 ]
 
-TRANSCRIPT_TURNS = 16_000_000  # scaling-run input size (~8 GB of text)
+TRANSCRIPT_TURNS = 32_000_000  # scaling-run input size (~9 GB of text)
 
 
 def _consume(res) -> int:
@@ -184,7 +184,7 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="comma-separated subset of BENCH_QUERIES")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
-    ap.add_argument("--input", default="/tmp/vaero_ray_bench/transcripts_16m")
+    ap.add_argument("--input", default="/tmp/vaero_ray_bench/transcripts_32m")
     ap.add_argument("--out-dir", default="/tmp/vaero_ray_scaling_out")
     args = ap.parse_args()
 

@@ -28,7 +28,14 @@ import ray.data as rd
 
 from vaero_ray.pipelines.derived import TRANSCRIPTS_CTE, derive_transcripts
 from vaero_ray.stages.ann import brute_force_topk, ivf_topk, train_centroids
-from vaero_ray.stages.dedup import exact_dedup, minhash_lsh_dup_edges, simhash_signatures
+from vaero_ray.stages.dedup import (
+    embedding_cosine_dups,
+    embedding_lsh_dups,
+    exact_dedup,
+    minhash_lsh_dup_edges,
+    ngram_jaccard_dups,
+    simhash_signatures,
+)
 from vaero_ray.stages.stitch import stitch_conversations, stitch_exchanges
 from vaero_ray.stages.textstats import LangId, token_counts
 from vaero_ray.stages.windows import (
@@ -427,6 +434,51 @@ def q_streaming_tumbling_agg(sf_dir: str):
 SQL_STREAMING_TUMBLING = SQL_TUMBLING  # identical final answer by design
 
 
+def q_streaming_stitch(sf_dir: str):
+    """Streaming stateful turn-stitch join driven through the gate: the
+    derived transcript table arrives as 4 ts-sorted chunks; conversations
+    close when the watermark passes last-ts + gap; the committed output
+    must equal the batch/SQL whole-conversation stitch (gap > any
+    intra-conversation silence, so one segment per conversation)."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming import StreamingStitchJob
+
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/stitch"
+    ind = f"{base}/in"
+    if not os.path.isdir(ind):
+        tmp = ind + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        import ray
+
+        tabs = ray.get(derive_transcripts(sf_dir).to_arrow_refs())
+        t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        n = t.num_rows
+        for i in range(4):
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+        os.replace(tmp, ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingStitchJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        gap_s=86400 * 2,  # > any intra-conversation gap -> whole-conv segments
+        allowed_lateness_s=0,
+        num_partitions=4,
+    )
+    job.run()
+    return job.committed_output()
+
+
+SQL_STREAMING_STITCH = SQL_STITCH  # whole-conversation stitch, same answer
+
+
 # TPC-H-ish sanity aggregate: proves the generic two-phase agg path
 def q_lineitem_pricing(sf_dir: str):
     ds = rd.read_parquet(
@@ -468,9 +520,42 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def q_embedding_cosine_dups(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_cosine_dups(ds, threshold=0.45)
+
+
+SQL_EMBEDDING_DUPS = """
+SELECT a.vec_id AS vec_id, b.vec_id AS dup_of,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
 # ------------------------------------------------------------------
 # Non-SQL-expressible ops (driver records rows-only checks)
 # ------------------------------------------------------------------
+
+
+def q_embedding_lsh_dups(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_lsh_dups(ds, threshold=0.45)
+
+
+def q_ngram_jaccard_dups(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_dups(ds, threshold=0.5)
+
+
+def q_media_features(sf_dir: str):
+    from vaero_ray.stages.multimodal import make_fake_media, media_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(make_fake_media, batch_format="pyarrow", zero_copy_batch=True)
+    return media_features(media, concurrency=(1, 2), batch_size=64)
 
 def q_minhash_dup_edges(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -514,6 +599,11 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "lineitem_pricing": q_lineitem_pricing,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_stitch": q_streaming_stitch,
+    "embedding_cosine_dups": q_embedding_cosine_dups,
+    "embedding_lsh_dups": q_embedding_lsh_dups,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "media_features": q_media_features,
     "minhash_dup_edges": q_minhash_dup_edges,
     "simhash_signatures": q_simhash_signatures,
     "lang_id": q_lang_id,
@@ -539,6 +629,9 @@ ORACLES: dict[str, str] = {
     "ann_topk_bruteforce": SQL_ANN_TOPK,
     "lineitem_pricing": SQL_LINEITEM,
     "streaming_tumbling_agg": SQL_STREAMING_TUMBLING,
+    "streaming_stitch": SQL_STREAMING_STITCH,
+    "embedding_cosine_dups": SQL_EMBEDDING_DUPS,
+    # embedding_lsh_dups / ngram_jaccard_dups / media_features /
     # minhash_dup_edges / simhash_signatures / lang_id / ann_topk_ivf:
     # intentionally no SQL oracle (hash-family / model ops) -> rows-only
 }

@@ -236,3 +236,219 @@ def simhash_signatures(tbl: pa.Table, text_col: str = "text", id_col: str = "doc
         majority = (2 * bits - 1).sum(axis=0) > 0
         out[i] = (majority.astype(np.uint64) << shifts).sum(dtype=np.uint64)
     return pa.table({id_col: tbl.column(id_col), "simhash": pa.array(out, pa.uint64())})
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_cosine_dups(
+    ds: rd.Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 6,
+) -> rd.Dataset:
+    """EXACT all-pairs cosine near-duplicates (id < other), emitted as
+    (vec_id, dup_of, cosine_sim).
+
+    The full normalized matrix is broadcast ONCE via ``ray.put`` and each
+    batch does one float64 matmul against it — the canonical broadcast-
+    small-side pattern (no shuffle). Quadratic in candidates: this is the
+    oracle/small-side variant; ``embedding_lsh_dups`` is the scale path.
+    """
+    import ray
+
+    mats = []
+    ids_all = []
+    for part in ds.to_arrow_refs():
+        t = ray.get(part)
+        ids_all.append(np.asarray(t.column(id_col).to_numpy(zero_copy_only=False)))
+        m = np.asarray(t.column(emb_col).combine_chunks().flatten()).astype(np.float64)
+        mats.append(m.reshape(t.num_rows, -1))
+    mat = np.vstack(mats)
+    ids = np.concatenate(ids_all)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat_ref = ray.put((ids, mat))
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(mat_ref)
+        my_ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        mine = np.asarray(tbl.column(emb_col).combine_chunks().flatten()).astype(np.float64)
+        mine = mine.reshape(tbl.num_rows, -1)
+        mine = mine / np.linalg.norm(mine, axis=1, keepdims=True)
+        sims = mine @ m.T  # (batch, all)
+        keep = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
+        bi, oj = np.nonzero(keep)
+        return pa.table(
+            {
+                id_col: pa.array(my_ids[bi], pa.int64()),
+                "dup_of": pa.array(all_ids[oj], pa.int64()),
+                "cosine_sim": pa.array(np.round(sims[bi, oj], round_dp), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_lsh_dups(
+    ds: rd.Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 77,
+) -> rd.Dataset:
+    """Scale path: random-hyperplane LSH — vectors sharing a sign-
+    signature bucket in ANY table are candidates; exact cosine verified
+    within the bucket. One shuffle of (bucket, id, vector) rows; recall
+    < 1 by construction (rows-only gate entry)."""
+
+    def sig_stage(tbl: pa.Table) -> pa.Table:
+        m = np.asarray(tbl.column(emb_col).combine_chunks().flatten()).astype(np.float64)
+        m = m.reshape(tbl.num_rows, -1)
+        dim = m.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        out_bucket, out_table, out_id, out_vec = [], [], [], []
+        for t_i in range(n_tables):
+            signs = (m @ planes[t_i].T) > 0  # (n, planes)
+            sig = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            out_bucket.append(sig)
+            out_table.append(np.full(len(ids), t_i, dtype=np.int32))
+            out_id.append(ids)
+            out_vec.append(m)
+        vecs = np.vstack(out_vec)
+        return pa.table(
+            {
+                "lsh_table": pa.array(np.concatenate(out_table)),
+                "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                emb_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1), pa.float64()), vecs.shape[1]
+                ),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["lsh_table", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
+            m = np.stack(g[emb_col].to_numpy())
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            ids = g[id_col].to_numpy()
+            sims = m @ m.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            for a, b in zip(ii, jj):
+                out.append((int(ids[a]), int(ids[b]), float(round(sims[a, b], 6))))
+        res = pd.DataFrame(out, columns=[id_col, "dup_of", "cosine_sim"])
+        return res.astype({id_col: "int64", "dup_of": "int64", "cosine_sim": "float64"})
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__shard", pa.array((tbl.column("bucket").to_numpy() % np.uint64(32)).astype(np.int64))
+        )
+
+    cand = (
+        ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(lambda df: bucket_pairs(df.drop(columns=["__shard"])), batch_format="pandas")
+    )
+
+    # a pair can surface from several tables/buckets: dedup on (id, dup_of)
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=[id_col, "dup_of"])
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)
+
+
+# ------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_dups(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> rd.Dataset:
+    """EXACT character-n-gram Jaccard over MinHash-LSH candidate pairs:
+    LSH proposes (cheap, one shuffle of signatures + shingle-hash sets),
+    true Jaccard of the k-gram sets confirms. Output: (doc_id, dup_of,
+    jaccard) with doc_id > dup_of."""
+
+    def sig_and_shingles(tbl: pa.Table) -> pa.Table:
+        base = minhash_signatures(tbl, text_col, id_col, shingle_k, num_perm)
+        sets = [
+            np.unique(_shingle_hashes(t, shingle_k))
+            for t in tbl.column(text_col).to_pylist()
+        ]
+        offs = np.zeros(len(sets) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in sets], out=offs[1:])
+        values = np.concatenate(sets) if sets else np.array([], dtype=np.uint64)
+        return base.append_column(
+            "shingles", pa.LargeListArray.from_arrays(pa.array(offs), pa.array(values, pa.uint64()))
+        )
+
+    rows_per_band = num_perm // bands
+
+    def band_stage(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        sig = np.asarray(tbl.column("signature").combine_chunks().flatten()).reshape(n, num_perm)
+        chunks = sig.reshape(n, bands, rows_per_band)
+        bh = chunks[:, :, 0].copy()
+        for j in range(1, rows_per_band):
+            bh = bh * _FNV_PRIME + chunks[:, :, j]
+        idx = np.repeat(np.arange(n), bands)
+        out = tbl.select([id_col, "shingles"]).take(pa.array(idx))
+        out = out.append_column("band_id", pa.array(np.tile(np.arange(bands, dtype=np.int32), n)))
+        return out.append_column("band_hash", pa.array(bh.reshape(-1), pa.uint64()))
+
+    def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
+            ids = g[id_col].to_numpy()
+            sets = [np.asarray(s, dtype=np.uint64) for s in g["shingles"].to_numpy()]
+            for i in range(1, len(ids)):
+                inter = np.intersect1d(sets[0], sets[i], assume_unique=True).size
+                union = sets[0].size + sets[i].size - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out.append((int(ids[i]), int(ids[0]), round(j, 6)))
+        res = pd.DataFrame(out, columns=[id_col, "dup_of", "jaccard"])
+        return res.astype({id_col: "int64", "dup_of": "int64", "jaccard": "float64"})
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__shard", pa.array((tbl.column("band_hash").to_numpy() % np.uint64(32)).astype(np.int64))
+        )
+
+    cand = (
+        ds.map_batches(sig_and_shingles, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(lambda df: bucket_stage(df.drop(columns=["__shard"])), batch_format="pandas")
+    )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([id_col, "dup_of"], kind="mergesort").drop_duplicates(
+            subset=[id_col, "dup_of"]
+        )
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)
