@@ -540,6 +540,17 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # ------------------------------------------------------------------
 
 
+def q_doc_quality_fingerprint(sf_dir: str):
+    # quality ratios + siphash fingerprint: rows-only (ratio rounding and
+    # the siphash are not reproducible bit-for-bit in ANSI SQL)
+    from vaero_ray.stages.textstats import fingerprint, quality_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
+    out = out.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_chars", "punct_ratio", "digit_ratio", "fingerprint"])
+
+
 def q_embedding_lsh_dups(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_lsh_dups(ds, threshold=0.45)
@@ -602,6 +613,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stitch": q_streaming_stitch,
     "embedding_cosine_dups": q_embedding_cosine_dups,
     "embedding_lsh_dups": q_embedding_lsh_dups,
+    "doc_quality_fingerprint": q_doc_quality_fingerprint,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "media_features": q_media_features,
     "minhash_dup_edges": q_minhash_dup_edges,
