@@ -167,3 +167,37 @@ def test_secret_resolver(tmp_path):
     # cached: refresh within ttl is a no-op (same values, no re-exec needed)
     args2 = r.maybe_refresh(dict(args))
     assert args2 == args
+
+
+def test_push_source_server(tmp_path):
+    import urllib.request
+
+    import pyarrow.parquet as pq
+
+    from vaero_ray.cdk.push_server import PushSourceServer
+
+    srv = PushSourceServer(str(tmp_path / "stream"), port=0, now_fn=lambda: 1_767_225_600.0).start()
+    try:
+        body = json.dumps([{"a": 1, "nested": {"b": 2}}, {"a": 2}]).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/logevent", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 200
+        # 404 off-endpoint, 400 on non-array body (reference parity-ish)
+        bad = urllib.request.Request(f"http://127.0.0.1:{srv.port}/other", data=body, method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
+    files = sorted((tmp_path / "stream").glob("*.parquet"))
+    assert len(files) == 1
+    t = pq.read_table(files[0])
+    assert t.num_rows == 2
+    # auto fields: timestamp (RFC3339 of receive time) + remoteaddr
+    assert t.column("timestamp")[0].as_py() == "2026-01-01T00:00:00Z"
+    assert t.column("remoteaddr")[0].as_py() == "127.0.0.1"
+    assert json.loads(t.column("nested")[0].as_py()) == {"b": 2}

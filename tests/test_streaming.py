@@ -193,3 +193,28 @@ def test_metrics_written(stream_dir, tmp_path, ray_session):
     rec = json.loads(lines[-1])
     for field in ("epoch", "rows_in", "rows_late", "rows_out", "state_rows", "watermark_us", "wall_s"):
         assert field in rec
+
+
+def test_streaming_sliding_matches_batch(stream_dir, tmp_path, ray_session):
+    """Sliding windows in the streaming engine: one row per overlapping
+    window, closed by the same watermark arithmetic; final result equals
+    the batch sliding aggregate."""
+    from functools import partial as _p
+
+    from vaero_ray.stages.windows import assign_sliding
+
+    stream_d, tbl = stream_dir
+    job = StreamingWindowedJob(
+        input_dir=stream_d, out_dir=f"{tmp_path}/out", ckpt_dir=f"{tmp_path}/ckpt",
+        keys=["role"], aggs=[AggSpec(None, "count", "n_turns")],
+        ts_col="ts", size_s=600, slide_s=300, allowed_lateness_s=30, num_partitions=4,
+    )
+    job.run()
+    got = _norm(job.committed_output().to_pandas())
+    assigned = rd.from_arrow(tbl).map_batches(
+        _p(assign_sliding, ts_col="ts", size_s=600, slide_s=300), batch_format="pyarrow"
+    )
+    want = windowed_aggregate(
+        assigned, keys=["role", "window_start"], aggs=[AggSpec(None, "count", "n_turns")], size_s=None
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(want), got, check_dtype=False)

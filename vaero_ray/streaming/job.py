@@ -67,6 +67,7 @@ class StreamingWindowedJob:
     aggs: list[AggSpec]
     ts_col: str = "ts"
     size_s: int = 3600
+    slide_s: int | None = None  # sliding windows: emit one row per overlap
     window_col: str = "window_start"
     allowed_lateness_s: int = 0
     transform: Callable[[rd.Dataset], rd.Dataset] | None = None
@@ -91,6 +92,47 @@ class StreamingWindowedJob:
         self._actors_synced_to: int = -2
         if self.state_backend not in ("parquet", "actors"):
             raise ValueError(f"unknown state_backend {self.state_backend!r}")
+        if self.slide_s is not None and self.size_s % self.slide_s != 0:
+            raise ValueError("size_s must be a multiple of slide_s")
+
+    def _live_partials(self, ds: rd.Dataset) -> rd.Dataset:
+        """Window assignment + phase-1 partials for this job's window kind.
+        Tumbling: assignment inside partial_aggregate. Sliding: stateless
+        flat-map (one row per overlapping window) first, then the window
+        column acts as an extra group key — the close/late arithmetic
+        (window_end = window_start + size) is identical."""
+        if self.slide_s is None:
+            return partial_aggregate(
+                ds, self.keys, self._state_aggs, self.ts_col, self.size_s, self.window_col
+            )
+        from functools import partial as _p
+
+        from vaero_ray.stages.windows import assign_sliding
+
+        assigned = ds.map_batches(
+            _p(
+                assign_sliding,
+                ts_col=self.ts_col,
+                size_s=self.size_s,
+                slide_s=self.slide_s,
+                out_col=self.window_col,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return partial_aggregate(
+            assigned, list(self.keys) + [self.window_col], self._state_aggs, self.ts_col, None
+        )
+
+    def _merge(self, unioned: rd.Dataset) -> rd.Dataset:
+        if self.slide_s is None:
+            return merge_partials(unioned, self.keys, self._state_aggs, self.size_s, self.window_col)
+        return merge_partials(unioned, list(self.keys) + [self.window_col], self._state_aggs, None)
+
+    def _finalize(self, closed: rd.Dataset) -> rd.Dataset:
+        if self.slide_s is None:
+            return finalize_partials(closed, self.keys, self.aggs, self.size_s, self.window_col)
+        return finalize_partials(closed, list(self.keys) + [self.window_col], self.aggs, None)
 
     # -- actor-pool backend helpers ------------------------------------
     def _actors(self):
@@ -147,10 +189,7 @@ class StreamingWindowedJob:
             ds = rd.read_parquet(files, **self.extra_read_kw)
             if self.transform is not None:
                 ds = self.transform(ds)
-            live = partial_aggregate(
-                ds, self.keys, self._state_aggs, self.ts_col, self.size_s, self.window_col
-            )
-            parts.append(live)
+            parts.append(self._live_partials(ds))
         if prev_state is not None and os.path.isdir(prev_state) and glob.glob(
             os.path.join(prev_state, "**", "*.parquet"), recursive=True
         ):
@@ -165,7 +204,7 @@ class StreamingWindowedJob:
             cols = sorted(parts[0].schema().names)
             parts = [p.select_columns(cols) for p in parts]
             unioned = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-            merged = merge_partials(unioned, self.keys, self._state_aggs, self.size_s, self.window_col)
+            merged = self._merge(unioned)
             # materialize ONCE: everything below consumes these small partial
             # blocks repeatedly (late/closed/open splits + watermark max)
             merged_tbl_ds = merged.materialize()
@@ -203,7 +242,7 @@ class StreamingWindowedJob:
             open_ds = merged_tbl_ds.map_batches(
                 lambda t: split(t, new_wm, 1 << 62), batch_format="pyarrow"
             )
-            final = finalize_partials(closed, self.keys, self.aggs, self.size_s, self.window_col)
+            final = self._finalize(closed)
             closed_lineage = write_deterministic(
                 final, self.out_dir, epoch, self.keys[0], self.num_partitions
             )
@@ -267,9 +306,7 @@ class StreamingWindowedJob:
             ds = rd.read_parquet(files, **self.extra_read_kw)
             if self.transform is not None:
                 ds = self.transform(ds)
-            partials = partial_aggregate(
-                ds, self.keys, self._state_aggs, self.ts_col, self.size_s, self.window_col
-            )
+            partials = self._live_partials(ds)
             rows_late, epoch_max_ts = self._actors().route_partials(
                 partials, self.keys[0], prev_wm, size_us, self.window_col, f"{self.ts_col}_max"
             )
