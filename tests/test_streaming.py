@@ -218,3 +218,14 @@ def test_streaming_sliding_matches_batch(stream_dir, tmp_path, ray_session):
         assigned, keys=["role", "window_start"], aggs=[AggSpec(None, "count", "n_turns")], size_s=None
     ).to_pandas()
     pd.testing.assert_frame_equal(_norm(want), got, check_dtype=False)
+
+
+def test_metrics_summary(stream_dir, tmp_path, ray_session):
+    stream_d, _ = stream_dir
+    job = _job(stream_d, f"{tmp_path}/ms")
+    job.run()
+    s = job.store.metrics_summary()
+    assert s["epochs"] == 6 and s["rows_late"] == 0
+    assert s["rows_in"] == 1274 and s["rows_out"] > 0
+    assert s["checkpoint_age_s"] >= 0 and s["per_partition"]
+    assert sum(p["rows_out"] for p in s["per_partition"].values()) == s["rows_out"]

@@ -135,3 +135,34 @@ def test_determinism_across_block_layouts():
     a = windowed_aggregate(ds1, **specs).to_pandas().sort_values(["role", "window_start"]).reset_index(drop=True)
     b = windowed_aggregate(ds2, **specs).to_pandas().sort_values(["role", "window_start"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_salted_distinct_count_matches_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vaero_ray.stages.windows import salted_distinct_count
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    # heavy skew: one hot key holding most rows
+    keys = np.where(rng.random(n) < 0.8, "hot", rng.choice(["a", "b", "c"], n))
+    vals = rng.integers(0, 2_000, n)
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    got = (
+        salted_distinct_count(rd.from_arrow(tbl), key="k", value_col="v", alias="nd")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k")["v"]
+        .nunique()
+        .rename("nd")
+        .reset_index()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

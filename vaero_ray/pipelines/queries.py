@@ -479,6 +479,21 @@ def q_streaming_stitch(sf_dir: str):
 SQL_STREAMING_STITCH = SQL_STITCH  # whole-conversation stitch, same answer
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Salted exact distinct count (north_rule skew pattern): values
+    hash-salted so no task ever sees a whole hot key."""
+    from vaero_ray.stages.windows import salted_distinct_count
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    return salted_distinct_count(ds, key="event_type", value_col="user_id", alias="n_distinct_users")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY 1
+"""
+
+
 # TPC-H-ish sanity aggregate: proves the generic two-phase agg path
 def q_lineitem_pricing(sf_dir: str):
     ds = rd.read_parquet(
@@ -609,6 +624,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_token_stats": q_doc_token_stats,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "lineitem_pricing": q_lineitem_pricing,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "streaming_stitch": q_streaming_stitch,
     "embedding_cosine_dups": q_embedding_cosine_dups,
@@ -640,6 +656,7 @@ ORACLES: dict[str, str] = {
     "doc_token_stats": SQL_TOKEN_STATS,
     "ann_topk_bruteforce": SQL_ANN_TOPK,
     "lineitem_pricing": SQL_LINEITEM,
+    "distinct_users_per_type": SQL_DISTINCT_USERS,
     "streaming_tumbling_agg": SQL_STREAMING_TUMBLING,
     "streaming_stitch": SQL_STREAMING_STITCH,
     "embedding_cosine_dups": SQL_EMBEDDING_DUPS,

@@ -353,3 +353,41 @@ def add_salt(tbl: pa.Table, n_salts: int = 16, out_col: str = "salt") -> pa.Tabl
     Deterministic (row-position based within the block)."""
     n = tbl.num_rows
     return tbl.append_column(out_col, pa.array(np.arange(n, dtype=np.int64) % n_salts))
+
+
+def salted_distinct_count(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    alias: str = "n_distinct",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """EXACT distinct count per key via value-salted two-step aggregation
+    (the north_rule's salted-hash-partition pattern for an aggregate that
+    is NOT partial-collapsible: block-level counts of distinct values
+    don't merge).
+
+    1. block-local dedup of (key, value) pairs (pyarrow group_by — shrinks
+       the exchange to distinct-per-block);
+    2. shuffle by hash(value): every distinct value lands in EXACTLY ONE
+       bucket, so per-bucket per-key distinct counts are disjoint — a hot
+       key's values spread across all buckets (no single task sees the
+       whole key);
+    3. tiny merge: sum the per-bucket partial counts per key.
+    """
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def block_dedup(tbl: pa.Table) -> pa.Table:
+        return tbl.select([key, value_col]).group_by([key, value_col]).aggregate([])
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(subset=[key, value_col])
+        out = d.groupby(key, sort=False).size().rename("__partial").reset_index()
+        out["__partial"] = out["__partial"].astype("int64")
+        return out
+
+    deduped = ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
+    partials = bucketed_map_groups(deduped, value_col, bucket_count, num_buckets)
+    return windowed_aggregate(
+        partials, keys=[key], aggs=[AggSpec("__partial", "sum", alias)], size_s=None
+    )

@@ -105,6 +105,40 @@ class CheckpointStore:
         with open(os.path.join(self.dir, "metrics.jsonl"), "a") as fh:
             fh.write(json.dumps(record, sort_keys=True) + "\n")
 
+    def metrics_summary(self) -> dict:
+        """Live job health: per-partition rows in/out across committed
+        epochs, current watermark, watermark lag, checkpoint age (seconds
+        since the last commit), late/emitted totals. Cheap — reads only
+        manifests, never data files."""
+        import time as _time
+
+        eps = self.committed_epochs()
+        if not eps:
+            return {"epochs": 0}
+        per_partition: dict[str, dict] = {}
+        rows_in = rows_late = rows_out = 0
+        for e in eps:
+            m = self.load(e)
+            rows_in += m.rows_in
+            rows_late += m.rows_late
+            rows_out += m.rows_out
+            for p, part in m.partitions.items():
+                agg = per_partition.setdefault(p, {"rows_out": 0, "files": 0})
+                agg["rows_out"] += part["rows"]
+                agg["files"] += len(part["files"])
+        last = self.load(eps[-1])
+        ckpt_age_s = round(_time.time() - os.path.getmtime(self._mpath(last.epoch)), 1)
+        return {
+            "epochs": len(eps),
+            "rows_in": rows_in,
+            "rows_late": rows_late,
+            "rows_out": rows_out,
+            "state_rows": last.state_rows,
+            "watermark_us": last.watermark_us,
+            "checkpoint_age_s": ckpt_age_s,
+            "per_partition": per_partition,
+        }
+
     def _gc_state(self, keep_from: int) -> None:
         import shutil
 
