@@ -479,6 +479,66 @@ def q_streaming_stitch(sf_dir: str):
 SQL_STREAMING_STITCH = SQL_STITCH  # whole-conversation stitch, same answer
 
 
+def q_customer_nation_broadcast(sf_dir: str):
+    """Broadcast join: nation (25 rows) ray.put once, Arrow-native join
+    per batch — no shuffle."""
+    from vaero_ray.stages.joins import broadcast_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["c_nationkey", "nation_name"])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    return broadcast_join(cust, nation, keys="c_nationkey")
+
+
+SQL_CUSTOMER_NATION = """
+SELECT c_custkey, c_name, c_nationkey, n_name AS nation_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_orders_customer_hash_join(sf_dir: str):
+    """Partitioned hash join: both sides bucketed by hash(custkey), one
+    shuffle, vectorized merge per bucket."""
+    from vaero_ray.stages.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    return hash_join(orders, cust, keys="c_custkey")
+
+
+SQL_ORDERS_CUSTOMER = """
+SELECT o_orderkey, o_custkey AS c_custkey, o_orderstatus, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_purchase_asof_view(sf_dir: str):
+    """Backward as-of join: each purchase matched with the user's latest
+    view at-or-before it (DuckDB ASOF LEFT JOIN semantics)."""
+    from vaero_ray.stages.joins import asof_join
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    views = ev.filter(expr="event_type == 'view'").drop_columns(["event_type", "event_id"])
+    out = asof_join(purchases, views, key="user_id", ts_col="ts", right_ts_out="viewed_ts")
+    return out.select_columns(["event_id", "user_id", "ts", "viewed_ts"])
+
+
+SQL_PURCHASE_ASOF = """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS viewed_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Salted exact distinct count (north_rule skew pattern): values
     hash-salted so no task ever sees a whole hot key."""
@@ -625,6 +685,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "lineitem_pricing": q_lineitem_pricing,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "customer_nation_broadcast": q_customer_nation_broadcast,
+    "orders_customer_hash_join": q_orders_customer_hash_join,
+    "purchase_asof_view": q_purchase_asof_view,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "streaming_stitch": q_streaming_stitch,
     "embedding_cosine_dups": q_embedding_cosine_dups,
@@ -657,6 +720,9 @@ ORACLES: dict[str, str] = {
     "ann_topk_bruteforce": SQL_ANN_TOPK,
     "lineitem_pricing": SQL_LINEITEM,
     "distinct_users_per_type": SQL_DISTINCT_USERS,
+    "customer_nation_broadcast": SQL_CUSTOMER_NATION,
+    "orders_customer_hash_join": SQL_ORDERS_CUSTOMER,
+    "purchase_asof_view": SQL_PURCHASE_ASOF,
     "streaming_tumbling_agg": SQL_STREAMING_TUMBLING,
     "streaming_stitch": SQL_STREAMING_STITCH,
     "embedding_cosine_dups": SQL_EMBEDDING_DUPS,

@@ -1,0 +1,171 @@
+"""Join operators (not in the reference — SURVEY.md §2a lists zero joins;
+these are the standard Ray-Data-first join patterns the engine needs as a
+general data-processing system).
+
+- ``broadcast_join``: small side ``ray.put`` ONCE, each batch does an
+  Arrow-native ``Table.join`` against it — no shuffle. For dimension
+  tables, vocabularies, blocklists.
+- ``hash_join``: both sides large — explicit partitioned hash join:
+  tag both sides with ``hash(key) % B``, union with a side marker, one
+  ``groupby(bucket)`` shuffle, pandas merge per bucket (all keys of a
+  bucket joined in one vectorized call). Skewed hot keys spread only if
+  the key itself is salted — document per call site.
+- ``asof_join``: per-key backward as-of (each left row matched with the
+  latest right row with ``ts <= left.ts``): same bucketed shuffle,
+  ``pd.merge_asof`` per bucket (sorted by ts, by=key).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from vaero_ray.stages.keyed import BUCKET_COL, DEFAULT_BUCKETS, hash_bucket
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table,
+    keys: str | list[str],
+    join_type: str = "inner",
+) -> rd.Dataset:
+    """Join every batch against a broadcast small side (one object-store
+    copy, zero shuffle). ``small`` must be driver-resident and small."""
+    import ray
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    small_ref = ray.put(small)
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        s = _ray.get(small_ref)
+        return tbl.join(s, keys=keys, join_type=join_type)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tag(side: int, keys: list[str], num_buckets: int):
+    def fn(tbl: pa.Table) -> pa.Table:
+        b = hash_bucket(tbl.column(keys[0]).to_pandas(), num_buckets)
+        return tbl.append_column(BUCKET_COL, pa.array(b)).append_column(
+            "__side", pa.repeat(pa.scalar(side, pa.int8()), tbl.num_rows)
+        )
+
+    return fn
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: str | list[str],
+    join_type: str = "inner",
+    num_buckets: int = DEFAULT_BUCKETS,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Partitioned hash join: ONE shuffle co-locates both sides' rows of a
+    key bucket; each bucket joins vectorized. Column collisions on the
+    right get ``suffix``. Partitioning assumption: one bucket's rows from
+    BOTH sides fit one task (size num_buckets to the build side)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lsch, rsch = left.schema(), right.schema()
+    lcols, rcols = lsch.names, rsch.names
+    types = dict(zip(rsch.names, rsch.types))
+    types.update(dict(zip(lsch.names, lsch.types)))  # left wins on collision
+
+    # union needs identical schemas: carry both column sets, TYPED nulls
+    # on the absent side
+    all_cols = list(dict.fromkeys(lcols + [c for c in rcols if c not in lcols]))
+
+    def pad():
+        def fn(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            return pa.table(
+                {
+                    c: (tbl.column(c) if c in tbl.column_names else pa.nulls(n, types[c]))
+                    for c in all_cols
+                }
+                | {BUCKET_COL: tbl.column(BUCKET_COL), "__side": tbl.column("__side")}
+            )
+
+        return fn
+
+    l = left.map_batches(_tag(0, keys, num_buckets), batch_format="pyarrow", zero_copy_batch=True)
+    l = l.map_batches(pad(), batch_format="pyarrow")
+    r = right.map_batches(_tag(1, keys, num_buckets), batch_format="pyarrow", zero_copy_batch=True)
+    r = r.map_batches(pad(), batch_format="pyarrow")
+
+    how = {"inner": "inner", "left outer": "left", "left": "left"}[join_type]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        ldf = df[df["__side"] == 0][[c for c in lcols]]
+        rdf = df[df["__side"] == 1][[c for c in rcols]]
+        return ldf.merge(rdf, on=keys, how=how, suffixes=("", suffix))
+
+    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts_col: str = "ts",
+    right_ts_out: str = "matched_ts",
+    right_cols: Iterable[str] = (),
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Backward as-of join: each left row gains the latest right row of
+    the same key with ``right.ts <= left.ts`` (inclusive; same semantics
+    as DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``). Unmatched left rows get
+    nulls. One bucketed shuffle; per-bucket ``pd.merge_asof``."""
+    right_cols = list(right_cols)
+    lsch = left.schema()
+    lcols = lsch.names
+    keep_r = [key, ts_col] + right_cols
+    rsch = right.schema()
+    types = dict(zip(rsch.names, rsch.types))
+    types.update(dict(zip(lsch.names, lsch.types)))
+
+    l = left.map_batches(_tag(0, [key], num_buckets), batch_format="pyarrow", zero_copy_batch=True)
+    r = right.select_columns(keep_r).map_batches(
+        _tag(1, [key], num_buckets), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    all_cols = list(dict.fromkeys(lcols + keep_r))
+
+    def pad():
+        def fn(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            return pa.table(
+                {
+                    c: (tbl.column(c) if c in tbl.column_names else pa.nulls(n, types[c]))
+                    for c in all_cols
+                }
+                | {BUCKET_COL: tbl.column(BUCKET_COL), "__side": tbl.column("__side")}
+            )
+
+        return fn
+
+    l = l.map_batches(pad(), batch_format="pyarrow")
+    r = r.map_batches(pad(), batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        ldf = df[df["__side"] == 0][[c for c in lcols]].sort_values(ts_col, kind="mergesort")
+        rdf = df[df["__side"] == 1][[c for c in keep_r]].sort_values(ts_col, kind="mergesort")
+        out = pd.merge_asof(
+            ldf,
+            rdf.rename(columns={ts_col: right_ts_out}),
+            left_on=ts_col,
+            right_on=right_ts_out,
+            by=key,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out
+
+    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
