@@ -76,3 +76,31 @@ def test_streaming_stitch_resume_bit_identical(stream, tmp_path, ray_session):
 
     ha, hb = hashes(f"{tmp_path}/a"), hashes(f"{tmp_path}/b")
     assert ha and ha == hb
+
+
+def test_pluggable_session_emitter(stream, tmp_path, ray_session):
+    """StreamingStitchJob(emitter=...) reuses the buffer/close/commit
+    machinery for session AGGREGATES instead of stitched text."""
+
+    def session_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_turns": g.size().astype("int64"),
+                "start_ts": g["ts"].min().astype("datetime64[us]"),
+                "end_ts": g["ts"].max().astype("datetime64[us]"),
+            }
+        )
+        out.index.name = "conv_id"
+        return out.reset_index()
+
+    stream_d, tbl = stream
+    job = StreamingStitchJob(
+        input_dir=stream_d, out_dir=f"{tmp_path}/out", ckpt_dir=f"{tmp_path}/ckpt",
+        gap_s=1800, allowed_lateness_s=60, num_partitions=4, emitter=session_stats,
+    )
+    job.run()
+    out = job.committed_output().to_pandas()
+    n_convs = tbl.to_pandas()["conv_id"].nunique()
+    assert len(out) == n_convs
+    assert int(out["n_turns"].sum()) == tbl.num_rows

@@ -479,6 +479,35 @@ def q_streaming_stitch(sf_dir: str):
 SQL_STREAMING_STITCH = SQL_STITCH  # whole-conversation stitch, same answer
 
 
+def q_top10_orders(sf_dir: str):
+    """Global top-k: Ray Data sort (range-partitioned shuffle) + limit.
+    Ties broken by o_orderkey so the answer is deterministic."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    # descending price; ties broken by NEGATED orderkey so a single
+    # two-column descending sort gives (price desc, orderkey asc)
+    ds = ds.map_batches(
+        lambda t: t.append_column("__nk", pc.negate(pc.cast(t.column("o_orderkey"), pa.int64()))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = ds.sort(["o_totalprice", "__nk"], descending=True).limit(10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
 def q_customer_nation_broadcast(sf_dir: str):
     """Broadcast join: nation (25 rows) ray.put once, Arrow-native join
     per batch — no shuffle."""
@@ -685,6 +714,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "lineitem_pricing": q_lineitem_pricing,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "top10_orders": q_top10_orders,
     "customer_nation_broadcast": q_customer_nation_broadcast,
     "orders_customer_hash_join": q_orders_customer_hash_join,
     "purchase_asof_view": q_purchase_asof_view,
@@ -720,6 +750,7 @@ ORACLES: dict[str, str] = {
     "ann_topk_bruteforce": SQL_ANN_TOPK,
     "lineitem_pricing": SQL_LINEITEM,
     "distinct_users_per_type": SQL_DISTINCT_USERS,
+    "top10_orders": SQL_TOP10_ORDERS,
     "customer_nation_broadcast": SQL_CUSTOMER_NATION,
     "orders_customer_hash_join": SQL_ORDERS_CUSTOMER,
     "purchase_asof_view": SQL_PURCHASE_ASOF,

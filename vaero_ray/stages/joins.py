@@ -48,6 +48,30 @@ def broadcast_join(
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _is_int_type(t) -> bool:
+    # Dataset.schema().types yields Arrow types for Arrow-backed datasets
+    # but numpy dtypes for pandas-built ones — accept both
+    if isinstance(t, pa.DataType):
+        return pa.types.is_integer(t)
+    try:
+        import numpy as np
+
+        return np.issubdtype(np.dtype(t), np.integer)
+    except (TypeError, ValueError):
+        return False
+
+
+def _restore_int_dtypes(df: pd.DataFrame, types: dict) -> pd.DataFrame:
+    """The typed-null padding of the other side turns int columns into
+    float64 (NaN) at the pandas boundary; after the side split the rows
+    are null-free, so cast back to the schema's integer types."""
+    for c in df.columns:
+        t = types.get(c)
+        if t is not None and _is_int_type(t) and df[c].dtype.kind == "f":
+            df[c] = df[c].astype("int64")
+    return df
+
+
 def _tag(side: int, keys: list[str], num_buckets: int):
     def fn(tbl: pa.Table) -> pa.Table:
         b = hash_bucket(tbl.column(keys[0]).to_pandas(), num_buckets)
@@ -102,8 +126,8 @@ def hash_join(
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=[BUCKET_COL])
-        ldf = df[df["__side"] == 0][[c for c in lcols]]
-        rdf = df[df["__side"] == 1][[c for c in rcols]]
+        ldf = _restore_int_dtypes(df[df["__side"] == 0][[c for c in lcols]], types)
+        rdf = _restore_int_dtypes(df[df["__side"] == 1][[c for c in rcols]], types)
         return ldf.merge(rdf, on=keys, how=how, suffixes=("", suffix))
 
     return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
@@ -155,8 +179,12 @@ def asof_join(
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=[BUCKET_COL])
-        ldf = df[df["__side"] == 0][[c for c in lcols]].sort_values(ts_col, kind="mergesort")
-        rdf = df[df["__side"] == 1][[c for c in keep_r]].sort_values(ts_col, kind="mergesort")
+        ldf = _restore_int_dtypes(
+            df[df["__side"] == 0][[c for c in lcols]], types
+        ).sort_values(ts_col, kind="mergesort")
+        rdf = _restore_int_dtypes(
+            df[df["__side"] == 1][[c for c in keep_r]], types
+        ).sort_values(ts_col, kind="mergesort")
         out = pd.merge_asof(
             ldf,
             rdf.rename(columns={ts_col: right_ts_out}),

@@ -79,6 +79,11 @@ class StreamingStitchJob:
     ckpt_dir: str
     gap_s: int = 1800  # completion gap: conv closes when wm passes last ts + gap
     allowed_lateness_s: int = 0
+    # emitter: closed conversations' buffered turns -> output rows.
+    # Default stitches whole conversations; pass any vectorized
+    # per-bucket fn (e.g. session aggregates) for other session-window
+    # outputs — the buffering/close/commit machinery is shared.
+    emitter: Callable[[pd.DataFrame], pd.DataFrame] | None = None
     transform: Callable[[rd.Dataset], rd.Dataset] | None = None
     num_partitions: int = 8
     max_files_per_epoch: int = 1
@@ -175,7 +180,7 @@ class StreamingStitchJob:
                 closed_mask = (conv_max + gap_us) <= new_wm
                 closed, open_ = df[closed_mask], df[~closed_mask]
                 if len(closed):
-                    stitched = stitch_convs_df(closed)
+                    stitched = (self.emitter or stitch_convs_df)(closed)
                     path, sha, rows = write_partition_file(stitched, out_dir, bucket, epoch)
                     recs.append(("out", bucket, rows, path, sha))
                 if len(open_):
