@@ -229,3 +229,32 @@ def test_metrics_summary(stream_dir, tmp_path, ray_session):
     assert s["rows_in"] == 1274 and s["rows_out"] > 0
     assert s["checkpoint_age_s"] >= 0 and s["per_partition"]
     assert sum(p["rows_out"] for p in s["per_partition"].values()) == s["rows_out"]
+
+
+def test_from_graph_dsl_bridge(stream_dir, tmp_path, ray_session):
+    """A Vaero DSL spec drives the windowed streaming engine: the fused
+    transform chain runs per epoch, final result equals batch."""
+    from vaero_ray.dsl import Vaero
+    from vaero_ray.transforms import compile_chain
+
+    stream_d, tbl = stream_dir
+    Vaero.reset()
+    Vaero().source("parquet", path="stream").filter_regexp("role", "^(user|assistant)$").add(
+        "pipeline", "p1"
+    ).sink("s3", timestamp_key="ts")
+    graph = Vaero.start()
+
+    job = StreamingWindowedJob.from_graph(
+        graph, stream_d, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        keys=["role"], aggs=[AggSpec(None, "count", "n")],
+        ts_col="ts", size_s=600, allowed_lateness_s=30, num_partitions=4,
+    )
+    job.run()
+    got = _norm(job.committed_output().to_pandas())
+
+    fused = compile_chain([("filter_regexp", {"path": "role", "regex": "^(user|assistant)$"})])
+    want = windowed_aggregate(
+        rd.from_arrow(tbl).map_batches(fused, batch_format="pyarrow"),
+        keys=["role"], aggs=[AggSpec(None, "count", "n")], ts_col="ts", size_s=600,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(want), got, check_dtype=False)

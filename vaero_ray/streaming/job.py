@@ -156,6 +156,44 @@ class StreamingWindowedJob:
             self._actors().restore_all(prev_state)
             self._actors_synced_to = last_epoch
 
+    @classmethod
+    def from_graph(
+        cls,
+        graph: list,
+        input_dir: str,
+        out_dir: str,
+        ckpt_dir: str,
+        keys: list[str],
+        aggs: list[AggSpec],
+        branch: int = 0,
+        **kw,
+    ) -> "StreamingWindowedJob":
+        """Build a windowed streaming job whose per-epoch stateless
+        transform is branch ``branch`` of a Vaero DSL task graph (fused
+        chain, reference transform semantics). Source-node secrets are
+        resolved via the reference's subprocess protocol before launch."""
+        from vaero_ray.planner import Planner
+
+        plan = Planner(graph).plan
+        if plan.source is not None and plan.source.secret:
+            from vaero_ray.secrets import SecretResolver
+
+            SecretResolver(plan.source.secret).resolve_into(plan.source.args)
+        fused = plan.branches[branch].compile()
+
+        def transform(ds: rd.Dataset) -> rd.Dataset:
+            return ds.map_batches(fused, batch_format="pyarrow", zero_copy_batch=True)
+
+        return cls(
+            input_dir=input_dir,
+            out_dir=out_dir,
+            ckpt_dir=ckpt_dir,
+            keys=keys,
+            aggs=aggs,
+            transform=transform,
+            **kw,
+        )
+
     # -- epoch planning (pure function of committed manifests) ---------
     def pending_files(self) -> list[str]:
         consumed = self.store.consumed_files()
