@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "minhash_dup_edges",            # MinHash+LSH near-dup
     "ann_topk_bruteforce",          # embedding similarity search
     "lineitem_pricing",             # two-phase aggregate, 600k rows
+    "orders_customer_hash_join",    # partitioned hash join
+    "purchase_asof_view",           # backward as-of join
+    "distinct_users_per_type",      # salted exact distinct
+    "top10_orders",                 # global sort + limit
 ]
 
 TRANSCRIPT_TURNS = 32_000_000  # scaling-run input size (~9 GB of text)
