@@ -91,3 +91,37 @@ def test_ngram_jaccard_finds_planted_dup(ray_session):
     j = inter / (s1.size + s2.size - inter)
     row = out[(out["doc_id"] == 2) & (out["dup_of"] == 1)].iloc[0]
     assert abs(row["jaccard"] - round(j, 6)) < 1e-9
+
+
+def test_simhash_dup_pairs_planted(ray_session):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today again"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [base, base + " extra", "totally unrelated words entirely different topic list"],
+        }
+    )
+    from vaero_ray.stages.dedup import simhash_dup_pairs
+
+    out = simhash_dup_pairs(rd.from_arrow(docs), max_hamming=16).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (2, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_frame_sample_stage(ray_session):
+    from vaero_ray.stages.multimodal import FrameSample, ImageFeatures, make_fake_video
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["video one", "video two"]})
+    vids = make_fake_video(docs)
+    ds = rd.from_arrow(vids)
+    frames = ds.map_batches(FrameSample, batch_size=8, concurrency=(1, 2), batch_format="pyarrow")
+    fdf = frames.to_pandas()
+    nf = vids.column("n_frames").to_pylist()
+    import math
+
+    assert len(fdf) == sum(math.ceil(n / 4) for n in nf)  # stride 4
+    assert set(fdf["doc_id"]) == {1, 2}
+    # sampled frames are valid image payloads: features run on them
+    feats = frames.map_batches(ImageFeatures, batch_size=8, concurrency=(1, 2), batch_format="pyarrow").to_pandas()
+    assert len(feats) == len(fdf)

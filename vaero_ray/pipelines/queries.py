@@ -672,6 +672,22 @@ def q_media_features(sf_dir: str):
     media = ds.map_batches(make_fake_media, batch_format="pyarrow", zero_copy_batch=True)
     return media_features(media, concurrency=(1, 2), batch_size=64)
 
+
+def q_video_frame_sample(sf_dir: str):
+    from vaero_ray.stages.multimodal import FrameSample, ImageFeatures, make_fake_video
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).limit(200)
+    vids = ds.map_batches(make_fake_video, batch_format="pyarrow", zero_copy_batch=True)
+    frames = vids.map_batches(FrameSample, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
+    return frames.map_batches(ImageFeatures, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
+
+
+def q_simhash_dup_pairs(sf_dir: str):
+    from vaero_ray.stages.dedup import simhash_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dup_pairs(ds, max_hamming=8)
+
 def q_minhash_dup_edges(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_dup_edges(ds, threshold=0.7)
@@ -725,6 +741,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_quality_fingerprint": q_doc_quality_fingerprint,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "media_features": q_media_features,
+    "video_frame_sample": q_video_frame_sample,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "minhash_dup_edges": q_minhash_dup_edges,
     "simhash_signatures": q_simhash_signatures,
     "lang_id": q_lang_id,

@@ -452,3 +452,83 @@ def ngram_jaccard_dups(
     from vaero_ray.stages.keyed import bucketed_map_groups
 
     return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)
+
+
+def simhash_dup_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> rd.Dataset:
+    """SimHash near-duplicate pairs: docs whose 64-bit signatures differ
+    in <= ``max_hamming`` bits. Candidate generation by the 4x16-bit band
+    trick (any pair within hamming<=3 shares at least one exact band; at
+    larger radii this is a recall-bounded scale path), verification by
+    vectorized XOR popcount inside each band bucket."""
+
+    def sig_stage(tbl: pa.Table) -> pa.Table:
+        return simhash_signatures(tbl, text_col, id_col)
+
+    def band_stage(tbl: pa.Table) -> pa.Table:
+        sig = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        bands, hashes = [], []
+        for b in range(4):
+            bands.append(np.full(n, b, dtype=np.int32))
+            hashes.append((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(bands)),
+                "band_hash": pa.array(np.concatenate(hashes), pa.uint64()),
+                id_col: pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(np.tile(sig, 4), pa.uint64()),
+            }
+        )
+
+    def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
+            ids = g[id_col].to_numpy()
+            sig = g["simhash"].to_numpy().astype(np.uint64)
+            x = sig[:, None] ^ sig[None, :]
+            # vectorized popcount of the XOR matrix
+            ham = np.zeros_like(x, dtype=np.int64)
+            v = x.copy()
+            while v.any():
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+            ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
+            for a, b in zip(ii, jj):
+                # convention shared with ngram_jaccard_dups: doc_id > dup_of
+                out.append((int(ids[b]), int(ids[a]), int(ham[a, b])))
+        res = pd.DataFrame(out, columns=[id_col, "dup_of", "hamming"])
+        return res.astype({id_col: "int64", "dup_of": "int64", "hamming": "int64"})
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__shard",
+            pa.array(((tbl.column("band_hash").to_numpy().astype(np.uint64)
+                       + np.uint64(7919) * tbl.column("band_id").to_numpy().astype(np.uint64))
+                      % np.uint64(32)).astype(np.int64)),
+        )
+
+    cand = (
+        ds.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(band_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(lambda df: bucket_stage(df.drop(columns=["__shard"])), batch_format="pandas")
+    )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([id_col, "dup_of"], kind="mergesort").drop_duplicates(
+            subset=[id_col, "dup_of"]
+        )
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)

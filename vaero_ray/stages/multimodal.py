@@ -156,3 +156,72 @@ def media_features(ds: rd.Dataset, concurrency=(1, 4), batch_size: int = 64) -> 
     return ds.map_batches(
         ImageFeatures, batch_size=batch_size, concurrency=concurrency, batch_format="pyarrow"
     )
+
+
+VIDEO_MAGIC = b"VXVID"
+
+
+def make_fake_video(tbl: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Deterministic fake video payload: ``VXVID + n_frames:u16 + w:u16 +
+    h:u16 + frames`` (each frame w*h grayscale bytes)."""
+    ids = tbl.column(id_col).to_pylist()
+    payloads, frames = [], []
+    for t in tbl.column(text_col).to_pylist():
+        h = hashlib.sha256(t.encode()).digest()
+        nf = 8 + h[2] % 24
+        w, hh = 8 + h[0] % 16, 8 + h[1] % 16
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        data = rng.integers(0, 256, nf * w * hh, dtype=np.uint8).tobytes()
+        payloads.append(VIDEO_MAGIC + struct.pack("<HHH", nf, w, hh) + data)
+        frames.append(nf)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.large_binary()),
+            "media_type": pa.array(["video/vx-fake"] * len(ids), pa.string()),
+            "n_frames": pa.array(frames, pa.int32()),
+        }
+    )
+
+
+class FrameSample:
+    """Actor-pool stage: sample every ``stride``-th frame of a video
+    payload into image rows (one output row per sampled frame). Real
+    decoder (ffmpeg/pyav) probed once per actor; deterministic fake
+    parser otherwise. Use small batch_size — payloads are large."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+        try:  # pragma: no cover - not installed here
+            import av  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if self._real:  # pragma: no cover
+            raise NotImplementedError("real codec path: wire pyav frame iteration here")
+        ids, fidx, media, ws, hs = [], [], [], [], []
+        for doc_id, buf in zip(tbl.column("doc_id").to_pylist(), tbl.column("media").to_pylist()):
+            if not buf.startswith(VIDEO_MAGIC):
+                raise ValueError("not a VXVID payload")
+            nf, w, h = struct.unpack("<HHH", buf[5:11])
+            frames = np.frombuffer(buf[11:], dtype=np.uint8).reshape(nf, h, w)
+            for i in range(0, nf, self.stride):
+                ids.append(doc_id)
+                fidx.append(i)
+                # one grayscale frame as a VXIMG payload (1 channel)
+                media.append(MAGIC + struct.pack("<HHB", w, h, 1) + frames[i].tobytes())
+                ws.append(w)
+                hs.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "media": pa.array(media, pa.large_binary()),
+                "media_type": pa.array(["image/vx-fake"] * len(ids), pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
