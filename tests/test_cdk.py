@@ -149,11 +149,17 @@ def test_pull_driver_lands_chunks(tmp_path):
 
 
 def test_secret_resolver(tmp_path):
+    # Protocol-conforming provider (mirrors scripts/aws_secrets.py): stdin is
+    # the LIST of {secret_name: arg_name} pairs; stdout is keyed by ARG name.
     provider = tmp_path / "provider.py"
     provider.write_text(
         "import sys, json\n"
-        "m = json.load(sys.stdin)\n"
-        "print(json.dumps({k: f'val-{k}' for k in m}))\n"
+        "pairs = json.load(sys.stdin)\n"
+        "out = {}\n"
+        "for pair in pairs:\n"
+        "    for secret_name, arg_name in pair.items():\n"
+        "        out[arg_name] = f'val-{secret_name}'\n"
+        "print(json.dumps(out))\n"
     )
     spec = {
         "command": f"python {provider}",

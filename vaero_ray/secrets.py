@@ -31,22 +31,20 @@ class SecretResolver:
         """Run the provider and merge resolved values into ``args``."""
         if not self.spec or not self.spec.get("command"):
             return args
-        name_map: dict[str, str] = {}
-        for entry in self.spec.get("secrets", []):
-            name_map.update(entry)
+        # Reference wire format (sourceNode.go:148-175, scripts/aws_secrets.py):
+        # stdin = the LIST of {secret_name: arg_name} pairs, verbatim;
+        # stdout = {arg_name: value}, merged directly into the node's args.
         proc = subprocess.run(
             self.spec["command"],
             shell=True,
-            input=json.dumps(name_map).encode(),
+            input=json.dumps(self.spec.get("secrets", [])).encode(),
             capture_output=True,
             timeout=self.spec.get("timeout_seconds", 30),
         )
         if proc.returncode != 0:
             raise RuntimeError(f"secret command failed: {proc.stderr.decode()[:500]}")
         values = json.loads(proc.stdout.decode())
-        for secret_name, arg_name in name_map.items():
-            if secret_name in values:
-                args[arg_name] = values[secret_name]
+        args.update(values)
         self._resolved_at = time.monotonic()
         return args
 

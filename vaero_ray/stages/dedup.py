@@ -75,17 +75,72 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 # ---------------------------------------------------------------- MinHash
 
 
+_SHINGLE_BASE = np.uint64(1111111111111111111)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """64-bit rolling hashes of all k-character shingles (polynomial mod
-    2^64 via uint64 wraparound; deterministic)."""
+    2^64 via uint64 wraparound; deterministic). Scalar reference kernel —
+    the batch path is ``_flat_shingle_hashes``; both produce identical
+    values per window."""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
     if len(b) < k:
         b = np.pad(b, (0, k - len(b)), constant_values=32)
     n = len(b) - k + 1
-    base = np.uint64(1111111111111111111)
-    powers = base ** np.arange(k, dtype=np.uint64)
+    powers = _SHINGLE_BASE ** np.arange(k, dtype=np.uint64)
     windows = np.lib.stride_tricks.sliding_window_view(b, k)
     return (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+
+
+def _flat_texts(tbl: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a string column as (flat uint8 buffer, int64
+    offsets[n+1]) — the layout every vectorized text kernel here works on."""
+    arr = tbl.column(col).cast(pa.large_binary()).combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+    if arr.null_count:
+        raise ValueError(f"nulls in text column {col!r}")
+    return data[: off[-1]] if off[0] == 0 else data[off[0] : off[-1]], off - off[0]
+
+
+def _seg_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated (segmented arange)."""
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+
+
+def _flat_shingle_hashes(
+    data: np.ndarray, off: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All documents' k-shingle hashes in ONE pass over the flat buffer:
+    k shifted-add passes compute every window's polynomial hash, then a
+    segmented gather keeps only windows that do not cross a doc boundary.
+    Docs shorter than k are space-padded to k (1 shingle), matching
+    ``_shingle_hashes``. Returns (values, shingle_offsets[n+1])."""
+    lens = off[1:] - off[:-1]
+    if (lens < k).any():
+        # rebuild flat buffer with short docs padded to k spaces
+        new_lens = np.maximum(lens, k)
+        new_off = np.zeros(len(off), dtype=np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        buf = np.full(new_off[-1], 32, dtype=np.uint8)
+        shift = new_off[:-1] - off[:-1]
+        if len(data):
+            buf[np.arange(len(data), dtype=np.int64) + np.repeat(shift, lens)] = data
+        data, off, lens = buf, new_off, new_lens
+    n_windows = len(data) - k + 1
+    if n_windows <= 0:
+        return np.empty(0, np.uint64), np.zeros(len(off), dtype=np.int64)
+    d = data.astype(np.uint64)
+    h = np.zeros(n_windows, dtype=np.uint64)
+    for j in range(k):  # k tiny (5): k shifted-add O(N) passes, no NxK temp
+        h += d[j : j + n_windows] * (_SHINGLE_BASE ** np.uint64(k - 1 - j))
+    s = lens - k + 1  # shingles per doc
+    sh_off = np.zeros(len(off), dtype=np.int64)
+    np.cumsum(s, out=sh_off[1:])
+    pos = np.repeat(off[:-1], s) + _seg_arange(s)
+    return h[pos], sh_off
 
 
 def _perm_params(num_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray]:
@@ -95,6 +150,16 @@ def _perm_params(num_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+_PERM_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _perm_params_cached(num_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray]:
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    return _PERM_CACHE[key]
+
+
 def minhash_signatures(
     tbl: pa.Table,
     text_col: str = "text",
@@ -102,15 +167,24 @@ def minhash_signatures(
     shingle_k: int = 5,
     num_perm: int = 64,
 ) -> pa.Table:
-    """(id, signature fixed_size_list<uint64>[num_perm]) per doc."""
-    a, b = _perm_params(num_perm)
-    texts = tbl.column(text_col).to_pylist()
-    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, shingle_k)
-        # (a * x + b) mod Mersenne61, min over shingles, per permutation
-        vals = (a[None, :] * (sh[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
-        sigs[i] = vals.min(axis=0)
+    """(id, signature fixed_size_list<uint64>[num_perm]) per doc.
+
+    Fully vectorized across the batch: one flat-buffer shingle-hash pass,
+    then per-permutation-chunk (a*x+b)%M + ``np.minimum.reduceat`` over the
+    doc segments — no per-document Python. Permutations are processed in
+    chunks of 16 to bound the (shingles x perms) temp at ~O(bytes x 128)."""
+    a, b = _perm_params_cached(num_perm)
+    n = tbl.num_rows
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    if n:
+        data, off = _flat_texts(tbl, text_col)
+        sh, sh_off = _flat_shingle_hashes(data, off, shingle_k)
+        shm = (sh % _MERSENNE)[:, None]
+        starts = sh_off[:-1]
+        for c0 in range(0, num_perm, 16):
+            c1 = min(c0 + 16, num_perm)
+            vals = (a[None, c0:c1] * shm + b[None, c0:c1]) % _MERSENNE
+            sigs[:, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
     return pa.table(
         {
             id_col: tbl.column(id_col),
@@ -221,20 +295,46 @@ def minhash_lsh_dup_edges(
 def simhash_signatures(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """64-bit SimHash over deterministic token hashes: for each doc, each
     token votes its hash bits +1/-1; the signature keeps the majority bit.
-    Vectorized per doc (token-hash matrix -> bit unpack -> column sums)."""
-    texts = tbl.column(text_col).to_pylist()
-    shifts = np.arange(64, dtype=np.uint64)
-    out = np.empty(len(texts), dtype=np.uint64)
-    one = np.uint64(1)
-    for i, t in enumerate(texts):
-        toks = t.lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = pd.util.hash_array(np.array(toks, dtype=object), categorize=False).astype(np.uint64)
-        bits = ((hs[:, None] >> shifts[None, :]) & one).astype(np.int64)
-        majority = (2 * bits - 1).sum(axis=0) > 0
-        out[i] = (majority.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+
+    Vectorized across the batch: arrow lower+split_whitespace gives the
+    flat token array + per-doc offsets, one pandas hash_array call covers
+    every token, and ``np.add.reduceat`` sums the +-1 bit votes per doc
+    segment (bits processed in 16-wide chunks to bound the temp)."""
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    if n:
+        toks_list = pc.utf8_split_whitespace(pc.utf8_lower(tbl.column(text_col))).combine_chunks()
+        flat = toks_list.flatten()
+        tok_off = np.asarray(toks_list.offsets).astype(np.int64)
+        tok_off = tok_off - tok_off[0]
+        # arrow split keeps empty strings at edges/repeats; str.split() drops
+        # them — filter and rebuild offsets to match str.split semantics
+        tok_len = np.asarray(pc.binary_length(flat)).astype(np.int64)
+        nonempty = tok_len > 0
+        if len(nonempty):
+            safe_starts = np.minimum(tok_off[:-1], len(nonempty) - 1)
+            kept_per_doc = np.add.reduceat(nonempty.astype(np.int64), safe_starts)
+            kept_per_doc[tok_off[:-1] == tok_off[1:]] = 0  # reduceat quirk on empty segments
+        else:
+            kept_per_doc = np.zeros(n, np.int64)
+        toks = np.asarray(flat)[nonempty]
+        counts = kept_per_doc
+        off2 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=off2[1:])
+        if len(toks):
+            hs = pd.util.hash_array(toks.astype(object), categorize=False).astype(np.uint64)
+            docs_nonzero = counts > 0
+            starts = off2[:-1][docs_nonzero]
+            votes = np.empty((int(docs_nonzero.sum()), 64), dtype=np.int64)
+            for b0 in range(0, 64, 16):
+                shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                votes[:, b0 : b0 + 16] = np.add.reduceat(2 * bits - 1, starts, axis=0)
+            shifts64 = np.arange(64, dtype=np.uint64)
+            sigs = ((votes > 0).astype(np.uint64) << shifts64[None, :]).sum(axis=1, dtype=np.uint64)
+            out[docs_nonzero] = sigs
     return pa.table({id_col: tbl.column(id_col), "simhash": pa.array(out, pa.uint64())})
 
 

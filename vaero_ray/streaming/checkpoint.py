@@ -43,7 +43,18 @@ class EpochManifest:
     partitions: dict = field(default_factory=dict)
     state_rows: int = 0
     state_path: str | None = None
+    # partition id (str) -> {"rows", "files", "sha256"} for the state
+    # snapshot — the NEXT epoch restores from exactly these files (never a
+    # directory glob, which could include stale files from an aborted
+    # attempt that claimed a different input set).
+    state_partitions: dict = field(default_factory=dict)
     extra: dict = field(default_factory=dict)
+
+    def state_files(self) -> list[str]:
+        files: list[str] = []
+        for part in self.state_partitions.values():
+            files.extend(part["files"])
+        return files
 
 
 class CheckpointStore:

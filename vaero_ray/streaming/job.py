@@ -84,8 +84,14 @@ class StreamingWindowedJob:
         self.store = CheckpointStore(self.ckpt_dir)
         # internal: always carry max(ts) in partials to advance the
         # watermark without a second pass over the input (dedups with any
-        # user max(ts) agg via _plan_partials)
-        self._state_aggs = list(self.aggs) + [AggSpec(self.ts_col, "max", "__wm_ts")]
+        # user max(ts) agg via _plan_partials), and ALWAYS carry __pcount
+        # (forced count agg) — the late-row accounting below sums it, and
+        # without the forced entry a sum/min/max-only job would emit no
+        # __pcount column at all.
+        self._state_aggs = list(self.aggs) + [
+            AggSpec(self.ts_col, "max", "__wm_ts"),
+            AggSpec(None, "count", "__force_pcount"),
+        ]
         self._actor_store = None
         # committed epoch the actor pool mirrors: -2 = never synced by this
         # object (always restore first), -1 = empty stream start
@@ -148,10 +154,11 @@ class StreamingWindowedJob:
             )
         return self._actor_store
 
-    def _sync_actors(self, last_epoch: int, prev_state: str | None) -> None:
-        """Reset actor state to the last COMMITTED snapshot unless it
-        already mirrors it (fresh driver, prior in-epoch failure, or a
-        second job object sharing the pool all resync here)."""
+    def _sync_actors(self, last_epoch: int, prev_state: dict) -> None:
+        """Reset actor state to the last COMMITTED snapshot's manifest
+        lineage unless the pool already mirrors it (fresh driver, prior
+        in-epoch failure, or a second job object sharing the pool all
+        resync here)."""
         if self._actors_synced_to != last_epoch:
             self._actors().restore_all(prev_state)
             self._actors_synced_to = last_epoch
@@ -200,12 +207,22 @@ class StreamingWindowedJob:
         files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
         return [f for f in files if f not in consumed]
 
-    def _prev(self) -> tuple[int, int, str | None]:
-        """(next_epoch, prev_watermark_us, prev_state_path)"""
+    def _prev(self) -> tuple[int, int, dict]:
+        """(next_epoch, prev_watermark_us, prev_state_partitions)
+
+        State comes from the manifest's exact lineage; older manifests
+        without state_partitions fall back to a glob of state_path."""
         last = self.store.last()
         if last is None:
-            return 0, -(1 << 62), None
-        return last.epoch + 1, last.watermark_us, last.state_path
+            return 0, -(1 << 62), {}
+        state_parts = last.state_partitions
+        if not state_parts and last.state_path and os.path.isdir(last.state_path):
+            files = sorted(
+                glob.glob(os.path.join(last.state_path, "**", "*.parquet"), recursive=True)
+            )
+            if files:
+                state_parts = {"legacy": {"rows": last.state_rows, "files": files, "sha256": []}}
+        return last.epoch + 1, last.watermark_us, state_parts
 
     # -- one epoch ------------------------------------------------------
     def run_epoch(self, finalize: bool = False) -> EpochManifest | None:
@@ -228,10 +245,9 @@ class StreamingWindowedJob:
             if self.transform is not None:
                 ds = self.transform(ds)
             parts.append(self._live_partials(ds))
-        if prev_state is not None and os.path.isdir(prev_state) and glob.glob(
-            os.path.join(prev_state, "**", "*.parquet"), recursive=True
-        ):
-            parts.append(rd.read_parquet(prev_state))
+        prev_state_files = [f for p in prev_state.values() for f in p["files"]]
+        if prev_state_files:
+            parts.append(rd.read_parquet(prev_state_files))
 
         cols = None
         merged_tbl_ds = None
@@ -291,6 +307,10 @@ class StreamingWindowedJob:
             )
             state_rows = sum(state_lineage.column("rows").to_pylist()) if state_lineage.num_rows else 0
 
+        state_partitions = {
+            str(r["partition"]): {"rows": r["rows"], "files": [r["path"]], "sha256": [r["sha256"]]}
+            for r in (state_lineage.to_pylist() if state_lineage.num_rows else [])
+        }
         manifest = EpochManifest(
             epoch=epoch,
             input_files=files,
@@ -304,6 +324,7 @@ class StreamingWindowedJob:
             },
             state_rows=state_rows,
             state_path=state_path,
+            state_partitions=state_partitions,
         )
         self.store.commit(manifest)
         self.store.append_metrics(
@@ -325,7 +346,7 @@ class StreamingWindowedJob:
         self,
         epoch: int,
         prev_wm: int,
-        prev_state: str | None,
+        prev_state: dict,
         files: list[str],
         finalize: bool,
         t0: float,
@@ -346,7 +367,7 @@ class StreamingWindowedJob:
                 ds = self.transform(ds)
             partials = self._live_partials(ds)
             rows_late, epoch_max_ts = self._actors().route_partials(
-                partials, self.keys[0], prev_wm, size_us, self.window_col, f"{self.ts_col}_max"
+                partials, self.keys[0], prev_wm, size_us, self.window_col, f"{self.ts_col}_max", epoch
             )
 
         new_wm = prev_wm
@@ -361,7 +382,7 @@ class StreamingWindowedJob:
         )
         rows_out = sum(r["rows"] for r in lineage)
         state_path = self.store.state_path_for(epoch)
-        state_rows = self._actors().snapshot_all(state_path, epoch)
+        state_rows, state_lineage = self._actors().snapshot_all(state_path, epoch)
 
         manifest = EpochManifest(
             epoch=epoch,
@@ -376,6 +397,10 @@ class StreamingWindowedJob:
             },
             state_rows=state_rows,
             state_path=state_path,
+            state_partitions={
+                str(r["partition"]): {"rows": r["rows"], "files": r["files"], "sha256": r["sha256"]}
+                for r in state_lineage
+            },
             extra={"state_backend": "actors"},
         )
         self.store.commit(manifest)

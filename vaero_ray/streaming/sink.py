@@ -33,21 +33,30 @@ def add_partition_col(tbl: pa.Table, key: str, num_partitions: int) -> pa.Table:
     return tbl.append_column(BUCKET_COL, pa.array(hash_bucket(tbl.column(key).to_pandas(), num_partitions)))
 
 
-def write_partition_file(df: "pd.DataFrame", base_dir: str, bucket: int, epoch: int) -> tuple[str, str, int]:
-    """Canonical in-task write of one partition's epoch file:
-    sort on all columns -> part-{bucket}/epoch-{k}.parquet (atomic rename)
-    -> (path, sha256, rows). Byte-identical across re-runs of the same
-    epoch; shared by the windowed sink and the stitch job."""
+def write_canonical_file(df: "pd.DataFrame", path: str) -> tuple[str, str, int]:
+    """Canonical in-task write of one partition file at an explicit path:
+    sort on all columns -> tmp write -> atomic rename -> (path, sha256,
+    rows). Byte-identical across re-runs (pyarrow emits no wall-clock
+    metadata). The path MUST be unique per (partition, epoch) — callers
+    that write concurrent partitions must derive the path from the
+    partition key, never share an intermediate."""
     df = df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
-    pdir = os.path.join(base_dir, f"part-{bucket}")
-    os.makedirs(pdir, exist_ok=True)
-    path = os.path.join(pdir, f"epoch-{epoch:08d}.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
     tbl = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
     pq.write_table(tbl, tmp, row_group_size=1 << 20)
     os.replace(tmp, path)
     digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
     return path, digest, len(df)
+
+
+def write_partition_file(df: "pd.DataFrame", base_dir: str, bucket: int, epoch: int) -> tuple[str, str, int]:
+    """Canonical in-task write of one partition's epoch file:
+    sort on all columns -> part-{bucket}/epoch-{k}.parquet (atomic rename)
+    -> (path, sha256, rows). Byte-identical across re-runs of the same
+    epoch; shared by the windowed sink and the stitch job."""
+    path = os.path.join(base_dir, f"part-{bucket}", f"epoch-{epoch:08d}.parquet")
+    return write_canonical_file(df, path)
 
 
 def write_deterministic(

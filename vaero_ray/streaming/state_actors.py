@@ -48,8 +48,21 @@ class PartitionStateActor:
         self.group_cols = group_cols
         self.aggs = [AggSpec(*a) for a in aggs_spec]
         self.state: pa.Table | None = None
+        # idempotency ledger: push tags already merged THIS epoch. A Ray
+        # retry of a routing task (worker crash / object loss) re-runs the
+        # same deterministic blocks under the same task id, so its pushes
+        # carry the same tags and are dropped instead of double-merged.
+        self._seen_epoch: int = -1
+        self._seen_tags: set = set()
 
-    def push(self, tbl: pa.Table) -> int:
+    def push(self, tbl: pa.Table, tag: str = "", epoch: int = -1) -> int:
+        if epoch != self._seen_epoch:
+            self._seen_epoch = epoch
+            self._seen_tags = set()
+        if tag:
+            if tag in self._seen_tags:
+                return self.state.num_rows if self.state is not None else 0
+            self._seen_tags.add(tag)
         tables = [t for t in (self.state, tbl) if t is not None and t.num_rows]
         self.state = merge_partial_tables(tables, self.group_cols, self.aggs) if tables else None
         return self.state.num_rows if self.state is not None else 0
@@ -86,11 +99,12 @@ class PartitionStateActor:
         digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
         return {"partition": self.partition, "rows": final.num_rows, "files": [path], "sha256": [digest]}
 
-    def snapshot(self, state_dir: str, epoch: int) -> int:
+    def snapshot(self, state_dir: str, epoch: int) -> dict:
         """Persist remaining open state (recovery source). Deterministic
-        path/content like the sink files."""
+        path/content like the sink files; returns lineage so the manifest
+        records EXACTLY which files hold this epoch's state."""
         if self.state is None or not self.state.num_rows:
-            return 0
+            return {}
         st = self.state
         idx = pc.sort_indices(st, sort_keys=[(c, "ascending") for c in st.column_names])
         st = st.take(idx)
@@ -100,19 +114,16 @@ class PartitionStateActor:
         tmp = path + f".tmp{os.getpid()}"
         pq.write_table(st, tmp)
         os.replace(tmp, path)
-        return st.num_rows
+        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        return {"partition": self.partition, "rows": st.num_rows, "files": [path], "sha256": [digest]}
 
-    def restore(self, state_path: str | None) -> int:
-        """Reset state from a committed snapshot (or to empty)."""
+    def restore(self, files: list[str] | None) -> int:
+        """Reset state from the committed snapshot's EXACT file list (the
+        manifest's state lineage — never a directory glob, which could pick
+        up stale files from an aborted attempt) or to empty."""
         self.state = None
-        if state_path:
-            mine = os.path.join(state_path, f"part-{self.partition}")
-            if os.path.isdir(mine):
-                files = sorted(
-                    os.path.join(mine, f) for f in os.listdir(mine) if f.endswith(".parquet")
-                )
-                if files:
-                    self.state = pa.concat_tables([pq.read_table(f) for f in files])
+        if files:
+            self.state = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
         return self.state.num_rows if self.state is not None else 0
 
     def num_rows(self) -> int:
@@ -134,16 +145,35 @@ class ActorStateStore:
             for p in range(num_partitions)
         ]
 
-    def restore_all(self, state_path: str | None) -> int:
-        return sum(ray.get([a.restore.remote(state_path) for a in self.actors]))
+    def restore_all(self, state_partitions: dict | None) -> int:
+        """Reset every actor to the committed snapshot's manifest lineage
+        (``{partition: {"files": [...]}}``) — exactly those files, nothing
+        globbed."""
+        by_part: dict[int, list[str]] = {}
+        for p, part in (state_partitions or {}).items():
+            for f in part["files"]:
+                try:
+                    b = int(p)
+                except ValueError:  # legacy manifest: derive from part-N dir
+                    b = int(os.path.basename(os.path.dirname(f)).split("-")[-1])
+                by_part.setdefault(b, []).append(f)
+        return sum(
+            ray.get(
+                [a.restore.remote(by_part.get(i)) for i, a in enumerate(self.actors)]
+            )
+        )
 
-    def route_partials(self, partials_ds, key: str, prev_wm_us: int, size_us: int, window_col: str, wm_col: str):
+    def route_partials(
+        self, partials_ds, key: str, prev_wm_us: int, size_us: int, window_col: str, wm_col: str, epoch: int = -1
+    ):
         """Push each partial block's rows to their owning actors from
         inside the map tasks; returns (rows_late, max_ts_us or None).
         Late rows (window already closed at prev watermark) never reach
-        an actor."""
+        an actor. Each push is tagged (task_id, call-seq) so a retried
+        routing task's re-pushes are idempotently dropped by the actor."""
         actors = self.actors
         P = self.num_partitions
+        seq_state = {"n": 0}  # per-task-process call counter (deterministic across retries)
 
         def route(tbl: pa.Table) -> pa.Table:
             wend = pc.add(pc.cast(tbl.column(window_col), pa.int64()), size_us)
@@ -152,11 +182,17 @@ class ActorStateStore:
             live = tbl.filter(pc.invert(late_mask))
             ts_max = None
             if live.num_rows:
+                try:
+                    task_id = ray.get_runtime_context().get_task_id() or "driver"
+                except Exception:
+                    task_id = "driver"
+                seq_state["n"] += 1
+                tag = f"{task_id}:{seq_state['n']}"
                 buckets = np.asarray(hash_bucket(live.column(key).to_pandas(), P))
                 refs = []
                 for b in np.unique(buckets):
                     sub = live.take(pa.array(np.nonzero(buckets == b)[0]))
-                    refs.append(actors[int(b)].push.remote(sub))
+                    refs.append(actors[int(b)].push.remote(sub, tag, epoch))
                 ray.get(refs)  # barrier: state visible before epoch commit
                 mx = pc.max(live.column(wm_col)).as_py()
                 ts_max = None if mx is None else int(pa.scalar(mx).cast(pa.int64()).as_py())
@@ -184,8 +220,11 @@ class ActorStateStore:
         )
         return [r for r in res if r]
 
-    def snapshot_all(self, state_dir: str, epoch: int) -> int:
-        return sum(ray.get([a.snapshot.remote(state_dir, epoch) for a in self.actors]))
+    def snapshot_all(self, state_dir: str, epoch: int) -> tuple[int, list[dict]]:
+        """Snapshot every actor; returns (total rows, lineage list) so the
+        manifest records the exact snapshot file set."""
+        res = [r for r in ray.get([a.snapshot.remote(state_dir, epoch) for a in self.actors]) if r]
+        return sum(r["rows"] for r in res), res
 
     def shutdown(self) -> None:
         for a in self.actors:

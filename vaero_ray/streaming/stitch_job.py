@@ -97,11 +97,18 @@ class StreamingStitchJob:
         files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
         return [f for f in files if f not in consumed]
 
-    def _prev(self) -> tuple[int, int, str | None]:
+    def _prev(self) -> tuple[int, int, list[str]]:
+        """(next_epoch, prev_wm_us, prev_state_files) — state from the
+        manifest's exact lineage (glob fallback for legacy manifests)."""
         last = self.store.last()
         if last is None:
-            return 0, -(1 << 62), None
-        return last.epoch + 1, last.watermark_us, last.state_path
+            return 0, -(1 << 62), []
+        state_files = last.state_files()
+        if not state_files and last.state_path and os.path.isdir(last.state_path):
+            state_files = sorted(
+                glob.glob(os.path.join(last.state_path, "**", "*.parquet"), recursive=True)
+            )
+        return last.epoch + 1, last.watermark_us, state_files
 
     def run_epoch(self, finalize: bool = False) -> EpochManifest | None:
         t0 = time.perf_counter()
@@ -133,9 +140,7 @@ class StreamingStitchJob:
                     mark(0), batch_format="pyarrow", zero_copy_batch=True
                 )
             )
-        if prev_state is not None and glob.glob(
-            os.path.join(prev_state, "**", "*.parquet"), recursive=True
-        ):
+        if prev_state:
             parts.append(
                 rd.read_parquet(prev_state)
                 .select_columns(TURN_COLS)
@@ -213,6 +218,10 @@ class StreamingStitchJob:
             },
             state_rows=sum(r["rows"] for r in states),
             state_path=state_dir,
+            state_partitions={
+                str(r["partition"]): {"rows": r["rows"], "files": [r["path"]], "sha256": [r["sha256"]]}
+                for r in states
+            },
             extra={"op": "stitch"},
         )
         self.store.commit(manifest)

@@ -31,7 +31,7 @@ import ray.data as rd
 from vaero_ray.planner import Plan, Planner
 from vaero_ray.sinks.parquet_sink import PREFIX_COL, derive_prefix
 from vaero_ray.streaming.checkpoint import CheckpointStore, EpochManifest
-from vaero_ray.streaming.sink import write_partition_file
+from vaero_ray.streaming.sink import write_canonical_file
 
 
 @dataclass
@@ -81,11 +81,11 @@ class StreamingTransformJob:
                 prefix = df[PREFIX_COL].iloc[0]
                 df = df.drop(columns=[PREFIX_COL])
                 pdir_safe = str(prefix).replace("/", "-")
-                path, sha, rows = write_partition_file(df, bdir, 0, epoch)
-                # one file per (branch, prefix, epoch): nest under prefix dir
+                # one file per (branch, prefix, epoch), written DIRECTLY at
+                # its prefix-derived path: concurrent prefix groups run in
+                # separate Ray workers, so no shared intermediate is allowed
                 final = os.path.join(bdir, pdir_safe, f"epoch-{epoch:08d}.parquet")
-                os.makedirs(os.path.dirname(final), exist_ok=True)
-                os.replace(path, final)
+                _, sha, rows = write_canonical_file(df, final)
                 return pd.DataFrame(
                     {"partition": [pdir_safe], "rows": [rows], "path": [final], "sha256": [sha]}
                 )
