@@ -207,3 +207,123 @@ def test_push_source_server(tmp_path):
     assert t.column("timestamp")[0].as_py() == "2026-01-01T00:00:00Z"
     assert t.column("remoteaddr")[0].as_py() == "127.0.0.1"
     assert json.loads(t.column("nested")[0].as_py()) == {"b": 2}
+
+
+# ------------------------------------------------------------------
+# Concrete Okta connector (reference source_okta.py semantics)
+# ------------------------------------------------------------------
+
+
+class FakeOktaServer:
+    """Two pages of system-log events + Link-header pagination + one 429.
+
+    Events are deliberately OUT of published order (the reference notes
+    Okta's ASCENDING sort is unreliable) to prove max(published)+1ms."""
+
+    def __init__(self):
+        self.events = [
+            {"uuid": "e1", "published": "2024-01-01T00:00:01.000Z", "actor": "a"},
+            {"uuid": "e3", "published": "2024-01-01T00:00:03.000Z", "actor": "c"},  # out of order
+            {"uuid": "e2", "published": "2024-01-01T00:00:02.000Z", "actor": "b"},
+            {"uuid": "e4", "published": "2024-01-01T00:00:04.000Z", "actor": "d"},
+        ]
+        self.calls = []
+        self.rate_limited_once = False
+
+    def transport(self, url, params, headers):
+        self.calls.append((url, dict(params), dict(headers)))
+        assert headers["Authorization"].startswith("SSWS ")
+        if not self.rate_limited_once:
+            self.rate_limited_once = True
+            return 429, "slow down", {}
+        since = params.get("since")
+        from vaero_ray.cdk.source_okta import _parse_iso
+
+        live = [e for e in self.events if _parse_iso(e["published"]) >= _parse_iso(since)]
+        after = params.get("after")
+        start = int(after) if after else 0
+        page = live[start : start + 2]
+        hdrs = {}
+        if page:
+            hdrs["link"] = f'<{url}?after={start + 2}>; rel="next"'
+        return 200, json.dumps(page), hdrs
+
+
+def test_okta_connector_pagination_cursor_and_backoff(tmp_path):
+    from vaero_ray.cdk.source_okta import OktaSource
+
+    srv = FakeOktaServer()
+    fc = FakeClock()
+    cur = ApiCursor(str(tmp_path / "okta_cursor.json"))
+    src = OktaSource(
+        host="https://example.okta.com",
+        token="tok",
+        cursor=cur,
+        transport=srv.transport,
+        clock=fc.clock,
+        sleep=fc.sleep,
+    )
+    import datetime as dt
+
+    src._now = lambda: dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    events = src.poll()
+    assert [e["uuid"] for e in events] == ["e1", "e3", "e2", "e4"]
+    # 429 retried with backoff, then two pages + final empty page
+    assert len(fc.sleeps) >= 1
+    # cursor = max(published) + 1ms, persisted
+    assert cur.read() == {"since": "2024-01-01T00:00:04.001000+00:00"}
+    # restart: a NEW connector resumes from the stored cursor and sees
+    # only later events
+    srv.events.append({"uuid": "e5", "published": "2024-01-01T00:00:05.000Z", "actor": "e"})
+    src2 = OktaSource(
+        host="https://example.okta.com", token="tok", cursor=cur,
+        transport=srv.transport, clock=fc.clock, sleep=fc.sleep,
+    )
+    assert [e["uuid"] for e in src2.poll()] == ["e5"]
+    assert cur.read() == {"since": "2024-01-01T00:00:05.001000+00:00"}
+    # drained: next poll returns nothing and leaves the cursor alone
+    assert src2.poll() == []
+    assert cur.read() == {"since": "2024-01-01T00:00:05.001000+00:00"}
+
+
+def test_okta_to_streaming_job_end_to_end(tmp_path, ray_session):
+    """Okta connector -> PullSourceDriver chunks -> StreamingTransformJob
+    epochs: the reference's whole source->transform->sink path."""
+    from vaero_ray.cdk.source_okta import OktaSource
+    from vaero_ray.dsl import Vaero
+    from vaero_ray.streaming.transform_job import StreamingTransformJob
+
+    srv = FakeOktaServer()
+    srv.rate_limited_once = True  # skip the 429 for this test
+    fc = FakeClock()
+    cur = ApiCursor(str(tmp_path / "cursor.json"))
+    src = OktaSource(
+        host="https://example.okta.com", token="tok", cursor=cur,
+        transport=srv.transport, clock=fc.clock, sleep=fc.sleep,
+    )
+    import datetime as dt
+
+    src._now = lambda: dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    stream = tmp_path / "stream"
+    d = PullSourceDriver(src, str(stream), interval_s=10, sleep=fc.sleep, clock=fc.clock)
+    assert d.poll_once() is not None  # chunk-00000000.parquet
+
+    graph = (
+        Vaero()
+        .source("okta")
+        .add("kind", "auth")
+        .rename("actor", "who")
+        .sink("stdout", timestamp_key="published")
+    ).start()
+    job = StreamingTransformJob(
+        input_dir=str(stream),
+        out_dir=str(tmp_path / "out"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        graph=graph,
+        extra_read_kw={},
+    )
+    ms = job.run()
+    assert len(ms) == 1 and ms[0].rows_in == 4
+    out = job.committed_output().to_pandas()
+    assert set(out["who"]) == {"a", "b", "c", "d"}
+    assert (out["kind"] == "auth").all()

@@ -69,7 +69,7 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     return problems
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
@@ -88,6 +88,8 @@ def main(sf_dir: str) -> int:
 
     failed = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as e:
@@ -109,5 +111,7 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    # usage: selfcheck.py [sf_dir] [query_name ...]
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf) else 0)
+    only = sys.argv[2:] or None
+    sys.exit(1 if main(sf, only) else 0)

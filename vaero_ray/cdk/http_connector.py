@@ -69,6 +69,7 @@ class HTTPConnector(ABC):
         self.steady = SteadyRateLimiter(max_calls_per_period, limit_period, **kw)
         self.backoff = BackoffRateLimiter(max_retries=max_retries, **({"sleep": sleep} if sleep else {}))
         self.transport = transport
+        self.last_response_headers: dict = {}
 
     # -- abstract surface (reference http_connector.py:68-99) ----------
     @abstractmethod
@@ -105,8 +106,13 @@ class HTTPConnector(ABC):
             status_body: dict[str, Any] = {}
 
             def do_request():
-                s, b = self.transport(url, params, self.headers())
+                res = self.transport(url, params, self.headers())
+                # transports may return (status, body) or (status, body,
+                # response_headers) — Okta-style Link pagination needs the
+                # headers (reference source_okta.py:36-63 reads rel=next)
+                s, b = res[0], res[1]
                 status_body["status"], status_body["body"] = s, b
+                self.last_response_headers = dict(res[2]) if len(res) > 2 else {}
                 return s, b
 
             body = self.backoff.call(do_request)

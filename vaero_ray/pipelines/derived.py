@@ -86,6 +86,19 @@ def _number_turns_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def derive_transcripts_stateless(sf_dir: str) -> rd.Dataset:
+    """events.parquet -> transcript columns WITHOUT turn_idx: pure
+    map_batches, zero shuffles. Use for any pipeline that doesn't consume
+    turn numbering (the flagship windowed route only needs role/text/ts —
+    paying the conv_id shuffle there was round 1's biggest wasted cost)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    ds = ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["conv_id", "role", "text", "tool", "ts"])
+
+
 def derive_transcripts(sf_dir: str) -> rd.Dataset:
     """events.parquet -> transcript table (conv_id, turn_idx, role, text,
     tool, ts). One bucketed shuffle (turn numbering per conversation);

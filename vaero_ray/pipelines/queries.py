@@ -32,7 +32,6 @@ from vaero_ray.stages.dedup import (
     embedding_cosine_dups,
     embedding_lsh_dups,
     exact_dedup,
-    minhash_lsh_dup_edges,
     ngram_jaccard_dups,
     simhash_signatures,
 )
@@ -154,14 +153,14 @@ FROM events GROUP BY 1, 2
 
 
 def q_sliding_window_count(sf_dir: str):
+    # pane-based: partials on the slide pane, panes expanded to windows
+    # (no event replication — round 1 replicated rows size/slide times)
+    from vaero_ray.stages.windows import sliding_windowed_aggregate
+
     ds = _events(sf_dir, columns=["event_type", "ts"])
-    ds = ds.map_batches(
-        partial(assign_sliding, ts_col="ts", size_s=7200, slide_s=3600),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return windowed_aggregate(
-        ds, keys=["event_type", "window_start"], aggs=[AggSpec(None, "count", "n_events")], size_s=None
+    return sliding_windowed_aggregate(
+        ds, keys=["event_type"], aggs=[AggSpec(None, "count", "n_events")], ts_col="ts",
+        size_s=7200, slide_s=3600,
     )
 
 
@@ -279,7 +278,9 @@ def q_flagship_windowed_route(sf_dir: str):
     PII emails, route user/assistant turns) -> tumbling 1h windowed
     per-role aggregate. Composition of reference semantics (§2a) with the
     mandated window tier (§2b)."""
-    ds = derive_transcripts(sf_dir)
+    from vaero_ray.pipelines.derived import derive_transcripts_stateless
+
+    ds = derive_transcripts_stateless(sf_dir)  # no turn_idx needed: skip its shuffle
     chain = compile_chain(
         [
             ("mask", {"path": "text", "regex": _EMAIL_RE, "replace_expr": "<email>"}),
@@ -453,13 +454,19 @@ def q_streaming_stitch(sf_dir: str):
         os.makedirs(tmp)
         import ray
 
-        tabs = ray.get(derive_transcripts(sf_dir).to_arrow_refs())
-        t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
-        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
-        n = t.num_rows
-        for i in range(4):
-            lo, hi = i * n // 4, (i + 1) * n // 4
-            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+        @ray.remote
+        def prep_chunks(*tabs: pa.Table) -> int:
+            # fixture prep runs INSIDE a Ray task: the driver never holds
+            # data partitions, only the row-count ack
+            t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
+            t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+            n = t.num_rows
+            for i in range(4):
+                lo, hi = i * n // 4, (i + 1) * n // 4
+                pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+            return n
+
+        ray.get(prep_chunks.remote(*derive_transcripts(sf_dir).to_arrow_refs()))
         os.replace(tmp, ind)
     out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out_d, ignore_errors=True)
@@ -640,29 +647,119 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 # ------------------------------------------------------------------
-# Non-SQL-expressible ops (driver records rows-only checks)
+# Hash-family / model / multimodal ops — each with a first-principles
+# DuckDB oracle (round 1 left these rows-only; every construction here
+# is SQL-reproducible by design: polynomial char hashes, explicit band
+# semantics, closed-form fake codecs, integer outputs)
 # ------------------------------------------------------------------
+
+# fingerprint / seed expression shared by several oracles: polynomial
+# char-code fold, base 31 mod 1099511627689 (= textstats.FP_BASE/FP_MOD)
+_FP_SQL = (
+    "CASE WHEN length({n}) = 0 THEN 0 ELSE "
+    "list_reduce([CAST(unicode(substr({n}, CAST(i AS INT), 1)) AS BIGINT) "
+    "FOR i IN range(1, length({n})+1)], (a,c) -> (a*31+c) % 1099511627689) END"
+)
 
 
 def q_doc_quality_fingerprint(sf_dir: str):
-    # quality ratios + siphash fingerprint: rows-only (ratio rounding and
-    # the siphash are not reproducible bit-for-bit in ANSI SQL)
     from vaero_ray.stages.textstats import fingerprint, quality_stats
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
     out = out.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["doc_id", "n_chars", "punct_ratio", "digit_ratio", "fingerprint"])
+    return out.select_columns(["doc_id", "n_chars", "n_punct", "n_digit", "fingerprint"])
+
+
+SQL_QUALITY_FP = rf"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(text, '\d')) AS BIGINT) AS n_digit,
+  {_FP_SQL.format(n="norm")} AS fingerprint
+FROM (SELECT doc_id, text, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents)
+"""
 
 
 def q_embedding_lsh_dups(sf_dir: str):
+    # axes mode: 8 tables x 2 coordinate hyperplanes (dims 0..15) — the
+    # sign bits are embedding[d] > 0, and the SQL oracle reproduces the
+    # band condition VERBATIM, so both sides compute the identical
+    # candidate-intersect-threshold set (recall vs the exact operator is
+    # a property of the banding, measured in tests). The random-Gaussian
+    # mode is property-tested (LSH subset-of exact).
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_lsh_dups(ds, threshold=0.45)
+    return embedding_lsh_dups(ds, threshold=0.45, n_planes=2, n_tables=8, planes_mode="axes")
+
+
+def _axes_band_sql(t: int, n_planes: int = 2) -> str:
+    return "(" + " AND ".join(
+        f"(a.embedding[{t * n_planes + p + 1}] > 0) = (b.embedding[{t * n_planes + p + 1}] > 0)"
+        for p in range(n_planes)
+    ) + ")"
+
+
+SQL_EMBEDDING_LSH = f"""
+SELECT a.vec_id AS vec_id, b.vec_id AS dup_of,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+  AND ({" OR ".join(_axes_band_sql(t) for t in range(8))})
+"""
 
 
 def q_ngram_jaccard_dups(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ngram_jaccard_dups(ds, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+WITH s AS (
+  SELECT doc_id, list_distinct(CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+         ELSE [substr(text, CAST(i AS INT), 5) FOR i IN range(1, length(text)-3)] END) AS sh
+  FROM documents
+),
+c AS (SELECT doc_id, sh, len(sh) AS n FROM s),
+e AS (SELECT doc_id, UNNEST(sh) AS g FROM c),
+p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id > b.doc_id GROUP BY 1, 2)
+SELECT p.ida AS doc_id, p.idb AS dup_of,
+       CAST(p.inter AS BIGINT) AS n_common,
+       CAST(ca.n + cb.n - p.inter AS BIGINT) AS n_union
+FROM p JOIN c ca ON ca.doc_id = p.ida JOIN c cb ON cb.doc_id = p.idb
+WHERE 2 * p.inter >= ca.n + cb.n - p.inter
+"""
+
+
+def q_minhash_dup_edges(sf_dir: str):
+    # MinHash-LSH candidate generation over WORD 3-gram (w-shingling)
+    # sets, verified with true Jaccard — emitted as exact integer
+    # (n_common, n_union). The estimate-only variant
+    # (minhash_lsh_dup_edges, est_jaccard from signature agreement) is
+    # property-tested in tests/ (estimates aren't SQL-reproducible).
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_dups(ds, shingle_k=3, threshold=0.5, unit="word")
+
+
+SQL_MINHASH_WORD = r"""
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ')
+                            FOR i IN range(1, len(toks)-1)]) AS sh
+      FROM t WHERE len(toks) >= 3),
+c AS (SELECT doc_id, sh, len(sh) AS n FROM s),
+e AS (SELECT doc_id, UNNEST(sh) AS g FROM c),
+p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id > b.doc_id GROUP BY 1, 2)
+SELECT p.ida AS doc_id, p.idb AS dup_of,
+       CAST(p.inter AS BIGINT) AS n_common,
+       CAST(ca.n + cb.n - p.inter AS BIGINT) AS n_union
+FROM p JOIN c ca ON ca.doc_id = p.ida JOIN c cb ON cb.doc_id = p.idb
+WHERE 2 * p.inter >= ca.n + cb.n - p.inter
+"""
 
 
 def q_media_features(sf_dir: str):
@@ -673,13 +770,36 @@ def q_media_features(sf_dir: str):
     return media_features(media, concurrency=(1, 2), batch_size=64)
 
 
+SQL_MEDIA_FEATURES = rf"""
+WITH f AS (SELECT doc_id, {_FP_SQL.format(n="text")} AS seed FROM documents),
+d AS (SELECT doc_id, seed, 16 + seed % 48 AS w, 16 + (seed // 48) % 48 AS h FROM f),
+px AS (SELECT doc_id, w, h, ((seed % 256) + i.i) % 256 AS v
+       FROM d, UNNEST(range(0, w*h*3)) AS i(i))
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(3 AS INT) AS channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum, CAST(SUM(v*v) AS BIGINT) AS pixel_sumsq
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 def q_video_frame_sample(sf_dir: str):
     from vaero_ray.stages.multimodal import FrameSample, ImageFeatures, make_fake_video
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).limit(200)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     vids = ds.map_batches(make_fake_video, batch_format="pyarrow", zero_copy_batch=True)
     frames = vids.map_batches(FrameSample, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
     return frames.map_batches(ImageFeatures, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
+
+
+SQL_VIDEO_FRAMES = rf"""
+WITH f AS (SELECT doc_id, {_FP_SQL.format(n="text")} AS seed FROM documents),
+d AS (SELECT doc_id, seed, 8 + seed % 24 AS nf,
+             8 + (seed // 24) % 16 AS w, 8 + (seed // 384) % 16 AS h FROM f),
+px AS (SELECT doc_id, w, h, fi.fi AS fi, ((seed % 256) + fi.fi*w*h + j.j) % 256 AS v
+       FROM d, UNNEST(range(0, nf, 4)) AS fi(fi), UNNEST(range(0, w*h)) AS j(j))
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(1 AS INT) AS channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum, CAST(SUM(v*v) AS BIGINT) AS pixel_sumsq
+FROM px GROUP BY doc_id, w, h, fi
+"""
 
 
 def q_simhash_dup_pairs(sf_dir: str):
@@ -688,27 +808,103 @@ def q_simhash_dup_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dup_pairs(ds, max_hamming=8)
 
-def q_minhash_dup_edges(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dup_edges(ds, threshold=0.7)
-
 
 def q_simhash_signatures(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(simhash_signatures, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# 62-bit simhash recomputed from first principles: two polynomial char
+# hashes (bases 31/37 mod Mersenne31) per token (<=16 chars), per-bit
+# +-1 majority vote (see stages/dedup.py simhash_signatures)
+_SIMHASH_CTE = r"""toks AS (
+  SELECT d.doc_id, t.tok FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents) d, UNNEST(d.toks) AS t(tok)
+),
+th AS (
+  SELECT doc_id,
+    list_reduce([CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+                 FOR i IN range(1, 1+least(length(tok),16))], (a,c) -> (a*31+c) % 2147483647)
+    + list_reduce([CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+                   FOR i IN range(1, 1+least(length(tok),16))], (a,c) -> (a*37+c) % 2147483647)
+      * CAST(2147483648 AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b.b AS bit, SUM(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, UNNEST(range(0, 62)) AS b(b) GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+sig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+)"""
+
+SQL_SIMHASH_SIG = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig"
+
+SQL_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id > b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+  AND (  (a.simhash & 65535) = (b.simhash & 65535)
+      OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+      OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+      OR ((a.simhash >> 48) & 16383) = ((b.simhash >> 48) & 16383))
+"""
+
+
 def q_lang_id(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2).select_columns(
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
         ["doc_id", "pred_lang"]
     )
 
 
+SQL_LANG_ID = r"""
+WITH toks AS (
+  SELECT d.doc_id, t.tok FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿäöüß]+'), x -> x <> '')[1:200] AS toks
+    FROM documents) d, UNNEST(d.toks) AS t(tok)
+),
+sw(lang, word, prio) AS (VALUES
+  ('en','the',1),('en','and',1),('en','of',1),('en','to',1),('en','a',1),
+  ('en','in',1),('en','is',1),('en','it',1),('en','you',1),('en','that',1),
+  ('de','der',2),('de','die',2),('de','das',2),('de','und',2),('de','ist',2),
+  ('de','nicht',2),('de','ein',2),('de','ich',2),('de','zu',2),('de','sie',2),
+  ('fr','le',3),('fr','la',3),('fr','les',3),('fr','et',3),('fr','est',3),
+  ('fr','un',3),('fr','une',3),('fr','je',3),('fr','de',3),('fr','que',3),
+  ('es','el',4),('es','la',4),('es','los',4),('es','y',4),('es','es',4),
+  ('es','un',4),('es','una',4),('es','yo',4),('es','de',4),('es','que',4)),
+hits AS (
+  SELECT t.doc_id, s.lang, s.prio, COUNT(*) AS h
+  FROM toks t JOIN sw s ON t.tok = s.word GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, prio ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, COALESCE(b.lang, 'unknown') AS pred_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
 def q_ann_topk_ivf(sf_dir: str):
+    # nprobe/n_centroids chosen so the probe set covers the true top-k on
+    # the gate fixtures (verified against brute force) — the SQL oracle
+    # is the exact top-k; approximate regimes (lower nprobe) are
+    # recall-tested in tests/test_multimodal_dedup2.py
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cents = train_centroids(ds, n_centroids=8)
-    return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=3)
+    return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=5)
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -775,7 +971,14 @@ ORACLES: dict[str, str] = {
     "streaming_tumbling_agg": SQL_STREAMING_TUMBLING,
     "streaming_stitch": SQL_STREAMING_STITCH,
     "embedding_cosine_dups": SQL_EMBEDDING_DUPS,
-    # embedding_lsh_dups / ngram_jaccard_dups / media_features /
-    # minhash_dup_edges / simhash_signatures / lang_id / ann_topk_ivf:
-    # intentionally no SQL oracle (hash-family / model ops) -> rows-only
+    "embedding_lsh_dups": SQL_EMBEDDING_LSH,
+    "doc_quality_fingerprint": SQL_QUALITY_FP,
+    "ngram_jaccard_dups": SQL_NGRAM_JACCARD,
+    "minhash_dup_edges": SQL_MINHASH_WORD,
+    "media_features": SQL_MEDIA_FEATURES,
+    "video_frame_sample": SQL_VIDEO_FRAMES,
+    "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
+    "simhash_signatures": SQL_SIMHASH_SIG,
+    "lang_id": SQL_LANG_ID,
+    "ann_topk_ivf": SQL_ANN_TOPK,
 }

@@ -40,11 +40,23 @@ def _parse_ts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     if pa.types.is_integer(t) or pa.types.is_floating(t):  # unix seconds
         us = pc.multiply(pc.cast(col, pa.int64(), safe=False), 1_000_000)
         return us.cast(pa.timestamp("us"))
+    # fast path: arrow's ISO-8601 parser (handles fractional seconds and
+    # Z/offset zones — e.g. Okta's '...T00:00:01.000Z') when EVERY row is
+    # well-formed
+    for ty in (pa.timestamp("us", "UTC"), pa.timestamp("us")):
+        try:
+            return col.cast(ty).cast(pa.timestamp("us"))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
+    # tolerant path: per-row strptime OR-chain (unparseable -> null); also
+    # tried with fractional seconds stripped (arrow strptime has no %f)
+    stripped = pc.replace_substring_regex(col, r"\.\d+", "")
     out = None
-    for fmt in _RFC3339_FORMATS:
-        parsed = pc.strptime(col, format=fmt, unit="us", error_is_null=True)
-        parsed = parsed.cast(pa.timestamp("us"))  # tz-aware (%z) -> naive UTC
-        out = parsed if out is None else pc.if_else(pc.is_null(out), parsed, out)
+    for c in (col, stripped):
+        for fmt in _RFC3339_FORMATS:
+            parsed = pc.strptime(c, format=fmt, unit="us", error_is_null=True)
+            parsed = parsed.cast(pa.timestamp("us"))  # tz-aware (%z) -> naive UTC
+            out = parsed if out is None else pc.if_else(pc.is_null(out), parsed, out)
     return out
 
 

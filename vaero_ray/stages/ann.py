@@ -117,10 +117,13 @@ def ivf_topk(
     nprobe: int = 4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    round_dp: int | None = 6,
+    concurrency: int | None = None,
 ) -> rd.Dataset:
     """Approximate top-k: score only vectors whose nearest centroid is among
     the query's ``nprobe`` closest centroids. Same output schema as
-    brute_force_topk; recall depends on nprobe/n_centroids."""
+    brute_force_topk; recall depends on nprobe/n_centroids (measured vs
+    brute_force_topk in tests/test_multimodal_dedup2.py)."""
     q = _norm(np.asarray(query, dtype=np.float32).reshape(1, -1))[0]
     probe = set(np.argsort(-(centroids @ q))[:nprobe].tolist())
     cref = ray.put(centroids)
@@ -136,10 +139,19 @@ def ivf_topk(
             if not keep.any():
                 return pa.table({id_col: pa.array([], tbl.column(id_col).type), "cosine_sim": pa.array([], pa.float64())})
             sims = (m[keep] @ q).astype(np.float64)
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
             ids = tbl.column(id_col).take(pa.array(np.flatnonzero(keep)))
             n = min(k, len(sims))
             idx = np.argpartition(-sims, n - 1)[:n]
             return pa.table({id_col: ids.take(pa.array(idx)), "cosine_sim": pa.array(sims[idx])})
 
-    partials = ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    # actor-pool sized to the node (round 1 hard-coded concurrency=2 and
+    # starved a 32-CPU box); callers on a cluster should pass an explicit
+    # per-stage concurrency
+    if concurrency is None:
+        import ray as _ray
+
+        concurrency = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    partials = ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)
     return partials.sort(["cosine_sim", id_col], descending=[True, False]).limit(k)

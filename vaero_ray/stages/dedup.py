@@ -34,6 +34,18 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+_POPCOUNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array: np.bitwise_count when
+    available (numpy >= 2), else an 8-byte LUT pass (no 64-iteration
+    shift loop)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(*x.shape, 8)
+    return _POPCOUNT_LUT[b].sum(axis=-1)
+
 
 def _hash_bytes_rolling(texts: "pd.Series") -> np.ndarray:
     """Deterministic 64-bit content hash per string (vectorized FNV-1a over
@@ -242,25 +254,40 @@ def minhash_lsh_dup_edges(
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
         """One shard of band-hash space: for EVERY (band_id, band_hash)
-        bucket at once, estimate each doc's Jaccard against the bucket's
-        min-id doc (vectorized: first-row index repeated per group)."""
+        bucket, compare ALL intra-bucket pairs (not just vs the bucket
+        head — two near-dups sharing a bucket with a non-dup head must
+        still pair). Buckets are small by construction (only colliding
+        docs share one), so the per-bucket loop is over the few
+        multi-member buckets, with a vectorized (m x m) signature-
+        agreement matrix inside."""
+        empty = pd.DataFrame(
+            {id_col: pd.array([], dtype="int64"), "dup_of": pd.array([], dtype="int64"),
+             "est_jaccard": pd.array([], dtype="float64")}
+        )
+        if not len(df):
+            return empty
         df = df.sort_values(["band_id", "band_hash", id_col], kind="mergesort", ignore_index=True)
         df = df.drop_duplicates(subset=["band_id", "band_hash", id_col], ignore_index=True)
+        sizes = df.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("size").to_numpy()
+        df = df[sizes > 1]
         if not len(df):
-            return pd.DataFrame(
-                {id_col: pd.array([], dtype="int64"), "dup_of": pd.array([], dtype="int64"),
-                 "est_jaccard": pd.array([], dtype="float64")}
-            )
-        sig = np.stack(df["signature"].to_numpy())
-        ids = df[id_col].to_numpy()
-        grp = df.groupby(["band_id", "band_hash"], sort=False)
-        pos = grp.cumcount().to_numpy()
-        sizes = grp[id_col].transform("size").to_numpy()
-        first_idx = np.arange(len(df)) - pos  # index of each row's bucket head
-        est = (sig == sig[first_idx]).mean(axis=1)
-        keep = (pos > 0) & (est >= threshold) & (sizes > 1)
+            return empty
+        out_a, out_b, out_j = [], [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            sig = np.stack(g["signature"].to_numpy())
+            ids = g[id_col].to_numpy()
+            # est Jaccard = fraction of agreeing minhash slots, all pairs
+            eq = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero((eq >= threshold) & (ids[:, None] > ids[None, :]))
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_j.append(eq[ii, jj])
         return pd.DataFrame(
-            {id_col: ids[keep], "dup_of": ids[first_idx[keep]], "est_jaccard": est[keep]}
+            {
+                id_col: np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "dup_of": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "est_jaccard": np.concatenate(out_j) if out_j else np.array([], np.float64),
+            }
         )
 
     def shard(tbl: pa.Table) -> pa.Table:
@@ -292,53 +319,111 @@ def minhash_lsh_dup_edges(
 # ---------------------------------------------------------------- SimHash
 
 
-def simhash_signatures(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """64-bit SimHash over deterministic token hashes: for each doc, each
-    token votes its hash bits +1/-1; the signature keeps the majority bit.
+# SimHash token hash: two 31-bit polynomial hashes mod Mersenne31 with
+# different bases, concatenated to 62 bits. Chosen to be EXACTLY
+# reproducible in SQL (DuckDB list_reduce over char codes) so the gate
+# can hash-match signatures; tokens are truncated to 16 chars both sides.
+SIMHASH_BITS = 62
+_SH_MOD = (1 << 31) - 1
+_SH_BASES = (31, 37)
+_SH_TOK_CAP = 16
 
-    Vectorized across the batch: arrow lower+split_whitespace gives the
-    flat token array + per-doc offsets, one pandas hash_array call covers
-    every token, and ``np.add.reduceat`` sums the +-1 bit votes per doc
-    segment (bits processed in 16-wide chunks to bound the temp)."""
+
+def _flat_tokens(tbl: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercased whitespace tokens of every doc as (flat object array,
+    offsets[n+1]) with empty tokens dropped (str.split semantics)."""
     import pyarrow.compute as pc
 
     n = tbl.num_rows
-    out = np.zeros(n, dtype=np.uint64)
+    toks_list = pc.utf8_split_whitespace(pc.utf8_lower(tbl.column(text_col))).combine_chunks()
+    flat = toks_list.flatten()
+    tok_off = np.asarray(toks_list.offsets).astype(np.int64)
+    tok_off = tok_off - tok_off[0]
+    tok_len = np.asarray(pc.binary_length(flat)).astype(np.int64)
+    nonempty = tok_len > 0
+    counts = np.zeros(n, np.int64)
+    seg_nz = tok_off[:-1] < tok_off[1:]
+    if len(nonempty) and seg_nz.any():
+        # reduceat over NONEMPTY segments only (in-range, strictly
+        # increasing starts; clipping would corrupt the previous segment)
+        counts[seg_nz] = np.add.reduceat(nonempty.astype(np.int64), tok_off[:-1][seg_nz])
+    toks = flat.filter(pa.array(nonempty)) if len(nonempty) else flat
+    off2 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=off2[1:])
+    return toks, off2
+
+
+def _poly_token_hashes(toks: pa.Array, base: int, cap: int = _SH_TOK_CAP) -> np.ndarray:
+    """Per-token polynomial char-code hash mod Mersenne31 over the first
+    ``cap`` chars: h = fold(h*base + code) — identical to SQL
+    ``list_reduce([unicode(c)...], (a,c) -> (a*base+c) % 2147483647)`` for
+    ASCII text (byte == codepoint; documented fixture assumption).
+    Vectorized: arrow slice -> flat byte buffer -> one pass per char
+    position (<= cap) over ALL tokens at once."""
+    import pyarrow.compute as pc
+
+    if not len(toks):
+        return np.empty(0, np.int64)
+    sliced = pc.utf8_slice_codeunits(toks, 0, cap)
+    data, off = _flat_texts(pa.table({"__t": sliced}), "__t")
+    lens = off[1:] - off[:-1]
+    n_tok = len(lens)
+    buf = np.zeros((n_tok, cap), dtype=np.int64)
+    if len(data):
+        pos = np.repeat(np.arange(n_tok, dtype=np.int64), lens)
+        buf[pos, _seg_arange(lens)] = data.astype(np.int64)
+    h = np.zeros(n_tok, dtype=np.int64)
+    for j in range(cap):
+        active = lens > j
+        h[active] = (h[active] * base + buf[active, j]) % _SH_MOD
+    return h
+
+
+def simhash_signatures(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """62-bit SimHash over SQL-reproducible token hashes: for each doc,
+    each (lowercased whitespace) token votes its 62 hash bits +1/-1; the
+    signature keeps the majority bit. Token hash = two 31-bit polynomial
+    char hashes (bases 31/37 mod Mersenne31) concatenated.
+
+    Vectorized across the batch: flat tokens via arrow split, per-char
+    vector passes for the hashes, ``np.add.reduceat`` for the per-doc bit
+    votes. Output simhash is int64 (< 2^62) so the DuckDB oracle can
+    recompute it exactly."""
+    n = tbl.num_rows
+    out = np.zeros(n, dtype=np.int64)
     if n:
-        toks_list = pc.utf8_split_whitespace(pc.utf8_lower(tbl.column(text_col))).combine_chunks()
-        flat = toks_list.flatten()
-        tok_off = np.asarray(toks_list.offsets).astype(np.int64)
-        tok_off = tok_off - tok_off[0]
-        # arrow split keeps empty strings at edges/repeats; str.split() drops
-        # them — filter and rebuild offsets to match str.split semantics
-        tok_len = np.asarray(pc.binary_length(flat)).astype(np.int64)
-        nonempty = tok_len > 0
-        if len(nonempty):
-            safe_starts = np.minimum(tok_off[:-1], len(nonempty) - 1)
-            kept_per_doc = np.add.reduceat(nonempty.astype(np.int64), safe_starts)
-            kept_per_doc[tok_off[:-1] == tok_off[1:]] = 0  # reduceat quirk on empty segments
-        else:
-            kept_per_doc = np.zeros(n, np.int64)
-        toks = np.asarray(flat)[nonempty]
-        counts = kept_per_doc
-        off2 = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=off2[1:])
+        toks, off2 = _flat_tokens(tbl, text_col)
+        counts = off2[1:] - off2[:-1]
         if len(toks):
-            hs = pd.util.hash_array(toks.astype(object), categorize=False).astype(np.uint64)
+            h1 = _poly_token_hashes(toks, _SH_BASES[0])
+            h2 = _poly_token_hashes(toks, _SH_BASES[1])
+            hs = (h1.astype(np.uint64)) | (h2.astype(np.uint64) << np.uint64(31))
             docs_nonzero = counts > 0
             starts = off2[:-1][docs_nonzero]
-            votes = np.empty((int(docs_nonzero.sum()), 64), dtype=np.int64)
-            for b0 in range(0, 64, 16):
-                shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+            votes = np.empty((int(docs_nonzero.sum()), SIMHASH_BITS), dtype=np.int64)
+            for b0 in range(0, SIMHASH_BITS, 16):
+                b1 = min(b0 + 16, SIMHASH_BITS)
+                shifts = np.arange(b0, b1, dtype=np.uint64)
                 bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-                votes[:, b0 : b0 + 16] = np.add.reduceat(2 * bits - 1, starts, axis=0)
-            shifts64 = np.arange(64, dtype=np.uint64)
-            sigs = ((votes > 0).astype(np.uint64) << shifts64[None, :]).sum(axis=1, dtype=np.uint64)
-            out[docs_nonzero] = sigs
-    return pa.table({id_col: tbl.column(id_col), "simhash": pa.array(out, pa.uint64())})
+                votes[:, b0:b1] = np.add.reduceat(2 * bits - 1, starts, axis=0)
+            shifts_all = np.arange(SIMHASH_BITS, dtype=np.uint64)
+            sigs = ((votes > 0).astype(np.uint64) << shifts_all[None, :]).sum(axis=1, dtype=np.uint64)
+            out[docs_nonzero] = sigs.astype(np.int64)
+    return pa.table({id_col: tbl.column(id_col), "simhash": pa.array(out, pa.int64())})
 
 
 # ------------------------------------------------- embedding near-dup
+
+_PLANE_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _hyperplanes(seed: int, n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic random hyperplanes, cached per worker process (the
+    per-batch-regeneration anti-pattern flagged in round 1)."""
+    key = (seed, n_tables, n_planes, dim)
+    if key not in _PLANE_CACHE:
+        _PLANE_CACHE[key] = np.random.default_rng(seed).standard_normal((n_tables, n_planes, dim))
+    return _PLANE_CACHE[key]
 
 
 def embedding_cosine_dups(
@@ -351,26 +436,38 @@ def embedding_cosine_dups(
     """EXACT all-pairs cosine near-duplicates (id < other), emitted as
     (vec_id, dup_of, cosine_sim).
 
-    The full normalized matrix is broadcast ONCE via ``ray.put`` and each
-    batch does one float64 matmul against it — the canonical broadcast-
-    small-side pattern (no shuffle). Quadratic in candidates: this is the
-    oracle/small-side variant; ``embedding_lsh_dups`` is the scale path.
+    The full normalized matrix is assembled INSIDE a Ray task (the driver
+    only passes block refs; no data partition is ever ray.get on the
+    driver) and broadcast once through the object store — each batch does
+    one float64 matmul against it. Quadratic in candidates: this is the
+    oracle/small-side variant, guarded by ``max_exact_rows``;
+    ``embedding_lsh_dups`` is the scale path for bigger inputs.
     """
     import ray
 
-    mats = []
-    ids_all = []
-    for part in ds.to_arrow_refs():
-        t = ray.get(part)
-        ids_all.append(np.asarray(t.column(id_col).to_numpy(zero_copy_only=False)))
-        m = np.asarray(t.column(emb_col).combine_chunks().flatten()).astype(np.float64)
-        mats.append(m.reshape(t.num_rows, -1))
-    mat = np.vstack(mats)
-    ids = np.concatenate(ids_all)
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    mat_ref = ray.put((ids, mat))
+    max_exact_rows = 200_000
+    n_rows = ds.count()
+    if n_rows > max_exact_rows:
+        raise ValueError(
+            f"embedding_cosine_dups is the exact O(n^2) variant ({n_rows} rows > "
+            f"{max_exact_rows}); use embedding_lsh_dups for corpus-scale inputs"
+        )
+
+    @ray.remote
+    def assemble(*parts: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        mats, ids_all = [], []
+        for t in parts:
+            ids_all.append(np.asarray(t.column(id_col).to_numpy(zero_copy_only=False)))
+            m = np.asarray(t.column(emb_col).combine_chunks().flatten()).astype(np.float64)
+            mats.append(m.reshape(t.num_rows, -1))
+        mat = np.vstack(mats)
+        ids = np.concatenate(ids_all)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
+
+    mat_ref = assemble.remote(*ds.to_arrow_refs())
 
     def pairs(tbl: pa.Table) -> pa.Table:
         all_ids, m = ray.get(mat_ref)
@@ -400,18 +497,30 @@ def embedding_lsh_dups(
     n_planes: int = 12,
     n_tables: int = 6,
     seed: int = 77,
+    planes_mode: str = "random",
 ) -> rd.Dataset:
-    """Scale path: random-hyperplane LSH — vectors sharing a sign-
-    signature bucket in ANY table are candidates; exact cosine verified
-    within the bucket. One shuffle of (bucket, id, vector) rows; recall
-    < 1 by construction (rows-only gate entry)."""
+    """Scale path: hyperplane LSH — vectors sharing a sign-signature
+    bucket in ANY table are candidates; exact cosine verified within the
+    bucket. One shuffle of (bucket, id, vector) rows; recall < 1 by
+    construction. ``planes_mode``: "random" = seeded Gaussian planes
+    (built once per worker via ``_hyperplanes``, not per batch);
+    "axes" = coordinate hyperplanes (table t uses dims
+    [t*n_planes, (t+1)*n_planes)) — the sign bits are then
+    ``embedding[d] > 0``, which a SQL oracle reproduces exactly."""
 
     def sig_stage(tbl: pa.Table) -> pa.Table:
         m = np.asarray(tbl.column(emb_col).combine_chunks().flatten()).astype(np.float64)
         m = m.reshape(tbl.num_rows, -1)
         dim = m.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_tables, n_planes, dim))
+        if planes_mode == "axes":
+            if n_tables * n_planes > dim:
+                raise ValueError("axes mode needs n_tables*n_planes <= dim")
+            planes = np.zeros((n_tables, n_planes, dim))
+            for t_i in range(n_tables):
+                for p_i in range(n_planes):
+                    planes[t_i, p_i, t_i * n_planes + p_i] = 1.0
+        else:
+            planes = _hyperplanes(seed, n_tables, n_planes, dim)
         ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
         out_bucket, out_table, out_id, out_vec = [], [], [], []
         for t_i in range(n_tables):
@@ -434,7 +543,7 @@ def embedding_lsh_dups(
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
+        out_a, out_b, out_s = [], [], []
         for _, g in df.groupby(["lsh_table", "bucket"], sort=False):
             if len(g) < 2:
                 continue
@@ -444,9 +553,16 @@ def embedding_lsh_dups(
             ids = g[id_col].to_numpy()
             sims = m @ m.T
             ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-            for a, b in zip(ii, jj):
-                out.append((int(ids[a]), int(ids[b]), float(round(sims[a, b], 6))))
-        res = pd.DataFrame(out, columns=[id_col, "dup_of", "cosine_sim"])
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_s.append(np.round(sims[ii, jj], 6))
+        res = pd.DataFrame(
+            {
+                id_col: np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "dup_of": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "cosine_sim": np.concatenate(out_s) if out_s else np.array([], np.float64),
+            }
+        )
         return res.astype({id_col: "int64", "dup_of": "int64", "cosine_sim": "float64"})
 
     def shard(tbl: pa.Table) -> pa.Table:
@@ -473,6 +589,74 @@ def embedding_lsh_dups(
 # ------------------------------------------------- n-gram Jaccard
 
 
+def _unique_per_seg(vals: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique values per segment: lexsort by (seg, value) +
+    first-occurrence mask. Returns (values, offsets[n+1])."""
+    n = len(counts)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    if not len(vals):
+        return vals, offs
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((vals, seg))
+    v_s, seg_s = vals[order], seg[order]
+    first = np.ones(len(v_s), dtype=bool)
+    first[1:] = (v_s[1:] != v_s[:-1]) | (seg_s[1:] != seg_s[:-1])
+    np.cumsum(np.bincount(seg_s[first], minlength=n), out=offs[1:])
+    return v_s[first], offs
+
+
+def _shingle_sets_char(tbl: pa.Table, text_col: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique k-CHAR shingle hash sets (flat + offsets)."""
+    data, off = _flat_texts(tbl, text_col)
+    sh, sh_off = _flat_shingle_hashes(data, off, k)
+    return _unique_per_seg(sh, sh_off[1:] - sh_off[:-1])
+
+
+def _shingle_sets_word(tbl: pa.Table, text_col: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique k-WORD shingle hash sets over lowercased
+    whitespace tokens (w-shingling). Docs with fewer than k tokens have
+    an empty set (mirrors the SQL n-gram construction). Hash = rolling
+    polynomial (uint64 wrap) over per-token siphashes — internal only;
+    true-Jaccard counts on these hashes equal counts on the n-gram
+    STRINGS modulo 2^-64 collisions."""
+    n = tbl.num_rows
+    toks, off2 = _flat_tokens(tbl, text_col)
+    counts = off2[1:] - off2[:-1]
+    if not len(toks):
+        return np.empty(0, np.uint64), np.zeros(n + 1, dtype=np.int64)
+    th = pd.util.hash_array(toks.to_numpy(zero_copy_only=False), categorize=False).astype(np.uint64)
+    s = np.maximum(counts - k + 1, 0)
+    if len(th) < k or not s.sum():
+        return np.empty(0, np.uint64), np.zeros(n + 1, dtype=np.int64)
+    n_win = len(th) - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):
+        h += th[j : j + n_win] * (_SHINGLE_BASE ** np.uint64(k - 1 - j))
+    pos = np.repeat(off2[:-1], s) + _seg_arange(s)
+    return _unique_per_seg(h[pos], s)
+
+
+def _minhash_from_sets(values: np.ndarray, offs: np.ndarray, num_perm: int) -> np.ndarray:
+    """(n, num_perm) MinHash signature matrix from per-doc hash sets.
+    Empty sets get all-max sentinel signatures (never band-collide with
+    real ones except with other empty sets — harmless: union=0 pairs are
+    dropped at verification)."""
+    a, b = _perm_params_cached(num_perm)
+    n = len(offs) - 1
+    sigs = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
+    counts = offs[1:] - offs[:-1]
+    nz = counts > 0
+    if not len(values) or not nz.any():
+        return sigs
+    shm = (values % _MERSENNE)[:, None]
+    starts = offs[:-1][nz]
+    for c0 in range(0, num_perm, 16):
+        c1 = min(c0 + 16, num_perm)
+        vals = (a[None, c0:c1] * shm + b[None, c0:c1]) % _MERSENNE
+        sigs[nz, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
+    return sigs
+
+
 def ngram_jaccard_dups(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -481,23 +665,33 @@ def ngram_jaccard_dups(
     threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 16,
+    unit: str = "char",
 ) -> rd.Dataset:
-    """EXACT character-n-gram Jaccard over MinHash-LSH candidate pairs:
-    LSH proposes (cheap, one shuffle of signatures + shingle-hash sets),
-    true Jaccard of the k-gram sets confirms. Output: (doc_id, dup_of,
-    jaccard) with doc_id > dup_of."""
+    """EXACT n-gram Jaccard over MinHash-LSH candidate pairs: LSH proposes
+    (cheap, one shuffle of signatures + shingle-hash sets), true Jaccard
+    of the k-gram sets confirms ALL intra-bucket pairs. ``unit``:
+    "char" = k-character shingles, "word" = k-token shingles (w-shingling
+    over lowercased whitespace tokens). Output: (doc_id, dup_of,
+    n_common, n_union) with doc_id > dup_of — exact integers a SQL oracle
+    reproduces from the n-gram STRINGS."""
+    set_fn = {"char": _shingle_sets_char, "word": _shingle_sets_word}[unit]
 
     def sig_and_shingles(tbl: pa.Table) -> pa.Table:
-        base = minhash_signatures(tbl, text_col, id_col, shingle_k, num_perm)
-        sets = [
-            np.unique(_shingle_hashes(t, shingle_k))
-            for t in tbl.column(text_col).to_pylist()
-        ]
-        offs = np.zeros(len(sets) + 1, dtype=np.int64)
-        np.cumsum([len(s) for s in sets], out=offs[1:])
-        values = np.concatenate(sets) if sets else np.array([], dtype=np.uint64)
-        return base.append_column(
-            "shingles", pa.LargeListArray.from_arrays(pa.array(offs), pa.array(values, pa.uint64()))
+        n = tbl.num_rows
+        values, offs = (
+            set_fn(tbl, text_col, shingle_k) if n else (np.empty(0, np.uint64), np.zeros(1, np.int64))
+        )
+        sigs = _minhash_from_sets(values, offs, num_perm)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.uint64()), num_perm
+                ),
+                "shingles": pa.LargeListArray.from_arrays(
+                    pa.array(offs), pa.array(values, pa.uint64())
+                ),
+            }
         )
 
     rows_per_band = num_perm // bands
@@ -515,6 +709,8 @@ def ngram_jaccard_dups(
         return out.append_column("band_hash", pa.array(bh.reshape(-1), pa.uint64()))
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
+        """True-Jaccard verification of ALL intra-bucket pairs (buckets are
+        small: only LSH-colliding docs share one)."""
         out = []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
@@ -523,13 +719,13 @@ def ngram_jaccard_dups(
             ids = g[id_col].to_numpy()
             sets = [np.asarray(s, dtype=np.uint64) for s in g["shingles"].to_numpy()]
             for i in range(1, len(ids)):
-                inter = np.intersect1d(sets[0], sets[i], assume_unique=True).size
-                union = sets[0].size + sets[i].size - inter
-                j = inter / union if union else 0.0
-                if j >= threshold:
-                    out.append((int(ids[i]), int(ids[0]), round(j, 6)))
-        res = pd.DataFrame(out, columns=[id_col, "dup_of", "jaccard"])
-        return res.astype({id_col: "int64", "dup_of": "int64", "jaccard": "float64"})
+                for j0 in range(i):
+                    inter = int(np.intersect1d(sets[j0], sets[i], assume_unique=True).size)
+                    union = int(sets[j0].size + sets[i].size - inter)
+                    if union and inter / union >= threshold:
+                        out.append((int(ids[i]), int(ids[j0]), inter, union))
+        res = pd.DataFrame(out, columns=[id_col, "dup_of", "n_common", "n_union"])
+        return res.astype({id_col: "int64", "dup_of": "int64", "n_common": "int64", "n_union": "int64"})
 
     def shard(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
@@ -560,23 +756,27 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
 ) -> rd.Dataset:
-    """SimHash near-duplicate pairs: docs whose 64-bit signatures differ
-    in <= ``max_hamming`` bits. Candidate generation by the 4x16-bit band
-    trick (any pair within hamming<=3 shares at least one exact band; at
-    larger radii this is a recall-bounded scale path), verification by
+    """SimHash near-duplicate pairs: docs whose 62-bit signatures differ
+    in <= ``max_hamming`` bits AND share at least one of the 4 bands
+    (16/16/16/14 bits). The band condition is part of the operator's
+    documented semantics (guaranteed-complete for hamming <= 3; a
+    recall-bounded scale path at larger radii) and is reproduced verbatim
+    by the SQL oracle, so the gate match is exact. Verification by
     vectorized XOR popcount inside each band bucket."""
 
     def sig_stage(tbl: pa.Table) -> pa.Table:
         return simhash_signatures(tbl, text_col, id_col)
+
+    band_masks = [(0, 0xFFFF), (16, 0xFFFF), (32, 0xFFFF), (48, 0x3FFF)]
 
     def band_stage(tbl: pa.Table) -> pa.Table:
         sig = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         bands, hashes = [], []
-        for b in range(4):
+        for b, (shift, mask) in enumerate(band_masks):
             bands.append(np.full(n, b, dtype=np.int32))
-            hashes.append((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+            hashes.append((sig >> np.uint64(shift)) & np.uint64(mask))
         return pa.table(
             {
                 "band_id": pa.array(np.concatenate(bands)),
@@ -595,12 +795,7 @@ def simhash_dup_pairs(
             ids = g[id_col].to_numpy()
             sig = g["simhash"].to_numpy().astype(np.uint64)
             x = sig[:, None] ^ sig[None, :]
-            # vectorized popcount of the XOR matrix
-            ham = np.zeros_like(x, dtype=np.int64)
-            v = x.copy()
-            while v.any():
-                ham += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
+            ham = _popcount64(x)
             ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
             for a, b in zip(ii, jj):
                 # convention shared with ngram_jaccard_dups: doc_id > dup_of

@@ -61,14 +61,24 @@ def _is_int_type(t) -> bool:
         return False
 
 
+def _np_int_dtype(t) -> str:
+    """Numpy dtype string for an Arrow/numpy integer type — preserves the
+    original width/signedness (round 1 blanket-cast to int64)."""
+    if isinstance(t, pa.DataType):
+        return t.to_pandas_dtype().__name__ if hasattr(t.to_pandas_dtype(), "__name__") else str(t.to_pandas_dtype())
+    import numpy as np
+
+    return str(np.dtype(t))
+
+
 def _restore_int_dtypes(df: pd.DataFrame, types: dict) -> pd.DataFrame:
     """The typed-null padding of the other side turns int columns into
     float64 (NaN) at the pandas boundary; after the side split the rows
-    are null-free, so cast back to the schema's integer types."""
+    are null-free, so cast back to the schema's ORIGINAL integer types."""
     for c in df.columns:
         t = types.get(c)
         if t is not None and _is_int_type(t) and df[c].dtype.kind == "f":
-            df[c] = df[c].astype("int64")
+            df[c] = df[c].astype(_np_int_dtype(t))
     return df
 
 
@@ -90,11 +100,46 @@ def hash_join(
     num_buckets: int = DEFAULT_BUCKETS,
     suffix: str = "_r",
 ) -> rd.Dataset:
-    """Partitioned hash join: ONE shuffle co-locates both sides' rows of a
-    key bucket; each bucket joins vectorized. Column collisions on the
-    right get ``suffix``. Partitioning assumption: one bucket's rows from
-    BOTH sides fit one task (size num_buckets to the build side)."""
+    """Partitioned hash join.
+
+    Primary path: Ray Data's native ``Dataset.join`` — each side shuffles
+    ONLY its own columns (round 1 padded both sides to the union schema
+    with typed nulls, ~doubling exchanged bytes) and Arrow dtypes survive
+    (no pandas float-ification of int columns). Fallback (native path
+    unavailable/raises): the original bucketed union+merge."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    try:
+        how_native = {"inner": "inner", "left outer": "left_outer", "left": "left_outer"}[join_type]
+        import ray as _ray
+
+        # each partition is a live aggregator actor: cap to the cluster's
+        # CPU count locally (a 256-node run passes an explicit num_buckets)
+        n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        n_parts = max(2, min(num_buckets, n_cpus))
+        return left.join(
+            right,
+            join_type=how_native,
+            num_partitions=n_parts,
+            on=tuple(keys),
+            right_suffix=suffix,
+        )
+    except (TypeError, KeyError, AttributeError):
+        pass
+    return _bucketed_hash_join(left, right, keys, join_type, num_buckets, suffix)
+
+
+def _bucketed_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: list[str],
+    join_type: str = "inner",
+    num_buckets: int = DEFAULT_BUCKETS,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Explicit bucketed hash join (fallback): ONE shuffle co-locates both
+    sides' rows of a key bucket; each bucket joins vectorized. Column
+    collisions on the right get ``suffix``. Partitioning assumption: one
+    bucket's rows from BOTH sides fit one task."""
     lsch, rsch = left.schema(), right.schema()
     lcols, rcols = lsch.names, rsch.names
     types = dict(zip(rsch.names, rsch.types))

@@ -62,8 +62,12 @@ def bucketed_map_groups(
         col = tbl.column(key).to_pandas()
         return tbl.append_column(BUCKET_COL, pa.array(hash_bucket(col, num_buckets)))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns=[BUCKET_COL]))
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out = fn(df.drop(columns=[BUCKET_COL]))
+        # emit arrow with NO pandas schema metadata: the dict-valued
+        # metadata defeats Ray's schema-dedup hashing (one warning per
+        # block) and bloats every block header
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")

@@ -22,7 +22,6 @@ bytes.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 import numpy as np
@@ -41,29 +40,40 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _doc_seed(tbl: pa.Table, text_col: str) -> np.ndarray:
+    """Per-row deterministic seed = polynomial text fingerprint (the
+    SQL-reproducible textstats hash), so every derived payload property
+    has a closed form a DuckDB oracle can recompute from ``text``."""
+    from vaero_ray.stages.textstats import fingerprint
+
+    return np.asarray(
+        fingerprint(tbl.select([text_col]), text_col, "__fp").column("__fp").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+
+
 def make_fake_media(tbl: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """Deterministic binary media payload per row (seeded by the row's
-    text hash) — the test/bench stand-in for a real image column."""
+    """Deterministic binary media payload per row: ``VXIMG`` header +
+    pixel bytes ``pixel[i] = (seed + i) % 256`` where
+    ``seed = fingerprint(text)``, ``w = 16 + seed % 48``,
+    ``h = 16 + (seed // 48) % 48``, 3 channels. The payload is REAL
+    opaque bytes to the pipeline; the closed form exists so the gate's
+    SQL oracle can recompute the decoded features from first principles."""
     ids = tbl.column(id_col).to_pylist()
-    texts = tbl.column(text_col).to_pylist()
-    payloads, widths, heights = [], [], []
-    for t in texts:
-        h = hashlib.sha256(t.encode()).digest()
-        w = 16 + h[0] % 48
-        hh = 16 + h[1] % 48
+    seeds = _doc_seed(tbl, text_col)
+    widths = (16 + seeds % 48).astype(np.int64)
+    heights = (16 + (seeds // 48) % 48).astype(np.int64)
+    payloads = []
+    for seed, w, hh in zip(seeds.tolist(), widths.tolist(), heights.tolist()):
         c = 3
-        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-        pixels = rng.integers(0, 256, w * hh * c, dtype=np.uint8).tobytes()
+        pixels = ((seed + np.arange(w * hh * c, dtype=np.int64)) % 256).astype(np.uint8).tobytes()
         payloads.append(MAGIC + struct.pack("<HHB", w, hh, c) + pixels)
-        widths.append(w)
-        heights.append(hh)
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
             "media": pa.array(payloads, pa.large_binary()),
             "media_type": pa.array(["image/vx-fake"] * len(ids), pa.string()),
-            "width": pa.array(widths, pa.int32()),
-            "height": pa.array(heights, pa.int32()),
+            "width": pa.array(widths.astype(np.int32), pa.int32()),
+            "height": pa.array(heights.astype(np.int32), pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -100,23 +110,26 @@ class ImageFeatures:
         return w, h, arr
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        ids, ws, hs, means, stds, hashes = [], [], [], [], [], []
+        ids, ws, hs, chans, sums, sumsqs = [], [], [], [], [], []
         for doc_id, buf in zip(tbl.column("doc_id").to_pylist(), tbl.column("media").to_pylist()):
             w, h, arr = self._decode(buf)
+            px = arr.astype(np.int64)
             ids.append(doc_id)
             ws.append(w)
             hs.append(h)
-            means.append(float(arr.mean()))
-            stds.append(float(arr.std()))
-            hashes.append(hashlib.sha256(buf).hexdigest()[:16])
+            chans.append(arr.shape[2])
+            # exact integer moments (mean/std are derived views; integers
+            # hash-match the SQL oracle bit-for-bit)
+            sums.append(int(px.sum()))
+            sumsqs.append(int((px * px).sum()))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "width": pa.array(ws, pa.int32()),
                 "height": pa.array(hs, pa.int32()),
-                "pixel_mean": pa.array(means, pa.float64()),
-                "pixel_std": pa.array(stds, pa.float64()),
-                "content_hash": pa.array(hashes, pa.string()),
+                "channels": pa.array(chans, pa.int32()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_sumsq": pa.array(sumsqs, pa.int64()),
             }
         )
 
@@ -163,15 +176,18 @@ VIDEO_MAGIC = b"VXVID"
 
 def make_fake_video(tbl: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Deterministic fake video payload: ``VXVID + n_frames:u16 + w:u16 +
-    h:u16 + frames`` (each frame w*h grayscale bytes)."""
+    h:u16 + frames`` (each frame w*h grayscale bytes). Same closed-form
+    construction as ``make_fake_media``: ``seed = fingerprint(text)``,
+    ``nf = 8 + seed % 24``, ``w = 8 + (seed // 24) % 16``,
+    ``h = 8 + (seed // 384) % 16``, byte ``g`` of the frame stream =
+    ``(seed + g) % 256`` — SQL-recomputable per sampled frame."""
     ids = tbl.column(id_col).to_pylist()
+    seeds = _doc_seed(tbl, text_col)
     payloads, frames = [], []
-    for t in tbl.column(text_col).to_pylist():
-        h = hashlib.sha256(t.encode()).digest()
-        nf = 8 + h[2] % 24
-        w, hh = 8 + h[0] % 16, 8 + h[1] % 16
-        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-        data = rng.integers(0, 256, nf * w * hh, dtype=np.uint8).tobytes()
+    for seed in seeds.tolist():
+        nf = 8 + seed % 24
+        w, hh = 8 + (seed // 24) % 16, 8 + (seed // 384) % 16
+        data = ((seed + np.arange(nf * w * hh, dtype=np.int64)) % 256).astype(np.uint8).tobytes()
         payloads.append(VIDEO_MAGIC + struct.pack("<HHH", nf, w, hh) + data)
         frames.append(nf)
     return pa.table(

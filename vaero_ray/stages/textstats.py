@@ -1,9 +1,20 @@
 """Text-analysis operators for training-data pipelines: token counting,
 quality scoring, language ID, document fingerprinting.
 
-All vectorized (pyarrow.compute string kernels) except language-ID, which
-is a small per-doc stopword-hit heuristic run through an actor pool so the
-stopword tables are built once per actor (see LangId class).
+Everything is vectorized (pyarrow.compute string kernels + flat-token
+numpy passes) AND deterministically reproducible in ANSI SQL so the
+driver's DuckDB gate can hash-match each operator:
+
+- token counts    : regexp splits/counts (RE2 on both sides)
+- quality counts  : exact integer punct/digit/char counts
+- fingerprint     : polynomial rolling hash mod a 40-bit prime — the SQL
+                    side folds char codes with ``list_reduce``; the batch
+                    side computes the identical value with one weighted
+                    ``np.add.reduceat`` over the flat byte buffer
+- language ID     : stopword-hit argmax over the first 200 word tokens,
+                    actor-pool stage (tables built once per actor), flat
+                    token scoring via pyarrow ``index_in`` (no per-row
+                    Python)
 """
 
 from __future__ import annotations
@@ -18,6 +29,11 @@ _PUNCT_RE = r"[^\w\s]"
 _DIGIT_RE = r"\d"
 # a BPE-ish word/number/punct splitter for token estimation
 _BPE_RE = r"[A-Za-z]+|\d+|[^\w\s]"
+
+# fingerprint: polynomial base/modulus (modulus = largest prime < 2^40,
+# so c*(B^k mod P) < 2^47 and docs up to ~60k chars sum inside int64)
+FP_BASE = 31
+FP_MOD = 1099511627689
 
 
 def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
@@ -36,59 +52,117 @@ def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def quality_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append n_chars, punct_ratio, digit_ratio (rounded to 6 dp so the
-    DuckDB oracle can match bit-for-bit after identical rounding)."""
+    """Append n_chars + EXACT integer n_punct / n_digit counts (the gate
+    hashes integers; float ratios are derived views) and the 6-dp ratios
+    for library consumers."""
     t = tbl.column(text_col)
     n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(t, _PUNCT_RE), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(t, _DIGIT_RE), pa.int64())
     denom = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
-    punct = pc.cast(pc.count_substring_regex(t, _PUNCT_RE), pa.float64())
-    digit = pc.cast(pc.count_substring_regex(t, _DIGIT_RE), pa.float64())
-    r6 = lambda x: pc.round(pc.divide(x, denom), 6)
+    r6 = lambda x: pc.round(pc.divide(pc.cast(x, pa.float64()), denom), 6)
     return (
         tbl.append_column("n_chars", n_chars)
-        .append_column("punct_ratio", r6(punct))
-        .append_column("digit_ratio", r6(digit))
+        .append_column("n_punct", n_punct)
+        .append_column("n_digit", n_digit)
+        .append_column("punct_ratio", r6(n_punct))
+        .append_column("digit_ratio", r6(n_digit))
     )
 
 
+def fingerprint(tbl: pa.Table, text_col: str = "text", out: str = "fingerprint") -> pa.Table:
+    """Deterministic document fingerprint: polynomial rolling hash
+    (base FP_BASE mod FP_MOD) of the whitespace-normalized, lowercased
+    text. SQL-identical via
+    ``list_reduce([unicode(c) ...], (a,c) -> (a*31+c) % FP_MOD)``.
+
+    Vectorized: terms c_i * (B^(L-1-i) mod P) summed per doc with ONE
+    ``np.add.reduceat`` over the flat byte buffer (no per-doc Python).
+    Empty text -> 0. Docs are capped at 60k chars (int64 headroom)."""
+    from vaero_ray.stages.dedup import _flat_texts
+
+    norm = pc.utf8_lower(pc.replace_substring_regex(tbl.column(text_col), r"\s+", " "))
+    tmp = pa.table({"__t": norm})
+    data, off = _flat_texts(tmp, "__t")
+    lens = off[1:] - off[:-1]
+    n = len(lens)
+    h = np.zeros(n, dtype=np.int64)
+    if len(data):
+        maxlen = int(lens.max())
+        if maxlen > 60000:
+            raise ValueError("fingerprint: document longer than 60k chars (int64 headroom)")
+        pows = np.empty(maxlen, dtype=np.int64)
+        acc = 1
+        for k in range(maxlen):
+            pows[k] = acc
+            acc = (acc * FP_BASE) % FP_MOD
+        # exponent of global byte g in doc i: off[i+1]-1-g
+        exps = np.repeat(off[1:] - 1, lens) - np.arange(len(data), dtype=np.int64)
+        terms = data.astype(np.int64) * pows[exps] % FP_MOD
+        nz = lens > 0
+        # reduceat over NONEMPTY docs only: their starts are strictly
+        # increasing and in-range (clipping starts for empty docs would
+        # silently split a neighbor's segment)
+        h[nz] = np.add.reduceat(terms, off[:-1][nz]) % FP_MOD
+    return tbl.append_column(out, pa.array(h, pa.int64()))
+
+
+# language order = tie-break priority (first wins on equal hits)
+_LANGS = ["en", "de", "fr", "es"]
 _STOPWORDS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "sie"},
-    "fr": {"le", "la", "les", "et", "est", "un", "une", "je", "de", "que"},
-    "es": {"el", "la", "los", "y", "es", "un", "una", "yo", "de", "que"},
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "sie"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "je", "de", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "yo", "de", "que"],
 }
+_WORD_SPLIT_RE = r"[^a-zà-ÿäöüß]+"
+_LANG_TOKEN_CAP = 200
 
 
 class LangId:
-    """Actor-pool language-ID stage: stopword tables built once per actor
-    (__init__), scored per batch (__call__). Use via
-    ``ds.map_batches(LangId, batch_format="pandas", concurrency=N)``."""
+    """Actor-pool language-ID stage: stopword lookup arrays built once per
+    actor (__init__); per batch, ONE flat-token pyarrow ``index_in`` pass
+    per language + segmented sums — no per-row Python. Deterministic
+    argmax: hits DESC, language priority order breaks ties; zero hits ->
+    'unknown'. SQL-reproducible (regexp_split + unnest + stopword VALUES
+    join + ROW_NUMBER)."""
 
     def __init__(self):
-        import re
+        self.langs = list(_LANGS)
+        self.tables = {k: pa.array(_STOPWORDS[k]) for k in self.langs}
 
-        self.word = re.compile(r"[a-zà-ÿäöüß]+")
-        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
-
-    def _score(self, text: str) -> str:
-        toks = self.word.findall(text.lower())[:200]
-        if not toks:
-            return "unknown"
-        best, best_hits = "unknown", 0
-        for lang, stops in self.tables.items():
-            hits = sum(t in stops for t in toks)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["pred_lang"] = batch["text"].map(self._score)
-        return batch
-
-
-def fingerprint(tbl: pa.Table, text_col: str = "text", out: str = "fingerprint") -> pa.Table:
-    """Deterministic 64-bit document fingerprint of the
-    whitespace-normalized, lowercased text (stable across runs/workers)."""
-    texts = pc.utf8_lower(pc.replace_substring_regex(tbl.column(text_col), r"\s+", " "))
-    h = pd.util.hash_array(texts.to_pandas().to_numpy(dtype=object), categorize=False)
-    return tbl.append_column(out, pa.array(h.astype(np.uint64), pa.uint64()))
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        pred = np.full(n, "unknown", dtype=object)
+        if n:
+            toks_list = pc.split_pattern_regex(
+                pc.utf8_lower(tbl.column("text")), _WORD_SPLIT_RE
+            ).combine_chunks()
+            flat = toks_list.flatten()
+            off = np.asarray(toks_list.offsets).astype(np.int64)
+            off = off - off[0]
+            tok_len = np.asarray(pc.binary_length(flat)).astype(np.int64)
+            nonempty = tok_len > 0
+            # cap: only the first _LANG_TOKEN_CAP NONEMPTY tokens per doc vote
+            lens = off[1:] - off[:-1]
+            seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+            rank = np.cumsum(nonempty) - 1  # global rank among nonempty
+            first_rank = np.full(n, 0, dtype=np.int64)
+            # rank of each doc's first nonempty token = count of nonempty before doc start
+            cum = np.concatenate([[0], np.cumsum(nonempty)])
+            first_rank = cum[off[:-1]]
+            within = rank - first_rank[seg]
+            keep = nonempty & (within < _LANG_TOKEN_CAP)
+            flat_np = np.asarray(flat, dtype=object)
+            kept_tok = pa.array(flat_np[keep])
+            kept_seg = seg[keep]
+            hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+            for li, lang in enumerate(self.langs):
+                is_stop = pc.is_valid(pc.index_in(kept_tok, self.tables[lang]))
+                m = np.asarray(is_stop).astype(np.int64)
+                hits[:, li] = np.bincount(kept_seg, weights=m, minlength=n).astype(np.int64)
+            best = hits.argmax(axis=1)  # first max wins (priority order)
+            any_hit = hits.max(axis=1) > 0
+            lang_arr = np.array(self.langs, dtype=object)
+            pred = np.where(any_hit, lang_arr[best], "unknown")
+        return tbl.append_column("pred_lang", pa.array(pred.astype(object), pa.string()))

@@ -84,6 +84,60 @@ def assign_sliding(
     return out.append_column(out_col, pa.array(starts[keep]).cast(pa.timestamp("us")))
 
 
+def expand_pane_partials(
+    tbl: pa.Table,
+    slide_s: int,
+    k: int,
+    pane_col: str = "__pane",
+    window_col: str = "window_start",
+) -> pa.Table:
+    """One row per (pane partial, containing window): window_start =
+    pane - j*slide for j in [0, k), dropped when negative. Replicates
+    PARTIAL rows (one per key x pane per block), never events — the
+    scale-safe form of sliding windows (round 1 replicated every event
+    ``size/slide`` times)."""
+    n = tbl.num_rows
+    pane_us = np.asarray(tbl.column(pane_col).cast(pa.timestamp("us")).cast(pa.int64()))
+    slide = slide_s * US
+    idx = np.repeat(np.arange(n, dtype=np.int64), k)
+    offs = np.tile(np.arange(k, dtype=np.int64) * slide, n)
+    starts = np.repeat(pane_us, k) - offs
+    keep = starts >= 0
+    out = tbl.drop_columns([pane_col]).take(pa.array(idx[keep]))
+    return out.append_column(window_col, pa.array(starts[keep]).cast(pa.timestamp("us")))
+
+
+def sliding_windowed_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: "Iterable[AggSpec]",
+    ts_col: str = "ts",
+    size_s: int = 7200,
+    slide_s: int = 3600,
+    window_col: str = "window_start",
+) -> rd.Dataset:
+    """Pane-based sliding windowed aggregate: per-block partials on the
+    SLIDE pane (tumbling at slide_s, no replication), stateless expansion
+    of each pane partial to its k = size/slide containing windows, then
+    the usual small merge + finalize. Cost is linear in panes, not in
+    k x events — identical results to row-replication assign_sliding."""
+    if size_s % slide_s != 0:
+        raise ValueError("size_s must be a multiple of slide_s")
+    k = size_s // slide_s
+    aggs = list(aggs)
+    from functools import partial as _p
+
+    panes = partial_aggregate(ds, keys, aggs, ts_col, slide_s, "__pane")
+    expanded = panes.map_batches(
+        _p(expand_pane_partials, slide_s=slide_s, k=k, window_col=window_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    group_cols = list(keys) + [window_col]
+    merged = merge_partials(expanded, group_cols, aggs, None)
+    return finalize_partials(merged, group_cols, aggs, None)
+
+
 def sessionize(
     ds: rd.Dataset,
     key: str = "conv_id",

@@ -111,23 +111,26 @@ class StreamingWindowedJob:
             return partial_aggregate(
                 ds, self.keys, self._state_aggs, self.ts_col, self.size_s, self.window_col
             )
+        # pane-based sliding: per-block partials on the SLIDE pane, then a
+        # stateless expansion of each pane partial to its k containing
+        # windows — replicates partials, never events (windows.py
+        # sliding_windowed_aggregate rationale)
         from functools import partial as _p
 
-        from vaero_ray.stages.windows import assign_sliding
+        from vaero_ray.stages.windows import expand_pane_partials
 
-        assigned = ds.map_batches(
+        panes = partial_aggregate(
+            ds, self.keys, self._state_aggs, self.ts_col, self.slide_s, "__pane"
+        )
+        return panes.map_batches(
             _p(
-                assign_sliding,
-                ts_col=self.ts_col,
-                size_s=self.size_s,
+                expand_pane_partials,
                 slide_s=self.slide_s,
-                out_col=self.window_col,
+                k=self.size_s // self.slide_s,
+                window_col=self.window_col,
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
-        return partial_aggregate(
-            assigned, list(self.keys) + [self.window_col], self._state_aggs, self.ts_col, None
         )
 
     def _merge(self, unioned: rd.Dataset) -> rd.Dataset:
