@@ -54,9 +54,14 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
     if spec is None:
         raise ValueError("plan has no source and no source_data given")
     if spec.op == "parquet" or spec.op == "s3":
-        path = spec.args.get("path") or os.path.join(spec.args.get("bucket", ""), spec.args.get("prefix", ""))
+        from vaero_ray.sinks.parquet_sink import s3_uri_and_fs
+
+        path, fs = s3_uri_and_fs(spec.args)
+        if not path:
+            raise ValueError(f"source {spec.op!r}: no path/bucket configured")
         cols = spec.args.get("columns")
-        return rd.read_parquet(path, columns=cols)
+        kw = {"filesystem": fs} if fs is not None else {}
+        return rd.read_parquet(path, columns=cols, **kw)
     if spec.op == "random":
         return rd.from_arrow(make_log_events(n=spec.args.get("n", 64), seed=spec.args.get("seed", 7)))
     if spec.op == "transcripts":
@@ -100,13 +105,21 @@ def run_batch(
                 print(tbl.to_pandas().to_string())
             results[key] = tbl
         elif sink.op in ("parquet", "s3", "file"):
-            base = out_dir or "/tmp/vaero_ray_out"
-            path = os.path.join(base, key.replace(":", "_"))
+            from vaero_ray.sinks.parquet_sink import s3_uri_and_fs
+
+            s3_path, fs = s3_uri_and_fs(sink.args)
+            if fs is not None:
+                path = s3_path
+            else:
+                base = out_dir or "/tmp/vaero_ray_out"
+                path = os.path.join(base, key.replace(":", "_"))
             write_partitioned(
                 ds,
                 path,
                 timestamp_key=sink.args.get("timestamp_key", "timestamp"),
                 filename_prefix=sink.args.get("filename_prefix", "%Y/%m/%d"),
+                batch_max_bytes=sink.args.get("batch_max_bytes"),
+                filesystem=fs,
             )
             results[key] = path
         else:

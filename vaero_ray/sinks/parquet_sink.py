@@ -76,17 +76,69 @@ def derive_prefix(tbl: pa.Table, timestamp_key: str = "timestamp", filename_pref
     return tbl.append_column(PREFIX_COL, prefix).filter(ok)
 
 
-def write_partitioned(ds, path: str, timestamp_key: str = "timestamp", filename_prefix: str = "%Y/%m/%d", **write_kw) -> str:
+def s3_uri_and_fs(args: dict, fs_factory=None):
+    """(path, pyarrow filesystem | None) from source/sink args.
+
+    Reference parity (source_s3.go:25-41, sink_s3.go:30-45): a bucket +
+    key prefix + region select the S3 location. Here any ``s3://`` URI
+    (explicit ``path`` or assembled from bucket/prefix) gets a
+    ``pyarrow.fs.S3FileSystem`` built from region/endpoint/anonymous args
+    — Ray's read_parquet/write_parquet take it via ``filesystem=``.
+    Local paths return (path, None). ``fs_factory`` is injectable for
+    network-free tests."""
+    path = str(args.get("path") or "")
+    if not path and args.get("bucket"):
+        path = f"s3://{args['bucket']}/{args.get('prefix') or ''}".rstrip("/")
+    if not path.startswith("s3://"):
+        return (path or None), None
+    if fs_factory is None:
+        from pyarrow import fs as pafs
+
+        fs_factory = pafs.S3FileSystem
+    kw = {}
+    if args.get("region"):
+        kw["region"] = args["region"]
+    if args.get("endpoint"):
+        kw["endpoint_override"] = args["endpoint"]
+    if args.get("anonymous"):
+        kw["anonymous"] = True
+    # arrow filesystems take bucket/key WITHOUT the scheme
+    return path[len("s3://"):], fs_factory(**kw)
+
+
+def write_partitioned(
+    ds,
+    path: str,
+    timestamp_key: str = "timestamp",
+    filename_prefix: str = "%Y/%m/%d",
+    batch_max_bytes: int | None = None,
+    filesystem=None,
+    **write_kw,
+) -> str:
     """Partitioned Parquet write bucketed by the reference's prefix rule.
 
     The '/'-containing strftime prefix is flattened to a single partition
     value (hive-style ``__prefix=2026-01-02``) so the layout is
-    deterministic and resumable per-partition."""
+    deterministic and resumable per-partition.
+
+    ``batch_max_bytes`` (reference sink batching, sinkNode.go:105-117)
+    maps to Ray's block-size target for THIS write: output files track
+    blocks, so it bounds the target bytes per written file."""
     safe_fmt = filename_prefix.replace("/", "-")
 
     def tag(tbl: pa.Table) -> pa.Table:
         return derive_prefix(tbl, timestamp_key, safe_fmt)
 
-    (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-       .write_parquet(path, partition_cols=[PREFIX_COL], **write_kw))
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    if batch_max_bytes:
+        # bytes -> rows: sample the first few hundred transformed rows for
+        # a bytes/row estimate (one cheap prefix execution), then let the
+        # writer split at max_rows_per_file — the Ray-native equivalent of
+        # the reference's buffered-bytes flush (sinkNode.go:105-117)
+        sample = tagged.limit(512).take_batch(512, batch_format="pyarrow")
+        bpr = max(sample.nbytes // max(sample.num_rows, 1), 1)
+        write_kw["max_rows_per_file"] = max(int(batch_max_bytes) // bpr, 1)
+    if filesystem is not None:
+        write_kw["filesystem"] = filesystem
+    tagged.write_parquet(path, partition_cols=[PREFIX_COL], **write_kw)
     return path

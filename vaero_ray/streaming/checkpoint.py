@@ -28,7 +28,16 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import asdict, dataclass, field
+
+# Serializes Dataset CONSTRUCTION (read_parquet plan/schema inference)
+# across job threads: pyarrow/ray probe `fsspec.implementations.http`
+# lazily, and when that import fails (no aiohttp in this container) a
+# concurrent second import sees the half-poisoned module and raises a
+# plain ImportError that escapes Ray's ModuleNotFoundError handler.
+# Execution itself is not serialized — only plan building.
+DATASET_BUILD_LOCK = threading.Lock()
 
 
 @dataclass

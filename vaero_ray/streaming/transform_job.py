@@ -60,7 +60,10 @@ class StreamingTransformJob:
         if not files:
             return None
         rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        src = rd.read_parquet(files, **self.extra_read_kw)
+        from vaero_ray.streaming.checkpoint import DATASET_BUILD_LOCK
+
+        with DATASET_BUILD_LOCK:
+            src = rd.read_parquet(files, **self.extra_read_kw)
 
         partitions: dict = {}
         rows_out = 0
