@@ -10,8 +10,10 @@ in the vaero_ray package) calls ray.init/ray.shutdown.
   SURVEY.md §2 (reference transforms §2a, window/stitch tier §2b, plus
   training-data ops: dedup, token stats, ANN).
 - ``oracle_sql()``: DuckDB-equivalent SQL over the pre-registered
-  testdata views. Hash-family / model ops are intentionally omitted
-  (rows-only check).
+  testdata views — one oracle per queries() entry (round 2 closed the
+  hash-family/multimodal gap: signatures, band conditions, closed-form
+  fake codecs and integer outputs are all recomputed in SQL from first
+  principles).
 """
 
 from __future__ import annotations

@@ -327,3 +327,90 @@ def test_okta_to_streaming_job_end_to_end(tmp_path, ray_session):
     out = job.committed_output().to_pandas()
     assert set(out["who"]) == {"a", "b", "c", "d"}
     assert (out["kind"] == "auth").all()
+
+
+# ------------------------------------------------------------------
+# Google Workspace connector (reference source_google_workspace.py)
+# ------------------------------------------------------------------
+
+
+class FakeReportsServer:
+    """Two applications, two pages each, body-token pagination."""
+
+    def __init__(self):
+        self.data = {
+            "admin": [
+                [{"id": {"time": "t1"}, "app": "admin", "n": 1}, {"id": {"time": "t2"}, "app": "admin", "n": 2}],
+                [{"id": {"time": "t3"}, "app": "admin", "n": 3}],
+            ],
+            "login": [
+                [{"id": {"time": "t4"}, "app": "login", "n": 4}],
+            ],
+        }
+        self.calls = []
+
+    def transport(self, url, params, headers):
+        assert headers["Authorization"] == "Bearer fake-token"
+        app = url.rsplit("/", 1)[-1]
+        self.calls.append((app, dict(params)))
+        pages = self.data.get(app, [[]])
+        idx = int(params.get("pageToken", "p0")[1:]) if "pageToken" in params else 0
+        page = pages[idx] if idx < len(pages) else []
+        body = {"items": page}
+        if idx + 1 < len(pages):
+            body["nextPageToken"] = f"p{idx + 1}"
+        return 200, json.dumps(body), {}
+
+
+def test_google_workspace_multi_app_pagination_and_cursor(tmp_path):
+    from vaero_ray.cdk.source_google_workspace import REPORTING_LAGS, GoogleWorkspaceSource
+
+    srv = FakeReportsServer()
+    fc = FakeClock()
+    fc.t = 1_700_000_000.0
+    cur = ApiCursor(str(tmp_path / "gw_cursor.json"))
+    src = GoogleWorkspaceSource(
+        apps=["admin", "login"],
+        token_provider=lambda: "fake-token",
+        cursor=cur,
+        transport=srv.transport,
+        now_fn=lambda: fc.t,
+        clock=fc.clock,
+        sleep=fc.sleep,
+    )
+    t0 = fc.t  # poll-start clock == the connector's captured init_time
+    events = src.poll()
+    assert [e["n"] for e in events] == [1, 2, 3, 4]  # both apps, all pages
+    # every request carried an RFC3339 window ending at init - lag
+    for app, params in srv.calls:
+        assert params["startTime"].endswith("Z") and params["endTime"].endswith("Z")
+    # per-app cursor advanced to init_time - lag and persisted
+    stored = cur.read()
+    assert stored["admin"] == t0 - REPORTING_LAGS["admin"]
+    assert stored["login"] == t0 - REPORTING_LAGS["login"]
+    # resume: second poll starts from the stored cursor (startTime == cursor)
+    srv.calls.clear()
+    src.poll()
+    first_admin_params = srv.calls[0][1]
+    from datetime import datetime, timezone
+
+    got_start = datetime.fromisoformat(first_admin_params["startTime"].replace("Z", "+00:00"))
+    assert got_start.timestamp() == stored["admin"]
+
+
+def test_google_workspace_service_account_stub():
+    from vaero_ray.cdk.source_google_workspace import GoogleWorkspaceSource
+
+    src = GoogleWorkspaceSource(secrets={"email": "x"}, sleep=lambda s: None, clock=lambda: 0.0)
+    with pytest.raises(ValueError):  # bad config caught before any signing
+        src.authorize()
+    src2 = GoogleWorkspaceSource(
+        secrets={
+            "email": "admin@corp.test",
+            "auth_file": {"client_email": "svc@p.iam", "private_key": "k", "type": "service_account"},
+        },
+        sleep=lambda s: None,
+        clock=lambda: 0.0,
+    )
+    with pytest.raises(NotImplementedError):  # jwt lib absent: clearly-marked stub
+        src2.authorize()

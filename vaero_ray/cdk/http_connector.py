@@ -95,13 +95,15 @@ class HTTPConnector(ABC):
     def poll(self, max_pages: int = 100) -> list[dict]:
         """One poll: read cursor, page until exhausted, write cursor."""
         cursor_value = self.cursor.read() if self.cursor else None
-        url = self.host + self.subpath()
         events: list[dict] = []
         page_token = None
         new_cursor = cursor_value
         for _ in range(max_pages):
             self.steady.wait()
             params = self.get_request_params(cursor_value, page_token)
+            # subpath per request (reference http_connector.py:208): it can
+            # depend on pagination state (google_workspace iterates apps)
+            url = self.host + self.subpath()
 
             status_body: dict[str, Any] = {}
 

@@ -112,10 +112,12 @@ def hash_join(
         how_native = {"inner": "inner", "left outer": "left_outer", "left": "left_outer"}[join_type]
         import ray as _ray
 
-        # each partition is a live aggregator actor: cap to the cluster's
-        # CPU count locally (a 256-node run passes an explicit num_buckets)
+        # each partition is a live aggregator actor with real startup cost:
+        # default to cpus/4 locally (measured fastest on one node — actor
+        # spawn dominates below ~1 GB/side); a 256-node 100 TB run passes
+        # an explicit num_buckets sized to data / target-partition-bytes
         n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        n_parts = max(2, min(num_buckets, n_cpus))
+        n_parts = max(2, min(num_buckets, n_cpus // 4))
         return left.join(
             right,
             join_type=how_native,
