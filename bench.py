@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "doc_token_stats",              # text analysis kernels
     "minhash_dup_edges",            # MinHash+LSH near-dup
     "ann_topk_bruteforce",          # embedding similarity search
+    "embedding_lsh_dups",           # hyperplane-LSH near-dup (axes/gate config)
+    "simhash_dup_pairs",            # 62-bit simhash banded near-dup (1.4M pairs at sf0.1)
+    "lang_id",                      # stopword-argmax language ID (actor pool)
+    "doc_quality_fingerprint",      # quality counts + polynomial fingerprint
+    "media_features",               # multimodal decode -> integer pixel moments
     "lineitem_pricing",             # two-phase aggregate, 600k rows
     "orders_customer_hash_join",    # partitioned hash join
     "purchase_asof_view",           # backward as-of join
@@ -81,6 +86,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         # clusters run long-lived workers
         import ray.data as rd
 
+        rd.DataContext.get_current().enable_progress_bars = False
         rd.range(num_cpus * 8, override_num_blocks=num_cpus * 8).map_batches(
             lambda b: b, batch_format="pyarrow"
         ).count()
@@ -102,7 +108,8 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         tps = round(n_turns / flagship_s, 1) if flagship_s else None
         return {
             "metric": "headline pipeline suite wall time (flagship windowed transform+route, "
-            "vaero transforms, windows/sessions, stitch join, dedup, textstats, ANN, 2-phase agg)",
+            "vaero transforms, windows/sessions, stitch join, dedup family incl. simhash/LSH, "
+            "textstats incl. lang-id/fingerprint, multimodal features, ANN, joins, 2-phase agg)",
             "value": total,
             "unit": "sec",
             "queries": timings,
@@ -145,6 +152,11 @@ def run_scaling_child(input_path: str, num_cpus: int, out_dir: str) -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
         import ray.data as rd
+
+        # progress bars redraw to stderr constantly; with the parent
+        # capturing the pipe that throttles the driver loop (measured ~15%
+        # on the 32-cpu child)
+        rd.DataContext.get_current().enable_progress_bars = False
 
         from vaero_ray.pipelines.flagship import flagship_over_transcripts
 

@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from vaero_ray.io import read_parquet as _read_pq
+
 TRANSCRIPTS_CTE = """transcripts AS (
   SELECT 'conv-' || CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y%m%d') AS conv_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
@@ -91,7 +93,7 @@ def derive_transcripts_stateless(sf_dir: str) -> rd.Dataset:
     map_batches, zero shuffles. Use for any pipeline that doesn't consume
     turn numbering (the flagship windowed route only needs role/text/ts —
     paying the conv_id shuffle there was round 1's biggest wasted cost)."""
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
@@ -105,7 +107,7 @@ def derive_transcripts(sf_dir: str) -> rd.Dataset:
     see stages/keyed.py for why buckets, not per-group map_groups."""
     from vaero_ray.stages.keyed import bucketed_map_groups
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )

@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from vaero_ray.io import read_parquet as _read_pq
+
 from vaero_ray.stages.windows import AggSpec, session_aggregate, windowed_aggregate
 from vaero_ray.transforms import compile_chain
 
@@ -55,7 +57,7 @@ def flagship_over_transcripts(input_path: str, out_dir: str) -> dict:
             ("filter_regexp", {"path": "role", "regex": "^(user|assistant)$"}),
         ]
     )
-    a = rd.read_parquet(input_path, columns=["role", "text", "ts"])
+    a = _read_pq(input_path, columns=["role", "text", "ts"])
     a = a.map_batches(chain_a, batch_format="pyarrow", zero_copy_batch=True)
     a = a.map_batches(_features, batch_format="pyarrow", zero_copy_batch=True)
     agg = windowed_aggregate(
@@ -75,7 +77,7 @@ def flagship_over_transcripts(input_path: str, out_dir: str) -> dict:
     # branch B: tool turns -> per-conversation tool-call session stats
     # (30 min gap); session assignment + aggregate fused into one shuffle
     chain_b = compile_chain([("filter_regexp", {"path": "role", "regex": "^tool$"})])
-    b = rd.read_parquet(input_path, columns=["conv_id", "role", "ts"])
+    b = _read_pq(input_path, columns=["conv_id", "role", "ts"])
     b = b.map_batches(chain_b, batch_format="pyarrow", zero_copy_batch=True)
     tool_stats = session_aggregate(
         b,

@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from vaero_ray.io import read_parquet as _read_pq
+
 from vaero_ray.pipelines.derived import TRANSCRIPTS_CTE, derive_transcripts
 from vaero_ray.stages.ann import brute_force_topk, ivf_topk, train_centroids
 from vaero_ray.stages.dedup import (
@@ -52,7 +54,7 @@ _EMAIL_RE = r"user\d+@example\.com"
 
 
 def _events(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return _read_pq(f"{sf_dir}/events.parquet", columns=columns)
 
 
 # ------------------------------------------------------------------
@@ -320,7 +322,7 @@ FROM m GROUP BY 1, 2
 # ------------------------------------------------------------------
 
 def q_exact_dedup_docs(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read_pq(f"{sf_dir}/documents.parquet")
     return exact_dedup(ds, text_col="text", id_col="doc_id")
 
 
@@ -331,7 +333,7 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
 
 
 def q_doc_token_stats(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
 
     def extra(t: pa.Table) -> pa.Table:
@@ -368,7 +370,7 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 
 def q_ann_topk_bruteforce(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return brute_force_topk(ds, _query_vec(sf_dir), k=10, round_dp=6)
 
 
@@ -489,7 +491,7 @@ SQL_STREAMING_STITCH = SQL_STITCH  # whole-conversation stitch, same answer
 def q_top10_orders(sf_dir: str):
     """Global top-k: Ray Data sort (range-partitioned shuffle) + limit.
     Ties broken by o_orderkey so the answer is deterministic."""
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     # descending price; ties broken by NEGATED orderkey so a single
     # two-column descending sort gives (price desc, orderkey asc)
     ds = ds.map_batches(
@@ -522,7 +524,7 @@ def q_customer_nation_broadcast(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nation = nation.rename_columns(["c_nationkey", "nation_name"])
-    cust = rd.read_parquet(
+    cust = _read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
     )
     return broadcast_join(cust, nation, keys="c_nationkey")
@@ -539,13 +541,13 @@ def q_orders_customer_hash_join(sf_dir: str):
     shuffle, vectorized merge per bucket."""
     from vaero_ray.stages.joins import hash_join
 
-    orders = rd.read_parquet(
+    orders = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
     ).map_batches(
         lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_orderstatus"]),
         batch_format="pyarrow",
     )
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     return hash_join(orders, cust, keys="c_custkey")
 
 
@@ -592,7 +594,7 @@ FROM events GROUP BY 1
 
 # TPC-H-ish sanity aggregate: proves the generic two-phase agg path
 def q_lineitem_pricing(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -632,7 +634,7 @@ FROM lineitem GROUP BY 1, 2
 
 
 def q_embedding_cosine_dups(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_cosine_dups(ds, threshold=0.45)
 
 
@@ -665,7 +667,7 @@ _FP_SQL = (
 def q_doc_quality_fingerprint(sf_dir: str):
     from vaero_ray.stages.textstats import fingerprint, quality_stats
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
     out = out.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
     return out.select_columns(["doc_id", "n_chars", "n_punct", "n_digit", "fingerprint"])
@@ -688,7 +690,7 @@ def q_embedding_lsh_dups(sf_dir: str):
     # candidate-intersect-threshold set (recall vs the exact operator is
     # a property of the banding, measured in tests). The random-Gaussian
     # mode is property-tested (LSH subset-of exact).
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_lsh_dups(ds, threshold=0.45, n_planes=2, n_tables=8, planes_mode="axes")
 
 
@@ -711,7 +713,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_ngram_jaccard_dups(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ngram_jaccard_dups(ds, threshold=0.5)
 
 
@@ -739,7 +741,7 @@ def q_minhash_dup_edges(sf_dir: str):
     # (n_common, n_union). The estimate-only variant
     # (minhash_lsh_dup_edges, est_jaccard from signature agreement) is
     # property-tested in tests/ (estimates aren't SQL-reproducible).
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ngram_jaccard_dups(ds, shingle_k=3, threshold=0.5, unit="word")
 
 
@@ -765,7 +767,7 @@ WHERE 2 * p.inter >= ca.n + cb.n - p.inter
 def q_media_features(sf_dir: str):
     from vaero_ray.stages.multimodal import make_fake_media, media_features
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = ds.map_batches(make_fake_media, batch_format="pyarrow", zero_copy_batch=True)
     return media_features(media, concurrency=(1, 2), batch_size=64)
 
@@ -784,7 +786,7 @@ FROM px GROUP BY 1, 2, 3
 def q_video_frame_sample(sf_dir: str):
     from vaero_ray.stages.multimodal import FrameSample, ImageFeatures, make_fake_video
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     vids = ds.map_batches(make_fake_video, batch_format="pyarrow", zero_copy_batch=True)
     frames = vids.map_batches(FrameSample, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
     return frames.map_batches(ImageFeatures, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
@@ -805,12 +807,12 @@ FROM px GROUP BY doc_id, w, h, fi
 def q_simhash_dup_pairs(sf_dir: str):
     from vaero_ray.stages.dedup import simhash_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dup_pairs(ds, max_hamming=8)
 
 
 def q_simhash_signatures(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(simhash_signatures, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -861,7 +863,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 
 
 def q_lang_id(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
         ["doc_id", "pred_lang"]
     )
@@ -902,7 +904,7 @@ def q_ann_topk_ivf(sf_dir: str):
     # the gate fixtures (verified against brute force) — the SQL oracle
     # is the exact top-k; approximate regimes (lower nprobe) are
     # recall-tested in tests/test_multimodal_dedup2.py
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cents = train_centroids(ds, n_centroids=8)
     return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=5)
 

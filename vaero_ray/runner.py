@@ -25,6 +25,8 @@ from typing import Any
 import pyarrow as pa
 import ray.data as rd
 
+from vaero_ray.io import read_parquet as _read_pq
+
 from vaero_ray.planner import Plan, Planner, SinkSpec
 from vaero_ray.sinks.parquet_sink import write_partitioned
 from vaero_ray.sources.fixtures import make_log_events
@@ -50,7 +52,7 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
             return source_data
         if isinstance(source_data, pa.Table):
             return rd.from_arrow(source_data)
-        return rd.read_parquet(source_data)
+        return _read_pq(source_data)
     if spec is None:
         raise ValueError("plan has no source and no source_data given")
     if spec.op == "parquet" or spec.op == "s3":
@@ -61,7 +63,7 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
             raise ValueError(f"source {spec.op!r}: no path/bucket configured")
         cols = spec.args.get("columns")
         kw = {"filesystem": fs} if fs is not None else {}
-        return rd.read_parquet(path, columns=cols, **kw)
+        return _read_pq(path, columns=cols, **kw)
     if spec.op == "random":
         return rd.from_arrow(make_log_events(n=spec.args.get("n", 64), seed=spec.args.get("seed", 7)))
     if spec.op == "transcripts":

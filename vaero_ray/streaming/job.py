@@ -45,6 +45,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from vaero_ray.io import read_parquet as _read_pq
+
 from vaero_ray.stages.windows import (
     AggSpec,
     US,
@@ -244,13 +246,13 @@ class StreamingWindowedJob:
         rows_in = 0
         if files:
             rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-            ds = rd.read_parquet(files, **self.extra_read_kw)
+            ds = _read_pq(files, **self.extra_read_kw)
             if self.transform is not None:
                 ds = self.transform(ds)
             parts.append(self._live_partials(ds))
         prev_state_files = [f for p in prev_state.values() for f in p["files"]]
         if prev_state_files:
-            parts.append(rd.read_parquet(prev_state_files))
+            parts.append(_read_pq(prev_state_files))
 
         cols = None
         merged_tbl_ds = None
@@ -365,7 +367,7 @@ class StreamingWindowedJob:
         epoch_max_ts = None
         if files:
             rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-            ds = rd.read_parquet(files, **self.extra_read_kw)
+            ds = _read_pq(files, **self.extra_read_kw)
             if self.transform is not None:
                 ds = self.transform(ds)
             partials = self._live_partials(ds)
@@ -443,4 +445,4 @@ class StreamingWindowedJob:
         files = self.store.committed_output_files()
         if not files:
             raise ValueError("no committed output yet")
-        return rd.read_parquet(files)
+        return _read_pq(files)

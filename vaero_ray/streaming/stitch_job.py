@@ -41,6 +41,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from vaero_ray.io import read_parquet as _read_pq
+
 from vaero_ray.stages.keyed import BUCKET_COL, hash_bucket
 from vaero_ray.stages.windows import US
 from vaero_ray.streaming.checkpoint import CheckpointStore, EpochManifest
@@ -132,7 +134,7 @@ class StreamingStitchJob:
 
         if files:
             rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-            ds = rd.read_parquet(files, **self.extra_read_kw)
+            ds = _read_pq(files, **self.extra_read_kw)
             if self.transform is not None:
                 ds = self.transform(ds)
             parts.append(
@@ -142,7 +144,7 @@ class StreamingStitchJob:
             )
         if prev_state:
             parts.append(
-                rd.read_parquet(prev_state)
+                _read_pq(prev_state)
                 .select_columns(TURN_COLS)
                 .map_batches(mark(1), batch_format="pyarrow", zero_copy_batch=True)
             )
@@ -266,4 +268,4 @@ class StreamingStitchJob:
         files = self.store.committed_output_files()
         if not files:
             raise ValueError("no committed output yet")
-        return rd.read_parquet(files)
+        return _read_pq(files)

@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from vaero_ray.io import read_parquet as _read_pq
+
 from vaero_ray.planner import Plan, Planner
 from vaero_ray.sinks.parquet_sink import PREFIX_COL, derive_prefix
 from vaero_ray.streaming.checkpoint import CheckpointStore, EpochManifest
@@ -63,7 +65,7 @@ class StreamingTransformJob:
         from vaero_ray.streaming.checkpoint import DATASET_BUILD_LOCK
 
         with DATASET_BUILD_LOCK:
-            src = rd.read_parquet(files, **self.extra_read_kw)
+            src = _read_pq(files, **self.extra_read_kw)
 
         partitions: dict = {}
         rows_out = 0
@@ -149,4 +151,4 @@ class StreamingTransformJob:
                     files.extend(part["files"])
         if not files:
             raise ValueError("no committed output yet")
-        return rd.read_parquet(files)
+        return _read_pq(files)
