@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "simhash_dup_pairs",            # 62-bit simhash banded near-dup (1.4M pairs at sf0.1)
     "lang_id",                      # stopword-argmax language ID (actor pool)
     "doc_quality_fingerprint",      # quality counts + polynomial fingerprint
+    "vocab_top_terms",              # corpus vocabulary (partial counts -> tiny merge)
     "media_features",               # multimodal decode -> integer pixel moments
     "lineitem_pricing",             # two-phase aggregate, 600k rows
     "orders_customer_hash_join",    # partitioned hash join

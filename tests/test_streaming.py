@@ -258,3 +258,34 @@ def test_from_graph_dsl_bridge(stream_dir, tmp_path, ray_session):
         keys=["role"], aggs=[AggSpec(None, "count", "n")], ts_col="ts", size_s=600,
     ).to_pandas()
     pd.testing.assert_frame_equal(_norm(want), got, check_dtype=False)
+
+
+def test_stale_state_file_from_aborted_attempt_ignored(stream_dir, tmp_path, ray_session):
+    """State restores from the MANIFEST's lineage, never a directory glob:
+    a stale partition file left in the state dir by an aborted attempt
+    (crash between state write and commit, rerun claimed different files)
+    must not leak into the next epoch's carried state."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    stream_d, tbl = stream_dir
+    # reference run: clean end-to-end output
+    ref = _job(stream_d, str(tmp_path / "ref"))
+    ref.run()
+    want = _norm(ref.committed_output().to_pandas())
+
+    job = _job(stream_d, str(tmp_path / "dirty"))
+    m0 = job.run_epoch()
+    assert m0 is not None and m0.state_partitions
+    # plant a stale file in the committed epoch's state dir that the
+    # manifest does NOT list (simulates an aborted attempt's leftovers)
+    state_dir = m0.state_path
+    real = sorted(_glob.glob(os.path.join(state_dir, "**", "*.parquet"), recursive=True))[0]
+    stale = os.path.join(os.path.dirname(real), "epoch-99999999.parquet")
+    _pq.write_table(_pq.read_table(real), stale)  # duplicate partials: would double counts
+    # resume and finish: output must equal the clean run (glob-based state
+    # loading would union the stale partials and inflate aggregates)
+    job.run()
+    got = _norm(job.committed_output().to_pandas())
+    pd.testing.assert_frame_equal(want, got)

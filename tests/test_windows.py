@@ -166,3 +166,47 @@ def test_salted_distinct_count_matches_pandas(ray_session):
         .sort_values("k", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pane_sliding_equals_row_replication(ray_session):
+    """Pane-based sliding aggregation must equal the row-replication
+    formulation for any k = size/slide (scale-safe form vs oracle form)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from functools import partial as _p
+
+    from vaero_ray.stages.windows import (
+        AggSpec,
+        assign_sliding,
+        sliding_windowed_aggregate,
+        windowed_aggregate,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, n).astype("U1")),
+            "ts": pa.array(rng.integers(0, 86_400, n) * 1_000_000).cast(pa.timestamp("us")),
+            "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+    for size_s, slide_s in ((7200, 3600), (3600, 150)):  # k=2 and k=24
+        aggs = [AggSpec(None, "count", "n"), AggSpec("v", "sum", "sv"), AggSpec("v", "max", "mv")]
+        pane = sliding_windowed_aggregate(
+            rd.from_arrow(tbl), keys=["k"], aggs=aggs, ts_col="ts", size_s=size_s, slide_s=slide_s
+        ).to_pandas()
+        repl_in = rd.from_arrow(tbl).map_batches(
+            _p(assign_sliding, ts_col="ts", size_s=size_s, slide_s=slide_s),
+            batch_format="pyarrow",
+        )
+        repl = windowed_aggregate(
+            repl_in, keys=["k", "window_start"], aggs=aggs, size_s=None
+        ).to_pandas()
+        key = ["k", "window_start"]
+        pane = pane.sort_values(key, ignore_index=True)[["k", "window_start", "n", "sv", "mv"]]
+        repl = repl.sort_values(key, ignore_index=True)[["k", "window_start", "n", "sv", "mv"]]
+        pd.testing.assert_frame_equal(pane, repl)

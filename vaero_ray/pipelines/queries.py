@@ -899,6 +899,22 @@ FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
 """
 
 
+def q_vocab_top_terms(sf_dir: str):
+    from vaero_ray.stages.textstats import vocab_top_terms
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_top_terms(ds, k=50)
+
+
+SQL_VOCAB = r"""
+WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+u AS (SELECT UNNEST(toks) AS token FROM t)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM u GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50
+"""
+
+
 def q_ann_topk_ivf(sf_dir: str):
     # nprobe/n_centroids chosen so the probe set covers the true top-k on
     # the gate fixtures (verified against brute force) — the SQL oracle
@@ -945,6 +961,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_signatures": q_simhash_signatures,
     "lang_id": q_lang_id,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "vocab_top_terms": q_vocab_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -983,4 +1000,5 @@ ORACLES: dict[str, str] = {
     "simhash_signatures": SQL_SIMHASH_SIG,
     "lang_id": SQL_LANG_ID,
     "ann_topk_ivf": SQL_ANN_TOPK,
+    "vocab_top_terms": SQL_VOCAB,
 }

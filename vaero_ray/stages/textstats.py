@@ -107,6 +107,31 @@ def fingerprint(tbl: pa.Table, text_col: str = "text", out: str = "fingerprint")
     return tbl.append_column(out, pa.array(h, pa.int64()))
 
 
+def vocab_top_terms(ds, text_col: str = "text", k: int = 50):
+    """Corpus vocabulary: top-``k`` lowercased whitespace tokens by total
+    occurrence count, ties broken by token ascending.
+
+    Scale shape: per-block PARTIAL counts (one row per distinct token per
+    block — the shuffle moves vocabulary, not tokens), small
+    groupby(token) merge, then a tiny global sort+limit. The canonical
+    pre-aggregation pattern for corpus statistics at 100 TB."""
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks, _ = _flat_tokens(tbl, text_col)
+        if not len(toks):
+            return pa.table({"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        g = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g.column("token"), "cnt": g.column("token_count").cast(pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    return merged.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
 # language order = tie-break priority (first wins on equal hits)
 _LANGS = ["en", "de", "fr", "es"]
 _STOPWORDS = {
