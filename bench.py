@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "lang_id",                      # stopword-argmax language ID (actor pool)
     "doc_quality_fingerprint",      # quality counts + polynomial fingerprint
     "vocab_top_terms",              # corpus vocabulary (partial counts -> tiny merge)
+    "pack_sequences",               # GPT-style packing (distributed ordered prefix sum)
     "media_features",               # multimodal decode -> integer pixel moments
     "lineitem_pricing",             # two-phase aggregate, 600k rows
     "orders_customer_hash_join",    # partitioned hash join

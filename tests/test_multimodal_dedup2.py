@@ -177,3 +177,27 @@ def test_frame_sample_stage(ray_session):
     # sampled frames are valid image payloads: features run on them
     feats = frames.map_batches(ImageFeatures, batch_size=8, concurrency=(1, 2), batch_format="pyarrow").to_pandas()
     assert len(feats) == len(fdf)
+
+
+def test_pack_sequences_prefix_sum_across_blocks(ray_session):
+    """The global token offset must be exact across MANY blocks (the
+    broadcast exclusive-offset pattern), equal to a single-process scan."""
+    import pyarrow as _pa
+
+    from vaero_ray.stages.pack import pack_sequences
+
+    texts = [f"{'tok ' * ((i * 7) % 23)}".strip() for i in range(997)]  # some empty
+    tbl = _pa.table({"doc_id": _pa.array(range(997), _pa.int64()), "text": _pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(13)  # force multi-block prefix sum
+    out = pack_sequences(ds, target_len=64).to_pandas().sort_values("doc_id", ignore_index=True)
+    # oracle: sequential scan
+    acc = 0
+    want = []
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        if n > 0:
+            want.append((i, n, acc, acc // 64, (acc + n - 1) // 64))
+        acc += n
+    assert len(out) == len(want)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want

@@ -915,6 +915,36 @@ FROM u GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    # GPT-style concat-then-chunk packing over global doc_id order: the
+    # distributed ordered-prefix-sum pattern (block totals -> broadcast
+    # exclusive offsets); only block METADATA ever reaches the driver
+    from vaero_ray.stages.pack import pack_sequences
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, target_len=512)
+
+
+SQL_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, tok_start,
+       tok_start // 512 AS first_seq,
+       (tok_start + n - 1) // 512 AS last_seq
+FROM o WHERE n > 0
+"""
+
+
 def q_ann_topk_ivf(sf_dir: str):
     # nprobe/n_centroids chosen so the probe set covers the true top-k on
     # the gate fixtures (verified against brute force) — the SQL oracle
@@ -962,6 +992,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "ann_topk_ivf": q_ann_topk_ivf,
     "vocab_top_terms": q_vocab_top_terms,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -1001,4 +1032,5 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "ann_topk_ivf": SQL_ANN_TOPK,
     "vocab_top_terms": SQL_VOCAB,
+    "pack_sequences": SQL_PACK,
 }
