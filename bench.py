@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "doc_quality_fingerprint",      # quality counts + polynomial fingerprint
     "vocab_top_terms",              # corpus vocabulary (partial counts -> tiny merge)
     "pack_sequences",               # GPT-style packing (distributed ordered prefix sum)
+    "contamination_check",          # train/test 13-gram decontamination (gram-sharded)
     "media_features",               # multimodal decode -> integer pixel moments
     "lineitem_pricing",             # two-phase aggregate, 600k rows
     "orders_customer_hash_join",    # partitioned hash join

@@ -945,6 +945,29 @@ FROM o WHERE n > 0
 """
 
 
+def q_contamination_check(sf_dir: str):
+    # benchmark-decontamination: even doc_id = train split, odd = test;
+    # count each test doc's distinct 13-grams that appear in ANY train doc
+    from vaero_ray.stages.dedup import contamination_check
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return contamination_check(ds, shingle_k=13)
+
+
+SQL_CONTAMINATION = """
+WITH s AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(CASE WHEN length(text) < 13 THEN [rpad(text, 13, ' ')]
+                ELSE [substr(text, CAST(i AS INT), 13) FOR i IN range(1, length(text)-11)] END)) AS g
+  FROM documents
+),
+tr AS (SELECT DISTINCT g FROM s WHERE doc_id % 2 = 0),
+te AS (SELECT doc_id, g FROM s WHERE doc_id % 2 = 1)
+SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM te JOIN tr USING (g) GROUP BY 1
+"""
+
+
 def q_ann_topk_ivf(sf_dir: str):
     # nprobe/n_centroids chosen so the probe set covers the true top-k on
     # the gate fixtures (verified against brute force) — the SQL oracle
@@ -993,6 +1016,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "vocab_top_terms": q_vocab_top_terms,
     "pack_sequences": q_pack_sequences,
+    "contamination_check": q_contamination_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -1033,4 +1057,5 @@ ORACLES: dict[str, str] = {
     "ann_topk_ivf": SQL_ANN_TOPK,
     "vocab_top_terms": SQL_VOCAB,
     "pack_sequences": SQL_PACK,
+    "contamination_check": SQL_CONTAMINATION,
 }

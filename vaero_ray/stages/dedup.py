@@ -376,6 +376,73 @@ def minhash_lsh_dup_edges(
     return bucketed_map_groups(edges, id_col, min_dup_bucket, num_buckets=16)
 
 
+def contamination_check(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    is_train=None,
+    num_shards: int = 32,
+) -> rd.Dataset:
+    """Train/test DECONTAMINATION: for every TEST document, count its
+    distinct ``shingle_k``-char n-grams that also occur anywhere in the
+    TRAIN split (the standard benchmark-leakage check; docs shorter than
+    k are space-padded to one shingle). ``is_train``: vectorized
+    ``pa.Array bool = f(id_array)``; default = even doc_id.
+
+    Scale shape: per-doc sorted-unique shingle hash sets (flat kernels),
+    exploded to (gram_hash, side, doc_id) rows, ONE shuffle sharded by
+    gram hash — each shard counts test-doc hits against ITS grams'
+    train presence (disjoint gram spaces, so per-shard partial counts sum
+    exactly) — then a tiny groupby(doc_id) merge. No side is ever
+    broadcast whole: contamination of a 100 TB corpus moves only
+    (hash, id) pairs."""
+    if is_train is None:
+        def is_train(ids: pa.Array) -> pa.Array:
+            import pyarrow.compute as pc
+
+            return pc.equal(pc.bit_wise_and(ids, 1), 0)
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        values, offs = _shingle_sets_char(tbl, text_col, shingle_k)
+        counts = offs[1:] - offs[:-1]
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        train_mask = np.asarray(is_train(tbl.column(id_col).combine_chunks()))
+        return pa.table(
+            {
+                "g": pa.array(values, pa.uint64()),
+                id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+                "__train": pa.array(np.repeat(train_mask, counts)),
+                "__shard": pa.array((values % np.uint64(num_shards)).astype(np.int64)),
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        train_grams = df.loc[df["__train"], "g"].unique()
+        test = df[~df["__train"]]
+        hit = test[np.isin(test["g"].to_numpy(), train_grams)]
+        out = hit.groupby(id_col, sort=False).size().rename("n_contaminated").reset_index()
+        out["n_contaminated"] = out["n_contaminated"].astype("int64")
+        return out
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    partials = (
+        exploded.groupby("__shard")
+        .map_groups(
+            lambda df: per_shard(df.drop(columns=["__shard"])), batch_format="pandas"
+        )
+    )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(id_col, sort=False)["n_contaminated"].sum().reset_index()
+        out["n_contaminated"] = out["n_contaminated"].astype("int64")
+        return out
+
+    return bucketed_map_groups(partials, id_col, merge_bucket, num_buckets=16)
+
+
 # ---------------------------------------------------------------- SimHash
 
 
