@@ -8,7 +8,8 @@ in the vaero_ray package) calls ray.init/ray.shutdown.
   q_flagship_windowed_route).
 - ``queries()``: one callable per implemented operator/pipeline from
   SURVEY.md §2 (reference transforms §2a, window/stitch tier §2b, plus
-  training-data ops: dedup, token stats, ANN).
+  the training-data tier: dedup family, text stats, ANN, vocabulary,
+  sequence packing, decontamination, multimodal features).
 - ``oracle_sql()``: DuckDB-equivalent SQL over the pre-registered
   testdata views — one oracle per queries() entry (round 2 closed the
   hash-family/multimodal gap: signatures, band conditions, closed-form
