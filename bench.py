@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "vocab_top_terms",              # corpus vocabulary (partial counts -> tiny merge)
     "pack_sequences",               # GPT-style packing (distributed ordered prefix sum)
     "contamination_check",          # train/test 13-gram decontamination (gram-sharded)
+    "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack
     "media_features",               # multimodal decode -> integer pixel moments
     "lineitem_pricing",             # two-phase aggregate, 600k rows
     "orders_customer_hash_join",    # partitioned hash join

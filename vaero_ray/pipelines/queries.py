@@ -968,6 +968,61 @@ FROM te JOIN tr USING (g) GROUP BY 1
 """
 
 
+def q_training_data_pipeline(sf_dir: str):
+    """Capstone composition — the whole training-data story in ONE
+    pipeline: exact dedup (keep min-id per text) -> quality filter
+    (>=100 chars) -> language filter (pred_lang = 'en') -> GPT-style
+    sequence packing over the survivors in doc_id order. Two keyed
+    shuffles (dedup hash, pack sort) + stateless filters; the SQL oracle
+    reproduces every stage."""
+    from vaero_ray.stages.pack import pack_sequences
+    from vaero_ray.stages.textstats import quality_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = exact_dedup(ds, text_col="text", id_col="doc_id")
+    ds = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.filter(expr="n_chars >= 100")
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    ds = ds.filter(expr="pred_lang == 'en'")
+    return pack_sequences(ds.select_columns(["doc_id", "text"]), target_len=512)
+
+
+_LANG_CTE = SQL_LANG_ID.replace("FROM documents) d", "FROM survivors) d").replace(
+    "FROM documents d LEFT JOIN best", "FROM survivors d LEFT JOIN best"
+)
+
+SQL_TRAINING_PIPELINE = rf"""
+WITH dedup AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+),
+survivors AS (
+  SELECT doc_id, text FROM dedup WHERE length(text) >= 100
+),
+lang AS ({_LANG_CTE}),
+en AS (
+  SELECT s.doc_id, s.text FROM survivors s JOIN lang l ON s.doc_id = l.doc_id
+  WHERE l.pred_lang = 'en'
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM en
+),
+o AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, tok_start,
+       tok_start // 512 AS first_seq,
+       (tok_start + n - 1) // 512 AS last_seq
+FROM o WHERE n > 0
+"""
+
+
 def q_ann_topk_ivf(sf_dir: str):
     # nprobe/n_centroids chosen so the probe set covers the true top-k on
     # the gate fixtures (verified against brute force) — the SQL oracle
@@ -1017,6 +1072,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_top_terms": q_vocab_top_terms,
     "pack_sequences": q_pack_sequences,
     "contamination_check": q_contamination_check,
+    "training_data_pipeline": q_training_data_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1058,4 +1114,5 @@ ORACLES: dict[str, str] = {
     "vocab_top_terms": SQL_VOCAB,
     "pack_sequences": SQL_PACK,
     "contamination_check": SQL_CONTAMINATION,
+    "training_data_pipeline": SQL_TRAINING_PIPELINE,
 }
