@@ -41,9 +41,7 @@ from vaero_ray.stages.stitch import stitch_conversations, stitch_exchanges
 from vaero_ray.stages.textstats import LangId, token_counts
 from vaero_ray.stages.windows import (
     AggSpec,
-    assign_sliding,
     session_aggregate,
-    sessionize,
     windowed_aggregate,
 )
 from vaero_ray.transforms import compile_chain
