@@ -19,11 +19,15 @@ import ray
 import ray.data as rd
 
 
-def _mat(tbl: pa.Table, col: str) -> np.ndarray:
+def _mat(tbl: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
+    # float64 by default: scoring in float32 can flip the 6th decimal of
+    # a rounded cosine vs the float64 SQL oracle (surfaced at sf0.1);
+    # pass dtype=np.float32 for large-corpus memory savings when exact
+    # oracle parity is not required
     arr = tbl.column(col).combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    flat = np.asarray(arr.flatten(), dtype=dtype)
     dim = len(flat) // len(arr)
     return flat.reshape(len(arr), dim)
 
@@ -44,7 +48,7 @@ def brute_force_topk(
 ) -> rd.Dataset:
     """Exact cosine top-k: returns (id_col, cosine_sim), best first, ties
     broken by id. ``round_dp`` rounds sims so a SQL oracle can match."""
-    q = _norm(np.asarray(query, dtype=np.float32).reshape(1, -1))[0]
+    q = _norm(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
 
     def local_topk(tbl: pa.Table) -> pa.Table:
         m = _norm(_mat(tbl, emb_col))
@@ -70,7 +74,7 @@ class TopKActor:
     object store once (ray.put on the driver) and fetched once per actor."""
 
     def __init__(self, query_ref, k: int, emb_col: str = "embedding", id_col: str = "vec_id"):
-        self.q = _norm(np.asarray(ray.get(query_ref), dtype=np.float32))
+        self.q = _norm(np.asarray(ray.get(query_ref), dtype=np.float64))
         self.k, self.emb_col, self.id_col = k, emb_col, id_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -96,7 +100,7 @@ class TopKActor:
 def train_centroids(ds: rd.Dataset, n_centroids: int = 16, emb_col: str = "embedding", sample_n: int = 4096, iters: int = 8, seed: int = 0) -> np.ndarray:
     """Driver-side mini k-means on a sample (the IVF build step)."""
     sample = ds.limit(sample_n).to_pandas()
-    x = _norm(np.stack(sample[emb_col].to_numpy()).astype(np.float32))
+    x = _norm(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -124,7 +128,7 @@ def ivf_topk(
     the query's ``nprobe`` closest centroids. Same output schema as
     brute_force_topk; recall depends on nprobe/n_centroids (measured vs
     brute_force_topk in tests/test_multimodal_dedup2.py)."""
-    q = _norm(np.asarray(query, dtype=np.float32).reshape(1, -1))[0]
+    q = _norm(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
     probe = set(np.argsort(-(centroids @ q))[:nprobe].tolist())
     cref = ray.put(centroids)
 
