@@ -188,10 +188,15 @@ def run_scaling(input_path: str, cpu_lo: int = 8, cpu_hi: int = 32) -> dict:
     _scaling_input(input_path)
     runs = {}
     for cpus in (cpu_hi, cpu_lo):  # big run first: it is the teardown-sensitive one
-        # two trials, keep the faster: measures steady-state throughput,
-        # robust to residual teardown of the previous child's Ray session
+        # best of N trials: measures steady-state throughput, robust to
+        # residual teardown of the previous child's Ray session. The
+        # high-core config gets an extra trial — on this shared VM its
+        # wall time shows one-sided host-contention noise (BASELINE.md);
+        # every trial's wall is reported so the spread is visible.
         best = None
-        for _trial in range(2):
+        trials = []
+        n_trials = 3 if cpus == cpu_hi else 2
+        for _trial in range(n_trials):
             time.sleep(10)
             out_dir = f"/tmp/vaero_ray_scaling_out_{cpus}"
             proc = subprocess.run(
@@ -202,8 +207,10 @@ def run_scaling(input_path: str, cpu_lo: int = 8, cpu_hi: int = 32) -> dict:
             if proc.returncode != 0:
                 raise RuntimeError(f"scaling child ({cpus} cpus) failed:\n{proc.stderr[-4000:]}")
             r = json.loads(proc.stdout.strip().splitlines()[-1])
+            trials.append(r["sec"])
             if best is None or r["sec"] < best["sec"]:
                 best = r
+        best["trial_walls"] = trials
         runs[cpus] = best
     thr_lo = runs[cpu_lo]["turns_per_sec"]
     thr_hi = runs[cpu_hi]["turns_per_sec"]
