@@ -767,7 +767,7 @@ def q_media_features(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = ds.map_batches(make_fake_media, batch_format="pyarrow", zero_copy_batch=True)
-    return media_features(media, concurrency=(1, 2), batch_size=64)
+    return media_features(media, batch_size=64)
 
 
 SQL_MEDIA_FEATURES = rf"""
@@ -784,10 +784,13 @@ FROM px GROUP BY 1, 2, 3
 def q_video_frame_sample(sf_dir: str):
     from vaero_ray.stages.multimodal import FrameSample, ImageFeatures, make_fake_video
 
+    from vaero_ray.runtime import auto_concurrency
+
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     vids = ds.map_batches(make_fake_video, batch_format="pyarrow", zero_copy_batch=True)
-    frames = vids.map_batches(FrameSample, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
-    return frames.map_batches(ImageFeatures, batch_size=32, concurrency=(1, 2), batch_format="pyarrow")
+    pool = (1, auto_concurrency(frac=0.4))
+    frames = vids.map_batches(FrameSample, batch_size=32, concurrency=pool, batch_format="pyarrow")
+    return frames.map_batches(ImageFeatures, batch_size=32, concurrency=pool, batch_format="pyarrow")
 
 
 SQL_VIDEO_FRAMES = rf"""
@@ -861,10 +864,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 
 
 def q_lang_id(sf_dir: str):
+    from vaero_ray.runtime import auto_concurrency
+
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
-        ["doc_id", "pred_lang"]
-    )
+    # pool sized to the node + a batch_size small enough to split the few
+    # read blocks across it (one block == one batch would serialize)
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, auto_concurrency()), batch_size=256
+    ).select_columns(["doc_id", "pred_lang"])
 
 
 SQL_LANG_ID = r"""
@@ -980,7 +987,11 @@ def q_training_data_pipeline(sf_dir: str):
     ds = exact_dedup(ds, text_col="text", id_col="doc_id")
     ds = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.filter(expr="n_chars >= 100")
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    from vaero_ray.runtime import auto_concurrency
+
+    ds = ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, auto_concurrency()), batch_size=256
+    )
     ds = ds.filter(expr="pred_lang == 'en'")
     return pack_sequences(ds.select_columns(["doc_id", "text"]), target_len=512)
 

@@ -154,8 +154,8 @@ def ivf_topk(
     # starved a 32-CPU box); callers on a cluster should pass an explicit
     # per-stage concurrency
     if concurrency is None:
-        import ray as _ray
+        from vaero_ray.runtime import auto_concurrency
 
-        concurrency = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+        concurrency = auto_concurrency(frac=0.5)
     partials = ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)
     return partials.sort(["cosine_sim", id_col], descending=[True, False]).limit(k)

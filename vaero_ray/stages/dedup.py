@@ -77,30 +77,91 @@ def with_content_hash(tbl: pa.Table, col: str = "text", out: str = "content_hash
     return tbl.append_column(out, pa.array(h, pa.uint64()))
 
 
-def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+_DEDUP_HASH_KEY_2 = "vaero-dedup-2nd!"  # 16 bytes: independent siphash key
+
+
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    payload_mode: str = "auto",
+    carry_max_bytes: int = 256 << 20,
+) -> rd.Dataset:
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
-    hash-partition + per-group first (two stages: stateless hash, one
-    shuffle on the 64-bit hash). Hash collisions are broken by comparing
-    the actual text within the group."""
+    Two shapes, picked by ``payload_mode``:
 
+    - ``"carry"``: hash-partition + per-group first — ONE shuffle on the
+      64-bit content hash with the payload riding along; collisions are
+      broken by comparing the actual text within the group (bit-exact).
+      Right for small/medium inputs: one pass, one exchange.
+    - ``"project"``: the 100-TB shape — the shuffle moves ONLY
+      ``(h1, h2, id)`` int64 triples (two independent siphash keys =
+      a 128-bit content key; wrong-merge odds ~n^2/2^128), the min-id
+      survivor per key is computed per bucket, and survivors are
+      semi-joined back to the payload by ``id_col``. The input is read
+      twice (key pass + join pass) — at corpus scale two scans beat
+      shipping every payload byte through the exchange ~hash-width/row
+      times over.
+    - ``"auto"`` (default): ``project`` when the dataset's metadata size
+      estimate exceeds ``carry_max_bytes``, else ``carry``.
+    """
     from vaero_ray.stages.keyed import bucketed_map_groups
 
-    def add_h(tbl: pa.Table) -> pa.Table:
-        return with_content_hash(tbl, text_col, "__h")
+    if payload_mode == "auto":
+        try:
+            sz = ds.size_bytes()
+        except Exception:
+            sz = None
+        payload_mode = "project" if (sz or 0) > carry_max_bytes else "carry"
 
-    def keep_first_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # all rows of a given text share __h, hence a bucket; dedup on the
-        # actual text (hash collisions break correctly), min id wins
+    if payload_mode == "carry":
+        def add_h(tbl: pa.Table) -> pa.Table:
+            return with_content_hash(tbl, text_col, "__h")
+
+        def keep_first_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            # all rows of a given text share __h, hence a bucket; dedup on
+            # the actual text (hash collisions break correctly), min id wins
+            df = df.sort_values(id_col, kind="mergesort")
+            return df.drop_duplicates(subset=[text_col], keep="first")
+
+        out = bucketed_map_groups(
+            ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
+            "__h",
+            keep_first_bucket,
+        )
+        return out.drop_columns(["__h"])
+
+    if payload_mode != "project":
+        raise ValueError(f"payload_mode must be carry/project/auto, got {payload_mode!r}")
+
+    def keys_only(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pandas().to_numpy(dtype=object)
+        h1 = pd.util.hash_array(texts, categorize=False).astype(np.uint64)
+        h2 = pd.util.hash_array(texts, hash_key=_DEDUP_HASH_KEY_2, categorize=False).astype(np.uint64)
+        return pa.table(
+            {
+                "__h1": pa.array(h1, pa.uint64()),
+                "__h2": pa.array(h2, pa.uint64()),
+                id_col: tbl.column(id_col),
+            }
+        )
+
+    def keep_min_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col, kind="mergesort")
-        return df.drop_duplicates(subset=[text_col], keep="first")
+        return df.drop_duplicates(subset=["__h1", "__h2"], keep="first")[[id_col]]
 
-    out = bucketed_map_groups(
-        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
-        "__h",
-        keep_first_bucket,
+    survivors = bucketed_map_groups(
+        ds.map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True),
+        "__h1",
+        keep_min_bucket,
     )
-    return out.drop_columns(["__h"])
+    # semi-join payload back by id (native hash join: each side shuffles
+    # only its own columns; the survivor side is (id) int64 rows)
+    from vaero_ray.stages.joins import hash_join
+
+    out = hash_join(ds, survivors, keys=id_col, join_type="inner")
+    return out.select_columns(ds.schema().names)
 
 
 # ---------------------------------------------------------------- MinHash
@@ -725,6 +786,28 @@ def embedding_lsh_dups(
 # ------------------------------------------------- n-gram Jaccard
 
 
+def _pairwise_intersections(flat_vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """(m, m) int64 matrix of ``|set_i & set_j|`` from concatenated
+    per-doc UNIQUE value sets: one ``np.unique`` over the bucket, then an
+    incidence-matrix matmul (float32 is exact for counts < 2^24),
+    gram-chunked so the temp matrix stays under ~64 MB however fat the
+    bucket is. Replaces round-2's O(m^2) per-pair ``np.intersect1d``
+    Python loop with one vectorized pass."""
+    m = len(lens)
+    uniq, inv = np.unique(flat_vals, return_inverse=True)
+    doc_idx = np.repeat(np.arange(m, dtype=np.int64), lens)
+    n_uniq = len(uniq)
+    out = np.zeros((m, m), dtype=np.int64)
+    gstep = max(1, (64 << 20) // max(4 * m, 1))
+    for glo in range(0, n_uniq, gstep):
+        ghi = min(glo + gstep, n_uniq)
+        sel = (inv >= glo) & (inv < ghi)
+        mb = np.zeros((m, ghi - glo), dtype=np.float32)
+        mb[doc_idx[sel], inv[sel] - glo] = 1.0
+        out += np.rint(mb @ mb.T).astype(np.int64)
+    return out
+
+
 def _unique_per_seg(vals: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Sorted-unique values per segment: lexsort by (seg, value) +
     first-occurrence mask. Returns (values, offsets[n+1])."""
@@ -837,22 +920,40 @@ def ngram_jaccard_dups(
         return out.append_column("band_hash", pa.array(bh.reshape(-1), pa.uint64()))
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
-        """True-Jaccard verification of ALL intra-bucket pairs (buckets are
-        small: only LSH-colliding docs share one)."""
-        out = []
+        """True-Jaccard verification of ALL intra-bucket pairs in one
+        vectorized pass per bucket: the bucket's shingle sets become a
+        doc x unique-gram incidence matrix and a chunked matmul yields
+        every pairwise intersection size (``_pairwise_intersections``) —
+        no per-pair Python work, so template-heavy fat buckets stay
+        kernel-bound."""
+        out_id, out_dup, out_c, out_u = [], [], [], []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
             g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
             ids = g[id_col].to_numpy()
-            sets = [np.asarray(s, dtype=np.uint64) for s in g["shingles"].to_numpy()]
-            for i in range(1, len(ids)):
-                for j0 in range(i):
-                    inter = int(np.intersect1d(sets[j0], sets[i], assume_unique=True).size)
-                    union = int(sets[j0].size + sets[i].size - inter)
-                    if union and inter / union >= threshold:
-                        out.append((int(ids[i]), int(ids[j0]), inter, union))
-        res = pd.DataFrame(out, columns=[id_col, "dup_of", "n_common", "n_union"])
+            sets = g["shingles"].to_numpy()
+            lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+            if not lens.sum():
+                continue
+            flat = np.concatenate([np.asarray(s, dtype=np.uint64) for s in sets])
+            inter = _pairwise_intersections(flat, lens)
+            union = lens[:, None] + lens[None, :] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            ii, jj = np.nonzero((jac >= threshold) & (union > 0) & (ids[:, None] > ids[None, :]))
+            out_id.append(ids[ii])
+            out_dup.append(ids[jj])
+            out_c.append(inter[ii, jj])
+            out_u.append(union[ii, jj])
+        res = pd.DataFrame(
+            {
+                id_col: np.concatenate(out_id) if out_id else np.array([], np.int64),
+                "dup_of": np.concatenate(out_dup) if out_dup else np.array([], np.int64),
+                "n_common": np.concatenate(out_c) if out_c else np.array([], np.int64),
+                "n_union": np.concatenate(out_u) if out_u else np.array([], np.int64),
+            }
+        )
         return res.astype({id_col: "int64", "dup_of": "int64", "n_common": "int64", "n_union": "int64"})
 
     def shard(tbl: pa.Table) -> pa.Table:
@@ -915,7 +1016,7 @@ def simhash_dup_pairs(
         )
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
+        out_id, out_dup, out_ham = [], [], []
         for _, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
@@ -925,10 +1026,19 @@ def simhash_dup_pairs(
             x = sig[:, None] ^ sig[None, :]
             ham = _popcount64(x)
             ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
-            for a, b in zip(ii, jj):
-                # convention shared with ngram_jaccard_dups: doc_id > dup_of
-                out.append((int(ids[b]), int(ids[a]), int(ham[a, b])))
-        res = pd.DataFrame(out, columns=[id_col, "dup_of", "hamming"])
+            # convention shared with ngram_jaccard_dups: doc_id > dup_of;
+            # array-sliced emission (a fat template bucket yields millions
+            # of pairs — a per-pair Python append was the whole stage cost)
+            out_id.append(ids[jj])
+            out_dup.append(ids[ii])
+            out_ham.append(ham[ii, jj])
+        res = pd.DataFrame(
+            {
+                id_col: np.concatenate(out_id) if out_id else np.array([], np.int64),
+                "dup_of": np.concatenate(out_dup) if out_dup else np.array([], np.int64),
+                "hamming": np.concatenate(out_ham) if out_ham else np.array([], np.int64),
+            }
+        )
         return res.astype({id_col: "int64", "dup_of": "int64", "hamming": "int64"})
 
     def shard(tbl: pa.Table) -> pa.Table:

@@ -163,9 +163,14 @@ class ImageResize:
         )
 
 
-def media_features(ds: rd.Dataset, concurrency=(1, 4), batch_size: int = 64) -> rd.Dataset:
+def media_features(ds: rd.Dataset, concurrency=None, batch_size: int = 64) -> rd.Dataset:
     """documents-with-media Dataset -> per-image feature rows (payload
-    column dropped before any shuffle)."""
+    column dropped before any shuffle). Pool auto-sized to the cluster
+    unless the caller passes an explicit ``concurrency``."""
+    if concurrency is None:
+        from vaero_ray.runtime import auto_concurrency
+
+        concurrency = (1, auto_concurrency(frac=0.5))
     return ds.map_batches(
         ImageFeatures, batch_size=batch_size, concurrency=concurrency, batch_format="pyarrow"
     )
