@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "exact_dedup_docs",             # hash dedup
     "doc_token_stats",              # text analysis kernels
     "minhash_dup_edges",            # MinHash+LSH near-dup
+    "dup_clusters",                 # connected-components dup clusters (fixpoint)
     "ann_topk_bruteforce",          # embedding similarity search
     "embedding_lsh_dups",           # hyperplane-LSH near-dup (axes/gate config)
     "simhash_dup_pairs",            # 62-bit simhash banded near-dup (1.4M pairs at sf0.1)

@@ -85,6 +85,8 @@ def _restore_int_dtypes(df: pd.DataFrame, types: dict) -> pd.DataFrame:
 def _tag(side: int, keys: list[str], num_buckets: int):
     def fn(tbl: pa.Table) -> pa.Table:
         b = hash_bucket(tbl.column(keys[0]).to_pandas(), num_buckets)
+        if tbl.schema.metadata:
+            tbl = tbl.replace_schema_metadata(None)
         return tbl.append_column(BUCKET_COL, pa.array(b)).append_column(
             "__side", pa.repeat(pa.scalar(side, pa.int8()), tbl.num_rows)
         )
@@ -192,48 +194,62 @@ def asof_join(
     """Backward as-of join: each left row gains the latest right row of
     the same key with ``right.ts <= left.ts`` (inclusive; same semantics
     as DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``). Unmatched left rows get
-    nulls. One bucketed shuffle; per-bucket ``pd.merge_asof``."""
+    nulls.
+
+    Per-SIDE shuffles (round 2 padded BOTH sides to the union schema with
+    typed nulls and pushed the widened union through one exchange — every
+    probe row carried null build columns): the build (right) side is
+    bucket-partitioned by a ``num_returns`` split-task fan-out + one
+    ts-sorted concat task per bucket — only right columns move, and the
+    per-bucket tables live in the object store as refs; the probe (left)
+    side flows through its own bucketed groupby carrying only left
+    columns, and each bucket task fetches exactly its right bucket for a
+    vectorized ``pd.merge_asof``. Partitioning assumption: one key
+    bucket's rows per side fit one task (same contract as hash_join)."""
+    import numpy as np
+    import ray
+
     right_cols = list(right_cols)
-    lsch = left.schema()
-    lcols = lsch.names
+    lcols = left.schema().names
     keep_r = [key, ts_col] + right_cols
-    rsch = right.schema()
-    types = dict(zip(rsch.names, rsch.types))
-    types.update(dict(zip(lsch.names, lsch.types)))
 
-    l = left.map_batches(_tag(0, [key], num_buckets), batch_format="pyarrow", zero_copy_batch=True)
-    r = right.select_columns(keep_r).map_batches(
-        _tag(1, [key], num_buckets), batch_format="pyarrow", zero_copy_batch=True
-    )
+    # ---- build side: manual bucket shuffle, right columns only --------
+    @ray.remote
+    def split_block(tbl: pa.Table):
+        b = np.asarray(hash_bucket(tbl.column(key).to_pandas(), num_buckets))
+        order = np.argsort(b, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+        return tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets))
 
-    all_cols = list(dict.fromkeys(lcols + keep_r))
+    @ray.remote
+    def concat_sorted(*parts: pa.Table) -> pa.Table:
+        t = pa.concat_tables(parts)
+        return t.take(
+            pa.compute.sort_indices(pa.table({"__ts": t.column(ts_col)}), sort_keys=[("__ts", "ascending")])
+        )
 
-    def pad():
-        def fn(tbl: pa.Table) -> pa.Table:
-            n = tbl.num_rows
-            return pa.table(
-                {
-                    c: (tbl.column(c) if c in tbl.column_names else pa.nulls(n, types[c]))
-                    for c in all_cols
-                }
-                | {BUCKET_COL: tbl.column(BUCKET_COL), "__side": tbl.column("__side")}
-            )
+    r_blocks = right.select_columns(keep_r).to_arrow_refs()
+    per_block = [split_block.options(num_returns=num_buckets).remote(b) for b in r_blocks]
+    if num_buckets == 1:  # num_returns=1 yields a bare ref, not a tuple
+        per_block = [[p] for p in per_block]
+    bucket_refs = [
+        concat_sorted.remote(*[pb[i] for pb in per_block]) for i in range(num_buckets)
+    ]
 
-        return fn
-
-    l = l.map_batches(pad(), batch_format="pyarrow")
-    r = r.map_batches(pad(), batch_format="pyarrow")
+    # ---- probe side: one bucketed groupby, left columns only ----------
+    def tag(tbl: pa.Table) -> pa.Table:
+        b = hash_bucket(tbl.column(key).to_pandas(), num_buckets)
+        if tbl.schema.metadata:
+            tbl = tbl.replace_schema_metadata(None)
+        return tbl.append_column(BUCKET_COL, pa.array(b))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
-        ldf = _restore_int_dtypes(
-            df[df["__side"] == 0][[c for c in lcols]], types
-        ).sort_values(ts_col, kind="mergesort")
-        rdf = _restore_int_dtypes(
-            df[df["__side"] == 1][[c for c in keep_r]], types
-        ).sort_values(ts_col, kind="mergesort")
+        bucket = int(df[BUCKET_COL].iloc[0])
+        ldf = df.drop(columns=[BUCKET_COL]).sort_values(ts_col, kind="mergesort")
+        rdf = ray.get(bucket_refs[bucket]).to_pandas()
         out = pd.merge_asof(
-            ldf,
+            ldf[lcols],
             rdf.rename(columns={ts_col: right_ts_out}),
             left_on=ts_col,
             right_on=right_ts_out,
@@ -243,4 +259,5 @@ def asof_join(
         )
         return out
 
-    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+    tagged = left.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")

@@ -60,6 +60,10 @@ def bucketed_map_groups(
 
     def tag(tbl: pa.Table) -> pa.Table:
         col = tbl.column(key).to_pandas()
+        # metadata strip: pandas-built blocks (rd.from_pandas) carry the
+        # dict-valued blob that defeats shuffle schema-dedup hashing
+        if tbl.schema.metadata:
+            tbl = tbl.replace_schema_metadata(None)
         return tbl.append_column(BUCKET_COL, pa.array(hash_bucket(col, num_buckets)))
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:

@@ -95,19 +95,32 @@ class ImageFeatures:
     """
 
     def __init__(self):
-        try:  # real codec path — absent in this container
-            from PIL import Image  # noqa: F401
+        # codec probe once per actor: PIL handles real image bytes when
+        # present; VXIMG payloads always take the deterministic fake path
+        try:
+            from PIL import Image
 
-            self._real = True
-        except ImportError:
-            self._real = False
+            self._pil = Image
+        except ImportError:  # this container: no PIL
+            self._pil = None
 
     def _decode(self, buf: bytes) -> tuple[int, int, np.ndarray]:
-        if self._real:  # pragma: no cover - PIL not installed here
-            raise NotImplementedError("real codec path: wire PIL decode here")
-        w, h, c, pix = _parse_header(buf)
-        arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
-        return w, h, arr
+        if buf.startswith(MAGIC):
+            w, h, c, pix = _parse_header(buf)
+            arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+            return w, h, arr
+        if self._pil is not None:  # real codec path (PNG/JPEG/...)
+            import io
+
+            img = self._pil.open(io.BytesIO(buf))
+            arr = np.asarray(img.convert("RGB") if img.mode not in ("RGB", "L") else img)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return arr.shape[1], arr.shape[0], arr
+        raise NotImplementedError(
+            "non-VXIMG payload and no PIL in this environment: install pillow "
+            "for the real codec path"
+        )
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         ids, ws, hs, chans, sums, sumsqs = [], [], [], [], [], []
