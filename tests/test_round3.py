@@ -100,12 +100,13 @@ def test_simhash_pairs_vectorized_emitter(ray_session):
 # ------------------------------------------------- connected components
 
 
-def test_connected_components_three_hop_chain(ray_session):
+@pytest.mark.parametrize("mode", ["single-task", "distributed"])
+def test_connected_components_three_hop_chain(ray_session, mode):
     edges = rd.from_pandas(
         pd.DataFrame({"doc_id": [2, 3, 4, 11], "dup_of": [1, 2, 3, 10]})
     )
     got = (
-        connected_components(edges)
+        connected_components(edges, mode=mode)
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
@@ -113,14 +114,33 @@ def test_connected_components_three_hop_chain(ray_session):
     assert got["cluster"].tolist() == [1, 1, 1, 1, 10, 10]
 
 
-def test_connected_components_merges_via_shared_node(ray_session):
+@pytest.mark.parametrize("mode", ["single-task", "distributed"])
+def test_connected_components_merges_via_shared_node(ray_session, mode):
     # two stars sharing one leaf: single component labeled by global min
     edges = rd.from_pandas(
         pd.DataFrame({"doc_id": [5, 6, 7, 7, 8, 9], "dup_of": [20, 20, 20, 30, 30, 30]})
     )
-    got = connected_components(edges).to_pandas()
+    got = connected_components(edges, mode=mode).to_pandas()
     assert (got["cluster"] == 5).all()
     assert set(got["doc_id"]) == {5, 6, 7, 8, 9, 20, 30}
+
+
+def test_connected_components_modes_agree_on_random_graph(ray_session):
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 400, 600)
+    b = rng.integers(0, 400, 600)
+    keep = a != b
+    edges = pd.DataFrame({"doc_id": a[keep], "dup_of": b[keep]})
+    ds = rd.from_pandas(edges)
+    fast = (
+        connected_components(ds, mode="single-task")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    dist = (
+        connected_components(ds, mode="distributed")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)
 
 
 # ------------------------------------------------------------------ CLI

@@ -810,15 +810,16 @@ FROM px GROUP BY 1, 2, 3
 
 
 def q_video_frame_sample(sf_dir: str):
-    from vaero_ray.stages.multimodal import FrameSample, ImageFeatures, make_fake_video
-
-    from vaero_ray.runtime import auto_concurrency
+    from vaero_ray.stages.multimodal import (
+        frame_sample_batch,
+        image_features_batch,
+        make_fake_video,
+    )
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     vids = ds.map_batches(make_fake_video, batch_format="pyarrow", zero_copy_batch=True)
-    pool = (1, auto_concurrency(frac=0.4))
-    frames = vids.map_batches(FrameSample, batch_size=32, concurrency=pool, batch_format="pyarrow")
-    return frames.map_batches(ImageFeatures, batch_size=32, concurrency=pool, batch_format="pyarrow")
+    frames = vids.map_batches(frame_sample_batch, batch_size=32, batch_format="pyarrow")
+    return frames.map_batches(image_features_batch, batch_size=32, batch_format="pyarrow")
 
 
 SQL_VIDEO_FRAMES = rf"""
@@ -892,13 +893,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 
 
 def q_lang_id(sf_dir: str):
-    from vaero_ray.runtime import auto_concurrency
+    from vaero_ray.stages.textstats import lang_id_batch
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # pool sized to the node + a batch_size small enough to split the few
-    # read blocks across it (one block == one batch would serialize)
+    # task pool + per-worker stopword cache: an actor pool costs ~1 s
+    # spawn per actor per execution, ~15x this corpus's scoring kernel
     return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, auto_concurrency()), batch_size=256
+        lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "pred_lang"])
 
 
@@ -1015,11 +1016,9 @@ def q_training_data_pipeline(sf_dir: str):
     ds = exact_dedup(ds, text_col="text", id_col="doc_id")
     ds = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.filter(expr="n_chars >= 100")
-    from vaero_ray.runtime import auto_concurrency
+    from vaero_ray.stages.textstats import lang_id_batch
 
-    ds = ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, auto_concurrency()), batch_size=256
-    )
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.filter(expr="pred_lang == 'en'")
     return pack_sequences(ds.select_columns(["doc_id", "text"]), target_len=512)
 

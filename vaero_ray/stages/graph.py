@@ -41,15 +41,29 @@ def connected_components(
     label_out: str = "cluster",
     max_rounds: int = 50,
     num_buckets: int = 64,
+    mode: str = "auto",
+    single_task_max_edges: int = 20_000_000,
 ) -> rd.Dataset:
     """(node, cluster-min) for every node appearing in ``edges``.
 
-    Encoding trick to keep each round ONE union + ONE grouped pass:
-    label rows ride the same (k, o) schema as edge rows with the label
-    bitwise-NOT-ed (node ids are non-negative, so ``o < 0`` marks a label
-    row and ``~o`` recovers the label) — no padded null columns cross the
-    exchange.
+    ``mode="auto"`` picks between two shapes:
+
+    - **single-task** (edge rows <= ``single_task_max_edges``): one Ray
+      task gathers the edge blocks (refs only cross the driver) and runs
+      vectorized hash-min with pointer doubling in numpy — even a 100-TB
+      corpus's verified dup-edge set is typically a few hundred million
+      int64 pairs, and a log-rounds in-memory pass beats ~diameter
+      distributed shuffles by an order of magnitude.
+    - **distributed**: the bucketed hash-min fixpoint loop below, for
+      edge sets too big for one worker's heap.
+
+    Distributed-loop encoding trick keeping each round ONE union + ONE
+    grouped pass: label rows ride the same (k, o) schema as edge rows
+    with the label bitwise-NOT-ed (node ids are non-negative, so
+    ``o < 0`` marks a label row and ``~o`` recovers the label) — no
+    padded null columns cross the exchange.
     """
+    import ray
 
     def both_dirs(tbl: pa.Table) -> pa.Table:
         a = tbl.column(a_col).cast(pa.int64()).combine_chunks()
@@ -62,6 +76,40 @@ def connected_components(
         )
 
     e = edges.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    if mode == "auto":
+        mode = "single-task" if e.count() <= single_task_max_edges else "distributed"
+
+    if mode == "single-task":
+
+        @ray.remote
+        def dsu(*tables: pa.Table) -> pa.Table:
+            # empty blocks pass through upstream maps with NO columns
+            tables = [t for t in tables if t.num_rows]
+            if not tables:
+                return pa.table({id_out: pa.array([], pa.int64()), label_out: pa.array([], pa.int64())})
+            ka = np.concatenate([np.asarray(t.column("k").to_numpy(zero_copy_only=False)) for t in tables])
+            kb = np.concatenate([np.asarray(t.column("o").to_numpy(zero_copy_only=False)) for t in tables])
+            nodes, inv = np.unique(np.concatenate([ka, kb]), return_inverse=True)
+            ia, ib = inv[: len(ka)], inv[len(ka):]
+            lab = np.arange(len(nodes), dtype=np.int64)
+            for _ in range(64):  # hash-min + pointer doubling: O(log n) rounds
+                old = lab
+                lab = lab.copy()
+                np.minimum.at(lab, ia, lab[ib])
+                np.minimum.at(lab, ib, lab[ia])
+                while True:
+                    nl = lab[lab]
+                    if np.array_equal(nl, lab):
+                        break
+                    lab = nl
+                if np.array_equal(old, lab):
+                    break
+            return pa.table(
+                {id_out: pa.array(nodes, pa.int64()), label_out: pa.array(nodes[lab], pa.int64())}
+            )
+
+        return rd.from_arrow_refs([dsu.remote(*e.to_arrow_refs())])
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("k", sort=False)["o"].min().reset_index()

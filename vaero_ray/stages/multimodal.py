@@ -176,17 +176,39 @@ class ImageResize:
         )
 
 
+# task-pool forms: decoder objects cached once per WORKER PROCESS. A
+# fresh actor pool pays ~1 s spawn + package import per actor per
+# execution — far more than the fake-codec probe costs — while tasks
+# reuse the session's warm workers. The CLASSES above remain the right
+# surface for stages with genuinely heavy setup (real codec contexts,
+# model weights): pass them to map_batches with an explicit concurrency.
+_WORKER_CACHE: dict = {}
+
+
+def image_features_batch(tbl: pa.Table) -> pa.Table:
+    fn = _WORKER_CACHE.get("img")
+    if fn is None:
+        fn = _WORKER_CACHE["img"] = ImageFeatures()
+    return fn(tbl)
+
+
+def frame_sample_batch(tbl: pa.Table, stride: int = 4) -> pa.Table:
+    fn = _WORKER_CACHE.get(("frames", stride))
+    if fn is None:
+        fn = _WORKER_CACHE[("frames", stride)] = FrameSample(stride)
+    return fn(tbl)
+
+
 def media_features(ds: rd.Dataset, concurrency=None, batch_size: int = 64) -> rd.Dataset:
     """documents-with-media Dataset -> per-image feature rows (payload
-    column dropped before any shuffle). Pool auto-sized to the cluster
-    unless the caller passes an explicit ``concurrency``."""
-    if concurrency is None:
-        from vaero_ray.runtime import auto_concurrency
-
-        concurrency = (1, auto_concurrency(frac=0.5))
-    return ds.map_batches(
-        ImageFeatures, batch_size=batch_size, concurrency=concurrency, batch_format="pyarrow"
-    )
+    column dropped before any shuffle). Default: task pool with a
+    per-worker cached decoder; pass ``concurrency`` to run the
+    :class:`ImageFeatures` actor pool instead (heavy real-codec setup)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            ImageFeatures, batch_size=batch_size, concurrency=concurrency, batch_format="pyarrow"
+        )
+    return ds.map_batches(image_features_batch, batch_size=batch_size, batch_format="pyarrow")
 
 
 VIDEO_MAGIC = b"VXVID"

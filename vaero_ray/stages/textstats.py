@@ -191,3 +191,20 @@ class LangId:
             lang_arr = np.array(self.langs, dtype=object)
             pred = np.where(any_hit, lang_arr[best], "unknown")
         return tbl.append_column("pred_lang", pa.array(pred.astype(object), pa.string()))
+
+
+_LANG_ID_WORKER: "LangId | None" = None
+
+
+def lang_id_batch(tbl: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`LangId`: the stopword tables are built
+    once per WORKER PROCESS (module cache) instead of once per actor.
+    A fresh actor pool costs ~1 s spawn + package import per actor per
+    execution — ~15x the whole scoring kernel on a 5k-doc corpus —
+    while plain tasks reuse the session's warm worker pool. Use the
+    class form only for stages whose setup is genuinely heavy (real
+    model weights)."""
+    global _LANG_ID_WORKER
+    if _LANG_ID_WORKER is None:
+        _LANG_ID_WORKER = LangId()
+    return _LANG_ID_WORKER(tbl)
