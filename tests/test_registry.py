@@ -47,7 +47,7 @@ def test_registry_lifecycle(tmp_path, ray_session):
     assert sorted(started) == [j1, j2]
 
     # both jobs consume their first chunk
-    deadline = time.monotonic() + 60
+    deadline = time.monotonic() + 180
     while time.monotonic() < deadline:
         try:
             if (
@@ -68,7 +68,7 @@ def test_registry_lifecycle(tmp_path, ray_session):
 
     _write_chunk(in1, 1, base=100)  # arrives after the stop: never consumed
     _write_chunk(in2, 1, base=100)
-    deadline = time.monotonic() + 60
+    deadline = time.monotonic() + 180
     while time.monotonic() < deadline:
         if reg.committed_output(j2).count() == 8:
             break
