@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "contamination_check",          # train/test 13-gram decontamination (gram-sharded)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack
     "media_features",               # multimodal decode -> integer pixel moments
+    "video_frame_sample",           # frame sampling -> per-frame features
     "lineitem_pricing",             # two-phase aggregate, 600k rows
     "orders_customer_hash_join",    # partitioned hash join
     "purchase_asof_view",           # backward as-of join

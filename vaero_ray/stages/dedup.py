@@ -103,17 +103,30 @@ def exact_dedup(
       twice (key pass + join pass) — at corpus scale two scans beat
       shipping every payload byte through the exchange ~hash-width/row
       times over.
-    - ``"auto"`` (default): ``project`` when the dataset's metadata size
-      estimate exceeds ``carry_max_bytes``, else ``carry``.
+    - ``"auto"`` (default): ``project`` when the input FILE sizes (pure
+      metadata — ``ds.size_bytes()`` would execute the read pipeline just
+      to pick a mode, a full scan at corpus scale) exceed
+      ``carry_max_bytes``; ``carry`` when smaller or when the dataset is
+      derived (no input files resolvable). Corpus-scale callers on
+      derived datasets pass ``payload_mode="project"`` explicitly.
     """
+    import os
+
     from vaero_ray.stages.keyed import bucketed_map_groups
 
     if payload_mode == "auto":
+        sz = 0
         try:
-            sz = ds.size_bytes()
+            for f in ds.input_files() or []:
+                p = f[len("local://"):] if f.startswith("local://") else f
+                if "://" in p or not os.path.exists(p):
+                    sz = 0
+                    break
+                sz += os.path.getsize(p)
         except Exception:
-            sz = None
-        payload_mode = "project" if (sz or 0) > carry_max_bytes else "carry"
+            sz = 0
+        # parquet-on-disk -> in-memory expansion is ~2-4x for text
+        payload_mode = "project" if 3 * sz > carry_max_bytes else "carry"
 
     if payload_mode == "carry":
         def add_h(tbl: pa.Table) -> pa.Table:
