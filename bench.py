@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "vocab_top_terms",              # corpus vocabulary (partial counts -> tiny merge)
     "pack_sequences",               # GPT-style packing (distributed ordered prefix sum)
     "contamination_check",          # train/test 13-gram decontamination (gram-sharded)
+    "hll_user_registers",           # HyperLogLog distinct sketch (mergeable registers)
+    "hash_split_docs",              # deterministic hash train/val split
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack
     "media_features",               # multimodal decode -> integer pixel moments
     "video_frame_sample",           # frame sampling -> per-frame features

@@ -216,3 +216,55 @@ def test_image_features_real_codec_path(ray_session):
     assert out.column("width").to_pylist() == [4]
     assert out.column("height").to_pylist() == [3]
     assert out.column("pixel_sum").to_pylist() == [(1 + 2 + 3) * 12]
+
+
+# ------------------------------------------------------------- sketches
+
+
+def test_hll_registers_shard_invariant(ray_session):
+    """Register merge is commutative/associative: the final registers
+    must not depend on how the input is sharded."""
+    from vaero_ray.stages.sketch import hll_registers
+
+    vals = np.random.default_rng(11).integers(0, 5000, size=20000, dtype=np.int64)
+    df = pd.DataFrame({"user_id": vals})
+
+    def regs(n_blocks: int) -> pd.DataFrame:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = hll_registers(ds, "user_id", p=8).to_pandas()
+        return out.sort_values("bucket").reset_index(drop=True)
+
+    a, b = regs(1), regs(13)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """At p=12 the standard error is ~1.04/sqrt(4096) ~ 1.6%; assert a
+    generous 5% band on a 30k-distinct input with repeats."""
+    from vaero_ray.stages.sketch import approx_distinct
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 30000, size=120000, dtype=np.int64)
+    true = len(np.unique(vals))
+    ds = rd.from_pandas(pd.DataFrame({"user_id": vals})).repartition(8)
+    est = approx_distinct(ds, "user_id", p=12)
+    assert abs(est - true) / true < 0.05, (est, true)
+
+
+def test_hash_split_stable_and_proportioned(ray_session):
+    """Split label is a pure function of the id: re-sharding must not
+    move any row between train and val, and the ratio tracks permille."""
+    from vaero_ray.stages.sketch import hash_split
+
+    ids = np.arange(20000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+
+    def labels(n_blocks: int) -> pd.Series:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = hash_split(ds, "doc_id", train_permille=900).to_pandas()
+        return out.sort_values("doc_id")["split"].reset_index(drop=True)
+
+    a, b = labels(2), labels(17)
+    pd.testing.assert_series_equal(a, b)
+    frac = (a == "train").mean()
+    assert 0.88 < frac < 0.92, frac

@@ -1069,6 +1069,94 @@ def q_ann_topk_ivf(sf_dir: str):
     return ivf_topk(ds, _query_vec(sf_dir), cents, k=10, nprobe=5)
 
 
+# ------------------------------------------------------------------
+# Mergeable sketches + deterministic split (training-data tier)
+# ------------------------------------------------------------------
+
+_HLL_P = 8  # 256 registers — plenty for a gate fixture, 2^p ints at scale
+
+
+def q_hll_user_registers(sf_dir: str):
+    """HyperLogLog registers of distinct ``user_id`` over events: the
+    canonical mergeable-sketch shape (per-block partials, elementwise-max
+    merge — at most 2^p ints leave any block regardless of input size).
+    The REGISTERS are integer-exact and SQL-recomputable; the float
+    estimate derived from them is tested in tests/test_round3.py."""
+    from vaero_ray.stages.sketch import hll_registers
+
+    return hll_registers(_events(sf_dir, columns=["user_id"]), "user_id", p=_HLL_P)
+
+
+# DuckDB recomputes the strengthened Mersenne-61 hash with HUGEINT
+# arithmetic: two linear rounds (A*v + B) mod (2^61-1) separated by an
+# xorshift v ^= v >> 29 (see sketch.hll_hash for why the xorshift is
+# needed); bucket = top p bits, rho = 1 + trailing zeros of the rest.
+# NB: parenthesize (w & -w) — SQL '&' binds looser than '-'.
+SQL_HLL_REGISTERS = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT CAST(((A * ((CASE WHEN user_id < 0
+                THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+                ELSE CAST(user_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM events, m),
+hs AS (
+  SELECT CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m),
+w AS (SELECT hv >> (61 - {p}) AS bucket,
+             ((hv & ((1::BIGINT << (61 - {p})) - 1)) | (1::BIGINT << (61 - {p}))) AS wv
+      FROM hs)
+SELECT bucket, CAST(MAX(bit_count((wv & (-wv)) - 1) + 1) AS BIGINT) AS max_rho
+FROM w GROUP BY bucket
+"""
+
+
+def q_hash_split_docs(sf_dir: str):
+    """Deterministic hash-based train/val split of documents — stable
+    across runs, workers, and input re-sharding (a resumable 100-TB
+    pipeline must never reshuffle its split)."""
+    from vaero_ray.stages.sketch import hash_split
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_split(ds, "doc_id", train_permille=900)
+
+
+SQL_HASH_SPLIT = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT doc_id, lang,
+    CAST(((A * ((CASE WHEN doc_id < 0
+         THEN CAST(doc_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+         ELSE CAST(doc_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM documents, m)
+SELECT doc_id, lang,
+  CASE WHEN CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT)
+            % 1000 < 900
+       THEN 'train' ELSE 'val' END AS split
+FROM h1, m
+"""
+
+
+def _fmt_sketch_sql() -> tuple[str, str]:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    subs = {
+        "A": int(HLL_A),
+        "B": int(HLL_B),
+        "A2": int(HLL_A2),
+        "B2": int(HLL_B2),
+        "XS": HLL_XS,
+        "p": _HLL_P,
+    }
+    return SQL_HLL_REGISTERS.format(**subs), SQL_HASH_SPLIT.format(**subs)
+
+
+SQL_HLL_REGISTERS, SQL_HASH_SPLIT = _fmt_sketch_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -1110,6 +1198,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "contamination_check": q_contamination_check,
     "training_data_pipeline": q_training_data_pipeline,
+    "hll_user_registers": q_hll_user_registers,
+    "hash_split_docs": q_hash_split_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1153,4 +1243,6 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK,
     "contamination_check": SQL_CONTAMINATION,
     "training_data_pipeline": SQL_TRAINING_PIPELINE,
+    "hll_user_registers": SQL_HLL_REGISTERS,
+    "hash_split_docs": SQL_HASH_SPLIT,
 }

@@ -1,0 +1,169 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+HyperLogLog distinct-count: the canonical "novel sketch" shape for a
+100-TB pipeline — per-block REGISTERS (2^p small ints) computed in one
+vectorized pass, merged by elementwise max (commutative/associative, so
+the shuffle moves at most 2^p ints per block regardless of input size),
+estimate derived on the driver from the final 2^p-int array.
+
+Everything is DETERMINISTIC and SQL-reproducible so the driver's DuckDB
+gate can hash-match the registers exactly:
+
+- hash: ``h = (A*x + B) mod M61`` (Mersenne-61; exact 128-bit-free
+  multiply via the rotation property ``v * 2^k mod M61 == rot61(v, k)``,
+  see ``_mul_mod_m61``) — DuckDB recomputes it with HUGEINT arithmetic.
+- bucket = top ``p`` bits of the 61-bit hash; rho = 1 + count of
+  trailing zeros of the remaining bits (sentinel bit keeps it bounded),
+  via the branch-free ``bit_count((w & -w) - 1)`` both sides.
+
+No reference counterpart (the reference has no aggregates at all);
+this extends the training-data tier mandated by the task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+M61 = np.uint64((1 << 61) - 1)
+HLL_A = np.uint64(6364136223846793005 % ((1 << 61) - 1))
+HLL_B = np.uint64(1442695040888963407 % ((1 << 61) - 1))
+HLL_A2 = np.uint64(3935559000370003845 % ((1 << 61) - 1))
+HLL_B2 = np.uint64(2691343689449507681 % ((1 << 61) - 1))
+HLL_XS = 29  # xorshift distance between the two linear rounds
+
+
+def _mod_m61(z: np.ndarray) -> np.ndarray:
+    z = (z & M61) + (z >> np.uint64(61))
+    return np.where(z >= M61, z - M61, z)
+
+
+def _rot61(v: np.ndarray, k: int) -> np.ndarray:
+    """(v * 2^k) mod M61 for v < M61: a k-bit rotation within 61 bits
+    (2^61 == 1 mod M61) — no 128-bit product needed."""
+    k = k % 61
+    return ((v << np.uint64(k)) | (v >> np.uint64(61 - k))) & M61
+
+
+def _mul_mod_m61(a: np.uint64, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod M61, exact for a < 2^61, x < 2^61: split x into
+    32-bit halves; the high half's 2^32 factor becomes a rotation."""
+    x = _mod_m61(x.astype(np.uint64))
+    xh = x >> np.uint64(32)
+    xl = x & np.uint64(0xFFFFFFFF)
+    ah = a >> np.uint64(32)
+    al = a & np.uint64(0xFFFFFFFF)
+    # a*x = al*xl + 2^32*(al*xh + ah*xl) + 2^64*(ah*xh); each partial
+    # product is < 2^61 after its own reduction
+    t0 = _mod_m61(al * xl)
+    t1 = _rot61(_mod_m61(al * xh + ah * xl), 32)
+    t2 = _rot61(_mod_m61(ah * xh), 3)  # 2^64 mod M61 == 2^3
+    return _mod_m61(t0 + t1 + t2)
+
+
+def hll_hash(x: np.ndarray) -> np.ndarray:
+    """Deterministic 61-bit hash of an int64/uint64 array, exactly
+    reproducible in DuckDB with HUGEINT arithmetic: two linear rounds
+    ``(A*v + B) mod (2^61-1)`` separated by ``v ^= v >> 29``. A single
+    linear round has perfect rho MARGINALS but correlated (bucket, rho)
+    pairs — HLL overestimated by ~50% on dense-int inputs; the xorshift
+    breaks the linearity (measured <2% error at p=12, incl. sequential
+    ids — see tests/test_round3.py::test_hll_estimate_accuracy)."""
+    h = _mod_m61(_mul_mod_m61(HLL_A, x) + HLL_B)
+    h = h ^ (h >> np.uint64(HLL_XS))
+    return _mod_m61(_mul_mod_m61(HLL_A2, h) + HLL_B2)
+
+
+def hll_bucket_rho(x: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    h = hll_hash(x)
+    bucket = (h >> np.uint64(61 - p)).astype(np.int64)
+    rest_bits = 61 - p
+    w = (h & ((np.uint64(1) << np.uint64(rest_bits)) - np.uint64(1))) | (
+        np.uint64(1) << np.uint64(rest_bits)
+    )
+    # trailing zeros, branch-free: popcount((w & -w) - 1)
+    low = w & (np.uint64(0) - w)
+    from vaero_ray.stages.dedup import _popcount64
+
+    rho = _popcount64(low - np.uint64(1)) + 1
+    return bucket, rho.astype(np.int64)
+
+
+def hll_registers(ds: rd.Dataset, col: str, p: int = 8) -> rd.Dataset:
+    """Dataset of the NONZERO HLL registers of ``col``: one row per
+    occupied bucket, ``(bucket, max_rho)``. Two-phase: per-block partial
+    registers (vectorized, at most 2^p rows leave each block), tiny
+    groupby-max merge. The column must be integer-typed."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(tbl.column(col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        if not len(x):
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "max_rho": pa.array([], pa.int64())}
+            )
+        bucket, rho = hll_bucket_rho(x.astype(np.uint64), p)
+        regs = np.zeros(1 << p, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "max_rho": pa.array(regs[nz], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # native groupby: map-side partial max per block, then a tiny keyed
+    # merge — the shuffle moves at most (#blocks x 2^p) small int rows
+    merged = partials.groupby("bucket").max("max_rho")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["bucket", "max_rho"])
+
+    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_estimate(registers: "pd.DataFrame | pa.Table", p: int = 8) -> float:
+    """Bias-corrected HLL estimate from a (bucket, max_rho) register
+    frame (absent buckets are zero). Standard Flajolet et al. constants
+    with the small-range linear-counting correction."""
+    if isinstance(registers, pa.Table):
+        registers = registers.to_pandas()
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        regs[registers["bucket"].to_numpy()] = registers["max_rho"].to_numpy()
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) — one streaming pass, 2^p ints of
+    state per block through the merge."""
+    return hll_estimate(hll_registers(ds, col, p).to_pandas(), p)
+
+
+# ------------------------------------------------- deterministic split
+
+
+def hash_split(
+    ds: rd.Dataset,
+    id_col: str,
+    train_permille: int = 900,
+    out: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val assignment: ``train`` iff
+    ``hll_hash(id) % 1000 < train_permille``. Stateless, stable across
+    runs/workers/resumes (the property a training pipeline needs —
+    re-sharding the input must not reshuffle the split), SQL-exact."""
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        h = hll_hash(x) % np.uint64(1000)
+        lab = np.where(h < train_permille, "train", "val")
+        return tbl.append_column(out, pa.array(lab.astype(object), pa.string()))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
