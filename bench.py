@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "contamination_check",          # train/test 13-gram decontamination (gram-sharded)
     "hll_user_registers",           # HyperLogLog distinct sketch (mergeable registers)
     "hash_split_docs",              # deterministic hash train/val split
+    "cms_user_counts",              # Count-Min frequency sketch (sum-merge counters)
+    "per_source_cap",               # C4-style domain cap (partial prune + keyed head)
+    "doc_repetition_stats",         # Gopher repetition counts (dictionary-encode kernel)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack
     "media_features",               # multimodal decode -> integer pixel moments
     "video_frame_sample",           # frame sampling -> per-frame features

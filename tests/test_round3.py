@@ -268,3 +268,73 @@ def test_hash_split_stable_and_proportioned(ray_session):
     pd.testing.assert_series_equal(a, b)
     frac = (a == "train").mean()
     assert 0.88 < frac < 0.92, frac
+
+
+# ----------------------------------------------- corpus curation + CMS
+
+
+def test_cap_per_key_matches_pandas_and_is_shard_invariant(ray_session):
+    from vaero_ray.stages.corpus import cap_per_key
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "source": [f"s{rng.integers(0, 7)}" for _ in range(n)],
+        }
+    )
+    want = (
+        df.sort_values("doc_id", kind="stable")
+        .groupby("source", sort=False)
+        .head(25)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def run(n_blocks: int) -> pd.DataFrame:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = cap_per_key(ds, "source", 25, "doc_id", num_buckets=4).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(1), run(11)
+    pd.testing.assert_frame_equal(a, want.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cms_registers_shard_invariant_and_upper_bound(ray_session):
+    from vaero_ray.stages.sketch import cms_estimate, cms_registers
+
+    vals = np.random.default_rng(2).integers(0, 300, size=40000, dtype=np.int64)
+    df = pd.DataFrame({"user_id": vals})
+
+    def regs(n_blocks: int) -> pd.DataFrame:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = cms_registers(ds, "user_id", width=512, depth=4).to_pandas()
+        return out.sort_values(["row", "slot"]).reset_index(drop=True)
+
+    a, b = regs(1), regs(9)
+    pd.testing.assert_frame_equal(a, b)
+    true = np.bincount(vals, minlength=300)
+    est = cms_estimate(a, np.arange(300), width=512, depth=4)
+    assert (est >= true).all()
+    # depth-4 min over 512 slots on 300 keys: overestimate stays tiny
+    assert (est - true).max() <= 0.05 * true.mean(), (est - true).max()
+
+
+def test_repetition_stats_bruteforce():
+    from vaero_ray.stages.textstats import repetition_stats
+
+    texts = ["a b a b a", "x", "", "  ", "one two two THREE three three"]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = repetition_stats(tbl).to_pandas()
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        bigs = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        row = out.iloc[i]
+        assert row.n_tokens == len(toks)
+        assert row.n_distinct_tokens == len(set(toks))
+        assert row.top_token_n == (max(toks.count(x) for x in set(toks)) if toks else 0)
+        assert row.n_bigrams == max(len(toks) - 1, 0)
+        assert row.n_distinct_bigrams == len(set(bigs))
+        assert row.top_bigram_n == (max(bigs.count(x) for x in set(bigs)) if bigs else 0)

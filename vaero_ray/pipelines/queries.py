@@ -1140,6 +1140,102 @@ FROM h1, m
 """
 
 
+def q_per_source_cap(sf_dir: str):
+    """C4-style domain cap: keep the 10 lowest-doc_id documents per
+    source. Per-block partial prune bounds the shuffle to cap rows per
+    (block, key) no matter how hot a source is."""
+    from vaero_ray.stages.corpus import cap_per_key
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return cap_per_key(ds, key="source", cap=10, order_col="doc_id", num_buckets=8)
+
+
+SQL_PER_SOURCE_CAP = r"""
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+"""
+
+
+def q_doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition counts (token/bigram total, distinct,
+    top frequency) — integer-exact boilerplate/spam signals."""
+    from vaero_ray.stages.textstats import repetition_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_stats(t).drop_columns("text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_REPETITION = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(max(c) AS BIGINT) AS top_token_n FROM tc GROUP BY 1),
+bg0 AS (SELECT doc_id,
+               [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS bgs
+        FROM tk),
+bg AS (SELECT doc_id, unnest(bgs) AS b FROM bg0),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1)
+SELECT tk.doc_id,
+       CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       COALESCE(ts.n_distinct_tokens, 0) AS n_distinct_tokens,
+       COALESCE(ts.top_token_n, 0) AS top_token_n,
+       CAST(greatest(len(tk.toks) - 1, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(bs.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(bs.top_bigram_n, 0) AS top_bigram_n
+FROM tk LEFT JOIN ts ON tk.doc_id = ts.doc_id
+        LEFT JOIN bs ON tk.doc_id = bs.doc_id
+"""
+
+
+_CMS_W, _CMS_D = 1024, 4
+
+
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min registers of event frequency per user: mergeable-by-SUM
+    counter sketch (depth x width small ints leave any block); point
+    estimates from the merged registers are upper bounds (min over
+    rows), tested in tests/test_round3.py."""
+    from vaero_ray.stages.sketch import cms_registers
+
+    return cms_registers(
+        _events(sf_dir, columns=["user_id"]), "user_id", width=_CMS_W, depth=_CMS_D
+    )
+
+
+def _fmt_cms_sql() -> str:
+    from vaero_ray.stages.sketch import CMS_A, CMS_B
+
+    parts = []
+    for r in range(_CMS_D):
+        parts.append(
+            f"""
+SELECT CAST({r} AS BIGINT) AS row,
+  CAST(((CAST({int(CMS_A[r])} AS HUGEINT)
+     * ((CASE WHEN user_id < 0
+          THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+          ELSE CAST(user_id AS HUGEINT) END) % CAST(2305843009213693951 AS HUGEINT)))
+     % CAST(2305843009213693951 AS HUGEINT)
+     + CAST({int(CMS_B[r])} AS HUGEINT)) % CAST(2305843009213693951 AS HUGEINT)
+     AS BIGINT) % {_CMS_W} AS slot,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_CMS = _fmt_cms_sql()
+
+
 def _fmt_sketch_sql() -> tuple[str, str]:
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
@@ -1200,6 +1296,9 @@ QUERIES: dict[str, QueryFn] = {
     "training_data_pipeline": q_training_data_pipeline,
     "hll_user_registers": q_hll_user_registers,
     "hash_split_docs": q_hash_split_docs,
+    "per_source_cap": q_per_source_cap,
+    "doc_repetition_stats": q_doc_repetition_stats,
+    "cms_user_counts": q_cms_user_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1245,4 +1344,7 @@ ORACLES: dict[str, str] = {
     "training_data_pipeline": SQL_TRAINING_PIPELINE,
     "hll_user_registers": SQL_HLL_REGISTERS,
     "hash_split_docs": SQL_HASH_SPLIT,
+    "per_source_cap": SQL_PER_SOURCE_CAP,
+    "doc_repetition_stats": SQL_REPETITION,
+    "cms_user_counts": SQL_CMS,
 }

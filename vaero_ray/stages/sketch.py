@@ -167,3 +167,90 @@ def hash_split(
         return tbl.append_column(out, pa.array(lab.astype(object), pa.string()))
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------- count-min sketch
+
+# per-row 2-universal constants: (A_r * x + B_r) mod M61 — a single
+# linear round IS the textbook CMS hash family (pairwise independence is
+# exactly what the CMS error bound needs), and it keeps the SQL oracle a
+# one-liner per row
+CMS_A = tuple(
+    np.uint64(v % ((1 << 61) - 1))
+    for v in (
+        6364136223846793005,
+        3935559000370003845,
+        2862933555777941757,
+        3202034522624059733,
+    )
+)
+CMS_B = tuple(
+    np.uint64(v % ((1 << 61) - 1))
+    for v in (
+        1442695040888963407,
+        2691343689449507681,
+        7046029254386353087,
+        5459299619059547329,
+    )
+)
+
+
+def cms_slots(x: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row-``row`` CMS slot of each value: ((A_r*x + B_r) mod M61) mod w."""
+    h = _mod_m61(_mul_mod_m61(CMS_A[row], x) + CMS_B[row])
+    return (h % np.uint64(width)).astype(np.int64)
+
+
+def cms_registers(ds: rd.Dataset, col: str, width: int = 1024, depth: int = 4) -> rd.Dataset:
+    """Count-Min registers of ``col``: one output row per NONZERO counter,
+    ``(row, slot, cnt)``. Mergeable by SUM (commutative/associative), so
+    per-block partials bound the shuffle to depth x width small ints per
+    block regardless of input size. Estimates from the merged registers:
+    ``cms_estimate``. The column must be integer-typed."""
+    from ray.data.aggregate import Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(tbl.column(col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        if not len(x):
+            return pa.table(
+                {
+                    "row": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        xu = x.astype(np.uint64)
+        counters = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            np.add.at(counters[r], cms_slots(xu, r, width), 1)
+        rows, slots = np.nonzero(counters)
+        return pa.table(
+            {
+                "row": pa.array(rows.astype(np.int64), pa.int64()),
+                "slot": pa.array(slots.astype(np.int64), pa.int64()),
+                "cnt": pa.array(counters[rows, slots], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["row", "slot"]).aggregate(Sum("cnt", alias_name="cnt"))
+    return merged
+
+
+def cms_estimate(
+    registers: "pd.DataFrame | pa.Table", keys: np.ndarray, width: int = 1024, depth: int = 4
+) -> np.ndarray:
+    """Point frequency estimates (upper bounds; min over rows) for
+    ``keys`` from merged (row, slot, cnt) registers."""
+    if isinstance(registers, pa.Table):
+        registers = registers.to_pandas()
+    counters = np.zeros((depth, width), dtype=np.int64)
+    if len(registers):
+        counters[registers["row"].to_numpy(), registers["slot"].to_numpy()] = registers[
+            "cnt"
+        ].to_numpy()
+    keys = np.asarray(keys).astype(np.uint64)
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        np.minimum(est, counters[r, cms_slots(keys, r, width)], out=est)
+    return est

@@ -208,3 +208,54 @@ def lang_id_batch(tbl: pa.Table) -> pa.Table:
     if _LANG_ID_WORKER is None:
         _LANG_ID_WORKER = LangId()
     return _LANG_ID_WORKER(tbl)
+
+
+def repetition_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition counts per doc, exact integers: token
+    total/distinct/top-frequency and bigram total/distinct/top-frequency
+    (high top_token_n / n_tokens or top_bigram_n / n_bigrams flags
+    boilerplate and spam in web-corpus curation).
+
+    Vectorized: one dictionary-encode of the batch's flat token array,
+    then np.unique / bincount / maximum.at over integer (doc, code) keys
+    — no per-doc Python. SQL-identical via unnest + GROUP BY (tokens)
+    and a list comprehension join (bigrams)."""
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    n = tbl.num_rows
+    toks, off = _flat_tokens(tbl, text_col)
+    counts = off[1:] - off[:-1]
+    n_tok = counts.astype(np.int64)
+    n_dis = np.zeros(n, dtype=np.int64)
+    top_tok = np.zeros(n, dtype=np.int64)
+    n_big = np.maximum(n_tok - 1, 0)
+    n_disb = np.zeros(n, dtype=np.int64)
+    top_big = np.zeros(n, dtype=np.int64)
+    if len(toks):
+        codes = np.asarray(pc.dictionary_encode(toks).indices).astype(np.int64)
+        K = int(codes.max()) + 1
+        if K > 3_000_000:  # K^2 int64 headroom (docs x K^2 < 2^63)
+            raise ValueError("repetition_stats: batch vocabulary too large; lower batch_size")
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        uk, uc = np.unique(doc_idx * K + codes, return_counts=True)
+        doc_u = uk // K
+        n_dis += np.bincount(doc_u, minlength=n)
+        np.maximum.at(top_tok, doc_u, uc)
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            pair = codes[:-1][same] * K + codes[1:][same]
+            doc_b = doc_idx[:-1][same]
+            ubk, ubc = np.unique(doc_b * (K * K) + pair, return_counts=True)
+            doc_ub = ubk // (K * K)
+            n_disb += np.bincount(doc_ub, minlength=n)
+            np.maximum.at(top_big, doc_ub, ubc)
+    for name, arr in (
+        ("n_tokens", n_tok),
+        ("n_distinct_tokens", n_dis),
+        ("top_token_n", top_tok),
+        ("n_bigrams", n_big),
+        ("n_distinct_bigrams", n_disb),
+        ("top_bigram_n", top_big),
+    ):
+        tbl = tbl.append_column(name, pa.array(arr, pa.int64()))
+    return tbl
