@@ -85,12 +85,30 @@ def _consume(res) -> int:
     raise TypeError(f"unexpected result type {type(res)!r}")
 
 
+def _quiet_empty_bundle_warnings() -> None:
+    """Ray's executor logs one 'RefBundle with a different schema'
+    WARNING per EMPTY shuffle partition (empty blocks carry no schema).
+    At bench/test scale many sort partitions are empty; at real data
+    volumes they aren't. Cosmetic — filter just that message."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in rec.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
 def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
         from vaero_ray.pipelines.queries import QUERIES
+
+        _quiet_empty_bundle_warnings()
 
         # warm the worker pool (process spawn + imports) outside the timed
         # window — the suite measures sustained pipeline compute, and real

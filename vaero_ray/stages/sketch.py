@@ -220,9 +220,11 @@ def cms_registers(ds: rd.Dataset, col: str, width: int = 1024, depth: int = 4) -
                 }
             )
         xu = x.astype(np.uint64)
-        counters = np.zeros((depth, width), dtype=np.int64)
+        counters = np.empty((depth, width), dtype=np.int64)
         for r in range(depth):
-            np.add.at(counters[r], cms_slots(xu, r, width), 1)
+            # bincount = vectorized histogram (np.add.at is a scalar
+            # scatter loop and ~10x slower at this width)
+            counters[r] = np.bincount(cms_slots(xu, r, width), minlength=width)
         rows, slots = np.nonzero(counters)
         return pa.table(
             {
