@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "cms_user_counts",              # Count-Min frequency sketch (sum-merge counters)
     "per_source_cap",               # C4-style domain cap (partial prune + keyed head)
     "doc_repetition_stats",         # Gopher repetition counts (dictionary-encode kernel)
+    "doc_length_histogram",         # log-histogram quantile sketch (sum-merge bins)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack
     "media_features",               # multimodal decode -> integer pixel moments
     "video_frame_sample",           # frame sampling -> per-frame features

@@ -338,3 +338,26 @@ def test_repetition_stats_bruteforce():
         assert row.n_bigrams == max(len(toks) - 1, 0)
         assert row.n_distinct_bigrams == len(set(bigs))
         assert row.top_bigram_n == (max(bigs.count(x) for x in set(bigs)) if bigs else 0)
+
+
+def test_lhq_quantiles_accuracy_and_shard_invariance(ray_session):
+    from vaero_ray.stages.sketch import lhq_quantiles, lhq_registers
+
+    rng = np.random.default_rng(4)
+    # lognormal-ish lengths: the shape quantile sketches exist for
+    vals = np.exp(rng.normal(6, 1.2, size=30000)).astype(np.int64)
+    df = pd.DataFrame({"n_chars": vals})
+
+    def regs(n_blocks: int) -> pd.DataFrame:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        return (
+            lhq_registers(ds, "n_chars").to_pandas().sort_values("bin").reset_index(drop=True)
+        )
+
+    a, b = regs(1), regs(7)
+    pd.testing.assert_frame_equal(a, b)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = lhq_quantiles(a, qs)
+    true = np.quantile(vals, qs)
+    rel = np.abs(est - true) / true
+    assert (rel < 0.07).all(), (est, true, rel)  # 6.25% bin width + interp slack

@@ -1197,6 +1197,29 @@ FROM tk LEFT JOIN ts ON tk.doc_id = ts.doc_id
 """
 
 
+def q_doc_length_histogram(sf_dir: str):
+    """Log-histogram registers of document length: the mergeable-by-SUM
+    quantile sketch (<=6.25% relative bin width); length percentiles are
+    the standard corpus-filter threshold tool. Integer bins both sides —
+    SQL uses length(bin(v)), not float log2."""
+    from vaero_ray.stages.sketch import lhq_registers
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return lhq_registers(ds, "n_chars")
+
+
+SQL_LHQ = r"""
+WITH b AS (
+  SELECT n_chars AS v,
+         CASE WHEN n_chars = 0 THEN 0 ELSE length(bin(n_chars)) END AS bl
+  FROM documents)
+SELECT CAST(CASE WHEN v < 8 THEN v
+            ELSE (bl << 3) | ((v >> greatest(bl - 4, 0)) & 7) END AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1
+"""
+
+
 _CMS_W, _CMS_D = 1024, 4
 
 
@@ -1299,6 +1322,7 @@ QUERIES: dict[str, QueryFn] = {
     "per_source_cap": q_per_source_cap,
     "doc_repetition_stats": q_doc_repetition_stats,
     "cms_user_counts": q_cms_user_counts,
+    "doc_length_histogram": q_doc_length_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -1347,4 +1371,5 @@ ORACLES: dict[str, str] = {
     "per_source_cap": SQL_PER_SOURCE_CAP,
     "doc_repetition_stats": SQL_REPETITION,
     "cms_user_counts": SQL_CMS,
+    "doc_length_histogram": SQL_LHQ,
 }
