@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "per_source_cap",               # C4-style domain cap (partial prune + keyed head)
     "doc_repetition_stats",         # Gopher repetition counts (dictionary-encode kernel)
     "doc_length_histogram",         # log-histogram quantile sketch (sum-merge bins)
+    "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
+    "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack
     "media_features",               # multimodal decode -> integer pixel moments
     "video_frame_sample",           # frame sampling -> per-frame features

@@ -361,3 +361,77 @@ def test_lhq_quantiles_accuracy_and_shard_invariance(ray_session):
     true = np.quantile(vals, qs)
     rel = np.abs(est - true) / true
     assert (rel < 0.07).all(), (est, true, rel)  # 6.25% bin width + interp slack
+
+
+# ------------------------------------------------------------------ CEP
+
+
+def _brute_rolling(df: pd.DataFrame, w_s: int) -> pd.Series:
+    out = np.empty(len(df), dtype=np.int64)
+    w = np.timedelta64(w_s, "s")
+    for i, r in enumerate(df.itertuples()):
+        m = (df.user_id == r.user_id) & (df.ts >= r.ts - w) & (df.ts <= r.ts)
+        out[i] = int(m.sum())
+    return pd.Series(out, index=df.index)
+
+
+def test_rolling_counts_bruteforce_with_ties(ray_session):
+    from vaero_ray.stages.cep import rolling_counts
+
+    rng = np.random.default_rng(13)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            # coarse seconds -> guaranteed equal-ts peers (RANGE semantics)
+            "ts": pd.to_datetime(rng.integers(0, 3000, n), unit="s"),
+        }
+    )
+    want = _brute_rolling(df, 600)
+    ds = rd.from_pandas(df).repartition(5)
+    got = (
+        rolling_counts(ds, "user_id", "ts", 600, num_buckets=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (got["rolling_count"].to_numpy() == want.to_numpy()).all()
+
+
+def test_funnel_conversions_bruteforce(ray_session):
+    from vaero_ray.stages.cep import funnel_conversions
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 15, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 50000, n), unit="s"),
+            "event_type": rng.choice(["view", "purchase", "click"], n),
+        }
+    )
+    w = np.timedelta64(900, "s")
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        th = g[g.event_type == "purchase"]
+        if not len(th):
+            continue
+        fv = g[g.event_type == "view"]["ts"].to_numpy()
+        conv = sum(
+            1 for t in th["ts"] if ((fv >= t - w) & (fv <= np.datetime64(t))).any()
+        )
+        rows.append((uid, len(th), conv))
+    want = (
+        pd.DataFrame(rows, columns=["user_id", "n_then", "n_conv"])
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    got = (
+        funnel_conversions(ds, "user_id", "ts", "event_type", "view", "purchase", 900, num_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"user_id": "int64", "n_then": "int64", "n_conv": "int64"}))

@@ -1197,6 +1197,52 @@ FROM tk LEFT JOIN ts ON tk.doc_id = ts.doc_id
 """
 
 
+def q_rolling_user_counts(sf_dir: str):
+    """Per-event rolling 1-hour event count per user (burst / rate
+    detection): the per-event form of a sliding aggregate, one bucketed
+    shuffle + offset-searchsorted inside each bucket."""
+    from vaero_ray.stages.cep import rolling_counts
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    out = rolling_counts(ds, "user_id", "ts", window_s=3600, num_buckets=16)
+    return out.select_columns(["event_id", "user_id", "rolling_count"])
+
+
+SQL_ROLLING = r"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_count
+FROM events
+"""
+
+
+def q_funnel_view_purchase(sf_dir: str):
+    """A-then-B-within-T CEP funnel: per user, purchases overall and
+    purchases preceded by a view within 1 hour."""
+    from vaero_ray.stages.cep import funnel_conversions
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return funnel_conversions(
+        ds, "user_id", "ts", "event_type", first="view", then="purchase",
+        within_s=3600, num_buckets=16,
+    )
+
+
+SQL_FUNNEL = r"""
+WITH t AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT t.user_id,
+         EXISTS (SELECT 1 FROM events f
+                 WHERE f.user_id = t.user_id AND f.event_type = 'view'
+                   AND f.ts >= t.ts - INTERVAL 3600 SECONDS AND f.ts <= t.ts) AS c
+  FROM t)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_then,
+       CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+FROM conv GROUP BY user_id
+"""
+
+
 def q_doc_length_histogram(sf_dir: str):
     """Log-histogram registers of document length: the mergeable-by-SUM
     quantile sketch (<=6.25% relative bin width); length percentiles are
@@ -1323,6 +1369,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "cms_user_counts": q_cms_user_counts,
     "doc_length_histogram": q_doc_length_histogram,
+    "rolling_user_counts": q_rolling_user_counts,
+    "funnel_view_purchase": q_funnel_view_purchase,
 }
 
 ORACLES: dict[str, str] = {
@@ -1372,4 +1420,6 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": SQL_REPETITION,
     "cms_user_counts": SQL_CMS,
     "doc_length_histogram": SQL_LHQ,
+    "rolling_user_counts": SQL_ROLLING,
+    "funnel_view_purchase": SQL_FUNNEL,
 }

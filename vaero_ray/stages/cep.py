@@ -1,0 +1,104 @@
+"""Complex-event-processing operators over keyed event streams: per-event
+rolling event-time window aggregates and funnel (A-then-B-within-T)
+sequence detection.
+
+Both ride the engine's ONE-shuffle bucketed-groups pattern
+(``stages/keyed.py``): hash(key)%P buckets, then a single VECTORIZED
+pandas pass per bucket. Inside a bucket, per-key segments of the
+(key, ts)-sorted frame are processed with the offset-searchsorted trick —
+shift each key's int64 timestamps by ``key_code * OFF`` where OFF exceeds
+the bucket's time range + window, so one global ``np.searchsorted`` per
+bucket resolves every per-key window boundary without crossing keys (no
+per-key Python loop).
+
+Partitioning assumption (as everywhere in keyed.py): one bucket's rows
+fit in one task's heap.
+
+No reference counterpart (the reference has no windowed/CEP operators);
+extends the streaming tier mandated by the task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from vaero_ray.stages.keyed import DEFAULT_BUCKETS, bucketed_map_groups
+
+
+def _shifted_ts(df: pd.DataFrame, key: str, ts_col: str, pad_us: int) -> np.ndarray:
+    """Strictly-ordered composite of (key segment, int64 ts) for a
+    (key, ts)-sorted frame: codes*OFF + (ts - min), OFF > range + pad."""
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    codes = pd.factorize(df[key])[0].astype(np.int64)  # nondecreasing post-sort
+    base = ts - ts.min() if len(ts) else ts
+    off = (int(base.max()) if len(base) else 0) + pad_us + 2
+    return codes * off + base
+
+
+def rolling_counts(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    window_s: int,
+    out: str = "rolling_count",
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Per EVENT: how many of the same key's events fall in the
+    event-time window ``[ts - window_s, ts]`` (inclusive; equal-ts peers
+    count, matching SQL RANGE ... AND CURRENT ROW semantics). The
+    per-event form of a sliding aggregate — rate limiting / burst
+    detection over a log stream."""
+    w_us = int(window_s) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        s = _shifted_ts(df, key, ts_col, w_us)
+        lo = np.searchsorted(s, s - w_us, side="left")
+        hi = np.searchsorted(s, s, side="right")
+        df[out] = (hi - lo).astype(np.int64)
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def funnel_conversions(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    first: str,
+    then: str,
+    within_s: int,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Per KEY: total ``then``-type events and how many of them CONVERT —
+    i.e. have at least one ``first``-type event of the same key in
+    ``[ts - within_s, ts]``. The A-then-B-within-T CEP pattern
+    (view->purchase funnels, error-after-deploy alerts).
+
+    Output: one row per key with any ``then`` events:
+    ``(key, n_then, n_conv)``, integers."""
+    w_us = int(within_s) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        s = _shifted_ts(df, key, ts_col, w_us)
+        et = df[type_col].to_numpy()
+        f_mask = et == first
+        t_mask = et == then
+        sf = s[f_mask]
+        st = s[t_mask]
+        # per then-event: any first-event in the inclusive window?
+        n_in = np.searchsorted(sf, st, side="right") - np.searchsorted(
+            sf, st - w_us, side="left"
+        )
+        conv = (n_in > 0).astype(np.int64)
+        keys_then = df.loc[t_mask, key].reset_index(drop=True)
+        out = pd.DataFrame({key: keys_then, "__conv": conv})
+        g = out.groupby(key, sort=False)["__conv"].agg(["count", "sum"]).reset_index()
+        g.columns = [key, "n_then", "n_conv"]
+        return g.astype({"n_then": "int64", "n_conv": "int64"})
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
