@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "lineitem_pricing",             # two-phase aggregate, 600k rows
     "orders_customer_hash_join",    # partitioned hash join
     "purchase_asof_view",           # backward as-of join
+    "customers_no_big_orders",      # anti join (existence filter, keys-only right shuffle)
     "distinct_users_per_type",      # salted exact distinct
     "top10_orders",                 # global sort + limit
 ]

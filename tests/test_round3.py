@@ -435,3 +435,28 @@ def test_funnel_conversions_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want.astype({"user_id": "int64", "n_then": "int64", "n_conv": "int64"}))
+
+
+def test_semi_and_anti_join_bruteforce(ray_session):
+    from vaero_ray.stages.joins import semi_join
+
+    rng = np.random.default_rng(33)
+    ldf = pd.DataFrame(
+        {"k": rng.integers(0, 50, 600).astype(np.int64), "v": np.arange(600, dtype=np.int64)}
+    )
+    rdf = pd.DataFrame({"k": rng.integers(25, 75, 300).astype(np.int64)})
+    l = rd.from_pandas(ldf).repartition(4)
+    r = rd.from_pandas(rdf).repartition(3)
+    rkeys = set(rdf.k)
+    for anti in (False, True):
+        got = (
+            semi_join(l, r, "k", anti=anti, num_buckets=4)
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        want = (
+            ldf[ldf.k.isin(rkeys) != anti].sort_values("v").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert got.dtypes["k"] == np.int64  # no float degrade through the union

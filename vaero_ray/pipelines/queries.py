@@ -1197,6 +1197,31 @@ FROM tk LEFT JOIN ts ON tk.doc_id = ts.doc_id
 """
 
 
+def q_customers_no_big_orders(sf_dir: str):
+    """Anti join (existence filter): customers with NO order above 300k.
+    The right side shrinks to distinct keys before the shuffle — the
+    decontamination pattern as a first-class relational operator."""
+    from vaero_ray.stages.joins import semi_join
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def big_cust(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t.column("o_totalprice"), 300000.0))
+        return keep.select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    big = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]).map_batches(
+        big_cust, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return semi_join(cust, big, "c_custkey", anti=True, num_buckets=8)
+
+
+SQL_ANTI_JOIN = r"""
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
 def q_rolling_user_counts(sf_dir: str):
     """Per-event rolling 1-hour event count per user (burst / rate
     detection): the per-event form of a sliding aggregate, one bucketed
@@ -1371,6 +1396,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_length_histogram": q_doc_length_histogram,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
+    "customers_no_big_orders": q_customers_no_big_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -1422,4 +1448,5 @@ ORACLES: dict[str, str] = {
     "doc_length_histogram": SQL_LHQ,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
+    "customers_no_big_orders": SQL_ANTI_JOIN,
 }

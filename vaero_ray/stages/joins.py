@@ -261,3 +261,49 @@ def asof_join(
 
     tagged = left.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: str | list[str],
+    anti: bool = False,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Semi (``anti=False``) / anti (``anti=True``) join: keep left rows
+    whose key does (not) appear in ``right``. Output columns = left's.
+
+    Scale shape: the right side is PROJECTED TO ITS DISTINCT KEYS per
+    block before the single bucketed shuffle — the exchange carries
+    left's rows plus only right's key values (the decontamination /
+    existence-filter pattern; unlike a full join, no right payload
+    moves). Right rows pad left's non-key columns with typed nulls, but
+    there are only distinct-keys-many of them."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lsch = left.schema()
+    lcols = lsch.names
+    types = dict(zip(lsch.names, lsch.types))
+
+    def rkeys(tbl: pa.Table) -> pa.Table:
+        # per-block distinct of the key projection (combiner: global
+        # distinct == distinct of per-block distincts)
+        out = tbl.select(keys).group_by(keys).aggregate([])
+        n = out.num_rows
+        return pa.table(
+            {c: (out.column(c) if c in keys else pa.nulls(n, types[c])) for c in lcols}
+        )
+
+    l = left.map_batches(_tag(0, keys, num_buckets), batch_format="pyarrow", zero_copy_batch=True)
+    r = right.map_batches(rkeys, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        _tag(1, keys, num_buckets), batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        ldf = df[df["__side"] == 0][lcols]
+        rk = df[df["__side"] == 1][keys].drop_duplicates()
+        m = ldf.merge(rk, on=keys, how="left", indicator=True)
+        keep = m["_merge"] == ("left_only" if anti else "both")
+        return _restore_int_dtypes(m.loc[keep, lcols].reset_index(drop=True), types)
+
+    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
