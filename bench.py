@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "pack_sequences",               # GPT-style packing (distributed ordered prefix sum)
     "contamination_check",          # train/test 13-gram decontamination (gram-sharded)
     "hll_user_registers",           # HyperLogLog distinct sketch (mergeable registers)
+    "hll_users_by_type",            # per-group HLL (sketch x keyed aggregate)
     "hash_split_docs",              # deterministic hash train/val split
     "cms_user_counts",              # Count-Min frequency sketch (sum-merge counters)
     "per_source_cap",               # C4-style domain cap (partial prune + keyed head)

@@ -460,3 +460,32 @@ def test_semi_and_anti_join_bruteforce(ray_session):
         )
         pd.testing.assert_frame_equal(got, want)
         assert got.dtypes["k"] == np.int64  # no float degrade through the union
+
+
+def test_hll_registers_by_matches_per_group_hll(ray_session):
+    """Composed per-group registers must equal running the plain sketch
+    on each group separately (and stay shard-invariant)."""
+    from vaero_ray.stages.sketch import hll_registers, hll_registers_by
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 800, 15000).astype(np.int64),
+            "g": rng.choice(["x", "y", "z"], 15000),
+        }
+    )
+    by = (
+        hll_registers_by(rd.from_pandas(df).repartition(6), "u", "g", p=8)
+        .to_pandas()
+        .sort_values(["g", "bucket"])
+        .reset_index(drop=True)
+    )
+    for g, sub in by.groupby("g"):
+        single = (
+            hll_registers(rd.from_pandas(df[df.g == g][["u"]]), "u", p=8)
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        got = sub[["bucket", "max_rho"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, single)

@@ -1112,6 +1112,39 @@ FROM w GROUP BY bucket
 """
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """Per-group HLL registers: approximate distinct users per event
+    type — the sketch composed with a keyed aggregate (scale path of the
+    exact `distinct_users_per_type` query)."""
+    from vaero_ray.stages.sketch import hll_registers_by
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return hll_registers_by(ds, "user_id", "event_type", p=_HLL_P)
+
+
+SQL_HLL_BY = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT event_type,
+         CAST(((A * ((CASE WHEN user_id < 0
+                THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+                ELSE CAST(user_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM events, m),
+hs AS (
+  SELECT event_type,
+         CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m),
+w AS (SELECT event_type, hv >> (61 - {p}) AS bucket,
+             ((hv & ((1::BIGINT << (61 - {p})) - 1)) | (1::BIGINT << (61 - {p}))) AS wv
+      FROM hs)
+SELECT event_type, bucket,
+       CAST(MAX(bit_count((wv & (-wv)) - 1) + 1) AS BIGINT) AS max_rho
+FROM w GROUP BY event_type, bucket
+"""
+
+
 def q_hash_split_docs(sf_dir: str):
     """Deterministic hash-based train/val split of documents — stable
     across runs, workers, and input re-sharding (a resumable 100-TB
@@ -1330,7 +1363,7 @@ FROM events GROUP BY 1, 2"""
 SQL_CMS = _fmt_cms_sql()
 
 
-def _fmt_sketch_sql() -> tuple[str, str]:
+def _fmt_sketch_sql() -> tuple[str, str, str]:
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
     subs = {
@@ -1341,10 +1374,14 @@ def _fmt_sketch_sql() -> tuple[str, str]:
         "XS": HLL_XS,
         "p": _HLL_P,
     }
-    return SQL_HLL_REGISTERS.format(**subs), SQL_HASH_SPLIT.format(**subs)
+    return (
+        SQL_HLL_REGISTERS.format(**subs),
+        SQL_HASH_SPLIT.format(**subs),
+        SQL_HLL_BY.format(**subs),
+    )
 
 
-SQL_HLL_REGISTERS, SQL_HASH_SPLIT = _fmt_sketch_sql()
+SQL_HLL_REGISTERS, SQL_HASH_SPLIT, SQL_HLL_BY = _fmt_sketch_sql()
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -1397,6 +1434,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
+    "hll_users_by_type": q_hll_users_by_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -1449,4 +1487,5 @@ ORACLES: dict[str, str] = {
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
+    "hll_users_by_type": SQL_HLL_BY,
 }

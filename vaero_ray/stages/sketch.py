@@ -331,3 +331,47 @@ def lhq_quantiles(registers: "pd.DataFrame | pa.Table", qs) -> np.ndarray:
         frac = (rank - prev) / cnt[j] if cnt[j] else 0.0
         out[i] = lo[j] + frac * (hi[j] - lo[j])
     return out
+
+
+def hll_registers_by(ds: rd.Dataset, col: str, group: str, p: int = 8) -> rd.Dataset:
+    """Per-GROUP HLL registers: ``(group, bucket, max_rho)`` — the
+    sketch composed with a keyed aggregate (approximate distinct-per-key
+    at corpus scale; the exact salted-distinct operator is the small-
+    cardinality alternative). Shuffle moves at most groups x 2^p small
+    rows per block."""
+    import pyarrow.compute as pc
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group: pa.array([], tbl.schema.field(group).type),
+                "bucket": pa.array([], pa.int64()),
+                "max_rho": pa.array([], pa.int64()),
+            }
+        )
+        if not tbl.num_rows:
+            return empty
+        x = np.asarray(tbl.column(col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        bucket, rho = hll_bucket_rho(x.astype(np.uint64), p)
+        enc = pc.dictionary_encode(tbl.column(group).combine_chunks())
+        gcodes = np.asarray(enc.indices).astype(np.int64)
+        gvals = enc.dictionary
+        key = gcodes << np.int64(p) | bucket
+        uk, inv = np.unique(key, return_inverse=True)
+        maxr = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(maxr, inv, rho)
+        return pa.table(
+            {
+                group: gvals.take(pa.array(uk >> np.int64(p), pa.int64())),
+                "bucket": pa.array(uk & ((1 << p) - 1), pa.int64()),
+                "max_rho": pa.array(maxr, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby([group, "bucket"]).max("max_rho")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns([group, "bucket", "max_rho"])
+
+    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
