@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "hll_users_by_type",            # per-group HLL (sketch x keyed aggregate)
     "hash_split_docs",              # deterministic hash train/val split
     "cms_user_counts",              # Count-Min frequency sketch (sum-merge counters)
+    "bloom_user_filter",            # Bloom membership filter (bit_or-merge words)
     "per_source_cap",               # C4-style domain cap (partial prune + keyed head)
     "doc_repetition_stats",         # Gopher repetition counts (dictionary-encode kernel)
     "doc_length_histogram",         # log-histogram quantile sketch (sum-merge bins)

@@ -489,3 +489,31 @@ def test_hll_registers_by_matches_per_group_hll(ray_session):
         )
         got = sub[["bucket", "max_rho"]].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, single)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(ray_session):
+    from vaero_ray.stages.sketch import bloom_may_contain, bloom_registers
+
+    ins = np.random.default_rng(8).choice(10**9, size=5000, replace=False).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": ins})).repartition(6)
+    regs = bloom_registers(ds, "k", m_bits=1 << 16).to_pandas()
+    assert bloom_may_contain(regs, ins, m_bits=1 << 16).all()  # never a false negative
+    absent = np.arange(2 * 10**9, 2 * 10**9 + 40000, dtype=np.int64)
+    fpr = float(bloom_may_contain(regs, absent, m_bits=1 << 16).mean())
+    # k=3, n=5000, m=65536 -> theoretical FPR ~0.9%; allow 3%
+    assert fpr < 0.03, fpr
+
+
+def test_bloom_registers_shard_invariant(ray_session):
+    from vaero_ray.stages.sketch import bloom_registers
+
+    vals = np.random.default_rng(14).integers(0, 3000, 20000).astype(np.int64)
+    df = pd.DataFrame({"k": vals})
+
+    def regs(n_blocks: int) -> pd.DataFrame:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        return (
+            bloom_registers(ds, "k").to_pandas().sort_values("word").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(regs(1), regs(9))

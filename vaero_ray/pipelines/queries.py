@@ -1324,6 +1324,47 @@ FROM b GROUP BY 1
 """
 
 
+_BLOOM_M = 1 << 16
+
+
+def q_bloom_user_filter(sf_dir: str):
+    """Bloom-filter registers of the user-id set: the OR-mergeable
+    membership sketch a 100-TB decontamination pass broadcasts as its
+    pre-filter (definite-absence answers skip the expensive exact join).
+    No false negatives; FPR tested in tests/test_round3.py."""
+    from vaero_ray.stages.sketch import bloom_registers
+
+    return bloom_registers(_events(sf_dir, columns=["user_id"]), "user_id", m_bits=_BLOOM_M)
+
+
+def _fmt_bloom_sql() -> str:
+    from vaero_ray.stages.sketch import _BLOOM_K, _WORD_BITS, CMS_A, CMS_B
+
+    parts = []
+    for r in range(_BLOOM_K):
+        parts.append(
+            f"""
+SELECT CAST(((CAST({int(CMS_A[r])} AS HUGEINT)
+     * ((CASE WHEN user_id < 0
+          THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+          ELSE CAST(user_id AS HUGEINT) END) % CAST(2305843009213693951 AS HUGEINT)))
+     % CAST(2305843009213693951 AS HUGEINT)
+     + CAST({int(CMS_B[r])} AS HUGEINT)) % CAST(2305843009213693951 AS HUGEINT)
+     AS BIGINT) % {_BLOOM_M} AS p
+FROM events"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH pos AS ({union})
+SELECT p // {_WORD_BITS} AS word,
+       CAST(bit_or(1::BIGINT << (p % {_WORD_BITS})) AS BIGINT) AS bits
+FROM pos GROUP BY 1
+"""
+
+
+SQL_BLOOM = _fmt_bloom_sql()
+
+
 _CMS_W, _CMS_D = 1024, 4
 
 
@@ -1435,6 +1476,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
     "hll_users_by_type": q_hll_users_by_type,
+    "bloom_user_filter": q_bloom_user_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -1488,4 +1530,5 @@ ORACLES: dict[str, str] = {
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
     "hll_users_by_type": SQL_HLL_BY,
+    "bloom_user_filter": SQL_BLOOM,
 }

@@ -375,3 +375,70 @@ def hll_registers_by(ds: rd.Dataset, col: str, group: str, p: int = 8) -> rd.Dat
         return tbl.rename_columns([group, "bucket", "max_rho"])
 
     return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------- bloom filter
+
+_BLOOM_K = 3  # hash functions; FPR ~ (1 - e^{-kn/m})^k
+_WORD_BITS = 62  # usable bits per int64 word (sign + top bit avoided so
+#                  the SQL twin's 1::BIGINT << b never overflows)
+
+
+def bloom_positions(x: np.ndarray, m_bits: int, r: int) -> np.ndarray:
+    """Bit position of value ``x`` under hash ``r`` (reuses the CMS
+    2-universal family — independent constants per r)."""
+    h = _mod_m61(_mul_mod_m61(CMS_A[r], x) + CMS_B[r])
+    return (h % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_registers(ds: rd.Dataset, col: str, m_bits: int = 1 << 16) -> rd.Dataset:
+    """Bloom-filter registers of ``col``: one row per NONZERO 62-bit
+    word, ``(word, bits)``. Mergeable by bitwise OR (idempotent +
+    commutative), so per-block partials bound the shuffle to m/62 small
+    ints per block — the pre-filter a 100-TB decontamination pass ships
+    to every worker instead of the raw key set."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], pa.int64()), "bits": pa.array([], pa.int64())})
+        if not tbl.num_rows:
+            return empty
+        x = np.asarray(tbl.column(col).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        words = np.zeros(n_words, dtype=np.int64)
+        for r in range(_BLOOM_K):
+            pos = bloom_positions(x, m_bits, r)
+            np.bitwise_or.at(words, pos // _WORD_BITS, np.int64(1) << (pos % _WORD_BITS))
+        nz = np.flatnonzero(words)
+        return pa.table({"word": pa.array(nz, pa.int64()), "bits": pa.array(words[nz], pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("word", sort=False)["bits"]
+            .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+            .reset_index()
+        )
+        return out.astype({"word": "int64", "bits": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_map_groups(partials, "word", merge, num_buckets=4)
+
+
+def bloom_may_contain(
+    registers: "pd.DataFrame | pa.Table", keys: np.ndarray, m_bits: int = 1 << 16
+) -> np.ndarray:
+    """Membership test against merged (word, bits) registers: True = may
+    be present (false positives possible), False = DEFINITELY absent."""
+    if isinstance(registers, pa.Table):
+        registers = registers.to_pandas()
+    n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
+    words = np.zeros(n_words, dtype=np.int64)
+    if len(registers):
+        words[registers["word"].to_numpy()] = registers["bits"].to_numpy()
+    keys = np.asarray(keys).astype(np.uint64)
+    ok = np.ones(len(keys), dtype=bool)
+    for r in range(_BLOOM_K):
+        pos = bloom_positions(keys, m_bits, r)
+        ok &= (words[pos // _WORD_BITS] >> (pos % _WORD_BITS)) & 1 == 1
+    return ok
