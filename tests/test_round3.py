@@ -517,3 +517,27 @@ def test_bloom_registers_shard_invariant(ray_session):
         )
 
     pd.testing.assert_frame_equal(regs(1), regs(9))
+
+
+def test_semi_join_bloom_prefilter_identical(ray_session):
+    """Bloom-prefiltered semi/anti must return exactly the unfiltered
+    result (no false negatives by construction)."""
+    from vaero_ray.stages.joins import semi_join
+
+    rng = np.random.default_rng(41)
+    ldf = pd.DataFrame(
+        {"k": rng.integers(0, 10**6, 4000).astype(np.int64), "v": np.arange(4000, dtype=np.int64)}
+    )
+    rdf = pd.DataFrame({"k": rng.choice(ldf.k.to_numpy(), 500)})
+    l = rd.from_pandas(ldf).repartition(5)
+    r = rd.from_pandas(rdf).repartition(2)
+    for anti in (False, True):
+        plain = (
+            semi_join(l, r, "k", anti=anti, num_buckets=4)
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        pre = (
+            semi_join(l, r, "k", anti=anti, num_buckets=4, bloom_prefilter=True)
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(pre, plain)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -269,6 +270,8 @@ def semi_join(
     keys: str | list[str],
     anti: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
+    bloom_prefilter: bool = False,
+    bloom_m_bits: int = 1 << 20,
 ) -> rd.Dataset:
     """Semi (``anti=False``) / anti (``anti=True``) join: keep left rows
     whose key does (not) appear in ``right``. Output columns = left's.
@@ -278,11 +281,47 @@ def semi_join(
     left's rows plus only right's key values (the decontamination /
     existence-filter pattern; unlike a full join, no right payload
     moves). Right rows pad left's non-key columns with typed nulls, but
-    there are only distinct-keys-many of them."""
+    there are only distinct-keys-many of them.
+
+    ``bloom_prefilter=True`` (single integer key only) first builds a
+    Bloom filter of the right key set (m/62 int64 words), broadcasts it
+    via ``ray.put``, and resolves DEFINITE-ABSENCE rows before the
+    shuffle: semi drops them locally; anti emits them locally (absence
+    is the keep condition). Only may-contain rows — the right-set hit
+    rate plus the FPR — ride the exchange, which is the whole point of
+    the pre-filter at 100 TB. Results are exactly identical to the
+    unfiltered path (no false negatives)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     lsch = left.schema()
     lcols = lsch.names
     types = dict(zip(lsch.names, lsch.types))
+
+    if bloom_prefilter and len(keys) == 1 and pa.types.is_integer(types[keys[0]]):
+        import ray as _ray
+
+        from vaero_ray.stages.sketch import bloom_may_contain, bloom_registers
+
+        key = keys[0]
+        # the register table is tiny by construction (<= m/62 rows)
+        regs = bloom_registers(right, key, m_bits=bloom_m_bits).to_pandas()
+        regs_ref = _ray.put(regs)
+        m_bits = bloom_m_bits
+
+        def split(tbl: pa.Table, want_hit: bool) -> pa.Table:
+            x = np.asarray(tbl.column(key).to_numpy(zero_copy_only=False))
+            hit = bloom_may_contain(_ray.get(regs_ref), x, m_bits=m_bits)
+            return tbl.filter(pa.array(hit if want_hit else ~hit))
+
+        maybe = left.map_batches(
+            lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
+        )
+        exact = semi_join(maybe, right, keys, anti=anti, num_buckets=num_buckets)
+        if not anti:
+            return exact  # definite-absence rows can never pass a semi join
+        definite = left.map_batches(
+            lambda t: split(t, False), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return exact.union(definite)
 
     def rkeys(tbl: pa.Table) -> pa.Table:
         # per-block distinct of the key projection (combiner: global
