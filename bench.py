@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "cms_user_counts",              # Count-Min frequency sketch (sum-merge counters)
     "bloom_user_filter",            # Bloom membership filter (bit_or-merge words)
     "per_source_cap",               # C4-style domain cap (partial prune + keyed head)
+    "stratified_sample_docs",       # data-mixing weights (deterministic hash sampling)
     "doc_repetition_stats",         # Gopher repetition counts (dictionary-encode kernel)
     "doc_length_histogram",         # log-histogram quantile sketch (sum-merge bins)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)

@@ -541,3 +541,33 @@ def test_semi_join_bloom_prefilter_identical(ray_session):
             .to_pandas().sort_values("v").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(pre, plain)
+
+
+def test_stratified_sample_nested_and_stable(ray_session):
+    """Nested rates give nested samples; re-sharding never moves a row
+    in or out of the sample; per-stratum rates land near target."""
+    from vaero_ray.stages.corpus import stratified_sample
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(30000, dtype=np.int64),
+            "source": rng.choice(["a", "b"], 30000),
+        }
+    )
+
+    def sample(rates, n_blocks):
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = stratified_sample(ds, "doc_id", "source", rates).to_pandas()
+        return set(out.doc_id)
+
+    s300 = sample({"a": 300, "b": 300}, 3)
+    s600 = sample({"a": 600, "b": 600}, 3)
+    assert s300 <= s600  # nested rates -> nested samples
+    assert sample({"a": 300, "b": 300}, 11) == s300  # shard-invariant
+    mixed = sample({"a": 1000, "b": 200}, 4)
+    got = df[df.doc_id.isin(mixed)].source.value_counts()
+    na = (df.source == "a").sum()
+    nb = (df.source == "b").sum()
+    assert got["a"] == na
+    assert abs(got["b"] / nb - 0.2) < 0.02

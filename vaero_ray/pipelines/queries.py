@@ -1407,7 +1407,39 @@ FROM events GROUP BY 1, 2"""
 SQL_CMS = _fmt_cms_sql()
 
 
-def _fmt_sketch_sql() -> tuple[str, str, str]:
+_MIX_RATES = {"src0": 1000, "src1": 300, "src2": 0}
+_MIX_DEFAULT = 500
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Deterministic per-source downsampling (data-mixing weights):
+    keep all of src0, 30% of src1, none of src2, 50% elsewhere — a
+    stateless pure-function-of-the-row filter (stable across runs,
+    workers, and re-sharding; nested rates give nested samples)."""
+    from vaero_ray.stages.corpus import stratified_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return stratified_sample(ds, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
+
+
+SQL_STRATIFIED = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT doc_id, source,
+    CAST(((A * ((CASE WHEN doc_id < 0
+         THEN CAST(doc_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+         ELSE CAST(doc_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM documents, m)
+SELECT doc_id, source FROM h1, m
+WHERE CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) % 1000
+      < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 300 WHEN 'src2' THEN 0
+                    ELSE 500 END
+"""
+
+
+def _fmt_sketch_sql() -> tuple[str, str, str, str]:
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
     subs = {
@@ -1422,10 +1454,11 @@ def _fmt_sketch_sql() -> tuple[str, str, str]:
         SQL_HLL_REGISTERS.format(**subs),
         SQL_HASH_SPLIT.format(**subs),
         SQL_HLL_BY.format(**subs),
+        SQL_STRATIFIED.format(**subs),
     )
 
 
-SQL_HLL_REGISTERS, SQL_HASH_SPLIT, SQL_HLL_BY = _fmt_sketch_sql()
+SQL_HLL_REGISTERS, SQL_HASH_SPLIT, SQL_HLL_BY, SQL_STRATIFIED = _fmt_sketch_sql()
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -1480,6 +1513,7 @@ QUERIES: dict[str, QueryFn] = {
     "customers_no_big_orders": q_customers_no_big_orders,
     "hll_users_by_type": q_hll_users_by_type,
     "bloom_user_filter": q_bloom_user_filter,
+    "stratified_sample_docs": q_stratified_sample_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1534,4 +1568,5 @@ ORACLES: dict[str, str] = {
     "customers_no_big_orders": SQL_ANTI_JOIN,
     "hll_users_by_type": SQL_HLL_BY,
     "bloom_user_filter": SQL_BLOOM,
+    "stratified_sample_docs": SQL_STRATIFIED,
 }

@@ -56,3 +56,34 @@ def cap_per_key(
 
     partial = ds.map_batches(prune, batch_format="pandas")
     return bucketed_map_groups(partial, key, final, num_buckets=num_buckets)
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    strata_col: str,
+    permille: dict[str, int],
+    default_permille: int = 1000,
+) -> rd.Dataset:
+    """Deterministic per-stratum downsampling — the data-mixing knob of
+    a training corpus (e.g. keep 100% of books, 30% of web crawl). A row
+    survives iff ``hash(id) % 1000 < permille[stratum]``: a pure
+    function of the row, so the sample is stable across runs, workers
+    and re-sharding, and nested rates are nested samples (a 300-permille
+    sample is a subset of the 600-permille one). Stateless map — no
+    shuffle."""
+    import numpy as np
+    import pyarrow as pa_
+
+    from vaero_ray.stages.sketch import hll_hash
+
+    def per_batch(tbl: pa_.Table) -> pa_.Table:
+        x = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        h = (hll_hash(x) % np.uint64(1000)).astype(np.int64)
+        strata = tbl.column(strata_col).to_pandas().to_numpy()
+        limits = np.full(len(h), default_permille, dtype=np.int64)
+        for s, r in permille.items():
+            limits[strata == s] = r
+        return tbl.filter(pa_.array(h < limits))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
