@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "minhash_dup_edges",            # MinHash+LSH near-dup
     "dup_clusters",                 # connected-components dup clusters (fixpoint)
     "ann_topk_bruteforce",          # embedding similarity search
+    "label_centroid_sums",          # exact per-label centroids (vector 2-phase agg)
     "embedding_lsh_dups",           # hyperplane-LSH near-dup (axes/gate config)
     "simhash_dup_pairs",            # 62-bit simhash banded near-dup (1.4M pairs at sf0.1)
     "lang_id",                      # stopword-argmax language ID (actor pool)

@@ -571,3 +571,34 @@ def test_stratified_sample_nested_and_stable(ray_session):
     nb = (df.source == "b").sum()
     assert got["a"] == na
     assert abs(got["b"] / nb - 0.2) < 0.02
+
+
+def test_label_centroid_sums_matches_numpy(ray_session):
+    from vaero_ray.stages.ann import label_centroid_sums
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 5, n).astype(np.int64)
+    df = pd.DataFrame({"embedding": list(emb), "label": lab})
+
+    def run(n_blocks: int) -> pd.DataFrame:
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        return (
+            label_centroid_sums(ds)
+            .to_pandas()
+            .sort_values(["label", "dim"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)  # order/shard invariant (integer sums)
+    micro = np.floor(emb.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    for l in range(5):
+        sub = a[a.label == l]
+        want = micro[lab == l].sum(axis=0)
+        assert (sub.sort_values("dim")["sum_micro"].to_numpy() == want).all()
+        assert (sub["n_vecs"] == (lab == l).sum()).all()
+        # derived centroid tracks the float mean
+        cent = want / ((lab == l).sum() * 1e6)
+        np.testing.assert_allclose(cent, emb[lab == l].mean(axis=0), atol=1e-5)

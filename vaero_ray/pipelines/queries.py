@@ -1407,6 +1407,29 @@ FROM events GROUP BY 1, 2"""
 SQL_CMS = _fmt_cms_sql()
 
 
+def q_label_centroid_sums(sf_dir: str):
+    """Distributed exact per-label centroid accumulators (two-phase
+    vector aggregate, integer micro-units so sums are order-independent
+    and SQL-exact)."""
+    from vaero_ray.stages.ann import label_centroid_sums
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+    return label_centroid_sums(ds)
+
+
+# fixture embeddings are 64-dim (both gate scales); the Ray side derives
+# d from the data, the oracle pins the same width
+SQL_CENTROID_SUMS = r"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS dim)
+SELECT CAST(label AS BIGINT) AS label, CAST(d.dim AS BIGINT) AS dim,
+  CAST(SUM(CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+       AS BIGINT) AS sum_micro,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings, dims d
+GROUP BY label, d.dim
+"""
+
+
 _MIX_RATES = {"src0": 1000, "src1": 300, "src2": 0}
 _MIX_DEFAULT = 500
 
@@ -1514,6 +1537,7 @@ QUERIES: dict[str, QueryFn] = {
     "hll_users_by_type": q_hll_users_by_type,
     "bloom_user_filter": q_bloom_user_filter,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "label_centroid_sums": q_label_centroid_sums,
 }
 
 ORACLES: dict[str, str] = {
@@ -1569,4 +1593,5 @@ ORACLES: dict[str, str] = {
     "hll_users_by_type": SQL_HLL_BY,
     "bloom_user_filter": SQL_BLOOM,
     "stratified_sample_docs": SQL_STRATIFIED,
+    "label_centroid_sums": SQL_CENTROID_SUMS,
 }

@@ -27,6 +27,9 @@ def _mat(tbl: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
     arr = tbl.column(col).combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if not isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        # Ray tensor extension array (rd.from_pandas of ndarray rows)
+        return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=dtype)
     flat = np.asarray(arr.flatten(), dtype=dtype)
     dim = len(flat) // len(arr)
     return flat.reshape(len(arr), dim)
@@ -159,3 +162,57 @@ def ivf_topk(
         concurrency = auto_concurrency(frac=0.5)
     partials = ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)
     return partials.sort(["cosine_sim", id_col], descending=[True, False]).limit(k)
+
+
+def label_centroid_sums(
+    ds: rd.Dataset,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Distributed EXACT per-label centroid accumulators: one row per
+    (label, dim) with the micro-unit component sum and vector count —
+    the two-phase vector aggregate behind supervised centroid training
+    (complement of the driver-sampled k-means in ``train_centroids``).
+
+    Components are fixed-pointed FIRST (``floor(v*scale + 0.5)``, exact
+    in float64 on both sides) so the sums are integers: associative,
+    order-independent, and SQL-hash-exact — float sums would differ in
+    the last ulp under re-ordering. Shuffle moves labels x dims small
+    rows per block. Centroid = sum_micro / (n_vecs * scale)."""
+    from ray.data.aggregate import Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], tbl.schema.field(label_col).type),
+                "dim": pa.array([], pa.int64()),
+                "sum_micro": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+        if not tbl.num_rows:
+            return empty
+        m = _mat(tbl, emb_col, dtype=np.float64)
+        micro = np.floor(m * scale + 0.5).astype(np.int64)
+        enc = tbl.column(label_col).combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        n_lab = len(enc.dictionary)
+        d = micro.shape[1]
+        sums = np.zeros((n_lab, d), dtype=np.int64)
+        np.add.at(sums, codes, micro)
+        counts = np.bincount(codes, minlength=n_lab).astype(np.int64)
+        lab_idx = np.repeat(np.arange(n_lab, dtype=np.int64), d)
+        return pa.table(
+            {
+                "label": enc.dictionary.take(pa.array(lab_idx, pa.int64())),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n_lab)),
+                "sum_micro": pa.array(sums.ravel(), pa.int64()),
+                "n_vecs": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["label", "dim"]).aggregate(
+        Sum("sum_micro", alias_name="sum_micro"), Sum("n_vecs", alias_name="n_vecs")
+    )
