@@ -602,3 +602,67 @@ def test_label_centroid_sums_matches_numpy(ray_session):
         # derived centroid tracks the float mean
         cent = want / ((lab == l).sum() * 1e6)
         np.testing.assert_allclose(cent, emb[lab == l].mean(axis=0), atol=1e-5)
+
+
+def test_streaming_hll_estimates_track_exact_distinct(ray_session, tmp_path):
+    """Run the streaming register job on a DENSE synthetic stream and
+    check the derived per-(type, hour) distinct estimates against exact
+    distincts (p=8 -> SE ~6.5%; allow 20%)."""
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.sketch import hll_bucket_rho, hll_estimate
+    from vaero_ray.stages.windows import AggSpec
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    rng = np.random.default_rng(7)
+    n = 24000
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b"], n),
+            "ts": pd.to_datetime(rng.integers(0, 6 * 3600, n), unit="s"),
+            "user_id": rng.integers(0, 400, n).astype(np.int64),
+        }
+    ).sort_values("ts")
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i * n // 3 : (i + 1) * n // 3], preserve_index=False),
+            ind / f"chunk-{i:04d}.parquet",
+        )
+
+    def pre(ds):
+        def per_batch(tbl):
+            x = np.asarray(tbl.column("user_id").to_numpy(zero_copy_only=False)).astype(np.int64)
+            bucket, rho = hll_bucket_rho(x.astype(np.uint64), 8)
+            return (
+                tbl.drop_columns("user_id")
+                .append_column("bucket", pa.array(bucket, pa.int64()))
+                .append_column("rho", pa.array(rho, pa.int64()))
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    job = StreamingWindowedJob(
+        input_dir=str(ind),
+        out_dir=str(tmp_path / "out"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        keys=["event_type", "bucket"],
+        aggs=[AggSpec("rho", "max", "max_rho")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=2,
+        transform=pre,
+    )
+    job.run()
+    regs = job.committed_output().to_pandas()
+    df["window_start"] = df.ts.dt.floor("h")
+    exact = df.groupby(["event_type", "window_start"])["user_id"].nunique()
+    checked = 0
+    for (et, ws), sub in regs.groupby(["event_type", "window_start"]):
+        true = int(exact.loc[(et, ws)])
+        est = hll_estimate(sub[["bucket", "max_rho"]], p=8)
+        assert abs(est - true) / true < 0.20, (et, ws, est, true)
+        checked += 1
+    assert checked == 12  # 2 types x 6 hours

@@ -1407,6 +1407,92 @@ FROM events GROUP BY 1, 2"""
 SQL_CMS = _fmt_cms_sql()
 
 
+def q_streaming_hll_distinct(sf_dir: str):
+    """STREAMING approximate distinct users per (event_type, hour):
+    HyperLogLog composed with the exactly-once windowed machinery by
+    representing registers AS ROWS — a stateless per-event (bucket, rho)
+    transform, then the standard streaming tumbling aggregate keyed by
+    (event_type, bucket) with a max(rho) agg. Registers ride the same
+    checkpointed partial/merge/carry path as any other windowed state;
+    the estimate is derived from the committed registers downstream.
+    No new streaming machinery — the point is that mergeable sketches
+    ARE windowed aggregates."""
+    import os
+    import shutil
+
+    from vaero_ray.stages.sketch import hll_bucket_rho
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}"
+    ind = f"{base}/events_uid_in"
+    if not os.path.isdir(ind):
+        tmp = ind + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        n = t.num_rows
+        for i in range(4):
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+        os.replace(tmp, ind)
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def per_batch(tbl: pa.Table) -> pa.Table:
+            x = np.asarray(tbl.column("user_id").to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            bucket, rho = hll_bucket_rho(x.astype(np.uint64), _HLL_P)
+            return (
+                tbl.drop_columns("user_id")
+                .append_column("bucket", pa.array(bucket, pa.int64()))
+                .append_column("rho", pa.array(rho, pa.int64()))
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_d, ckpt_d = f"{base}/hll_out", f"{base}/hll_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["event_type", "bucket"],
+        aggs=[AggSpec("rho", "max", "max_rho")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+    return job.committed_output()
+
+
+SQL_STREAMING_HLL = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT event_type, ts,
+         CAST(((A * ((CASE WHEN user_id < 0
+                THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+                ELSE CAST(user_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM events, m),
+hs AS (
+  SELECT event_type, ts,
+         CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m),
+w AS (SELECT event_type, ts, hv >> (61 - {p}) AS bucket,
+             ((hv & ((1::BIGINT << (61 - {p})) - 1)) | (1::BIGINT << (61 - {p}))) AS wv
+      FROM hs)
+SELECT event_type, date_trunc('hour', ts) AS window_start, bucket,
+       CAST(MAX(bit_count((wv & (-wv)) - 1) + 1) AS BIGINT) AS max_rho
+FROM w GROUP BY 1, 2, 3
+"""
+
+
 def q_label_centroid_sums(sf_dir: str):
     """Distributed exact per-label centroid accumulators (two-phase
     vector aggregate, integer micro-units so sums are order-independent
@@ -1462,7 +1548,7 @@ WHERE CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT)
 """
 
 
-def _fmt_sketch_sql() -> tuple[str, str, str, str]:
+def _fmt_sketch_sql() -> tuple[str, str, str, str, str]:
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
     subs = {
@@ -1478,10 +1564,17 @@ def _fmt_sketch_sql() -> tuple[str, str, str, str]:
         SQL_HASH_SPLIT.format(**subs),
         SQL_HLL_BY.format(**subs),
         SQL_STRATIFIED.format(**subs),
+        SQL_STREAMING_HLL.format(**subs),
     )
 
 
-SQL_HLL_REGISTERS, SQL_HASH_SPLIT, SQL_HLL_BY, SQL_STRATIFIED = _fmt_sketch_sql()
+(
+    SQL_HLL_REGISTERS,
+    SQL_HASH_SPLIT,
+    SQL_HLL_BY,
+    SQL_STRATIFIED,
+    SQL_STREAMING_HLL,
+) = _fmt_sketch_sql()
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -1538,6 +1631,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_user_filter": q_bloom_user_filter,
     "stratified_sample_docs": q_stratified_sample_docs,
     "label_centroid_sums": q_label_centroid_sums,
+    "streaming_hll_distinct": q_streaming_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1594,4 +1688,5 @@ ORACLES: dict[str, str] = {
     "bloom_user_filter": SQL_BLOOM,
     "stratified_sample_docs": SQL_STRATIFIED,
     "label_centroid_sums": SQL_CENTROID_SUMS,
+    "streaming_hll_distinct": SQL_STREAMING_HLL,
 }
