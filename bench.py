@@ -54,7 +54,6 @@ BENCH_QUERIES = [
     "contamination_check",          # train/test 13-gram decontamination (gram-sharded)
     "hll_user_registers",           # HyperLogLog distinct sketch (mergeable registers)
     "hll_users_by_type",            # per-group HLL (sketch x keyed aggregate)
-    "streaming_hll_distinct",       # streaming HLL per window (exactly-once registers)
     "hash_split_docs",              # deterministic hash train/val split
     "cms_user_counts",              # Count-Min frequency sketch (sum-merge counters)
     "bloom_user_filter",            # Bloom membership filter (bit_or-merge words)
