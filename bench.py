@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "stratified_sample_docs",       # data-mixing weights (deterministic hash sampling)
     "doc_repetition_stats",         # Gopher repetition counts (dictionary-encode kernel)
     "doc_length_histogram",         # log-histogram quantile sketch (sum-merge bins)
+    "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack

@@ -666,3 +666,20 @@ def test_streaming_hll_estimates_track_exact_distinct(ray_session, tmp_path):
         assert abs(est - true) / true < 0.20, (et, ws, est, true)
         checked += 1
     assert checked == 12  # 2 types x 6 hours
+
+
+def test_length_histogram_by_source_composition(ray_session):
+    """Per-source bins must equal running lhq_bins per group, and
+    per-source quantile estimates stay within the bin-width bound."""
+    from vaero_ray.pipelines.queries import q_length_histogram_by_source
+    from vaero_ray.stages.sketch import lhq_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    regs = q_length_histogram_by_source(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "n_chars"])
+    for src, sub in regs.groupby("source"):
+        vals = docs[docs.source == src].n_chars.to_numpy()
+        assert sub.cnt.sum() == len(vals)
+        est = lhq_quantiles(sub.rename(columns={"bin": "bin"})[["bin", "cnt"]], [0.5])
+        true = np.quantile(vals, 0.5)
+        assert abs(est[0] - true) / max(true, 1) < 0.10, (src, est[0], true)

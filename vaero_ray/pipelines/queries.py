@@ -1258,6 +1258,57 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_length_histogram_by_source(sf_dir: str):
+    """Per-source log-histogram of document length (quantile sketch
+    composed with a keyed aggregate — per-domain length percentiles are
+    the per-stratum filter-threshold tool)."""
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.sketch import lhq_bins
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "bin": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if not tbl.num_rows:
+            return empty
+        bins = lhq_bins(tbl.column("n_chars").to_numpy(zero_copy_only=False))
+        enc = tbl.column("source").combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        key = codes << np.int64(20) | bins  # lhq bins < 2^20 by construction
+        uk, uc = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": enc.dictionary.take(pa.array(uk >> np.int64(20), pa.int64())),
+                "bin": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+                "cnt": pa.array(uc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["source", "bin"]).aggregate(Sum("cnt", alias_name="cnt"))
+    return merged
+
+
+SQL_LHQ_BY = r"""
+WITH b AS (
+  SELECT source, n_chars AS v,
+         CASE WHEN n_chars = 0 THEN 0 ELSE length(bin(n_chars)) END AS bl
+  FROM documents)
+SELECT source,
+       CAST(CASE WHEN v < 8 THEN v
+            ELSE (bl << 3) | ((v >> greatest(bl - 4, 0)) & 7) END AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_rolling_user_counts(sf_dir: str):
     """Per-event rolling 1-hour event count per user (burst / rate
     detection): the per-event form of a sliding aggregate, one bucketed
@@ -1632,6 +1683,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "label_centroid_sums": q_label_centroid_sums,
     "streaming_hll_distinct": q_streaming_hll_distinct,
+    "length_histogram_by_source": q_length_histogram_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -1689,4 +1741,5 @@ ORACLES: dict[str, str] = {
     "stratified_sample_docs": SQL_STRATIFIED,
     "label_centroid_sums": SQL_CENTROID_SUMS,
     "streaming_hll_distinct": SQL_STREAMING_HLL,
+    "length_histogram_by_source": SQL_LHQ_BY,
 }
