@@ -683,3 +683,18 @@ def test_length_histogram_by_source_composition(ray_session):
         est = lhq_quantiles(sub.rename(columns={"bin": "bin"})[["bin", "cnt"]], [0.5])
         true = np.quantile(vals, 0.5)
         assert abs(est[0] - true) / max(true, 1) < 0.10, (src, est[0], true)
+
+
+def test_bloom_registers_task_merge_equals_bucketed(ray_session):
+    from vaero_ray.stages.sketch import bloom_registers
+
+    vals = np.random.default_rng(19).integers(0, 4000, 15000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": vals})).repartition(7)
+
+    def run(merge: str) -> pd.DataFrame:
+        return (
+            bloom_registers(ds, "k", merge=merge)
+            .to_pandas().sort_values("word").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run("task"), run("bucketed"))

@@ -303,7 +303,7 @@ def semi_join(
 
         key = keys[0]
         # the register table is tiny by construction (<= m/62 rows)
-        regs = bloom_registers(right, key, m_bits=bloom_m_bits).to_pandas()
+        regs = bloom_registers(right, key, m_bits=bloom_m_bits, merge="task").to_pandas()
         regs_ref = _ray.put(regs)
         m_bits = bloom_m_bits
 

@@ -391,12 +391,21 @@ def bloom_positions(x: np.ndarray, m_bits: int, r: int) -> np.ndarray:
     return (h % np.uint64(m_bits)).astype(np.int64)
 
 
-def bloom_registers(ds: rd.Dataset, col: str, m_bits: int = 1 << 16) -> rd.Dataset:
+def bloom_registers(
+    ds: rd.Dataset, col: str, m_bits: int = 1 << 16, merge: str = "bucketed"
+) -> rd.Dataset:
     """Bloom-filter registers of ``col``: one row per NONZERO 62-bit
     word, ``(word, bits)``. Mergeable by bitwise OR (idempotent +
     commutative), so per-block partials bound the shuffle to m/62 small
     ints per block — the pre-filter a 100-TB decontamination pass ships
-    to every worker instead of the raw key set."""
+    to every worker instead of the raw key set.
+
+    ``merge="bucketed"`` (default) is the fully distributed shuffle
+    merge. ``merge="task"`` ORs all partial blocks in ONE Ray task over
+    block refs (no shuffle, no driver copy) — right for the prefilter
+    path where the partial count is modest (each partial is <= m/62
+    rows; fine to a few thousand blocks, like graph.connected_components'
+    single-task mode)."""
     from vaero_ray.stages.keyed import bucketed_map_groups
 
     n_words = (m_bits + _WORD_BITS - 1) // _WORD_BITS
@@ -413,7 +422,7 @@ def bloom_registers(ds: rd.Dataset, col: str, m_bits: int = 1 << 16) -> rd.Datas
         nz = np.flatnonzero(words)
         return pa.table({"word": pa.array(nz, pa.int64()), "bits": pa.array(words[nz], pa.int64())})
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def _merge_bits(df: pd.DataFrame) -> pd.DataFrame:
         out = (
             df.groupby("word", sort=False)["bits"]
             .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
@@ -422,7 +431,24 @@ def bloom_registers(ds: rd.Dataset, col: str, m_bits: int = 1 << 16) -> rd.Datas
         return out.astype({"word": "int64", "bits": "int64"})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return bucketed_map_groups(partials, "word", merge, num_buckets=4)
+    if merge == "task":
+        import ray
+
+        @ray.remote
+        def or_all(*tbls: pa.Table) -> pa.Table:
+            words = np.zeros(n_words, dtype=np.int64)
+            for t in tbls:
+                if t.num_rows:  # empty blocks carry NO columns
+                    np.bitwise_or.at(
+                        words, t.column("word").to_numpy(), t.column("bits").to_numpy()
+                    )
+            nz = np.flatnonzero(words)
+            return pa.table(
+                {"word": pa.array(nz, pa.int64()), "bits": pa.array(words[nz], pa.int64())}
+            )
+
+        return rd.from_arrow_refs([or_all.remote(*partials.to_arrow_refs())])
+    return bucketed_map_groups(partials, "word", _merge_bits, num_buckets=4)
 
 
 def bloom_may_contain(
