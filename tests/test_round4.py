@@ -1,0 +1,141 @@
+"""Round-4 regression tests: ADVICE fixes (empty-block asof guard,
+null-key CEP, empty-edge-set distributed CC, cap_per_key tie-break) and
+the fat-bucket guard in the banded pair emitters."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def test_asof_join_right_side_with_empty_blocks(ray_session):
+    """A derived right side (post-filter) carries empty blocks with NO
+    columns; split_block must emit typed empty slices, not KeyError."""
+    from vaero_ray.stages.joins import asof_join
+
+    l = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": [_ts("2026-01-01 00:10"), _ts("2026-01-01 00:20"), _ts("2026-01-01 00:15")],
+            "ev": [1, 2, 3],
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "zz", "zz"],
+            "ts": [
+                _ts("2026-01-01 00:10"),
+                _ts("2026-01-01 00:12"),
+                _ts("2026-01-01 00:05"),
+                _ts("2026-01-01 00:01"),
+                _ts("2026-01-01 00:02"),
+            ],
+            "v": [100, 200, 300, -1, -2],
+        }
+    )
+    # filter makes some of the 4 input blocks entirely empty downstream
+    right = rd.from_pandas(r).repartition(4).filter(lambda row: row["v"] >= 0)
+    got = (
+        asof_join(
+            rd.from_pandas(l), right, key="k", ts_col="ts",
+            right_ts_out="m_ts", right_cols=["v"], num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("ev", ignore_index=True)
+    )
+    assert got["v"].tolist() == [100, 200, 300]
+
+
+def test_asof_join_right_side_all_empty(ray_session):
+    from vaero_ray.stages.joins import asof_join
+
+    l = pd.DataFrame({"k": ["a"], "ts": [_ts("2026-01-01")], "ev": [1]})
+    r = pd.DataFrame({"k": ["a"], "ts": [_ts("2026-01-01")], "v": [5]})
+    right = rd.from_pandas(r).filter(lambda row: row["v"] > 99)
+    got = asof_join(
+        rd.from_pandas(l), right, key="k", ts_col="ts",
+        right_ts_out="m_ts", right_cols=["v"], num_buckets=2,
+    ).to_pandas()
+    assert len(got) == 1 and pd.isna(got["v"].iloc[0])
+
+
+def test_rolling_counts_null_keys(ray_session):
+    """Null keys must not scramble the offset-searchsorted composite:
+    factorize(use_na_sentinel=False) keeps codes consistent with the
+    sort order, so non-null keys get correct counts and null-key rows
+    count among themselves."""
+    from vaero_ray.stages.cep import rolling_counts
+
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            "user": ["u1", "u1", None, "u2", None, "u1"],
+            "ts": [base + pd.Timedelta(seconds=s) for s in [0, 30, 10, 5, 40, 120]],
+        }
+    )
+    out = (
+        rolling_counts(rd.from_pandas(df), key="user", ts_col="ts", window_s=60, num_buckets=1)
+        .to_pandas()
+        .sort_values(["ts"], ignore_index=True)
+    )
+    # expected via pandas per-key windows (nulls grouped together)
+    def expect(g):
+        ts = g["ts"].astype("int64").to_numpy()
+        return [( (ts >= t - 60_000_000_000) & (ts <= t) ).sum() for t in ts]
+
+    want = {}
+    for kval, g in df.fillna({"user": "\0null"}).groupby("user"):
+        for t, c in zip(g["ts"], expect(g)):
+            want[(kval, t)] = c
+    for _, row in out.iterrows():
+        kval = row["user"] if pd.notna(row["user"]) else "\0null"
+        assert row["rolling_count"] == want[(kval, row["ts"])]
+
+
+def test_connected_components_distributed_empty_edges(ray_session):
+    """Empty edge set in forced-distributed mode must break immediately
+    (round 3 ran all 50 no-op shuffle rounds on `sum() is None`)."""
+    import time
+
+    from vaero_ray.stages.graph import connected_components
+
+    edges = rd.from_pandas(pd.DataFrame({"doc_id": [1], "dup_of": [2]})).filter(
+        lambda r: r["doc_id"] > 99
+    )
+    t0 = time.perf_counter()
+    out = connected_components(edges, mode="distributed", max_rounds=50, num_buckets=4).to_pandas()
+    wall = time.perf_counter() - t0
+    assert len(out) == 0
+    assert wall < 60  # 50 no-op rounds of 2 shuffles each would far exceed this
+
+
+def test_cap_per_key_tie_col_deterministic(ray_session):
+    from vaero_ray.stages.corpus import cap_per_key
+
+    # heavy ties in order_col: every row has score 1; tie_col = unique id
+    df = pd.DataFrame(
+        {
+            "src": np.repeat(["a", "b"], 50),
+            "score": np.ones(100, dtype=np.int64),
+            "rid": np.arange(100, dtype=np.int64)[::-1],  # reversed so order matters
+        }
+    )
+    outs = []
+    for n_blocks in (1, 5):
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = (
+            cap_per_key(ds, "src", 7, "score", num_buckets=2, tie_col="rid")
+            .to_pandas()
+            .sort_values(["src", "rid"], ignore_index=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # survivors are the 7 smallest rid per src
+    assert outs[0].groupby("src")["rid"].apply(list).to_dict() == {
+        "a": list(range(50, 57)),
+        "b": list(range(0, 7)),
+    }

@@ -31,7 +31,12 @@ def _shifted_ts(df: pd.DataFrame, key: str, ts_col: str, pad_us: int) -> np.ndar
     """Strictly-ordered composite of (key segment, int64 ts) for a
     (key, ts)-sorted frame: codes*OFF + (ts - min), OFF > range + pad."""
     ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-    codes = pd.factorize(df[key])[0].astype(np.int64)  # nondecreasing post-sort
+    # use_na_sentinel=False: null keys must get a REAL code (appearance
+    # order == sort order, so codes stay nondecreasing). The default -1
+    # sentinel would put negative composites at the END of the sorted
+    # frame (sort_values places NaN last), silently breaking the global
+    # searchsorted for the whole bucket.
+    codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
     base = ts - ts.min() if len(ts) else ts
     off = (int(base.max()) if len(base) else 0) + pad_us + 2
     return codes * off + base

@@ -3,7 +3,8 @@
 ``cap_per_key``: keep at most ``cap`` rows per key (e.g. max N documents
 per source domain — the standard anti-template / anti-spam cap in web
 corpus construction). Deterministic: survivors are the ``cap`` smallest
-``order_col`` values per key, so re-runs and re-shards agree.
+``(order_col, tie_col)`` rows per key, so re-runs and re-shards agree
+(pass ``tie_col`` when ``order_col`` is not unique per key).
 
 Scale shape: a per-block PARTIAL prune first (the global smallest-cap set
 of a key is a subset of the union of per-block smallest-cap sets), so at
@@ -30,25 +31,33 @@ def cap_per_key(
     cap: int,
     order_col: str,
     num_buckets: int = DEFAULT_BUCKETS,
+    tie_col: str | None = None,
 ) -> rd.Dataset:
     """Keep the ``cap`` lowest-``order_col`` rows of each ``key`` group.
+
+    Determinism: survivors are a pure function of the data ONLY when the
+    sort key is unique per group — pass ``tie_col`` (a unique row id) to
+    break ``order_col`` ties deterministically. Without it, ties at the
+    cap boundary are broken by block arrival order, so re-runs /
+    re-sharding may pick different survivors among tied rows.
 
     Partitioning assumption: the PRUNED rows of one bucket (<= cap per
     key) fit in one task's heap — num_buckets >= keys / (task_mem /
     (cap * row_bytes)).
     """
+    sort_cols = [order_col] if tie_col is None else [order_col, tie_col]
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-block combiner: smallest cap per key
         return (
-            df.sort_values(order_col, kind="stable")
+            df.sort_values(sort_cols, kind="stable")
             .groupby(key, sort=False)
             .head(cap)
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return (
-            df.sort_values(order_col, kind="stable")
+            df.sort_values(sort_cols, kind="stable")
             .groupby(key, sort=False)
             .head(cap)
             .reset_index(drop=True)

@@ -11,8 +11,9 @@ Scale shape (the classic MapReduce hash-min): state is one (node, label)
 int64 row per node; each round is two bucketed shuffles —
 (1) co-locate the edge list with the current labels by edge head and emit
 each neighbor's label along every edge, (2) min-reduce the proposals per
-node — and a tiny ``sum(label)`` aggregate for the convergence test
-(label sums decrease monotonically; equal sum == fixpoint). The edge list
+node — and a tiny one-pass probe (count + hi/lo-split label sums, no
+int64 wrap) for the convergence test (labels decrease monotonically;
+unchanged probe == fixpoint, empty set breaks immediately). The edge list
 is normalized once and re-read from the object store each round; only
 (int64, int64) pairs ever move. Rounds needed = graph diameter (near-dup
 clusters are near-cliques: 1-3 rounds in practice), capped by
@@ -118,7 +119,35 @@ def connected_components(
         return out
 
     labels = bucketed_map_groups(e, "k", init_labels, num_buckets).materialize()
-    prev_sum = None
+
+    def _probe(ds: rd.Dataset) -> tuple[int, int, int]:
+        """Overflow-safe fixpoint probe in ONE pass: (row count, sum of
+        label>>32, sum of label&0xffffffff). Labels decrease monotonically
+        under min-propagation, so an unchanged probe == fixpoint; the
+        hi/lo split keeps each partial sum < n * 2^32 (no int64 wrap for
+        n < 2^31 nodes, unlike a raw ``sum(label)`` which can alias two
+        different label vectors after wrapping). Only one tiny row per
+        block reaches the driver."""
+        def part(tbl: pa.Table) -> pa.Table:
+            if not tbl.num_rows:  # empty blocks carry no columns
+                return pa.table({"n": pa.array([0], pa.int64()),
+                                 "hi": pa.array([0], pa.int64()),
+                                 "lo": pa.array([0], pa.int64())})
+            lbl = np.asarray(tbl.column("label").to_numpy(zero_copy_only=False), dtype=np.int64)
+            return pa.table({
+                "n": pa.array([len(lbl)], pa.int64()),
+                "hi": pa.array([int((lbl >> 32).sum())], pa.int64()),
+                "lo": pa.array([int((lbl & 0xFFFFFFFF).sum())], pa.int64()),
+            })
+
+        rows = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        return (
+            sum(r["n"] for r in rows),
+            sum(r["hi"] for r in rows),
+            sum(r["lo"] for r in rows),
+        )
+
+    prev_probe = None
 
     def as_label_rows(tbl: pa.Table) -> pa.Table:
         lbl = np.asarray(tbl.column("label").to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -145,10 +174,12 @@ def connected_components(
         return out.astype({"node": "int64", "label": "int64"})
 
     for _ in range(max_rounds):
-        cur_sum = labels.sum("label")
-        if prev_sum is not None and cur_sum == prev_sum:
+        cur_probe = _probe(labels)
+        if cur_probe[0] == 0:
+            break  # empty edge set: no nodes, nothing to propagate
+        if prev_probe is not None and cur_probe == prev_probe:
             break
-        prev_sum = cur_sum
+        prev_probe = cur_probe
         lbl_rows = labels.map_batches(as_label_rows, batch_format="pyarrow", zero_copy_batch=True)
         proposals = bucketed_map_groups(e.union(lbl_rows), "k", propagate_bucket, num_buckets)
         labels = bucketed_map_groups(proposals, "node", min_bucket, num_buckets).materialize()

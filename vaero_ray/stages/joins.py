@@ -214,9 +214,34 @@ def asof_join(
     lcols = left.schema().names
     keep_r = [key, ts_col] + right_cols
 
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)
+        if dt == object:  # pandas-built datasets: object columns are strings
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+
+    r_schema = right.schema()
+    if r_schema is not None:
+        r_types = {c: _pa_type(t) for c, t in zip(r_schema.names, r_schema.types)}
+    else:
+        # fully-empty derived right side: schema unknowable — borrow the
+        # key/ts types from the left, null payload columns become float64
+        lsch = left.schema()
+        l_types = {c: _pa_type(t) for c, t in zip(lsch.names, lsch.types)}
+        r_types = {key: l_types[key], ts_col: l_types[ts_col]}
+        r_types.update({c: pa.float64() for c in right_cols})
+    empty_right = pa.table({c: pa.nulls(0, r_types[c]) for c in keep_r})
+
     # ---- build side: manual bucket shuffle, right columns only --------
     @ray.remote
     def split_block(tbl: pa.Table):
+        if not tbl.num_rows:
+            # empty blocks from derived datasets carry NO columns — the
+            # same trap guarded in graph.dsu / sketch.or_all; emit typed
+            # empty slices so concat_sorted keeps the projected schema
+            return tuple(empty_right for _ in range(num_buckets))
         b = np.asarray(hash_bucket(tbl.column(key).to_pandas(), num_buckets))
         order = np.argsort(b, kind="stable")
         tbl = tbl.take(pa.array(order))
@@ -249,6 +274,11 @@ def asof_join(
         bucket = int(df[BUCKET_COL].iloc[0])
         ldf = df.drop(columns=[BUCKET_COL]).sort_values(ts_col, kind="mergesort")
         rdf = ray.get(bucket_refs[bucket]).to_pandas()
+        # derived right sides can arrive with a different pandas datetime
+        # unit (Ray row-filter round-trips timestamps to [s]); merge_asof
+        # requires identical on-key dtypes
+        if rdf[ts_col].dtype != ldf[ts_col].dtype:
+            rdf[ts_col] = rdf[ts_col].astype(ldf[ts_col].dtype)
         out = pd.merge_asof(
             ldf[lcols],
             rdf.rename(columns={ts_col: right_ts_out}),

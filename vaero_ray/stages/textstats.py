@@ -234,8 +234,13 @@ def repetition_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     if len(toks):
         codes = np.asarray(pc.dictionary_encode(toks).indices).astype(np.int64)
         K = int(codes.max()) + 1
-        if K > 3_000_000:  # K^2 int64 headroom (docs x K^2 < 2^63)
-            raise ValueError("repetition_stats: batch vocabulary too large; lower batch_size")
+        # the bigram key is doc_idx*K^2 + pair, so the guard must include
+        # the DOC count: n*K^2 (and n*K for the token key) must fit int64
+        if K > 3_000_000 or n * K * K >= 2**63 or n * K >= 2**63:
+            raise ValueError(
+                "repetition_stats: batch vocabulary too large for the "
+                f"int64 (doc, code) keys (n={n}, K={K}); lower batch_size"
+            )
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
         uk, uc = np.unique(doc_idx * K + codes, return_counts=True)
         doc_u = uk // K
