@@ -139,3 +139,83 @@ def test_cap_per_key_tie_col_deterministic(ray_session):
         "a": list(range(50, 57)),
         "b": list(range(0, 7)),
     }
+
+
+# ---------------- fat-bucket guard (banded pair emitters) ----------------
+
+
+def test_cap_bucket_logs_and_samples(caplog):
+    import logging
+
+    from vaero_ray.stages.dedup import _cap_bucket
+
+    g = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64)})
+    with caplog.at_level(logging.WARNING, logger="vaero_ray.stages.dedup"):
+        out = _cap_bucket(g, 10, "testop", (1, 2))
+    assert len(out) == 10 and out["doc_id"].tolist() == list(range(10))
+    assert any("capping fat candidate bucket" in r.message for r in caplog.records)
+    # under the cap: untouched, no log
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="vaero_ray.stages.dedup"):
+        same = _cap_bucket(g, 100, "testop", (1, 2))
+    assert len(same) == 100 and not caplog.records
+
+
+def _identical_docs(n: int, text: str = "the same boilerplate text repeated everywhere"):
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": [text] * n})
+    ).repartition(8)
+
+
+def test_simhash_fat_bucket_capped(ray_session):
+    """A planted 50k-identical-doc band bucket completes under the cap:
+    only the max_bucket smallest ids pair (deterministic sample), instead
+    of an unbounded 50k x 50k hamming matrix."""
+    from vaero_ray.stages.dedup import simhash_dup_pairs
+
+    out = simhash_dup_pairs(_identical_docs(50_000), max_bucket=128).to_pandas()
+    assert len(out) == 128 * 127 // 2
+    assert out["doc_id"].max() <= 127 and out["dup_of"].max() <= 127
+    assert (out["hamming"] == 0).all()
+
+
+def test_minhash_fat_bucket_capped(ray_session):
+    from vaero_ray.stages.dedup import minhash_lsh_dup_edges
+
+    out = minhash_lsh_dup_edges(_identical_docs(50_000), max_bucket=128).to_pandas()
+    # per doc the smallest dup_of is kept: docs 1..127 -> dup_of 0
+    assert len(out) == 127
+    assert (out["dup_of"] == 0).all() and out["doc_id"].max() <= 127
+    assert (out["est_jaccard"] == 1.0).all()
+
+
+def test_ngram_fat_bucket_capped(ray_session):
+    from vaero_ray.stages.dedup import ngram_jaccard_dups
+
+    out = ngram_jaccard_dups(_identical_docs(50_000), max_bucket=64).to_pandas()
+    assert len(out) == 64 * 63 // 2
+    assert out["doc_id"].max() <= 63
+    assert (out["n_common"] == out["n_union"]).all()
+
+
+def test_emitters_unchanged_below_cap(ray_session):
+    """Default max_bucket leaves small-bucket outputs bit-identical."""
+    from vaero_ray.stages.dedup import simhash_dup_pairs
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(300)]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    )
+    base = (
+        simhash_dup_pairs(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "dup_of"], ignore_index=True)
+    )
+    huge_cap = (
+        simhash_dup_pairs(ds, max_bucket=10**9)
+        .to_pandas()
+        .sort_values(["doc_id", "dup_of"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(base, huge_cap)

@@ -25,6 +25,8 @@ dependence, stable across workers and runs.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -64,6 +66,35 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         return np.bitwise_count(x).astype(np.int64)
     b = np.ascontiguousarray(x).view(np.uint8).reshape(*x.shape, 8)
     return _POPCOUNT_LUT[b].sum(axis=-1)
+
+
+# ---- fat-bucket guard (all banded pair emitters) -----------------------
+#
+# Pair emission is inherently quadratic in bucket size. At corpus scale a
+# single degenerate band bucket (millions of empty / boilerplate docs
+# sharing a signature) would OOM the worker before emitting anything; real
+# corpus pipelines cap LSH bucket size. Policy: buckets above
+# ``max_bucket`` are DETERMINISTICALLY SAMPLED to their ``max_bucket``
+# smallest ids (the group is already id-sorted when the guard runs) — the
+# retained docs still pair among themselves, docs outside the sample emit
+# no pairs from THIS bucket (they usually re-collide in other bands).
+# Recall loss is therefore bounded to members of capped buckets and every
+# cap is logged with the bucket key and drop count — no silent caps.
+DEFAULT_MAX_BUCKET = 4096
+
+_DEDUP_LOG = logging.getLogger("vaero_ray.stages.dedup")
+
+
+def _cap_bucket(g: pd.DataFrame, max_bucket: int, op: str, bucket_key) -> pd.DataFrame:
+    """Deterministic smallest-id sample of an id-sorted candidate bucket."""
+    if len(g) <= max_bucket:
+        return g
+    _DEDUP_LOG.warning(
+        "%s: capping fat candidate bucket %s: %d docs > max_bucket=%d "
+        "(dropping %d docs from this bucket's pair emission)",
+        op, bucket_key, len(g), max_bucket, len(g) - max_bucket,
+    )
+    return g.iloc[:max_bucket]
 
 
 def _hash_bytes_rolling(texts: "pd.Series") -> np.ndarray:
@@ -349,6 +380,7 @@ def minhash_lsh_dup_edges(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> rd.Dataset:
     """Near-duplicate edges (doc_id, dup_of, est_jaccard) via MinHash+LSH.
 
@@ -357,6 +389,7 @@ def minhash_lsh_dup_edges(
     band_hash) -> per bucket, estimate Jaccard of each doc against the
     bucket's min doc from signature agreement; emit edges >= threshold.
     Edges are deduplicated by (doc_id): keep the smallest dup_of.
+    ``max_bucket`` caps degenerate band buckets (see ``_cap_bucket``).
     """
     rows_per_band = num_perm // bands
 
@@ -407,15 +440,22 @@ def minhash_lsh_dup_edges(
         if not len(df):
             return empty
         out_a, out_b, out_j = [], [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        for bk, g in df.groupby(["band_id", "band_hash"], sort=False):
+            g = _cap_bucket(g, max_bucket, "minhash_dup_edges", bk)
             sig = np.stack(g["signature"].to_numpy())
             ids = g[id_col].to_numpy()
-            # est Jaccard = fraction of agreeing minhash slots, all pairs
-            eq = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
-            ii, jj = np.nonzero((eq >= threshold) & (ids[:, None] > ids[None, :]))
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-            out_j.append(eq[ii, jj])
+            m = len(ids)
+            # est Jaccard = fraction of agreeing minhash slots, all pairs;
+            # row-chunked so the (rows x m x num_perm) bool temp stays
+            # ~32 MB however close m is to max_bucket
+            step = max(1, (32 << 20) // max(num_perm * m, 1))
+            for lo in range(0, m, step):
+                hi = min(lo + step, m)
+                eq = (sig[lo:hi, None, :] == sig[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero((eq >= threshold) & (ids[lo:hi, None] > ids[None, :]))
+                out_a.append(ids[lo + ii])
+                out_b.append(ids[jj])
+                out_j.append(eq[ii, jj])
         return pd.DataFrame(
             {
                 id_col: np.concatenate(out_a) if out_a else np.array([], np.int64),
@@ -890,6 +930,7 @@ def ngram_jaccard_dups(
     num_perm: int = 64,
     bands: int = 16,
     unit: str = "char",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard over MinHash-LSH candidate pairs: LSH proposes
     (cheap, one shuffle of signatures + shingle-hash sets), true Jaccard
@@ -940,10 +981,14 @@ def ngram_jaccard_dups(
         no per-pair Python work, so template-heavy fat buckets stay
         kernel-bound."""
         out_id, out_dup, out_c, out_u = [], [], [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        for bk, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
             g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
+            # cap bounds the m x m intersection/union matrices to
+            # max_bucket^2 (the gram temps inside _pairwise_intersections
+            # are already chunked to 64 MB)
+            g = _cap_bucket(g, max_bucket, "ngram_jaccard_dups", bk)
             ids = g[id_col].to_numpy()
             sets = g["shingles"].to_numpy()
             lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
@@ -997,6 +1042,7 @@ def simhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> rd.Dataset:
     """SimHash near-duplicate pairs: docs whose 62-bit signatures differ
     in <= ``max_hamming`` bits AND share at least one of the 4 bands
@@ -1030,21 +1076,29 @@ def simhash_dup_pairs(
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_dup, out_ham = [], [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        for bk, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
             g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
+            g = _cap_bucket(g, max_bucket, "simhash_dup_pairs", bk)
             ids = g[id_col].to_numpy()
             sig = g["simhash"].to_numpy().astype(np.uint64)
-            x = sig[:, None] ^ sig[None, :]
-            ham = _popcount64(x)
-            ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
-            # convention shared with ngram_jaccard_dups: doc_id > dup_of;
-            # array-sliced emission (a fat template bucket yields millions
-            # of pairs — a per-pair Python append was the whole stage cost)
-            out_id.append(ids[jj])
-            out_dup.append(ids[ii])
-            out_ham.append(ham[ii, jj])
+            m = len(ids)
+            # row-chunked XOR+popcount: temps stay ~32 MB however close m
+            # is to max_bucket (the m x m matrix was the last unbounded
+            # per-bucket allocation)
+            step = max(1, (32 << 20) // max(8 * m, 1))
+            for lo in range(0, m, step):
+                hi = min(lo + step, m)
+                x = sig[lo:hi, None] ^ sig[None, :]
+                ham = _popcount64(x)
+                ii, jj = np.nonzero((ham <= max_hamming) & (ids[lo:hi, None] < ids[None, :]))
+                # convention shared with ngram_jaccard_dups: doc_id > dup_of;
+                # array-sliced emission (a fat template bucket yields millions
+                # of pairs — a per-pair Python append was the whole stage cost)
+                out_id.append(ids[jj])
+                out_dup.append(ids[lo + ii])
+                out_ham.append(ham[ii, jj])
         res = pd.DataFrame(
             {
                 id_col: np.concatenate(out_id) if out_id else np.array([], np.int64),
