@@ -219,3 +219,40 @@ def test_emitters_unchanged_below_cap(ray_session):
         .sort_values(["doc_id", "dup_of"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(base, huge_cap)
+
+
+# ---------------- bloom pre-filter auto threshold ----------------
+
+
+def test_semi_join_bloom_auto_threshold(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.joins import _input_file_bytes, semi_join
+
+    lpath, rpath = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    rng = np.random.default_rng(3)
+    pq.write_table(
+        pa.table({"k": rng.integers(0, 200, 500), "x": np.arange(500)}), lpath
+    )
+    pq.write_table(pa.table({"k": rng.integers(0, 120, 300)}), rpath)
+    l, r = rd.read_parquet(lpath), rd.read_parquet(rpath)
+    assert (_input_file_bytes(r) or 0) > 0
+    # in-memory datasets are not sizable -> auto resolves to off
+    assert _input_file_bytes(rd.from_pandas(pd.DataFrame({"k": [1]}))) is None
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["k", "x"], ignore_index=True)
+
+    for anti in (False, True):
+        plain = norm(semi_join(l, r, "k", anti=anti, num_buckets=4))
+        auto_off = norm(
+            semi_join(l, r, "k", anti=anti, num_buckets=4, bloom_prefilter="auto")
+        )
+        auto_on = norm(
+            semi_join(
+                l, r, "k", anti=anti, num_buckets=4,
+                bloom_prefilter="auto", bloom_min_bytes=1,
+            )
+        )
+        pd.testing.assert_frame_equal(plain, auto_off)
+        pd.testing.assert_frame_equal(plain, auto_on)

@@ -1245,10 +1245,12 @@ def q_customers_no_big_orders(sf_dir: str):
     big = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]).map_batches(
         big_cust, batch_format="pyarrow", zero_copy_batch=True
     )
-    # bloom_prefilter: definite-absence customers are emitted locally
-    # (absence IS the anti-join keep condition); only may-contain rows
-    # ride the shuffle — identical output, tested vs the plain path
-    return semi_join(cust, big, "c_custkey", anti=True, num_buckets=8, bloom_prefilter=True)
+    # bloom_prefilter="auto": at volume, definite-absence customers are
+    # emitted locally (absence IS the anti-join keep condition) and only
+    # may-contain rows ride the shuffle; below the metadata threshold the
+    # register build's fixed ~2 s premium is skipped — identical output
+    # either way (tested against the forced-on path in test_round3)
+    return semi_join(cust, big, "c_custkey", anti=True, num_buckets=8, bloom_prefilter="auto")
 
 
 SQL_ANTI_JOIN = r"""

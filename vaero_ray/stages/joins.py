@@ -7,9 +7,10 @@ general data-processing system).
   tables, vocabularies, blocklists.
 - ``hash_join``: both sides large — explicit partitioned hash join:
   tag both sides with ``hash(key) % B``, union with a side marker, one
-  ``groupby(bucket)`` shuffle, pandas merge per bucket (all keys of a
-  bucket joined in one vectorized call). Skewed hot keys spread only if
-  the key itself is salted — document per call site.
+  ``groupby(bucket)`` shuffle, Arrow-native ``pa.Table.join`` per bucket
+  (all keys of a bucket joined in one vectorized call, original dtypes
+  preserved). Skewed hot keys spread only if the key itself is salted —
+  document per call site.
 - ``asof_join``: per-key backward as-of (each left row matched with the
   latest right row with ``ts <= left.ts``): same bucketed shuffle,
   ``pd.merge_asof`` per bucket (sorted by ts, by=key).
@@ -22,6 +23,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from vaero_ray.stages.keyed import BUCKET_COL, DEFAULT_BUCKETS, hash_bucket
@@ -49,38 +51,15 @@ def broadcast_join(
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _is_int_type(t) -> bool:
-    # Dataset.schema().types yields Arrow types for Arrow-backed datasets
-    # but numpy dtypes for pandas-built ones — accept both
+def _pa_type(t) -> pa.DataType:
+    """Arrow type for a Dataset.schema() entry (Arrow DataType for
+    Arrow-backed datasets, numpy dtype for pandas-built ones)."""
     if isinstance(t, pa.DataType):
-        return pa.types.is_integer(t)
-    try:
-        import numpy as np
-
-        return np.issubdtype(np.dtype(t), np.integer)
-    except (TypeError, ValueError):
-        return False
-
-
-def _np_int_dtype(t) -> str:
-    """Numpy dtype string for an Arrow/numpy integer type — preserves the
-    original width/signedness (round 1 blanket-cast to int64)."""
-    if isinstance(t, pa.DataType):
-        return t.to_pandas_dtype().__name__ if hasattr(t.to_pandas_dtype(), "__name__") else str(t.to_pandas_dtype())
-    import numpy as np
-
-    return str(np.dtype(t))
-
-
-def _restore_int_dtypes(df: pd.DataFrame, types: dict) -> pd.DataFrame:
-    """The typed-null padding of the other side turns int columns into
-    float64 (NaN) at the pandas boundary; after the side split the rows
-    are null-free, so cast back to the schema's ORIGINAL integer types."""
-    for c in df.columns:
-        t = types.get(c)
-        if t is not None and _is_int_type(t) and df[c].dtype.kind == "f":
-            df[c] = df[c].astype(_np_int_dtype(t))
-    return df
+        return t
+    dt = np.dtype(t)
+    if dt == object:  # pandas-built datasets: object columns are strings
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
 
 
 def _tag(side: int, keys: list[str], num_buckets: int):
@@ -172,15 +151,25 @@ def _bucketed_hash_join(
     r = right.map_batches(_tag(1, keys, num_buckets), batch_format="pyarrow", zero_copy_batch=True)
     r = r.map_batches(pad(), batch_format="pyarrow")
 
-    how = {"inner": "inner", "left outer": "left", "left": "left"}[join_type]
+    how = {"inner": "inner", "left outer": "left outer", "left": "left outer"}[join_type]
+    empty_out = pa.table({c: pa.nulls(0, _pa_type(types[c])) for c in lcols}).join(
+        pa.table({c: pa.nulls(0, _pa_type(types[c])) for c in rcols}),
+        keys=keys, join_type=how, right_suffix=suffix,
+    )
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
-        ldf = _restore_int_dtypes(df[df["__side"] == 0][[c for c in lcols]], types)
-        rdf = _restore_int_dtypes(df[df["__side"] == 1][[c for c in rcols]], types)
-        return ldf.merge(rdf, on=keys, how=how, suffixes=("", suffix))
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket join: the typed-null padding keeps int
+        # columns int through the exchange and pa.Table.join needs no
+        # pandas conversion or dtype-restore dance (round 3 used
+        # pd.merge + _restore_int_dtypes here)
+        if not tbl.num_rows:  # empty shuffle partitions carry no columns
+            return empty_out
+        mask0 = pc.equal(tbl.column("__side"), 0)
+        ltb = tbl.filter(mask0).select(lcols)
+        rtb = tbl.filter(pc.invert(mask0)).select(rcols)
+        return ltb.join(rtb, keys=keys, join_type=how, right_suffix=suffix)
 
-    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
 
 
 def asof_join(
@@ -213,14 +202,6 @@ def asof_join(
     right_cols = list(right_cols)
     lcols = left.schema().names
     keep_r = [key, ts_col] + right_cols
-
-    def _pa_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        dt = np.dtype(t)
-        if dt == object:  # pandas-built datasets: object columns are strings
-            return pa.string()
-        return pa.from_numpy_dtype(dt)
 
     r_schema = right.schema()
     if r_schema is not None:
@@ -294,14 +275,37 @@ def asof_join(
     return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
+def _input_file_bytes(ds: rd.Dataset) -> int | None:
+    """Total LOCAL input-file bytes of a dataset's read lineage — pure
+    metadata (``ds.size_bytes()`` would execute the pipeline just to
+    size it, a full scan at corpus scale). None when not resolvable
+    (derived/in-memory datasets, remote URIs)."""
+    import os
+
+    try:
+        files = ds.input_files() or []
+    except Exception:
+        return None
+    if not files:
+        return None
+    sz = 0
+    for f in files:
+        p = f[len("local://"):] if f.startswith("local://") else f
+        if "://" in p or not os.path.exists(p):
+            return None
+        sz += os.path.getsize(p)
+    return sz
+
+
 def semi_join(
     left: rd.Dataset,
     right: rd.Dataset,
     keys: str | list[str],
     anti: bool = False,
     num_buckets: int = DEFAULT_BUCKETS,
-    bloom_prefilter: bool = False,
+    bloom_prefilter: bool | str = False,
     bloom_m_bits: int = 1 << 20,
+    bloom_min_bytes: int = 256 << 20,
 ) -> rd.Dataset:
     """Semi (``anti=False``) / anti (``anti=True``) join: keep left rows
     whose key does (not) appear in ``right``. Output columns = left's.
@@ -320,11 +324,21 @@ def semi_join(
     is the keep condition). Only may-contain rows — the right-set hit
     rate plus the FPR — ride the exchange, which is the whole point of
     the pre-filter at 100 TB. Results are exactly identical to the
-    unfiltered path (no false negatives)."""
+    unfiltered path (no false negatives).
+
+    ``bloom_prefilter="auto"`` enables it only when the right side's
+    input files exceed ``bloom_min_bytes`` (pure metadata, same recipe
+    as ``exact_dedup`` auto): the register build is an extra sequential
+    Dataset execution with a fixed ~2 s premium that only amortizes at
+    volume, so toy-scale runs skip it. Output is identical either way."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     lsch = left.schema()
     lcols = lsch.names
     types = dict(zip(lsch.names, lsch.types))
+
+    if bloom_prefilter == "auto":
+        sz = _input_file_bytes(right)
+        bloom_prefilter = sz is not None and sz > bloom_min_bytes
 
     if bloom_prefilter and len(keys) == 1 and pa.types.is_integer(types[keys[0]]):
         import ray as _ray
@@ -367,12 +381,18 @@ def semi_join(
         _tag(1, keys, num_buckets), batch_format="pyarrow"
     )
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=[BUCKET_COL])
-        ldf = df[df["__side"] == 0][lcols]
-        rk = df[df["__side"] == 1][keys].drop_duplicates()
-        m = ldf.merge(rk, on=keys, how="left", indicator=True)
-        keep = m["_merge"] == ("left_only" if anti else "both")
-        return _restore_int_dtypes(m.loc[keep, lcols].reset_index(drop=True), types)
+    how = "left anti" if anti else "left semi"
+    empty_out = pa.table({c: pa.nulls(0, _pa_type(types[c])) for c in lcols})
 
-    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        # pyarrow's native left semi / left anti join: output columns are
+        # exactly the left's with their original Arrow types (no pandas
+        # indicator-merge, no _restore_int_dtypes)
+        if not tbl.num_rows:  # empty shuffle partitions carry no columns
+            return empty_out
+        mask0 = pc.equal(tbl.column("__side"), 0)
+        ltb = tbl.filter(mask0).select(lcols)
+        rk = tbl.filter(pc.invert(mask0)).select(keys).group_by(keys).aggregate([])
+        return ltb.join(rk, keys=keys, join_type=how)
+
+    return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
