@@ -227,7 +227,8 @@ def test_emitters_unchanged_below_cap(ray_session):
 def test_semi_join_bloom_auto_threshold(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
-    from vaero_ray.stages.joins import _input_file_bytes, semi_join
+    from vaero_ray.stages.joins import semi_join
+    from vaero_ray.stages.keyed import input_file_bytes
 
     lpath, rpath = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
     rng = np.random.default_rng(3)
@@ -236,9 +237,9 @@ def test_semi_join_bloom_auto_threshold(ray_session, tmp_path):
     )
     pq.write_table(pa.table({"k": rng.integers(0, 120, 300)}), rpath)
     l, r = rd.read_parquet(lpath), rd.read_parquet(rpath)
-    assert (_input_file_bytes(r) or 0) > 0
+    assert (input_file_bytes(r) or 0) > 0
     # in-memory datasets are not sizable -> auto resolves to off
-    assert _input_file_bytes(rd.from_pandas(pd.DataFrame({"k": [1]}))) is None
+    assert input_file_bytes(rd.from_pandas(pd.DataFrame({"k": [1]}))) is None
 
     def norm(ds):
         return ds.to_pandas().sort_values(["k", "x"], ignore_index=True)
@@ -256,3 +257,29 @@ def test_semi_join_bloom_auto_threshold(ray_session, tmp_path):
         )
         pd.testing.assert_frame_equal(plain, auto_off)
         pd.testing.assert_frame_equal(plain, auto_on)
+
+
+# ---------------- data-size-aware bucket derivation ----------------
+
+
+def test_derive_num_buckets(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.keyed import DEFAULT_BUCKETS, derive_num_buckets, input_file_bytes
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": np.arange(10_000, dtype=np.int64)}), p)
+    ds = rd.read_parquet(p)
+    sz = os.path.getsize(p)
+    assert input_file_bytes(ds) == sz
+    # small file: floor wins
+    assert derive_num_buckets(ds) == DEFAULT_BUCKETS
+    # formula: ceil(3 * bytes / target), floored and capped
+    want = max(DEFAULT_BUCKETS, min((3 * sz + 1023) // 1024, 65536))
+    assert derive_num_buckets(ds, target_task_bytes=1024) == want
+    # derived datasets lose the file lineage -> fall back to the floor
+    assert input_file_bytes(ds.map_batches(lambda t: t, batch_format="pyarrow")) is None
+    # in-memory datasets fall back to the floor
+    assert derive_num_buckets(rd.from_pandas(pd.DataFrame({"x": [1]}))) == DEFAULT_BUCKETS

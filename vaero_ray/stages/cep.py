@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from vaero_ray.stages.keyed import DEFAULT_BUCKETS, bucketed_map_groups
+from vaero_ray.stages.keyed import bucketed_map_groups
 
 
 def _shifted_ts(df: pd.DataFrame, key: str, ts_col: str, pad_us: int) -> np.ndarray:
@@ -48,7 +48,7 @@ def rolling_counts(
     ts_col: str,
     window_s: int,
     out: str = "rolling_count",
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Per EVENT: how many of the same key's events fall in the
     event-time window ``[ts - window_s, ts]`` (inclusive; equal-ts peers
@@ -76,7 +76,7 @@ def funnel_conversions(
     first: str,
     then: str,
     within_s: int,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Per KEY: total ``then``-type events and how many of them CONVERT —
     i.e. have at least one ``first``-type event of the same key in

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from vaero_ray.stages.keyed import DEFAULT_BUCKETS, bucketed_map_groups
+from vaero_ray.stages.keyed import bucketed_map_groups
 
 
 def cap_per_key(
@@ -30,7 +30,7 @@ def cap_per_key(
     key: str,
     cap: int,
     order_col: str,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
     tie_col: str | None = None,
 ) -> rd.Dataset:
     """Keep the ``cap`` lowest-``order_col`` rows of each ``key`` group.

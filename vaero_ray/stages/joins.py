@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from vaero_ray.stages.keyed import BUCKET_COL, DEFAULT_BUCKETS, hash_bucket
+from vaero_ray.stages.keyed import BUCKET_COL, DEFAULT_BUCKETS, hash_bucket, input_file_bytes
 
 
 def broadcast_join(
@@ -275,28 +275,6 @@ def asof_join(
     return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
 
 
-def _input_file_bytes(ds: rd.Dataset) -> int | None:
-    """Total LOCAL input-file bytes of a dataset's read lineage — pure
-    metadata (``ds.size_bytes()`` would execute the pipeline just to
-    size it, a full scan at corpus scale). None when not resolvable
-    (derived/in-memory datasets, remote URIs)."""
-    import os
-
-    try:
-        files = ds.input_files() or []
-    except Exception:
-        return None
-    if not files:
-        return None
-    sz = 0
-    for f in files:
-        p = f[len("local://"):] if f.startswith("local://") else f
-        if "://" in p or not os.path.exists(p):
-            return None
-        sz += os.path.getsize(p)
-    return sz
-
-
 def semi_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -337,7 +315,7 @@ def semi_join(
     types = dict(zip(lsch.names, lsch.types))
 
     if bloom_prefilter == "auto":
-        sz = _input_file_bytes(right)
+        sz = input_file_bytes(right)
         bloom_prefilter = sz is not None and sz > bloom_min_bytes
 
     if bloom_prefilter and len(keys) == 1 and pa.types.is_integer(types[keys[0]]):

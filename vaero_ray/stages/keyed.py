@@ -31,9 +31,60 @@ import pyarrow as pa
 import ray.data as rd
 
 BUCKET_COL = "__bucket"
-# sizing default: testdata fits comfortably; 100 TB runs pass an explicit
-# num_buckets ~ input_bytes / 256 MB
+# sizing floor: testdata fits comfortably; bucketed_map_groups derives a
+# larger count from input-file metadata when the dataset's read lineage
+# is resolvable (see derive_num_buckets), and 100 TB runs can always pass
+# an explicit num_buckets ~ input_bytes / TARGET_TASK_BYTES
 DEFAULT_BUCKETS = 64
+# one bucket's rows must fit one task's heap: target ~256 MB of on-disk
+# parquet per bucket (~3x that in memory for text-heavy tables)
+TARGET_TASK_BYTES = 256 << 20
+_EXPANSION = 3  # parquet-on-disk -> in-memory expansion estimate
+MAX_DERIVED_BUCKETS = 65536
+
+
+def input_file_bytes(ds: rd.Dataset) -> "int | None":
+    """Total LOCAL input-file bytes of a dataset's read lineage — pure
+    metadata (``ds.size_bytes()`` would execute the pipeline just to
+    size it, a full scan at corpus scale). None when not resolvable
+    (derived/in-memory datasets, remote URIs)."""
+    import os
+
+    try:
+        files = ds.input_files() or []
+    except Exception:
+        return None
+    if not files:
+        return None
+    sz = 0
+    for f in files:
+        p = f[len("local://"):] if f.startswith("local://") else f
+        if "://" in p or not os.path.exists(p):
+            return None
+        sz += os.path.getsize(p)
+    return sz
+
+
+def derive_num_buckets(
+    ds: rd.Dataset,
+    target_task_bytes: int = TARGET_TASK_BYTES,
+    floor: int = DEFAULT_BUCKETS,
+) -> int:
+    """Bucket count from input-file metadata: enough buckets that one
+    bucket's in-memory rows (~3x the parquet bytes) fit one task's
+    ~``target_task_bytes`` heap budget, never below ``floor`` (small
+    inputs keep the round-1 default) and capped at
+    ``MAX_DERIVED_BUCKETS`` (beyond that, callers should size
+    explicitly). Unresolvable lineage -> ``floor`` — note map_batches
+    severs ``input_files()``, so derivation only fires when the keyed
+    stage is applied directly to a read dataset; derived pipelines at
+    corpus scale pass num_buckets explicitly (same contract as
+    ``exact_dedup`` auto)."""
+    sz = input_file_bytes(ds)
+    if not sz:
+        return floor
+    derived = (_EXPANSION * sz + target_task_bytes - 1) // target_task_bytes
+    return max(floor, min(int(derived), MAX_DERIVED_BUCKETS))
 
 
 def hash_bucket(values, num_buckets: int) -> "pd.Series":
@@ -52,11 +103,15 @@ def bucketed_map_groups(
     ds: rd.Dataset,
     key: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """One shuffle; ``fn`` sees each bucket (all rows of ``num_buckets``-th
     of the key space) as one DataFrame WITHOUT the bucket column and must
-    itself group by ``key`` (vectorized)."""
+    itself group by ``key`` (vectorized). ``num_buckets=None`` derives the
+    count from input-file metadata (``derive_num_buckets``); explicit
+    values always win."""
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(ds)
 
     def tag(tbl: pa.Table) -> pa.Table:
         col = tbl.column(key).to_pandas()

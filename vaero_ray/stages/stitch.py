@@ -27,7 +27,7 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-from vaero_ray.stages.keyed import DEFAULT_BUCKETS, bucketed_map_groups
+from vaero_ray.stages.keyed import bucketed_map_groups
 
 
 def assign_exchanges(
@@ -35,7 +35,7 @@ def assign_exchanges(
     key: str = "conv_id",
     order: str = "turn_idx",
     role: str = "role",
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, order], kind="mergesort")
@@ -52,7 +52,7 @@ def stitch_conversations(
     key: str = "conv_id",
     order: str = "turn_idx",
     sep: str = "\n",
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """One row per conversation:
     conv_id, n_turns, n_user, n_assistant, n_tool, transcript (turn-ordered
@@ -81,7 +81,7 @@ def stitch_conversations(
 
 
 def stitch_exchanges(
-    ds: rd.Dataset, key: str = "conv_id", num_buckets: int = DEFAULT_BUCKETS
+    ds: rd.Dataset, key: str = "conv_id", num_buckets: int | None = None
 ) -> rd.Dataset:
     """One row per (conversation, exchange): exchange_idx, texts of the
     user / assistant side, number of tool calls. Exchange assignment and
