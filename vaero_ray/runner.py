@@ -43,8 +43,12 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
     Built-in source ops:
       parquet      args[path] (file/dir/list) -> read_parquet, with
                    args[columns] pruning when given
+      text         raw log lines -> one `message` event per line
+                   (reference s3 newline split, source_s3.go:74)
+      jsonl        JSON-lines -> columns via the NDJSON breaker
       random       reference demo feed (source_random.go:16-33) -> fixture
       transcripts  synthetic transcript stream (FIXTURES.md F1)
+    The `s3` op honors args[format] in {parquet (default), text, jsonl}.
     Pull-cadence args (interval etc.) only matter to the streaming shell.
     """
     if source_data is not None:
@@ -55,14 +59,23 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
         return _read_pq(source_data)
     if spec is None:
         raise ValueError("plan has no source and no source_data given")
-    if spec.op == "parquet" or spec.op == "s3":
+    if spec.op in ("parquet", "s3", "text", "jsonl"):
         from vaero_ray.sinks.parquet_sink import s3_uri_and_fs
 
         path, fs = s3_uri_and_fs(spec.args)
         if not path:
             raise ValueError(f"source {spec.op!r}: no path/bucket configured")
-        cols = spec.args.get("columns")
         kw = {"filesystem": fs} if fs is not None else {}
+        fmt = spec.op if spec.op in ("text", "jsonl") else spec.args.get("format", "parquet")
+        if fmt == "text":
+            from vaero_ray.sources.textlines import read_text_events
+
+            return read_text_events(path, **kw)
+        if fmt == "jsonl":
+            from vaero_ray.sources.textlines import read_jsonl_events
+
+            return read_jsonl_events(path, **kw)
+        cols = spec.args.get("columns")
         return _read_pq(path, columns=cols, **kw)
     if spec.op == "random":
         return rd.from_arrow(make_log_events(n=spec.args.get("n", 64), seed=spec.args.get("seed", 7)))
