@@ -283,3 +283,94 @@ def test_derive_num_buckets(ray_session, tmp_path):
     assert input_file_bytes(ds.map_batches(lambda t: t, batch_format="pyarrow")) is None
     # in-memory datasets fall back to the floor
     assert derive_num_buckets(rd.from_pandas(pd.DataFrame({"x": [1]}))) == DEFAULT_BUCKETS
+
+
+# ---------------- per-poll / per-epoch secret refresh ----------------
+
+
+def _counting_provider(tmp_path):
+    """Provider script that bumps a counter file and returns token-<n>."""
+    counter = tmp_path / "count.txt"
+    counter.write_text("0")
+    provider = tmp_path / "provider.py"
+    provider.write_text(
+        "import sys, json, pathlib\n"
+        f"c = pathlib.Path({str(counter)!r})\n"
+        "n = int(c.read_text()) + 1\n"
+        "c.write_text(str(n))\n"
+        "json.load(sys.stdin)\n"
+        "print(json.dumps({'token': f'token-{n}'}))\n"
+    )
+    return provider, counter
+
+
+def test_pull_driver_refreshes_secret_between_polls(tmp_path):
+    """1 s TTL: the provider subprocess re-execs between polls and the
+    rotated token reaches the connector (reference execute.go:84-96)."""
+    from vaero_ray.cdk.pull_driver import PullSourceDriver
+    from vaero_ray.secrets import SecretResolver
+
+    provider, counter = _counting_provider(tmp_path)
+    spec = {
+        "command": f"python {provider}",
+        "secrets": [{"api_token": "token"}],
+        "cache_time_seconds": 1,
+        "timeout_seconds": 10,
+    }
+    now = [0.0]
+    clock = lambda: now[0]
+
+    class FakeConnector:
+        def __init__(self):
+            self.token = "stale"
+            self.seen_tokens = []
+
+        def poll(self):
+            self.seen_tokens.append(self.token)
+            return [{"msg": "x", "n": len(self.seen_tokens)}]
+
+    conn = FakeConnector()
+    resolver = SecretResolver(spec, clock=clock)
+    args = resolver.resolve_into({})  # launch-time resolution
+    drv = PullSourceDriver(
+        conn,
+        str(tmp_path / "stream"),
+        interval_s=2.0,
+        sleep=lambda s: now.__setitem__(0, now[0] + s),
+        clock=clock,
+        secret_resolver=resolver,
+        secret_args=args,
+    )
+    drv.run(max_polls=3)  # sleeps 2 s between polls -> ttl expires each time
+    assert int(counter.read_text()) == 3  # initial + 2 refreshes
+    assert conn.seen_tokens == ["token-1", "token-2", "token-3"]
+
+
+def test_streaming_job_secret_refresh_called_per_epoch(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.windows import AggSpec
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    ts = pa.array(
+        pd.date_range("2026-01-01", periods=8, freq="10min").astype("datetime64[us]")
+    )
+    t = pa.table({"k": ["a"] * 8, "ts": ts})
+    for i in range(2):
+        pq.write_table(t.slice(i * 4, 4), str(ind / f"chunk-{i:04d}.parquet"))
+    calls = []
+    job = StreamingWindowedJob(
+        input_dir=str(ind),
+        out_dir=str(tmp_path / "out"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        keys=["k"],
+        aggs=[AggSpec(None, "count", "n")],
+        ts_col="ts",
+        size_s=3600,
+        num_partitions=2,
+        secret_refresh=lambda: calls.append(1),
+    )
+    job.run()
+    assert len(calls) >= 3  # one per epoch incl. finalize

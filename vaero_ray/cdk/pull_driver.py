@@ -35,12 +35,26 @@ class PullSourceDriver:
         interval_s: float = 10.0,
         sleep: Callable[[float], None] = time.sleep,
         clock: Callable[[], float] = time.monotonic,
+        secret_resolver=None,
+        secret_args: dict | None = None,
+        apply_secrets: Callable[[dict], None] | None = None,
     ):
         self.connector = connector
         self.stream_dir = stream_dir
         self.interval_s = interval_s
         self._sleep = sleep
         self._clock = clock
+        # per-poll secret staleness re-check (reference: execute.go:84-96).
+        # secret_args is the live arg dict maybe_refresh mutates;
+        # apply_secrets maps refreshed values onto the connector (default:
+        # rotate connector.token when the provider returns one).
+        self.secret_resolver = secret_resolver
+        self.secret_args = {} if secret_args is None else secret_args
+        self._apply_secrets = apply_secrets or (
+            lambda args: setattr(
+                self.connector, "token", args.get("token", self.connector.token)
+            )
+        )
         os.makedirs(stream_dir, exist_ok=True)
         self._seq = self._next_seq()
 
@@ -50,6 +64,9 @@ class PullSourceDriver:
 
     def poll_once(self) -> str | None:
         """One poll; returns the chunk path written (None if no events)."""
+        if self.secret_resolver is not None:
+            self.secret_resolver.maybe_refresh(self.secret_args)
+            self._apply_secrets(self.secret_args)
         events = self.connector.poll()
         if not events:
             return None

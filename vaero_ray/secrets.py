@@ -21,10 +21,11 @@ from typing import Any
 
 
 class SecretResolver:
-    def __init__(self, spec: dict[str, Any] | None):
+    def __init__(self, spec: dict[str, Any] | None, clock=time.monotonic):
         # spec = {"command", "secrets": [{secret_name: arg_name}...],
         #         "cache_time_seconds", "timeout_seconds"}  (dsl.py .secret)
         self.spec = spec
+        self._clock = clock
         self._resolved_at: float | None = None
 
     def resolve_into(self, args: dict[str, Any]) -> dict[str, Any]:
@@ -45,14 +46,17 @@ class SecretResolver:
             raise RuntimeError(f"secret command failed: {proc.stderr.decode()[:500]}")
         values = json.loads(proc.stdout.decode())
         args.update(values)
-        self._resolved_at = time.monotonic()
+        self._resolved_at = self._clock()
         return args
 
     def maybe_refresh(self, args: dict[str, Any]) -> dict[str, Any]:
-        """Re-resolve if the cache expired (reference checks each poll)."""
+        """Re-resolve if the cache expired (reference checks each poll,
+        execute.go:84-96 — called per epoch by the streaming jobs and per
+        poll by PullSourceDriver, so a rotated credential is picked up
+        without restarting a long-running job)."""
         if not self.spec or not self.spec.get("command"):
             return args
         ttl = self.spec.get("cache_time_seconds", 86400 * 30)
-        if self._resolved_at is None or time.monotonic() - self._resolved_at >= ttl:
+        if self._resolved_at is None or self._clock() - self._resolved_at >= ttl:
             return self.resolve_into(args)
         return args

@@ -81,6 +81,11 @@ class StreamingWindowedJob:
     # actor-pool state store (state stays in memory across epochs;
     # snapshots only for recovery) — see state_actors.py.
     state_backend: str = "parquet"
+    # called at the top of every epoch (reference re-checks secret
+    # staleness each poll, execute.go:84-96); from_graph wires this to
+    # SecretResolver.maybe_refresh so rotated credentials are re-resolved
+    # mid-job instead of 401-ing a week-long run
+    secret_refresh: Callable[[], None] | None = None
 
     def __post_init__(self):
         self.store = CheckpointStore(self.ckpt_dir)
@@ -190,7 +195,10 @@ class StreamingWindowedJob:
         if plan.source is not None and plan.source.secret:
             from vaero_ray.secrets import SecretResolver
 
-            SecretResolver(plan.source.secret).resolve_into(plan.source.args)
+            resolver = SecretResolver(plan.source.secret)
+            resolver.resolve_into(plan.source.args)
+            # per-epoch staleness re-check (reference: execute.go:84-96)
+            kw.setdefault("secret_refresh", lambda: resolver.maybe_refresh(plan.source.args))
         fused = plan.branches[branch].compile()
 
         def transform(ds: rd.Dataset) -> rd.Dataset:
@@ -232,6 +240,8 @@ class StreamingWindowedJob:
     # -- one epoch ------------------------------------------------------
     def run_epoch(self, finalize: bool = False) -> EpochManifest | None:
         t0 = time.perf_counter()
+        if self.secret_refresh is not None:
+            self.secret_refresh()
         epoch, prev_wm, prev_state = self._prev()
         if prev_wm >= WM_FINAL:
             return None  # stream already finalized

@@ -48,6 +48,12 @@ class StreamingTransformJob:
     def __post_init__(self):
         self.store = CheckpointStore(self.ckpt_dir)
         self.plan: Plan = Planner(self.graph).plan
+        self._secret_resolver = None
+        if self.plan.source is not None and self.plan.source.secret:
+            from vaero_ray.secrets import SecretResolver
+
+            self._secret_resolver = SecretResolver(self.plan.source.secret)
+            self._secret_resolver.resolve_into(self.plan.source.args)
 
     def pending_files(self) -> list[str]:
         consumed = self.store.consumed_files()
@@ -56,6 +62,9 @@ class StreamingTransformJob:
 
     def run_epoch(self) -> EpochManifest | None:
         t0 = time.perf_counter()
+        if self._secret_resolver is not None:
+            # per-epoch staleness re-check (reference: execute.go:84-96)
+            self._secret_resolver.maybe_refresh(self.plan.source.args)
         last = self.store.last()
         epoch = 0 if last is None else last.epoch + 1
         files = self.pending_files()[: self.max_files_per_epoch]
