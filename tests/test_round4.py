@@ -374,3 +374,61 @@ def test_streaming_job_secret_refresh_called_per_epoch(ray_session, tmp_path):
     )
     job.run()
     assert len(calls) >= 3  # one per epoch incl. finalize
+
+
+# ---------------- real video codec path (auto-skips without pyav) --------
+
+
+def test_frame_sample_real_codec_with_pyav():
+    """Real container bytes through FrameSample via pyav (mirrors the
+    PIL image path). Skipped in environments without av installed —
+    the VXVID fake path stays covered by test_multimodal/the gate."""
+    import io
+
+    import pytest
+
+    av = pytest.importorskip("av")
+
+    from vaero_ray.stages.multimodal import MAGIC, FrameSample
+
+    # encode a tiny 8-frame video in-memory
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 24
+        stream.pix_fmt = "yuv420p"
+        for i in range(8):
+            arr = np.full((24, 32, 3), i * 30, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    payload = buf.getvalue()
+
+    tbl = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "media": pa.array([payload], pa.large_binary())}
+    )
+    out = FrameSample(stride=2)(tbl)
+    assert out.num_rows == 4  # frames 0, 2, 4, 6
+    assert out.column("frame_idx").to_pylist() == [0, 2, 4, 6]
+    assert set(out.column("width").to_pylist()) == {32}
+    assert all(m.startswith(MAGIC) for m in out.column("media").to_pylist())
+
+
+def test_frame_sample_no_codec_raises_cleanly():
+    from vaero_ray.stages.multimodal import FrameSample
+
+    fs = FrameSample(stride=2)
+    if fs._av is not None:
+        import pytest
+
+        pytest.skip("pyav installed: covered by the real-codec test")
+    tbl = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "media": pa.array([b"\x00\x01fakebytes"], pa.large_binary())}
+    )
+    try:
+        fs(tbl)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError as e:
+        assert "pyav" in str(e)

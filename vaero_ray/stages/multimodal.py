@@ -248,27 +248,50 @@ class FrameSample:
 
     def __init__(self, stride: int = 4):
         self.stride = stride
-        try:  # pragma: no cover - not installed here
-            import av  # noqa: F401
+        # codec probe once per actor (same pattern as ImageFeatures/PIL):
+        # pyav decodes real container bytes when present; VXVID payloads
+        # always take the deterministic fake parser
+        try:
+            import av
 
-            self._real = True
-        except ImportError:
-            self._real = False
+            self._av = av
+        except ImportError:  # this container: no pyav
+            self._av = None
 
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        if self._real:  # pragma: no cover
-            raise NotImplementedError("real codec path: wire pyav frame iteration here")
-        ids, fidx, media, ws, hs = [], [], [], [], []
-        for doc_id, buf in zip(tbl.column("doc_id").to_pylist(), tbl.column("media").to_pylist()):
-            if not buf.startswith(VIDEO_MAGIC):
-                raise ValueError("not a VXVID payload")
+    def _frames(self, buf: bytes):
+        """Yield (frame_idx, grayscale HxW uint8 array) every stride-th
+        frame — fake VXVID parser or real pyav container decode."""
+        if buf.startswith(VIDEO_MAGIC):
             nf, w, h = struct.unpack("<HHH", buf[5:11])
             frames = np.frombuffer(buf[11:], dtype=np.uint8).reshape(nf, h, w)
             for i in range(0, nf, self.stride):
+                yield i, frames[i]
+            return
+        if self._av is not None:  # real codec path (mp4/mkv/webm/...)
+            import io
+
+            with self._av.open(io.BytesIO(buf)) as container:
+                stream = container.streams.video[0]
+                for i, frame in enumerate(container.decode(stream)):
+                    if i % self.stride == 0:
+                        yield i, frame.to_ndarray(format="gray")
+            return
+        raise NotImplementedError(
+            "non-VXVID payload and no pyav in this environment: install av "
+            "for the real codec path"
+        )
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids, fidx, media, ws, hs = [], [], [], [], []
+        for doc_id, buf in zip(tbl.column("doc_id").to_pylist(), tbl.column("media").to_pylist()):
+            for i, gray in self._frames(buf):
+                h, w = gray.shape
                 ids.append(doc_id)
                 fidx.append(i)
                 # one grayscale frame as a VXIMG payload (1 channel)
-                media.append(MAGIC + struct.pack("<HHB", w, h, 1) + frames[i].tobytes())
+                media.append(
+                    MAGIC + struct.pack("<HHB", w, h, 1) + np.ascontiguousarray(gray).tobytes()
+                )
                 ws.append(w)
                 hs.append(h)
         return pa.table(
