@@ -486,6 +486,80 @@ def q_streaming_stitch(sf_dir: str):
 SQL_STREAMING_STITCH = SQL_STITCH  # whole-conversation stitch, same answer
 
 
+def q_streaming_session_stats(sf_dir: str):
+    """Streaming SESSION windows through the gate, completing the
+    windows x {batch, streaming} matrix: events arrive as 4 ts-sorted
+    chunks; per-key gap sessions are held as MERGEABLE FRAGMENT PARTIALS
+    (never raw events) and close when the watermark passes end+gap; the
+    committed exactly-once output must equal the batch/SQL gap-session
+    aggregate. sum(value) emitted as exact integer cents both sides."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming import StreamingSessionJob
+
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/session"
+    ind = f"{base}/in"
+    if not os.path.isdir(ind):
+        tmp = ind + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        n = t.num_rows
+        for i in range(4):  # 4 arrival chunks = 4 epochs
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+        os.replace(tmp, ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingSessionJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        key="user_id",
+        aggs=[
+            AggSpec(None, "count", "n_events"),
+            AggSpec("ts", "min", "start_ts"),
+            AggSpec("ts", "max", "end_ts"),
+            AggSpec("value", "sum", "sum_value"),
+        ],
+        ts_col="ts",
+        gap_s=1800,
+        allowed_lateness_s=0,  # arrival chunks are ts-sorted
+        num_partitions=4,
+    )
+    job.run()
+    return job.committed_output().map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"),
+            "sum_value_cents",
+            pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100)), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STREAMING_SESSION = """
+WITH sess_d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess_s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM sess_d
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value_cents
+FROM sess_s GROUP BY user_id, session_id
+"""
+
+
 def q_top10_orders(sf_dir: str):
     """Global top-k: Ray Data sort (range-partitioned shuffle) + limit.
     Ties broken by o_orderkey so the answer is deterministic."""
@@ -1655,6 +1729,7 @@ QUERIES: dict[str, QueryFn] = {
     "purchase_asof_view": q_purchase_asof_view,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
     "streaming_stitch": q_streaming_stitch,
+    "streaming_session_stats": q_streaming_session_stats,
     "embedding_cosine_dups": q_embedding_cosine_dups,
     "embedding_lsh_dups": q_embedding_lsh_dups,
     "doc_quality_fingerprint": q_doc_quality_fingerprint,
@@ -1713,6 +1788,7 @@ ORACLES: dict[str, str] = {
     "purchase_asof_view": SQL_PURCHASE_ASOF,
     "streaming_tumbling_agg": SQL_STREAMING_TUMBLING,
     "streaming_stitch": SQL_STREAMING_STITCH,
+    "streaming_session_stats": SQL_STREAMING_SESSION,
     "embedding_cosine_dups": SQL_EMBEDDING_DUPS,
     "embedding_lsh_dups": SQL_EMBEDDING_LSH,
     "doc_quality_fingerprint": SQL_QUALITY_FP,
