@@ -285,6 +285,53 @@ def test_derive_num_buckets(ray_session, tmp_path):
     assert derive_num_buckets(rd.from_pandas(pd.DataFrame({"x": [1]}))) == DEFAULT_BUCKETS
 
 
+def test_lineage_inmemory_bytes(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.keyed import lineage_inmemory_bytes
+
+    p = str(tmp_path / "lin.parquet")
+    pq.write_table(pa.table({"x": np.arange(50_000, dtype=np.int64)}), p)
+    ds = rd.read_parquet(p)
+    base = lineage_inmemory_bytes(ds)
+    assert base is not None and base >= 50_000 * 8
+    # survives map_batches/filter (which sever input_files)
+    derived = ds.map_batches(lambda t: t, batch_format="pyarrow").filter(expr="x > 10")
+    assert lineage_inmemory_bytes(derived) == base
+    # union of two reads sums both
+    assert lineage_inmemory_bytes(ds.union(rd.read_parquet(p))) == 2 * base
+    # in-memory datasets have no Read op -> None
+    assert lineage_inmemory_bytes(rd.from_pandas(pd.DataFrame({"x": [1]}))) is None
+
+
+def test_hash_join_derived_partitions(ray_session, tmp_path):
+    """hash_join with num_buckets=None derives the partition count from
+    read-lineage size (~1 GiB/partition, cpus/4 floor) and still joins
+    correctly; explicit num_buckets is honored unchanged."""
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.joins import hash_join
+
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(
+        pa.table({"k": np.arange(1000, dtype=np.int64), "a": np.arange(1000)}), lp
+    )
+    pq.write_table(
+        pa.table({"k": np.arange(0, 2000, 2, dtype=np.int64), "b": np.arange(1000)}), rp
+    )
+    out = hash_join(rd.read_parquet(lp), rd.read_parquet(rp), keys="k").to_pandas()
+    exp = pd.merge(
+        pd.DataFrame({"k": np.arange(1000), "a": np.arange(1000)}),
+        pd.DataFrame({"k": np.arange(0, 2000, 2), "b": np.arange(1000)}),
+        on="k",
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("k", ignore_index=True)[["k", "a", "b"]],
+        exp.sort_values("k", ignore_index=True)[["k", "a", "b"]],
+        check_dtype=False,
+    )
+
+
 # ---------------- per-poll / per-epoch secret refresh ----------------
 
 

@@ -1084,17 +1084,21 @@ def q_training_data_pipeline(sf_dir: str):
     shuffles (dedup hash, pack sort) + stateless filters; the SQL oracle
     reproduces every stage."""
     from vaero_ray.stages.pack import pack_sequences
-    from vaero_ray.stages.textstats import quality_stats
+    from vaero_ray.stages.textstats import lang_id_batch, quality_stats
+
+    def curate(d):
+        # text-pure stages commute with dedup -> exact_dedup places them
+        # on the payload side (pre-join in project mode: full read
+        # parallelism, filtered rows never enter the exchange)
+        d = d.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
+        d = d.filter(expr="n_chars >= 100")
+        d = d.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
+        d = d.filter(expr="pred_lang == 'en'")
+        return d.select_columns(["doc_id", "text"])
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = exact_dedup(ds, text_col="text", id_col="doc_id")
-    ds = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.filter(expr="n_chars >= 100")
-    from vaero_ray.stages.textstats import lang_id_batch
-
-    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.filter(expr="pred_lang == 'en'")
-    return pack_sequences(ds.select_columns(["doc_id", "text"]), target_len=512)
+    ds = exact_dedup(ds, text_col="text", id_col="doc_id", payload_transform=curate)
+    return pack_sequences(ds, target_len=512)
 
 
 _LANG_CTE = SQL_LANG_ID.replace("FROM documents) d", "FROM survivors) d").replace(

@@ -117,8 +117,23 @@ def exact_dedup(
     id_col: str = "doc_id",
     payload_mode: str = "auto",
     carry_max_bytes: int = 256 << 20,
+    payload_transform=None,
+    join_num_partitions: "int | None" = None,
 ) -> rd.Dataset:
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
+
+    ``payload_transform``: optional ``Dataset -> Dataset`` applied to the
+    PAYLOAD side. It must commute with dedup — i.e. be a per-row map /
+    filter whose outcome is a pure function of ``text_col`` (quality
+    scoring, language-ID, column projection), so every row of a
+    duplicate group passes or fails together and the min-id survivor is
+    unchanged. In ``project`` mode it runs BEFORE the semi-join, which
+    is the corpus-scale placement: expensive text kernels execute at
+    full read parallelism (one task per input block) instead of
+    inheriting the join's partition count — measured 8-way vs 256-way on
+    the 32M-turn rehearsal — and filtered rows never enter the exchange.
+    In ``carry`` mode it runs after dedup (equivalent by the commute
+    requirement; carry's single shuffle already moves the payload).
 
     Two shapes, picked by ``payload_mode``:
 
@@ -174,7 +189,8 @@ def exact_dedup(
             "__h",
             keep_first_bucket,
         )
-        return out.drop_columns(["__h"])
+        out = out.drop_columns(["__h"])
+        return payload_transform(out) if payload_transform is not None else out
 
     if payload_mode != "project":
         raise ValueError(f"payload_mode must be carry/project/auto, got {payload_mode!r}")
@@ -204,7 +220,16 @@ def exact_dedup(
     # only its own columns; the survivor side is (id) int64 rows)
     from vaero_ray.stages.joins import hash_join
 
-    out = hash_join(ds, survivors, keys=id_col, join_type="inner")
+    if payload_transform is not None:
+        # survivors carry ONLY id_col, so the join adds no extra columns
+        # — the transformed payload schema passes through untouched
+        return hash_join(
+            payload_transform(ds), survivors, keys=id_col, join_type="inner",
+            num_buckets=join_num_partitions,
+        )
+    out = hash_join(
+        ds, survivors, keys=id_col, join_type="inner", num_buckets=join_num_partitions
+    )
     return out.select_columns(ds.schema().names)
 
 

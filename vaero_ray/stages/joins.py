@@ -28,6 +28,13 @@ import ray.data as rd
 
 from vaero_ray.stages.keyed import BUCKET_COL, DEFAULT_BUCKETS, hash_bucket, input_file_bytes
 
+# ~1 GiB of in-memory input per native-join partition: measured optimum on
+# the 32M-turn corpus rehearsal (15 GiB in-mem, 32 CPUs) — 8 parts starved
+# downstream stages, 59 parts paid 6x shuffle CPU in per-object churn, 16
+# (= 15 GiB / 1 GiB) was fastest end to end. Also bounds the per-partition
+# aggregator actor's heap, which is what matters on a 256-node run.
+JOIN_TARGET_INMEM_BYTES = 1 << 30
+
 
 def broadcast_join(
     ds: rd.Dataset,
@@ -79,7 +86,7 @@ def hash_join(
     right: rd.Dataset,
     keys: str | list[str],
     join_type: str = "inner",
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
     suffix: str = "_r",
 ) -> rd.Dataset:
     """Partitioned hash join.
@@ -88,18 +95,36 @@ def hash_join(
     ONLY its own columns (round 1 padded both sides to the union schema
     with typed nulls, ~doubling exchanged bytes) and Arrow dtypes survive
     (no pandas float-ification of int columns). Fallback (native path
-    unavailable/raises): the original bucketed union+merge."""
+    unavailable/raises): the original bucketed union+merge.
+
+    Partition count: explicit ``num_buckets`` wins; otherwise derived
+    from the two sides' READ-lineage size estimates
+    (``lineage_inmemory_bytes`` — parquet-footer metadata, resolvable
+    even through map_batches) at ~1 GiB in-memory per partition
+    (``JOIN_TARGET_INMEM_BYTES``), floored at cpus/4. Both directions of
+    the clamp are measured, not guessed (32M-turn corpus, 15 GiB in-mem,
+    32 CPUs): 8 partitions -> 930 MB output blocks starve every
+    downstream map stage (8-way on a 32-CPU box); 59 partitions -> the
+    shuffle slices 512 input blocks x 59 ways and per-object churn cost
+    6x the shuffle CPU and +90% wall vs 16. ~1 GiB/partition (here 16)
+    was the optimum end to end, and also bounds the finalize actor's
+    heap. Join OUTPUT blocks = partitions, so this count is also the
+    parallelism every post-join stage inherits — put expensive per-row
+    stages BEFORE the join (see exact_dedup payload_transform)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     try:
         how_native = {"inner": "inner", "left outer": "left_outer", "left": "left_outer"}[join_type]
         import ray as _ray
 
-        # each partition is a live aggregator actor with real startup cost:
-        # default to cpus/4 locally (measured fastest on one node — actor
-        # spawn dominates below ~1 GB/side); a 256-node 100 TB run passes
-        # an explicit num_buckets sized to data / target-partition-bytes
         n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        n_parts = max(2, min(num_buckets, n_cpus // 4))
+        if num_buckets is not None:
+            n_parts = num_buckets
+        else:
+            from vaero_ray.stages.keyed import MAX_DERIVED_BUCKETS, lineage_inmemory_bytes
+
+            est = (lineage_inmemory_bytes(left) or 0) + (lineage_inmemory_bytes(right) or 0)
+            need = (est + JOIN_TARGET_INMEM_BYTES - 1) // JOIN_TARGET_INMEM_BYTES
+            n_parts = max(2, n_cpus // 4, min(int(need), MAX_DERIVED_BUCKETS))
         return left.join(
             right,
             join_type=how_native,
@@ -109,7 +134,9 @@ def hash_join(
         )
     except (TypeError, KeyError, AttributeError):
         pass
-    return _bucketed_hash_join(left, right, keys, join_type, num_buckets, suffix)
+    return _bucketed_hash_join(
+        left, right, keys, join_type, num_buckets or DEFAULT_BUCKETS, suffix
+    )
 
 
 def _bucketed_hash_join(

@@ -65,6 +65,35 @@ def input_file_bytes(ds: rd.Dataset) -> "int | None":
     return sz
 
 
+def lineage_inmemory_bytes(ds: rd.Dataset) -> "int | None":
+    """Estimated in-memory bytes of a dataset's READ lineage, resolvable
+    even through map_batches/filter (which sever ``input_files()``): walk
+    the logical plan for Read operators and sum the datasources' own
+    ``estimate_inmemory_data_size()`` (pure parquet-footer metadata — no
+    execution). The estimate ignores filters/projections between the read
+    and the consumer, so it is an UPPER bound — the safe direction for
+    sizing shuffle partitions. None when no Read op is reachable
+    (from_pandas/from_arrow datasets) or the internal plan API moves."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        total = 0
+        seen_read = False
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if isinstance(op, Read):
+                seen_read = True
+                est = op._datasource.estimate_inmemory_data_size()
+                if est is None:
+                    return None
+                total += int(est)
+            stack.extend(op.input_dependencies)
+        return total if seen_read else None
+    except Exception:
+        return None
+
+
 def derive_num_buckets(
     ds: rd.Dataset,
     target_task_bytes: int = TARGET_TASK_BYTES,
