@@ -479,3 +479,135 @@ def test_frame_sample_no_codec_raises_cleanly():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError as e:
         assert "pyav" in str(e)
+
+
+# ---------------- range join / grouped top-k / k-step CEP ----------------
+
+
+def _brute_range_join(lv, rv):
+    rows = []
+    for _, l in lv.iterrows():
+        for _, r in rv.iterrows():
+            if l["k"] == r["k"] and r["start"] <= l["ts"] <= r["end"]:
+                rows.append((l["k"], l["lid"], l["ts"], r["rid"], r["start"], r["end"]))
+    return pd.DataFrame(
+        rows, columns=["k", "lid", "ts", "rid", "start", "end"]
+    ).sort_values(["k", "lid", "rid"], ignore_index=True)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    from vaero_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2026-01-01")
+    lv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 300),
+            "lid": np.arange(300, dtype=np.int64),
+            "ts": base + pd.to_timedelta(rng.integers(0, 100_000, 300), unit="s"),
+        }
+    )
+    starts = base + pd.to_timedelta(rng.integers(0, 100_000, 80), unit="s")
+    rv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 80),
+            "rid": np.arange(80, dtype=np.int64),
+            "start": starts,
+            # variable durations incl zero-length intervals
+            "end": starts + pd.to_timedelta(rng.integers(0, 5_000, 80), unit="s"),
+        }
+    )
+    out = range_join(
+        rd.from_pandas(lv), rd.from_pandas(rv), key="k",
+        left_ts="ts", right_start="start", right_end="end", num_buckets=4,
+    ).to_pandas()
+    got = out[["k", "lid", "ts", "rid", "start", "end"]].sort_values(
+        ["k", "lid", "rid"], ignore_index=True
+    )
+    exp = _brute_range_join(lv, rv)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_range_join_inclusive_bounds_and_suffix(ray_session):
+    from vaero_ray.stages.joins import range_join
+
+    base = pd.Timestamp("2026-01-01")
+    lv = pd.DataFrame({"k": [1, 1, 1], "lid": [0, 1, 2],
+                       "ts": [base, base + pd.Timedelta(seconds=10), base + pd.Timedelta(seconds=11)]})
+    rv = pd.DataFrame({"k": [1], "start": [base], "end": [base + pd.Timedelta(seconds=10)],
+                       "lid": [99]})  # collides with left's lid -> suffixed
+    out = range_join(
+        rd.from_pandas(lv), rd.from_pandas(rv), key="k",
+        left_ts="ts", right_start="start", right_end="end", num_buckets=2,
+    ).to_pandas()
+    # both boundary rows match, the 11s row does not
+    assert sorted(out["lid"].tolist()) == [0, 1]
+    assert "lid_r" in out.columns and set(out["lid_r"]) == {99}
+
+
+def test_sequence_matches_bruteforce(ray_session):
+    from vaero_ray.stages.cep import sequence_matches
+
+    rng = np.random.default_rng(7)
+    n = 600
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 15, n),
+            "ts": base + pd.to_timedelta(rng.integers(0, 50_000, n), unit="s"),
+            "t": rng.choice(["A", "B", "C", "X"], n),
+        }
+    )
+    w = 600
+    out = (
+        sequence_matches(rd.from_pandas(df), "u", "ts", "t", ["A", "B", "C"], within_s=w, num_buckets=4)
+        .to_pandas().sort_values("u", ignore_index=True)
+    )
+
+    # brute-force frontier propagation per user
+    wd = pd.Timedelta(seconds=w)
+    exp_rows = []
+    for u, g in df.groupby("u"):
+        qual = sorted(g.loc[g["t"] == "A", "ts"])
+        for step in ("B", "C"):
+            evs = sorted(g.loc[g["t"] == step, "ts"])
+            nxt = [t for t in evs if any(t - wd <= q <= t for q in qual)]
+            last = [(t, t in nxt) for t in evs]
+            qual = nxt
+        if last := [m for _, m in last] if len(evs) else []:
+            exp_rows.append((u, len(last), sum(last)))
+        elif len(evs):
+            exp_rows.append((u, len(evs), 0))
+    exp = pd.DataFrame(exp_rows, columns=["u", "n_last", "n_matched"]).sort_values(
+        "u", ignore_index=True
+    )
+    got = out[out["n_last"] > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_last": "int64", "n_matched": "int64"}), exp.astype({"n_last": "int64", "n_matched": "int64"})
+    )
+
+
+def test_top_k_per_group_exact_and_shard_invariant(ray_session):
+    from vaero_ray.stages.ranking import top_k_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("abcdef"), 500),
+            "v": rng.integers(0, 40, 500),  # heavy ties
+            "id": np.arange(500, dtype=np.int64),
+        }
+    )
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False).head(4)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True], ignore_index=True)
+    )
+    for nblocks in (2, 7):  # shard-invariance: same result at any block split
+        ds = rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % nblocks)])
+        got = (
+            top_k_per_group(ds, "g", "v", 4, tie_col="id", num_buckets=4)
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ascending=[True, False, True], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got[["g", "v", "id"]], exp[["g", "v", "id"]], check_dtype=False)

@@ -1435,6 +1435,111 @@ FROM conv GROUP BY user_id
 """
 
 
+def q_seq_view_click_purchase(sf_dir: str):
+    """3-step CEP sequence (view -> click -> purchase, each hop within
+    15 min): per user, purchases overall and purchases completing the
+    chain. The k-step NFA-frontier generalization of the funnel —
+    len(steps)-1 searchsorted passes per bucket, no per-key loop."""
+    from vaero_ray.stages.cep import sequence_matches
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return sequence_matches(
+        ds, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], within_s=900, num_buckets=16,
+    )
+
+
+# the EXISTS chain mirrors the frontier propagation: a click qualifies
+# iff a view lies in ITS window; a purchase matches iff a QUALIFYING
+# click lies in its window
+SQL_SEQUENCE = r"""
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.user_id,
+         EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.user_id = p.user_id AND b.event_type = 'click'
+             AND b.ts >= p.ts - INTERVAL 900 SECONDS AND b.ts <= p.ts
+             AND EXISTS (
+               SELECT 1 FROM events a
+               WHERE a.user_id = b.user_id AND a.event_type = 'view'
+                 AND a.ts >= b.ts - INTERVAL 900 SECONDS AND a.ts <= b.ts)
+         ) AS c
+  FROM p)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_last,
+       CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+FROM m GROUP BY user_id
+"""
+
+
+def q_views_in_purchase_window(sf_dir: str):
+    """Keyed interval (range) join: every (view, purchase) pair of the
+    same user with the view inside the purchase's trailing 1-hour
+    window — a non-equi join Ray Data lacks, composed as one bucketed
+    shuffle + a per-bucket vectorized interval-stab (joins.range_join)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from vaero_ray.stages.joins import range_join
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    views = ev.filter(expr="event_type == 'view'").drop_columns(["event_type"])
+
+    def mk_intervals(tbl):
+        hour = _pa.scalar(3600_000_000, type=_pa.duration("us"))
+        return _pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "start": _pc.subtract(tbl.column("ts"), hour),
+                "end": tbl.column("ts"),
+                "purchase_id": tbl.column("event_id"),
+            }
+        )
+
+    purchases = (
+        ev.filter(expr="event_type == 'purchase'")
+        .map_batches(mk_intervals, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = range_join(
+        views, purchases, key="user_id", left_ts="ts",
+        right_start="start", right_end="end", num_buckets=16,
+    )
+    out = out.rename_columns({"event_id": "view_id", "ts": "view_ts", "end": "purchase_ts"})
+    return out.select_columns(["user_id", "view_id", "view_ts", "purchase_id", "purchase_ts"])
+
+
+SQL_RANGE_JOIN = r"""
+SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 3600 SECONDS AND v.ts <= p.ts
+"""
+
+
+def q_top3_docs_per_source(sf_dir: str):
+    """Exact grouped top-k without a global sort: per-block partial
+    top-3 (bounded k*groups*blocks exchange) + one bucketed shuffle.
+    Ties on n_chars break by doc_id ascending, making the output
+    shard-invariant."""
+    from vaero_ray.stages.ranking import top_k_per_group
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    return top_k_per_group(
+        ds, group_col="source", order_col="n_chars", k=3, tie_col="doc_id",
+        num_buckets=16,
+    )
+
+
+SQL_TOP_K_GROUP = r"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+
 def q_doc_length_histogram(sf_dir: str):
     """Log-histogram registers of document length: the mergeable-by-SUM
     quantile sketch (<=6.25% relative bin width); length percentiles are
@@ -1765,6 +1870,9 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroid_sums": q_label_centroid_sums,
     "streaming_hll_distinct": q_streaming_hll_distinct,
     "length_histogram_by_source": q_length_histogram_by_source,
+    "seq_view_click_purchase": q_seq_view_click_purchase,
+    "views_in_purchase_window": q_views_in_purchase_window,
+    "top3_docs_per_source": q_top3_docs_per_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -1824,4 +1932,7 @@ ORACLES: dict[str, str] = {
     "label_centroid_sums": SQL_CENTROID_SUMS,
     "streaming_hll_distinct": SQL_STREAMING_HLL,
     "length_histogram_by_source": SQL_LHQ_BY,
+    "seq_view_click_purchase": SQL_SEQUENCE,
+    "views_in_purchase_window": SQL_RANGE_JOIN,
+    "top3_docs_per_source": SQL_TOP_K_GROUP,
 }

@@ -107,3 +107,55 @@ def funnel_conversions(
         return g.astype({"n_then": "int64", "n_conv": "int64"})
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def sequence_matches(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: "list[str]",
+    within_s: int,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """k-step CEP sequence detection, the generalization of
+    ``funnel_conversions``: per KEY, count the final-step events that
+    COMPLETE the chain ``steps[0] -> steps[1] -> ... -> steps[-1]``
+    where every consecutive pair is within ``within_s`` seconds
+    (inclusive window ``[ts_i - within_s, ts_i]`` — equal-ts peers
+    chain, same RANGE-peers semantics as the 2-step funnel).
+
+    A step-``i`` event QUALIFIES iff some qualifying step-``i-1`` event
+    of the same key lies in its window (step 0 always qualifies) — the
+    left-to-right frontier propagation a streaming NFA would do, here as
+    ``len(steps)-1`` vectorized searchsorted passes over the bucket's
+    composite-shifted timestamps (the loop is over STEPS, a small
+    constant, never over rows or keys).
+
+    Output: one row per key with any final-step events:
+    ``(key, n_last, n_matched)``, integers."""
+    if len(steps) < 2:
+        raise ValueError("sequence_matches needs at least 2 steps")
+    w_us = int(within_s) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        s = _shifted_ts(df, key, ts_col, w_us)
+        et = df[type_col].to_numpy()
+        qual = s[et == steps[0]]  # step-0 events all qualify
+        matched = None
+        for step in steps[1:]:
+            st = s[et == step]
+            n_in = np.searchsorted(qual, st, side="right") - np.searchsorted(
+                qual, st - w_us, side="left"
+            )
+            matched = n_in > 0
+            qual = st[matched]
+        last_mask = et == steps[-1]
+        keys_last = df.loc[last_mask, key].reset_index(drop=True)
+        out = pd.DataFrame({key: keys_last, "__m": matched.astype(np.int64)})
+        g = out.groupby(key, sort=False)["__m"].agg(["count", "sum"]).reset_index()
+        g.columns = [key, "n_last", "n_matched"]
+        return g.astype({"n_last": "int64", "n_matched": "int64"})
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)

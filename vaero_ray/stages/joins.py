@@ -401,3 +401,119 @@ def semi_join(
         return ltb.join(rk, keys=keys, join_type=how)
 
     return l.union(r).groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    num_buckets: int = DEFAULT_BUCKETS,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Keyed interval (range) join: every pair ``(l, r)`` with
+    ``l.key == r.key`` and ``r.start <= l.ts <= r.end`` (inclusive both
+    ends — SQL ``BETWEEN`` semantics). Output = left columns + right's
+    interval bounds + right payload columns, right-side name collisions
+    suffixed. Ray Data has no non-equi join; this is the engine's
+    composition (SURVEY §2-adjacent: the task brief's "range join").
+
+    Scale shape: ONE bucketed shuffle on ``hash(key)`` (both sides union
+    through the same exchange, each padded with typed nulls like
+    ``hash_join``'s fallback), then a per-bucket vectorized
+    interval-stab: composite-shift each side's int64 timestamps by
+    ``key_code * OFF`` (the cep.py offset-searchsorted trick, codes
+    factorized over the CONCATENATED key arrays so both sides share the
+    coding), sort rights by shifted start, and for each left row take
+    the candidate slice ``start in [ts - max_dur, ts]`` via two
+    ``np.searchsorted`` calls — ``max_dur`` = the bucket's longest
+    interval, so no matching right can start earlier (``end = start +
+    dur < ts``). Candidates expand via repeat/arange (no Python loop)
+    and a final ``end >= ts`` mask. Per-left-row work is bounded by the
+    number of intervals STARTING within one max-duration window — the
+    merge_asof-tolerance trick generalized to all matches — instead of
+    the per-key cross product a merge+filter would materialize.
+    Partitioning assumptions: one bucket's rows (both sides) fit one
+    task, and interval durations are not wildly skewed (one degenerate
+    months-long interval widens every candidate window in its bucket)."""
+    lsch, rsch = left.schema(), right.schema()
+    lcols, rcols = lsch.names, rsch.names
+    types = dict(zip(rsch.names, rsch.types))
+    types.update(dict(zip(lsch.names, lsch.types)))  # left wins on collision
+    rtypes = dict(zip(rsch.names, rsch.types))
+    all_cols = list(dict.fromkeys(lcols + [c for c in rcols if c not in lcols]))
+    # output naming: right's non-key columns, suffixed on collision
+    r_out = {c: (c + suffix if c in lcols else c) for c in rcols if c != key}
+
+    def pad(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table(
+            {c: (tbl.column(c) if c in tbl.column_names else pa.nulls(n, types[c])) for c in all_cols}
+            | {BUCKET_COL: tbl.column(BUCKET_COL), "__side": tbl.column("__side")}
+        )
+
+    l = left.map_batches(_tag(0, [key], num_buckets), batch_format="pyarrow", zero_copy_batch=True)
+    l = l.map_batches(pad, batch_format="pyarrow")
+    r = right.map_batches(_tag(1, [key], num_buckets), batch_format="pyarrow", zero_copy_batch=True)
+    r = r.map_batches(pad, batch_format="pyarrow")
+
+    out_schema = [(c, types[c]) for c in lcols] + [
+        (r_out[c], rtypes[c]) for c in rcols if c != key
+    ]
+    out_arrow_schema = pa.schema([(c, _pa_type(t)) for c, t in out_schema])
+    empty_out = pa.table({c: pa.nulls(0, _pa_type(t)) for c, t in out_schema})
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty_out
+        ldf = df[df["__side"] == 0]
+        rdf = df[df["__side"] == 1]
+        if not len(ldf) or not len(rdf):
+            return empty_out
+        # shared key coding across both sides (factorize the concat)
+        codes_all = pd.factorize(
+            pd.concat([ldf[key], rdf[key]], ignore_index=True), use_na_sentinel=False
+        )[0].astype(np.int64)
+        lcode, rcode = codes_all[: len(ldf)], codes_all[len(ldf):]
+
+        def _us(s: pd.Series) -> np.ndarray:
+            return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+        lts = _us(ldf[left_ts])
+        rs, re_ = _us(rdf[right_start]), _us(rdf[right_end])
+        max_dur = int((re_ - rs).max()) if len(rs) else 0
+        max_dur = max(max_dur, 0)
+        tmin = min(lts.min(), rs.min())
+        span = int(max(lts.max(), rs.max()) - tmin)
+        off = span + max_dur + 2
+        lc = lcode * off + (lts - tmin)
+        rc = rcode * off + (rs - tmin)
+        order = np.argsort(rc, kind="stable")
+        rc_s = rc[order]
+        lo = np.searchsorted(rc_s, lc - max_dur, side="left")
+        hi = np.searchsorted(rc_s, lc, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        li = np.repeat(np.arange(len(ldf)), counts)
+        ri_base = np.arange(total) - np.repeat(counts.cumsum() - counts, counts)
+        ri = order[ri_base + np.repeat(lo, counts)]
+        keep = re_[ri] >= lts[li]
+        li, ri = li[keep], ri[keep]
+
+        lout = ldf.iloc[li][lcols].reset_index(drop=True)
+        rout = rdf.iloc[ri][[c for c in rcols if c != key]].reset_index(drop=True)
+        rout.columns = [r_out[c] for c in rcols if c != key]
+        out = pd.concat([lout, rout], axis=1)
+        # the padded union degrades int columns to float64 through pandas
+        # nulls; matched rows are null-free, so cast back to the declared
+        # schema (same reason as hash_join's _restore_int_dtypes)
+        tbl = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return tbl.cast(out_arrow_schema)
+
+    return (
+        l.union(r)
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
