@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)
+    "seq_view_click_purchase",      # k-step CEP sequence (frontier propagation)
+    "views_in_purchase_window",     # keyed interval (range) join
+    "top3_docs_per_source",         # grouped top-k (partial top-k -> one shuffle)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack
     "media_features",               # multimodal decode -> integer pixel moments
     "video_frame_sample",           # frame sampling -> per-frame features

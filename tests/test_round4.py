@@ -611,3 +611,23 @@ def test_top_k_per_group_exact_and_shard_invariant(ray_session):
             .sort_values(["g", "v", "id"], ascending=[True, False, True], ignore_index=True)
         )
         pd.testing.assert_frame_equal(got[["g", "v", "id"]], exp[["g", "v", "id"]], check_dtype=False)
+
+
+def test_composite_shift_overflow_guard(ray_session):
+    from vaero_ray.stages.cep import _shifted_ts
+
+    # ~2^40 us span x ~2^24 keys -> composite would wrap int64
+    n = 1 << 12
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64) * (1 << 12),  # codes 0..n-1
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(np.zeros(n, dtype=np.int64), unit="s"),
+        }
+    ).sort_values(["k", "ts"])
+    # force a huge pad so off * n_codes crosses 2^63
+    try:
+        _shifted_ts(df, "k", "ts", pad_us=2**53)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "overflows int64" in str(e)

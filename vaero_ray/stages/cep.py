@@ -39,6 +39,13 @@ def _shifted_ts(df: pd.DataFrame, key: str, ts_col: str, pad_us: int) -> np.ndar
     codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
     base = ts - ts.min() if len(ts) else ts
     off = (int(base.max()) if len(base) else 0) + pad_us + 2
+    n_codes = int(codes.max()) + 1 if len(codes) else 0
+    if n_codes * off >= 2**63:
+        # composite would wrap int64 and silently unsort the array
+        raise ValueError(
+            f"composite shift overflows int64 ({n_codes} keys x {off} us span "
+            "in one bucket); raise num_buckets or narrow the time range"
+        )
     return codes * off + base
 
 

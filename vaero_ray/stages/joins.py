@@ -488,6 +488,13 @@ def range_join(
         tmin = min(lts.min(), rs.min())
         span = int(max(lts.max(), rs.max()) - tmin)
         off = span + max_dur + 2
+        n_codes = int(codes_all.max()) + 1
+        if n_codes * off >= 2**63:
+            # composite would wrap int64 and silently unsort the array
+            raise ValueError(
+                f"composite shift overflows int64 ({n_codes} keys x {off} us "
+                "span in one bucket); raise num_buckets or narrow the range"
+            )
         lc = lcode * off + (lts - tmin)
         rc = rcode * off + (rs - tmin)
         order = np.argsort(rc, kind="stable")
