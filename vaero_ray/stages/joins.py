@@ -101,16 +101,19 @@ def hash_join(
     from the two sides' READ-lineage size estimates
     (``lineage_inmemory_bytes`` — parquet-footer metadata, resolvable
     even through map_batches) at ~1 GiB in-memory per partition
-    (``JOIN_TARGET_INMEM_BYTES``), floored at cpus/4. Both directions of
-    the clamp are measured, not guessed (32M-turn corpus, 15 GiB in-mem,
-    32 CPUs): 8 partitions -> 930 MB output blocks starve every
-    downstream map stage (8-way on a 32-CPU box); 59 partitions -> the
-    shuffle slices 512 input blocks x 59 ways and per-object churn cost
-    6x the shuffle CPU and +90% wall vs 16. ~1 GiB/partition (here 16)
-    was the optimum end to end, and also bounds the finalize actor's
-    heap. Join OUTPUT blocks = partitions, so this count is also the
-    parallelism every post-join stage inherits — put expensive per-row
-    stages BEFORE the join (see exact_dedup payload_transform)."""
+    (``JOIN_TARGET_INMEM_BYTES``), floored at cpus/4, and SNAPPED to the
+    cluster CPU count when the bytes-derived count lands in the
+    [cpus/3, 2*cpus] band. All three regimes are measured, not guessed
+    (32M-turn corpus, ~15 GiB in-mem, 32 CPUs): 8 partitions -> 930 MB
+    output blocks starve every downstream map stage (8-way on a 32-CPU
+    box); 59 partitions -> the shuffle slices 512 input blocks x 59 ways
+    and per-object churn cost 6x the shuffle CPU; in between, derived 15
+    took 260 s vs 30 at 194 s and 45 at 223 s — join OUTPUT blocks =
+    partitions, so this count is also the parallelism every post-join
+    stage inherits, and one full wave of cores wins. Put expensive
+    per-row stages BEFORE the join (see exact_dedup payload_transform);
+    the ~1 GiB/partition rule still governs above 2*cpus (bounds the
+    finalize actor's heap at 256-node scale)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     try:
         how_native = {"inner": "inner", "left outer": "left_outer", "left": "left_outer"}[join_type]
@@ -123,8 +126,16 @@ def hash_join(
             from vaero_ray.stages.keyed import MAX_DERIVED_BUCKETS, lineage_inmemory_bytes
 
             est = (lineage_inmemory_bytes(left) or 0) + (lineage_inmemory_bytes(right) or 0)
-            need = (est + JOIN_TARGET_INMEM_BYTES - 1) // JOIN_TARGET_INMEM_BYTES
-            n_parts = max(2, n_cpus // 4, min(int(need), MAX_DERIVED_BUCKETS))
+            need = int((est + JOIN_TARGET_INMEM_BYTES - 1) // JOIN_TARGET_INMEM_BYTES)
+            if n_cpus // 3 <= need <= 2 * n_cpus:
+                # mid band: join OUTPUT blocks = partitions, so this count
+                # is the parallelism of every post-join stage — snap to one
+                # full wave of cores (32M-turn rehearsal, 32 CPUs: derived
+                # 15 -> 260 s, 30 -> 194 s, 45 -> 223 s). Below the band,
+                # actor spawn dominates (keep cpus/4 floor); above it, the
+                # ~1 GiB/partition bytes rule governs (aggregator heap).
+                need = n_cpus
+            n_parts = max(2, n_cpus // 4, min(need, MAX_DERIVED_BUCKETS))
         return left.join(
             right,
             join_type=how_native,
