@@ -819,6 +819,11 @@ def embedding_lsh_dups(
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_s = [], [], []
+        if len(df):
+            # drop singleton buckets vectorized — iterating them in the
+            # group loop was most of the stage's pandas overhead
+            sizes = df.groupby(["lsh_table", "bucket"], sort=False)[id_col].transform("size").to_numpy()
+            df = df[sizes > 1]
         for _, g in df.groupby(["lsh_table", "bucket"], sort=False):
             if len(g) < 2:
                 continue
@@ -1006,6 +1011,10 @@ def ngram_jaccard_dups(
         no per-pair Python work, so template-heavy fat buckets stay
         kernel-bound."""
         out_id, out_dup, out_c, out_u = [], [], [], []
+        if len(df):
+            # drop singleton buckets vectorized before the group loop
+            sizes = df.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("size").to_numpy()
+            df = df[sizes > 1]
         for bk, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
@@ -1101,6 +1110,10 @@ def simhash_dup_pairs(
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_dup, out_ham = [], [], []
+        if len(df):
+            # drop singleton buckets vectorized before the group loop
+            sizes = df.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("size").to_numpy()
+            df = df[sizes > 1]
         for bk, g in df.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
