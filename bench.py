@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)
     "seq_view_click_purchase",      # k-step CEP sequence (frontier propagation)
+    "line_dedup_docs",              # C4-style exact line dedup (explode -> hash shuffle -> reassemble)
+    "event_type_pivot",             # pivot / wide conditional aggregate (bincount partials)
     "views_in_purchase_window",     # keyed interval (range) join
     "top3_docs_per_source",         # grouped top-k (partial top-k -> one shuffle)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack

@@ -631,3 +631,80 @@ def test_composite_shift_overflow_guard(ray_session):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "overflows int64" in str(e)
+
+
+def test_line_dedup_matches_bruteforce(ray_session):
+    from vaero_ray.stages.dedup import line_dedup
+
+    rng = np.random.default_rng(3)
+    pool = [f"sentence number {i} with some shared text" for i in range(30)]
+    docs = []
+    for d in range(60):
+        n = rng.integers(1, 8)
+        docs.append("\n".join(
+            [""] * int(rng.integers(0, 2))  # leading blank line sometimes
+            + [pool[i] for i in rng.integers(0, 30, n)]
+        ))
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": docs})
+
+    # brute force
+    seen = {}
+    exp_rows = []
+    for did, text in zip(df["doc_id"], df["text"]):
+        lines = text.split("\n")
+        kept = []
+        for idx, ln in enumerate(lines):
+            if len(ln) < 2:
+                kept.append(ln)
+            elif ln not in seen:
+                seen[ln] = (did, idx)
+                kept.append(ln)
+            elif seen[ln] == (did, idx):
+                kept.append(ln)
+        if kept:
+            exp_rows.append((did, "\n".join(kept), len(lines), len(kept)))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "text", "n_lines", "n_kept"])
+
+    for nblocks in (1, 5):  # shard-invariance
+        ds = rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % nblocks)])
+        got = (
+            line_dedup(ds, num_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_lines": "int64", "n_kept": "int64"}),
+            exp.reset_index(drop=True).astype({"n_lines": "int64", "n_kept": "int64"}),
+            check_dtype=False,
+        )
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    from vaero_ray.stages.pivot import pivot_counts
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 25, 800),
+            "t": rng.choice(["a", "b", "c", "zz"], 800),  # zz not in categories
+        }
+    )
+    exp = (
+        pd.crosstab(df.loc[df["t"] != "zz", "u"], df.loc[df["t"] != "zz", "t"])
+        .reindex(columns=["a", "b", "c"], fill_value=0)
+        .reset_index()
+        .rename(columns={"a": "n_a", "b": "n_b", "c": "n_c"})
+        .sort_values("u", ignore_index=True)
+    )
+    for nblocks in (1, 6):
+        ds = rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % nblocks)])
+        got = (
+            pivot_counts(ds, "u", "t", ["a", "b", "c"])
+            .to_pandas()
+            .sort_values("u", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({c: "int64" for c in ("n_a", "n_b", "n_c")}),
+            exp.astype({c: "int64" for c in ("n_a", "n_b", "n_c")}),
+            check_dtype=False, check_names=False,
+        )

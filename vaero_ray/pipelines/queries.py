@@ -1540,6 +1540,65 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def q_line_dedup_docs(sf_dir: str):
+    """C4/RefinedWeb-style exact line dedup (dedup.line_dedup): each
+    unit of >= min_chars chars survives only at its corpus-wide first
+    occurrence (min (doc_id, idx)); docs reassemble in original order.
+    The testdata documents are single-line word streams, so the gate
+    runs at WORD granularity (sep=' ', min_chars=4) — same machinery,
+    unit = token; the newline path is covered by the brute-force pytest
+    (tests/test_round4.py::test_line_dedup_matches_bruteforce)."""
+    from vaero_ray.stages.dedup import line_dedup
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return line_dedup(ds, sep=" ", min_chars=4, num_buckets=16)
+
+
+SQL_LINE_DEDUP = r"""
+WITH l AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS line,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS line_idx,
+         len(string_split(text, ' ')) AS n_lines
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, line, line_idx, n_lines FROM (
+    SELECT doc_id, line, line_idx, n_lines,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+    FROM l WHERE length(line) >= 4) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, line, line_idx, n_lines FROM l WHERE length(line) < 4
+)
+SELECT doc_id,
+       string_agg(line, ' ' ORDER BY line_idx) AS text,
+       CAST(any_value(n_lines) AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Pivot / wide conditional aggregate: per user, one count column
+    per event type. Bounded exchange: a per-block factorize+bincount
+    partial (<= keys x categories rows per block) merged by a native
+    keyed sum (map-side combine)."""
+    from vaero_ray.stages.pivot import pivot_counts
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type", ["view", "click", "purchase"])
+
+
+SQL_PIVOT = r"""
+SELECT user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase
+FROM events WHERE event_type IN ('view', 'click', 'purchase')
+GROUP BY user_id
+"""
+
+
 def q_doc_length_histogram(sf_dir: str):
     """Log-histogram registers of document length: the mergeable-by-SUM
     quantile sketch (<=6.25% relative bin width); length percentiles are
@@ -1873,6 +1932,8 @@ QUERIES: dict[str, QueryFn] = {
     "seq_view_click_purchase": q_seq_view_click_purchase,
     "views_in_purchase_window": q_views_in_purchase_window,
     "top3_docs_per_source": q_top3_docs_per_source,
+    "line_dedup_docs": q_line_dedup_docs,
+    "event_type_pivot": q_event_type_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -1935,4 +1996,6 @@ ORACLES: dict[str, str] = {
     "seq_view_click_purchase": SQL_SEQUENCE,
     "views_in_purchase_window": SQL_RANGE_JOIN,
     "top3_docs_per_source": SQL_TOP_K_GROUP,
+    "line_dedup_docs": SQL_LINE_DEDUP,
+    "event_type_pivot": SQL_PIVOT,
 }

@@ -1170,3 +1170,93 @@ def simhash_dup_pairs(
     from vaero_ray.stages.keyed import bucketed_map_groups
 
     return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 2,
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """C4/RefinedWeb-style exact LINE deduplication across the corpus:
+    split every document on ``sep``; a line of ``min_chars`` or more
+    characters survives only at its FIRST occurrence corpus-wide
+    (min ``(id_col, line_idx)`` over all bit-identical lines); shorter
+    lines (blank separators, bullets) always survive. Documents are
+    reassembled in original line order with ``sep``; docs whose every
+    line was dropped emit no row (mirrored by the SQL oracle's GROUP BY
+    over kept lines).
+
+    Output: ``(id_col, text, n_lines, n_kept)`` — cleaned text, the
+    original and surviving line counts.
+
+    Scale shape: explode is a stateless zero-copy Arrow pass (list
+    flatten + segmented arange — no per-row Python); ONE bucketed
+    shuffle on the line's 64-bit siphash co-locates every occurrence of
+    a line (collisions are harmless: the winner is resolved by merging
+    on the actual line VALUE inside the bucket, same bit-exactness
+    contract as ``exact_dedup`` carry mode); a second bucketed shuffle
+    on ``id_col`` reassembles docs. Both exchanges carry the line
+    payload — the keys-only "project" variant (ship (h, id, idx)
+    triples, semi-join survivors back) is the same composition as
+    ``exact_dedup payload_mode="project"`` and is the 100-TB path when
+    line text dominates; at the tested scales two payload exchanges
+    beat the third read the project shape needs."""
+    import pyarrow.compute as pc
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(tbl.column(text_col), sep)
+        counts = pc.list_value_length(lines).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lines)
+        ids = np.repeat(tbl.column(id_col).to_numpy(), counts)
+        h = pd.util.hash_array(
+            flat.to_pandas().to_numpy(dtype=object), categorize=False
+        ).astype(np.uint64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "line_idx": pa.array(_seg_arange(counts), pa.int64()),
+                "line": flat,
+                "n_lines": pa.array(np.repeat(counts, counts), pa.int64()),
+                "__h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    def keep_stage(df: pd.DataFrame) -> pd.DataFrame:
+        elig = df["line"].str.len() >= min_chars
+        keep = np.ones(len(df), dtype=bool)
+        sub = df[elig]
+        if len(sub):
+            first = sub.sort_values([id_col, "line_idx"], kind="mergesort").drop_duplicates(
+                subset=["line"]
+            )
+            m = sub.merge(
+                first[["line", id_col, "line_idx"]], on="line", how="left",
+                suffixes=("", "_w"),
+            )
+            keep[elig.to_numpy()] = (
+                m[f"{id_col}_w"].to_numpy() == m[id_col].to_numpy()
+            ) & (m["line_idx_w"].to_numpy() == m["line_idx"].to_numpy())
+        return df[keep].drop(columns="__h")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "line_idx"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        text = g["line"].agg(sep.join)
+        out = pd.DataFrame(
+            {
+                id_col: text.index.to_numpy(),
+                "text": text.to_numpy(),
+                "n_lines": g["n_lines"].first().to_numpy(),
+                "n_kept": g.size().to_numpy(),
+            }
+        )
+        return out.astype({id_col: "int64", "n_lines": "int64", "n_kept": "int64"})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    kept = bucketed_map_groups(exploded, "__h", keep_stage, num_buckets=num_buckets)
+    return bucketed_map_groups(kept, id_col, assemble, num_buckets=num_buckets)
