@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "seq_view_click_purchase",      # k-step CEP sequence (frontier propagation)
     "line_dedup_docs",              # C4-style exact line dedup (explode -> hash shuffle -> reassemble)
     "event_type_pivot",             # pivot / wide conditional aggregate (bincount partials)
+    "tfidf_top_terms",              # integer tf-idf top terms (two bucketed shuffles, no broadcast)
+    "customer_big_order_stats",     # LEFT OUTER hash join + fill_null
+    "docs_above_p90_length",        # sketch -> integer threshold -> stream filter
     "views_in_purchase_window",     # keyed interval (range) join
     "top3_docs_per_source",         # grouped top-k (partial top-k -> one shuffle)
     "training_data_pipeline",       # capstone: dedup -> quality -> lang -> pack

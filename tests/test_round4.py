@@ -708,3 +708,39 @@ def test_pivot_counts_matches_crosstab(ray_session):
             exp.astype({c: "int64" for c in ("n_a", "n_b", "n_c")}),
             check_dtype=False, check_names=False,
         )
+
+
+def test_tfidf_topk_matches_bruteforce(ray_session):
+    from vaero_ray.stages.textstats import tfidf_topk
+
+    rng = np.random.default_rng(2)
+    pool = ["alpha", "beta", "gamma", "delta", "rare", "unique"]
+    docs = [" ".join(rng.choice(pool, rng.integers(3, 12), p=[.3,.3,.2,.1,.05,.05]))
+            for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+    n = len(df)
+
+    # brute force
+    from collections import Counter
+    tfs = [Counter(t.split()) for t in docs]
+    dfreq = Counter()
+    for c in tfs:
+        dfreq.update(c.keys())
+    rows = []
+    for did, c in zip(df["doc_id"], tfs):
+        scored = sorted(
+            ((term, tf, dfreq[term], tf * ((1000 * n) // dfreq[term])) for term, tf in c.items()),
+            key=lambda r: (-r[3], r[0]),
+        )[:2]
+        rows.extend((did, *r) for r in scored)
+    exp = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df", "score"]).sort_values(
+        ["doc_id", "term"], ignore_index=True
+    )
+
+    ds = rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % 4)])
+    got = (
+        tfidf_topk(ds, k=2, n_docs=n, num_buckets=3)
+        .to_pandas()[["doc_id", "term", "tf", "df", "score"]]
+        .sort_values(["doc_id", "term"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

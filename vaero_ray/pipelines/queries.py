@@ -1578,6 +1578,136 @@ FROM kept GROUP BY doc_id
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per document by integer tf-idf
+    (textstats.tfidf_topk): tf * ((1000*N) // df) — floor-divided
+    reciprocal df, integer-exact on both sides (no transcendental ln).
+    Two bucketed shuffles (df by term, top-k by doc), no broadcast."""
+    import pyarrow.parquet as _pq
+
+    from vaero_ray.stages.textstats import tfidf_topk
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3, n_docs=n_docs, num_buckets=16)
+
+
+SQL_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents),
+tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+s AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * ((1000 * (SELECT count(*) FROM documents)) // d.df) AS BIGINT) AS score
+  FROM tfc t JOIN dfc d USING (term))
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM s) WHERE rn <= 3
+"""
+
+
+def q_customer_big_order_stats(sf_dir: str):
+    """LEFT OUTER hash join: every customer joined with its big-order
+    (>400k) count and max price in integer cents; customers with no big
+    orders keep the row with absent stats filled to 0 (fill_null after
+    the join — integer-exact both sides, no float degradation through
+    typed nulls)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Max
+
+    from vaero_ray.stages.joins import hash_join
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice > 400000.0")
+
+    def to_cents(tbl):
+        cents = _pc.cast(
+            _pc.floor(_pc.add(_pc.multiply(tbl.column("o_totalprice"), 100.0), 0.5)),
+            _pa.int64(),
+        )
+        return _pa.table({"c_custkey": tbl.column("o_custkey"), "cents": cents})
+
+    stats = (
+        big.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Count(on="cents", alias_name="n_big"), Max("cents", alias_name="max_cents"))
+    )
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    joined = hash_join(cust, stats, keys="c_custkey", join_type="left outer")
+
+    def fill(tbl):
+        return _pa.table(
+            {
+                "c_custkey": tbl.column("c_custkey"),
+                "c_name": tbl.column("c_name"),
+                "n_big": _pc.fill_null(_pc.cast(tbl.column("n_big"), _pa.int64()), 0),
+                "max_cents": _pc.fill_null(_pc.cast(tbl.column("max_cents"), _pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_LEFT_JOIN = r"""
+SELECT c.c_custkey, c.c_name,
+       CAST(coalesce(b.n_big, 0) AS BIGINT) AS n_big,
+       CAST(coalesce(b.max_cents, 0) AS BIGINT) AS max_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_big,
+         CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+  FROM orders WHERE o_totalprice > 400000.0 GROUP BY 1) b
+ON c.c_custkey = b.o_custkey
+"""
+
+
+def q_docs_above_p90_length(sf_dir: str):
+    """Sketch -> threshold -> filter composition (the canonical corpus
+    length-filter flow): build the mergeable log-histogram registers,
+    take the INTEGER p90 threshold (lower bound of the first bin whose
+    cumulative count reaches ceil(0.9 n), integer ceil — no float rank
+    interpolation, so both engines agree bit-exactly), then stream-filter
+    the corpus against the broadcast threshold. Only the <=500-row
+    register table ever reaches the driver."""
+    import math  # noqa: F401
+
+    from vaero_ray.stages.sketch import lhq_bounds, lhq_registers
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    regs = lhq_registers(ds, "n_chars").to_pandas().sort_values("bin")
+    cum = regs["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    need = (9 * n + 9) // 10  # integer ceil(0.9 n)
+    j = int(np.searchsorted(cum, need, side="left"))
+    lo, _ = lhq_bounds(regs["bin"].to_numpy()[j : j + 1])
+    thr = int(lo[0])
+    return ds.filter(expr=f"n_chars >= {thr}")
+
+
+SQL_P90_FILTER = r"""
+WITH b AS (
+  SELECT n_chars AS v,
+         CASE WHEN n_chars = 0 THEN 0 ELSE length(bin(n_chars)) END AS bl
+  FROM documents),
+r AS (
+  SELECT CAST(CASE WHEN v < 8 THEN v
+              ELSE (bl << 3) | ((v >> greatest(bl - 4, 0)) & 7) END AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM b GROUP BY 1),
+c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+             (SELECT sum(cnt) FROM r) AS n FROM r),
+t AS (SELECT min(bin) AS tbin FROM c WHERE cum >= ((9 * n + 9) // 10)),
+thr AS (SELECT CASE WHEN tbin < 8 THEN tbin
+               ELSE (8 + (tbin & 7)) * (1 << greatest((tbin >> 3) - 4, 0))
+               END AS v FROM t)
+SELECT doc_id, n_chars FROM documents WHERE n_chars >= (SELECT v FROM thr)
+"""
+
+
 def q_event_type_pivot(sf_dir: str):
     """Pivot / wide conditional aggregate: per user, one count column
     per event type. Bounded exchange: a per-block factorize+bincount
@@ -1934,6 +2064,9 @@ QUERIES: dict[str, QueryFn] = {
     "top3_docs_per_source": q_top3_docs_per_source,
     "line_dedup_docs": q_line_dedup_docs,
     "event_type_pivot": q_event_type_pivot,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "customer_big_order_stats": q_customer_big_order_stats,
+    "docs_above_p90_length": q_docs_above_p90_length,
 }
 
 ORACLES: dict[str, str] = {
@@ -1998,4 +2131,7 @@ ORACLES: dict[str, str] = {
     "top3_docs_per_source": SQL_TOP_K_GROUP,
     "line_dedup_docs": SQL_LINE_DEDUP,
     "event_type_pivot": SQL_PIVOT,
+    "tfidf_top_terms": SQL_TFIDF,
+    "customer_big_order_stats": SQL_LEFT_JOIN,
+    "docs_above_p90_length": SQL_P90_FILTER,
 }

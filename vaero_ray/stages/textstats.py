@@ -264,3 +264,78 @@ def repetition_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     ):
         tbl = tbl.append_column(name, pa.array(arr, pa.int64()))
     return tbl
+
+
+def tfidf_topk(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_docs: "int | None" = None,
+    num_buckets: "int | None" = None,
+):
+    """Top-``k`` characteristic terms per document by INTEGER tf-idf:
+    ``score = tf * ((1000 * n_docs) // df)`` — floor-divided reciprocal
+    document frequency, monotone in the classical tf·idf for fixed tf
+    and integer-exact on both engine and SQL sides (transcendental
+    ``ln`` differs across libms; linear integer ops do not). Ties break
+    on term ascending. Requires ``1000 * n_docs * max_tf < 2^63``.
+
+    Scale shape (no broadcast, no all-to-all beyond the two required
+    exchanges): per-block (doc, term, tf) partials via one Arrow
+    group_by — a doc is one row so each (doc, term) pair is globally
+    unique; ONE bucketed shuffle on ``term`` computes df (= group size
+    over tf rows) and the score inside each bucket; then
+    ``ranking.top_k_per_group`` re-shuffles by doc with its partial
+    top-k bound. ``n_docs`` is explicit (parquet-footer metadata at the
+    call site — counting here would execute the read twice)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from vaero_ray.stages.dedup import _flat_tokens
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.ranking import top_k_per_group
+
+    if n_docs is None:
+        raise ValueError("tfidf_topk: pass n_docs (metadata count at the call site)")
+    scale = 1000 * int(n_docs)
+
+    def tf_partial(tbl: pa.Table) -> pa.Table:
+        toks, off = _flat_tokens(tbl, text_col)
+        if not len(toks):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.repeat(
+            tbl.column(id_col).to_numpy(zero_copy_only=False), np.diff(off)
+        )
+        g = (
+            pa.table({id_col: pa.array(ids, pa.int64()), "term": toks})
+            .group_by([id_col, "term"])
+            .aggregate([(id_col, "count")])
+        )
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "term": g.column("term"),
+                "tf": g.column(f"{id_col}_count").cast(pa.int64()),
+            }
+        )
+
+    def score_stage(df: pd.DataFrame) -> pd.DataFrame:
+        dfc = df.groupby("term", sort=False)["term"].transform("size").to_numpy().astype(np.int64)
+        out = df.copy()
+        out["df"] = dfc
+        out["score"] = df["tf"].to_numpy().astype(np.int64) * (scale // dfc)
+        return out
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+    scored = bucketed_map_groups(tf, "term", score_stage, num_buckets=num_buckets)
+    return top_k_per_group(
+        scored, group_col=id_col, order_col="score", k=k, tie_col="term",
+        num_buckets=num_buckets,
+    )
