@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "customers_no_big_orders",      # anti join (existence filter, keys-only right shuffle)
     "distinct_users_per_type",      # salted exact distinct
     "top10_orders",                 # global sort + limit
+    "latest_event_per_user",        # changelog/upsert compaction (last-value-wins)
+    "running_value_per_user",       # per-row running total (window function)
+    "sessionize_events",            # per-row session numbering (gap rule)
 ]
 
 TRANSCRIPT_TURNS = 32_000_000  # scaling-run input size (~9 GB of text)

@@ -744,3 +744,99 @@ def test_tfidf_topk_matches_bruteforce(ray_session):
         .sort_values(["doc_id", "term"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------- rowwindow
+
+
+def _rw_events(n=600, keys=12, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = pd.to_datetime(
+        np.sort(rng.integers(0, 3_600_000, n)) * 1000, unit="us", utc=False
+    ).tz_localize(None)
+    # inject exact-tie timestamps to exercise the tie_col ordering
+    ts = ts.to_numpy()
+    ts[50:60] = ts[50]
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, keys, n),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+
+
+def _rw_blocks(df, nblocks=5):
+    return rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % nblocks)])
+
+
+def test_compact_latest_matches_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import compact_latest
+
+    df = _rw_events()
+    exp = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .drop_duplicates("user_id", keep="last")
+        .sort_values("user_id", ignore_index=True)
+    )
+    got = (
+        compact_latest(_rw_blocks(df), "user_id", "ts", "event_id", num_buckets=4)
+        .to_pandas()[exp.columns.tolist()]
+        .sort_values("user_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_running_sum_matches_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import running_sum
+
+    df = _rw_events()
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    exp = df.assign(__c=cents).sort_values(["user_id", "ts", "event_id"])
+    exp["running_cents"] = exp.groupby("user_id")["__c"].cumsum()
+    exp = exp.drop(columns="__c").sort_values("event_id", ignore_index=True)
+    got = (
+        running_sum(
+            _rw_blocks(df), "user_id", "ts", "value",
+            tie_col="event_id", out="running_cents", num_buckets=4,
+        )
+        .to_pandas()[exp.columns.tolist()]
+        .sort_values("event_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interarrival_and_sessionize_match_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import interarrival, sessionize
+
+    df = _rw_events()
+    s = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    tsi = s["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    prev = s.groupby("user_id")["ts"].shift()
+    gap = tsi - prev.to_numpy().astype("datetime64[us]").astype(np.int64)
+    s["gap_us"] = np.where(prev.isna(), -1, gap).astype(np.int64)
+    GAP = 600 * 1_000_000
+    s["session_id"] = (
+        ((s["gap_us"] < 0) | (s["gap_us"] > GAP)).astype(np.int64)
+        .groupby(s["user_id"].to_numpy()).cumsum()
+    )
+    exp = s.sort_values("event_id", ignore_index=True)
+
+    got_gap = (
+        interarrival(_rw_blocks(df), "user_id", "ts", tie_col="event_id", num_buckets=4)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    pd.testing.assert_series_equal(got_gap["gap_us"], exp["gap_us"], check_dtype=False)
+
+    got_sess = (
+        sessionize(
+            _rw_blocks(df), "user_id", "ts", tie_col="event_id", gap_s=600, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    pd.testing.assert_series_equal(
+        got_sess["session_id"], exp["session_id"], check_dtype=False, check_names=False
+    )

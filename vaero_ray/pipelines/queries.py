@@ -1973,6 +1973,92 @@ WHERE CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT)
 """
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """Changelog / upsert compaction: the single latest event per user
+    (max (ts, event_id)) — last-value-wins materialization of a keyed
+    update stream. One bucketed shuffle, one survivor per key."""
+    from vaero_ray.stages.rowwindow import compact_latest
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    return compact_latest(ds, "user_id", "ts", "event_id", num_buckets=16)
+
+
+SQL_LATEST = r"""
+SELECT event_id, user_id, ts, event_type
+FROM (SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_running_value_per_user(sf_dir: str):
+    """Per-row running total of event value per user (SQL SUM OVER
+    PARTITION ... ROWS UNBOUNDED PRECEDING), fixed-pointed to integer
+    cents so partial sums are exact and order-independent."""
+    from vaero_ray.stages.rowwindow import running_sum
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = running_sum(
+        ds, "user_id", "ts", "value", tie_col="event_id",
+        out="running_cents", scale=100, num_buckets=16,
+    )
+    return out.select_columns(["event_id", "user_id", "running_cents"])
+
+
+SQL_RUNNING_SUM = r"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
+def q_event_interarrival(sf_dir: str):
+    """Per-row microseconds since the user's previous event (LAG), -1
+    for each user's first event — dwell-time / burst features."""
+    from vaero_ray.stages.rowwindow import interarrival
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    return interarrival(ds, "user_id", "ts", tie_col="event_id", num_buckets=16)
+
+
+SQL_INTERARRIVAL = r"""
+SELECT event_id, user_id, ts,
+       COALESCE(epoch_us(ts) - LAG(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                -1) AS gap_us
+FROM events
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    """Per-row 1-based session number per user with a 30-minute gap rule
+    (strict >, matching the batch session windows) — the labeling form
+    of a session window."""
+    from vaero_ray.stages.rowwindow import sessionize
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    out = sessionize(
+        ds, "user_id", "ts", tie_col="event_id", gap_s=1800, num_buckets=16
+    )
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+SQL_SESSIONIZE = r"""
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (SELECT event_id, user_id, ts,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+"""
+
+
 def _fmt_sketch_sql() -> tuple[str, str, str, str, str]:
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
@@ -2067,6 +2153,10 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "customer_big_order_stats": q_customer_big_order_stats,
     "docs_above_p90_length": q_docs_above_p90_length,
+    "latest_event_per_user": q_latest_event_per_user,
+    "running_value_per_user": q_running_value_per_user,
+    "event_interarrival": q_event_interarrival,
+    "sessionize_events": q_sessionize_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -2134,4 +2224,8 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": SQL_TFIDF,
     "customer_big_order_stats": SQL_LEFT_JOIN,
     "docs_above_p90_length": SQL_P90_FILTER,
+    "latest_event_per_user": SQL_LATEST,
+    "running_value_per_user": SQL_RUNNING_SUM,
+    "event_interarrival": SQL_INTERARRIVAL,
+    "sessionize_events": SQL_SESSIONIZE,
 }

@@ -1,0 +1,189 @@
+"""Per-row window functions over keyed event streams: changelog
+compaction (latest row per key), running cumulative sums, inter-arrival
+lag, and per-row sessionization.
+
+These are the SQL-window-function tier (``... OVER (PARTITION BY key
+ORDER BY ts)``) of the engine — the per-ROW complement of the per-window
+aggregates in ``stages/windows.py`` and the per-event rolling counts in
+``stages/cep.py``. All four ride the ONE-shuffle bucketed-groups pattern
+(``stages/keyed.py``): hash(key)%P buckets, then a single vectorized
+pandas/numpy pass per bucket. Inside a bucket the frame is sorted by
+(key, ts, tiebreak) once and every per-key segment quantity (cumsum
+baseline, previous-row gap, session-break flag) is resolved with
+factorize + segment-offset arithmetic — no per-key loop, no Python rows.
+
+Determinism: every operator takes an explicit ``tie_col`` (a unique row
+id) so ordering — and therefore compaction survivors, running totals and
+session numbering under equal timestamps — is total and shard-invariant
+(the same contract ADVICE round-3 demanded of ``corpus.cap_per_key``).
+
+Partitioning assumption (as everywhere in keyed.py): one bucket's rows
+fit in one task's heap; ``num_buckets`` derives from read metadata or is
+passed explicitly at corpus scale.
+
+No reference counterpart (the reference has no window functions); extends
+the streaming tier mandated by the task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from vaero_ray.stages.keyed import bucketed_map_groups
+
+
+def _sorted_codes(df: pd.DataFrame, key: str) -> np.ndarray:
+    """Key codes (appearance order == sort order) for a key-sorted frame;
+    null keys get a real code consistent with sort order (same trap as
+    cep._shifted_ts: the -1 sentinel would break segment detection)."""
+    return pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+
+
+def _segment_starts(codes: np.ndarray) -> np.ndarray:
+    """Boolean mask: row i starts a new key segment."""
+    starts = np.empty(len(codes), dtype=bool)
+    if len(codes):
+        starts[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=starts[1:])
+    return starts
+
+
+def compact_latest(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    tie_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Changelog / upsert compaction: keep, per key, the single row with
+    the greatest ``(order_col, tie_col)`` — last-value-wins materialization
+    of a keyed update stream (Kafka log compaction, SCD type 1).
+
+    One bucketed shuffle; per bucket one sort + ``drop_duplicates(keep=
+    'last')`` (vectorized hash pass). At 100 TB this is the standard
+    compaction shape: the exchange moves each key's rows to one task and
+    emits exactly one survivor per key."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col, tie_col], kind="mergesort")
+        return df.drop_duplicates(subset=[key], keep="last").reset_index(drop=True)
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def running_sum(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    out: str = "running_sum",
+    scale: int = 100,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per ROW: cumulative sum of ``value_col`` over the key's rows up to
+    and including this one, ordered by ``(ts_col, tie_col)`` — SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, tie ROWS UNBOUNDED
+    PRECEDING)``. Values are fixed-pointed to integers first
+    (``floor(v * scale + 0.5)``, the engine's exact-aggregate convention)
+    so totals are order- and shard-independent int64, never drifting
+    float64 partial sums.
+
+    Kernel: one global ``np.cumsum`` over the bucket minus each segment's
+    baseline (the cumsum just before the segment start), scattered back
+    with ``np.repeat`` — no per-key loop."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        v = np.floor(df[value_col].to_numpy(dtype=np.float64) * scale + 0.5).astype(
+            np.int64
+        )
+        codes = _sorted_codes(df, key)
+        starts = _segment_starts(codes)
+        cs = np.cumsum(v)
+        start_idx = np.flatnonzero(starts)
+        # baseline: cumsum immediately BEFORE each segment (0 for the first)
+        base = np.where(start_idx > 0, cs[start_idx - 1], 0)
+        seg_len = np.diff(np.append(start_idx, len(v)))
+        df[out] = cs - np.repeat(base, seg_len)
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def interarrival(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    tie_col: str,
+    out: str = "gap_us",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per ROW: microseconds since the key's PREVIOUS row in
+    ``(ts_col, tie_col)`` order; ``-1`` for the key's first row (kept as
+    a plain int64 sentinel rather than a null so downstream schemas stay
+    non-nullable) — SQL ``COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER
+    (PARTITION BY key ORDER BY ts, tie), -1)``. Burst detection and
+    dwell-time features over a log stream."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes = _sorted_codes(df, key)
+        gap = np.empty(len(ts), dtype=np.int64)
+        if len(ts):
+            gap[0] = -1
+            np.subtract(ts[1:], ts[:-1], out=gap[1:])
+            gap[_segment_starts(codes)] = -1
+        df[out] = gap
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    tie_col: str,
+    gap_s: int,
+    out: str = "session_id",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per ROW: 1-based session number within the key — a new session
+    starts at the key's first row or when the gap to the previous row
+    EXCEEDS ``gap_s`` seconds (strict >, matching the batch session
+    windows in ``stages/windows.py``). The per-row labeling form of a
+    session window: SQL ``SUM(CASE WHEN gap IS NULL OR gap > G THEN 1
+    ELSE 0 END) OVER (PARTITION BY key ORDER BY ts, tie)``.
+
+    Kernel: session-break flags from one shifted compare, then the same
+    cumsum-minus-segment-baseline scatter as ``running_sum``."""
+    gap_us = int(gap_s) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes = _sorted_codes(df, key)
+        starts = _segment_starts(codes)
+        brk = np.empty(len(ts), dtype=np.int64)
+        if len(ts):
+            brk[0] = 1
+            brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+            brk[starts] = 1
+        cs = np.cumsum(brk)
+        start_idx = np.flatnonzero(starts)
+        base = np.where(start_idx > 0, cs[start_idx - 1], 0)
+        seg_len = np.diff(np.append(start_idx, len(ts)))
+        df[out] = cs - np.repeat(base, seg_len)
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
