@@ -840,3 +840,108 @@ def test_interarrival_and_sessionize_match_pandas(ray_session):
     pd.testing.assert_series_equal(
         got_sess["session_id"], exp["session_id"], check_dtype=False, check_names=False
     )
+
+
+# ---------------------------------------------------------------- relational
+
+
+def test_rollup_counts_all_levels(ray_session):
+    from vaero_ray.stages.relational import ROLLUP_ALL, rollup_counts
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 300),
+            "b": rng.choice(["p", "q"], 300),
+            "v": rng.integers(0, 100, 300),
+        }
+    )
+    ds = rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % 4)])
+    got = (
+        rollup_counts(ds, ["a", "b"], measure="v")
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    lvl2 = df.groupby(["a", "b"], as_index=False).agg(
+        n_rows=("v", "size"), sum_v=("v", "sum")
+    )
+    lvl1 = df.groupby("a", as_index=False).agg(n_rows=("v", "size"), sum_v=("v", "sum"))
+    lvl1["b"] = ROLLUP_ALL
+    lvl0 = pd.DataFrame(
+        {"a": [ROLLUP_ALL], "b": [ROLLUP_ALL], "n_rows": [len(df)], "sum_v": [df["v"].sum()]}
+    )
+    exp = (
+        pd.concat([lvl2, lvl1, lvl0], ignore_index=True)[["a", "b", "n_rows", "sum_v"]]
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "n_rows", "sum_v"]].astype({"n_rows": "int64", "sum_v": "int64"}),
+        exp.astype({"n_rows": "int64", "sum_v": "int64"}),
+    )
+
+
+def test_grouped_median_matches_pandas(ray_session):
+    from vaero_ray.stages.relational import grouped_median
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 9, 401), "v": rng.integers(0, 1000, 401)}
+    )
+    ds = rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % 3)])
+    got = (
+        grouped_median(ds, "k", "v", out="med", num_buckets=3)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    exp_rows = []
+    for k, g in df.groupby("k"):
+        vs = np.sort(g["v"].to_numpy())
+        exp_rows.append((k, vs[(len(vs) - 1) // 2], len(vs)))
+    exp = pd.DataFrame(exp_rows, columns=["k", "med", "n_rows"])
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_explode_lines_positions(ray_session):
+    from vaero_ray.stages.relational import explode_lines
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["a b c", "", "x  y", "solo"],  # double space -> empty token
+        }
+    )
+    ds = rd.from_pandas([df.iloc[:2], df.iloc[2:]])
+    got = (
+        explode_lines(ds, "text", "doc_id", sep=" ", out_col="tok", idx_col="i")
+        .to_pandas()
+        .sort_values(["doc_id", "i"], ignore_index=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "doc_id": [0, 0, 0, 1, 2, 2, 2, 3],
+            "i": [0, 1, 2, 0, 0, 1, 2, 0],
+            "tok": ["a", "b", "c", "", "x", "", "y", "solo"],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "i": "int64"}), exp.astype({"doc_id": "int64", "i": "int64"})
+    )
+
+
+def test_full_outer_hash_join(ray_session):
+    from vaero_ray.stages.joins import hash_join
+
+    l = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    r = pd.DataFrame({"k": [2, 3, 4], "rv": [200, 300, 400]})
+    out = hash_join(
+        rd.from_pandas(l), rd.from_pandas(r), keys="k",
+        join_type="full outer", num_buckets=2,
+    ).to_pandas()
+    # key may arrive coalesced or split depending on the join path
+    if "k_r" in out.columns:
+        out["k"] = out["k"].fillna(out["k_r"])
+        out = out.drop(columns="k_r")
+    out = out.sort_values("k", ignore_index=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].fillna(-1).tolist() == [10, 20, 30, -1]
+    assert out["rv"].fillna(-1).tolist() == [-1, 200, 300, 400]

@@ -2059,6 +2059,127 @@ FROM (SELECT event_id, user_id, ts,
 """
 
 
+def q_source_lang_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) in ONE exchange: per-batch partials
+    for every grouping level ride a single groupby shuffle; rolled-up
+    dims carry the '<all>' sentinel."""
+    from vaero_ray.stages.relational import rollup_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"])
+    return rollup_counts(ds, ["source", "lang"], measure="n_chars")
+
+
+SQL_ROLLUP = r"""
+SELECT COALESCE(source, '<all>') AS source, COALESCE(lang, '<all>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
+def q_median_length_per_source(sf_dir: str):
+    """Exact lower median of document length per source (element pick at
+    (n-1)//2 in value order — no float interpolation), one bucketed
+    shuffle + segment-offset gather."""
+    from vaero_ray.stages.relational import grouped_median
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return grouped_median(ds, "source", "n_chars", out="med_chars", num_buckets=8)
+
+
+SQL_GROUPED_MEDIAN = r"""
+WITH r AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+SELECT source, CAST(n_chars AS BIGINT) AS med_chars, CAST(n AS BIGINT) AS n_rows
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+def q_doc_tokens_exploded(sf_dir: str):
+    """Explode / UNNEST WITH ORDINALITY as a user-facing operator: one
+    row per whitespace token with its 0-based position — a stateless
+    zero-copy Arrow flatten, no shuffle, no per-row flat_map calls."""
+    from vaero_ray.stages.relational import explode_lines
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return explode_lines(ds, "text", "doc_id", sep=" ", out_col="token", idx_col="token_no")
+
+
+SQL_EXPLODE = r"""
+SELECT doc_id,
+       CAST(generate_subscripts(split(text, ' '), 1) - 1 AS BIGINT) AS token_no,
+       unnest(split(text, ' ')) AS token
+FROM documents
+"""
+
+
+def q_view_purchase_full_outer(sf_dir: str):
+    """FULL OUTER join of two derived per-user aggregates (high-value
+    viewers vs high-value purchasers — 22 left-only and 21 right-only
+    users at sf0.01): exercises null fill on BOTH sides; keys coalesce,
+    counts fill to 0."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.joins import hash_join
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+
+    def side(event_type: str, out: str):
+        def partial(tbl: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(tbl.column("event_type"), event_type),
+                pc.greater(tbl.column("value"), 90.0),
+            ) if tbl.num_rows else None
+            sub = tbl.filter(m) if tbl.num_rows else tbl
+            if not sub.num_rows:
+                return pa.table({"user_id": pa.array([], pa.int64()),
+                                 out: pa.array([], pa.int64())})
+            uid, cnt = np.unique(sub.column("user_id").to_numpy(), return_counts=True)
+            return pa.table({"user_id": pa.array(uid, pa.int64()),
+                             out: pa.array(cnt.astype(np.int64), pa.int64())})
+
+        part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        return part.groupby("user_id").aggregate(Sum(out, alias_name=out))
+
+    joined = hash_join(
+        side("view", "n_views"), side("purchase", "n_purchases"),
+        keys="user_id", join_type="full outer", num_buckets=4,
+    )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_views": pa.array([], pa.int64()),
+                             "n_purchases": pa.array([], pa.int64())})
+        uid = tbl.column("user_id")
+        if "user_id_r" in tbl.column_names:  # engine did not coalesce keys
+            uid = pc.coalesce(uid, tbl.column("user_id_r"))
+        return pa.table(
+            {
+                "user_id": uid.cast(pa.int64()),
+                "n_views": pc.coalesce(tbl.column("n_views"), pa.scalar(0)).cast(pa.int64()),
+                "n_purchases": pc.coalesce(tbl.column("n_purchases"), pa.scalar(0)).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER = r"""
+WITH v AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views FROM events
+           WHERE event_type = 'view' AND value > 90 GROUP BY 1),
+p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases FROM events
+      WHERE event_type = 'purchase' AND value > 90 GROUP BY 1)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       COALESCE(n_views, 0) AS n_views,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+"""
+
+
 def _fmt_sketch_sql() -> tuple[str, str, str, str, str]:
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
@@ -2157,6 +2278,10 @@ QUERIES: dict[str, QueryFn] = {
     "running_value_per_user": q_running_value_per_user,
     "event_interarrival": q_event_interarrival,
     "sessionize_events": q_sessionize_events,
+    "source_lang_rollup": q_source_lang_rollup,
+    "median_length_per_source": q_median_length_per_source,
+    "doc_tokens_exploded": q_doc_tokens_exploded,
+    "view_purchase_full_outer": q_view_purchase_full_outer,
 }
 
 ORACLES: dict[str, str] = {
@@ -2228,4 +2353,8 @@ ORACLES: dict[str, str] = {
     "running_value_per_user": SQL_RUNNING_SUM,
     "event_interarrival": SQL_INTERARRIVAL,
     "sessionize_events": SQL_SESSIONIZE,
+    "source_lang_rollup": SQL_ROLLUP,
+    "median_length_per_source": SQL_GROUPED_MEDIAN,
+    "doc_tokens_exploded": SQL_EXPLODE,
+    "view_purchase_full_outer": SQL_FULL_OUTER,
 }

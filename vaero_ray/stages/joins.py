@@ -116,7 +116,13 @@ def hash_join(
     finalize actor's heap at 256-node scale)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     try:
-        how_native = {"inner": "inner", "left outer": "left_outer", "left": "left_outer"}[join_type]
+        how_native = {
+            "inner": "inner",
+            "left outer": "left_outer",
+            "left": "left_outer",
+            "full outer": "full_outer",
+            "full": "full_outer",
+        }[join_type]
         import ray as _ray
 
         n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
@@ -189,7 +195,13 @@ def _bucketed_hash_join(
     r = right.map_batches(_tag(1, keys, num_buckets), batch_format="pyarrow", zero_copy_batch=True)
     r = r.map_batches(pad(), batch_format="pyarrow")
 
-    how = {"inner": "inner", "left outer": "left outer", "left": "left outer"}[join_type]
+    how = {
+        "inner": "inner",
+        "left outer": "left outer",
+        "left": "left outer",
+        "full outer": "full outer",
+        "full": "full outer",
+    }[join_type]
     empty_out = pa.table({c: pa.nulls(0, _pa_type(types[c])) for c in lcols}).join(
         pa.table({c: pa.nulls(0, _pa_type(types[c])) for c in rcols}),
         keys=keys, join_type=how, right_suffix=suffix,
