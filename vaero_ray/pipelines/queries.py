@@ -1711,12 +1711,14 @@ SELECT doc_id, n_chars FROM documents WHERE n_chars >= (SELECT v FROM thr)
 def q_event_type_pivot(sf_dir: str):
     """Pivot / wide conditional aggregate: per user, one count column
     per event type. Bounded exchange: a per-block factorize+bincount
-    partial (<= keys x categories rows per block) merged by a native
-    keyed sum (map-side combine)."""
+    partial (<= keys x categories rows per block) merged by one bucketed
+    keyed sum."""
     from vaero_ray.stages.pivot import pivot_counts
 
     ds = _events(sf_dir, columns=["user_id", "event_type"])
-    return pivot_counts(ds, "user_id", "event_type", ["view", "click", "purchase"])
+    return pivot_counts(
+        ds, "user_id", "event_type", ["view", "click", "purchase"], num_buckets=16
+    )
 
 
 SQL_PIVOT = r"""

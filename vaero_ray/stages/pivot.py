@@ -30,13 +30,16 @@ def pivot_counts(
     cat_col: str,
     categories: "list[str]",
     prefix: str = "n_",
+    num_buckets: "int | None" = None,
 ) -> rd.Dataset:
     """Per ``key``: count of rows per category, one ``prefix+category``
     int64 column each. Keys with no in-category rows emit no row."""
     cats = list(categories)
     out_cols = [prefix + c for c in cats]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
         kcodes, kuniq = pd.factorize(df[key], use_na_sentinel=False)
         ccodes = pd.Categorical(df[cat_col], categories=cats).codes.astype(np.int64)
         mask = ccodes >= 0
@@ -45,21 +48,23 @@ def pivot_counts(
             len(kuniq), len(cats)
         )
         keep = counts.sum(axis=1) > 0
-        out = pd.DataFrame({key: np.asarray(kuniq)[keep]})
+        cols = {key: pa.array(np.asarray(kuniq)[keep])}
         for j, c in enumerate(out_cols):
-            out[c] = counts[keep, j]
-        return out
+            cols[c] = pa.array(counts[keep, j].astype(np.int64), pa.int64())
+        return pa.table(cols)
 
+    # merge partials with the engine's bucketed shuffle, NOT Ray's native
+    # Aggregate: measured at sf0.1 (64 partial blocks, 44k rows), the
+    # sort-based Aggregate cost ~4 s per Sum column (~2 s/block map
+    # phase on pandas blocks, still 8 s total on Arrow blocks for the
+    # 5-column sum) vs ~1 s for one hash-bucket exchange + a vectorized
+    # pandas groupby-sum per bucket. The exchange stays bounded: partial
+    # rows <= keys x categories per block regardless of input rows.
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby(key).sum(out_cols)
-    # Ray names sum outputs "sum(col)"; restore the declared schema
-    # (map_batches rename — Dataset.rename_columns rejects the pandas
-    # blocks the aggregate emits)
-    names = {f"sum({c})": c for c in out_cols}
 
-    def fix_names(tbl):
-        import pyarrow as pa  # noqa: F401
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, sort=False, as_index=False)[out_cols].sum()
 
-        return tbl.rename_columns([names.get(c, c) for c in tbl.column_names])
+    from vaero_ray.stages.keyed import bucketed_map_groups
 
-    return merged.map_batches(fix_names, batch_format="pyarrow")
+    return bucketed_map_groups(partials, key, merge_bucket, num_buckets=num_buckets)
