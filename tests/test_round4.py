@@ -945,3 +945,35 @@ def test_full_outer_hash_join(ray_session):
     assert out["k"].tolist() == [1, 2, 3, 4]
     assert out["lv"].fillna(-1).tolist() == [10, 20, 30, -1]
     assert out["rv"].fillna(-1).tolist() == [-1, 200, 300, 400]
+
+
+def test_normalize_text_kernel(ray_session):
+    from vaero_ray.stages.textstats import normalize_text
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["  HeLLo   World ", "a\tb\nc", ""],
+        }
+    )
+    out = normalize_text(tbl, "text")
+    assert out.column("norm_text").to_pylist() == ["hello world", "a b c", ""]
+    assert out.column("n_chars_norm").to_pylist() == [11, 5, 0]
+
+
+def test_right_outer_hash_join(ray_session):
+    from vaero_ray.stages.joins import hash_join
+
+    l = pd.DataFrame({"k": [1, 2], "lv": [10, 20]})
+    r = pd.DataFrame({"k": [2, 3], "rv": [200, 300]})
+    out = hash_join(
+        rd.from_pandas(l), rd.from_pandas(r), keys="k",
+        join_type="right outer", num_buckets=2,
+    ).to_pandas()
+    if "k_r" in out.columns:
+        out["k"] = out["k"].fillna(out["k_r"])
+        out = out.drop(columns="k_r")
+    out = out.sort_values("k", ignore_index=True)
+    assert out["k"].tolist() == [2, 3]
+    assert out["lv"].fillna(-1).tolist() == [20, -1]
+    assert out["rv"].tolist() == [200, 300]

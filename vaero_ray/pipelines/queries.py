@@ -2182,6 +2182,29 @@ FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_doc_normalize_text(sf_dir: str):
+    """C4-style text normalization (lowercase, collapse whitespace, trim)
+    as a stateless zero-copy Arrow pass — the canonical form fed to
+    dedup/fingerprint stages."""
+    from vaero_ray.stages.textstats import normalize_text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: normalize_text(t, "text").drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+         AS n_chars_norm
+FROM documents
+"""
+
+
 def _fmt_sketch_sql() -> tuple[str, str, str, str, str]:
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
@@ -2284,6 +2307,7 @@ QUERIES: dict[str, QueryFn] = {
     "median_length_per_source": q_median_length_per_source,
     "doc_tokens_exploded": q_doc_tokens_exploded,
     "view_purchase_full_outer": q_view_purchase_full_outer,
+    "doc_normalize_text": q_doc_normalize_text,
 }
 
 ORACLES: dict[str, str] = {
@@ -2359,4 +2383,5 @@ ORACLES: dict[str, str] = {
     "median_length_per_source": SQL_GROUPED_MEDIAN,
     "doc_tokens_exploded": SQL_EXPLODE,
     "view_purchase_full_outer": SQL_FULL_OUTER,
+    "doc_normalize_text": SQL_NORMALIZE,
 }

@@ -122,6 +122,8 @@ def hash_join(
             "left": "left_outer",
             "full outer": "full_outer",
             "full": "full_outer",
+            "right outer": "right_outer",
+            "right": "right_outer",
         }[join_type]
         import ray as _ray
 
@@ -201,6 +203,8 @@ def _bucketed_hash_join(
         "left": "left outer",
         "full outer": "full outer",
         "full": "full outer",
+        "right outer": "right outer",
+        "right": "right outer",
     }[join_type]
     empty_out = pa.table({c: pa.nulls(0, _pa_type(types[c])) for c in lcols}).join(
         pa.table({c: pa.nulls(0, _pa_type(types[c])) for c in rcols}),

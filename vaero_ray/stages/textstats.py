@@ -51,6 +51,23 @@ def token_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def normalize_text(
+    tbl: pa.Table, text_col: str = "text", out: str = "norm_text"
+) -> pa.Table:
+    """C4-style text normalization as a stateless Arrow kernel: lowercase,
+    collapse whitespace runs to single spaces, trim — the canonical form
+    fed to dedup/fingerprint stages. Exactly reproducible in SQL:
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``. Appends
+    ``out`` and its exact char count ``n_chars_norm``."""
+    t = tbl.column(text_col)
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(t), r"\s+", " ")
+    )
+    return tbl.append_column(out, norm).append_column(
+        "n_chars_norm", pc.cast(pc.utf8_length(norm), pa.int64())
+    )
+
+
 def quality_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     """Append n_chars + EXACT integer n_punct / n_digit counts (the gate
     hashes integers; float ratios are derived views) and the 6-dp ratios
