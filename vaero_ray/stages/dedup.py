@@ -1110,18 +1110,40 @@ def simhash_dup_pairs(
 
     def bucket_stage(df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_dup, out_ham = [], [], []
+        # ONE global sort + dedup + segment scan replaces the former
+        # pandas groupby loop (per-group DataFrame construction +
+        # per-group sort_values/drop_duplicates dominated shards with
+        # many small candidate buckets); the remaining Python loop is
+        # over >=2-doc segments only, pure ndarray slicing inside
         if len(df):
-            # drop singleton buckets vectorized before the group loop
-            sizes = df.groupby(["band_id", "band_hash"], sort=False)[id_col].transform("size").to_numpy()
-            df = df[sizes > 1]
-        for bk, g in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
-            g = _cap_bucket(g, max_bucket, "simhash_dup_pairs", bk)
-            ids = g[id_col].to_numpy()
-            sig = g["simhash"].to_numpy().astype(np.uint64)
-            m = len(ids)
+            df = df.sort_values(
+                ["band_id", "band_hash", id_col], kind="mergesort"
+            ).drop_duplicates(subset=["band_id", "band_hash", id_col])
+        if len(df):
+            bid = df["band_id"].to_numpy()
+            bh = df["band_hash"].to_numpy().astype(np.uint64)
+            ids_all = df[id_col].to_numpy()
+            sig_all = df["simhash"].to_numpy().astype(np.uint64)
+            change = np.empty(len(df), dtype=bool)
+            change[0] = True
+            change[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(df))
+            seg_iter = zip(starts[ends - starts > 1], ends[ends - starts > 1])
+        else:
+            seg_iter = ()
+        for s, e in seg_iter:
+            if e - s > max_bucket:
+                _DEDUP_LOG.warning(
+                    "simhash_dup_pairs: capping fat candidate bucket "
+                    "(band_id=%d, band_hash=%d): %d docs > max_bucket=%d "
+                    "(dropping %d docs from this bucket's pair emission)",
+                    bid[s], bh[s], e - s, max_bucket, e - s - max_bucket,
+                )
+                e = s + max_bucket  # ids are segment-sorted: smallest-id sample
+            ids = ids_all[s:e]
+            sig = sig_all[s:e]
+            m = e - s
             # row-chunked XOR+popcount: temps stay ~32 MB however close m
             # is to max_bucket (the m x m matrix was the last unbounded
             # per-bucket allocation)
