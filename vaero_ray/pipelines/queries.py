@@ -2234,6 +2234,229 @@ def _fmt_sketch_sql() -> tuple[str, str, str, str, str]:
 ) = _fmt_sketch_sql()
 
 
+def _pii_enrich(t: pa.Table) -> pa.Table:
+    """Deterministically plant one email, one IPv4 and one phone number
+    per doc (pure function of doc_id, identical expression in SQL) — the
+    synthetic corpus carries no natural PII, so the gate enriches first,
+    then exercises the redaction kernel."""
+    did = t.column("doc_id").cast(pa.int64())
+    d = did.to_numpy()
+    s = lambda arr: pc.cast(pa.array(arr, pa.int64()), pa.string())
+    txt = pc.binary_join_element_wise(
+        t.column("text"),
+        " contact u", s(d), "@ex.com at 10.",
+        s(d % 256), ".0.", s(d % 100),
+        " call 555-", s(100 + d % 900),
+        "-", s(1000 + d % 9000), " end",
+        "",
+    )
+    return pa.table({"doc_id": did, "text": txt})
+
+
+def q_doc_pii_redact(sf_dir: str):
+    """PII scrubbing over documents: typed-placeholder redaction of
+    emails / IPv4s / phone numbers with exact per-rule match counts —
+    stateless Arrow pass, sequential rule semantics mirrored in SQL."""
+    from vaero_ray.stages.textstats import pii_redact
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    enriched = ds.map_batches(_pii_enrich, batch_format="pyarrow", zero_copy_batch=True)
+    return enriched.map_batches(
+        lambda t: pii_redact(t, "text").drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH p0 AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com at 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+              || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' end' AS t0
+  FROM documents),
+p1 AS (SELECT doc_id,
+              len(regexp_extract_all(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+       FROM p0),
+p2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2
+       FROM p1)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+       regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+FROM p2
+"""
+
+
+def q_event_rank_per_user(sf_dir: str):
+    """ROW_NUMBER / RANK / DENSE_RANK per user over event value DESC —
+    the per-row ranking tier; one bucketed shuffle, all three variants
+    from one sort + two edge masks."""
+    from vaero_ray.stages.rowwindow import rank_rows
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = rank_rows(ds, "user_id", "value", "event_id", descending=True, num_buckets=16)
+    return out.select_columns(["event_id", "user_id", "rn", "rnk", "dense_rnk"])
+
+
+SQL_RANK = r"""
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS dense_rnk
+FROM events
+"""
+
+
+def q_user_event_path(sf_dir: str):
+    """Ordered event-type journey per user (SQL string_agg with ORDER
+    BY): one bucketed shuffle, per-key concat via a single Arrow
+    binary_join over segment offsets — no per-key Python."""
+    from vaero_ray.stages.relational import string_agg_ordered
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    return string_agg_ordered(
+        ds, "user_id", "event_type", ["ts", "event_id"], sep=">", out="path",
+        num_buckets=16,
+    )
+
+
+SQL_EVENT_PATH = r"""
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+
+def _typed_users(sf_dir: str, event_type: str, min_value: "float | None" = None):
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+
+    def f(t: pa.Table, et=event_type, mv=min_value) -> pa.Table:
+        mask = pc.equal(t.column("event_type"), et)
+        if mv is not None:
+            mask = pc.and_(mask, pc.greater(t.column("value"), mv))
+        return t.filter(mask).select(["user_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_users_view_not_purchase(sf_dir: str):
+    """SQL EXCEPT (distinct): users who viewed but never made a BIG
+    (value > 90) purchase. Per-block distinct combiner + one
+    membership-flag groupby exchange."""
+    from vaero_ray.stages.relational import distinct_set_op
+
+    return distinct_set_op(
+        _typed_users(sf_dir, "view"), _typed_users(sf_dir, "purchase", 90.0),
+        ["user_id"], "except", types={"user_id": pa.int64()},
+    )
+
+
+SQL_EXCEPT_USERS = r"""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+"""
+
+
+def q_users_view_and_purchase(sf_dir: str):
+    """SQL INTERSECT (distinct): users with both a view and a BIG
+    (value > 90) purchase."""
+    from vaero_ray.stages.relational import distinct_set_op
+
+    return distinct_set_op(
+        _typed_users(sf_dir, "view"), _typed_users(sf_dir, "purchase", 90.0),
+        ["user_id"], "intersect", types={"user_id": pa.int64()},
+    )
+
+
+SQL_INTERSECT_USERS = r"""
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+"""
+
+
+def q_length_token_moments(sf_dir: str):
+    """Per-source second-moment sums of (n_chars, n_tokens) — the exact
+    mergeable state behind variance/covariance/correlation, emitted as
+    integer sums (order- and shard-independent)."""
+    from vaero_ray.stages.relational import grouped_moments
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"]
+    )
+    with_tok = ds.map_batches(
+        lambda t: token_counts(t, "text").drop_columns(["text", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_moments(with_tok, "source", "n_chars", "n_tokens")
+
+
+SQL_MOMENTS = r"""
+WITH t AS (SELECT source, n_chars AS x,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS y
+           FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM t GROUP BY 1
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup removal keeping each cluster's BEST member (max n_chars,
+    ties to min doc_id) — dup edges from the word-3-gram true-Jaccard
+    pipeline, clusters from connected components, survivors = non-members
+    plus one rep per cluster."""
+    from vaero_ray.stages.dedup import dedup_keep_best
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    edges = ngram_jaccard_dups(
+        docs.select_columns(["doc_id", "text"]), shingle_k=3, threshold=0.5,
+        unit="word",
+    )
+    return dedup_keep_best(docs, edges, quality_col="n_chars")
+
+
+SQL_KEEP_BEST = f"""
+WITH RECURSIVE kb_pairs AS ({SQL_MINHASH_WORD}),
+kb_edges AS (SELECT doc_id AS src, dup_of AS dst FROM kb_pairs
+             UNION SELECT dup_of, doc_id FROM kb_pairs),
+kb_nodes AS (SELECT DISTINCT src AS node FROM kb_edges),
+kb_reach(node, m) AS (
+  SELECT node, node FROM kb_nodes
+  UNION
+  SELECT r.node, e.dst FROM kb_reach r JOIN kb_edges e ON e.src = r.m
+),
+kb_labels AS (SELECT node AS doc_id, MIN(m) AS cluster FROM kb_reach GROUP BY 1),
+kb_best AS (SELECT l.doc_id, l.cluster,
+                   row_number() OVER (PARTITION BY l.cluster
+                                      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+            FROM kb_labels l JOIN documents d USING (doc_id))
+SELECT d.doc_id, CAST(d.doc_id AS BIGINT) AS cluster
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM kb_labels)
+UNION ALL
+SELECT doc_id, CAST(cluster AS BIGINT) AS cluster FROM kb_best WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -2308,6 +2531,13 @@ QUERIES: dict[str, QueryFn] = {
     "doc_tokens_exploded": q_doc_tokens_exploded,
     "view_purchase_full_outer": q_view_purchase_full_outer,
     "doc_normalize_text": q_doc_normalize_text,
+    "doc_pii_redact": q_doc_pii_redact,
+    "event_rank_per_user": q_event_rank_per_user,
+    "user_event_path": q_user_event_path,
+    "users_view_not_purchase": q_users_view_not_purchase,
+    "users_view_and_purchase": q_users_view_and_purchase,
+    "length_token_moments": q_length_token_moments,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES: dict[str, str] = {
@@ -2384,4 +2614,11 @@ ORACLES: dict[str, str] = {
     "doc_tokens_exploded": SQL_EXPLODE,
     "view_purchase_full_outer": SQL_FULL_OUTER,
     "doc_normalize_text": SQL_NORMALIZE,
+    "doc_pii_redact": SQL_PII_REDACT,
+    "event_rank_per_user": SQL_RANK,
+    "user_event_path": SQL_EVENT_PATH,
+    "users_view_not_purchase": SQL_EXCEPT_USERS,
+    "users_view_and_purchase": SQL_INTERSECT_USERS,
+    "length_token_moments": SQL_MOMENTS,
+    "dedup_keep_best": SQL_KEEP_BEST,
 }

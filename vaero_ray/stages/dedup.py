@@ -1282,3 +1282,71 @@ def line_dedup(
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     kept = bucketed_map_groups(exploded, "__h", keep_stage, num_buckets=num_buckets)
     return bucketed_map_groups(kept, id_col, assemble, num_buckets=num_buckets)
+
+
+def dedup_keep_best(
+    docs: rd.Dataset,
+    edges: rd.Dataset,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    a_col: str = "doc_id",
+    b_col: str = "dup_of",
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """Cluster-level dedup that keeps each dup cluster's BEST member (the
+    greatest ``quality_col``, ties to the smallest id) instead of the
+    arbitrary first — the standard near-dup removal policy when documents
+    carry a quality score. ``edges`` is any verified dup-pair dataset
+    (``ngram_jaccard_dups``, ``minhash_dup_edges``, ...).
+
+    Output: one row per SURVIVING document — ``(id_col, cluster)`` where
+    ``cluster`` is the connected component's min id for cluster reps and
+    the document's own id for non-duplicated docs.
+
+    Scale shape: clusters come from ``connected_components`` (edges only
+    — tiny next to the corpus); member quality joins in via the native
+    hash join keyed on id (only (id, quality, cluster) triples move); rep
+    selection is one bucketed keyed pass; the non-member complement is
+    the anti ``semi_join`` (right side shrinks to distinct member ids
+    pre-shuffle). The corpus payload itself never enters any exchange."""
+    from vaero_ray.stages.graph import connected_components
+    from vaero_ray.stages.joins import hash_join, semi_join
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    labels = connected_components(
+        edges, a_col=a_col, b_col=b_col, id_out=id_col, label_out="cluster"
+    )
+    proj = docs.select_columns([id_col, quality_col])
+    members = hash_join(labels, proj, keys=id_col, join_type="inner")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster", quality_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return (
+            df.drop_duplicates(subset=["cluster"], keep="first")[[id_col, "cluster"]]
+            .reset_index(drop=True)
+            .astype({id_col: "int64", "cluster": "int64"})
+        )
+
+    reps = bucketed_map_groups(members, "cluster", best, num_buckets=num_buckets)
+
+    singles = semi_join(
+        docs.select_columns([id_col]), labels, keys=id_col, anti=True,
+        num_buckets=num_buckets or 64,
+    )
+
+    def self_cluster(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        ids = tbl.column(id_col).cast(pa.int64())
+        return pa.table({id_col: ids, "cluster": ids})
+
+    singles = singles.map_batches(
+        self_cluster, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return singles.union(reps)

@@ -113,6 +113,158 @@ def grouped_median(
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
 
 
+def string_agg_ordered(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    order_cols: "list[str]",
+    sep: str = ">",
+    out: str = "path",
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key, plus
+    the element count — e.g. a user's ordered event-type path for journey
+    analysis. ``order_cols`` must totally order each group (include a
+    unique tiebreak) so the concatenation is shard-invariant.
+
+    One bucketed shuffle; per bucket one sort, then the per-key join is a
+    single vectorized Arrow ``binary_join`` over a ListArray built from
+    segment offsets — no per-key loop, no Python string concat.
+
+    Partitioning assumption (as everywhere in keyed.py): one bucket's
+    rows — and therefore one key's concatenated string — fit in a task's
+    heap; keys with unbounded histories should be capped upstream
+    (``corpus.cap_per_key``)."""
+    import pyarrow.compute as pc
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return pd.DataFrame(
+                {key: df[key], out: pd.Series([], dtype=str),
+                 "n_rows": pd.Series([], dtype=np.int64)}
+            )
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+        offsets = np.append(starts, n).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(df[value_col], pa.string())
+        )
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[starts],
+                out: pc.binary_join(la, sep).to_pandas(),
+                "n_rows": np.diff(offsets).astype(np.int64),
+            }
+        )
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def distinct_set_op(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    cols: "list[str]",
+    op: str,
+    types: "dict[str, pa.DataType] | None" = None,
+) -> rd.Dataset:
+    """SQL set operators over the distinct projections of two datasets:
+    ``op`` is ``"intersect"`` (rows in both) or ``"except"`` (rows in
+    ``a`` and not in ``b``), both DISTINCT semantics.
+
+    Scale shape: each side's blocks are distinct-reduced FIRST (per-block
+    combiner), then membership flags ride ONE ``groupby(cols).max``
+    exchange — the shuffle moves at most the distinct keys of each block,
+    never raw rows, and no side is broadcast.
+
+    ``types`` (col -> pa.DataType) seeds the output schema when the
+    result is EMPTY: Ray's empty blocks carry no columns (the engine-wide
+    empty-block trap), so an all-filtered result would otherwise surface
+    as a zero-column dataset."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    from ray.data.aggregate import Max
+
+    def prep(ia: int, ib: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[cols].drop_duplicates().reset_index(drop=True)
+            g["in_a"] = np.int64(ia)
+            g["in_b"] = np.int64(ib)
+            return g
+
+        return f
+
+    u = a.map_batches(prep(1, 0), batch_format="pandas").union(
+        b.map_batches(prep(0, 1), batch_format="pandas")
+    )
+    flags = u.groupby(cols).aggregate(
+        Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b")
+    )
+    import pyarrow.compute as pc
+
+    want_b = 1 if op == "intersect" else 0
+
+    empty = (
+        pa.table({c: pa.array([], t) for c, t in types.items()}) if types else None
+    )
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows or not tbl.num_columns:
+            return empty if empty is not None else tbl
+        mask = pc.and_(
+            pc.equal(tbl.column("in_a"), 1), pc.equal(tbl.column("in_b"), want_b)
+        )
+        return tbl.filter(mask).drop_columns(["in_a", "in_b"])
+
+    return flags.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_moments(
+    ds: rd.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+) -> rd.Dataset:
+    """Per-key second-moment sums of two INTEGER columns — ``n_rows,
+    sum_x, sum_y, sum_xx, sum_yy, sum_xy`` — the exact mergeable state
+    from which mean/variance/covariance/Pearson correlation all derive in
+    closed form. Emitting the integer sums (not the float statistic)
+    keeps the result order- and shard-independent and hash-exact, the
+    engine's exact-aggregate convention.
+
+    Two-phase: per-batch vectorized partials, then one small
+    ``groupby(key).sum`` exchange bounded by distinct keys x blocks.
+    Caller guarantees ``n * max|x*y|`` fits int64 (int64 overflow is
+    silent in numpy)."""
+    from ray.data.aggregate import Sum
+
+    mcols = ["n_rows", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.int64)
+        y = df[y_col].to_numpy(dtype=np.int64)
+        g = pd.DataFrame(
+            {
+                key: df[key],
+                "n_rows": np.int64(1),
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": x * x,
+                "sum_yy": y * y,
+                "sum_xy": x * y,
+            }
+        )
+        return g.groupby(key, sort=False, as_index=False)[mcols].sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(key).aggregate(
+        *[Sum(c, alias_name=c) for c in mcols]
+    )
+
+
 def explode_lines(
     ds: rd.Dataset,
     text_col: str = "text",

@@ -115,6 +115,56 @@ def running_sum(
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
 
 
+def rank_rows(
+    ds: rd.Dataset,
+    key: str,
+    order_col: str,
+    tie_col: str,
+    descending: bool = False,
+    rn_col: str = "rn",
+    rank_col: str = "rnk",
+    dense_col: str = "dense_rnk",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per ROW: ``ROW_NUMBER`` / ``RANK`` / ``DENSE_RANK`` over
+    ``PARTITION BY key ORDER BY order_col [DESC]``. ROW_NUMBER breaks
+    ``order_col`` ties by ``tie_col`` (total order, shard-invariant);
+    RANK/DENSE_RANK follow SQL semantics — ties on ``order_col`` alone
+    share a rank. Null ``order_col`` values are not supported (numpy's
+    NaN != NaN would split a SQL peer group; assert upstream).
+
+    Kernel: one sort, then every rank variant falls out of two boolean
+    edge masks (key change, value change) via ``np.maximum.accumulate``
+    over start indices and one global cumsum — no per-key loop."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [key, order_col, tie_col],
+            ascending=[True, not descending, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        n = len(df)
+        if not n:
+            for c in (rn_col, rank_col, dense_col):
+                df[c] = np.array([], dtype=np.int64)
+            return df
+        codes = _sorted_codes(df, key)
+        seg_start = _segment_starts(codes)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start_idx = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        vals = df[order_col].to_numpy()
+        newval = seg_start.copy()
+        newval[1:] |= vals[1:] != vals[:-1]
+        val_start_idx = np.maximum.accumulate(np.where(newval, idx, 0))
+        d = np.cumsum(newval.astype(np.int64))
+        df[rn_col] = idx - seg_start_idx + 1
+        df[rank_col] = val_start_idx - seg_start_idx + 1
+        df[dense_col] = d - d[seg_start_idx] + 1
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
 def interarrival(
     ds: rd.Dataset,
     key: str,

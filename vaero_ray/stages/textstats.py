@@ -68,6 +68,38 @@ def normalize_text(
     )
 
 
+# PII redaction rules, applied IN ORDER (sequential semantics: each
+# count is taken on the text as already redacted by the previous rules).
+# RE2 syntax on both sides — pyarrow's replace_substring_regex and
+# DuckDB's regexp_replace are both RE2, so the gate is hash-exact.
+PII_RULES: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_redact(
+    tbl: pa.Table,
+    text_col: str = "text",
+    out: str = "redacted",
+    rules: "list[tuple[str, str, str]] | None" = None,
+) -> pa.Table:
+    """Redact PII spans (emails, IPv4s, phone numbers by default) with
+    typed placeholders and append an exact integer match count per rule
+    (``n_email``, ``n_ipv4``, ``n_phone``) — the standard scrubbing stage
+    of a training-data pipeline. Stateless zero-copy Arrow pass, no
+    shuffle; rules apply sequentially so counts are well-defined even
+    when patterns could overlap (mirror the same order in SQL)."""
+    t = tbl.column(text_col)
+    for name, pat, repl in rules if rules is not None else PII_RULES:
+        tbl = tbl.append_column(
+            f"n_{name}", pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+        )
+        t = pc.replace_substring_regex(t, pat, repl)
+    return tbl.append_column(out, t)
+
+
 def quality_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     """Append n_chars + EXACT integer n_punct / n_digit counts (the gate
     hashes integers; float ratios are derived views) and the 6-dp ratios
