@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "latest_event_per_user",        # changelog/upsert compaction (last-value-wins)
     "running_value_per_user",       # per-row running total (window function)
     "sessionize_events",            # per-row session numbering (gap rule)
+    "doc_pii_redact",               # PII scrubbing (sequential regex rules, Arrow kernel)
+    "event_rank_per_user",          # ROW_NUMBER/RANK/DENSE_RANK (one sort, two edge masks)
+    "user_event_path",              # ordered string_agg journey (segment-offset binary_join)
+    "users_view_not_purchase",      # EXCEPT distinct (membership-flag exchange)
+    "length_token_moments",         # exact integer moment sums (corr/cov state)
+    "dedup_keep_best",              # cluster dedup keeping best member by quality
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).
