@@ -216,3 +216,112 @@ def test_dedup_keep_best(ray_session):
     )
     assert out["doc_id"].tolist() == [1, 3, 5]
     assert out["cluster"].tolist() == [0, 3, 5]
+
+
+def test_ntile_matches_pandas_qcut_rule(ray_session):
+    from vaero_ray.stages.rowwindow import rank_rows
+
+    df = _ev(n=230, keys=7, seed=21)
+    got = (
+        rank_rows(_blocks(df, 3), "user_id", "value", "event_id",
+                  descending=True, ntile=4, num_buckets=3)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    # SQL NTILE fill rule recomputed per group in plain python
+    exp = {}
+    srt = df.sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
+    for _, g in srt.groupby("user_id"):
+        sz = len(g)
+        q, r = divmod(sz, 4)
+        tile, left_in_tile, t = 1, q + (1 if r >= 1 else 0), 1
+        for pos, eid in enumerate(g["event_id"]):
+            cap = q + (1 if t <= r else 0)
+            if left_in_tile == 0:
+                t += 1
+                cap = q + (1 if t <= r else 0)
+                left_in_tile = cap
+            exp[eid] = t
+            left_in_tile -= 1
+        assert t <= 4
+    assert {e: t for e, t in zip(got["event_id"], got["tile"])} == exp
+
+
+def test_ntile_small_groups(ray_session):
+    from vaero_ray.stages.rowwindow import rank_rows
+
+    # groups smaller than n: each row gets its own tile number == rn
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "user_id": np.array([0, 0, 1, 1, 1], dtype=np.int64),
+            "value": np.array([3.0, 1.0, 9.0, 9.0, 2.0]),
+        }
+    )
+    got = (
+        rank_rows(_blocks(df, 2), "user_id", "value", "event_id", ntile=10, num_buckets=2)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert got["tile"].tolist() == got["rn"].tolist()
+
+
+def test_cube_counts_all_subsets(ray_session):
+    from vaero_ray.stages.relational import ROLLUP_ALL, cube_counts
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 200),
+            "b": rng.choice(["p", "q", "r"], 200),
+            "v": rng.integers(0, 10, 200).astype(np.float64),
+        }
+    )
+    got = cube_counts(_blocks(df), ["a", "b"], measure="v").to_pandas()
+    # grand total
+    gt = got[(got["a"] == ROLLUP_ALL) & (got["b"] == ROLLUP_ALL)]
+    assert gt["n_rows"].iloc[0] == 200
+    assert gt["sum_v"].iloc[0] == int(df["v"].sum())
+    # each single-dim margin matches a plain groupby
+    for dim, other in (("a", "b"), ("b", "a")):
+        m = got[(got[other] == ROLLUP_ALL) & (got[dim] != ROLLUP_ALL)]
+        exp = df.groupby(dim)["v"].agg(["size", "sum"])
+        assert dict(zip(m[dim], m["n_rows"])) == exp["size"].to_dict()
+    # full-detail cells match the 2-dim groupby
+    full = got[(got["a"] != ROLLUP_ALL) & (got["b"] != ROLLUP_ALL)]
+    exp2 = df.groupby(["a", "b"]).size()
+    assert {(r["a"], r["b"]): r["n_rows"] for _, r in full.iterrows()} == exp2.to_dict()
+    # 2^2 grouping sets worth of rows, nothing more
+    assert len(got) == 1 + len(exp2) + df["a"].nunique() + df["b"].nunique()
+
+
+def test_asof_forward_and_tolerance(ray_session):
+    from vaero_ray.stages.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime([100, 200, 100], unit="s"),
+            "lid": np.arange(3, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime([150, 500, 90], unit="s"),
+        }
+    )
+    out = (
+        asof_join(
+            _blocks(left, 2), _blocks(right, 2), key="k", ts_col="ts",
+            right_ts_out="m", direction="forward",
+            tolerance=pd.Timedelta(seconds=100), num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    # lid0: next right at 150 (within 100s). lid1: next right at 500 —
+    # outside tolerance -> null. lid2: right at 90 is BEFORE -> null.
+    assert out["m"].iloc[0] == pd.Timestamp(150, unit="s")
+    assert pd.isna(out["m"].iloc[1])
+    assert pd.isna(out["m"].iloc[2])

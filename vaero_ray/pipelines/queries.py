@@ -2457,6 +2457,76 @@ SELECT doc_id, CAST(cluster AS BIGINT) AS cluster FROM kb_best WHERE rn = 1
 """
 
 
+def q_event_ntile_per_user(sf_dir: str):
+    """NTILE(4) quartile assignment per user over event value DESC (ties
+    broken by event_id) — same one-sort kernel as the rank gate, SQL fill
+    rule vectorized from broadcast segment sizes."""
+    from vaero_ray.stages.rowwindow import rank_rows
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = rank_rows(
+        ds, "user_id", "value", "event_id", descending=True, ntile=4, num_buckets=16
+    )
+    return out.select_columns(["event_id", "user_id", "tile"])
+
+
+SQL_NTILE = r"""
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
+def q_source_lang_cube(sf_dir: str):
+    """GROUP BY CUBE(source, lang) counts + summed doc length — all four
+    grouping sets as partials riding ONE groupby exchange."""
+    from vaero_ray.stages.relational import cube_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    return cube_counts(ds, ["source", "lang"], measure="n_chars")
+
+
+SQL_CUBE = r"""
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
+def q_purchase_next_view(sf_dir: str):
+    """FORWARD as-of join with tolerance: each purchase matched with the
+    user's EARLIEST view at-or-after it, within one hour — the
+    direction/tolerance extension of the backward as-of gate."""
+    import pandas as pd
+
+    from vaero_ray.stages.joins import asof_join
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    views = ev.filter(expr="event_type == 'view'").drop_columns(
+        ["event_type", "event_id"]
+    )
+    out = asof_join(
+        purchases, views, key="user_id", ts_col="ts", right_ts_out="next_view_ts",
+        direction="forward", tolerance=pd.Timedelta(hours=1),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "next_view_ts"])
+
+
+SQL_NEXT_VIEW = """
+SELECT p.event_id, p.user_id, p.ts, MIN(v.ts) AS next_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -2538,6 +2608,9 @@ QUERIES: dict[str, QueryFn] = {
     "users_view_and_purchase": q_users_view_and_purchase,
     "length_token_moments": q_length_token_moments,
     "dedup_keep_best": q_dedup_keep_best,
+    "event_ntile_per_user": q_event_ntile_per_user,
+    "source_lang_cube": q_source_lang_cube,
+    "purchase_next_view": q_purchase_next_view,
 }
 
 ORACLES: dict[str, str] = {
@@ -2621,4 +2694,7 @@ ORACLES: dict[str, str] = {
     "users_view_and_purchase": SQL_INTERSECT_USERS,
     "length_token_moments": SQL_MOMENTS,
     "dedup_keep_best": SQL_KEEP_BEST,
+    "event_ntile_per_user": SQL_NTILE,
+    "source_lang_cube": SQL_CUBE,
+    "purchase_next_view": SQL_NEXT_VIEW,
 }

@@ -234,11 +234,19 @@ def asof_join(
     right_ts_out: str = "matched_ts",
     right_cols: Iterable[str] = (),
     num_buckets: int = DEFAULT_BUCKETS,
+    direction: str = "backward",
+    tolerance=None,
 ) -> rd.Dataset:
-    """Backward as-of join: each left row gains the latest right row of
-    the same key with ``right.ts <= left.ts`` (inclusive; same semantics
-    as DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``). Unmatched left rows get
-    nulls.
+    """As-of join: each left row gains the latest right row of the same
+    key with ``right.ts <= left.ts`` (``direction="backward"``, default;
+    inclusive — same semantics as DuckDB ``ASOF JOIN ... ON r.ts <=
+    l.ts``), the EARLIEST right row with ``right.ts >= left.ts``
+    (``"forward"``), or the closest in either direction (``"nearest"``).
+    ``tolerance`` (a ``pd.Timedelta`` for timestamp keys) bounds the
+    match distance. Unmatched left rows get nulls. When the right side
+    has duplicate (key, ts) rows the matched PAYLOAD among the ties is
+    arrival-order dependent — emit only the matched ts, or dedup the
+    right side first, if ties are possible.
 
     Per-SIDE shuffles (round 2 padded BOTH sides to the union schema with
     typed nulls and pushed the widened union through one exchange — every
@@ -320,7 +328,8 @@ def asof_join(
             left_on=ts_col,
             right_on=right_ts_out,
             by=key,
-            direction="backward",
+            direction=direction,
+            tolerance=tolerance,
             allow_exact_matches=True,
         )
         return out

@@ -74,6 +74,52 @@ def rollup_counts(
     return partials.groupby(dims).aggregate(*aggs)
 
 
+def cube_counts(
+    ds: rd.Dataset,
+    dims: "list[str]",
+    measure: "str | None" = None,
+    scale: int = 1,
+) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(dims...)`` in one exchange: like
+    ``rollup_counts`` but emitting partials for EVERY subset of the
+    dimensions (2^d grouping sets, d small by construction), all riding a
+    single ``groupby(dims).sum`` shuffle. Rolled-up dimensions carry the
+    ``ROLLUP_ALL`` sentinel (non-null string dims only, same contract as
+    rollup). Exchange volume is bounded by distinct-key count x 2^d,
+    independent of row count."""
+    if len(dims) > 6:
+        raise ValueError("cube over >6 dims emits 2^d partials per batch; pick fewer")
+    mcol = f"sum_{measure}" if measure else None
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = (
+            np.floor(df[measure].to_numpy(dtype=np.float64) * scale + 0.5).astype(np.int64)
+            if measure
+            else None
+        )
+        outs = []
+        work = df[dims].copy()
+        work["n_rows"] = np.int64(1)
+        if measure:
+            work[mcol] = vals
+        aggcols = ["n_rows"] + ([mcol] if measure else [])
+        for mask in range(1 << len(dims)):
+            cur = work.copy()
+            for i, dcol in enumerate(dims):
+                if not (mask >> i) & 1:
+                    cur[dcol] = ROLLUP_ALL
+            outs.append(cur.groupby(dims, sort=False, as_index=False)[aggcols].sum())
+        return pd.concat(outs, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    if measure:
+        aggs.append(Sum(mcol, alias_name=mcol))
+    return partials.groupby(dims).aggregate(*aggs)
+
+
 def grouped_median(
     ds: rd.Dataset,
     key: str,

@@ -124,18 +124,23 @@ def rank_rows(
     rn_col: str = "rn",
     rank_col: str = "rnk",
     dense_col: str = "dense_rnk",
+    ntile: int | None = None,
+    ntile_col: str = "tile",
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Per ROW: ``ROW_NUMBER`` / ``RANK`` / ``DENSE_RANK`` over
-    ``PARTITION BY key ORDER BY order_col [DESC]``. ROW_NUMBER breaks
-    ``order_col`` ties by ``tie_col`` (total order, shard-invariant);
-    RANK/DENSE_RANK follow SQL semantics — ties on ``order_col`` alone
-    share a rank. Null ``order_col`` values are not supported (numpy's
-    NaN != NaN would split a SQL peer group; assert upstream).
+    """Per ROW: ``ROW_NUMBER`` / ``RANK`` / ``DENSE_RANK`` (and, with
+    ``ntile=n``, ``NTILE(n)``) over ``PARTITION BY key ORDER BY
+    order_col [DESC]``. ROW_NUMBER/NTILE break ``order_col`` ties by
+    ``tie_col`` (total order, shard-invariant); RANK/DENSE_RANK follow
+    SQL semantics — ties on ``order_col`` alone share a rank. Null
+    ``order_col`` values are not supported (numpy's NaN != NaN would
+    split a SQL peer group; assert upstream).
 
     Kernel: one sort, then every rank variant falls out of two boolean
     edge masks (key change, value change) via ``np.maximum.accumulate``
-    over start indices and one global cumsum — no per-key loop."""
+    over start indices and one global cumsum — no per-key loop. NTILE
+    uses the SQL fill rule: sz = q*n + r -> the first r tiles get q+1
+    rows, vectorized from the broadcast segment sizes."""
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -145,7 +150,8 @@ def rank_rows(
         ).reset_index(drop=True)
         n = len(df)
         if not n:
-            for c in (rn_col, rank_col, dense_col):
+            cols = [rn_col, rank_col, dense_col] + ([ntile_col] if ntile else [])
+            for c in cols:
                 df[c] = np.array([], dtype=np.int64)
             return df
         codes = _sorted_codes(df, key)
@@ -157,9 +163,21 @@ def rank_rows(
         newval[1:] |= vals[1:] != vals[:-1]
         val_start_idx = np.maximum.accumulate(np.where(newval, idx, 0))
         d = np.cumsum(newval.astype(np.int64))
-        df[rn_col] = idx - seg_start_idx + 1
+        rn0 = idx - seg_start_idx  # 0-based row number within segment
+        df[rn_col] = rn0 + 1
         df[rank_col] = val_start_idx - seg_start_idx + 1
         df[dense_col] = d - d[seg_start_idx] + 1
+        if ntile:
+            starts_i = np.flatnonzero(seg_start)
+            sizes = np.diff(np.append(starts_i, n))
+            sz = np.repeat(sizes, sizes)  # segment size per row
+            q, r = sz // ntile, sz % ntile
+            big = r * (q + 1)  # rows covered by the q+1-sized tiles
+            df[ntile_col] = np.where(
+                rn0 < big,
+                rn0 // np.maximum(q + 1, 1) + 1,
+                r + np.where(q > 0, (rn0 - big) // np.maximum(q, 1), 0) + 1,
+            ).astype(np.int64)
         return df
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
