@@ -90,6 +90,13 @@ BENCH_QUERIES = [
     "users_view_not_purchase",      # EXCEPT distinct (membership-flag exchange)
     "length_token_moments",         # exact integer moment sums (corr/cov state)
     "dedup_keep_best",              # cluster dedup keeping best member by quality
+    "event_ntile_per_user",         # NTILE(4) quartile bucketing (rank kernel reuse)
+    "source_lang_cube",             # GROUP BY CUBE grouping sets (one exchange)
+    "purchase_next_view",           # forward as-of join with tolerance
+    "kmeans_embeddings",            # distributed exact k-means (broadcast centroids)
+    "doc_bigram_commonness",        # corpus LM-frequency proxy (bigram-sharded join)
+    "views_unconverted",            # negation CEP / absence pattern
+    "doc_stats_unpivot",            # UNPIVOT/melt (stateless Arrow kernel)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

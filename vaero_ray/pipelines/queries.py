@@ -2527,6 +2527,140 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed EXACT k-means (k=4, 2 assignment passes) over the
+    embeddings table — iterative broadcast-centroids: per-iteration
+    shuffle is k x d integer accumulator rows, nothing else leaves a
+    block. Deterministic residue-class init, integer micro-unit
+    distances, trunc-div centroid update — hash-exact vs the unrolled
+    SQL oracle."""
+    from vaero_ray.stages.ann import kmeans_assign
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=4, iters=2)
+
+
+# Lloyd iterations unrolled: c0 = residue-class seeds; a1 = assignment
+# under c0 (exact integer squared L2, ties -> lowest cid); c1 = per-dim
+# trunc-div centroid update (DuckDB // truncates; the engine matches);
+# a2 = final assignment. COALESCE keeps an empty cluster's previous
+# centroid, mirroring the engine.
+SQL_KMEANS = """
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+  FROM embeddings),
+dims AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS dim),
+init AS (SELECT vec_id % 4 AS cid, min(vec_id) AS vid FROM q GROUP BY 1),
+c0 AS (SELECT i.cid, d.dim, q.qv[d.dim] AS val
+       FROM init i JOIN q ON q.vec_id = i.vid CROSS JOIN dims d),
+d1 AS (SELECT q.vec_id, c.cid,
+              SUM((q.qv[c.dim] - c.val) * (q.qv[c.dim] - c.val)) AS dist
+       FROM q CROSS JOIN c0 c GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1n AS (SELECT a.cid, d.dim,
+               CAST(SUM(q.qv[d.dim]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS val
+        FROM a1 a JOIN q USING (vec_id) CROSS JOIN dims d GROUP BY 1, 2),
+c1 AS (SELECT c0.cid, c0.dim, COALESCE(c1n.val, c0.val) AS val
+       FROM c0 LEFT JOIN c1n ON c0.cid = c1n.cid AND c0.dim = c1n.dim),
+d2 AS (SELECT q.vec_id, c.cid,
+              SUM((q.qv[c.dim] - c.val) * (q.qv[c.dim] - c.val)) AS dist
+       FROM q CROSS JOIN c1 c GROUP BY 1, 2)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d2) WHERE rn = 1
+"""
+
+
+def q_doc_bigram_commonness(sf_dir: str):
+    """Corpus bigram-commonness quality score: per doc, occurrence
+    count, summed corpus-wide bigram frequencies and their integer
+    mean — the decontamination shuffle shape (bigram-sharded, no
+    broadcast of the count table)."""
+    from vaero_ray.stages.textstats import bigram_commonness
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_commonness(ds, num_buckets=16)
+
+
+SQL_BIGRAM_COMMON = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+bg0 AS (SELECT doc_id,
+               [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS bgs
+        FROM tk),
+bg AS (SELECT doc_id, unnest(bgs) AS b FROM bg0),
+cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(cnt.c) AS BIGINT) AS sum_freq,
+       CAST(SUM(cnt.c) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_freq
+FROM bg JOIN cnt USING (b)
+GROUP BY 1
+"""
+
+
+def q_views_unconverted(sf_dir: str):
+    """Negation CEP (absence pattern): per user, view events with NO
+    purchase strictly after them within 1 hour — cart abandonment."""
+    from vaero_ray.stages.cep import absence_counts
+
+    ev = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+    return absence_counts(
+        ev, key="user_id", ts_col="ts", type_col="event_type",
+        first="view", then="purchase", within_s=3600, num_buckets=16,
+    )
+
+
+SQL_ABSENCE = """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (SELECT v.event_id, v.user_id, count(p.ts) AS nb
+      FROM v LEFT JOIN p
+        ON p.user_id = v.user_id AND p.ts > v.ts
+       AND p.ts <= v.ts + INTERVAL 1 HOUR
+      GROUP BY 1, 2)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_first,
+       CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+FROM m GROUP BY 1
+"""
+
+
+def q_doc_stats_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the three exact quality counters per doc as
+    (doc_id, metric, value) long-format rows — stateless Arrow kernel,
+    no shuffle."""
+    from vaero_ray.stages.relational import unpivot
+    from vaero_ray.stages.textstats import quality_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stats = ds.map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
+    return unpivot(
+        stats, id_cols=["doc_id"], value_cols=["n_chars", "n_punct", "n_digit"],
+        var_col="metric", value_col="value",
+    )
+
+
+SQL_UNPIVOT = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '\d')) AS BIGINT) AS n_digit
+  FROM documents)
+SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM s
+UNION ALL SELECT doc_id, 'n_punct', n_punct FROM s
+UNION ALL SELECT doc_id, 'n_digit', n_digit FROM s
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -2611,6 +2745,10 @@ QUERIES: dict[str, QueryFn] = {
     "event_ntile_per_user": q_event_ntile_per_user,
     "source_lang_cube": q_source_lang_cube,
     "purchase_next_view": q_purchase_next_view,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "doc_bigram_commonness": q_doc_bigram_commonness,
+    "views_unconverted": q_views_unconverted,
+    "doc_stats_unpivot": q_doc_stats_unpivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -2697,4 +2835,8 @@ ORACLES: dict[str, str] = {
     "event_ntile_per_user": SQL_NTILE,
     "source_lang_cube": SQL_CUBE,
     "purchase_next_view": SQL_NEXT_VIEW,
+    "kmeans_embeddings": SQL_KMEANS,
+    "doc_bigram_commonness": SQL_BIGRAM_COMMON,
+    "views_unconverted": SQL_ABSENCE,
+    "doc_stats_unpivot": SQL_UNPIVOT,
 }

@@ -216,3 +216,150 @@ def label_centroid_sums(
     return partials.groupby(["label", "dim"]).aggregate(
         Sum("sum_micro", alias_name="sum_micro"), Sum("n_vecs", alias_name="n_vecs")
     )
+
+
+def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Exact int64 division truncating toward zero — DuckDB's ``//``
+    semantics (numpy's ``//`` floors, which differs on negative sums)."""
+    q = s // n
+    return q + ((s % n != 0) & (s < 0)).astype(np.int64)
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Distributed EXACT Lloyd k-means over an embedding column — the
+    iterative broadcast-centroids pattern: each iteration is ONE
+    streaming pass (map_batches computes per-batch per-(cluster, dim)
+    integer partial sums; a tiny groupby merges k x d rows to the
+    driver), centroids travel to workers via ``ray.put`` once per
+    iteration. Nothing but k x d accumulator rows ever leaves a block,
+    so the shape holds at 100 TB (cost = iters passes over the input).
+
+    Determinism / SQL-exactness (the semantic-dedup clustering step the
+    training-data tier needs, judged by a hash-exact oracle):
+
+    - vectors quantized ONCE to int64 micro-units ``floor(v*scale+0.5)``
+      (same fixed-point rule as ``label_centroid_sums``);
+    - init: for each residue class ``j = id % k``, the vector with the
+      smallest id (one tiny groupby-min — no global sort, no RNG);
+    - assignment: argmin of EXACT integer squared L2; ties -> lowest
+      cluster id (numpy argmin first-occurrence == SQL ORDER BY dist, cid);
+    - update: per-dim ``trunc_div(sum, n)`` (DuckDB ``//``); empty
+      clusters keep their previous centroid;
+    - ``iters`` assignment passes with an update between consecutive
+      ones; output = final assignment ``(id, cluster)``.
+
+    Overflow bounds: |q| <= scale * max|v|; distances need
+    ``d * (2*max_q)^2 < 2^63``, sums need ``n_rows * max_q < 2^63`` —
+    fine for unit-scale embeddings at scale=1e6 up to ~9e12 rows.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    if k < 1 or iters < 1:
+        raise ValueError("kmeans_assign: k and iters must be >= 1")
+
+    def _micro(tbl: pa.Table) -> np.ndarray:
+        return np.floor(_mat(tbl, emb_col, np.float64) * scale + 0.5).astype(np.int64)
+
+    # ---- deterministic init: min id per residue class (tiny exchange) --
+    def res_tag(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"__res": pa.array(ids % k), id_col: pa.array(ids)})
+
+    seed_rows = (
+        ds.map_batches(res_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__res")
+        .aggregate(Min(id_col, alias_name="seed_id"))
+        .take_all()
+    )  # <= k rows — lineage-scale, never data
+    seed_ids = {int(r["__res"]): int(r["seed_id"]) for r in seed_rows}
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"kmeans_assign: only {len(seed_ids)} of {k} residue classes "
+            "present; lower k or provide denser ids"
+        )
+    id_set = set(seed_ids.values())
+
+    def seed_vec(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, list(id_set))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__q": pa.array([], pa.list_(pa.int64()))})
+        q = _micro(tbl.filter(pa.array(mask)))
+        return pa.table({id_col: pa.array(ids[mask]),
+                         "__q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    seeds = {
+        int(r[id_col]): np.asarray(r["__q"], dtype=np.int64)
+        for r in ds.map_batches(seed_vec, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    }  # k rows of d ints each
+    centroids = np.stack([seeds[seed_ids[j]] for j in range(k)])  # (k, d) int64
+    d = centroids.shape[1]
+
+    def _assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # chunk rows so the (rows, k, d) int64 temp stays ~64 MB
+        step = max(1, (64 << 20) // max(c.shape[0] * c.shape[1] * 8, 1))
+        out = np.empty(len(q), dtype=np.int64)
+        for lo in range(0, len(q), step):
+            diff = q[lo:lo + step, None, :] - c[None, :, :]
+            np.square(diff, out=diff)
+            out[lo:lo + step] = diff.sum(axis=2).argmin(axis=1)
+        return out
+
+    for _ in range(iters - 1):
+        cref = ray.put(centroids)
+
+        def partial(tbl: pa.Table, _cref=cref) -> pa.Table:
+            empty = pa.table({"cluster": pa.array([], pa.int64()),
+                              "dim": pa.array([], pa.int64()),
+                              "sum_micro": pa.array([], pa.int64()),
+                              "n_vecs": pa.array([], pa.int64())})
+            if not tbl.num_rows:
+                return empty
+            c = ray.get(_cref)  # object-store read, once per task
+            q = _micro(tbl)
+            a = _assign(q, c)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "sum_micro": pa.array(sums.ravel()),
+                "n_vecs": pa.array(np.repeat(counts, d)),
+            })
+
+        merged = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("sum_micro", alias_name="s"), Sum("n_vecs", alias_name="n"))
+            .take_all()
+        )  # k*d accumulator rows — lineage-scale
+        nxt = centroids.copy()  # empty clusters keep previous centroid
+        for r in merged:
+            if r["n"]:
+                nxt[int(r["cluster"]), int(r["dim"]) - 1] = _trunc_div(
+                    np.int64(r["s"]), np.int64(r["n"])
+                )
+        centroids = nxt
+
+    cref = ray.put(centroids)
+
+    def final_assign(tbl: pa.Table, _cref=cref) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        a = _assign(_micro(tbl), ray.get(_cref))
+        return pa.table({
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(a),
+        })
+
+    return ds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -166,3 +166,49 @@ def sequence_matches(
         return g.astype({"n_last": "int64", "n_matched": "int64"})
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def absence_counts(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    first: str,
+    then: str,
+    within_s: int,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Negation CEP — the absence pattern (A with NO B within T): per
+    KEY, total ``first``-type events and how many are ABANDONED, i.e.
+    have no ``then``-type event of the same key STRICTLY after them
+    within ``within_s`` seconds (window ``(ts, ts + T]`` — the forward
+    complement of ``funnel_conversions``' backward inclusive window).
+    Cart-abandonment / missing-heartbeat / unacked-alert detection.
+
+    Same one-shuffle offset-searchsorted shape as the other CEP ops:
+    the composite shift pads by ``within_s`` so ``s + w_us`` never
+    crosses into the next key's range.
+
+    Output: one row per key with any ``first`` events:
+    ``(key, n_first, n_abandoned)``, integers."""
+    w_us = int(within_s) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        s = _shifted_ts(df, key, ts_col, w_us)
+        et = df[type_col].to_numpy()
+        f_mask = et == first
+        sa = s[f_mask]
+        sb = s[et == then]
+        # strictly-after: (sa, sa + w] -> right-side bounds at both ends
+        n_in = np.searchsorted(sb, sa + w_us, side="right") - np.searchsorted(
+            sb, sa, side="right"
+        )
+        aband = (n_in == 0).astype(np.int64)
+        keys_first = df.loc[f_mask, key].reset_index(drop=True)
+        out = pd.DataFrame({key: keys_first, "__a": aband})
+        g = out.groupby(key, sort=False)["__a"].agg(["count", "sum"]).reset_index()
+        g.columns = [key, "n_first", "n_abandoned"]
+        return g.astype({"n_first": "int64", "n_abandoned": "int64"})
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)

@@ -351,3 +351,46 @@ def explode_lines(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: "list[str]",
+    value_cols: "list[str]",
+    var_col: str = "metric",
+    value_col: str = "value",
+    value_type: "pa.DataType | None" = None,
+) -> rd.Dataset:
+    """UNPIVOT / melt: turn ``value_cols`` into ``(var_col, value_col)``
+    long-format rows — the inverse of the pivot operator. Stateless
+    zero-copy Arrow pass (one ``take`` per id column with a tiled index,
+    one concat per value column), streams block by block, no shuffle;
+    output is value-column-major within each block (all rows for
+    ``value_cols[0]`` first), a block-local layout the relational
+    consumer (groupby/sort) never observes.
+
+    All value columns are cast to ``value_type`` (default: int64 — the
+    gate-friendly exact type; pass ``pa.float64()`` for mixed floats)."""
+    import pyarrow.compute as pc
+
+    vt = value_type or pa.int64()
+    m = len(value_cols)
+    if not m:
+        raise ValueError("unpivot: value_cols must be non-empty")
+
+    def melt(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if not n:
+            cols = {c: pa.array([], tbl.schema.field(c).type if tbl.schema.get_field_index(c) >= 0 else pa.int64()) for c in id_cols}
+            cols[var_col] = pa.array([], pa.string())
+            cols[value_col] = pa.array([], vt)
+            return pa.table(cols)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), m))
+        out = {c: tbl.column(c).take(idx) for c in id_cols}
+        out[var_col] = pa.array(np.repeat(np.asarray(value_cols, dtype=object), n))
+        out[value_col] = pa.concat_arrays(
+            [tbl.column(c).cast(vt).combine_chunks() for c in value_cols]
+        )
+        return pa.table(out)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

@@ -388,3 +388,84 @@ def tfidf_topk(
         scored, group_col=id_col, order_col="score", k=k, tie_col="term",
         num_buckets=num_buckets,
     )
+
+
+def bigram_commonness(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: "int | None" = None,
+):
+    """Per-document corpus-commonness score — a cheap LM-frequency proxy
+    for quality filtering (boilerplate scores high, gibberish scores
+    low): for every bigram OCCURRENCE in a doc, its corpus-wide
+    occurrence count; per doc the occurrence total, the summed counts
+    and the integer mean ``sum_freq // n_bigrams``. Docs with < 2
+    tokens have no bigrams and are absent (SQL inner-join semantics).
+
+    Scale shape (the decontamination/tf-idf shape — NO broadcast of the
+    count table, which at corpus scale is itself huge): per-block
+    (doc, bigram) occurrence rows; ONE bucketed shuffle on the bigram
+    groups every occurrence of a bigram into the same bucket, so the
+    global count is the in-bucket group size; per-doc partials are
+    collapsed INSIDE the bucket (3-int rows), then a keyed sum merges
+    the per-bucket partials. Tokenization = lowercased whitespace split
+    (``_flat_tokens``), bigram = ``tok[i] + ' ' + tok[i+1]``."""
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.dedup import _flat_tokens
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def occ_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "b": pa.array([], pa.string())})
+        if not tbl.num_rows:
+            return empty
+        toks, off = _flat_tokens(tbl, text_col)
+        total = len(toks)
+        if total < 2:
+            return empty
+        # valid bigram start positions: token i and i+1 in the SAME doc
+        valid = np.ones(total - 1, dtype=bool)
+        ends = off[1:] - 1  # last-token index per doc (off[j+1]-1)
+        ends = ends[(ends >= 0) & (ends < total - 1)]
+        valid[ends] = False
+        if not valid.any():
+            return empty
+        grams = pc.binary_join_element_wise(
+            toks.slice(0, total - 1), toks.slice(1, total - 1), " "
+        ).filter(pa.array(valid))
+        ids = np.repeat(
+            tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(off),
+        )[:-1][valid]
+        return pa.table({id_col: pa.array(ids), "b": grams})
+
+    def freq_stage(df: pd.DataFrame) -> pd.DataFrame:
+        # global bigram count == in-bucket group size (all occurrences of
+        # a bigram hash to this bucket); collapse to per-doc partials so
+        # the second exchange moves 3-int rows, not occurrences
+        f = df.groupby("b", sort=False)["b"].transform("size").to_numpy().astype(np.int64)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(), "__f": f})
+        g = out.groupby(id_col, sort=False)["__f"].agg(["count", "sum"]).reset_index()
+        g.columns = [id_col, "n_bigrams", "sum_freq"]
+        return g.astype({"n_bigrams": "int64", "sum_freq": "int64"})
+
+    occ = ds.map_batches(occ_partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = bucketed_map_groups(occ, "b", freq_stage, num_buckets=num_buckets)
+    merged = partials.groupby(id_col).aggregate(
+        Sum("n_bigrams", alias_name="n_bigrams"),
+        Sum("sum_freq", alias_name="sum_freq"),
+    )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tbl.column("sum_freq").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "n_bigrams": pa.array(n),
+            "sum_freq": pa.array(s),
+            "avg_freq": pa.array(s // np.maximum(n, 1)),  # nonneg: floor == trunc
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
