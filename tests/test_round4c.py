@@ -197,3 +197,42 @@ def test_unpivot_matches_melt(ray_session):
         .sort_values(["doc_id", "metric"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ------------------------------------------------- emitter shard params
+def test_pair_emitters_shard_invariant(ray_session):
+    """num_shards / pair_buckets only partition work: results identical
+    at any setting (the corpus-scale rehearsal raises them into the
+    thousands to bound per-task pair output)."""
+    from vaero_ray.stages.dedup import minhash_lsh_dup_edges, simhash_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs every single day",
+        "how vexingly quick daft zebras jump over fences at dawn",
+    ]
+    texts = []
+    for i in range(120):
+        t = base[i % 3]
+        if i % 4 == 0:
+            t = t + " extra token"
+        texts.append(t)
+    docs = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+
+    def run(fn, **kw):
+        return (
+            fn(_blocks(docs, 4), **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "dup_of"], ignore_index=True)
+        )
+
+    a = run(simhash_dup_pairs)
+    b = run(simhash_dup_pairs, num_shards=5, pair_buckets=3)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+    c = run(minhash_lsh_dup_edges)
+    d = run(minhash_lsh_dup_edges, num_shards=7, pair_buckets=2)
+    pd.testing.assert_frame_equal(c, d)
+    assert len(c) > 0

@@ -406,6 +406,8 @@ def minhash_lsh_dup_edges(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    num_shards: int = 64,
+    pair_buckets: int = 16,
 ) -> rd.Dataset:
     """Near-duplicate edges (doc_id, dup_of, est_jaccard) via MinHash+LSH.
 
@@ -492,7 +494,7 @@ def minhash_lsh_dup_edges(
     def shard(tbl: pa.Table) -> pa.Table:
         # shard band space: co-locates all rows of a (band, hash) bucket
         return tbl.append_column(
-            "__shard", pa.array((tbl.column("band_hash").to_numpy() % np.uint64(64)).astype(np.int64))
+            "__shard", pa.array((tbl.column("band_hash").to_numpy() % np.uint64(num_shards)).astype(np.int64))
         )
 
     edges = (
@@ -512,7 +514,7 @@ def minhash_lsh_dup_edges(
 
     from vaero_ray.stages.keyed import bucketed_map_groups
 
-    return bucketed_map_groups(edges, id_col, min_dup_bucket, num_buckets=16)
+    return bucketed_map_groups(edges, id_col, min_dup_bucket, num_buckets=pair_buckets)
 
 
 def contamination_check(
@@ -773,6 +775,8 @@ def embedding_lsh_dups(
     n_tables: int = 6,
     seed: int = 77,
     planes_mode: str = "random",
+    num_shards: int = 32,
+    pair_buckets: int = 16,
 ) -> rd.Dataset:
     """Scale path: hyperplane LSH — vectors sharing a sign-signature
     bucket in ANY table are candidates; exact cosine verified within the
@@ -847,7 +851,7 @@ def embedding_lsh_dups(
 
     def shard(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
-            "__shard", pa.array((tbl.column("bucket").to_numpy() % np.uint64(32)).astype(np.int64))
+            "__shard", pa.array((tbl.column("bucket").to_numpy() % np.uint64(num_shards)).astype(np.int64))
         )
 
     cand = (
@@ -863,7 +867,7 @@ def embedding_lsh_dups(
 
     from vaero_ray.stages.keyed import bucketed_map_groups
 
-    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)
+    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=pair_buckets)
 
 
 # ------------------------------------------------- n-gram Jaccard
@@ -961,6 +965,8 @@ def ngram_jaccard_dups(
     bands: int = 16,
     unit: str = "char",
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    num_shards: int = 32,
+    pair_buckets: int = 16,
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard over MinHash-LSH candidate pairs: LSH proposes
     (cheap, one shuffle of signatures + shingle-hash sets), true Jaccard
@@ -1050,7 +1056,7 @@ def ngram_jaccard_dups(
 
     def shard(tbl: pa.Table) -> pa.Table:
         return tbl.append_column(
-            "__shard", pa.array((tbl.column("band_hash").to_numpy() % np.uint64(32)).astype(np.int64))
+            "__shard", pa.array((tbl.column("band_hash").to_numpy() % np.uint64(num_shards)).astype(np.int64))
         )
 
     cand = (
@@ -1068,7 +1074,7 @@ def ngram_jaccard_dups(
 
     from vaero_ray.stages.keyed import bucketed_map_groups
 
-    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)
+    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=pair_buckets)
 
 
 def simhash_dup_pairs(
@@ -1077,6 +1083,8 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    num_shards: int = 32,
+    pair_buckets: int = 16,
 ) -> rd.Dataset:
     """SimHash near-duplicate pairs: docs whose 62-bit signatures differ
     in <= ``max_hamming`` bits AND share at least one of the 4 bands
@@ -1084,7 +1092,16 @@ def simhash_dup_pairs(
     documented semantics (guaranteed-complete for hamming <= 3; a
     recall-bounded scale path at larger radii) and is reproduced verbatim
     by the SQL oracle, so the gate match is exact. Verification by
-    vectorized XOR popcount inside each band bucket."""
+    vectorized XOR popcount inside each band bucket.
+
+    Scale sizing: one band-space shard's PAIR OUTPUT materializes in its
+    task before Ray re-blocks it, so ``num_shards`` must satisfy
+    expected_pairs / num_shards x 24 B << task heap — on dup-dense
+    corpora (boilerplate/template text) raise it into the thousands
+    (the 32M-turn rehearsal OOMed a 14 GB worker at the default 32).
+    ``pair_buckets`` sizes the final pair-dedup exchange the same way
+    (pairs / pair_buckets per task). Results are shard-invariant: both
+    only partition work."""
 
     def sig_stage(tbl: pa.Table) -> pa.Table:
         return simhash_signatures(tbl, text_col, id_col)
@@ -1173,7 +1190,7 @@ def simhash_dup_pairs(
             "__shard",
             pa.array(((tbl.column("band_hash").to_numpy().astype(np.uint64)
                        + np.uint64(7919) * tbl.column("band_id").to_numpy().astype(np.uint64))
-                      % np.uint64(32)).astype(np.int64)),
+                      % np.uint64(num_shards)).astype(np.int64)),
         )
 
     cand = (
@@ -1191,7 +1208,7 @@ def simhash_dup_pairs(
 
     from vaero_ray.stages.keyed import bucketed_map_groups
 
-    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=16)
+    return bucketed_map_groups(cand, id_col, dedup_pairs, num_buckets=pair_buckets)
 
 
 def line_dedup(
