@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "doc_bigram_commonness",        # corpus LM-frequency proxy (bigram-sharded join)
     "views_unconverted",            # negation CEP / absence pattern
     "doc_stats_unpivot",            # UNPIVOT/melt (stateless Arrow kernel)
+    "p90_length_per_source",        # exact grouped p90 (rational-index element pick)
+    "modal_event_per_user",         # exact grouped mode (partial-count exchange)
+    "length_fixed_histogram",       # exact fixed-width histogram (bincount partials)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

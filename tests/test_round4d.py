@@ -1,0 +1,96 @@
+"""Round-4 fourth batch: grouped exact percentile, grouped mode,
+fixed-width histogram."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _blocks(df, nblocks=5):
+    return rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % nblocks)])
+
+
+def test_grouped_percentile_matches_pick(ray_session):
+    from vaero_ray.stages.relational import grouped_percentile
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 9, 500), "v": rng.integers(0, 10_000, 500).astype(np.int64)}
+    )
+    rows = []
+    for k, g in df.groupby("k"):
+        vs = np.sort(g["v"].to_numpy())
+        rows.append((k, vs[(len(vs) - 1) * 9 // 10], len(vs)))
+    exp = pd.DataFrame(rows, columns=["k", "pct", "n_rows"]).sort_values("k", ignore_index=True)
+    got = (
+        grouped_percentile(_blocks(df), "k", "v", 9, 10, num_buckets=4)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_percentile_extremes(ray_session):
+    """q=0 is the min, q=1 the max (index arithmetic edges)."""
+    from vaero_ray.stages.relational import grouped_percentile
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2], "v": [5, 3, 9, 10, 2]})
+    lo = grouped_percentile(_blocks(df, 2), "k", "v", 0, 1).to_pandas().sort_values("k")
+    hi = grouped_percentile(_blocks(df, 2), "k", "v", 1, 1).to_pandas().sort_values("k")
+    assert lo["pct"].tolist() == [3, 2]
+    assert hi["pct"].tolist() == [9, 10]
+
+
+def test_mode_per_group_ties_to_smallest(ray_session):
+    from vaero_ray.stages.relational import mode_per_group
+
+    df = pd.DataFrame(
+        {
+            "k": [1] * 4 + [2] * 3,
+            "v": ["b", "a", "b", "a",  # tie 2-2 -> "a"
+                  "z", "z", "y"],      # clear winner "z"
+        }
+    )
+    got = mode_per_group(_blocks(df, 3), "k", "v", num_buckets=2).to_pandas().sort_values(
+        "k", ignore_index=True
+    )
+    assert got["mode"].tolist() == ["a", "z"]
+    assert got["mode_count"].tolist() == [2, 2]
+
+
+def test_mode_per_group_matches_naive(ray_session):
+    from vaero_ray.stages.relational import mode_per_group
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 12, 600), "v": rng.choice(list("abcdef"), 600)}
+    )
+    rows = []
+    for k, g in df.groupby("k"):
+        c = g["v"].value_counts()
+        top = c.max()
+        winners = sorted(c[c == top].index)
+        rows.append((k, winners[0], int(top)))
+    exp = pd.DataFrame(rows, columns=["k", "mode", "mode_count"]).sort_values(
+        "k", ignore_index=True
+    )
+    got = mode_per_group(_blocks(df), "k", "v", num_buckets=4).to_pandas().sort_values(
+        "k", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_fixed_histogram_clamps(ray_session):
+    from vaero_ray.stages.sketch import fixed_histogram
+
+    df = pd.DataFrame({"v": [-5, 0, 9, 10, 19, 20, 25, 999]})  # lo=0 w=10 nbins=3
+    got = (
+        fixed_histogram(_blocks(df, 3), "v", lo=0, width=10, nbins=3)
+        .to_pandas()
+        .sort_values("bin", ignore_index=True)
+    )
+    # bins: [-5,0,9]->0, [10,19]->1, [20,25,999]->2 (overflow clamped)
+    assert got["bin"].tolist() == [0, 1, 2]
+    assert got["bin_lo"].tolist() == [0, 10, 20]
+    assert got["cnt"].tolist() == [3, 2, 3]
+    assert got["cnt"].sum() == len(df)

@@ -2661,6 +2661,68 @@ UNION ALL SELECT doc_id, 'n_digit', n_digit FROM s
 """
 
 
+def q_p90_length_per_source(sf_dir: str):
+    """Exact lower p90 of document length per source — element pick at
+    0-based index (n-1)*9//10 in value order (integer-rational quantile,
+    no interpolation); grouped_median generalized to any q_num/q_den."""
+    from vaero_ray.stages.relational import grouped_percentile
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return grouped_percentile(
+        ds, "source", "n_chars", q_num=9, q_den=10, out="p90_chars", num_buckets=8
+    )
+
+
+SQL_GROUPED_P90 = r"""
+WITH r AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+SELECT source, CAST(n_chars AS BIGINT) AS p90_chars, CAST(n AS BIGINT) AS n_rows
+FROM r WHERE rn = (n - 1) * 9 // 10 + 1
+"""
+
+
+def q_modal_event_per_user(sf_dir: str):
+    """Exact mode of event_type per user (ties -> smallest value):
+    per-batch partial counts collapse the exchange to distinct
+    (user, type) pairs per block, one bucketed merge picks winners."""
+    from vaero_ray.stages.relational import mode_per_group
+
+    ev = _events(sf_dir, columns=["user_id", "event_type"])
+    return mode_per_group(ev, "user_id", "event_type", num_buckets=8)
+
+
+SQL_MODE = """
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode, CAST(cnt AS BIGINT) AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+def q_length_fixed_histogram(sf_dir: str):
+    """Exact fixed-width histogram of document lengths (width 40,
+    16 bins, overflow clamped into the last bin) — sum-mergeable
+    per-block bincount partials, <= nbins rows leave any block."""
+    from vaero_ray.stages.sketch import fixed_histogram
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return fixed_histogram(ds, "n_chars", lo=0, width=40, nbins=16)
+
+
+SQL_FIXED_HIST = """
+WITH b AS (SELECT LEAST(GREATEST((n_chars - 0) // 40, 0), 15) AS bin
+           FROM documents)
+SELECT bin, CAST(bin * 40 AS BIGINT) AS bin_lo, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -2749,6 +2811,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_bigram_commonness": q_doc_bigram_commonness,
     "views_unconverted": q_views_unconverted,
     "doc_stats_unpivot": q_doc_stats_unpivot,
+    "p90_length_per_source": q_p90_length_per_source,
+    "modal_event_per_user": q_modal_event_per_user,
+    "length_fixed_histogram": q_length_fixed_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -2839,4 +2904,7 @@ ORACLES: dict[str, str] = {
     "doc_bigram_commonness": SQL_BIGRAM_COMMON,
     "views_unconverted": SQL_ABSENCE,
     "doc_stats_unpivot": SQL_UNPIVOT,
+    "p90_length_per_source": SQL_GROUPED_P90,
+    "modal_event_per_user": SQL_MODE,
+    "length_fixed_histogram": SQL_FIXED_HIST,
 }

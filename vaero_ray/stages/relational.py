@@ -394,3 +394,98 @@ def unpivot(
         return pa.table(out)
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_percentile(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out: str = "pct",
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """Exact LOWER percentile of ``value_col`` per key — the element at
+    0-based index ``(n-1) * q_num // q_den`` in value order (SQL
+    ``row_number = (n-1)*q_num//q_den + 1``). The quantile is a RATIONAL
+    ``q_num/q_den`` so the pick index is pure integer arithmetic and the
+    result is an exact element of the input — hash-identical across
+    engines (``grouped_median`` is the q=1/2 special case).
+
+    Same scale shape as grouped_median: one bucketed shuffle, per bucket
+    one sort + segment-offset gather, no per-key loop. Exact distributed
+    quantiles need group co-location; the fixed-memory 100-TB path is
+    the mergeable log-histogram sketch (``sketch.lhq_registers``)."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    if not (0 <= q_num <= q_den) or q_den <= 0:
+        raise ValueError("grouped_percentile: need 0 <= q_num/q_den <= 1")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, value_col], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1])) if len(codes) else []
+        )
+        lens = np.diff(np.append(starts, len(codes)))
+        pick = starts + (lens - 1) * q_num // q_den
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[starts],
+                out: df[value_col].to_numpy()[pick],
+                "n_rows": lens.astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def mode_per_group(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """Exact MODE of ``value_col`` per key — the most frequent value,
+    ties broken to the SMALLEST value (deterministic, SQL ``ORDER BY
+    cnt DESC, value``). Output ``(key, mode, mode_count)``.
+
+    Two-phase: per-batch partial counts collapse occurrences to
+    (key, value, cnt) rows BEFORE the exchange (bounded by distinct
+    pairs per block, not rows — the pre-aggregation rule); one bucketed
+    shuffle on the key merges partials and picks the winner with a
+    vectorized sort + segment-head gather."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {key: tbl.column(key), value_col: tbl.column(value_col),
+                 "__cnt": pa.array([], pa.int64())}
+            )
+        return pa.TableGroupBy(tbl.select([key, value_col]), [key, value_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns([key, value_col, "__cnt"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([key, value_col], sort=False)["__cnt"].sum().reset_index()
+        )
+        # winner per key: cnt DESC, value ASC -> sort then segment head
+        g = g.sort_values(
+            [key, "__cnt", value_col], ascending=[True, False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        codes = pd.factorize(g[key], use_na_sentinel=False)[0].astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1])) if len(codes) else []
+        )
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy()[starts],
+                "mode": g[value_col].to_numpy()[starts],
+                "mode_count": g["__cnt"].to_numpy()[starts].astype(np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_map_groups(partials, key, per_bucket, num_buckets=num_buckets)

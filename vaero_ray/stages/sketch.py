@@ -468,3 +468,52 @@ def bloom_may_contain(
         pos = bloom_positions(keys, m_bits, r)
         ok &= (words[pos // _WORD_BITS] >> (pos % _WORD_BITS)) & 1 == 1
     return ok
+
+
+def fixed_histogram(
+    ds: rd.Dataset,
+    col: str,
+    lo: int,
+    width: int,
+    nbins: int,
+) -> rd.Dataset:
+    """EXACT fixed-width histogram of an integer column: bin
+    ``clamp((v - lo) // width, 0, nbins - 1)`` (underflow in bin 0,
+    overflow in the last bin — SQL LEAST/GREATEST), one output row per
+    OCCUPIED bin ``(bin, bin_lo, cnt)``. Pure integer arithmetic, so
+    results hash identically across engines.
+
+    Sum-mergeable like the log-histogram sketch: per-block bincount
+    partials (<= nbins rows leave any block), one tiny groupby merge —
+    the fixed-memory shape at any corpus size. Unlike ``lhq_registers``
+    the bin edges are user-chosen, the usual front-end for length /
+    score distribution dashboards."""
+    from ray.data.aggregate import Sum
+
+    if width <= 0 or nbins <= 0:
+        raise ValueError("fixed_histogram: width and nbins must be positive")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"bin": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        if not tbl.num_rows:
+            return empty
+        x = tbl.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # floor division matches SQL (v - lo) // width only for v >= lo;
+        # clamping to bin 0 first makes the negative branch irrelevant
+        b = np.clip((x - lo) // width, 0, nbins - 1)
+        c = np.bincount(b, minlength=nbins).astype(np.int64)
+        occ = np.flatnonzero(c)
+        return pa.table({"bin": pa.array(occ), "cnt": pa.array(c[occ])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        b = tbl.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bin": pa.array(b),
+            "bin_lo": pa.array(lo + b * width),
+            "cnt": tbl.column("cnt").cast(pa.int64()),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
