@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "p90_length_per_source",        # exact grouped p90 (rational-index element pick)
     "modal_event_per_user",         # exact grouped mode (partial-count exchange)
     "length_fixed_histogram",       # exact fixed-width histogram (bincount partials)
+    "event_percent_rank",           # PERCENT_RANK + CUME_DIST (one-sort rank kernel)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -94,3 +94,38 @@ def test_fixed_histogram_clamps(ray_session):
     assert got["bin_lo"].tolist() == [0, 10, 20]
     assert got["cnt"].tolist() == [3, 2, 3]
     assert got["cnt"].sum() == len(df)
+
+
+def test_percent_rank_cume_dist_match_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import rank_rows
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 300),
+            "v": rng.integers(0, 20, 300).astype(np.int64),  # heavy ties
+            "id": np.arange(300, dtype=np.int64),
+        }
+    )
+    # singleton partition edge: percent_rank must be exactly 0.0
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [99], "v": [5], "id": [9999]})], ignore_index=True
+    )
+    exp = df.copy()
+    g = exp.groupby("k")["v"]
+    exp["pct_rank"] = g.rank(method="min").sub(1) / g.transform("size").sub(1).clip(lower=1)
+    exp.loc[exp.groupby("k")["v"].transform("size") == 1, "pct_rank"] = 0.0
+    exp["cume_dist"] = g.rank(method="max") / g.transform("size")
+    exp = exp.sort_values("id", ignore_index=True)
+    got = (
+        rank_rows(
+            _blocks(df), "k", "v", "id",
+            percent_col="pct_rank", cume_col="cume_dist", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_series_equal(got["pct_rank"], exp["pct_rank"], check_exact=True)
+    pd.testing.assert_series_equal(got["cume_dist"], exp["cume_dist"], check_exact=True)
+    assert got.loc[got["id"] == 9999, "pct_rank"].item() == 0.0
+    assert got.loc[got["id"] == 9999, "cume_dist"].item() == 1.0

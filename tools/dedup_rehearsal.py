@@ -1,10 +1,23 @@
 """Corpus-scale rehearsal of the NEAR-DUP tier (round-4 follow-up to
 tools/corpus_rehearsal.py, which rehearses the exact-dedup capstone).
 
-Runs ``simhash_dup_pairs`` — signatures, banding, the 32-shard candidate
-shuffle, and the fat-bucket-capped XOR-popcount verifier — over the
-cached 32M-turn transcript corpus (~6400x the sf0.1 gate input) and
-publishes what the sf-scale gates can't show:
+Two measurements, deliberately at different scales:
+
+1. CENSUS at the FULL corpus (default 32M turns, ~6400x the sf0.1 gate
+   input): signatures + banding + per-(band, hash) bucket counts — the
+   linear-cost stages, proving the cap statistics (buckets over cap,
+   docs dropped, uncapped-vs-capped candidate volume) at corpus scale.
+2. TIMED ``simhash_dup_pairs`` run over ``--pairs-files`` chunks
+   (default 4 = ~1M turns): the template corpus's TRUE near-dup pair
+   count grows ~n^1.6 (measured 249k->44M, 498k->130M pairs), so the
+   full input's ~1e10-pair OUTPUT is an output-volume problem no
+   pair-emitting operator should shoulder — at that density the right
+   tools are exact_dedup / dedup_keep_best / dup_clusters. The timed
+   run demonstrates the operator's memory shape (per-task pair output
+   = pairs/num_shards via the round-4 sizing knobs) at the largest
+   input whose true output is sane.
+
+Publishes what the sf-scale gates can't show:
 
 - The corpus is a deliberately ADVERSARIAL banding workload: every turn
   samples sentences from one 4096-sentence pool, so 16-bit band values
@@ -47,6 +60,14 @@ def main() -> None:
     ap.add_argument("--input", default="/tmp/vaero_ray_bench/transcripts_32m")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--cap", type=int, default=None, help="override max_bucket")
+    ap.add_argument("--pairs-files", type=int, default=4,
+                    help="input files for the TIMED pair run (census always "
+                    "uses the full input; on this template-heavy corpus the "
+                    "TRUE pair count grows ~n^1.6, so the full 32M input's "
+                    "~1e10-pair output is an output-volume problem, not an "
+                    "operator-memory one — see BASELINE.md round-4 notes)")
+    ap.add_argument("--num-shards", type=int, default=512)
+    ap.add_argument("--pair-buckets", type=int, default=128)
     args = ap.parse_args()
 
     import ray
@@ -70,8 +91,8 @@ def main() -> None:
     # warm the worker pool outside the timed window
     _read_pq(files[:8], columns=["turn_idx"]).count()
 
-    def load():
-        ds = _read_pq(files, columns=["conv_id", "turn_idx", "text"])
+    def load(fs):
+        ds = _read_pq(fs, columns=["conv_id", "turn_idx", "text"])
         return ds.map_batches(add_doc_id, batch_format="pyarrow", zero_copy_batch=True)
 
     # ---- capped-bucket census (signatures + banding only; no verifier) —
@@ -92,7 +113,7 @@ def main() -> None:
         })
 
     t0 = time.perf_counter()
-    sigs = load().map_batches(
+    sigs = load(files).map_batches(
         lambda t: simhash_signatures(t, "text", "doc_id"),
         batch_format="pyarrow", zero_copy_batch=True,
     )
@@ -122,8 +143,15 @@ def main() -> None:
     census_wall = time.perf_counter() - t0
 
     # ---- the timed operator run: full simhash_dup_pairs ---------------
+    # over --pairs-files chunks: per-task pair output = pairs/num_shards,
+    # sized via the emitters' round-4 num_shards/pair_buckets knobs
+    pair_files = files[: args.pairs_files]
+    pairs_turns_in = sum(pq.ParquetFile(f).metadata.num_rows for f in pair_files)
     t1 = time.perf_counter()
-    pairs = simhash_dup_pairs(load(), max_hamming=8, max_bucket=cap)
+    pairs = simhash_dup_pairs(
+        load(pair_files), max_hamming=8, max_bucket=cap,
+        num_shards=args.num_shards, pair_buckets=args.pair_buckets,
+    )
     n_pairs = pairs.count()
     wall = time.perf_counter() - t1
     stats = pairs.stats()
@@ -131,10 +159,13 @@ def main() -> None:
         f.write(stats)
 
     print(json.dumps({
-        "metric": "simhash_dup_pairs over 32M-turn corpus (fat-bucket cap engaged)",
+        "metric": "simhash banding census at full corpus + timed dup-pair run (fat-bucket cap engaged)",
         "input": args.input,
         "num_cpus": args.cpus,
-        "turns_in": turns_in,
+        "census_turns_in": turns_in,
+        "pairs_turns_in": pairs_turns_in,
+        "num_shards": args.num_shards,
+        "pair_buckets": args.pair_buckets,
         "max_bucket_cap": cap,
         "census": {
             "band_buckets": int(cen["buckets"]),
@@ -147,7 +178,7 @@ def main() -> None:
         },
         "verified_pairs": int(n_pairs),
         "wall_s": round(wall, 1),
-        "turns_per_sec": round(turns_in / wall, 1),
+        "turns_per_sec": round(pairs_turns_in / wall, 1),
         "stages": stage_table(stats),
     }))
     ray.shutdown()

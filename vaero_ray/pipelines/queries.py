@@ -2477,6 +2477,28 @@ FROM events
 """
 
 
+def q_event_percent_rank(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST per user over event value — the same
+    one-sort rank kernel; both are exact small-integer divisions so the
+    doubles hash identically to the SQL engine's."""
+    from vaero_ray.stages.rowwindow import rank_rows
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = rank_rows(
+        ds, "user_id", "value", "event_id",
+        percent_col="pct_rank", cume_col="cume_dist", num_buckets=16,
+    )
+    return out.select_columns(["event_id", "user_id", "pct_rank", "cume_dist"])
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, user_id,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cume_dist
+FROM events
+"""
+
+
 def q_source_lang_cube(sf_dir: str):
     """GROUP BY CUBE(source, lang) counts + summed doc length — all four
     grouping sets as partials riding ONE groupby exchange."""
@@ -2814,6 +2836,7 @@ QUERIES: dict[str, QueryFn] = {
     "p90_length_per_source": q_p90_length_per_source,
     "modal_event_per_user": q_modal_event_per_user,
     "length_fixed_histogram": q_length_fixed_histogram,
+    "event_percent_rank": q_event_percent_rank,
 }
 
 ORACLES: dict[str, str] = {
@@ -2907,4 +2930,5 @@ ORACLES: dict[str, str] = {
     "p90_length_per_source": SQL_GROUPED_P90,
     "modal_event_per_user": SQL_MODE,
     "length_fixed_histogram": SQL_FIXED_HIST,
+    "event_percent_rank": SQL_PERCENT_RANK,
 }

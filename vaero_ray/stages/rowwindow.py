@@ -126,6 +126,8 @@ def rank_rows(
     dense_col: str = "dense_rnk",
     ntile: int | None = None,
     ntile_col: str = "tile",
+    percent_col: str | None = None,
+    cume_col: str | None = None,
     num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Per ROW: ``ROW_NUMBER`` / ``RANK`` / ``DENSE_RANK`` (and, with
@@ -140,7 +142,10 @@ def rank_rows(
     edge masks (key change, value change) via ``np.maximum.accumulate``
     over start indices and one global cumsum — no per-key loop. NTILE
     uses the SQL fill rule: sz = q*n + r -> the first r tiles get q+1
-    rows, vectorized from the broadcast segment sizes."""
+    rows, vectorized from the broadcast segment sizes. ``percent_col`` /
+    ``cume_col`` add PERCENT_RANK ``(rank-1)/(n-1)`` (0.0 for 1-row
+    partitions) and CUME_DIST ``peers_through_current / n`` — exact
+    small-integer divisions, bit-identical to any engine's doubles."""
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -153,6 +158,9 @@ def rank_rows(
             cols = [rn_col, rank_col, dense_col] + ([ntile_col] if ntile else [])
             for c in cols:
                 df[c] = np.array([], dtype=np.int64)
+            for c in (percent_col, cume_col):
+                if c:
+                    df[c] = np.array([], dtype=np.float64)
             return df
         codes = _sorted_codes(df, key)
         seg_start = _segment_starts(codes)
@@ -178,6 +186,20 @@ def rank_rows(
                 rn0 // np.maximum(q + 1, 1) + 1,
                 r + np.where(q > 0, (rn0 - big) // np.maximum(q, 1), 0) + 1,
             ).astype(np.int64)
+        if percent_col or cume_col:
+            starts_i = np.flatnonzero(seg_start)
+            seg_sz = np.repeat(np.diff(np.append(starts_i, n)),
+                               np.diff(np.append(starts_i, n)))
+            if percent_col:
+                rnk = df[rank_col].to_numpy()
+                df[percent_col] = np.where(
+                    seg_sz > 1, (rnk - 1) / np.maximum(seg_sz - 1, 1), 0.0
+                )
+            if cume_col:
+                vstarts = np.flatnonzero(newval)  # vstarts[0] == 0 always
+                vsizes = np.diff(np.append(vstarts, n))
+                end_excl = np.repeat(np.cumsum(vsizes), vsizes)  # peer-group end (exclusive)
+                df[cume_col] = (end_excl - seg_start_idx) / seg_sz
         return df
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
