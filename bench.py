@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "modal_event_per_user",         # exact grouped mode (partial-count exchange)
     "length_fixed_histogram",       # exact fixed-width histogram (bincount partials)
     "event_percent_rank",           # PERCENT_RANK + CUME_DIST (one-sort rank kernel)
+    "sample_k_docs",                # deterministic exact-k sample (partial top-k prune)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

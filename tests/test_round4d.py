@@ -129,3 +129,22 @@ def test_percent_rank_cume_dist_match_pandas(ray_session):
     pd.testing.assert_series_equal(got["cume_dist"], exp["cume_dist"], check_exact=True)
     assert got.loc[got["id"] == 9999, "pct_rank"].item() == 0.0
     assert got.loc[got["id"] == 9999, "cume_dist"].item() == 1.0
+
+
+def test_sample_k_deterministic_and_exact(ray_session):
+    from vaero_ray.stages.corpus import sample_k
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64), "x": np.arange(1000)})
+    a = sample_k(_blocks(df, 7), "doc_id", 50).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = sample_k(_blocks(df, 3), "doc_id", 50).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # re-shard stable
+    assert len(a) == 50 and a["doc_id"].is_unique
+    # matches the naive definition: k smallest (hash, id)
+    from vaero_ray.stages.sketch import hll_hash
+
+    h = hll_hash(df["doc_id"].to_numpy().astype(np.uint64))
+    exp_ids = df["doc_id"].to_numpy()[np.lexsort((df["doc_id"], h))[:50]]
+    assert set(a["doc_id"]) == set(exp_ids)
+    # k >= n returns everything
+    c = sample_k(_blocks(df.head(30), 2), "doc_id", 50).to_pandas()
+    assert len(c) == 30

@@ -2745,6 +2745,41 @@ FROM b GROUP BY 1
 """
 
 
+def q_sample_k_docs(sf_dir: str):
+    """Deterministic uniform 100-sample without replacement: the k rows
+    with the smallest (hll_hash(id), id) — per-block partial top-k prune
+    bounds the exchange to k rows per block; membership is a pure
+    function of the id set (re-run / re-shard / resume stable)."""
+    from vaero_ray.stages.corpus import sample_k
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return sample_k(ds, "doc_id", k=100)
+
+
+def _fmt_sample_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT doc_id, source,
+    CAST(((A * ((CASE WHEN doc_id < 0
+         THEN CAST(doc_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+         ELSE CAST(doc_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM documents, m),
+h2 AS (
+  SELECT doc_id, source,
+    CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS h
+  FROM h1, m)
+SELECT doc_id, source FROM h2 ORDER BY h, doc_id LIMIT 100
+""".format(A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2), XS=HLL_XS)
+
+
+SQL_SAMPLE_K = _fmt_sample_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -2837,6 +2872,7 @@ QUERIES: dict[str, QueryFn] = {
     "modal_event_per_user": q_modal_event_per_user,
     "length_fixed_histogram": q_length_fixed_histogram,
     "event_percent_rank": q_event_percent_rank,
+    "sample_k_docs": q_sample_k_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2931,4 +2967,5 @@ ORACLES: dict[str, str] = {
     "modal_event_per_user": SQL_MODE,
     "length_fixed_histogram": SQL_FIXED_HIST,
     "event_percent_rank": SQL_PERCENT_RANK,
+    "sample_k_docs": SQL_SAMPLE_K,
 }

@@ -96,3 +96,47 @@ def stratified_sample(
         return tbl.filter(pa_.array(h < limits))
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_k(
+    ds: rd.Dataset,
+    id_col: str,
+    k: int,
+) -> rd.Dataset:
+    """Deterministic uniform k-sample WITHOUT replacement: the ``k`` rows
+    with the smallest ``(hll_hash(id), id)`` — a seedless reservoir
+    equivalent whose membership is a pure function of the id set, so
+    re-runs, re-shards and resumes pick the SAME sample (the property
+    hash_split gives the train/val split, extended to exact-size
+    selection; Bernoulli sampling — ``stratified_sample`` — cannot hit
+    an exact k).
+
+    Scale shape: per-block partial top-k prune first (the global k
+    smallest hashes are a subset of the union of per-block k smallest),
+    so at most ``k`` rows per block enter the exchange; a sort over
+    those <= blocks x k pruned rows + ``limit(k)`` finishes. For k large
+    enough that blocks x k matters, chain two prune rounds or use
+    ``hash_split`` with a permille instead."""
+    import numpy as np
+
+    from vaero_ray.stages.sketch import hll_hash
+
+    if k <= 0:
+        raise ValueError("sample_k: k must be positive")
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return tbl.append_column("__h", pa.array([], pa.uint64()))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = hll_hash(ids)
+        out = tbl.append_column("__h", pa.array(h, pa.uint64()))
+        if tbl.num_rows <= k:
+            return out
+        # prune by the SAME total order as the final sort — (h, id) — so
+        # a hash tie at the boundary keeps the right row
+        keep = np.lexsort((tbl.column(id_col).to_numpy(zero_copy_only=False), h))[:k]
+        return out.take(pa.array(np.sort(keep)))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    picked = pruned.sort(["__h", id_col]).limit(k)
+    return picked.drop_columns(["__h"])
