@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "length_fixed_histogram",       # exact fixed-width histogram (bincount partials)
     "event_percent_rank",           # PERCENT_RANK + CUME_DIST (one-sort rank kernel)
     "sample_k_docs",                # deterministic exact-k sample (partial top-k prune)
+    "revenue_by_nation",            # Q5-style multi-join capstone (broadcast dims + 2 hash joins)
+    "term_frequency_spectrum",      # Zipf count-of-counts (two-level partial agg)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -1,0 +1,129 @@
+"""Round-4 fifth batch: term frequency spectrum (Zipf count-of-counts)
+and the Q5-style revenue_by_nation multi-join capstone."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _blocks(df, nblocks=5):
+    return rd.from_pandas([d for _, d in df.groupby(np.arange(len(df)) % nblocks)])
+
+
+def test_term_frequency_spectrum(ray_session):
+    from vaero_ray.stages.textstats import term_frequency_spectrum
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog ate the bone",
+        "  CAT and Dog  ",
+        "",
+        "mat mat mat",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    counts = collections.Counter(t for d in docs for t in d.lower().split())
+    spectrum = collections.Counter(counts.values())
+    got = (
+        term_frequency_spectrum(_blocks(df, 3))
+        .to_pandas()
+        .sort_values("occurrences", ignore_index=True)
+    )
+    exp = (
+        pd.DataFrame(sorted(spectrum.items()), columns=["occurrences", "n_terms"])
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # sanity: spectrum mass == vocabulary size
+    assert int((got["n_terms"]).sum()) == len(counts)
+
+
+def test_term_frequency_spectrum_empty(ray_session):
+    from vaero_ray.stages.textstats import term_frequency_spectrum
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["", "   "]})
+    got = term_frequency_spectrum(_blocks(df, 2)).to_pandas()
+    assert len(got) == 0
+
+
+def test_revenue_by_nation_matches_pandas(ray_session, tmp_path):
+    """End-to-end over a tiny synthetic TPC-H slice, checked against a
+    pandas recomputation with the same per-line fixed-point rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    region = pd.DataFrame(
+        {"r_regionkey": np.arange(3, dtype=np.int32), "r_name": ["ASIA", "EUROPE", "AFRICA"]}
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(6, dtype=np.int32),
+            "n_name": [f"N{i}" for i in range(6)],
+            "n_regionkey": np.array([0, 0, 1, 1, 2, 0], dtype=np.int32),
+        }
+    )
+    ncust = 40
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(ncust, dtype=np.int64),
+            "c_nationkey": rng.integers(0, 6, ncust).astype(np.int32),
+        }
+    )
+    nord = 200
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(nord, dtype=np.int64),
+            "o_custkey": rng.integers(0, ncust, nord).astype(np.int64),
+            "o_orderdate": pd.to_datetime("1995-06-01")
+            + pd.to_timedelta(rng.integers(0, 1500, nord), unit="D"),
+        }
+    )
+    nline = 800
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, nord, nline).astype(np.int64),
+            "l_extendedprice": rng.uniform(10, 9000, nline).round(2),
+            "l_discount": rng.integers(0, 11, nline) / 100.0,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for name, df in [
+        ("region", region),
+        ("nation", nation),
+        ("customer", customer),
+        ("orders", orders),
+        ("lineitem", lineitem),
+    ]:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), sf / f"{name}.parquet")
+
+    from vaero_ray.pipelines.queries import q_revenue_by_nation
+
+    got = (
+        q_revenue_by_nation(str(sf)).to_pandas().sort_values("n_name", ignore_index=True)
+    )
+
+    li = lineitem.copy()
+    li["rev"] = np.floor(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5
+    ).astype(np.int64)
+    o = orders[
+        (orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))
+    ]
+    m = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(customer, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    m = m[m["r_name"] == "ASIA"]
+    exp = (
+        m.groupby("n_name", as_index=False)["rev"]
+        .sum()
+        .rename(columns={"rev": "revenue_cents"})
+        .sort_values("n_name", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -2780,6 +2780,123 @@ SELECT doc_id, source FROM h2 ORDER BY h, doc_id LIMIT 100
 SQL_SAMPLE_K = _fmt_sample_sql()
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-style multi-join analytics capstone: revenue by nation
+    for ASIA customers on 1996-1997 orders — broadcast dims (region ⋈
+    nation resolved driver-side, 25 rows, ray.put once), partitioned
+    hash joins for the two fact exchanges (orders ⋈ customer, then
+    lineitem ⋈ that), revenue fixed-pointed to integer cents PER LINE
+    ITEM before any sum (identical float64 expression both engines, so
+    partial sums are order/shard-invariant integers), and the lineitem
+    side pre-aggregated per block by orderkey before its shuffle (line
+    items of an order co-locate in row groups, so the big exchange
+    shrinks ~4x)."""
+    import datetime as _dt
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.joins import broadcast_join, hash_join
+
+    # dims: region (5) ⋈ nation (25) driver-side, broadcast
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_keys = region.filter(_pc.equal(region.column("r_name"), "ASIA")).select(
+        ["r_regionkey"]
+    ).rename_columns(["n_regionkey"])
+    nat = nation.join(asia_keys, keys="n_regionkey", join_type="inner")
+    nat = nat.select(["n_nationkey", "n_name"]).rename_columns(["c_nationkey", "n_name"])
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_nat = broadcast_join(cust, nat, keys="c_nationkey").drop_columns(["c_nationkey"])
+
+    lo = _pa.scalar(_dt.datetime(1996, 1, 1), _pa.timestamp("us"))
+    hi = _pa.scalar(_dt.datetime(1998, 1, 1), _pa.timestamp("us"))
+
+    def order_window(tbl: _pa.Table) -> _pa.Table:
+        d = tbl.column("o_orderdate")
+        keep = _pc.and_(_pc.greater_equal(d, lo), _pc.less(d, hi))
+        t = tbl.filter(keep)
+        return _pa.table({"o_orderkey": t.column("o_orderkey"), "c_custkey": t.column("o_custkey")})
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_window, batch_format="pyarrow", zero_copy_batch=True)
+    orders_nat = hash_join(orders, cust_nat, keys="c_custkey").drop_columns(["c_custkey"])
+
+    def line_rev_partial(tbl: _pa.Table) -> _pa.Table:
+        # floor(ext * (1 - disc) * 100 + 0.5) per line item — the exact
+        # left-assoc float64 chain the oracle writes; integer thereafter
+        cents = _pc.cast(
+            _pc.floor(
+                _pc.add(
+                    _pc.multiply(
+                        _pc.multiply(
+                            tbl.column("l_extendedprice"),
+                            _pc.subtract(_pa.scalar(1.0), tbl.column("l_discount")),
+                        ),
+                        _pa.scalar(100.0),
+                    ),
+                    _pa.scalar(0.5),
+                )
+            ),
+            _pa.int64(),
+        )
+        g = (
+            _pa.table({"o_orderkey": tbl.column("l_orderkey"), "cents": cents})
+            .group_by("o_orderkey")
+            .aggregate([("cents", "sum")])
+        )
+        return _pa.table(
+            {"o_orderkey": g.column("o_orderkey"), "rev": g.column("cents_sum")}
+        )
+
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(line, orders_nat, keys="o_orderkey")
+    return joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
+
+
+SQL_REVENUE_NATION = r"""
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_term_frequency_spectrum(sf_dir: str):
+    """Zipf count-of-counts over the corpus vocabulary (hapax mass /
+    head weight — the df-cutoff tuning view); see
+    textstats.term_frequency_spectrum for the two-level partial-agg
+    shape (vocabulary, never tokens, on the wire)."""
+    from vaero_ray.stages.textstats import term_frequency_spectrum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return term_frequency_spectrum(ds)
+
+
+SQL_TERM_SPECTRUM = r"""
+WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+u AS (SELECT UNNEST(toks) AS token FROM t),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences FROM u GROUP BY 1)
+SELECT occurrences, CAST(COUNT(*) AS BIGINT) AS n_terms FROM c GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -2873,6 +2990,8 @@ QUERIES: dict[str, QueryFn] = {
     "length_fixed_histogram": q_length_fixed_histogram,
     "event_percent_rank": q_event_percent_rank,
     "sample_k_docs": q_sample_k_docs,
+    "revenue_by_nation": q_revenue_by_nation,
+    "term_frequency_spectrum": q_term_frequency_spectrum,
 }
 
 ORACLES: dict[str, str] = {
@@ -2968,4 +3087,6 @@ ORACLES: dict[str, str] = {
     "length_fixed_histogram": SQL_FIXED_HIST,
     "event_percent_rank": SQL_PERCENT_RANK,
     "sample_k_docs": SQL_SAMPLE_K,
+    "revenue_by_nation": SQL_REVENUE_NATION,
+    "term_frequency_spectrum": SQL_TERM_SPECTRUM,
 }

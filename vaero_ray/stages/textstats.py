@@ -181,6 +181,55 @@ def vocab_top_terms(ds, text_col: str = "text", k: int = 50):
     return merged.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def term_frequency_spectrum(ds, text_col: str = "text"):
+    """Zipf frequency spectrum: for each total occurrence count k, how
+    many distinct terms occur exactly k times in the corpus — the
+    count-of-counts view linguists and dedup-threshold tuners read
+    (hapax mass, head weight) before picking vocabulary / df cutoffs.
+
+    Scale shape: the SAME per-block partial-count -> groupby(token)
+    merge as :func:`vocab_top_terms` (the exchange moves vocabulary,
+    never tokens), then a second, strictly smaller two-phase aggregate
+    over the per-term totals (per-block ``group_by(cnt)`` partials ->
+    groupby(occurrences) sum — at most one row per distinct count value
+    per block leaves any block). Output rows = number of DISTINCT count
+    values, tiny at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks, _ = _flat_tokens(tbl, text_col)
+        if not len(toks):
+            return pa.table({"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        g = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g.column("token"), "cnt": g.column("token_count").cast(pa.int64())})
+
+    def spectrum_partial(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {"occurrences": pa.array([], pa.int64()), "n_terms": pa.array([], pa.int64())}
+            )
+        g = tbl.group_by("cnt").aggregate([("cnt", "count")])
+        return pa.table(
+            {
+                "occurrences": g.column("cnt"),
+                "n_terms": g.column("cnt_count").cast(pa.int64()),
+            }
+        )
+
+    per_term = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return (
+        per_term.map_batches(spectrum_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("occurrences")
+        .aggregate(Sum("n_terms", alias_name="n_terms"))
+    )
+
+
 # language order = tie-break priority (first wins on equal hits)
 _LANGS = ["en", "de", "fr", "es"]
 _STOPWORDS = {
