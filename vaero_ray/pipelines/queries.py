@@ -435,6 +435,54 @@ def q_streaming_tumbling_agg(sf_dir: str):
 SQL_STREAMING_TUMBLING = SQL_TUMBLING  # identical final answer by design
 
 
+def q_streaming_sliding_count(sf_dir: str):
+    """Streaming SLIDING windows through the gate (the last cell of the
+    windows x {batch, streaming} matrix with only pytest coverage):
+    events arrive as 4 ts-sorted chunks; per-epoch partials land on the
+    SLIDE pane and each pane partial expands statelessly to its
+    k = size/slide containing windows (no event replication); the
+    committed exactly-once output must equal the batch/SQL sliding
+    count."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/sliding"
+    ind = f"{base}/in"
+    if not os.path.isdir(ind):
+        tmp = ind + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        n = t.num_rows
+        for i in range(4):  # 4 arrival chunks = 4 epochs
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+        os.replace(tmp, ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["event_type"],
+        aggs=[AggSpec(None, "count", "n_events")],
+        ts_col="ts",
+        size_s=7200,
+        slide_s=3600,
+        allowed_lateness_s=0,  # arrival chunks are ts-sorted
+        num_partitions=4,
+    )
+    job.run()
+    return job.committed_output()
+
+
+SQL_STREAMING_SLIDING = SQL_SLIDING  # identical final answer by design
+
+
 def q_streaming_stitch(sf_dir: str):
     """Streaming stateful turn-stitch join driven through the gate: the
     derived transcript table arrives as 4 ts-sorted chunks; conversations
@@ -2921,6 +2969,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_customer_hash_join": q_orders_customer_hash_join,
     "purchase_asof_view": q_purchase_asof_view,
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_sliding_count": q_streaming_sliding_count,
     "streaming_stitch": q_streaming_stitch,
     "streaming_session_stats": q_streaming_session_stats,
     "embedding_cosine_dups": q_embedding_cosine_dups,
@@ -3018,6 +3067,7 @@ ORACLES: dict[str, str] = {
     "orders_customer_hash_join": SQL_ORDERS_CUSTOMER,
     "purchase_asof_view": SQL_PURCHASE_ASOF,
     "streaming_tumbling_agg": SQL_STREAMING_TUMBLING,
+    "streaming_sliding_count": SQL_STREAMING_SLIDING,
     "streaming_stitch": SQL_STREAMING_STITCH,
     "streaming_session_stats": SQL_STREAMING_SESSION,
     "embedding_cosine_dups": SQL_EMBEDDING_DUPS,
