@@ -122,32 +122,37 @@ SQL_SELECT = "SELECT event_type FROM events"
 # Windows / watermark-tier operators (north_star §2b) over events
 # ------------------------------------------------------------------
 
+def _value_to_cents(t: pa.Table) -> pa.Table:
+    """Fixed-point the money column PER ROW before any aggregate
+    (``floor(v*100+0.5)``, the engine-wide exact-sum convention): partial
+    sums are then order/shard/epoch-boundary-invariant int64, instead of
+    float64 sums rounded at the end (whose low bits depend on addition
+    order and whose .5 boundary Arrow rounds half-to-even but DuckDB
+    half-away)."""
+    return t.set_column(
+        t.column_names.index("value"),
+        "value",
+        pc.cast(pc.floor(pc.add(pc.multiply(t.column("value"), 100.0), 0.5)), pa.int64()),
+    )
+
+
 def q_tumbling_window_agg(sf_dir: str):
-    ds = _events(sf_dir, columns=["event_type", "ts", "value"])
-    out = windowed_aggregate(
+    ds = _events(sf_dir, columns=["event_type", "ts", "value"]).map_batches(
+        _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return windowed_aggregate(
         ds,
         keys=["event_type"],
-        aggs=[AggSpec(None, "count", "n_events"), AggSpec("value", "sum", "sum_value")],
+        aggs=[AggSpec(None, "count", "n_events"), AggSpec("value", "sum", "sum_value_cents")],
         ts_col="ts",
         size_s=3600,
-    )
-    # hash-safe money math: value has 2 decimals, so sum*100 is an exact
-    # integer up to float error; round-to-int recovers it identically in
-    # Arrow and DuckDB (a ROUND(...,3) double would differ in low bits)
-    return out.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("sum_value"),
-            "sum_value_cents",
-            pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100)), pa.int64()),
-        ),
-        batch_format="pyarrow",
     )
 
 
 SQL_TUMBLING = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value_cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -415,21 +420,19 @@ def q_streaming_tumbling_agg(sf_dir: str):
         out_dir=out_d,
         ckpt_dir=ckpt_d,
         keys=["event_type"],
-        aggs=[AggSpec(None, "count", "n_events"), AggSpec("value", "sum", "sum_value")],
+        aggs=[AggSpec(None, "count", "n_events"), AggSpec("value", "sum", "sum_value_cents")],
         ts_col="ts",
         size_s=3600,
         allowed_lateness_s=0,  # arrival chunks are ts-sorted
         num_partitions=4,
+        # fixed-point per row BEFORE the partials: epoch-boundary-invariant
+        # integer sums (see _value_to_cents)
+        transform=lambda ds: ds.map_batches(
+            _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
     )
     job.run()
-    return job.committed_output().map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("sum_value"),
-            "sum_value_cents",
-            pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100)), pa.int64()),
-        ),
-        batch_format="pyarrow",
-    )
+    return job.committed_output()
 
 
 SQL_STREAMING_TUMBLING = SQL_TUMBLING  # identical final answer by design
@@ -571,22 +574,20 @@ def q_streaming_session_stats(sf_dir: str):
             AggSpec(None, "count", "n_events"),
             AggSpec("ts", "min", "start_ts"),
             AggSpec("ts", "max", "end_ts"),
-            AggSpec("value", "sum", "sum_value"),
+            AggSpec("value", "sum", "sum_value_cents"),
         ],
         ts_col="ts",
         gap_s=1800,
         allowed_lateness_s=0,  # arrival chunks are ts-sorted
         num_partitions=4,
+        # fixed-point per row BEFORE the fragment partials (see
+        # _value_to_cents): integer sums, invariant to epoch boundaries
+        transform=lambda ds: ds.map_batches(
+            _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
     )
     job.run()
-    return job.committed_output().map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("sum_value"),
-            "sum_value_cents",
-            pc.cast(pc.round(pc.multiply(t.column("sum_value"), 100)), pa.int64()),
-        ),
-        batch_format="pyarrow",
-    )
+    return job.committed_output()
 
 
 SQL_STREAMING_SESSION = """
@@ -603,7 +604,7 @@ WITH sess_d AS (
 )
 SELECT user_id, COUNT(*) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value_cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM sess_s GROUP BY user_id, session_id
 """
 
@@ -718,36 +719,42 @@ def q_lineitem_pricing(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    out = windowed_aggregate(
-        ds,
+
+    def pre(t: pa.Table) -> pa.Table:
+        # fixed-point PER ROW before the aggregate (engine-wide exact-sum
+        # convention): quantities are integral doubles -> units, prices
+        # have 2 decimals -> cents; partial sums are then int64 and
+        # invariant to addition order across shards
+        t = t.set_column(
+            t.column_names.index("l_quantity"),
+            "l_quantity",
+            pc.cast(pc.floor(pc.add(t.column("l_quantity"), 0.5)), pa.int64()),
+        )
+        return t.set_column(
+            t.column_names.index("l_extendedprice"),
+            "l_extendedprice",
+            pc.cast(
+                pc.floor(pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)),
+                pa.int64(),
+            ),
+        )
+
+    return windowed_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
         keys=["l_returnflag", "l_linestatus"],
         aggs=[
             AggSpec("l_quantity", "sum", "sum_qty"),
-            AggSpec("l_extendedprice", "sum", "sum_base_price"),
+            AggSpec("l_extendedprice", "sum", "sum_base_cents"),
             AggSpec(None, "count", "count_order"),
         ],
         size_s=None,
     )
 
-    def fin(t: pa.Table) -> pa.Table:
-        # quantities are integral doubles; prices have 2 decimals — emit
-        # exact integers (units / cents) so value hashes can't drift
-        t = t.set_column(
-            t.column_names.index("sum_qty"), "sum_qty", pc.cast(pc.round(t.column("sum_qty")), pa.int64())
-        )
-        return t.set_column(
-            t.column_names.index("sum_base_price"),
-            "sum_base_cents",
-            pc.cast(pc.round(pc.multiply(t.column("sum_base_price"), 100)), pa.int64()),
-        )
-
-    return out.map_batches(fin, batch_format="pyarrow")
-
 
 SQL_LINEITEM = """
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
-       CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY 1, 2
 """

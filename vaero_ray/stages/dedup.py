@@ -156,21 +156,10 @@ def exact_dedup(
       derived (no input files resolvable). Corpus-scale callers on
       derived datasets pass ``payload_mode="project"`` explicitly.
     """
-    import os
-
-    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.keyed import bucketed_map_groups, input_file_bytes
 
     if payload_mode == "auto":
-        sz = 0
-        try:
-            for f in ds.input_files() or []:
-                p = f[len("local://"):] if f.startswith("local://") else f
-                if "://" in p or not os.path.exists(p):
-                    sz = 0
-                    break
-                sz += os.path.getsize(p)
-        except Exception:
-            sz = 0
+        sz = input_file_bytes(ds) or 0
         # parquet-on-disk -> in-memory expansion is ~2-4x for text
         payload_mode = "project" if 3 * sz > carry_max_bytes else "carry"
 

@@ -47,8 +47,7 @@ def top_k_per_group(
         )
         return df.groupby(group_col, sort=False).head(k)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return head_k(df)
-
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # per-block partial prune: the same kernel bounds the exchange to
+    # k rows per group per block before the bucketed merge
+    partials = ds.map_batches(head_k, batch_format="pandas")
     return bucketed_map_groups(partials, group_col, head_k, num_buckets=num_buckets)

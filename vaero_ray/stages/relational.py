@@ -137,26 +137,11 @@ def grouped_median(
     (no per-key loop). Exact distributed quantiles fundamentally need the
     group's values co-located — for a fixed memory budget at 100 TB use
     the mergeable log-histogram sketch (``sketch.log_histogram``)
-    instead; this operator is the exact path when groups fit a task."""
-    from vaero_ray.stages.keyed import bucketed_map_groups
+    instead; this operator is the exact path when groups fit a task.
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, value_col], kind="mergesort").reset_index(drop=True)
-        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
-        starts = np.flatnonzero(
-            np.concatenate(([True], codes[1:] != codes[:-1])) if len(codes) else []
-        )
-        lens = np.diff(np.append(starts, len(codes)))
-        pick = starts + (lens - 1) // 2
-        return pd.DataFrame(
-            {
-                key: df[key].to_numpy()[starts],
-                out: df[value_col].to_numpy()[pick],
-                "n_rows": lens.astype(np.int64),
-            }
-        )
-
-    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+    The q=1/2 special case of :func:`grouped_percentile`
+    (``(n-1)//2 == (n-1)*1//2``) — one kernel, no drift between the two."""
+    return grouped_percentile(ds, key, value_col, 1, 2, out=out, num_buckets=num_buckets)
 
 
 def string_agg_ordered(

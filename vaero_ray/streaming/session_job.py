@@ -77,6 +77,10 @@ class StreamingSessionJob:
     num_partitions: int = 8
     max_files_per_epoch: int = 1
     extra_read_kw: dict = field(default_factory=dict)
+    # per-epoch pre-aggregation transform on the live input (same hook as
+    # job.py/stitch_job) — e.g. fixed-pointing money columns to integers
+    # BEFORE the fragment partials so sums are order/shard-invariant
+    transform: "object | None" = None  # Callable[[rd.Dataset], rd.Dataset]
     secret_refresh: "object | None" = None  # Callable[[], None]
 
     def __post_init__(self):
@@ -238,30 +242,24 @@ class StreamingSessionJob:
         if files:
             rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             ds = _read_pq(files, **self.extra_read_kw)
-            ts_col, wm = self.ts_col, prev_wm
-
-            # pass 1 (tiny): per-block (late, max_ts) metadata rows only —
-            # watermark + late accounting without shipping events anywhere
-            def meta(tbl: pa.Table) -> pa.Table:
-                if not tbl.num_rows:
-                    return pa.table({"late": pa.array([0], pa.int64()),
-                                     "mx": pa.array([None], pa.int64())})
-                ts = np.asarray(tbl.column(ts_col).to_numpy(zero_copy_only=False)).astype(
-                    "datetime64[us]"
-                ).astype(np.int64)
-                return pa.table({
-                    "late": pa.array([int((ts <= wm).sum())], pa.int64()),
-                    "mx": pa.array([int(ts.max())], pa.int64()),
-                })
-
-            stats = ds.map_batches(meta, batch_format="pyarrow", zero_copy_batch=True).take_all()
-            rows_late = sum(r["late"] for r in stats)
-            mxs = [r["mx"] for r in stats if r["mx"] is not None]
-            epoch_max_ts = max(mxs) if mxs else None
+            if self.transform is not None:
+                ds = self.transform(ds)
             frag = self._fragment_block
+            # ONE pass over the epoch's input: fragment partials are small
+            # (bounded by open sessions + per-block fragment count), so
+            # materialize them once and derive the watermark + late
+            # accounting FROM the partials (job.py's forced-__wm_ts
+            # pattern) instead of a second full meta scan of the files.
+            # Late rows = rows_in - sum(__n) (the fragmenter drops them);
+            # max(end_us) over kept rows equals the true epoch max unless
+            # EVERY row is late, in which case the old max was <= prev_wm
+            # and the watermark wouldn't have advanced either way.
             live_frags = ds.map_batches(
                 lambda df: frag(df, prev_wm, ts_aliases), batch_format="pandas"
-            )
+            ).materialize()
+            kept = int(live_frags.sum("__n") or 0)
+            rows_late = rows_in - kept
+            epoch_max_ts = int(live_frags.max("end_us")) if kept else None
 
         new_wm = prev_wm
         if epoch_max_ts is not None:

@@ -137,10 +137,14 @@ class StreamingStitchJob:
             ds = _read_pq(files, **self.extra_read_kw)
             if self.transform is not None:
                 ds = self.transform(ds)
+            # materialize ONCE: the live side is consumed twice (watermark
+            # max below + the union shuffle) and would otherwise re-read
+            # and re-decode the epoch's files per consumer; one epoch's
+            # turns are bounded by max_files_per_epoch and spill if large
             parts.append(
-                ds.select_columns(TURN_COLS).map_batches(
-                    mark(0), batch_format="pyarrow", zero_copy_batch=True
-                )
+                ds.select_columns(TURN_COLS)
+                .map_batches(mark(0), batch_format="pyarrow", zero_copy_batch=True)
+                .materialize()
             )
         if prev_state:
             parts.append(
