@@ -127,3 +127,39 @@ def test_revenue_by_nation_matches_pandas(ray_session, tmp_path):
         .sort_values("n_name", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_range_join_chunked_expansion_hot_key(ray_session):
+    """One hot key whose candidate set crosses the CAND_CHUNK slice
+    boundary: the chunked expansion must emit the exact same pair set
+    (count + per-pair sums) as the closed form. 2,200 left rows x 2,000
+    fully-overlapping intervals = 4.4M candidates > one 4M chunk."""
+    import ray.data as rd
+
+    from vaero_ray.stages.joins import range_join
+
+    base = pd.Timestamp("2026-01-01")
+    nl, nr = 2200, 2000
+    lv = pd.DataFrame(
+        {
+            "k": np.zeros(nl, dtype=np.int64),
+            "lid": np.arange(nl, dtype=np.int64),
+            "ts": base + pd.to_timedelta(np.arange(nl), unit="s"),
+        }
+    )
+    rv = pd.DataFrame(
+        {
+            "k": np.zeros(nr, dtype=np.int64),
+            "rid": np.arange(nr, dtype=np.int64),
+            "start": base,
+            "end": base + pd.to_timedelta(nl + 1, unit="s"),
+        }
+    )
+    out = range_join(
+        rd.from_pandas(lv), rd.from_pandas(rv), key="k",
+        left_ts="ts", right_start="start", right_end="end", num_buckets=2,
+    )
+    # every (left, right) pair matches: counts and id-sums are closed-form
+    assert out.count() == nl * nr
+    assert out.sum("lid") == nr * (nl - 1) * nl // 2
+    assert out.sum("rid") == nl * (nr - 1) * nr // 2

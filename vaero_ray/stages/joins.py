@@ -538,22 +538,47 @@ def range_join(
         lo = np.searchsorted(rc_s, lc - max_dur, side="left")
         hi = np.searchsorted(rc_s, lc, side="right")
         counts = hi - lo
-        total = int(counts.sum())
-        li = np.repeat(np.arange(len(ldf)), counts)
-        ri_base = np.arange(total) - np.repeat(counts.cumsum() - counts, counts)
-        ri = order[ri_base + np.repeat(lo, counts)]
-        keep = re_[ri] >= lts[li]
-        li, ri = li[keep], ri[keep]
 
-        lout = ldf.iloc[li][lcols].reset_index(drop=True)
-        rout = rdf.iloc[ri][[c for c in rcols if c != key]].reset_index(drop=True)
-        rout.columns = [r_out[c] for c in rcols if c != key]
-        out = pd.concat([lout, rout], axis=1)
-        # the padded union degrades int columns to float64 through pandas
-        # nulls; matched rows are null-free, so cast back to the declared
-        # schema (same reason as hash_join's _restore_int_dtypes)
-        tbl = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-        return tbl.cast(out_arrow_schema)
+        # chunked candidate expansion: under duration skew the UNFILTERED
+        # candidate set (counts.sum()) can dwarf the true output (the
+        # end >= ts mask drops most of a widened window), and a single
+        # repeat/arange materializes all of it at once — the same
+        # unbounded-intermediate class the dedup emitters capped, except
+        # a join must not drop rows. Expanding left rows in slices of
+        # ~CAND_CHUNK candidates bounds the temporaries at chunk size;
+        # the final (exact) output is concatenated once.
+        CAND_CHUNK = 1 << 22  # ~4M candidate rows per slice of temps
+        csum = counts.cumsum()
+        pieces = []
+        i = 0
+        while i < len(ldf):
+            base = csum[i - 1] if i else 0
+            j = int(np.searchsorted(csum, base + CAND_CHUNK, side="left")) + 1
+            j = min(max(j, i + 1), len(ldf))
+            cnt = counts[i:j]
+            total = int(cnt.sum())
+            li = np.repeat(np.arange(i, j), cnt)
+            ri_base = np.arange(total) - np.repeat(cnt.cumsum() - cnt, cnt)
+            ri = order[ri_base + np.repeat(lo[i:j], cnt)]
+            keep = re_[ri] >= lts[li]
+            li, ri = li[keep], ri[keep]
+            if len(li):
+                lout = ldf.iloc[li][lcols].reset_index(drop=True)
+                rout = rdf.iloc[ri][[c for c in rcols if c != key]].reset_index(drop=True)
+                rout.columns = [r_out[c] for c in rcols if c != key]
+                out = pd.concat([lout, rout], axis=1)
+                # the padded union degrades int columns to float64 through
+                # pandas nulls; matched rows are null-free, so cast back to
+                # the declared schema (hash_join's _restore_int_dtypes)
+                pieces.append(
+                    pa.Table.from_pandas(out, preserve_index=False)
+                    .replace_schema_metadata(None)
+                    .cast(out_arrow_schema)
+                )
+            i = j
+        if not pieces:
+            return empty_out
+        return pa.concat_tables(pieces)
 
     return (
         l.union(r)
