@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -183,9 +184,12 @@ def label_centroid_sums(
     from ray.data.aggregate import Sum
 
     def partial(tbl: pa.Table) -> pa.Table:
+        # label emitted as int64 regardless of source width: the bucketed
+        # merge preserves dtypes exactly (the old native groupby happened
+        # to promote int32 keys), and the gate/oracle contract is BIGINT
         empty = pa.table(
             {
-                "label": pa.array([], tbl.schema.field(label_col).type),
+                "label": pa.array([], pa.int64()),
                 "dim": pa.array([], pa.int64()),
                 "sum_micro": pa.array([], pa.int64()),
                 "n_vecs": pa.array([], pa.int64()),
@@ -205,7 +209,9 @@ def label_centroid_sums(
         lab_idx = np.repeat(np.arange(n_lab, dtype=np.int64), d)
         return pa.table(
             {
-                "label": enc.dictionary.take(pa.array(lab_idx, pa.int64())),
+                "label": pc.cast(
+                    enc.dictionary.take(pa.array(lab_idx, pa.int64())), pa.int64()
+                ),
                 "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n_lab)),
                 "sum_micro": pa.array(sums.ravel(), pa.int64()),
                 "n_vecs": pa.array(np.repeat(counts, d), pa.int64()),
@@ -213,9 +219,13 @@ def label_centroid_sums(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(["label", "dim"]).aggregate(
-        Sum("sum_micro", alias_name="sum_micro"), Sum("n_vecs", alias_name="n_vecs")
-    )
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    # one small hash-bucket exchange (k*d accumulator rows); Ray's sort
+    # Aggregate pays seconds per Sum column over tiny partial blocks.
+    # num_buckets=8: the merge input is k*d rows per block, so a large
+    # bucket count would only mint empty shuffle partitions.
+    return bucketed_keyed_sum(partials, ["label", "dim"], ["sum_micro", "n_vecs"], num_buckets=8)
 
 
 def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
@@ -336,17 +346,19 @@ def kmeans_assign(
                 "n_vecs": pa.array(np.repeat(counts, d)),
             })
 
-        merged = (
-            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["cluster", "dim"])
-            .aggregate(Sum("sum_micro", alias_name="s"), Sum("n_vecs", alias_name="n"))
-            .take_all()
-        )  # k*d accumulator rows — lineage-scale
+        from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+        merged = bucketed_keyed_sum(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["cluster", "dim"], ["sum_micro", "n_vecs"], num_buckets=8,
+        ).take_all()  # k*d accumulator rows — lineage-scale; bucketed
+        # exchange, not Ray's per-column sort Aggregate (it cost ~1 s per
+        # Sum column PER ITERATION on the tiny accumulator blocks)
         nxt = centroids.copy()  # empty clusters keep previous centroid
         for r in merged:
-            if r["n"]:
+            if r["n_vecs"]:
                 nxt[int(r["cluster"]), int(r["dim"]) - 1] = _trunc_div(
-                    np.int64(r["s"]), np.int64(r["n"])
+                    np.int64(r["sum_micro"]), np.int64(r["n_vecs"])
                 )
         centroids = nxt
 

@@ -159,3 +159,25 @@ def bucketed_map_groups(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def bucketed_keyed_sum(
+    ds: rd.Dataset,
+    keys: "list[str]",
+    sum_cols: "list[str]",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Merge per-block partial rows by summing ``sum_cols`` per ``keys``
+    — the engine's replacement for ``groupby(keys).aggregate(Sum, ...)``
+    over MANY-small-partial-blocks inputs: Ray's sort-based Aggregate
+    costs seconds PER aggregated column on hundreds of tiny blocks
+    (measured on the pivot merge 12.4 -> 1.0 s and the set-op flags
+    9.5 -> ~3 s at sf0.1), while one hash-bucket exchange + a vectorized
+    per-bucket pandas groupby-sum is a single all-to-all of the same
+    partial rows. Buckets on ``keys[0]`` — a valid partition of the full
+    key (equal composite keys share every column)."""
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, sort=False, as_index=False)[sum_cols].sum()
+
+    return bucketed_map_groups(ds, keys[0], merge_bucket, num_buckets=num_buckets)

@@ -66,12 +66,11 @@ def rollup_counts(
         return pd.concat(outs, ignore_index=True)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
 
-    aggs = [Sum("n_rows", alias_name="n_rows")]
-    if measure:
-        aggs.append(Sum(mcol, alias_name=mcol))
-    return partials.groupby(dims).aggregate(*aggs)
+    # one hash-bucket exchange, not Ray's per-column sort Aggregate
+    # (seconds per Sum over hundreds of tiny partial blocks)
+    return bucketed_keyed_sum(partials, dims, ["n_rows"] + ([mcol] if measure else []))
 
 
 def cube_counts(
@@ -112,12 +111,11 @@ def cube_counts(
         return pd.concat(outs, ignore_index=True)
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
 
-    aggs = [Sum("n_rows", alias_name="n_rows")]
-    if measure:
-        aggs.append(Sum(mcol, alias_name=mcol))
-    return partials.groupby(dims).aggregate(*aggs)
+    # one hash-bucket exchange, not Ray's per-column sort Aggregate
+    # (seconds per Sum over hundreds of tiny partial blocks)
+    return bucketed_keyed_sum(partials, dims, ["n_rows"] + ([mcol] if measure else []))
 
 
 def grouped_median(
@@ -278,8 +276,6 @@ def grouped_moments(
     ``groupby(key).sum`` exchange bounded by distinct keys x blocks.
     Caller guarantees ``n * max|x*y|`` fits int64 (int64 overflow is
     silent in numpy)."""
-    from ray.data.aggregate import Sum
-
     mcols = ["n_rows", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -299,9 +295,11 @@ def grouped_moments(
         return g.groupby(key, sort=False, as_index=False)[mcols].sum()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(key).aggregate(
-        *[Sum(c, alias_name=c) for c in mcols]
-    )
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    # 6 Sum columns through Ray's sort Aggregate would pay the per-column
+    # tiny-block cost six times; one bucketed exchange sums them all
+    return bucketed_keyed_sum(partials, [key], mcols)
 
 
 def explode_lines(

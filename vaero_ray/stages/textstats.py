@@ -502,10 +502,10 @@ def bigram_commonness(
 
     occ = ds.map_batches(occ_partial, batch_format="pyarrow", zero_copy_batch=True)
     partials = bucketed_map_groups(occ, "b", freq_stage, num_buckets=num_buckets)
-    merged = partials.groupby(id_col).aggregate(
-        Sum("n_bigrams", alias_name="n_bigrams"),
-        Sum("sum_freq", alias_name="sum_freq"),
-    )
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    # one hash-bucket exchange, not Ray's per-column sort Aggregate
+    merged = bucketed_keyed_sum(partials, [id_col], ["n_bigrams", "sum_freq"])
 
     def finalize(tbl: pa.Table) -> pa.Table:
         n = tbl.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
