@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sample_k_docs",                # deterministic exact-k sample (partial top-k prune)
     "revenue_by_nation",            # Q5-style multi-join capstone (broadcast dims + 2 hash joins)
     "term_frequency_spectrum",      # Zipf count-of-counts (two-level partial agg)
+    "length_token_corr",            # exact grouped Pearson corr (closed form over moment sums)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

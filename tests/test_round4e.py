@@ -163,3 +163,32 @@ def test_range_join_chunked_expansion_hot_key(ray_session):
     assert out.count() == nl * nr
     assert out.sum("lid") == nr * (nl - 1) * nl // 2
     assert out.sum("rid") == nl * (nr - 1) * nr // 2
+
+
+def test_corr_per_group_matches_pandas(ray_session):
+    from vaero_ray.stages.relational import corr_per_group
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n),
+            "x": rng.integers(0, 500, n).astype(np.int64),
+        }
+    )
+    df["y"] = (df["x"] * 2 + rng.integers(0, 100, n)).astype(np.int64)
+    # one constant-x group: zero variance -> NULL corr
+    df.loc[df["k"] == 5, "x"] = 7
+    got = (
+        corr_per_group(_blocks(df, 4), "k", "x", "y")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    for _, r in got.iterrows():
+        g = df[df["k"] == r["k"]]
+        exp = g["x"].corr(g["y"])
+        if r["k"] == 5:
+            assert pd.isna(r["corr_xy"])
+        else:
+            assert abs(r["corr_xy"] - exp) < 1e-6
+        assert r["n_rows"] == len(g)

@@ -2472,6 +2472,48 @@ FROM t GROUP BY 1
 """
 
 
+def q_length_token_corr(sf_dir: str):
+    """Per-source Pearson correlation of (n_chars, n_tokens): the
+    closed-form finalize over the exact mergeable integer moment sums —
+    identical float64 expression both engines, 6-dp rounded (cosine-gate
+    precedent)."""
+    from vaero_ray.stages.relational import corr_per_group
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"]
+    )
+    with_tok = ds.map_batches(
+        lambda t: token_counts(t, "text").drop_columns(["text", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return corr_per_group(with_tok, "source", "n_chars", "n_tokens")
+
+
+SQL_CORR = r"""
+WITH t AS (SELECT source, n_chars AS x,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS y
+           FROM documents),
+m AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * x) AS BIGINT) AS sum_xx,
+             CAST(sum(y * y) AS BIGINT) AS sum_yy,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy
+      FROM t GROUP BY 1)
+SELECT source, n_rows,
+       CASE WHEN (CAST(n_rows AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)
+               * (CAST(n_rows AS DOUBLE) * sum_yy - CAST(sum_y AS DOUBLE) * sum_y) > 0
+            THEN ROUND((CAST(n_rows AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+                       / sqrt((CAST(n_rows AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)
+                            * (CAST(n_rows AS DOUBLE) * sum_yy - CAST(sum_y AS DOUBLE) * sum_y)), 6)
+            ELSE NULL END AS corr_xy
+FROM m
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Near-dup removal keeping each cluster's BEST member (max n_chars,
     ties to min doc_id) — dup edges from the word-3-gram true-Jaccard
@@ -3033,6 +3075,7 @@ QUERIES: dict[str, QueryFn] = {
     "users_view_not_purchase": q_users_view_not_purchase,
     "users_view_and_purchase": q_users_view_and_purchase,
     "length_token_moments": q_length_token_moments,
+    "length_token_corr": q_length_token_corr,
     "dedup_keep_best": q_dedup_keep_best,
     "event_ntile_per_user": q_event_ntile_per_user,
     "source_lang_cube": q_source_lang_cube,
@@ -3131,6 +3174,7 @@ ORACLES: dict[str, str] = {
     "users_view_not_purchase": SQL_EXCEPT_USERS,
     "users_view_and_purchase": SQL_INTERSECT_USERS,
     "length_token_moments": SQL_MOMENTS,
+    "length_token_corr": SQL_CORR,
     "dedup_keep_best": SQL_KEEP_BEST,
     "event_ntile_per_user": SQL_NTILE,
     "source_lang_cube": SQL_CUBE,

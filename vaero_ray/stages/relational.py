@@ -302,6 +302,50 @@ def grouped_moments(
     return bucketed_keyed_sum(partials, [key], mcols)
 
 
+def corr_per_group(
+    ds: rd.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+) -> rd.Dataset:
+    """Exact Pearson correlation of two INTEGER columns per key, derived
+    in closed form from :func:`grouped_moments`' mergeable integer sums:
+    ``corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))``.
+    All arithmetic runs in float64 AFTER the exact integer merge (the
+    identical expression an oracle writes over the same integers, so the
+    6-dp rounded result is engine-independent; the np.round precedent is
+    the cosine-dup gates). Zero-variance groups emit NULL, SQL semantics.
+    Same int64-headroom contract as grouped_moments."""
+    import pyarrow as _pa
+
+    moments = grouped_moments(ds, key, x_col, y_col)
+
+    def finalize(tbl: _pa.Table) -> _pa.Table:
+        n = tbl.column("n_rows").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = tbl.column("sum_x").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = tbl.column("sum_y").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = tbl.column("sum_xx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = tbl.column("sum_yy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = tbl.column("sum_xy").to_numpy(zero_copy_only=False).astype(np.float64)
+        num = n * sxy - sx * sy
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        ok = den2 > 0
+        corr = np.full(len(n), np.nan)
+        corr[ok] = np.round(num[ok] / np.sqrt(den2[ok]), 6)
+        return _pa.table(
+            {
+                key: tbl.column(key),
+                "n_rows": tbl.column("n_rows"),
+                "corr_xy": _pa.array(
+                    [None if not o else float(c) for o, c in zip(ok, corr)],
+                    _pa.float64(),
+                ),
+            }
+        )
+
+    return moments.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def explode_lines(
     ds: rd.Dataset,
     text_col: str = "text",
