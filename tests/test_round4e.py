@@ -192,3 +192,27 @@ def test_corr_per_group_matches_pandas(ray_session):
         else:
             assert abs(r["corr_xy"] - exp) < 1e-6
         assert r["n_rows"] == len(g)
+
+
+def test_set_op_and_keyed_sum_keep_null_groups(ray_session):
+    """SQL GROUP BY / EXCEPT keep the NULL group; pandas groupby's
+    default dropna=True silently dropped it in the bucketed merges
+    (review-caught regression)."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.relational import distinct_set_op
+
+    a = pd.DataFrame({"k": pd.array([None, "x", "y"], dtype=object)})
+    b = pd.DataFrame({"k": pd.array(["x"], dtype=object)})
+    got = distinct_set_op(
+        _blocks(a, 2), _blocks(b, 1), ["k"], "except"
+    ).to_pandas()
+    vals = set(got["k"].tolist())
+    assert "y" in vals and len(got) == 2  # NULL row survives EXCEPT
+    assert got["k"].isna().sum() == 1
+
+    parts = pd.DataFrame(
+        {"k": pd.array(["x", None, None], dtype=object), "v": [1, 2, 3]}
+    )
+    merged = bucketed_keyed_sum(_blocks(parts, 2), ["k"], ["v"]).to_pandas()
+    null_row = merged[merged["k"].isna()]
+    assert len(null_row) == 1 and int(null_row["v"].iloc[0]) == 5

@@ -393,25 +393,53 @@ ORDER BY cosine_sim DESC, vec_id LIMIT 10
 # same rows as a batch/SQL tumbling aggregate once the stream ends.
 # ------------------------------------------------------------------
 
+def _stream_chunks(sf_dir: str, subdir: str, columns: "list[str]",
+                   table: str = "events", n_chunks: int = 4) -> str:
+    """Arrival-chunk fixture for the streaming gates: ``n_chunks``
+    ts-sorted parquet chunks of ``table``'s ``columns`` under
+    ``/tmp/vaero_ray_gate/<sf>/<subdir>``, built atomically (tmp dir +
+    os.replace). The cache is keyed by the sf-dir BASENAME, so it is
+    re-built whenever the source row count changes (regenerated testdata
+    previously replayed stale chunks against a fresh oracle)."""
+    import os
+    import shutil
+
+    src = f"{sf_dir}/{table}.parquet"
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}"
+    ind = f"{base}/{subdir}"
+    if os.path.isdir(ind):
+        try:
+            cached = sum(
+                pq.ParquetFile(os.path.join(ind, f)).metadata.num_rows
+                for f in sorted(os.listdir(ind)) if f.endswith(".parquet")
+            )
+        except Exception:
+            cached = -1
+        if cached == n_src:
+            return ind
+        shutil.rmtree(ind, ignore_errors=True)
+    tmp = ind + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    t = pq.read_table(src, columns=columns)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
+    os.replace(tmp, ind)
+    return ind
+
+
 def q_streaming_tumbling_agg(sf_dir: str):
     import os
     import shutil
 
     from vaero_ray.streaming import StreamingWindowedJob
 
-    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}"
-    ind = f"{base}/events_in"
-    if not os.path.isdir(ind):
-        tmp = ind + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
-        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
-        n = t.num_rows
-        for i in range(4):  # 4 arrival chunks = 4 epochs
-            lo, hi = i * n // 4, (i + 1) * n // 4
-            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
-        os.replace(tmp, ind)
+    ind = _stream_chunks(sf_dir, "events_in", ["event_type", "ts", "value"])
+    base = os.path.dirname(ind)
     out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out_d, ignore_errors=True)
     shutil.rmtree(ckpt_d, ignore_errors=True)
@@ -451,19 +479,8 @@ def q_streaming_sliding_count(sf_dir: str):
 
     from vaero_ray.streaming import StreamingWindowedJob
 
-    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/sliding"
-    ind = f"{base}/in"
-    if not os.path.isdir(ind):
-        tmp = ind + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
-        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
-        n = t.num_rows
-        for i in range(4):  # 4 arrival chunks = 4 epochs
-            lo, hi = i * n // 4, (i + 1) * n // 4
-            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
-        os.replace(tmp, ind)
+    ind = _stream_chunks(sf_dir, "sliding/in", ["event_type", "ts"])
+    base = os.path.dirname(ind)
     out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out_d, ignore_errors=True)
     shutil.rmtree(ckpt_d, ignore_errors=True)
@@ -549,19 +566,8 @@ def q_streaming_session_stats(sf_dir: str):
 
     from vaero_ray.streaming import StreamingSessionJob
 
-    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/session"
-    ind = f"{base}/in"
-    if not os.path.isdir(ind):
-        tmp = ind + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
-        n = t.num_rows
-        for i in range(4):  # 4 arrival chunks = 4 epochs
-            lo, hi = i * n // 4, (i + 1) * n // 4
-            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
-        os.replace(tmp, ind)
+    ind = _stream_chunks(sf_dir, "session/in", ["user_id", "ts", "value"])
+    base = os.path.dirname(ind)
     out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out_d, ignore_errors=True)
     shutil.rmtree(ckpt_d, ignore_errors=True)
@@ -1905,19 +1911,8 @@ def q_streaming_hll_distinct(sf_dir: str):
     from vaero_ray.stages.sketch import hll_bucket_rho
     from vaero_ray.streaming import StreamingWindowedJob
 
-    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}"
-    ind = f"{base}/events_uid_in"
-    if not os.path.isdir(ind):
-        tmp = ind + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"])
-        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
-        n = t.num_rows
-        for i in range(4):
-            lo, hi = i * n // 4, (i + 1) * n // 4
-            pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
-        os.replace(tmp, ind)
+    ind = _stream_chunks(sf_dir, "events_uid_in", ["event_type", "ts", "user_id"])
+    base = os.path.dirname(ind)
 
     def pre(ds: rd.Dataset) -> rd.Dataset:
         def per_batch(tbl: pa.Table) -> pa.Table:

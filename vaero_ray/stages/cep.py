@@ -109,7 +109,7 @@ def funnel_conversions(
         conv = (n_in > 0).astype(np.int64)
         keys_then = df.loc[t_mask, key].reset_index(drop=True)
         out = pd.DataFrame({key: keys_then, "__conv": conv})
-        g = out.groupby(key, sort=False)["__conv"].agg(["count", "sum"]).reset_index()
+        g = out.groupby(key, sort=False, dropna=False)["__conv"].agg(["count", "sum"]).reset_index()
         g.columns = [key, "n_then", "n_conv"]
         return g.astype({"n_then": "int64", "n_conv": "int64"})
 
@@ -161,7 +161,7 @@ def sequence_matches(
         last_mask = et == steps[-1]
         keys_last = df.loc[last_mask, key].reset_index(drop=True)
         out = pd.DataFrame({key: keys_last, "__m": matched.astype(np.int64)})
-        g = out.groupby(key, sort=False)["__m"].agg(["count", "sum"]).reset_index()
+        g = out.groupby(key, sort=False, dropna=False)["__m"].agg(["count", "sum"]).reset_index()
         g.columns = [key, "n_last", "n_matched"]
         return g.astype({"n_last": "int64", "n_matched": "int64"})
 
@@ -207,7 +207,7 @@ def absence_counts(
         aband = (n_in == 0).astype(np.int64)
         keys_first = df.loc[f_mask, key].reset_index(drop=True)
         out = pd.DataFrame({key: keys_first, "__a": aband})
-        g = out.groupby(key, sort=False)["__a"].agg(["count", "sum"]).reset_index()
+        g = out.groupby(key, sort=False, dropna=False)["__a"].agg(["count", "sum"]).reset_index()
         g.columns = [key, "n_first", "n_abandoned"]
         return g.astype({"n_first": "int64", "n_abandoned": "int64"})
 

@@ -51,14 +51,14 @@ def cap_per_key(
         # vectorized per-block combiner: smallest cap per key
         return (
             df.sort_values(sort_cols, kind="stable")
-            .groupby(key, sort=False)
+            .groupby(key, sort=False, dropna=False)
             .head(cap)
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.sort_values(sort_cols, kind="stable")
-            .groupby(key, sort=False)
+            .groupby(key, sort=False, dropna=False)
             .head(cap)
             .reset_index(drop=True)
         )

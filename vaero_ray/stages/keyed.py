@@ -166,6 +166,7 @@ def bucketed_keyed_sum(
     keys: "list[str]",
     sum_cols: "list[str]",
     num_buckets: int | None = None,
+    agg: str = "sum",
 ) -> rd.Dataset:
     """Merge per-block partial rows by summing ``sum_cols`` per ``keys``
     — the engine's replacement for ``groupby(keys).aggregate(Sum, ...)``
@@ -175,9 +176,13 @@ def bucketed_keyed_sum(
     9.5 -> ~3 s at sf0.1), while one hash-bucket exchange + a vectorized
     per-bucket pandas groupby-sum is a single all-to-all of the same
     partial rows. Buckets on ``keys[0]`` — a valid partition of the full
-    key (equal composite keys share every column)."""
+    key (equal composite keys share every column). ``agg`` picks the
+    reduction ("sum"/"max"/"min" — anything pandas groupby exposes);
+    ``dropna=False`` keeps NULL key groups, SQL GROUP BY semantics (the
+    pandas default silently drops them — review-caught regression)."""
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, sort=False, as_index=False)[sum_cols].sum()
+        g = df.groupby(keys, sort=False, as_index=False, dropna=False)[sum_cols]
+        return getattr(g, agg)()
 
     return bucketed_map_groups(ds, keys[0], merge_bucket, num_buckets=num_buckets)

@@ -63,7 +63,7 @@ def pivot_counts(
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key, sort=False, as_index=False)[out_cols].sum()
+        return df.groupby(key, sort=False, as_index=False, dropna=False)[out_cols].sum()
 
     from vaero_ray.stages.keyed import bucketed_map_groups
 

@@ -45,7 +45,7 @@ def top_k_per_group(
         df = df.sort_values(
             [order_col, tie_col], ascending=[not descending, True], kind="mergesort"
         )
-        return df.groupby(group_col, sort=False).head(k)
+        return df.groupby(group_col, sort=False, dropna=False).head(k)
 
     # per-block partial prune: the same kernel bounds the exchange to
     # k rows per group per block before the bucketed merge

@@ -234,12 +234,9 @@ def distinct_set_op(
     # blocks (the event_type_pivot lesson — 12.4 -> 1.0 s there; measured
     # 9.5 -> ~1.5 s here at sf0.1). Bucketing on cols[0] is a valid
     # partition of the full key (equal keys share every column).
-    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
 
-    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(cols, sort=False, as_index=False)[["in_a", "in_b"]].max()
-
-    flags = bucketed_map_groups(u, cols[0], merge_bucket)
+    flags = bucketed_keyed_sum(u, cols, ["in_a", "in_b"], agg="max")
     import pyarrow.compute as pc
 
     want_b = 1 if op == "intersect" else 0

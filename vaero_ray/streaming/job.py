@@ -72,6 +72,11 @@ class StreamingWindowedJob:
     slide_s: int | None = None  # sliding windows: emit one row per overlap
     window_col: str = "window_start"
     allowed_lateness_s: int = 0
+    # per-epoch ROW-PRESERVING transform on the live input (derive/cast
+    # columns, e.g. fixed-point money to int64 before the partials). Must
+    # keep the row count: rows_in comes from parquet metadata while late
+    # accounting sums post-transform partials, so collapsing/expanding
+    # rows corrupts rows_late silently.
     transform: Callable[[rd.Dataset], rd.Dataset] | None = None
     num_partitions: int = 8
     max_files_per_epoch: int = 1

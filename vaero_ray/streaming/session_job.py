@@ -77,9 +77,12 @@ class StreamingSessionJob:
     num_partitions: int = 8
     max_files_per_epoch: int = 1
     extra_read_kw: dict = field(default_factory=dict)
-    # per-epoch pre-aggregation transform on the live input (same hook as
+    # per-epoch ROW-PRESERVING transform on the live input (same hook as
     # job.py/stitch_job) — e.g. fixed-pointing money columns to integers
-    # BEFORE the fragment partials so sums are order/shard-invariant
+    # BEFORE the fragment partials so sums are order/shard-invariant.
+    # Must keep the row count: late accounting is rows_in (parquet
+    # metadata, pre-transform) minus kept rows (post-transform), so a
+    # row-collapsing/expanding transform corrupts rows_late silently.
     transform: "object | None" = None  # Callable[[rd.Dataset], rd.Dataset]
     secret_refresh: "object | None" = None  # Callable[[], None]
 

@@ -86,6 +86,9 @@ class StreamingStitchJob:
     # per-bucket fn (e.g. session aggregates) for other session-window
     # outputs — the buffering/close/commit machinery is shared.
     emitter: Callable[[pd.DataFrame], pd.DataFrame] | None = None
+    # per-epoch ROW-PRESERVING transform on the live input (column
+    # derivation/casts only — rows_in/rows_late accounting assumes the
+    # transform keeps the row count; see session_job/job contract)
     transform: Callable[[rd.Dataset], rd.Dataset] | None = None
     num_partitions: int = 8
     max_files_per_epoch: int = 1
