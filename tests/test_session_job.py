@@ -172,3 +172,51 @@ def test_session_splits_across_gap_boundary_epochs(ray_session, tmp_path):
     got = _norm(job.committed_output().to_pandas())
     assert got["n_events"].tolist() == [4, 1, 1, 1]  # a:4 then a:1; b:1, b:1
     assert got.loc[0, "user_id"] == "a" and got.loc[0, "n_events"] == 4
+
+
+def test_null_key_events_survive_and_merge(ray_session, tmp_path):
+    """NULL-keyed events form ONE session group (SQL PARTITION BY
+    semantics) instead of being silently dropped and miscounted as late
+    (review-caught pandas-dropna regression in the fragmenter)."""
+    base = pd.Timestamp("2026-01-01").value // 1000
+    ts_us = base + np.arange(10) * 1_000_000  # 1s apart, one session
+    keys = pa.array(["a", None, "a", None, "a", None, "a", None, "a", None])
+    tbl = pa.table(
+        {
+            "user_id": keys,
+            "ts": pa.array(ts_us.astype("datetime64[us]")),
+            "value": pa.array(np.ones(10)),
+        }
+    )
+    ind = str(tmp_path / "in")
+    _write_chunks(tbl, ind, k=2)
+    job = StreamingSessionJob(
+        input_dir=ind, out_dir=str(tmp_path / "out"), ckpt_dir=str(tmp_path / "ck"),
+        key="user_id", aggs=AGGS, gap_s=3600, num_partitions=2,
+    )
+    ms = job.run()
+    out = job.committed_output().to_pandas()
+    assert int(out["n_events"].sum()) == 10  # nothing dropped
+    nulls = out[out["user_id"].isna()]
+    assert len(nulls) == 1 and int(nulls["n_events"].iloc[0]) == 5
+    assert sum(m.rows_late for m in ms) == 0  # and none miscounted late
+
+
+def test_finalize_fires_when_drained_in_exactly_max_epochs(ray_session, tmp_path):
+    """run(max_epochs=N, finalize=True) on a stream that drains in
+    exactly N epochs must still flush open sessions (the finalize epoch
+    consumes no input, so it does not count against max_epochs)."""
+    tbl = _make_events(n=400, n_users=8)
+    ind = str(tmp_path / "in")
+    _write_chunks(tbl, ind, k=3)
+    job = StreamingSessionJob(
+        input_dir=ind, out_dir=str(tmp_path / "out"), ckpt_dir=str(tmp_path / "ck"),
+        key="user_id", aggs=AGGS, gap_s=1800, num_partitions=2,
+    )
+    ms = job.run(max_epochs=3, finalize=True)
+    assert len(ms) == 4  # 3 input epochs + the finalize epoch
+    got = _norm(
+        job.committed_output().to_pandas()
+    )
+    exp = _norm(_batch_sessions(tbl, 1800))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

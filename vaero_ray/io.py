@@ -20,9 +20,18 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 
 import pyarrow as pa
 import ray.data as rd
+
+# Serializes Dataset CONSTRUCTION (plan/schema inference) across
+# threads: pyarrow/ray probe `fsspec.implementations.http` lazily, and
+# when that import fails (no aiohttp here) a concurrent second import
+# sees the half-poisoned module and raises a plain ImportError that
+# escapes Ray's handler. Taken INSIDE read_parquet so every
+# construction site is covered; execution is not serialized.
+DATASET_BUILD_LOCK = threading.Lock()
 
 
 def _strip_meta(tbl: pa.Table) -> pa.Table:
@@ -56,6 +65,8 @@ def read_parquet(path, **kw) -> rd.Dataset:
                 kw["schema"] = sch
             except Exception:
                 pass  # fall back to the post-read strip
-    return rd.read_parquet(path, **kw).map_batches(
+    with DATASET_BUILD_LOCK:
+        ds = rd.read_parquet(path, **kw)
+    return ds.map_batches(
         _strip_meta, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
 from dataclasses import asdict, dataclass, field
 
 # Serializes Dataset CONSTRUCTION (read_parquet plan/schema inference)
@@ -36,8 +35,11 @@ from dataclasses import asdict, dataclass, field
 # lazily, and when that import fails (no aiohttp in this container) a
 # concurrent second import sees the half-poisoned module and raises a
 # plain ImportError that escapes Ray's ModuleNotFoundError handler.
-# Execution itself is not serialized — only plan building.
-DATASET_BUILD_LOCK = threading.Lock()
+# Execution itself is not serialized — only plan building. The lock now
+# LIVES in vaero_ray.io (taken inside read_parquet itself, so every
+# construction site is covered, not just one call site); re-exported
+# here for backwards compatibility.
+from vaero_ray.io import DATASET_BUILD_LOCK  # noqa: F401
 
 
 @dataclass
@@ -73,6 +75,11 @@ class CheckpointStore:
         self.state_dir = os.path.join(ckpt_dir, "state")
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.state_dir, exist_ok=True)
+        # manifest parse cache: the store is the single writer for its
+        # job, so a committed manifest never changes — without the cache
+        # every pending_files()/committed_output() call re-parsed EVERY
+        # manifest JSON (O(epochs^2) driver work over a stream's life)
+        self._cache: "dict[int, EpochManifest]" = {}
 
     # -- reads ---------------------------------------------------------
     def committed_epochs(self) -> list[int]:
@@ -83,8 +90,12 @@ class CheckpointStore:
         return sorted(out)
 
     def load(self, epoch: int) -> EpochManifest:
-        with open(self._mpath(epoch)) as fh:
-            return EpochManifest(**json.load(fh))
+        m = self._cache.get(epoch)
+        if m is None:
+            with open(self._mpath(epoch)) as fh:
+                m = EpochManifest(**json.load(fh))
+            self._cache[epoch] = m
+        return m
 
     def last(self) -> EpochManifest | None:
         eps = self.committed_epochs()
@@ -117,6 +128,17 @@ class CheckpointStore:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._mpath(m.epoch))
+        # fsync the manifests DIRECTORY too: file fsync + rename alone do
+        # not order dirent durability, so a crash could persist epoch k+1
+        # while losing epoch k's rename — resume would then re-ingest
+        # epoch k's input files (duplicate aggregation). The dir fsync
+        # makes the rename itself durable before commit returns.
+        dfd = os.open(self.manifest_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        self._cache[m.epoch] = m
         # prune state snapshots older than the previous epoch (resume needs
         # only epoch-1's state; keep one extra for debugging)
         self._gc_state(keep_from=m.epoch - 1)

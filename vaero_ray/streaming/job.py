@@ -449,7 +449,10 @@ class StreamingWindowedJob:
             if m is None:
                 break
             out.append(m)
-        if finalize and (max_epochs is None or len(out) < max_epochs) and not self.pending_files():
+        # the finalize epoch consumes no input, so it does not count
+        # against max_epochs — a stream that drains in EXACTLY
+        # max_epochs epochs must still flush its open windows
+        if finalize and not self.pending_files():
             m = self.run_epoch(finalize=True)
             if m is not None:
                 out.append(m)

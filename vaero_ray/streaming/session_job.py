@@ -143,9 +143,19 @@ class StreamingSessionJob:
         df = df.sort_values([self.key, self.ts_col], kind="mergesort").reset_index(drop=True)
         ts = df[self.ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         df = df.assign(__ts_us=ts)
-        same_key = df[self.key].eq(df[self.key].shift()).reset_index(drop=True)
-        brk = ((pd.Series(ts).diff() > gap_us) & same_key).astype("int64")
-        df = df.assign(__frag=brk.groupby(df[self.key].to_numpy(), sort=False).cumsum().to_numpy())
+        # factorized key codes (null keys get a REAL code — pandas
+        # eq/groupby on raw keys silently drops NULL-keyed events AND
+        # miscounts them as late; same fix class as cep._shifted_ts).
+        # Sort order == appearance order, so codes are segment-monotone.
+        codes = pd.factorize(df[self.key], use_na_sentinel=False)[0].astype(np.int64)
+        same_key = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same_key[1:] = codes[1:] == codes[:-1]
+        brk = ((pd.Series(ts).diff() > gap_us).to_numpy() & same_key).astype(np.int64)
+        df = df.assign(
+            __kc=codes,
+            __frag=pd.Series(brk).groupby(codes, sort=False).cumsum().to_numpy(),
+        )
         for alias, fn, col, pcol in self._pcols(ts_aliases):
             if pcol.startswith("__pt_"):
                 df = df.assign(
@@ -153,9 +163,10 @@ class StreamingSessionJob:
                 )
             else:
                 df = df.assign(**{pcol: df[col]})
-        g = df.groupby([self.key, "__frag"], sort=False)
+        g = df.groupby(["__kc", "__frag"], sort=False)
         out = pd.DataFrame(
             {
+                self.key: g[self.key].first(),
                 "start_us": g["__ts_us"].min(),
                 "end_us": g["__ts_us"].max(),
                 "__n": g.size().astype("int64"),
@@ -164,7 +175,7 @@ class StreamingSessionJob:
         for alias, fn, col, pcol in self._pcols(ts_aliases):
             red = "sum" if fn in ("sum", "mean") else fn
             out[pcol] = getattr(g[pcol], red)()
-        return out.reset_index().drop(columns=["__frag"])[self._fragment_cols(ts_aliases)]
+        return out.reset_index(drop=True)[self._fragment_cols(ts_aliases)]
 
     # -- fragment merge (per bucket) ------------------------------------
     def _merge_fragments(self, df: pd.DataFrame, ts_aliases: set) -> pd.DataFrame:
@@ -172,9 +183,13 @@ class StreamingSessionJob:
         df = df.sort_values([self.key, "start_us", "end_us"], kind="mergesort").reset_index(drop=True)
         start = df["start_us"].to_numpy()
         end = df["end_us"].to_numpy()
+        # factorized codes: NULL-keyed fragments form ONE group (raw
+        # eq(shift) is False for NaN==NaN, splitting every null fragment
+        # into its own never-merged segment)
+        codes = pd.factorize(df[self.key], use_na_sentinel=False)[0].astype(np.int64)
         key_change = np.ones(len(df), dtype=bool)
         if len(df) > 1:
-            key_change[1:] = ~df[self.key].eq(df[self.key].shift()).to_numpy()[1:]
+            key_change[1:] = codes[1:] != codes[:-1]
         run_end = _seg_cummax(end, key_change)
         prev_run_end = np.empty_like(run_end)
         if len(run_end):
@@ -371,7 +386,10 @@ class StreamingSessionJob:
             if m is None:
                 break
             out.append(m)
-        if finalize and (max_epochs is None or len(out) < max_epochs) and not self.pending_files():
+        # the finalize epoch consumes no input, so it does not count
+        # against max_epochs — a stream that drains in EXACTLY
+        # max_epochs epochs must still flush its open windows
+        if finalize and not self.pending_files():
             m = self.run_epoch(finalize=True)
             if m is not None:
                 out.append(m)

@@ -178,7 +178,21 @@ class ActorStateStore:
         def route(tbl: pa.Table) -> pa.Table:
             wend = pc.add(pc.cast(tbl.column(window_col), pa.int64()), size_us)
             late_mask = pc.less_equal(wend, prev_wm_us)
-            n_late = pc.sum(pc.cast(late_mask, pa.int64())).as_py() or 0
+            # sum the forced per-partial event count, NOT the partial-row
+            # count: one late partial row can stand for many late events,
+            # and the parquet backend reports event counts
+            # (job.py late_ds.sum("__pcount")) — the two backends must
+            # agree on rows_late for the same input
+            n_late = (
+                pc.sum(
+                    pc.if_else(
+                        late_mask,
+                        pc.cast(tbl.column("__pcount"), pa.int64()),
+                        pa.scalar(0, pa.int64()),
+                    )
+                ).as_py()
+                or 0
+            )
             live = tbl.filter(pc.invert(late_mask))
             ts_max = None
             if live.num_rows:

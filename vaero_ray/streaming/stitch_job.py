@@ -164,8 +164,8 @@ class StreamingStitchJob:
 
         # watermark from the LIVE rows only (state maxima are <= prev_wm
         # + gap by construction and can't advance the clock)
-        if files:
-            live_max = parts[0].max("ts")
+        live_max = parts[0].max("ts") if files else None
+        if live_max is not None:  # None: 0-row input file — wm holds
             live_max_us = int(pa.scalar(live_max).cast(pa.int64()).as_py())
             new_wm = max(prev_wm, live_max_us - self.allowed_lateness_s * US)
         else:
@@ -184,15 +184,24 @@ class StreamingStitchJob:
         def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
             bucket = int(df[BUCKET_COL].iloc[0])
             df = df.drop(columns=[BUCKET_COL])
-            ts_us = df["ts"].astype("int64")
-            late = (ts_us <= prev_wm) & (df["__st"] == 0)
+            # normalize to datetime64[us] FIRST (session_job does the
+            # same): a pandas batch can carry ts as [ns]/[s] through the
+            # shuffle, and a bare astype(int64) would then be off 1000x
+            # vs the microsecond watermark (nothing closes / all late)
+            df = df.assign(
+                __tsus=df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            late = (df["__tsus"] <= prev_wm) & (df["__st"] == 0)
             n_late = int(late.sum())
             df = df[~late].drop(columns=["__st"])
             recs = []
             if len(df):
-                conv_max = df.groupby("conv_id", sort=False)["ts"].transform("max").astype("int64")
+                conv_max = df.groupby("conv_id", sort=False)["__tsus"].transform("max")
                 closed_mask = (conv_max + gap_us) <= new_wm
-                closed, open_ = df[closed_mask], df[~closed_mask]
+                closed, open_ = (
+                    df[closed_mask].drop(columns=["__tsus"]),
+                    df[~closed_mask].drop(columns=["__tsus"]),
+                )
                 if len(closed):
                     stitched = (self.emitter or stitch_convs_df)(closed)
                     path, sha, rows = write_partition_file(stitched, out_dir, bucket, epoch)
@@ -265,7 +274,10 @@ class StreamingStitchJob:
             if m is None:
                 break
             out.append(m)
-        if finalize and (max_epochs is None or len(out) < max_epochs) and not self.pending_files():
+        # the finalize epoch consumes no input, so it does not count
+        # against max_epochs — a stream that drains in EXACTLY
+        # max_epochs epochs must still flush its open windows
+        if finalize and not self.pending_files():
             m = self.run_epoch(finalize=True)
             if m is not None:
                 out.append(m)

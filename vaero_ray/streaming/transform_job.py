@@ -71,10 +71,13 @@ class StreamingTransformJob:
         if not files:
             return None
         rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        from vaero_ray.streaming.checkpoint import DATASET_BUILD_LOCK
-
-        with DATASET_BUILD_LOCK:
-            src = _read_pq(files, **self.extra_read_kw)
+        # read_parquet itself takes io.DATASET_BUILD_LOCK (taking it here
+        # too would deadlock — threading.Lock is not reentrant).
+        # materialize ONCE: every branch below consumes src, and an
+        # un-materialized plan would re-read + re-decode the epoch's
+        # files once per branch; one epoch is bounded by
+        # max_files_per_epoch and spills if large.
+        src = _read_pq(files, **self.extra_read_kw).materialize()
 
         partitions: dict = {}
         rows_out = 0
