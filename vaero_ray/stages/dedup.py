@@ -9,12 +9,12 @@ family, Ray-Data-first:
   (hash, id, payload) rows partitioned by hash — at 100 TB you'd project
   payload off before the shuffle and re-join survivors by id; here the
   payload rides along because the testdata docs are small.
-- minhash_lsh: shingle -> 64-perm MinHash signature (one numpy matmul per
-  batch) -> band rows -> groupby(band_id, band_hash) buckets -> per-bucket
-  signature-estimated Jaccard vs the bucket's min doc -> dup edges.
-  Single-round min-label union (a full connected-components loop is a
-  documented extension; one round already collapses typical near-dup
-  clusters whose members share a band with the cluster min).
+- minhash_lsh: shingle -> 64-perm MinHash signature (cache-blocked numpy
+  kernel per batch) -> band rows -> groupby(band_id, band_hash) buckets
+  -> per-bucket signature-estimated Jaccard for ALL qualifying
+  intra-bucket pairs -> dup edges (deduped per doc to the smallest
+  dup_of); full transitive clusters come from stages/graph.py
+  connected_components over these edges.
 - simhash: 64-bit token-hash majority signature per doc; near-dups =
   hamming(sig_a, sig_b) <= k, bucketed by 16-bit chunks (4 bands).
 
@@ -30,6 +30,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _FNV_OFFSET = np.uint64(14695981039346656037)
@@ -119,6 +120,7 @@ def exact_dedup(
     carry_max_bytes: int = 256 << 20,
     payload_transform=None,
     join_num_partitions: "int | None" = None,
+    num_buckets: "int | None" = None,
 ) -> rd.Dataset:
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
@@ -177,6 +179,7 @@ def exact_dedup(
             ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
             "__h",
             keep_first_bucket,
+            num_buckets=num_buckets,
         )
         out = out.drop_columns(["__h"])
         return payload_transform(out) if payload_transform is not None else out
@@ -200,10 +203,15 @@ def exact_dedup(
         df = df.sort_values(id_col, kind="mergesort")
         return df.drop_duplicates(subset=["__h1", "__h2"], keep="first")[[id_col]]
 
+    # num_buckets: explicit wins; else derive_num_buckets resolves the
+    # read lineage THROUGH the keys_only map (in-memory upper bound) —
+    # the keys exchange is 24 B/row, so the bound is conservative but
+    # never the old flat-64 floor at corpus scale
     survivors = bucketed_map_groups(
         ds.map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True),
         "__h1",
         keep_min_bucket,
+        num_buckets=num_buckets,
     )
     # semi-join payload back by id (native hash join: each side shuffles
     # only its own columns; the survivor side is (id) int64 rows)
@@ -328,8 +336,15 @@ def _iter_doc_chunks(offs: np.ndarray, max_items: int):
 def _minhash_into(
     sigs: np.ndarray, values: np.ndarray, offs: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> None:
-    """Fill ``sigs[i]`` = per-permutation min of (a*x+b)%M over doc i's
-    hash set; empty docs keep their existing sentinel rows.
+    """Fill ``sigs[i]`` = per-permutation min of ((a*x mod 2^64)+b)%M over
+    doc i's hash set; empty docs keep their existing sentinel rows. Note
+    the 64-bit WRAP on a*x (numpy has no 128-bit multiply): the family is
+    a multiplicative-wrap variant of the textbook (a*x+b) mod M61 linear
+    hash, not the 2-universal ideal — deterministic, empirically unbiased
+    on the banding workloads here (recall validated against exact
+    verifiers), but an oracle recomputing (a*x+b) mod M61 in extended
+    precision will NOT reproduce these signatures (the minhash gates
+    therefore verify TRUE Jaccard, never raw signatures).
 
     Cache-blocked: ~2k-item document chunks x all perms keep the working
     set (~1 MB) L2-resident with the temps recycled across iterations —
@@ -402,11 +417,16 @@ def minhash_lsh_dup_edges(
 
     Pipeline: signatures per batch (no shuffle) -> explode to one row per
     band (band_id, band_hash, doc_id, signature) -> groupby(band_id,
-    band_hash) -> per bucket, estimate Jaccard of each doc against the
-    bucket's min doc from signature agreement; emit edges >= threshold.
-    Edges are deduplicated by (doc_id): keep the smallest dup_of.
+    band_hash) -> per bucket, estimate Jaccard from signature agreement
+    for EVERY qualifying intra-bucket pair; emit edges >= threshold,
+    deduplicated per doc_id (keep the smallest dup_of).
     ``max_bucket`` caps degenerate band buckets (see ``_cap_bucket``).
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — a non-divisor "
+            "would crash mid-pipeline in the band reshape"
+        )
     rows_per_band = num_perm // bands
 
     def sig_stage(tbl: pa.Table) -> pa.Table:
@@ -712,6 +732,10 @@ def embedding_cosine_dups(
     import ray
 
     max_exact_rows = 200_000
+    # materialize ONCE: count (size guard), the assemble gather, and the
+    # final pair scan all consume the same dataset — on a derived input
+    # each would otherwise re-run the upstream pipeline
+    ds = ds.materialize()
     n_rows = ds.count()
     if n_rows > max_exact_rows:
         raise ValueError(
@@ -723,14 +747,20 @@ def embedding_cosine_dups(
     def assemble(*parts: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         mats, ids_all = [], []
         for t in parts:
+            if not t.num_rows:  # empty blocks carry NO columns (engine trap)
+                continue
             ids_all.append(np.asarray(t.column(id_col).to_numpy(zero_copy_only=False)))
             m = np.asarray(t.column(emb_col).combine_chunks().flatten()).astype(np.float64)
             mats.append(m.reshape(t.num_rows, -1))
+        if not mats:
+            return np.array([], np.int64), np.zeros((0, 1))
         mat = np.vstack(mats)
         ids = np.concatenate(ids_all)
         order = np.argsort(ids, kind="stable")
         ids, mat = ids[order], mat[order]
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # clamp zero norms: a zero embedding stays the zero vector (sims 0,
+        # matches nothing) instead of a silent NaN row
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         return ids, mat
 
     mat_ref = assemble.remote(*ds.to_arrow_refs())
@@ -740,7 +770,7 @@ def embedding_cosine_dups(
         my_ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
         mine = np.asarray(tbl.column(emb_col).combine_chunks().flatten()).astype(np.float64)
         mine = mine.reshape(tbl.num_rows, -1)
-        mine = mine / np.linalg.norm(mine, axis=1, keepdims=True)
+        mine = mine / np.maximum(np.linalg.norm(mine, axis=1, keepdims=True), 1e-30)
         sims = mine @ m.T  # (batch, all)
         keep = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
         bi, oj = np.nonzero(keep)
@@ -766,6 +796,7 @@ def embedding_lsh_dups(
     planes_mode: str = "random",
     num_shards: int = 32,
     pair_buckets: int = 16,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> rd.Dataset:
     """Scale path: hyperplane LSH — vectors sharing a sign-signature
     bucket in ANY table are candidates; exact cosine verified within the
@@ -817,12 +848,18 @@ def embedding_lsh_dups(
             # group loop was most of the stage's pandas overhead
             sizes = df.groupby(["lsh_table", "bucket"], sort=False)[id_col].transform("size").to_numpy()
             df = df[sizes > 1]
-        for _, g in df.groupby(["lsh_table", "bucket"], sort=False):
+        for bk, g in df.groupby(["lsh_table", "bucket"], sort=False):
             if len(g) < 2:
                 continue
             g = g.sort_values(id_col).drop_duplicates(subset=[id_col])
+            # fat-bucket cap (same policy as every banded pair emitter):
+            # identical/degenerate vectors collapse into one bucket whose
+            # m x m sims matrix is otherwise unbounded
+            g = _cap_bucket(g, max_bucket, "embedding_lsh_dups", bk)
             m = np.stack(g[emb_col].to_numpy())
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # clamp zero norms: a zero embedding matches nothing instead
+            # of silently NaN-ing its whole row
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             ids = g[id_col].to_numpy()
             sims = m @ m.T
             ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
@@ -964,6 +1001,11 @@ def ngram_jaccard_dups(
     over lowercased whitespace tokens). Output: (doc_id, dup_of,
     n_common, n_union) with doc_id > dup_of — exact integers a SQL oracle
     reproduces from the n-gram STRINGS."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — a non-divisor "
+            "would crash mid-pipeline in the band reshape"
+        )
     set_fn = {"char": _shingle_sets_char, "word": _shingle_sets_word}[unit]
 
     def sig_and_shingles(tbl: pa.Table) -> pa.Table:
@@ -987,7 +1029,24 @@ def ngram_jaccard_dups(
     rows_per_band = num_perm // bands
 
     def band_stage(tbl: pa.Table) -> pa.Table:
+        # drop docs with EMPTY shingle sets BEFORE the band shuffle: a
+        # sub-k-token doc can never pair (jaccard undefined / union 0),
+        # but its sentinel signature band-collides with every other
+        # short doc — on a short-doc-heavy corpus that ships
+        # n_short x bands useless rows into a few giant buckets and
+        # fires misleading fat-bucket cap warnings
+        nonempty = pc.greater(pc.list_value_length(tbl.column("shingles")), 0)
+        tbl = tbl.filter(nonempty)
         n = tbl.num_rows
+        if not n:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.large_list(pa.uint64())),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                }
+            )
         sig = np.asarray(tbl.column("signature").combine_chunks().flatten()).reshape(n, num_perm)
         chunks = sig.reshape(n, bands, rows_per_band)
         bh = chunks[:, :, 0].copy()

@@ -104,15 +104,20 @@ def derive_num_buckets(
     ~``target_task_bytes`` heap budget, never below ``floor`` (small
     inputs keep the round-1 default) and capped at
     ``MAX_DERIVED_BUCKETS`` (beyond that, callers should size
-    explicitly). Unresolvable lineage -> ``floor`` — note map_batches
-    severs ``input_files()``, so derivation only fires when the keyed
-    stage is applied directly to a read dataset; derived pipelines at
-    corpus scale pass num_buckets explicitly (same contract as
-    ``exact_dedup`` auto)."""
+    explicitly). map_batches severs ``input_files()``, so DERIVED
+    datasets fall back to the read lineage's in-memory estimate
+    (``lineage_inmemory_bytes`` — parquet-footer metadata resolvable
+    through map stages; an UPPER bound, the safe direction for shuffle
+    sizing). Only when neither resolves (from_pandas inputs) does the
+    ``floor`` apply — explicit num_buckets always wins."""
     sz = input_file_bytes(ds)
-    if not sz:
-        return floor
-    derived = (_EXPANSION * sz + target_task_bytes - 1) // target_task_bytes
+    if sz:
+        est = _EXPANSION * sz
+    else:
+        est = lineage_inmemory_bytes(ds)
+        if not est:
+            return floor
+    derived = (est + target_task_bytes - 1) // target_task_bytes
     return max(floor, min(int(derived), MAX_DERIVED_BUCKETS))
 
 
