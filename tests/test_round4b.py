@@ -2,6 +2,7 @@
 string_agg, distinct set ops, grouped moment sums, PII redaction, and
 keep-best dedup."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -192,7 +193,10 @@ def test_pii_redact_sequential_counts():
     assert out.column("redacted").to_pylist() == ["x [EMAIL] y"]
 
 
-def test_dedup_keep_best(ray_session):
+@pytest.mark.parametrize("broadcast_max", [2_000_000, 0])
+def test_dedup_keep_best(ray_session, broadcast_max):
+    """broadcast_max=0 forces the left-outer-join fallback path; both
+    label-assignment paths must emit identical survivors."""
     from vaero_ray.stages.dedup import dedup_keep_best
 
     docs = pd.DataFrame(
@@ -210,7 +214,10 @@ def test_dedup_keep_best(ray_session):
         }
     )
     out = (
-        dedup_keep_best(_blocks(docs, 2), _blocks(edges, 2), quality_col="n_chars")
+        dedup_keep_best(
+            _blocks(docs, 2), _blocks(edges, 2), quality_col="n_chars",
+            broadcast_max_labels=broadcast_max,
+        )
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
