@@ -61,3 +61,47 @@ def test_asof_join_backward_inclusive(ray_session):
     # ev=3: b's only right row is later -> null; ev=4: no c rows -> null
     assert got["v"].tolist()[:2] == [100, 200]
     assert got["v"].isna().tolist() == [False, False, True, True]
+
+
+def test_auto_join_broadcast_and_partitioned_agree(ray_session):
+    """auto_join must emit identical rows whether the build side lands
+    under the broadcast threshold (gathered + ray.put) or over it
+    (partitioned hash_join fallback, forced with threshold=0)."""
+    from vaero_ray.stages.joins import auto_join
+
+    rng = np.random.default_rng(7)
+    l = pd.DataFrame({"k": rng.integers(0, 30, 400), "x": np.arange(400)})
+    r = pd.DataFrame({"k": np.arange(0, 25, dtype=np.int64), "y": np.arange(25) * 7})
+    want_inner = _norm(l.merge(r, on="k", how="inner"))
+    want_left = _norm(l.merge(r, on="k", how="left"))
+    for thresh in (64 << 20, 0):
+        got = _norm(
+            auto_join(
+                rd.from_pandas(l), rd.from_pandas(r), keys="k",
+                broadcast_max_bytes=thresh, num_buckets=4,
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got, want_inner, check_dtype=False)
+        got_l = _norm(
+            auto_join(
+                rd.from_pandas(l), rd.from_pandas(r), keys="k",
+                join_type="left outer", broadcast_max_bytes=thresh, num_buckets=4,
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got_l, want_left, check_dtype=False)
+
+
+def test_auto_join_empty_build_side(ray_session):
+    """An all-filtered build side must produce 0 inner rows / all-null
+    left rows instead of crashing on a schemaless gather."""
+    from vaero_ray.stages.joins import auto_join
+
+    l = pd.DataFrame({"k": np.arange(5, dtype=np.int64), "x": np.arange(5)})
+    r = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(3, dtype=np.int64), "y": np.arange(3)})
+    ).filter(expr="k > 100")
+    assert auto_join(rd.from_pandas(l), r, keys="k").count() == 0
+    out = auto_join(
+        rd.from_pandas(l), r, keys="k", join_type="left outer"
+    ).to_pandas()
+    assert len(out) == 5 and out["y"].isna().all()

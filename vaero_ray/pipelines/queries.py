@@ -1675,12 +1675,14 @@ def q_customer_big_order_stats(sf_dir: str):
     (>400k) count and max price in integer cents; customers with no big
     orders keep the row with absent stats filled to 0 (fill_null after
     the join — integer-exact both sides, no float degradation through
-    typed nulls)."""
+    typed nulls). The build side is an aggregate over a runtime filter —
+    exactly the shape ``auto_join`` sizes at runtime (broadcast here;
+    partitioned at SFs where per-customer stats outgrow the threshold)."""
     import pyarrow as _pa
     import pyarrow.compute as _pc
     from ray.data.aggregate import Count, Max
 
-    from vaero_ray.stages.joins import hash_join
+    from vaero_ray.stages.joins import auto_join
 
     orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     big = orders.filter(expr="o_totalprice > 400000.0")
@@ -1698,7 +1700,7 @@ def q_customer_big_order_stats(sf_dir: str):
         .aggregate(Count(on="cents", alias_name="n_big"), Max("cents", alias_name="max_cents"))
     )
     cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    joined = hash_join(cust, stats, keys="c_custkey", join_type="left outer")
+    joined = auto_join(cust, stats, keys="c_custkey", join_type="left outer")
 
     def fill(tbl):
         return _pa.table(
@@ -2875,9 +2877,12 @@ SQL_SAMPLE_K = _fmt_sample_sql()
 def q_revenue_by_nation(sf_dir: str):
     """TPC-H-Q5-style multi-join analytics capstone: revenue by nation
     for ASIA customers on 1996-1997 orders — broadcast dims (region ⋈
-    nation resolved driver-side, 25 rows, ray.put once), partitioned
-    hash joins for the two fact exchanges (orders ⋈ customer, then
-    lineitem ⋈ that), revenue fixed-pointed to integer cents PER LINE
+    nation resolved driver-side, 25 rows, ray.put once), adaptive joins
+    for the two fact exchanges (orders ⋈ customer, then lineitem ⋈
+    that): the build sides are only small AFTER the runtime filters, so
+    ``auto_join`` materializes them and broadcasts under the size
+    threshold, partitioned-hash-joins above it (at 100-TB SF both
+    exceed it). Revenue fixed-pointed to integer cents PER LINE
     ITEM before any sum (identical float64 expression both engines, so
     partial sums are order/shard-invariant integers), and the lineitem
     side pre-aggregated per block by orderkey before its shuffle (line
@@ -2889,7 +2894,7 @@ def q_revenue_by_nation(sf_dir: str):
     import pyarrow.compute as _pc
     from ray.data.aggregate import Sum
 
-    from vaero_ray.stages.joins import broadcast_join, hash_join
+    from vaero_ray.stages.joins import auto_join, broadcast_join
 
     # dims: region (5) ⋈ nation (25) driver-side, broadcast
     region = pq.read_table(f"{sf_dir}/region.parquet")
@@ -2915,7 +2920,7 @@ def q_revenue_by_nation(sf_dir: str):
     orders = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(order_window, batch_format="pyarrow", zero_copy_batch=True)
-    orders_nat = hash_join(orders, cust_nat, keys="c_custkey").drop_columns(["c_custkey"])
+    orders_nat = auto_join(orders, cust_nat, keys="c_custkey").drop_columns(["c_custkey"])
 
     def line_rev_partial(tbl: _pa.Table) -> _pa.Table:
         # floor(ext * (1 - disc) * 100 + 0.5) per line item — the exact
@@ -2949,7 +2954,7 @@ def q_revenue_by_nation(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_rev_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = hash_join(line, orders_nat, keys="o_orderkey")
+    joined = auto_join(line, orders_nat, keys="o_orderkey")
     return joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
 
 

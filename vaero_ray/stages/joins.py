@@ -14,6 +14,9 @@ general data-processing system).
 - ``asof_join``: per-key backward as-of (each left row matched with the
   latest right row with ``ts <= left.ts``): same bucketed shuffle,
   ``pd.merge_asof`` per bucket (sorted by ts, by=key).
+- ``auto_join``: AQE-style adaptive switch — materializes the build side
+  (a hash join consumes it fully anyway) and broadcasts it when its
+  ACTUAL size is small, else partitioned ``hash_join``.
 """
 
 from __future__ import annotations
@@ -56,6 +59,65 @@ def broadcast_join(
         return tbl.join(s, keys=keys, join_type=join_type)
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Build sides at or under this ACTUAL materialized size broadcast instead
+# of shuffling (the AQE-style switch in auto_join). 64 MiB: one object-store
+# copy per node is noise next to a shuffle, and every worker holds it once.
+AUTO_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def auto_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: str | list[str],
+    join_type: str = "inner",
+    num_buckets: int | None = None,
+    suffix: str = "_r",
+    broadcast_max_bytes: int = AUTO_BROADCAST_MAX_BYTES,
+) -> rd.Dataset:
+    """Adaptive join — pick broadcast vs partitioned from the build side's
+    ACTUAL size, not a guess. A hash join consumes its build (right) side
+    fully anyway, so materializing it first costs nothing extra; with the
+    size then known (``size_bytes()`` is metadata on a materialized
+    dataset), a small build side gathers to ONE driver Arrow table and
+    joins broadcast (``ray.put`` once, zero shuffle, and none of the
+    native join's per-partition aggregator-actor spawns — a ~2 s fixed
+    premium per join at toy scale, measured on revenue_by_nation). Filter-
+    then-join plans hit this constantly: the build side is only small
+    AFTER runtime filters/aggregates, which parquet metadata can't see.
+
+    Broadcast path requires inner/left (right-unmatched rows can't be
+    emitted from a per-batch kernel) and no overlapping non-key columns
+    (the broadcast kernel applies no suffix); anything else — and any
+    build side over the threshold — takes the partitioned ``hash_join``.
+    """
+    import ray
+
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    jt = join_type.replace("_", " ").split()[0]  # inner/left/right/full
+    overlap = (set(left.schema().names) & set(right.schema().names)) - set(keys_l)
+    right_mat = right.materialize()
+    if (
+        jt in ("inner", "left")
+        and not overlap
+        and (right_mat.size_bytes() or 0) <= broadcast_max_bytes
+    ):
+        blocks = [t for t in ray.get(right_mat.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            small = pa.concat_tables(blocks)
+        else:
+            sch = right_mat.schema()
+            small = pa.table(
+                {n: pa.array([], _pa_type(t)) for n, t in zip(sch.names, sch.types)}
+            )
+        return broadcast_join(
+            left, small, keys_l, join_type="inner" if jt == "inner" else "left outer"
+        )
+    return hash_join(
+        left, right_mat, keys_l, join_type=join_type,
+        num_buckets=num_buckets, suffix=suffix,
+    )
 
 
 def _pa_type(t) -> pa.DataType:
