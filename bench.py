@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "top10_orders",                 # global sort + limit
     "latest_event_per_user",        # changelog/upsert compaction (last-value-wins)
     "running_value_per_user",       # per-row running total (window function)
+    "moving_avg_value",             # ROWS-frame moving sum+count (5-row trend window)
+    "event_lag_lead",               # LAG/LEAD per key (shifted-copy kernel)
     "sessionize_events",            # per-row session numbering (gap rule)
     "doc_pii_redact",               # PII scrubbing (sequential regex rules, Arrow kernel)
     "event_rank_per_user",          # ROW_NUMBER/RANK/DENSE_RANK (one sort, two edge masks)

@@ -216,3 +216,69 @@ def test_set_op_and_keyed_sum_keep_null_groups(ray_session):
     merged = bucketed_keyed_sum(_blocks(parts, 2), ["k"], ["v"]).to_pandas()
     null_row = merged[merged["k"].isna()]
     assert len(null_row) == 1 and int(null_row["v"].iloc[0]) == 5
+
+
+def test_moving_frame_sum_matches_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import moving_frame_sum
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, n),
+            # heavy ts ties to exercise the tie_col ordering
+            "ts": pd.to_datetime(rng.integers(0, 40, n), unit="s"),
+            "value": rng.integers(0, 500, n) / 100.0,
+        }
+    )
+    got = (
+        moving_frame_sum(
+            rd.from_pandas([d for _, d in df.groupby(np.arange(n) % 4)]),
+            "user_id", "ts", "value", tie_col="event_id", frame_rows=3,
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    cents = np.floor(srt["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    srt = srt.assign(c=cents)
+    exp_sum = srt.groupby("user_id")["c"].rolling(3, min_periods=1).sum()
+    exp_n = srt.groupby("user_id")["c"].rolling(3, min_periods=1).count()
+    srt["frame_sum"] = exp_sum.droplevel(0)
+    srt["frame_n"] = exp_n.droplevel(0)
+    exp = srt.sort_values("event_id", ignore_index=True)
+    assert got["frame_sum"].tolist() == exp["frame_sum"].astype(np.int64).tolist()
+    assert got["frame_n"].tolist() == exp["frame_n"].astype(np.int64).tolist()
+
+
+def test_lag_lead_matches_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import lag_lead
+
+    rng = np.random.default_rng(23)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 7, n),
+            "ts": pd.to_datetime(rng.integers(0, 30, n), unit="s"),
+            "value": rng.integers(0, 900, n) / 100.0,
+        }
+    )
+    got = (
+        lag_lead(
+            rd.from_pandas([d for _, d in df.groupby(np.arange(n) % 3)]),
+            "user_id", "ts", "value", tie_col="event_id", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    c = pd.Series(np.floor(srt["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+                  index=srt.index)
+    srt["lag_cents"] = c.groupby(srt["user_id"]).shift(1).fillna(-1).astype(np.int64)
+    srt["lead_cents"] = c.groupby(srt["user_id"]).shift(-1).fillna(-1).astype(np.int64)
+    exp = srt.sort_values("event_id", ignore_index=True)
+    assert got["lag_cents"].tolist() == exp["lag_cents"].tolist()
+    assert got["lead_cents"].tolist() == exp["lead_cents"].tolist()

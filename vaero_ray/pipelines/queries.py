@@ -2070,6 +2070,56 @@ FROM events
 """
 
 
+def q_moving_avg_value(sf_dir: str):
+    """Per-row 5-row moving sum + frame count of event value per user
+    (SQL SUM/COUNT OVER ... ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) —
+    the short-horizon trend feature; the avg derives exactly from the
+    two integers."""
+    from vaero_ray.stages.rowwindow import moving_frame_sum
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = moving_frame_sum(
+        ds, "user_id", "ts", "value", tie_col="event_id", frame_rows=5,
+        out="frame_cents", count_out="frame_n", scale=100, num_buckets=16,
+    )
+    return out.select_columns(["event_id", "user_id", "frame_cents", "frame_n"])
+
+
+SQL_MOVING_AVG = r"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS frame_cents,
+       CAST(COUNT(*)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS frame_n
+FROM events
+"""
+
+
+def q_event_lag_lead(sf_dir: str):
+    """Per-row previous/next event value per user (SQL LAG/LEAD), integer
+    cents with -1 where SQL yields NULL (values are non-negative)."""
+    from vaero_ray.stages.rowwindow import lag_lead
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = lag_lead(
+        ds, "user_id", "ts", "value", tie_col="event_id",
+        lag_out="lag_cents", lead_out="lead_cents", scale=100, num_buckets=16,
+    )
+    return out.select_columns(["event_id", "user_id", "lag_cents", "lead_cents"])
+
+
+SQL_LAG_LEAD = r"""
+SELECT event_id, user_id,
+       CAST(COALESCE(LAG(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS lag_cents,
+       CAST(COALESCE(LEAD(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS lead_cents
+FROM events
+"""
+
+
 def q_event_interarrival(sf_dir: str):
     """Per-row microseconds since the user's previous event (LAG), -1
     for each user's first event — dwell-time / burst features."""
@@ -3062,6 +3112,8 @@ QUERIES: dict[str, QueryFn] = {
     "docs_above_p90_length": q_docs_above_p90_length,
     "latest_event_per_user": q_latest_event_per_user,
     "running_value_per_user": q_running_value_per_user,
+    "moving_avg_value": q_moving_avg_value,
+    "event_lag_lead": q_event_lag_lead,
     "event_interarrival": q_event_interarrival,
     "sessionize_events": q_sessionize_events,
     "source_lang_rollup": q_source_lang_rollup,
@@ -3161,6 +3213,8 @@ ORACLES: dict[str, str] = {
     "docs_above_p90_length": SQL_P90_FILTER,
     "latest_event_per_user": SQL_LATEST,
     "running_value_per_user": SQL_RUNNING_SUM,
+    "moving_avg_value": SQL_MOVING_AVG,
+    "event_lag_lead": SQL_LAG_LEAD,
     "event_interarrival": SQL_INTERARRIVAL,
     "sessionize_events": SQL_SESSIONIZE,
     "source_lang_rollup": SQL_ROLLUP,

@@ -277,3 +277,104 @@ def sessionize(
         return df
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def moving_frame_sum(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    frame_rows: int,
+    out: str = "frame_sum",
+    count_out: str = "frame_n",
+    scale: int = 100,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per ROW: sum of ``value_col`` over the key's last ``frame_rows``
+    rows up to and including this one in ``(ts_col, tie_col)`` order —
+    SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts, tie ROWS BETWEEN
+    frame_rows-1 PRECEDING AND CURRENT ROW)`` — plus the actual frame
+    row count (< ``frame_rows`` near each key's start), from which any
+    moving average derives exactly. Values fixed-point to int64 first
+    (``floor(v*scale+0.5)``) per the engine's exact-aggregate convention.
+
+    Kernel: one bucket cumsum; each row's frame-start index is
+    ``max(segment_start, i - frame_rows + 1)`` resolved with a repeat
+    over segment lengths — no per-key loop, no per-row frame scan."""
+    if frame_rows < 1:
+        raise ValueError("frame_rows must be >= 1")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(df)
+        v = np.floor(df[value_col].to_numpy(dtype=np.float64) * scale + 0.5).astype(
+            np.int64
+        )
+        codes = _sorted_codes(df, key)
+        starts = _segment_starts(codes)
+        cs = np.cumsum(v)
+        start_idx = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(start_idx, n))
+        seg_start = np.repeat(start_idx, seg_len)  # per-row segment start
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(seg_start, idx - frame_rows + 1)
+        base = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        base[lo == 0] = 0
+        df[out] = cs - base
+        df[count_out] = idx - lo + 1
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def lag_lead(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    lag_out: str = "lag_cents",
+    lead_out: str = "lead_cents",
+    scale: int = 100,
+    sentinel: int = -1,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per ROW: the key's previous and next value in ``(ts_col,
+    tie_col)`` order — SQL ``LAG(v)`` / ``LEAD(v)`` ``OVER (PARTITION BY
+    key ORDER BY ts, tie)`` — fixed-point int64 (``floor(v*scale+0.5)``)
+    with ``sentinel`` where SQL yields NULL (first/last row of the key;
+    plain int64 keeps schemas non-nullable, same convention as
+    ``interarrival``; requires values that can't collide with the
+    sentinel, i.e. non-negative for the default -1).
+
+    Kernel: two shifted copies of the bucket-sorted value array with
+    segment boundaries masked to the sentinel."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(df)
+        v = np.floor(df[value_col].to_numpy(dtype=np.float64) * scale + 0.5).astype(
+            np.int64
+        )
+        codes = _sorted_codes(df, key)
+        starts = _segment_starts(codes)
+        lag = np.full(n, sentinel, dtype=np.int64)
+        lead = np.full(n, sentinel, dtype=np.int64)
+        if n:
+            lag[1:] = v[:-1]
+            lag[starts] = sentinel
+            lead[:-1] = v[1:]
+            ends = np.empty(n, dtype=bool)
+            ends[:-1] = starts[1:]
+            ends[-1] = True
+            lead[ends] = sentinel
+        df[lag_out] = lag
+        df[lead_out] = lead
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
