@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "per_source_cap",               # C4-style domain cap (partial prune + keyed head)
     "stratified_sample_docs",       # data-mixing weights (deterministic hash sampling)
     "doc_repetition_stats",         # Gopher repetition counts (dictionary-encode kernel)
+    "doc_token_diversity",          # Simpson concentration (integer-exact entropy alternative)
+    "chunk_docs",                   # 32/24 context-window chunker (one take + binary_join)
     "doc_length_histogram",         # log-histogram quantile sketch (sum-merge bins)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)

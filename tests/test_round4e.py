@@ -4,6 +4,7 @@ and the Q5-style revenue_by_nation multi-join capstone."""
 import collections
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import ray.data as rd
 
@@ -282,3 +283,36 @@ def test_lag_lead_matches_pandas(ray_session):
     exp = srt.sort_values("event_id", ignore_index=True)
     assert got["lag_cents"].tolist() == exp["lag_cents"].tolist()
     assert got["lead_cents"].tolist() == exp["lead_cents"].tolist()
+
+
+def test_chunk_documents_kernel():
+    from vaero_ray.stages.textstats import chunk_documents
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9], pa.int64()),
+            "text": ["a b c d e f g", "  Hi   There  ", ""],
+        }
+    )
+    out = chunk_documents(tbl, chunk_tokens=4, stride=3).to_pandas()
+    # doc 7: starts 0,3,6 -> sizes 4,4,1; doc 8: one 2-token chunk
+    # (case preserved, whitespace normalized); doc 9: no rows
+    assert out["doc_id"].tolist() == [7, 7, 7, 8]
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 0]
+    assert out["n_chunk_tokens"].tolist() == [4, 4, 1, 2]
+    assert out["chunk_text"].tolist() == ["a b c d", "d e f g", "g", "Hi There"]
+
+
+def test_token_diversity_kernel():
+    from vaero_ray.stages.textstats import token_diversity
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["a a a b", "", "x y z"],
+        }
+    )
+    out = token_diversity(tbl).to_pandas()
+    assert out["n_tokens"].tolist() == [4, 0, 3]
+    # doc 0: counts {a:3, b:1} -> 9 + 1 = 10
+    assert out["simpson_num"].tolist() == [10, 0, 3]

@@ -1328,6 +1328,59 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
 """
 
 
+def q_doc_token_diversity(sf_dir: str):
+    """Per-doc lexical diversity as exact integers (token count +
+    Simpson concentration numerator sum(c^2)) — the integer-safe
+    entropy alternative for boilerplate flagging."""
+    from vaero_ray.stages.textstats import token_diversity
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        token_diversity, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_TOKEN_DIVERSITY = r"""
+WITH dv_t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> x <> '') AS toks FROM documents),
+dv_u AS (SELECT doc_id, UNNEST(toks) AS token FROM dv_t),
+dv_c AS (SELECT doc_id, token, COUNT(*) AS c FROM dv_u GROUP BY 1, 2),
+dv_a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(SUM(c * c) AS BIGINT) AS simpson_num
+         FROM dv_c GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.simpson_num, 0) AS BIGINT) AS simpson_num
+FROM documents d LEFT JOIN dv_a a USING (doc_id)
+"""
+
+
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunker: 32-token chunks advancing 24 tokens
+    (8-token overlap), case preserved, whitespace normalized — the
+    stage that feeds tokenize-and-pack in a training-data pipeline."""
+    from vaero_ray.stages.textstats import chunk_documents
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: chunk_documents(t, chunk_tokens=32, stride=24),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_CHUNK_DOCS = r"""
+WITH ck_t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '') AS toks FROM documents),
+ck_s AS (SELECT doc_id, toks, len(toks) AS n FROM ck_t WHERE len(toks) > 0),
+ck_c AS (SELECT doc_id, UNNEST(range(0, n, 24)) AS start, toks, n FROM ck_s)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_idx,
+       CAST(least(start + 32, n) - start AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start + 1 : least(start + 32, n)], ' ') AS chunk_text
+FROM ck_c
+"""
+
+
 def q_doc_repetition_stats(sf_dir: str):
     """Gopher-style repetition counts (token/bigram total, distinct,
     top frequency) — integer-exact boilerplate/spam signals."""
@@ -3091,6 +3144,8 @@ QUERIES: dict[str, QueryFn] = {
     "hash_split_docs": q_hash_split_docs,
     "per_source_cap": q_per_source_cap,
     "doc_repetition_stats": q_doc_repetition_stats,
+    "doc_token_diversity": q_doc_token_diversity,
+    "chunk_docs": q_chunk_docs,
     "cms_user_counts": q_cms_user_counts,
     "doc_length_histogram": q_doc_length_histogram,
     "rolling_user_counts": q_rolling_user_counts,
@@ -3192,6 +3247,8 @@ ORACLES: dict[str, str] = {
     "hash_split_docs": SQL_HASH_SPLIT,
     "per_source_cap": SQL_PER_SOURCE_CAP,
     "doc_repetition_stats": SQL_REPETITION,
+    "doc_token_diversity": SQL_TOKEN_DIVERSITY,
+    "chunk_docs": SQL_CHUNK_DOCS,
     "cms_user_counts": SQL_CMS,
     "doc_length_histogram": SQL_LHQ,
     "rolling_user_counts": SQL_ROLLING,

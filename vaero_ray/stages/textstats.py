@@ -518,3 +518,121 @@ def bigram_commonness(
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_diversity(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc lexical diversity as exact integers: token count and the
+    Simpson concentration numerator ``sum(count_t^2)`` over the doc's
+    token histogram (inverse-Simpson diversity = n_tokens^2 /
+    simpson_num derives exactly; high concentration flags boilerplate —
+    the integer-safe alternative to Shannon entropy, whose float sums
+    drift under re-ordering). Same one-dictionary-encode kernel as
+    ``repetition_stats``; SQL-identical via unnest + GROUP BY."""
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    n = tbl.num_rows
+    toks, off = _flat_tokens(tbl, text_col)
+    n_tok = (off[1:] - off[:-1]).astype(np.int64)
+    simpson = np.zeros(n, dtype=np.int64)
+    if len(toks):
+        codes = np.asarray(pc.dictionary_encode(toks).indices).astype(np.int64)
+        K = int(codes.max()) + 1
+        if n * K >= 2**63:
+            raise ValueError(
+                f"token_diversity: (doc, code) key overflow (n={n}, K={K})"
+            )
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        uk, uc = np.unique(doc_idx * K + codes, return_counts=True)
+        np.add.at(simpson, uk // K, uc.astype(np.int64) ** 2)
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "simpson_num": pa.array(simpson),
+        }
+    )
+
+
+def chunk_documents(
+    tbl: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> pa.Table:
+    """Split each doc's whitespace token stream into fixed-size training
+    chunks with overlap (``chunk_tokens`` per chunk, window advancing by
+    ``stride`` — overlap = chunk_tokens - stride): the context-window
+    chunker that feeds tokenize-and-pack. Case is PRESERVED (unlike the
+    stats kernels); whitespace inside a chunk normalizes to single
+    spaces (chunks are token joins, exactly
+    ``array_to_string(toks[a:b], ' ')`` in the SQL oracle).
+
+    Output: one row per chunk — (id, chunk_idx, n_chunk_tokens,
+    chunk_text); a doc with no tokens emits no rows. Fully vectorized:
+    one Arrow split, chunk spans from offset arithmetic, one ``pc.take``
+    gather and one ``pc.binary_join`` — no per-doc or per-chunk Python."""
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    n = tbl.num_rows
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_chunk_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    if not n:
+        return empty
+    toks_list = pc.utf8_split_whitespace(tbl.column(text_col)).combine_chunks()
+    flat = toks_list.flatten()
+    off = np.asarray(toks_list.offsets).astype(np.int64)
+    off = off - off[0]
+    keep = np.asarray(pc.binary_length(flat)).astype(np.int64) > 0
+    counts = np.zeros(n, np.int64)
+    seg_nz = off[:-1] < off[1:]
+    if len(keep) and seg_nz.any():
+        counts[seg_nz] = np.add.reduceat(keep.astype(np.int64), off[:-1][seg_nz])
+    toks = flat.filter(pa.array(keep)) if len(keep) else flat
+    doc_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=doc_start[1:])
+
+    n_chunks = (counts + stride - 1) // stride  # 0 chunks for empty docs
+    total_chunks = int(n_chunks.sum())
+    if not total_chunks:
+        return empty
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    chunk_base = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_chunks[:-1], out=chunk_base[1:])
+    chunk_idx = np.arange(total_chunks, dtype=np.int64) - chunk_base[doc_of]
+    start = doc_start[doc_of] + chunk_idx * stride
+    end = np.minimum(start + chunk_tokens, doc_start[doc_of] + counts[doc_of])
+    lengths = end - start
+    # flat gather indices: per chunk, start..end
+    cum = np.zeros(total_chunks, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=cum[1:])
+    total_toks = int(lengths.sum())
+    gather = np.arange(total_toks, dtype=np.int64) - np.repeat(cum, lengths) + np.repeat(
+        start, lengths
+    )
+    taken = pc.take(toks, pa.array(gather, pa.int64()))
+    chunk_off = np.zeros(total_chunks + 1, dtype=np.int64)
+    np.cumsum(lengths, out=chunk_off[1:])
+    if chunk_off[-1] >= 2**31:
+        raise ValueError("chunk_documents: batch too large for int32 list offsets")
+    if isinstance(taken, pa.ChunkedArray):
+        taken = taken.combine_chunks()
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_off.astype(np.int32), pa.int32()), taken
+    )
+    text = pc.binary_join(chunk_list, pa.scalar(" "))
+    ids = tbl.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            id_col: pa.array(ids[doc_of]),
+            "chunk_idx": pa.array(chunk_idx),
+            "n_chunk_tokens": pa.array(lengths),
+            "chunk_text": text,
+        }
+    )
