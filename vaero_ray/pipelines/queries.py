@@ -2002,6 +2002,107 @@ def q_streaming_hll_distinct(sf_dir: str):
     return job.committed_output()
 
 
+def q_streaming_funnel(sf_dir: str):
+    """STREAMING funnel/CEP through the exactly-once machinery: did the
+    user view-then-purchase within the hour window? The ORDERED pattern
+    reduces to mergeable aggregates — min(view ts) and max(purchase ts)
+    per (user, window): a conversion exists iff some purchase falls
+    strictly after the first view, i.e. max_purchase_ts > min_view_ts.
+    So the CEP rides the standard streaming tumbling job (partials
+    merge associatively across epochs — no event buffering, no new
+    machinery) and the flag derives from the two committed values
+    downstream. Stage timestamps ride as SENTINEL-ENCODED int64
+    microseconds (missing view = +2^62 under min, missing purchase =
+    -1 under max) per the engine's fixed-point-before-aggregate
+    convention — nullable timestamps would degrade to binary through
+    the pandas sink conversion (Ray quirk), and the sentinels keep
+    every partial column non-nullable."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = _stream_chunks(sf_dir, "funnel_in", ["user_id", "event_type", "ts"])
+    base = os.path.dirname(ind)
+
+    NO_VIEW = 1 << 62  # absorbing under min
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def per_batch(tbl: pa.Table) -> pa.Table:
+            et = tbl.column("event_type")
+            ts = tbl.column("ts")
+            us = ts.cast(pa.timestamp("us")).cast(pa.int64())
+            view_us = pc.if_else(pc.equal(et, "view"), us, pa.scalar(NO_VIEW, pa.int64()))
+            pur_us = pc.if_else(
+                pc.equal(et, "purchase"), us, pa.scalar(-1, pa.int64())
+            )
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "ts": ts,
+                    "view_us": view_us,
+                    "purchase_us": pur_us,
+                }
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_d, ckpt_d = f"{base}/funnel_out", f"{base}/funnel_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["user_id"],
+        aggs=[
+            AggSpec("view_us", "min", "min_view_us"),
+            AggSpec("purchase_us", "max", "max_purchase_us"),
+        ],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        mv = tbl.column("min_view_us").cast(pa.int64())
+        mp = tbl.column("max_purchase_us").cast(pa.int64())
+        conv = pc.and_(
+            pc.and_(
+                pc.less(mv, pa.scalar(NO_VIEW, pa.int64())),
+                pc.greater_equal(mp, pa.scalar(0, pa.int64())),
+            ),
+            pc.greater(mp, mv),
+        )
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id").cast(pa.int64()),
+                "window_start": tbl.column("window_start").cast(pa.timestamp("us")),
+                "converted": conv.cast(pa.int64()),
+            }
+        )
+
+    return job.committed_output().map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_STREAMING_FUNNEL = r"""
+WITH sf_g AS (
+  SELECT user_id, date_trunc('hour', ts) AS window_start,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS mv,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS mp
+  FROM events GROUP BY 1, 2)
+SELECT user_id, window_start,
+       CAST(CASE WHEN mv IS NOT NULL AND mp IS NOT NULL AND mp > mv
+            THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM sf_g
+"""
+
+
 SQL_STREAMING_HLL = r"""
 WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
                   CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
@@ -3156,6 +3257,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "label_centroid_sums": q_label_centroid_sums,
     "streaming_hll_distinct": q_streaming_hll_distinct,
+    "streaming_funnel": q_streaming_funnel,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
     "views_in_purchase_window": q_views_in_purchase_window,
@@ -3259,6 +3361,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample_docs": SQL_STRATIFIED,
     "label_centroid_sums": SQL_CENTROID_SUMS,
     "streaming_hll_distinct": SQL_STREAMING_HLL,
+    "streaming_funnel": SQL_STREAMING_FUNNEL,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,
     "views_in_purchase_window": SQL_RANGE_JOIN,
