@@ -278,6 +278,36 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_conv_response_latency(sf_dir: str):
+    """Per-conversation assistant response latency (the agent-transcript
+    SLA metric): every assistant turn immediately preceded by a user turn
+    contributes ts - prev_ts; lag derivation AND the per-conversation
+    aggregate run inside ONE conv_id bucket kernel — only final aggregate
+    rows leave any task (a LAG stage then a GROUP BY stage would shuffle
+    the turns twice)."""
+    from vaero_ray.stages.stitch import response_latency
+
+    return response_latency(derive_transcripts(sf_dir))
+
+
+SQL_RESPONSE_LATENCY = f"""
+WITH {TRANSCRIPTS_CTE}, l AS (
+  SELECT conv_id, role, ts,
+         LAG(role) OVER w AS prev_role,
+         LAG(ts)   OVER w AS prev_ts
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       COUNT(*) AS n_responses,
+       CAST(SUM(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS total_latency_us,
+       CAST(MAX(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS max_latency_us
+FROM l
+WHERE role = 'assistant' AND prev_role = 'user'
+GROUP BY conv_id
+"""
+
+
 def q_flagship_windowed_route(sf_dir: str):
     """The headline pipeline: transcripts -> Vaero transform chain (mask
     PII emails, route user/assistant turns) -> tumbling 1h windowed
@@ -612,6 +642,104 @@ SELECT user_id, COUNT(*) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM sess_s GROUP BY user_id, session_id
+"""
+
+
+def q_streaming_dedup_events(sf_dir: str):
+    """Streaming exactly-once ingestion dedup (``dropDuplicates`` over an
+    at-least-once source): the arrival stream replays every 8th event —
+    some into the NEXT epoch while the event's window is still open, the
+    rest as a final all-replay epoch long after their windows closed.
+    Replays are IDENTICAL rows (a redelivery carries the original event
+    time), so keying the exactly-once windowed path by ``event_id`` with
+    the payload riding mergeable ``min()`` aggregates makes dedup free:
+    an in-horizon replay merges idempotently into the open-window partial
+    (min(x,x)=x), and a post-close replay is dropped by the late-data
+    policy — its row already shipped. Either way the committed output
+    carries exactly ONE bit-identical row per event, whatever the replay
+    timing, and the oracle is simply the original (duplicate-free) events
+    table. State bound = events inside the watermark horizon, the
+    standard streaming-dedup contract."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    src = f"{sf_dir}/events.parquet"
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/dedup_stream"
+    ind = f"{base}/in"
+    marker = os.path.join(ind, ".n_src")
+    try:
+        cached_ok = int(open(marker).read()) == n_src
+    except Exception:
+        cached_ok = False
+    if os.path.isdir(ind) and not cached_ok:
+        shutil.rmtree(ind, ignore_errors=True)
+    if not os.path.isdir(ind):
+        tmp = ind + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        import ray
+
+        @ray.remote
+        def prep(src: str) -> int:
+            t = pq.read_table(src, columns=cols)
+            t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+            n = t.num_rows
+            chunks = [t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4) for i in range(4)]
+            replays = [
+                c.filter(pc.equal(pc.bit_wise_and(c.column("event_id"), 7), 0))
+                for c in chunks
+            ]
+            total = 0
+            for i in range(4):
+                parts = [chunks[i]] + ([replays[i - 1]] if i >= 1 else [])
+                out = pa.concat_tables(parts).combine_chunks()
+                total += out.num_rows
+                pq.write_table(out, f"{tmp}/chunk-{i:04d}.parquet")
+            # final epoch: a SECOND redelivery of every multiple — epochs
+            # 0-2's windows are long closed, exercising the LATE drop path
+            out = pa.concat_tables(replays).combine_chunks()
+            total += out.num_rows
+            pq.write_table(out, f"{tmp}/chunk-0004.parquet")
+            return total
+
+        ray.get(prep.remote(src))
+        with open(os.path.join(tmp, ".n_src"), "w") as f:
+            f.write(str(n_src))
+        os.replace(tmp, ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["event_id"],
+        aggs=[
+            AggSpec("user_id", "min", "user_id"),
+            AggSpec("event_type", "min", "event_type"),
+            AggSpec("value", "min", "value_cents"),
+        ],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+        transform=lambda ds: ds.map_batches(
+            _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
+    )
+    job.run()
+    return job.committed_output()
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_id, date_trunc('hour', ts) AS window_start,
+       user_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM events
 """
 
 
@@ -3258,6 +3386,8 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroid_sums": q_label_centroid_sums,
     "streaming_hll_distinct": q_streaming_hll_distinct,
     "streaming_funnel": q_streaming_funnel,
+    "streaming_dedup_events": q_streaming_dedup_events,
+    "conv_response_latency": q_conv_response_latency,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
     "views_in_purchase_window": q_views_in_purchase_window,
@@ -3362,6 +3492,8 @@ ORACLES: dict[str, str] = {
     "label_centroid_sums": SQL_CENTROID_SUMS,
     "streaming_hll_distinct": SQL_STREAMING_HLL,
     "streaming_funnel": SQL_STREAMING_FUNNEL,
+    "streaming_dedup_events": SQL_STREAMING_DEDUP,
+    "conv_response_latency": SQL_RESPONSE_LATENCY,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,
     "views_in_purchase_window": SQL_RANGE_JOIN,

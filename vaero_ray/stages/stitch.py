@@ -111,3 +111,67 @@ def stitch_exchanges(
         return base[[key, "exchange_idx", "user_text", "assistant_text", "n_tool_calls", "start_ts", "end_ts"]]
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets)
+
+
+def response_latency(
+    ds: rd.Dataset,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+    from_role: str = "user",
+    to_role: str = "assistant",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-conversation response latency: for every ``to_role`` turn whose
+    IMMEDIATELY PRECEDING turn (by ``order``) is a ``from_role`` turn,
+    latency = ts - prev ts; aggregated per conversation. The core
+    agent-transcript SLA metric (how long the assistant took to answer).
+
+    Output: ``key, n_responses, total_latency_us, max_latency_us`` —
+    exact int64 microseconds (event-time differences are integers, so
+    sums are order/shard-invariant); conversations with no qualifying
+    adjacent pair emit no row (matches the SQL GROUP BY over the
+    filtered LAG view).
+
+    ONE bucketed shuffle on ``key``: the lag derivation AND the per-key
+    aggregate both run inside the bucket kernel (a conversation never
+    spans buckets), so unlike LAG-then-GROUP-BY in two stages nothing
+    but the final aggregate rows leaves any task. Per-bucket work is
+    a numpy shift over the (key, order)-sorted frame — no per-key loop.
+    """
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order], kind="mergesort")
+        k = df[key].to_numpy()
+        r = df[role].to_numpy()
+        t = df[ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        n = len(df)
+        same = np.empty(n, dtype=bool)
+        if n:
+            same[0] = False
+            same[1:] = k[1:] == k[:-1]
+        m = same & (r == to_role)
+        m[1:] &= r[:-1] == from_role
+        m[0] = False
+        lat = np.empty(n, dtype=np.int64)
+        lat[1:] = t[1:] - t[:-1]
+        sub = pd.DataFrame({key: k[m], "__lat": lat[m]})
+        g = sub.groupby(key, sort=False)["__lat"]
+        out = pd.DataFrame(
+            {
+                "n_responses": g.count().astype("int64"),
+                "total_latency_us": g.sum().astype("int64"),
+                "max_latency_us": g.max().astype("int64"),
+            }
+        )
+        out.index.name = key
+        out = out.reset_index()
+        if out.empty and df[key].dtype == object:
+            # typed empty: object->Arrow infers null and breaks the
+            # cross-bucket schema union; string keeps pa.string()
+            out[key] = out[key].astype("string")
+        return out
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets)
