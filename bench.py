@@ -105,9 +105,11 @@ BENCH_QUERIES = [
     "doc_stats_unpivot",            # UNPIVOT/melt (stateless Arrow kernel)
     "p90_length_per_source",        # exact grouped p90 (rational-index element pick)
     "modal_event_per_user",         # exact grouped mode (partial-count exchange)
+    "mad_length_per_source",        # grouped median absolute deviation (2-pass, broadcast medians)
     "length_fixed_histogram",       # exact fixed-width histogram (bincount partials)
     "event_percent_rank",           # PERCENT_RANK + CUME_DIST (one-sort rank kernel)
     "sample_k_docs",                # deterministic exact-k sample (partial top-k prune)
+    "sample_per_source",            # per-group seedless reservoir (data-mixing subcorpora)
     "revenue_by_nation",            # Q5-style multi-join capstone (broadcast dims + 2 hash joins)
     "term_frequency_spectrum",      # Zipf count-of-counts (two-level partial agg)
     "length_token_corr",            # exact grouped Pearson corr (closed form over moment sums)

@@ -149,3 +149,60 @@ def test_streaming_dedup_exactly_once(ray_session, tmp_path):
     # emitted), not merged — both dedup mechanisms exercised
     ms = job.store.metrics_summary()
     assert ms["rows_late"] > 0
+
+
+def test_sample_k_per_group_deterministic_and_isolated(ray_session):
+    from vaero_ray.stages.corpus import sample_k_per_group
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(3000).astype(np.int64),
+            "source": [f"s{v}" for v in rng.integers(0, 6, 3000)],
+        }
+    )
+
+    def run(frame, nblocks, nbuckets):
+        ds = rd.from_pandas([frame.iloc[i::nblocks] for i in range(nblocks)])
+        out = sample_k_per_group(ds, "source", "doc_id", k=25, num_buckets=nbuckets)
+        return (
+            out.to_pandas()
+            .sort_values(["source", "doc_id"], ignore_index=True)
+        )
+
+    a = run(df, 4, 3)
+    b = run(df.sample(frac=1.0, random_state=9), 7, 5)  # re-shard + re-order
+    assert a.equals(b)
+    assert (a.groupby("source").size() == 25).all()
+    # dropping one group leaves every other group's sample untouched
+    c = run(df[df["source"] != "s3"], 5, 4)
+    assert c.equals(a[a["source"] != "s3"].reset_index(drop=True))
+
+
+def test_mad_per_group_matches_pandas(ray_session):
+    from vaero_ray.stages.relational import mad_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": [f"g{v}" for v in rng.integers(0, 8, 2000)],
+            "x": rng.integers(-500, 500, 2000).astype(np.int64),
+        }
+    )
+    got = (
+        mad_per_group(rd.from_pandas([df.iloc[i::5] for i in range(5)]), "g", "x", num_buckets=3)
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+
+    def lower_median(s):
+        v = np.sort(s.to_numpy())
+        return v[(len(v) - 1) // 2]
+
+    med = df.groupby("g")["x"].apply(lower_median)
+    ad = (df["x"] - df["g"].map(med)).abs()
+    exp_mad = ad.groupby(df["g"]).apply(lower_median)
+    assert got["median"].tolist() == med.sort_index().tolist()
+    assert got["mad"].tolist() == exp_mad.sort_index().tolist()
+    assert got["n_rows"].tolist() == df.groupby("g").size().sort_index().tolist()
+    assert got["mad"].dtype == np.int64

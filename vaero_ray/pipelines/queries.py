@@ -3131,6 +3131,39 @@ FROM r WHERE rn = (n - 1) * 9 // 10 + 1
 """
 
 
+def q_mad_length_per_source(sf_dir: str):
+    """Median absolute deviation of document length per source (robust
+    spread for corpus profiling): two grouped-median passes — group
+    medians broadcast between them (one tiny row per source), deviations
+    derived statelessly. Integer in, integer out: both medians are exact
+    element picks, hash-identical across engines."""
+    from vaero_ray.stages.relational import mad_per_group
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return mad_per_group(ds, "source", "n_chars", num_buckets=8)
+
+
+SQL_MAD = r"""
+WITH med AS (
+  SELECT source, n_chars AS median FROM (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT d.source, m.median, abs(d.n_chars - m.median) AS ad
+  FROM documents d JOIN med m USING (source)
+)
+SELECT source, CAST(median AS BIGINT) AS median, CAST(ad AS BIGINT) AS mad,
+       CAST(n AS BIGINT) AS n_rows
+FROM (
+  SELECT source, median, ad,
+         row_number() OVER (PARTITION BY source ORDER BY ad) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM dev) WHERE rn = (n + 1) // 2
+"""
+
+
 def q_modal_event_per_user(sf_dir: str):
     """Exact mode of event_type per user (ties -> smallest value):
     per-batch partial counts collapse the exchange to distinct
@@ -3182,7 +3215,10 @@ def q_sample_k_docs(sf_dir: str):
     return sample_k(ds, "doc_id", k=100)
 
 
-def _fmt_sample_sql() -> str:
+def _fmt_sample_sql(final_select: str) -> str:
+    """SQL reproduction of hll_hash(doc_id) (two linear rounds mod M61
+    split by an xor-shift, HUGEINT-exact) as CTE ``h2``; ``final_select``
+    picks the sample from it."""
     from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
 
     return r"""
@@ -3199,11 +3235,39 @@ h2 AS (
   SELECT doc_id, source,
     CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS h
   FROM h1, m)
-SELECT doc_id, source FROM h2 ORDER BY h, doc_id LIMIT 100
-""".format(A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2), XS=HLL_XS)
+{FINAL}
+""".format(
+        A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2), XS=HLL_XS,
+        FINAL=final_select,
+    )
 
 
-SQL_SAMPLE_K = _fmt_sample_sql()
+SQL_SAMPLE_K = _fmt_sample_sql(
+    "SELECT doc_id, source FROM h2 ORDER BY h, doc_id LIMIT 100"
+)
+
+
+def q_sample_per_source(sf_dir: str):
+    """Deterministic exact 50-sample per source (seedless per-group
+    reservoir): the data-mixing primitive — equal-size per-source
+    subcorpora whose membership is a pure function of each source's id
+    set (re-run/re-shard/resume stable; adding a source never perturbs
+    another source's sample). Stateless hash + exact grouped top-k: the
+    per-block partial prune bounds the exchange to k rows per (source,
+    block)."""
+    from vaero_ray.stages.corpus import sample_k_per_group
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return sample_k_per_group(ds, "source", "doc_id", k=50, num_buckets=8)
+
+
+SQL_SAMPLE_PER_SOURCE = _fmt_sample_sql(
+    """SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM h2)
+WHERE rn <= 50"""
+)
 
 
 def q_revenue_by_nation(sf_dir: str):
@@ -3425,9 +3489,11 @@ QUERIES: dict[str, QueryFn] = {
     "doc_stats_unpivot": q_doc_stats_unpivot,
     "p90_length_per_source": q_p90_length_per_source,
     "modal_event_per_user": q_modal_event_per_user,
+    "mad_length_per_source": q_mad_length_per_source,
     "length_fixed_histogram": q_length_fixed_histogram,
     "event_percent_rank": q_event_percent_rank,
     "sample_k_docs": q_sample_k_docs,
+    "sample_per_source": q_sample_per_source,
     "revenue_by_nation": q_revenue_by_nation,
     "term_frequency_spectrum": q_term_frequency_spectrum,
 }
@@ -3531,9 +3597,11 @@ ORACLES: dict[str, str] = {
     "doc_stats_unpivot": SQL_UNPIVOT,
     "p90_length_per_source": SQL_GROUPED_P90,
     "modal_event_per_user": SQL_MODE,
+    "mad_length_per_source": SQL_MAD,
     "length_fixed_histogram": SQL_FIXED_HIST,
     "event_percent_rank": SQL_PERCENT_RANK,
     "sample_k_docs": SQL_SAMPLE_K,
+    "sample_per_source": SQL_SAMPLE_PER_SOURCE,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "term_frequency_spectrum": SQL_TERM_SPECTRUM,
 }

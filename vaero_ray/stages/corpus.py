@@ -140,3 +140,41 @@ def sample_k(
     pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     picked = pruned.sort(["__h", id_col]).limit(k)
     return picked.drop_columns(["__h"])
+
+
+def sample_k_per_group(
+    ds: rd.Dataset,
+    group_col: str,
+    id_col: str,
+    k: int,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic exact-k sample WITHOUT replacement per group: the
+    ``k`` rows with the smallest ``(hll_hash(id), id)`` WITHIN each
+    group — ``sample_k`` grouped, i.e. a seedless per-group reservoir.
+    The data-mixing primitive (equal-size per-source subcorpora for
+    curriculum / ablation mixes); membership is a pure function of each
+    group's id set, so re-runs, re-shards and resumes pick the SAME rows
+    and adding a new group never perturbs another group's sample.
+
+    Scale shape: the hash is added statelessly, then exact grouped
+    top-k (ranking.top_k_per_group ascending): a per-block partial
+    prune bounds the exchange to k rows per (group, block) before the
+    one bucketed merge."""
+    import numpy as np
+
+    from vaero_ray.stages.ranking import top_k_per_group
+    from vaero_ray.stages.sketch import hll_hash
+
+    if k <= 0:
+        raise ValueError("sample_k_per_group: k must be positive")
+
+    def add_h(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return tbl.append_column("__h", pa.array(hll_hash(ids), pa.uint64()))
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(
+        withh, group_col, "__h", k, tie_col=id_col, descending=False, num_buckets=num_buckets
+    )
+    return out.drop_columns(["__h"])

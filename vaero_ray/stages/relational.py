@@ -521,3 +521,54 @@ def mode_per_group(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_map_groups(partials, key, per_bucket, num_buckets=num_buckets)
+
+
+def mad_per_group(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """Median absolute deviation per group — the robust spread statistic
+    (outlier-immune alternative to stddev for corpus length/quality
+    profiling): lower median of ``|x - lower-median(x)|`` per key.
+    Integer input stays integer end-to-end (both medians are element
+    picks, the deviation is integer abs), so results hash identically
+    across engines. Output: ``key, median, mad, n_rows``.
+
+    Two passes over the input by construction (the deviation needs the
+    group's median first): pass 1 = grouped_median (one bucketed
+    shuffle); the per-group medians — ONE tiny row per key — are
+    broadcast via ``ray.put`` and each batch derives its deviations
+    statelessly (Arrow ``index_in``/``take``, no join shuffle); pass 2 =
+    grouped_median of the deviations (the second bucketed shuffle).
+    Small-side assumption: the medians table (#groups rows) fits the
+    object store — the same contract as every broadcast join."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    med = grouped_median(ds, key, value_col, out="median", num_buckets=num_buckets)
+    med_tbl = pa.concat_tables(
+        [t for t in _ray.get(med.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    med_ref = _ray.put(med_tbl)
+
+    def deviations(tbl: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        idx = pc.index_in(tbl.column(key), m.column(key))
+        grp_med = pc.take(m.column("median"), idx)
+        ad = pc.abs(pc.subtract(tbl.column(value_col), grp_med))
+        return pa.table({key: tbl.column(key), "__ad": ad})
+
+    dev = ds.map_batches(deviations, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_percentile(dev, key, "__ad", 1, 2, out="mad", num_buckets=num_buckets)
+
+    def attach_median(tbl: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        idx = pc.index_in(tbl.column(key), m.column(key))
+        return tbl.append_column("median", pc.take(m.column("median"), idx)).select(
+            [key, "median", "mad", "n_rows"]
+        )
+
+    return out.map_batches(attach_median, batch_format="pyarrow", zero_copy_batch=True)
