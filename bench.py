@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "p90_length_per_source",        # exact grouped p90 (rational-index element pick)
     "modal_event_per_user",         # exact grouped mode (partial-count exchange)
     "mad_length_per_source",        # grouped median absolute deviation (2-pass, broadcast medians)
+    "cohort_retention",             # retention triangle (self-join + distinct fused in user buckets)
     "length_fixed_histogram",       # exact fixed-width histogram (bincount partials)
     "event_percent_rank",           # PERCENT_RANK + CUME_DIST (one-sort rank kernel)
     "sample_k_docs",                # deterministic exact-k sample (partial top-k prune)

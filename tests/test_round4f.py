@@ -206,3 +206,38 @@ def test_mad_per_group_matches_pandas(ray_session):
     assert got["mad"].tolist() == exp_mad.sort_index().tolist()
     assert got["n_rows"].tolist() == df.groupby("g").size().sort_index().tolist()
     assert got["mad"].dtype == np.int64
+
+
+def test_cohort_counts_matches_pandas(ray_session):
+    from vaero_ray.stages.relational import cohort_counts
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 400, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 30 * 86400, n), unit="s").astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    got = (
+        cohort_counts(rd.from_pandas([df.iloc[i::6] for i in range(6)]), "u", "ts", num_buckets=5)
+        .to_pandas()
+        .sort_values(["cohort_day", "day"], ignore_index=True)
+    )
+    day = df["ts"].dt.floor("D")
+    cohort = day.groupby(df["u"]).transform("min")
+    exp = (
+        pd.DataFrame({"cohort_day": cohort, "day": day, "u": df["u"]})
+        .drop_duplicates()
+        .groupby(["cohort_day", "day"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_day", "day"], ignore_index=True)
+    )
+    assert got["cohort_day"].tolist() == exp["cohort_day"].tolist()
+    assert got["day"].tolist() == exp["day"].tolist()
+    assert got["n_users"].tolist() == exp["n_users"].tolist()
+    assert got["n_users"].dtype == np.int64

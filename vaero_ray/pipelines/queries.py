@@ -3164,6 +3164,30 @@ FROM (
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events (distinct active users per
+    first-activity-day cohort x activity day): the self-join + COUNT
+    DISTINCT collapse into one bucketed shuffle on the user — user
+    buckets partition the user set, so per-bucket distinct counts are
+    exact summable partials; a tiny (cohorts x days) exchange merges."""
+    from vaero_ray.stages.relational import cohort_counts
+
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+    return cohort_counts(ev, "user_id", "ts")
+
+
+SQL_COHORT = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1
+)
+SELECT f.cohort_day, date_trunc('day', e.ts) AS day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_modal_event_per_user(sf_dir: str):
     """Exact mode of event_type per user (ties -> smallest value):
     per-batch partial counts collapse the exchange to distinct
@@ -3490,6 +3514,7 @@ QUERIES: dict[str, QueryFn] = {
     "p90_length_per_source": q_p90_length_per_source,
     "modal_event_per_user": q_modal_event_per_user,
     "mad_length_per_source": q_mad_length_per_source,
+    "cohort_retention": q_cohort_retention,
     "length_fixed_histogram": q_length_fixed_histogram,
     "event_percent_rank": q_event_percent_rank,
     "sample_k_docs": q_sample_k_docs,
@@ -3598,6 +3623,7 @@ ORACLES: dict[str, str] = {
     "p90_length_per_source": SQL_GROUPED_P90,
     "modal_event_per_user": SQL_MODE,
     "mad_length_per_source": SQL_MAD,
+    "cohort_retention": SQL_COHORT,
     "length_fixed_histogram": SQL_FIXED_HIST,
     "event_percent_rank": SQL_PERCENT_RANK,
     "sample_k_docs": SQL_SAMPLE_K,

@@ -572,3 +572,50 @@ def mad_per_group(
         )
 
     return out.map_batches(attach_median, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cohort_counts(
+    ds: rd.Dataset,
+    user_col: str,
+    ts_col: str,
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """Cohort retention matrix: distinct active users per
+    ``(cohort_day, day)``, where a user's cohort is their FIRST activity
+    day — the classic product-analytics retention triangle, which is a
+    self-join (events ⋈ per-user min) plus a COUNT DISTINCT, both of
+    which normally shuffle the full event stream twice.
+
+    Here both collapse into ONE bucketed shuffle on the user: a user's
+    events co-locate, so the cohort derivation (per-user min day), the
+    (user, day) dedup AND the per-(cohort, day) counts are vectorized
+    pandas inside the bucket — and because user buckets PARTITION the
+    user set, per-bucket distinct counts are exact partials that simply
+    SUM across buckets. A second tiny exchange (≤ cohorts × days rows
+    per bucket) merges them. Output: ``cohort_day, day, n_users``
+    (timestamps day-truncated, count int64)."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        sub = pd.DataFrame(
+            {
+                user_col: df[user_col].to_numpy(),
+                # numpy unit cast floors to the day, matching date_trunc
+                "day": df[ts_col].to_numpy(dtype="datetime64[D]"),
+            }
+        )
+        sub["cohort_day"] = sub.groupby(user_col, sort=False)["day"].transform("min")
+        dd = sub.drop_duplicates([user_col, "day"])
+        out = (
+            dd.groupby(["cohort_day", "day"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
+        out["day"] = out["day"].astype("datetime64[us]")
+        return out
+
+    partials = bucketed_map_groups(ds, user_col, per_bucket, num_buckets)
+    return bucketed_keyed_sum(partials, ["cohort_day", "day"], ["n_users"], num_buckets=8)
