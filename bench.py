@@ -40,7 +40,6 @@ BENCH_QUERIES = [
     "session_window_stats",         # per-key session windows (shuffle)
     "transcript_stitch_exchanges",  # stateful turn-sequence join
     "conv_response_latency",        # per-conv assistant SLA (fused lag + aggregate)
-    "streaming_dedup_events",       # exactly-once ingestion dedup (at-least-once source)
     "exact_dedup_docs",             # hash dedup
     "doc_token_stats",              # text analysis kernels
     "minhash_dup_edges",            # MinHash+LSH near-dup

@@ -241,3 +241,40 @@ def test_cohort_counts_matches_pandas(ray_session):
     assert got["day"].tolist() == exp["day"].tolist()
     assert got["n_users"].tolist() == exp["n_users"].tolist()
     assert got["n_users"].dtype == np.int64
+
+
+def test_merge_backend_parity(ray_session):
+    """bucketed merge (one mixed-fn hash exchange) must equal the native
+    Ray-aggregate merge bit for bit — same partials, both backends."""
+    from vaero_ray.stages.windows import AggSpec, merge_partials, partial_aggregate
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10**5, n), unit="s").astype(
+                "datetime64[us]"
+            ),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+            "s": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    aggs = [
+        AggSpec("v", "min", "v_min"),
+        AggSpec("s", "min", "s_min"),
+        AggSpec("v", "max", "v_max"),
+        AggSpec(None, "count", "n"),
+        AggSpec("v", "sum", "v_sum"),
+    ]
+    part = partial_aggregate(
+        rd.from_pandas([df.iloc[i::4] for i in range(4)]), ["k"], aggs, "ts", 600, "w"
+    ).materialize()
+
+    def canon(ds):
+        out = ds.to_pandas().sort_values(["k", "w"], ignore_index=True)
+        return out[sorted(out.columns)]
+
+    a = canon(merge_partials(part, ["k"], aggs, 600, "w", backend="native"))
+    b = canon(merge_partials(part, ["k"], aggs, 600, "w", backend="bucketed", num_buckets=3))
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)

@@ -685,25 +685,26 @@ def q_streaming_dedup_events(sf_dir: str):
 
         @ray.remote
         def prep(src: str) -> int:
+            # 3 epochs (each epoch pays a full commit barrier — keep the
+            # fixture minimal while covering both dedup paths): epoch 1
+            # redelivers epoch 0's multiples (merge path), epoch 2
+            # redelivers EVERY multiple (late path for epoch 0's closed
+            # windows, merge path for epoch 1's still-open last hour)
             t = pq.read_table(src, columns=cols)
             t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
             n = t.num_rows
-            chunks = [t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4) for i in range(4)]
+            chunks = [t.slice(i * n // 2, (i + 1) * n // 2 - i * n // 2) for i in range(2)]
             replays = [
                 c.filter(pc.equal(pc.bit_wise_and(c.column("event_id"), 7), 0))
                 for c in chunks
             ]
             total = 0
-            for i in range(4):
-                parts = [chunks[i]] + ([replays[i - 1]] if i >= 1 else [])
-                out = pa.concat_tables(parts).combine_chunks()
+            for i, out in enumerate(
+                [chunks[0], pa.concat_tables([chunks[1], replays[0]]), pa.concat_tables(replays)]
+            ):
+                out = out.combine_chunks()
                 total += out.num_rows
                 pq.write_table(out, f"{tmp}/chunk-{i:04d}.parquet")
-            # final epoch: a SECOND redelivery of every multiple — epochs
-            # 0-2's windows are long closed, exercising the LATE drop path
-            out = pa.concat_tables(replays).combine_chunks()
-            total += out.num_rows
-            pq.write_table(out, f"{tmp}/chunk-0004.parquet")
             return total
 
         ray.get(prep.remote(src))
@@ -727,6 +728,9 @@ def q_streaming_dedup_events(sf_dir: str):
         size_s=3600,
         allowed_lateness_s=0,
         num_partitions=4,
+        # 5 partial columns keyed by event id: the native per-column
+        # Ray aggregate would pay its fixed cost 5x per epoch
+        merge_backend="bucketed",
         transform=lambda ds: ds.map_batches(
             _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
         ),

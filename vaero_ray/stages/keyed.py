@@ -191,3 +191,26 @@ def bucketed_keyed_sum(
         return getattr(g, agg)()
 
     return bucketed_map_groups(ds, keys[0], merge_bucket, num_buckets=num_buckets)
+
+
+def bucketed_keyed_agg(
+    ds: rd.Dataset,
+    keys: "list[str]",
+    plan: "dict[str, str]",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Mixed-reduction variant of ``bucketed_keyed_sum``: merge partial
+    rows per ``keys`` with a DIFFERENT pandas reduction per column
+    (``{col: "sum"|"min"|"max"}``) in one hash-bucket exchange. Exists
+    for the same measured reason: Ray's sort-based ``aggregate`` costs
+    seconds PER AGGREGATED COLUMN over many tiny partial blocks, so a
+    5-column merge (e.g. a streaming dedup job carrying min() payload +
+    forced wm/count partials) pays ~5x the fixed cost; here every column
+    rides the one exchange. Same NULL-key (``dropna=False``) and
+    composite-key contracts as bucketed_keyed_sum."""
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False, dropna=False)
+        return g.agg(plan)
+
+    return bucketed_map_groups(ds, keys[0], merge_bucket, num_buckets=num_buckets)

@@ -285,13 +285,33 @@ def merge_partials(
     aggs: list[AggSpec],
     size_s: int | None = 60,
     window_col: str = "window_start",
+    backend: str = "native",
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Phase 2 (the one shuffle): Ray groupby merges partial columns
-    (sum of sums/counts, min of mins, max of maxes). Idempotent under
+    """Phase 2 (the one shuffle): merge partial columns (sum of
+    sums/counts, min of mins, max of maxes). Idempotent under
     re-merging — streaming unions previous state with new partials and
-    calls this again."""
+    calls this again.
+
+    ``backend="native"`` (default) is Ray ``groupby().aggregate`` —
+    right for the typical windowed job (1-2 agg columns, few keys:
+    map-side combine, no empty-bucket partitions). ``"bucketed"``
+    routes through ONE ``keyed.bucketed_keyed_agg`` hash exchange —
+    pick it when the job carries MANY partial columns or high-
+    cardinality keys (e.g. the streaming dedup job: 5 partial columns
+    keyed by event id), where the native path pays its fixed cost per
+    aggregated column (engine-wide lesson from the pivot/set-op
+    merges: 12.4 -> 1.0 s and 9.5 -> 3.1 s at sf0.1)."""
     group_cols = list(keys) + ([window_col] if size_s is not None else [])
     pa_aggs_dedup, need_count = _plan_partials(aggs)
+    if backend == "bucketed":
+        from vaero_ray.stages.keyed import bucketed_keyed_agg
+
+        plan = {f"{c}_{fn}": ("sum" if fn == "sum" else fn) for c, fn in pa_aggs_dedup}
+        if need_count or not pa_aggs_dedup:
+            plan["__pcount"] = "sum"
+        merged = bucketed_keyed_agg(partials, group_cols, plan, num_buckets=num_buckets)
+        return merged.map_batches(_canon_us_tbl, batch_format="pyarrow", zero_copy_batch=True)
     ray_aggs = []
     for col, fn in pa_aggs_dedup:
         pname = f"{col}_{fn}"
@@ -304,17 +324,18 @@ def merge_partials(
     if need_count or not pa_aggs_dedup:
         ray_aggs.append(Sum("__pcount", alias_name="__pcount"))
     merged = partials.groupby(group_cols).aggregate(*ray_aggs)
+    return merged.map_batches(_canon_us_tbl, batch_format="pyarrow", zero_copy_batch=True)
 
-    def canon_us(tbl: pa.Table) -> pa.Table:
-        # Ray's aggregate round-trips timestamps through numpy and can
-        # emit [s]/[ns] — normalize to canonical us so downstream epoch
-        # arithmetic (window close, state round-trips) stays exact
-        for i, name in enumerate(tbl.column_names):
-            if pa.types.is_timestamp(tbl.column(i).type):
-                tbl = tbl.set_column(i, name, tbl.column(i).cast(pa.timestamp("us")))
-        return tbl
 
-    return merged.map_batches(canon_us, batch_format="pyarrow", zero_copy_batch=True)
+def _canon_us_tbl(tbl: pa.Table) -> pa.Table:
+    # Ray's aggregate (and pandas round-trips in the bucketed merge)
+    # can re-emit timestamps as [s]/[ns] — normalize to canonical us so
+    # downstream epoch arithmetic (window close, state round-trips)
+    # stays exact
+    for i, name in enumerate(tbl.column_names):
+        if pa.types.is_timestamp(tbl.column(i).type):
+            tbl = tbl.set_column(i, name, tbl.column(i).cast(pa.timestamp("us")))
+    return tbl
 
 
 def merge_partial_tables(tables: list[pa.Table], group_cols: list[str], aggs: list[AggSpec]) -> pa.Table:

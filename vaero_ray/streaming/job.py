@@ -86,6 +86,11 @@ class StreamingWindowedJob:
     # actor-pool state store (state stays in memory across epochs;
     # snapshots only for recovery) — see state_actors.py.
     state_backend: str = "parquet"
+    # phase-2 merge: "native" (Ray aggregate — right for 1-2 agg
+    # columns over few keys) or "bucketed" (one keyed.bucketed_keyed_agg
+    # hash exchange — right for many partial columns / high-cardinality
+    # keys, e.g. dedup-by-id jobs; see windows.merge_partials)
+    merge_backend: str = "native"
     # called at the top of every epoch (reference re-checks secret
     # staleness each poll, execute.go:84-96); from_graph wires this to
     # SecretResolver.maybe_refresh so rotated credentials are re-resolved
@@ -147,8 +152,14 @@ class StreamingWindowedJob:
 
     def _merge(self, unioned: rd.Dataset) -> rd.Dataset:
         if self.slide_s is None:
-            return merge_partials(unioned, self.keys, self._state_aggs, self.size_s, self.window_col)
-        return merge_partials(unioned, list(self.keys) + [self.window_col], self._state_aggs, None)
+            return merge_partials(
+                unioned, self.keys, self._state_aggs, self.size_s, self.window_col,
+                backend=self.merge_backend, num_buckets=self.num_partitions,
+            )
+        return merge_partials(
+            unioned, list(self.keys) + [self.window_col], self._state_aggs, None,
+            backend=self.merge_backend, num_buckets=self.num_partitions,
+        )
 
     def _finalize(self, closed: rd.Dataset) -> rd.Dataset:
         if self.slide_s is None:
