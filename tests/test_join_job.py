@@ -1,0 +1,132 @@
+"""Stream-stream windowed join (StreamingJoinJob): exact parity with the
+batch interval join, cross-epoch buffering, per-side watermarks, late
+drops, and resume == one-shot determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _mk_streams(tmp_path, n_epochs=4, per_epoch=300, seed=7):
+    """Left/right streams over shared keys; right rows deliberately match
+    left rows from EARLIER epochs (within 600 s) so pairs span epochs."""
+    rng = np.random.default_rng(seed)
+    ld, rdir = tmp_path / "L", tmp_path / "R"
+    ld.mkdir(), rdir.mkdir()
+    lrows, rrows = [], []
+    t = 0
+    for e in range(n_epochs):
+        lt = np.sort(t + rng.integers(0, 1000, per_epoch))
+        rt = np.sort(t + rng.integers(0, 1000, per_epoch))
+        lrows.append(
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 40, per_epoch).astype(np.int64),
+                    "ts": pd.to_datetime(lt, unit="s").astype("datetime64[us]"),
+                    "view_id": (e * per_epoch + np.arange(per_epoch)).astype(np.int64),
+                }
+            )
+        )
+        rrows.append(
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 40, per_epoch).astype(np.int64),
+                    "ts": pd.to_datetime(rt, unit="s").astype("datetime64[us]"),
+                    "buy_id": (e * per_epoch + np.arange(per_epoch)).astype(np.int64),
+                    "amount": rng.integers(1, 500, per_epoch).astype(np.int64),
+                }
+            )
+        )
+        t += 1000
+    for i, df in enumerate(lrows):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(ld / f"c{i:03d}.parquet"))
+    for i, df in enumerate(rrows):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(rdir / f"c{i:03d}.parquet"))
+    return str(ld), str(rdir), pd.concat(lrows, ignore_index=True), pd.concat(rrows, ignore_index=True)
+
+
+def _expected(lall, rall, within_s):
+    m = lall.merge(rall, on="k", suffixes=("_l", "_r"))
+    d = (m["ts_r"] - m["ts_l"]).dt.total_seconds()
+    m = m[(d >= 0) & (d <= within_s)]
+    return (
+        pd.DataFrame(
+            {
+                "k": m["k"],
+                "ts_l": m["ts_l"],
+                "ts_r": m["ts_r"],
+                "view_id": m["view_id"],
+                "buy_id": m["buy_id"],
+                "amount": m["amount"],
+            }
+        )
+        .sort_values(["k", "ts_l", "ts_r", "view_id", "buy_id"], ignore_index=True)
+    )
+
+
+def _canon(df):
+    return df.sort_values(["k", "ts_l", "ts_r", "view_id", "buy_id"], ignore_index=True)[
+        ["k", "ts_l", "ts_r", "view_id", "buy_id", "amount"]
+    ]
+
+
+def _job(ld, rdir, tmp_path, sub, **kw):
+    from vaero_ray.streaming.join_job import StreamingJoinJob
+
+    return StreamingJoinJob(
+        left_dir=ld,
+        right_dir=rdir,
+        out_dir=str(tmp_path / sub / "out"),
+        ckpt_dir=str(tmp_path / sub / "ckpt"),
+        key="k",
+        within_s=600,
+        left_cols=["view_id"],
+        right_cols=["buy_id", "amount"],
+        num_partitions=3,
+        **kw,
+    )
+
+
+def test_stream_stream_join_matches_batch(ray_session, tmp_path):
+    ld, rdir, lall, rall = _mk_streams(tmp_path)
+    job = _job(ld, rdir, tmp_path, "a")
+    ms = job.run()
+    assert len(ms) >= 4
+    got = _canon(job.committed_output().to_pandas())
+    exp = _expected(lall, rall, 600)
+    pd.testing.assert_frame_equal(got, exp)
+    # cross-epoch pairs exist (right row matching an earlier epoch's left)
+    assert (exp["buy_id"] // 300 > exp["view_id"] // 300).any()
+    # dtypes survived the padded union (int64, not float64)
+    assert got["view_id"].dtype == np.int64 and got["amount"].dtype == np.int64
+    assert job.store.metrics_summary()["rows_late"] == 0
+
+
+def test_stream_stream_join_resume_equals_oneshot(ray_session, tmp_path):
+    ld, rdir, lall, rall = _mk_streams(tmp_path, seed=11)
+    one = _job(ld, rdir, tmp_path, "one")
+    one.run()
+    two = _job(ld, rdir, tmp_path, "two")
+    two.run(max_epochs=2, finalize=False)
+    # fresh object, same checkpoint dir — resumes from the manifests
+    two_b = _job(ld, rdir, tmp_path, "two")
+    two_b.run()
+    a = _canon(one.committed_output().to_pandas())
+    b = _canon(two_b.committed_output().to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stream_stream_join_drops_late(ray_session, tmp_path):
+    # right stream redelivers epoch-0 rows in the LAST epoch: by then the
+    # global watermark passed them -> late-dropped, no duplicate pairs
+    ld, rdir, lall, rall = _mk_streams(tmp_path, seed=3)
+    first = pq.read_table(f"{rdir}/c000.parquet")
+    pq.write_table(first, f"{rdir}/c999.parquet")
+    job = _job(ld, rdir, tmp_path, "late")
+    job.run()
+    got = _canon(job.committed_output().to_pandas())
+    exp = _expected(lall, rall, 600)  # originals only — replays add nothing
+    pd.testing.assert_frame_equal(got, exp)
+    assert job.store.metrics_summary()["rows_late"] == len(first)

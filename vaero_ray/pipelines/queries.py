@@ -747,6 +747,91 @@ FROM events
 """
 
 
+def q_streaming_interval_join(sf_dir: str):
+    """Stream-STREAM windowed equi-join through the exactly-once epoch
+    driver (the canonical hard streaming operator — neither side is a
+    static table): the view stream joins the purchase stream per user
+    within 30 minutes, both arriving as 3 ts-sorted chunks. Pairs span
+    epochs (a purchase matches views from earlier epochs held in the
+    watermark-bounded buffer); per-side watermarks gate eviction via
+    their MIN, so a lagging side never loses the fast side's matches.
+    The committed output must equal the batch interval join."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming.join_job import StreamingJoinJob
+
+    src = f"{sf_dir}/events.parquet"
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/ssjoin"
+    marker = os.path.join(base, "in", ".n_src")
+    try:
+        cached_ok = int(open(marker).read()) == n_src
+    except Exception:
+        cached_ok = False
+    ind = os.path.join(base, "in")
+    if os.path.isdir(ind) and not cached_ok:
+        shutil.rmtree(ind, ignore_errors=True)
+    if not os.path.isdir(ind):
+        tmp = ind + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(f"{tmp}/L")
+        os.makedirs(f"{tmp}/R")
+        import ray
+
+        @ray.remote
+        def prep(src: str) -> int:
+            t = pq.read_table(src, columns=["event_id", "user_id", "event_type", "ts"])
+            t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+            total = 0
+            for sub, idcol, et in (("L", "view_id", "view"), ("R", "purchase_id", "purchase")):
+                s = t.filter(pc.equal(t.column("event_type"), et))
+                s = s.select(["user_id", "ts", "event_id"]).rename_columns(
+                    ["user_id", "ts", idcol]
+                )
+                n = s.num_rows
+                for i in range(3):
+                    c = s.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3)
+                    total += c.num_rows
+                    pq.write_table(c.combine_chunks(), f"{tmp}/{sub}/chunk-{i:04d}.parquet")
+            return total
+
+        ray.get(prep.remote(src))
+        with open(os.path.join(tmp, ".n_src"), "w") as f:
+            f.write(str(n_src))
+        os.replace(tmp, ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingJoinJob(
+        left_dir=f"{ind}/L",
+        right_dir=f"{ind}/R",
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        key="user_id",
+        within_s=1800,
+        left_cols=["view_id"],
+        right_cols=["purchase_id"],
+        allowed_lateness_s=1,  # boundary-equal ts across sorted chunks
+        num_partitions=4,
+    )
+    job.run()
+    out = job.committed_output()
+    return out.rename_columns(
+        {"ts_l": "view_ts", "ts_r": "purchase_ts"}
+    ) if hasattr(out, "rename_columns") else out
+
+
+SQL_STREAMING_JOIN = """
+SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+       v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 def q_top10_orders(sf_dir: str):
     """Global top-k: Ray Data sort (range-partitioned shuffle) + limit.
     Ties broken by o_orderkey so the answer is deterministic."""
@@ -3479,6 +3564,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_hll_distinct": q_streaming_hll_distinct,
     "streaming_funnel": q_streaming_funnel,
     "streaming_dedup_events": q_streaming_dedup_events,
+    "streaming_interval_join": q_streaming_interval_join,
     "conv_response_latency": q_conv_response_latency,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
@@ -3588,6 +3674,7 @@ ORACLES: dict[str, str] = {
     "streaming_hll_distinct": SQL_STREAMING_HLL,
     "streaming_funnel": SQL_STREAMING_FUNNEL,
     "streaming_dedup_events": SQL_STREAMING_DEDUP,
+    "streaming_interval_join": SQL_STREAMING_JOIN,
     "conv_response_latency": SQL_RESPONSE_LATENCY,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,
