@@ -130,3 +130,65 @@ def test_stream_stream_join_drops_late(ray_session, tmp_path):
     exp = _expected(lall, rall, 600)  # originals only — replays add nothing
     pd.testing.assert_frame_equal(got, exp)
     assert job.store.metrics_summary()["rows_late"] == len(first)
+
+
+def test_stream_stream_left_outer_matches_batch(ray_session, tmp_path):
+    from vaero_ray.streaming.join_job import StreamingJoinJob
+
+    ld, rdir, lall, rall = _mk_streams(tmp_path, seed=19)
+    job = StreamingJoinJob(
+        left_dir=ld,
+        right_dir=rdir,
+        out_dir=str(tmp_path / "o" / "out"),
+        ckpt_dir=str(tmp_path / "o" / "ckpt"),
+        key="k",
+        within_s=600,
+        left_cols=["view_id"],
+        right_cols=["buy_id", "amount"],
+        num_partitions=3,
+        join_type="left_outer",
+        left_id_col="view_id",
+    )
+    job.run()
+    got = (
+        job.committed_output()
+        .to_pandas()
+        .sort_values(["k", "ts_l", "view_id", "ts_r", "buy_id"], ignore_index=True)[
+            ["k", "ts_l", "ts_r", "view_id", "buy_id", "amount"]
+        ]
+    )
+    m = lall.merge(rall, on="k", suffixes=("_l", "_r"), how="left")
+    d = (m["ts_r"] - m["ts_l"]).dt.total_seconds()
+    inner = m[(d >= 0) & (d <= 600)]
+    unmatched = lall[~lall["view_id"].isin(inner["view_id"])]
+    exp = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "k": inner["k"], "ts_l": inner["ts_l"], "ts_r": inner["ts_r"],
+                    "view_id": inner["view_id"], "buy_id": inner["buy_id"],
+                    "amount": inner["amount"],
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "k": unmatched["k"], "ts_l": unmatched["ts"],
+                    "ts_r": pd.NaT, "view_id": unmatched["view_id"],
+                    "buy_id": pd.NA, "amount": pd.NA,
+                }
+            ),
+        ],
+        ignore_index=True,
+    ).sort_values(["k", "ts_l", "view_id", "ts_r", "buy_id"], ignore_index=True)
+    assert len(got) == len(exp)
+    assert got["view_id"].tolist() == exp["view_id"].tolist()
+    # every left row appears; matched rows carry their pairs, unmatched
+    # exactly one null-right row
+    gm = got[got["buy_id"].notna()]
+    ge = got[got["buy_id"].isna()]
+    assert sorted(ge["view_id"].tolist()) == sorted(unmatched["view_id"].tolist())
+    assert gm["buy_id"].astype("int64").tolist() == exp[exp["buy_id"].notna()]["buy_id"].astype("int64").tolist()
+    # a left row matched only by a LATER epoch's right must NOT be in the
+    # outer set — cross-epoch matches exist in this fixture
+    cross = inner[inner["buy_id"] // 300 > inner["view_id"] // 300]["view_id"]
+    assert len(cross) and not ge["view_id"].isin(cross).any()

@@ -832,6 +832,52 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def q_streaming_interval_join_outer(sf_dir: str):
+    """LEFT OUTER stream-stream join (Spark's outer stream-stream-join
+    rule): a view with no purchase within 30 minutes emits ONCE with a
+    null right side — at EVICTION time, when the watermark proves no
+    future purchase can match it. The matched-ever flag rides the left
+    state snapshot across epochs, so a view matched by a LATER epoch's
+    purchase never appears in the outer set."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming.join_job import StreamingJoinJob
+
+    q_streaming_interval_join(sf_dir)  # ensure the shared fixture exists
+    base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/ssjoin"
+    ind = os.path.join(base, "in")
+    out_d, ckpt_d = f"{base}/outer_out", f"{base}/outer_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingJoinJob(
+        left_dir=f"{ind}/L",
+        right_dir=f"{ind}/R",
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        key="user_id",
+        within_s=1800,
+        left_cols=["view_id"],
+        right_cols=["purchase_id"],
+        allowed_lateness_s=1,
+        num_partitions=4,
+        join_type="left_outer",
+        left_id_col="view_id",
+    )
+    job.run()
+    return job.committed_output().rename_columns({"ts_l": "view_ts", "ts_r": "purchase_ts"})
+
+
+SQL_STREAMING_JOIN_OUTER = """
+SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+       v.event_id AS view_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_top10_orders(sf_dir: str):
     """Global top-k: Ray Data sort (range-partitioned shuffle) + limit.
     Ties broken by o_orderkey so the answer is deterministic."""
@@ -3565,6 +3611,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_funnel": q_streaming_funnel,
     "streaming_dedup_events": q_streaming_dedup_events,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_interval_join_outer": q_streaming_interval_join_outer,
     "conv_response_latency": q_conv_response_latency,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
@@ -3675,6 +3722,7 @@ ORACLES: dict[str, str] = {
     "streaming_funnel": SQL_STREAMING_FUNNEL,
     "streaming_dedup_events": SQL_STREAMING_DEDUP,
     "streaming_interval_join": SQL_STREAMING_JOIN,
+    "streaming_interval_join_outer": SQL_STREAMING_JOIN_OUTER,
     "conv_response_latency": SQL_RESPONSE_LATENCY,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,

@@ -79,11 +79,24 @@ class StreamingJoinJob:
     num_partitions: int = 8
     max_files_per_epoch: int = 1  # per side
     extra_read_kw: dict = field(default_factory=dict)
+    # "inner" | "left_outer". Outer: a left row that never matched emits
+    # ONCE with a null right side — at EVICTION time, when the watermark
+    # proves no future right row can match it (the Spark outer
+    # stream-stream-join rule: outer results wait for the watermark).
+    # Requires left_id_col (a unique id among left_cols) so the matched
+    # flag tracks identity across epochs in the state snapshot.
+    join_type: str = "inner"
+    left_id_col: "str | None" = None
 
     def __post_init__(self):
         self.store = CheckpointStore(self.ckpt_dir)
         if set(self.left_cols) & set(self.right_cols):
             raise ValueError("left_cols and right_cols must be disjoint")
+        if self.join_type not in ("inner", "left_outer"):
+            raise ValueError(f"unknown join_type {self.join_type!r}")
+        if self.join_type == "left_outer":
+            if self.left_id_col is None or self.left_id_col not in self.left_cols:
+                raise ValueError("left_outer requires left_id_col (one of left_cols)")
         # footer schemas, read ONCE at init: (a) the union-schema types
         # for null-padding (a finalize epoch may see only ONE side's
         # state snapshot, which cannot define the other side's columns),
@@ -160,6 +173,7 @@ class StreamingJoinJob:
 
         within_us = self.within_s * US
         lat_us = self.allowed_lateness_s * US
+        outer = self.join_type == "left_outer"
         all_cols = [self.key, self.ts_col] + list(self.left_cols) + list(self.right_cols)
         # union-schema types: init-time footer schemas, backfilled from
         # this epoch's files for any column the init dirs lacked
@@ -170,6 +184,11 @@ class StreamingJoinJob:
                 for c in all_cols:
                     if c in sch.names and c not in types:
                         types[c] = sch.field(c).type
+        if outer:
+            # matched-ever flag: null-padded on live left rows (-> 0),
+            # carried natively in the L state snapshot across epochs
+            all_cols = all_cols + ["__matched"]
+            types["__matched"] = pa.int8()
         parts: list = []
         rows_in = 0
         live: dict = {}
@@ -214,7 +233,7 @@ class StreamingJoinJob:
         unioned = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
         key, ts_col = self.key, self.ts_col
         lcols, rcols = list(self.left_cols), list(self.right_cols)
-        int_cols = self._int_cols
+        int_cols, left_id_col = self._int_cols, self.left_id_col
         out_dir, state_dir = self.out_dir, self.store.state_path_for(epoch)
 
         def tag(tbl: pa.Table) -> pa.Table:
@@ -240,6 +259,10 @@ class StreamingJoinJob:
 
             l_all = side_frame(0, lcols)
             r_all = side_frame(1, rcols)
+            if outer:
+                # live left rows were null-padded -> NaN; state carries 0/1
+                mcol = df[df["__side"] == 0]["__matched"]
+                l_all = l_all.assign(__matched=mcol.fillna(0).astype(np.int8).to_numpy())
             new_m = (df["__st"] == 0).to_numpy()
             l_new = l_all[new_m[df["__side"].to_numpy() == 0]]
             r_new = r_all[new_m[df["__side"].to_numpy() == 1]]
@@ -249,6 +272,8 @@ class StreamingJoinJob:
             def join(lf_: pd.DataFrame, rf_: pd.DataFrame) -> pd.DataFrame:
                 if not len(lf_) or not len(rf_):
                     return pd.DataFrame()
+                if outer:
+                    lf_ = lf_.drop(columns=["__matched"])
                 m = lf_.merge(rf_, on=key, suffixes=("_l", "_r"))
                 d = m["__tsus_r"] - m["__tsus_l"]
                 return m[(d >= 0) & (d <= within_us)]
@@ -258,23 +283,43 @@ class StreamingJoinJob:
                 ignore_index=True,
             )
             recs = []
+            out_frames = []
             if len(pairs):
                 out = pd.DataFrame({key: pairs[key]})
                 out["ts_l"] = pairs["__tsus_l"].to_numpy().astype("datetime64[us]")
                 out["ts_r"] = pairs["__tsus_r"].to_numpy().astype("datetime64[us]")
                 for c in lcols + rcols:
                     out[c] = pairs[c].to_numpy()
-                path, sha, rows = write_partition_file(out, out_dir, bucket, epoch)
-                recs.append(("out", bucket, rows, path, sha))
+                out_frames.append(out)
 
             # eviction under the NEW global watermark; each side's
             # snapshot keeps its NATIVE schema (no null padding on disk)
-            for tag_, frame, keep_cols, keep_mask in (
-                ("L", pd.concat([l_buf, l_new], ignore_index=True), lcols, None),
-                ("R", pd.concat([r_buf, r_new], ignore_index=True), rcols, None),
+            l_keep_all = pd.concat([l_buf, l_new], ignore_index=True)
+            if outer and len(l_keep_all):
+                hit = l_keep_all[left_id_col].isin(pairs[left_id_col].unique() if len(pairs) else [])
+                l_keep_all = l_keep_all.assign(
+                    __matched=(l_keep_all["__matched"].astype(bool) | hit).astype(np.int8)
+                )
+            for tag_, frame, keep_cols in (
+                ("L", l_keep_all, lcols + (["__matched"] if outer else [])),
+                ("R", pd.concat([r_buf, r_new], ignore_index=True), rcols),
             ):
                 if tag_ == "L":
-                    frame = frame[frame["__tsus"] + within_us > new_wm]
+                    keep = frame["__tsus"] + within_us > new_wm
+                    if outer:
+                        # outer result: left rows proven unmatchable emit
+                        # ONCE, with a null right side, at eviction time
+                        ev = frame[~keep & (frame["__matched"] == 0)]
+                        if len(ev):
+                            out = pd.DataFrame({key: ev[key]})
+                            out["ts_l"] = ev["__tsus"].to_numpy().astype("datetime64[us]")
+                            out["ts_r"] = pd.Series(pd.NaT, index=ev.index, dtype="datetime64[us]").to_numpy()
+                            for c in lcols:
+                                out[c] = ev[c].to_numpy()
+                            for c in rcols:
+                                out[c] = None
+                            out_frames.append(out)
+                    frame = frame[keep]
                 else:
                     frame = frame[frame["__tsus"] > new_wm]
                 if len(frame):
@@ -286,6 +331,16 @@ class StreamingJoinJob:
                         snap, os.path.join(state_dir, tag_), bucket, epoch
                     )
                     recs.append((f"state{tag_}", bucket, rows, path, sha))
+            if out_frames:
+                out = pd.concat(out_frames, ignore_index=True)
+                if outer:
+                    # nullable Int64 keeps right ints int64-typed in Arrow
+                    # (NaN-degraded float64 would change the output schema)
+                    for c in rcols:
+                        if c in int_cols:
+                            out[c] = out[c].astype("Int64")
+                path, sha, rows = write_partition_file(out, out_dir, bucket, epoch)
+                recs.append(("out", bucket, rows, path, sha))
             return pd.DataFrame(
                 recs + [("late", bucket, n_late, "", "")],
                 columns=["kind", "partition", "rows", "path", "sha256"],
