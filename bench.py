@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "p90_length_per_source",        # exact grouped p90 (rational-index element pick)
     "modal_event_per_user",         # exact grouped mode (partial-count exchange)
     "mad_length_per_source",        # grouped median absolute deviation (2-pass, broadcast medians)
+    "length_profile_per_source",    # p10/median/p90 profile (one sort, three element picks)
     "cohort_retention",             # retention triangle (self-join + distinct fused in user buckets)
     "length_fixed_histogram",       # exact fixed-width histogram (bincount partials)
     "event_percent_rank",           # PERCENT_RANK + CUME_DIST (one-sort rank kernel)

@@ -278,3 +278,31 @@ def test_merge_backend_parity(ray_session):
     a = canon(merge_partials(part, ["k"], aggs, 600, "w", backend="native"))
     b = canon(merge_partials(part, ["k"], aggs, 600, "w", backend="bucketed", num_buckets=3))
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+
+def test_grouped_percentiles_matches_single(ray_session):
+    """Multi-quantile profile must equal grouped_percentile run per q."""
+    from vaero_ray.stages.relational import grouped_percentile, grouped_percentiles
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "g": [f"g{v}" for v in rng.integers(0, 7, 1500)],
+            "x": rng.integers(0, 10_000, 1500).astype(np.int64),
+        }
+    )
+    blocks = [df.iloc[i::4] for i in range(4)]
+    prof = (
+        grouped_percentiles(rd.from_pandas(blocks), "g", "x", [(0, 1), (1, 2), (1, 1)], num_buckets=3)
+        .to_pandas()
+        .sort_values(["g", "q_permille"], ignore_index=True)
+    )
+    for q_num, q_den, label in ((0, 1, 0), (1, 2, 500), (1, 1, 1000)):
+        one = (
+            grouped_percentile(rd.from_pandas(blocks), "g", "x", q_num, q_den, out="value", num_buckets=3)
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        sub = prof[prof["q_permille"] == label].reset_index(drop=True)
+        assert sub["value"].tolist() == one["value"].tolist()
+        assert sub["n_rows"].tolist() == one["n_rows"].tolist()

@@ -284,10 +284,19 @@ def q_conv_response_latency(sf_dir: str):
     contributes ts - prev_ts; lag derivation AND the per-conversation
     aggregate run inside ONE conv_id bucket kernel — only final aggregate
     rows leave any task (a LAG stage then a GROUP BY stage would shuffle
-    the turns twice)."""
+    the turns twice). Uses the STATELESS transcript derivation and
+    orders by (ts, event_id) inside the bucket — identical to turn_idx
+    order by construction, skipping the turn-numbering shuffle
+    (flagship lesson: don't pay a shuffle for numbering you re-derive)."""
+    from vaero_ray.pipelines.derived import _prep
     from vaero_ray.stages.stitch import response_latency
 
-    return response_latency(derive_transcripts(sf_dir))
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(["conv_id", "role", "ts", "event_id"])
+    return response_latency(ds, order=["ts", "event_id"])
 
 
 SQL_RESPONSE_LATENCY = f"""
@@ -3323,6 +3332,28 @@ GROUP BY 1, 2
 """
 
 
+def q_length_profile_per_source(sf_dir: str):
+    """p10 / median / p90 of document length per source in ONE bucketed
+    shuffle (the corpus length-profile view): the sort and segment
+    offsets are shared, each quantile is just another element pick."""
+    from vaero_ray.stages.relational import grouped_percentiles
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return grouped_percentiles(ds, "source", "n_chars", [(1, 10), (1, 2), (9, 10)], num_buckets=8)
+
+
+SQL_LENGTH_PROFILE = r"""
+WITH r AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+q(nu, de) AS (VALUES (1, 10), (1, 2), (9, 10))
+SELECT source, CAST(nu * 1000 // de AS BIGINT) AS q_permille,
+       CAST(n_chars AS BIGINT) AS value, CAST(n AS BIGINT) AS n_rows
+FROM r JOIN q ON rn = (n - 1) * nu // de + 1
+"""
+
+
 def q_modal_event_per_user(sf_dir: str):
     """Exact mode of event_type per user (ties -> smallest value):
     per-batch partial counts collapse the exchange to distinct
@@ -3651,6 +3682,7 @@ QUERIES: dict[str, QueryFn] = {
     "p90_length_per_source": q_p90_length_per_source,
     "modal_event_per_user": q_modal_event_per_user,
     "mad_length_per_source": q_mad_length_per_source,
+    "length_profile_per_source": q_length_profile_per_source,
     "cohort_retention": q_cohort_retention,
     "length_fixed_histogram": q_length_fixed_histogram,
     "event_percent_rank": q_event_percent_rank,
@@ -3762,6 +3794,7 @@ ORACLES: dict[str, str] = {
     "p90_length_per_source": SQL_GROUPED_P90,
     "modal_event_per_user": SQL_MODE,
     "mad_length_per_source": SQL_MAD,
+    "length_profile_per_source": SQL_LENGTH_PROFILE,
     "cohort_retention": SQL_COHORT,
     "length_fixed_histogram": SQL_FIXED_HIST,
     "event_percent_rank": SQL_PERCENT_RANK,

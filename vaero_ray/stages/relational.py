@@ -619,3 +619,51 @@ def cohort_counts(
 
     partials = bucketed_map_groups(ds, user_col, per_bucket, num_buckets)
     return bucketed_keyed_sum(partials, ["cohort_day", "day"], ["n_users"], num_buckets=8)
+
+
+def grouped_percentiles(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    qs: "list[tuple[int, int]]",
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """SEVERAL exact lower percentiles per key in ONE bucketed shuffle —
+    the corpus profile view (p10/median/p90 of document length per
+    source) without one scan per quantile: the per-bucket sort and
+    segment offsets are computed once, then each rational ``(q_num,
+    q_den)`` is just another element pick over the same offsets.
+    Output: one row per (key, q) — ``key, q_permille, value, n_rows``
+    (q labeled as integer permille, values exact elements of the input,
+    so results hash identically across engines)."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    for q_num, q_den in qs:
+        if not (0 <= q_num <= q_den) or q_den <= 0:
+            raise ValueError("grouped_percentiles: need 0 <= q_num/q_den <= 1")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, value_col], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1])) if len(codes) else []
+        )
+        lens = np.diff(np.append(starts, len(codes)))
+        keys = df[key].to_numpy()[starts]
+        vals = df[value_col].to_numpy()
+        outs = []
+        for q_num, q_den in qs:
+            pick = starts + (lens - 1) * q_num // q_den
+            outs.append(
+                pd.DataFrame(
+                    {
+                        key: keys,
+                        "q_permille": np.full(len(starts), q_num * 1000 // q_den, np.int64),
+                        "value": vals[pick],
+                        "n_rows": lens.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)

@@ -116,7 +116,7 @@ def stitch_exchanges(
 def response_latency(
     ds: rd.Dataset,
     key: str = "conv_id",
-    order: str = "turn_idx",
+    order: "str | list" = "turn_idx",
     role: str = "role",
     ts: str = "ts",
     from_role: str = "user",
@@ -142,8 +142,10 @@ def response_latency(
     """
     import numpy as np
 
+    order_cols = [order] if isinstance(order, str) else list(order)
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, order], kind="mergesort")
+        df = df.sort_values([key] + order_cols, kind="mergesort")
         k = df[key].to_numpy()
         r = df[role].to_numpy()
         t = df[ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
