@@ -306,3 +306,14 @@ def test_grouped_percentiles_matches_single(ray_session):
         sub = prof[prof["q_permille"] == label].reset_index(drop=True)
         assert sub["value"].tolist() == one["value"].tolist()
         assert sub["n_rows"].tolist() == one["n_rows"].tolist()
+
+
+def test_derive_prefix_empty_batch():
+    """A branch filter can drop a WHOLE batch; the sink prefix derivation
+    must pass the empty table through (pc.sum of empty is null)."""
+    from vaero_ray.sinks.parquet_sink import PREFIX_COL, derive_prefix
+
+    tbl = pa.table({"x": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us"))})
+    out = derive_prefix(tbl, "ts", "%Y-%m")
+    assert out.num_rows == 0 and PREFIX_COL in out.column_names

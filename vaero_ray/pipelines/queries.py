@@ -841,6 +841,57 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def q_streaming_transform_route(sf_dir: str):
+    """The reference's WHOLE execution loop — tap -> transform chain ->
+    route (fan-out branches) -> prefix-bucketed sink — as the
+    exactly-once StreamingTransformJob, under the SQL oracle (this loop
+    previously had pytest-only parity): branch A keeps views, branch B
+    keeps purchase/signup with `signup` masked to `join`; both routes
+    are unioned for the compare. Where the reference loses in-flight
+    buffers on crash (at-most-once), a crash here reruns the epoch
+    byte-identically."""
+    import os
+    import shutil
+
+    from vaero_ray.dsl import Vaero
+    from vaero_ray.streaming.transform_job import StreamingTransformJob
+
+    ind = _stream_chunks(
+        sf_dir, "transform_route/in", ["event_id", "user_id", "event_type", "ts"]
+    )
+    base = os.path.dirname(ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    Vaero.reset()
+    src = Vaero().source("parquet", path="unused")
+    src.filter_regexp("event_type", "^view$").add("route", "A").sink(
+        "s3", timestamp_key="ts", filename_prefix="%Y-%m"
+    )
+    src.filter_regexp("event_type", "^(purchase|signup)$").mask(
+        "event_type", "^signup$", "join"
+    ).add("route", "B").sink("s3", timestamp_key="ts", filename_prefix="%Y-%m")
+    job = StreamingTransformJob(
+        input_dir=ind, out_dir=out_d, ckpt_dir=ckpt_d, graph=Vaero.start()
+    )
+    job.run()
+    cols = ["event_id", "user_id", "event_type", "ts", "route"]
+    a = job.committed_output("b0_s3").select_columns(cols)
+    b = job.committed_output("b1_s3").select_columns(cols)
+    return a.union(b)
+
+
+SQL_STREAMING_TRANSFORM = """
+SELECT event_id, user_id, event_type, ts, 'A' AS route
+FROM events WHERE regexp_matches(event_type, '^view$')
+UNION ALL
+SELECT event_id, user_id,
+       regexp_replace(event_type, '^signup$', 'join', 'g') AS event_type,
+       ts, 'B' AS route
+FROM events WHERE regexp_matches(event_type, '^(purchase|signup)$')
+"""
+
+
 def q_streaming_interval_join_outer(sf_dir: str):
     """LEFT OUTER stream-stream join (Spark's outer stream-stream-join
     rule): a view with no purchase within 30 minutes emits ONCE with a
@@ -3643,6 +3694,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_events": q_streaming_dedup_events,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
+    "streaming_transform_route": q_streaming_transform_route,
     "conv_response_latency": q_conv_response_latency,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
@@ -3755,6 +3807,7 @@ ORACLES: dict[str, str] = {
     "streaming_dedup_events": SQL_STREAMING_DEDUP,
     "streaming_interval_join": SQL_STREAMING_JOIN,
     "streaming_interval_join_outer": SQL_STREAMING_JOIN_OUTER,
+    "streaming_transform_route": SQL_STREAMING_TRANSFORM,
     "conv_response_latency": SQL_RESPONSE_LATENCY,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,

@@ -68,7 +68,9 @@ def derive_prefix(tbl: pa.Table, timestamp_key: str = "timestamp", filename_pref
         return tbl.slice(0, 0).append_column(PREFIX_COL, pa.array([], pa.string()))
     ts = _parse_ts(tbl.column(timestamp_key))
     ok = pc.is_valid(ts)
-    n_bad = tbl.num_rows - pc.sum(pc.cast(ok, pa.int64())).as_py()
+    # `or 0`: pc.sum of an EMPTY array is null -> as_py() None; a branch
+    # filter that drops a whole batch reaches here with 0 rows
+    n_bad = tbl.num_rows - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
     if n_bad:
         logger.warning("sink: dropping %d rows with unparseable %r", n_bad, timestamp_key)
     # strftime directory prefix; '/' separators become partition dirs
