@@ -825,10 +825,7 @@ def q_streaming_interval_join(sf_dir: str):
         num_partitions=4,
     )
     job.run()
-    out = job.committed_output()
-    return out.rename_columns(
-        {"ts_l": "view_ts", "ts_r": "purchase_ts"}
-    ) if hasattr(out, "rename_columns") else out
+    return job.committed_output().rename_columns({"ts_l": "view_ts", "ts_r": "purchase_ts"})
 
 
 SQL_STREAMING_JOIN = """
