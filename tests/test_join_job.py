@@ -257,3 +257,40 @@ def test_stream_stream_join_crash_midepoch_idempotent(ray_session, tmp_path):
         _canon(clean.committed_output().to_pandas()),
         _canon(resumed.committed_output().to_pandas()),
     )
+
+
+def test_stream_stream_join_hot_key_chunked(ray_session, tmp_path, monkeypatch):
+    """A single celebrity key (every row shares it) must still produce the
+    exact pair set while the merge runs in bounded chunks."""
+    n = 4000
+    ld, rdir = tmp_path / "HL", tmp_path / "HR"
+    ld.mkdir(), rdir.mkdir()
+    rng = np.random.default_rng(41)
+    lt = np.sort(rng.integers(0, 5000, n))
+    rt = np.sort(rng.integers(0, 5000, n))
+    ldf = pd.DataFrame(
+        {"k": np.zeros(n, np.int64),
+         "ts": pd.to_datetime(lt, unit="s").astype("datetime64[us]"),
+         "view_id": np.arange(n, dtype=np.int64)}
+    )
+    rdf = pd.DataFrame(
+        {"k": np.zeros(n, np.int64),
+         "ts": pd.to_datetime(rt, unit="s").astype("datetime64[us]"),
+         "buy_id": np.arange(n, dtype=np.int64),
+         "amount": np.ones(n, np.int64)}
+    )
+    pq.write_table(pa.Table.from_pandas(ldf, preserve_index=False), str(ld / "c0.parquet"))
+    pq.write_table(pa.Table.from_pandas(rdf, preserve_index=False), str(rdir / "c0.parquet"))
+    from vaero_ray.streaming import join_job as jj
+
+    job = jj.StreamingJoinJob(
+        left_dir=str(ld), right_dir=str(rdir),
+        out_dir=str(tmp_path / "hot" / "out"), ckpt_dir=str(tmp_path / "hot" / "ckpt"),
+        key="k", within_s=600, left_cols=["view_id"], right_cols=["buy_id", "amount"],
+        num_partitions=2,
+    )
+    job.run()
+    got = _canon(job.committed_output().to_pandas())
+    exp = _expected(ldf, rdf, 600)
+    # 4000x4000 = 16M unfiltered candidates > the 4M cap -> chunked path
+    pd.testing.assert_frame_equal(got, exp)

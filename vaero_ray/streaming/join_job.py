@@ -274,9 +274,28 @@ class StreamingJoinJob:
                     return pd.DataFrame()
                 if outer:
                     lf_ = lf_.drop(columns=["__matched"])
-                m = lf_.merge(rf_, on=key, suffixes=("_l", "_r"))
-                d = m["__tsus_r"] - m["__tsus_l"]
-                return m[(d >= 0) & (d <= within_us)]
+
+                def one(chunk: pd.DataFrame) -> pd.DataFrame:
+                    m = chunk.merge(rf_, on=key, suffixes=("_l", "_r"))
+                    d = m["__tsus_r"] - m["__tsus_l"]
+                    return m[(d >= 0) & (d <= within_us)]
+
+                # hot-key guard (range_join's bounded-temporaries rule): a
+                # celebrity key makes the UNFILTERED merge product blow up
+                # even when the time filter keeps little; chunk the left
+                # side so each temp stays ~CAND_CAP candidate rows. Output
+                # exact regardless (chunks are a partition of lf_).
+                rcnt = rf_[key].value_counts()
+                est = int(lf_[key].map(rcnt).fillna(0).sum())
+                CAND_CAP = 4_000_000
+                if est <= CAND_CAP:
+                    return one(lf_)
+                n_chunks = -(-est // CAND_CAP)
+                step = -(-len(lf_) // n_chunks)
+                return pd.concat(
+                    [one(lf_.iloc[i : i + step]) for i in range(0, len(lf_), step)],
+                    ignore_index=True,
+                )
 
             pairs = pd.concat(
                 [join(l_new, pd.concat([r_buf, r_new], ignore_index=True)), join(l_buf, r_new)],
