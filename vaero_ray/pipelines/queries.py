@@ -317,6 +317,99 @@ GROUP BY conv_id
 """
 
 
+def q_conv_fingerprint_dedup(sf_dir: str):
+    """CONVERSATION-level exact dedup: an order-sensitive mergeable
+    fingerprint (per-turn ``(text_hash+1) * 131^turn_idx`` mod M31,
+    summed per conversation) identifies conversations whose full turn
+    sequence repeats, and the keep-min rule drops the copies. The
+    event-id prefix is stripped from the text first, so two
+    conversations that replay the same (event_type, props) sequence on
+    different days genuinely collide — the transcript analogue of
+    exact_dedup_docs. Text is hashed STATELESS before the conv shuffle
+    (the exchange moves int64 hashes, not text); turn order is derived
+    in-bucket from (ts, event_id), skipping the turn-numbering shuffle."""
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.convstats import conv_fingerprint, dedup_by_fingerprint, turn_hash
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hash_stage(tbl: pa.Table) -> pa.Table:
+        stripped = pc.replace_substring_regex(tbl.column("text"), r"^event \d+ ", "")
+        tmp = turn_hash(pa.table({"__t": stripped}), "__t")
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "th": tmp.column("th"),
+            }
+        )
+
+    ds = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    fps = conv_fingerprint(ds, key="conv_id", order=["ts", "event_id"])
+    return dedup_by_fingerprint(fps)
+
+
+SQL_CONV_FP_DEDUP = f"""
+WITH {TRANSCRIPTS_CTE}, s AS (
+  SELECT conv_id, turn_idx,
+    lower(regexp_replace(regexp_replace(text, '^event \\d+ ', ''), '\\s+', ' ', 'g')) AS norm
+  FROM transcripts
+), h AS (
+  SELECT conv_id, turn_idx,
+    (CASE WHEN length(norm) = 0 THEN 0 ELSE
+      list_reduce([CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT)
+                   FOR i IN range(1, length(norm)+1)],
+                  (a,c) -> (a*31+c) % 1099511627689) END) % 2147483647 AS th
+  FROM s
+), t AS (
+  SELECT conv_id,
+    ((th + 1) * list_reduce([CAST(1 AS BIGINT)] ||
+        [CAST(131 AS BIGINT) FOR i IN range(1, turn_idx + 1)],
+        (a,c) -> (a*c) % 2147483647)) % 2147483647 AS term
+  FROM h
+), f AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         CAST(SUM(term) % 2147483647 AS BIGINT) AS conv_fp
+  FROM t GROUP BY conv_id
+)
+SELECT MIN(conv_id) AS conv_id, n_turns, conv_fp
+FROM f GROUP BY conv_fp, n_turns
+"""
+
+
+def q_conv_role_violations(sf_dir: str):
+    """Turn-taking CEP over transcripts: per conversation, count adjacent
+    turn pairs with the SAME role (a well-formed agent transcript
+    alternates; violations flag duplicated or mis-stitched turns). One
+    conv-bucketed shuffle; lag compare and the per-conv aggregate run in
+    the bucket kernel, so only aggregate rows leave any task."""
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.convstats import alternation_stats
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(["conv_id", "role", "ts", "event_id"])
+    return alternation_stats(ds, key="conv_id", order=["ts", "event_id"])
+
+
+SQL_CONV_ROLE_VIOLATIONS = f"""
+WITH {TRANSCRIPTS_CTE}, l AS (
+  SELECT conv_id,
+         CASE WHEN role = LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 1 ELSE 0 END AS v
+  FROM transcripts
+)
+SELECT conv_id, COUNT(*) AS n_turns, CAST(SUM(v) AS BIGINT) AS n_violations
+FROM l GROUP BY conv_id
+"""
+
+
 def q_flagship_windowed_route(sf_dir: str):
     """The headline pipeline: transcripts -> Vaero transform chain (mask
     PII emails, route user/assistant turns) -> tumbling 1h windowed
@@ -3693,6 +3786,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_interval_join_outer": q_streaming_interval_join_outer,
     "streaming_transform_route": q_streaming_transform_route,
     "conv_response_latency": q_conv_response_latency,
+    "conv_fingerprint_dedup": q_conv_fingerprint_dedup,
+    "conv_role_violations": q_conv_role_violations,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
     "views_in_purchase_window": q_views_in_purchase_window,
@@ -3806,6 +3901,8 @@ ORACLES: dict[str, str] = {
     "streaming_interval_join_outer": SQL_STREAMING_JOIN_OUTER,
     "streaming_transform_route": SQL_STREAMING_TRANSFORM,
     "conv_response_latency": SQL_RESPONSE_LATENCY,
+    "conv_fingerprint_dedup": SQL_CONV_FP_DEDUP,
+    "conv_role_violations": SQL_CONV_ROLE_VIOLATIONS,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,
     "views_in_purchase_window": SQL_RANGE_JOIN,
