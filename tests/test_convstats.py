@@ -115,3 +115,30 @@ def test_alternation_stats(ray_session):
     assert out["conv_id"].tolist() == ["a", "b", "c"]
     assert out["n_turns"].tolist() == [4, 3, 1]
     assert out["n_violations"].tolist() == [2, 0, 0]
+
+
+def test_heavy_hitters_adversarial_split(ray_session):
+    """A value can sit just UNDER the local threshold in most blocks and
+    still be a global heavy hitter — the averaging argument says it must
+    clear the threshold in at least one block; verify no false negatives
+    and that counts are exact."""
+    from vaero_ray.stages.sketch import heavy_hitters
+
+    # 10 blocks of 100 rows. Value 7 appears 11x in one block and 9x in
+    # the other nine (92 total, n=1000, k=10 -> threshold 100: NOT heavy).
+    # Value 3 appears 15x in every block (150: heavy). Filler values are
+    # spread so none qualifies.
+    blocks = []
+    rng = np.random.default_rng(5)
+    for b in range(10):
+        n7 = 11 if b == 0 else 9
+        rows = [7] * n7 + [3] * 15
+        rows += list(1000 + rng.permutation(100 - len(rows)) + b * 1000)
+        blocks.append(pd.DataFrame({"user_id": np.array(rows, dtype=np.int64)}))
+    out = heavy_hitters(rd.from_pandas(blocks), "user_id", k=10).to_pandas()
+    assert out["user_id"].tolist() == [3]
+    assert out["n_events"].tolist() == [150]
+
+    # k=6 -> threshold 1000/6 = 166.7: nothing qualifies -> empty output
+    out2 = heavy_hitters(rd.from_pandas(blocks), "user_id", k=6).to_pandas()
+    assert len(out2) == 0

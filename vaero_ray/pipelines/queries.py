@@ -3721,6 +3721,99 @@ SELECT occurrences, CAST(COUNT(*) AS BIGINT) AS n_terms FROM c GROUP BY 1
 """
 
 
+def q_heavy_hitter_users(sf_dir: str):
+    """EXACT phi-heavy hitters over events.user_id (count > n/k): the
+    sketch-prune + exact-verify pattern — per-block local-threshold
+    candidates (averaging argument: no global heavy hitter can be below
+    threshold in every block), candidate set broadcast once via
+    ray.put, exact counts of candidates only, threshold on the exact
+    totals. The exchange is bounded by (k-1) values per block at any
+    corpus size."""
+    from vaero_ray.stages.sketch import heavy_hitters
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", k=140)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+HAVING COUNT(*) * 140 > (SELECT COUNT(*) FROM events)
+"""
+
+
+def q_streaming_topk_terms(sf_dir: str):
+    """STREAMING per-window top-k: the hourly trending-terms view,
+    composed from existing machinery — a stateless tokenizer expansion
+    (one row per term occurrence), the exactly-once windowed job keyed
+    by term with a count aggregate (term counts are sum-mergeable, so
+    partials merge associatively across epochs), and a batch
+    top-k-per-group finisher over the COMMITTED output (ties: count
+    desc, term asc). Top-k itself is not a mergeable aggregate — the
+    engine's composition keeps the mergeable part streaming and the
+    non-mergeable finisher on the tiny committed table, which is the
+    correct split at any scale."""
+    import os
+    import shutil
+
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.ranking import top_k_per_group
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = _stream_chunks(
+        sf_dir, "topk_terms_in", ["event_id", "ts", "user_id", "event_type", "props"]
+    )
+    base = os.path.dirname(ind)
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def tokenize(tbl: pa.Table) -> pa.Table:
+            t = _prep(tbl)
+            txt = pc.utf8_lower(t.column("text").combine_chunks())
+            toks = pc.split_pattern(txt, " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = pc.list_flatten(toks)
+            par = pc.list_parent_indices(toks)
+            return pa.table({"term": flat, "ts": t.column("ts").take(par)})
+
+        return ds.map_batches(tokenize, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_d, ckpt_d = f"{base}/topk_terms_out", f"{base}/topk_terms_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["term"],
+        aggs=[AggSpec(None, "count", "n")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+    return top_k_per_group(
+        job.committed_output(), group_col="window_start", order_col="n",
+        k=5, tie_col="term", num_buckets=16,
+    )
+
+
+SQL_STREAMING_TOPK_TERMS = f"""
+WITH {TRANSCRIPTS_CTE}, tok AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         UNNEST(regexp_split_to_array(lower(text), ' ')) AS term
+  FROM transcripts
+), c AS (
+  SELECT term, window_start, COUNT(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT term, window_start, n FROM (
+  SELECT term, window_start, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, term) AS rn
+  FROM c) WHERE rn <= 5
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -3788,6 +3881,8 @@ QUERIES: dict[str, QueryFn] = {
     "conv_response_latency": q_conv_response_latency,
     "conv_fingerprint_dedup": q_conv_fingerprint_dedup,
     "conv_role_violations": q_conv_role_violations,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    "streaming_topk_terms": q_streaming_topk_terms,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
     "views_in_purchase_window": q_views_in_purchase_window,
@@ -3903,6 +3998,8 @@ ORACLES: dict[str, str] = {
     "conv_response_latency": SQL_RESPONSE_LATENCY,
     "conv_fingerprint_dedup": SQL_CONV_FP_DEDUP,
     "conv_role_violations": SQL_CONV_ROLE_VIOLATIONS,
+    "heavy_hitter_users": SQL_HEAVY_HITTERS,
+    "streaming_topk_terms": SQL_STREAMING_TOPK_TERMS,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,
     "views_in_purchase_window": SQL_RANGE_JOIN,

@@ -517,3 +517,75 @@ def fixed_histogram(
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int) -> rd.Dataset:
+    """EXACT phi-heavy hitters: every ``col`` value whose global count
+    strictly exceeds n/k, with its exact count — the sketch-prune +
+    exact-verify pattern (Misra-Gries / space-saving family) that keeps
+    the exchange bounded at any corpus size.
+
+    Pass 1 (prune): each block emits values whose LOCAL count exceeds
+    block_n/k. By the averaging argument, sum(c_b) > sum(n_b)/k implies
+    c_b > n_b/k in at least one block, so the union of local candidates
+    contains EVERY global heavy hitter (no false negatives) and each
+    block emits at most k-1 rows — the same guarantee a merged
+    Misra-Gries summary gives, in one vectorized np.unique pass with no
+    counter-decrement loop.
+
+    Pass 2 (verify): the candidate set (<= k-1 per block, deduped) is
+    broadcast via ray.put; each block counts ONLY candidates, a tiny
+    keyed sum merges, and the n/k threshold filters on exact totals —
+    false positives from the prune die here. n comes from dataset
+    metadata (ds.count()), not a scan.
+
+    Output: ``(col, n_events)`` for qualifying values. Everything is
+    integer counts, so results hash identically to the SQL
+    ``GROUP BY .. HAVING COUNT(*) * k > n`` oracle.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if k <= 1:
+        raise ValueError("heavy_hitters: k must be > 1")
+
+    def local_candidates(tbl: pa.Table) -> pa.Table:
+        x = tbl.column(col).to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(x, return_counts=True)
+        keep = cnt * k > len(x)  # strict local threshold
+        return pa.table({col: pa.array(vals[keep])})
+
+    cand_rows = ds.map_batches(
+        local_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: <= (k-1) * num_blocks candidate VALUES, not data
+    cand = np.unique(np.array([r[col] for r in cand_rows]))
+    n_total = ds.count()
+    cand_ref = ray.put(cand)
+
+    def count_candidates(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        x = tbl.column(col).to_numpy(zero_copy_only=False)
+        if not len(c):
+            return pa.table({col: pa.array([], tbl.schema.field(col).type),
+                             "__n": pa.array([], pa.int64())})
+        pos = np.searchsorted(c, x)
+        pos[pos == len(c)] = 0
+        hit = c[pos] == x
+        counts = np.bincount(pos[hit], minlength=len(c)).astype(np.int64)
+        occ = np.flatnonzero(counts)
+        return pa.table({col: pa.array(c[occ]), "__n": pa.array(counts[occ])})
+
+    partials = ds.map_batches(
+        count_candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = partials.groupby(col).aggregate(Sum("__n", alias_name="n_events"))
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        nn = tbl.column("n_events").cast(pa.int64())
+        keep = pa.compute.greater(
+            pa.compute.multiply(nn, pa.scalar(k, pa.int64())),
+            pa.scalar(int(n_total), pa.int64()),
+        )
+        return pa.table({col: tbl.column(col), "n_events": nn}).filter(keep)
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
