@@ -1,0 +1,113 @@
+"""Round-4 third-session relational additions: generic GROUPING SETS,
+integer-exact interpolated percentile, z-score outliers, pairwise group
+overlap."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _blocks(df, n=3):
+    return [df.iloc[i::n] for i in range(n)]
+
+
+def test_grouping_sets_matches_manual(ray_session):
+    from vaero_ray.stages.relational import ROLLUP_ALL, grouping_sets_counts
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "a": [f"a{v}" for v in rng.integers(0, 3, 400)],
+            "b": [f"b{v}" for v in rng.integers(0, 4, 400)],
+            "x": rng.integers(0, 100, 400).astype(np.float64),
+        }
+    )
+    out = (
+        grouping_sets_counts(rd.from_pandas(_blocks(df)), ["a", "b"], [["b"], []], measure="x")
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    # set ("b",): one row per b with a = <all>
+    per_b = df.groupby("b")["x"].agg(["count", "sum"]).reset_index()
+    got_b = out[(out["a"] == ROLLUP_ALL) & (out["b"] != ROLLUP_ALL)].sort_values("b")
+    assert got_b["n_rows"].tolist() == per_b["count"].tolist()
+    assert got_b["sum_x"].tolist() == [int(round(v)) for v in per_b["sum"]]
+    # set (): single grand-total row
+    tot = out[(out["a"] == ROLLUP_ALL) & (out["b"] == ROLLUP_ALL)]
+    assert len(tot) == 1 and int(tot["n_rows"].iloc[0]) == 400
+    # no (a, b)-level rows were emitted (not in the set list)
+    assert not ((out["a"] != ROLLUP_ALL) & (out["b"] != ROLLUP_ALL)).any()
+
+
+def test_grouped_percentile_cont_matches_numpy(ray_session):
+    from vaero_ray.stages.relational import grouped_percentile_cont
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": [f"g{v}" for v in rng.integers(0, 5, 300)],
+            "v": rng.integers(0, 10_000, 300).astype(np.int64),
+        }
+    )
+    out = (
+        grouped_percentile_cont(rd.from_pandas(_blocks(df)), "g", "v", 9, 10, num_buckets=3)
+        .to_pandas()
+        .sort_values("g", ignore_index=True)
+    )
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df["g"] == row["g"], "v"].to_numpy())
+        want = np.percentile(vals, 90, method="linear") * 10
+        assert abs(row["pct_x_qden"] - want) < 1e-6, (row["g"], row["pct_x_qden"], want)
+
+
+def test_grouped_percentile_cont_exact_element_when_rem_zero(ray_session):
+    from vaero_ray.stages.relational import grouped_percentile_cont
+
+    df = pd.DataFrame({"g": ["x"] * 11, "v": np.arange(11, dtype=np.int64) * 7})
+    out = grouped_percentile_cont(
+        rd.from_pandas([df]), "g", "v", 1, 2, num_buckets=1
+    ).to_pandas()
+    # n=11 -> pos=5.0 exactly -> v[5]*2
+    assert int(out["pct_x_qden"].iloc[0]) == 35 * 2
+
+
+def test_zscore_outliers_formula(ray_session):
+    from vaero_ray.stages.relational import zscore_outliers
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(50, 5, 200)
+    base[7] = 500.0  # planted outlier
+    df = pd.DataFrame(
+        {
+            "id": np.arange(200, dtype=np.int64),
+            "g": ["k"] * 200,
+            "v": base,
+        }
+    )
+    out = zscore_outliers(
+        rd.from_pandas(_blocks(df)), key="g", value_col="v", id_col="id", num_buckets=2
+    ).to_pandas()
+    c = np.floor(base * 100 + 0.5).astype(np.int64)
+    n, s1, s2 = len(c), c.sum(), (c * c).sum()
+    want = set(np.flatnonzero((n * c - s1) ** 2 > 4 * (n * s2 - s1 * s1)))
+    assert set(out["id"].tolist()) == want and 7 in want
+
+
+def test_group_overlap_small(ray_session):
+    from vaero_ray.stages.relational import group_overlap
+
+    df = pd.DataFrame(
+        {
+            "t": ["a", "a", "b", "b", "c", "a", "b"],
+            "u": [1, 2, 2, 3, 9, 1, 2],
+        }
+    )
+    out = (
+        group_overlap(rd.from_pandas(_blocks(df, 2)), "t", "u", num_buckets=2)
+        .to_pandas()
+        .set_index(["type_a", "type_b"])
+    )
+    # a={1,2}, b={2,3}, c={9}
+    assert out.loc[("a", "b"), "n_common"] == 1 and out.loc[("a", "b"), "n_union"] == 3
+    assert out.loc[("a", "c"), "n_common"] == 0 and out.loc[("a", "c"), "n_union"] == 3
+    assert out.loc[("b", "c"), "n_common"] == 0 and out.loc[("b", "c"), "n_union"] == 3

@@ -3814,6 +3814,115 @@ SELECT term, window_start, n FROM (
 """
 
 
+def q_audience_overlap(sf_dir: str):
+    """Pairwise audience overlap between event types: exact distinct-user
+    intersection and union per type pair, via per-user BITMASKS folded in
+    one member-bucketed exchange and a <=2^G mask histogram — no pairwise
+    self-join of the membership table ever runs (see
+    relational.group_overlap for the three bounded stages)."""
+    from vaero_ray.stages.relational import group_overlap
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return group_overlap(ds, "event_type", "user_id", num_buckets=16)
+
+
+SQL_AUDIENCE_OVERLAP = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+c AS (SELECT event_type, COUNT(*) AS n FROM p GROUP BY 1),
+j AS (SELECT p1.event_type AS ta, p2.event_type AS tb, COUNT(*) AS nc
+      FROM p p1 JOIN p p2 USING (user_id)
+      WHERE p1.event_type < p2.event_type GROUP BY 1, 2)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       CAST(COALESCE(j.nc, 0) AS BIGINT) AS n_common,
+       CAST(ca.n + cb.n - COALESCE(j.nc, 0) AS BIGINT) AS n_union
+FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN j ON j.ta = ca.event_type AND j.tb = cb.event_type
+"""
+
+
+def q_source_lang_grouping_sets(sf_dir: str):
+    """Generic GROUP BY GROUPING SETS — the superset of rollup (prefix
+    sets) and cube (all subsets) with an ARBITRARY set list, here
+    ((source, lang), (lang), ()): per-batch partials per listed set ride
+    one hash-bucket exchange (relational.grouping_sets_counts)."""
+    from vaero_ray.stages.relational import grouping_sets_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"])
+    return grouping_sets_counts(
+        ds, ["source", "lang"], [["source", "lang"], ["lang"], []], measure="n_chars"
+    )
+
+
+SQL_GROUPING_SETS = r"""
+SELECT COALESCE(source, '<all>') AS source, COALESCE(lang, '<all>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents GROUP BY GROUPING SETS ((source, lang), (lang), ())
+"""
+
+
+def q_p90_value_cont_per_user(sf_dir: str):
+    """INTERPOLATED p90 (SQL percentile_cont) of the cent-scaled event
+    value per user, kept integer-exact by emitting the percentile TIMES
+    q_den (10): v[lo]*10 + rem*(v[lo+1]-v[lo]) — no float interpolation
+    drift between engines (relational.grouped_percentile_cont)."""
+    from vaero_ray.stages.relational import grouped_percentile_cont
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"user_id": tbl.column("user_id"), "c": pa.array(c)})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_percentile_cont(
+        ds, "user_id", "c", q_num=9, q_den=10, out="p90_x_10", num_buckets=16
+    )
+
+
+SQL_P90_CONT = r"""
+WITH c AS (SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+o AS (SELECT user_id, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM c),
+a AS (SELECT user_id, n,
+             SUM(CASE WHEN i = ((n-1)*9)//10 THEN v ELSE 0 END) AS lov,
+             SUM(CASE WHEN i = ((n-1)*9)//10 + 1 THEN v ELSE 0 END) AS hiv,
+             MAX(((n-1)*9) % 10) AS rem
+      FROM o GROUP BY user_id, n)
+SELECT user_id, CAST(lov*10 + rem*(hiv - lov) AS BIGINT) AS p90_x_10,
+       CAST(n AS BIGINT) AS n_rows
+FROM a
+"""
+
+
+def q_value_outliers_per_user(sf_dir: str):
+    """Per-user z-score anomaly flags with integer-exact comparisons:
+    (n*c - s1)^2 > 4*(n*s2 - s1^2) over cent-scaled values — |x - mean| >
+    2 stddev with no division and no float boundary flips. Emits only the
+    outlier rows (relational.zscore_outliers, one bucketed shuffle)."""
+    from vaero_ray.stages.relational import zscore_outliers
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    return zscore_outliers(
+        ds, key="user_id", value_col="value", id_col="event_id",
+        z_threshold=2, scale=100, num_buckets=16,
+    )
+
+
+SQL_ZSCORE_OUTLIERS = r"""
+WITH c AS (SELECT event_id, user_id,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+s AS (SELECT user_id, COUNT(*) AS n, SUM(v) AS s1, SUM(v*v) AS s2
+      FROM c GROUP BY 1)
+SELECT c.event_id, c.user_id, c.v AS value_scaled
+FROM c JOIN s USING (user_id)
+WHERE (s.n*c.v - s.s1)*(s.n*c.v - s.s1) > 4*(s.n*s.s2 - s.s1*s.s1)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -3883,6 +3992,10 @@ QUERIES: dict[str, QueryFn] = {
     "conv_role_violations": q_conv_role_violations,
     "heavy_hitter_users": q_heavy_hitter_users,
     "streaming_topk_terms": q_streaming_topk_terms,
+    "audience_overlap": q_audience_overlap,
+    "source_lang_grouping_sets": q_source_lang_grouping_sets,
+    "p90_value_cont_per_user": q_p90_value_cont_per_user,
+    "value_outliers_per_user": q_value_outliers_per_user,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
     "views_in_purchase_window": q_views_in_purchase_window,
@@ -4000,6 +4113,10 @@ ORACLES: dict[str, str] = {
     "conv_role_violations": SQL_CONV_ROLE_VIOLATIONS,
     "heavy_hitter_users": SQL_HEAVY_HITTERS,
     "streaming_topk_terms": SQL_STREAMING_TOPK_TERMS,
+    "audience_overlap": SQL_AUDIENCE_OVERLAP,
+    "source_lang_grouping_sets": SQL_GROUPING_SETS,
+    "p90_value_cont_per_user": SQL_P90_CONT,
+    "value_outliers_per_user": SQL_ZSCORE_OUTLIERS,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,
     "views_in_purchase_window": SQL_RANGE_JOIN,

@@ -667,3 +667,247 @@ def grouped_percentiles(
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def group_overlap(
+    ds: rd.Dataset,
+    group_col: str,
+    member_col: str,
+    num_buckets: int | None = None,
+    max_groups: int = 62,
+) -> rd.Dataset:
+    """Pairwise audience overlap: for every pair of ``group_col`` values
+    (a < b), the EXACT number of distinct ``member_col`` values present
+    in both (``n_common``) and in either (``n_union``) — the Jaccard
+    numerator/denominator for segment-similarity dashboards, kept as
+    integers so results hash identically to SQL.
+
+    Scale shape (three bounded stages, no pairwise member join):
+    1. tiny driver-side distinct of ``group_col`` (grail: groups are a
+       dashboard dimension, capped at ``max_groups`` so masks fit int64);
+    2. ONE member-bucketed exchange of (member, group-code) pairs
+       (per-block np.unique combiner first — raw rows never shuffle);
+       per bucket, each member folds to ONE bitmask row via
+       np.bitwise_or.reduceat over the member-sorted codes, and the
+       bucket emits a <=2^G mask HISTOGRAM, not member rows;
+    3. the driver sums the tiny histograms and reads every pairwise
+       intersection/union off the mask counts.
+
+    Buckets partition members, so per-member masks are exact; histogram
+    counts are sum-mergeable across buckets.
+    """
+    import ray
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    groups_rows = ds.map_batches(
+        lambda t: pa.table({group_col: t.column(group_col).unique()}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    groups = sorted({r[group_col] for r in groups_rows})
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"group_overlap: {len(groups)} groups exceed the int64 bitmask "
+            f"budget ({max_groups}); aggregate the long tail first"
+        )
+    code = {g: i for i, g in enumerate(groups)}
+    code_ref = ray.put(code)
+
+    def to_pairs(tbl: pa.Table) -> pa.Table:
+        cmap = ray.get(code_ref)
+        g = tbl.column(group_col).to_pandas().map(cmap).to_numpy(dtype=np.int64)
+        m = tbl.column(member_col).to_numpy(zero_copy_only=False)
+        uniq = pd.DataFrame({"m": m, "g": g}).drop_duplicates()
+        return pa.table({"m": pa.array(uniq["m"].to_numpy()),
+                         "g": pa.array(uniq["g"].to_numpy(), pa.int64())})
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("m", kind="mergesort")
+        m = df["m"].to_numpy()
+        bits = (np.int64(1) << df["g"].to_numpy(dtype=np.int64))
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = m[1:] != m[:-1]
+        starts = np.flatnonzero(new)
+        masks = np.bitwise_or.reduceat(bits, starts)
+        vals, cnt = np.unique(masks, return_counts=True)
+        return pd.DataFrame({"mask": vals, "cnt": cnt.astype(np.int64)})
+
+    hist_rows = bucketed_map_groups(pairs, "m", bucket_hist, num_buckets).take_all()
+    agg: dict = {}
+    for r in hist_rows:
+        agg[r["mask"]] = agg.get(r["mask"], 0) + r["cnt"]
+    masks = np.array(list(agg.keys()), dtype=np.int64)
+    counts = np.array(list(agg.values()), dtype=np.int64)
+
+    out = {"type_a": [], "type_b": [], "n_common": [], "n_union": []}
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            ba, bb = np.int64(1) << code[a], np.int64(1) << code[b]
+            in_a = (masks & ba) != 0
+            in_b = (masks & bb) != 0
+            nc = int(counts[in_a & in_b].sum())
+            nu = int(counts[in_a | in_b].sum())
+            out["type_a"].append(a)
+            out["type_b"].append(b)
+            out["n_common"].append(nc)
+            out["n_union"].append(nu)
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_common": pa.array(out["n_common"], pa.int64()),
+        "n_union": pa.array(out["n_union"], pa.int64()),
+    }))
+
+
+def grouping_sets_counts(
+    ds: rd.Dataset,
+    dims: "list[str]",
+    sets: "list[list[str]]",
+    measure: "str | None" = None,
+    scale: int = 1,
+) -> rd.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)`` in one exchange — the generic
+    form of rollup (prefix sets) and cube (all subsets): per-batch
+    partials for exactly the listed grouping sets ride a single
+    ``groupby(dims)`` hash-bucket shuffle. Dimensions absent from a set
+    carry the ``ROLLUP_ALL`` sentinel (non-null string dims only, same
+    contract as rollup/cube). Exchange volume is bounded by
+    distinct-key count x len(sets), independent of row count."""
+    mcol = f"sum_{measure}" if measure else None
+    for s in sets:
+        unknown = set(s) - set(dims)
+        if unknown:
+            raise ValueError(f"grouping set {s} uses unknown dims {sorted(unknown)}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = (
+            np.floor(df[measure].to_numpy(dtype=np.float64) * scale + 0.5).astype(np.int64)
+            if measure
+            else None
+        )
+        outs = []
+        work = df[dims].copy()
+        work["n_rows"] = np.int64(1)
+        if measure:
+            work[mcol] = vals
+        aggcols = ["n_rows"] + ([mcol] if measure else [])
+        for s in sets:
+            cur = work.copy()
+            for d in dims:
+                if d not in s:
+                    cur[d] = ROLLUP_ALL
+            outs.append(cur.groupby(dims, sort=False, as_index=False)[aggcols].sum())
+        return pd.concat(outs, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    return bucketed_keyed_sum(partials, dims, ["n_rows"] + ([mcol] if measure else []))
+
+
+def grouped_percentile_cont(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out: str = "pct_x_qden",
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """INTERPOLATED percentile (SQL ``percentile_cont``) per key, kept
+    integer-EXACT by scaling: with 0-based pick position
+    ``pos = (n-1) * q_num / q_den``, ``lo = pos // 1``, ``rem =
+    (n-1)*q_num mod q_den``, the result times ``q_den`` is
+
+        v[lo] * q_den + rem * (v[lo+1] - v[lo])
+
+    — an integer whenever ``value_col`` is integer, so the gate hashes
+    identically across engines with no float interpolation drift (the
+    caller divides by q_den for display). ``rem == 0`` degenerates to the
+    exact element, matching ``grouped_percentile * q_den``.
+
+    Same scale shape as grouped_percentile: one bucketed shuffle, per
+    bucket one sort + segment-offset gather, no per-key loop."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    if not (0 <= q_num <= q_den) or q_den <= 0:
+        raise ValueError("grouped_percentile_cont: need 0 <= q_num/q_den <= 1")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, value_col], kind="mergesort").reset_index(drop=True)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1])) if len(codes) else []
+        )
+        lens = np.diff(np.append(starts, len(codes)))
+        idx_num = (lens - 1) * q_num
+        lo = starts + idx_num // q_den
+        rem = idx_num % q_den
+        v = df[value_col].to_numpy(dtype=np.int64)
+        hi = np.minimum(lo + 1, starts + lens - 1)  # rem>0 implies lo+1 in range
+        val = v[lo] * q_den + rem * (v[hi] - v[lo])
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[starts],
+                out: val.astype(np.int64),
+                "n_rows": lens.astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def zscore_outliers(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: int = 2,
+    scale: int = 100,
+    num_buckets: "int | None" = None,
+) -> rd.Dataset:
+    """Per-group z-score anomaly detection with INTEGER-EXACT comparisons:
+    fixed-point ``c = round(v * scale)``, per-group moment sums
+    ``(n, s1, s2)``, and the flag
+
+        (n*c - s1)^2  >  z^2 * (n*s2 - s1^2)
+
+    which is ``|x - mean| > z * stddev_pop`` cleared of divisions — all
+    int64, so the outlier set hashes identically to SQL with no float
+    boundary flips. Emits ONLY the outlier rows ``(id_col, key, c)``.
+
+    One bucketed shuffle co-locates each group; moments and flags are
+    vectorized per bucket (groupby-transform, no per-key loop). int64
+    bounds: needs ``(n * c_max)^2 < 2^63`` per group — raised explicitly
+    when violated (at corpus scale use the sketch/moments path and a
+    float threshold instead)."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df[value_col].to_numpy(dtype=np.float64) * scale + 0.5).astype(
+            np.int64
+        )
+        work = pd.DataFrame({key: df[key].to_numpy(), "c": c, id_col: df[id_col].to_numpy()})
+        g = work.groupby(key, sort=False)["c"]
+        n = g.transform("size").to_numpy(dtype=np.int64)
+        s1 = g.transform("sum").to_numpy(dtype=np.int64)
+        work["c2"] = work["c"] * work["c"]
+        s2 = work.groupby(key, sort=False)["c2"].transform("sum").to_numpy(dtype=np.int64)
+        cmax = int(np.abs(work["c"].to_numpy()).max()) if len(work) else 0
+        # every term is bounded by (n*cmax)^2 and the rhs carries z^2:
+        # require z^2 * (n*cmax)^2 < 2^63 or the int64 flags are garbage
+        if n.size and z_threshold**2 * (float(n.max()) * float(cmax)) ** 2 >= 2.0**63:
+            raise ValueError(
+                "zscore_outliers: z^2 * (group_size * value_magnitude)^2 "
+                "overflows int64; use the float moments path at this scale"
+            )
+        lhs = (n * work["c"].to_numpy() - s1).astype(np.int64)
+        keep = lhs * lhs > z_threshold * z_threshold * (n * s2 - s1 * s1)
+        out = work.loc[keep, [id_col, key, "c"]].rename(columns={"c": "value_scaled"})
+        return out.reset_index(drop=True)
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
