@@ -114,6 +114,14 @@ BENCH_QUERIES = [
     "revenue_by_nation",            # Q5-style multi-join capstone (broadcast dims + 2 hash joins)
     "term_frequency_spectrum",      # Zipf count-of-counts (two-level partial agg)
     "length_token_corr",            # exact grouped Pearson corr (closed form over moment sums)
+    "conv_fingerprint_dedup",       # conversation-level dedup (order-sensitive mergeable fp)
+    "conv_role_violations",         # turn-taking CEP (same-role adjacent pairs)
+    "heavy_hitter_users",           # exact phi-heavy hitters (local-threshold prune + verify)
+    "audience_overlap",             # pairwise segment Jaccard (bitmask histogram)
+    "source_lang_grouping_sets",    # arbitrary GROUPING SETS (one exchange)
+    "p90_value_cont_per_user",      # interpolated percentile (integer-exact x q_den)
+    "value_outliers_per_user",      # per-group z-score anomalies (division-free int compare)
+    "dup_ngram_stats",              # per-doc duplicate-span exposure (gram-sharded df>=2)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -3923,6 +3923,87 @@ WHERE (s.n*c.v - s.s1)*(s.n*c.v - s.s1) > 4*(s.n*s.s2 - s.s1*s.s1)
 """
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    """Per-document duplicate-span exposure: distinct 13-char grams that
+    occur in >= 2 documents, over total distinct grams — the substring-
+    dedup policy input (see dedup.dup_ngram_stats; gram-sharded shuffle,
+    nothing broadcast)."""
+    from vaero_ray.stages.dedup import dup_ngram_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_ngram_stats(ds)
+
+
+SQL_DUP_NGRAMS = """
+WITH s AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(CASE WHEN length(text) < 13 THEN [rpad(text, 13, ' ')]
+                ELSE [substr(text, CAST(i AS INT), 13) FOR i IN range(1, length(text)-11)] END)) AS g
+  FROM documents
+),
+f AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) >= 2 AS dup FROM s)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM f GROUP BY 1
+"""
+
+
+def q_streaming_distinct_users(sf_dir: str):
+    """STREAMING exact windowed COUNT(DISTINCT): the distinct set rides
+    the exactly-once machinery as KEYS — the job aggregates by
+    (event_type, user_id) per window (idempotent under in-window
+    replays, the same trick as streaming_dedup_events), and a batch
+    finisher counts the committed distinct tuples per (event_type,
+    window). Exact distinct without buffering raw events OR a sketch."""
+    import os
+    import shutil
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = _stream_chunks(sf_dir, "distinct_users_in", ["event_type", "user_id", "ts"])
+    base = os.path.dirname(ind)
+    out_d, ckpt_d = f"{base}/distinct_users_out", f"{base}/distinct_users_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["event_type", "user_id"],
+        aggs=[AggSpec(None, "count", "n")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+        transform=None,
+    )
+    job.run()
+    committed = job.committed_output()
+
+    def one(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "window_start": tbl.column("window_start"),
+                "n_distinct_users": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+
+    partials = committed.map_batches(one, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_keyed_sum(
+        partials, ["event_type", "window_start"], ["n_distinct_users"], num_buckets=8
+    )
+
+
+SQL_STREAMING_DISTINCT = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -3996,6 +4077,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_grouping_sets": q_source_lang_grouping_sets,
     "p90_value_cont_per_user": q_p90_value_cont_per_user,
     "value_outliers_per_user": q_value_outliers_per_user,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
     "seq_view_click_purchase": q_seq_view_click_purchase,
     "views_in_purchase_window": q_views_in_purchase_window,
@@ -4117,6 +4200,8 @@ ORACLES: dict[str, str] = {
     "source_lang_grouping_sets": SQL_GROUPING_SETS,
     "p90_value_cont_per_user": SQL_P90_CONT,
     "value_outliers_per_user": SQL_ZSCORE_OUTLIERS,
+    "dup_ngram_stats": SQL_DUP_NGRAMS,
+    "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
     "seq_view_click_purchase": SQL_SEQUENCE,
     "views_in_purchase_window": SQL_RANGE_JOIN,

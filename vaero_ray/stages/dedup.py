@@ -593,6 +593,68 @@ def contamination_check(
     return bucketed_map_groups(partials, id_col, merge_bucket, num_buckets=16)
 
 
+
+
+def dup_ngram_stats(
+    ds: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    num_shards: int = 32,
+) -> "rd.Dataset":
+    """SELF-contamination / boilerplate exposure: for every document, how
+    many of its distinct ``shingle_k``-char n-grams occur in at least one
+    OTHER document (``n_dup_grams``) out of its total distinct grams
+    (``n_grams``) — the per-doc duplicate-span statistic behind
+    substring-dedup policies (cf. Lee et al. "Deduplicating Training
+    Data", the repeated-substring motivation).
+
+    Same scale shape as contamination_check (dedup.py:529): per-doc
+    sorted-unique gram-hash sets, exploded to (gram, doc) rows, ONE
+    gram-sharded shuffle — each shard computes per-gram doc frequency
+    and flags rows with df >= 2 (disjoint gram spaces, so per-shard
+    partial counts sum exactly) — then a tiny keyed-sum merge per doc.
+    Nothing is broadcast; only (hash, id) pairs move."""
+    import pandas as pd
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        values, offs = _shingle_sets_char(tbl, text_col, shingle_k)
+        counts = offs[1:] - offs[:-1]
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": pa.array(values, pa.uint64()),
+                id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+                "__shard": pa.array((values % np.uint64(num_shards)).astype(np.int64)),
+            }
+        )
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (g, doc) pairs by construction, so the group
+        # size IS the gram's document frequency
+        dfreq = df.groupby("g", sort=False)["g"].transform("size").to_numpy()
+        dup = (dfreq >= 2).astype(np.int64)
+        out = (
+            df.assign(__dup=dup)
+            .groupby(id_col, sort=False)
+            .agg(n_dup_grams=("__dup", "sum"), n_grams=("__dup", "size"))
+            .reset_index()
+        )
+        out["n_dup_grams"] = out["n_dup_grams"].astype("int64")
+        out["n_grams"] = out["n_grams"].astype("int64")
+        return out
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    partials = exploded.groupby("__shard").map_groups(
+        lambda df: per_shard(df.drop(columns=["__shard"])), batch_format="pandas"
+    )
+    return bucketed_keyed_sum(
+        partials, [id_col], ["n_dup_grams", "n_grams"], num_buckets=16
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 
