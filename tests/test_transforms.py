@@ -122,3 +122,50 @@ def test_select_string_form():
     out = T.select(tbl, "a")
     assert out.column_names == ["a"]
     assert out.column("a").to_pylist() == ["1", "2"]
+
+
+def test_parse_json_promotes_fields():
+    import pyarrow as pa
+
+    from vaero_ray.transforms import parse_json
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4],
+            "props": ['{"k": 69}', '{"k": 2, "nested": {"x": "y"}}', None, "   "],
+        }
+    )
+    out = parse_json(t, "props")
+    assert out.column("k").to_pylist() == [69, 2, None, None]
+    # nested objects land as struct columns the path helpers can read
+    from vaero_ray.paths import get_path
+
+    nested_x = get_path(out, "nested.x")
+    assert nested_x.to_pylist() == [None, "y", None, None]
+    # empty batch passes through unchanged (schema unknowable without rows)
+    assert parse_json(t.slice(0, 0), "props").column_names == ["event_id", "props"]
+
+
+def test_parse_json_multiline_and_invalid():
+    import pyarrow as pa
+    import pytest
+
+    from vaero_ray.transforms import parse_json
+
+    # pretty-printed (raw newlines BETWEEN tokens) is lossless to flatten
+    t = pa.table({"props": ['{\n  "k": 1\n}']})
+    assert parse_json(t, "props").column("k").to_pylist() == [1]
+    # invalid JSON fails the batch loudly (documented deviation from gjson)
+    bad = pa.table({"props": ["{not json"]})
+    with pytest.raises(Exception):
+        parse_json(bad, "props")
+
+
+def test_parse_json_dsl_roundtrip():
+    from vaero_ray.dsl import Vaero
+
+    Vaero.reset()
+    Vaero().source("random").parse_json("props").sink("stdout")
+    graph = Vaero.start()
+    ops = [n["op"] for n in graph if isinstance(n, dict) and n.get("type") == "tn"]
+    assert "parse_json" in ops

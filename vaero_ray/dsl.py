@@ -124,6 +124,9 @@ class Vaero:
     def parse_regexp(self, path: str, regexp: str) -> "Vaero":
         return self._add({"type": "tn", "op": "parse_regexp", "args": {"path": path, "regex": regexp}})
 
+    def parse_json(self, path: str) -> "Vaero":
+        return self._add({"type": "tn", "op": "parse_json", "args": {"path": path}})
+
     def rename(self, path: str, new_path: str) -> "Vaero":
         return self._add({"type": "tn", "op": "rename", "args": {"path": path, "new_path": new_path}})
 

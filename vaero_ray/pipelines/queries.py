@@ -108,6 +108,21 @@ SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_val FROM events
 """
 
 
+def q_vaero_parse_json(sf_dir: str):
+    """JSON payload promotion — the columnar form of the reference's JSON
+    event model: parse props once per batch (one pyarrow C++ NDJSON read,
+    no per-row json.loads) and surface its keys as typed fields."""
+    chain = compile_chain([("parse_json", {"path": "props"})])
+    ds = _events(sf_dir, columns=["event_id", "props"])
+    out = ds.map_batches(chain, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["event_id", "k"])
+
+
+SQL_PARSE_JSON = """
+SELECT event_id, CAST(props::JSON->>'k' AS BIGINT) AS k FROM events
+"""
+
+
 def q_vaero_select(sf_dir: str):
     chain = compile_chain([("select", {"path": "event_type"})])
     return _events(sf_dir, columns=["event_type"]).map_batches(
@@ -4077,6 +4092,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_grouping_sets": q_source_lang_grouping_sets,
     "p90_value_cont_per_user": q_p90_value_cont_per_user,
     "value_outliers_per_user": q_value_outliers_per_user,
+    "vaero_parse_json": q_vaero_parse_json,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4200,6 +4216,7 @@ ORACLES: dict[str, str] = {
     "source_lang_grouping_sets": SQL_GROUPING_SETS,
     "p90_value_cont_per_user": SQL_P90_CONT,
     "value_outliers_per_user": SQL_ZSCORE_OUTLIERS,
+    "vaero_parse_json": SQL_PARSE_JSON,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -110,6 +110,46 @@ def parse_regexp(tbl: pa.Table, path: str, regex: str) -> pa.Table:
     return tbl
 
 
+def parse_json(tbl: pa.Table, path: str) -> pa.Table:
+    """Parse the JSON string at ``path``; every top-level key of the
+    parsed object becomes a field (nested objects land as struct columns
+    the path helpers can traverse) — the columnar form of the reference's
+    JSON event model (events ARE gjson/sjson documents,
+    transform/add.go:13-29), extending parse_regexp's groups->fields
+    contract to structured payloads.
+
+    VECTORIZED: the whole batch is parsed in ONE pyarrow C++ NDJSON read
+    (rows joined with newlines via Arrow kernels — no per-row Python
+    json.loads). Requires one-object-per-row JSON values; nulls/empties
+    parse as ``{}``; invalid JSON fails the batch loudly (the reference's
+    gjson silently yields empty — documented deviation, tested)."""
+    import io
+
+    from pyarrow import json as pa_json
+
+    col = string_form(get_path(tbl, path), tbl.num_rows)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not tbl.num_rows:
+        return tbl
+    empty = pc.equal(pc.utf8_trim_whitespace(pc.fill_null(col, "{}")), "")
+    col = pc.if_else(empty, pa.scalar("{}"), pc.fill_null(col, "{}"))
+    # raw newlines are illegal INSIDE JSON strings, so flattening
+    # pretty-printed objects to one line is lossless
+    col = pc.replace_substring(col, "\n", " ")
+    one = pa.ListArray.from_arrays(pa.array([0, len(col)], pa.int32()), col)
+    blob = pc.binary_join(one, "\n")[0].as_py().encode()
+    parsed = pa_json.read_json(io.BytesIO(blob))
+    if parsed.num_rows != tbl.num_rows:
+        raise ValueError(
+            f"parse_json: {path} parsed to {parsed.num_rows} rows for "
+            f"{tbl.num_rows} inputs (multi-line JSON values?)"
+        )
+    for name in parsed.column_names:
+        tbl = set_path(tbl, name, parsed.column(name))
+    return tbl
+
+
 def select(tbl: pa.Table, path: str) -> pa.Table:
     """Replace the whole event with the string value at ``path``
     (transform/select.go:11-23): the output is a single string column named
@@ -160,6 +200,7 @@ _KERNELS: dict[str, Callable[..., pa.Table]] = {
     "filter_regexp": filter_regexp,
     "mask": mask,
     "parse_regexp": parse_regexp,
+    "parse_json": parse_json,
     "select": select,
 }
 
