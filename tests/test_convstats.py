@@ -77,8 +77,8 @@ def test_conv_fingerprint_matches_reference_formula(ray_session):
         s = re.sub(r"\s+", " ", s.lower())
         h = 0
         for ch in s.encode():
-            h = (h * 31 + ch) % 1099511627689
-        return h % M31
+            h = (h * 31 + ch) % M31
+        return h
 
     expect = sum((poly(t) + 1) * pow(CONV_FP_BASE, i, M31) % M31 for i, t in enumerate(texts)) % M31
     assert int(fps["conv_fp"].iloc[0]) == expect

@@ -375,10 +375,10 @@ WITH {TRANSCRIPTS_CTE}, s AS (
   FROM transcripts
 ), h AS (
   SELECT conv_id, turn_idx,
-    (CASE WHEN length(norm) = 0 THEN 0 ELSE
+    CASE WHEN length(norm) = 0 THEN 0 ELSE
       list_reduce([CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT)
                    FOR i IN range(1, length(norm)+1)],
-                  (a,c) -> (a*31+c) % 1099511627689) END) % 2147483647 AS th
+                  (a,c) -> (a*31+c) % 2147483647) END AS th
   FROM s
 ), t AS (
   SELECT conv_id,
