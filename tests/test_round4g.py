@@ -111,3 +111,46 @@ def test_group_overlap_small(ray_session):
     assert out.loc[("a", "b"), "n_common"] == 1 and out.loc[("a", "b"), "n_union"] == 3
     assert out.loc[("a", "c"), "n_common"] == 0 and out.loc[("a", "c"), "n_union"] == 3
     assert out.loc[("b", "c"), "n_common"] == 0 and out.loc[("b", "c"), "n_union"] == 3
+
+
+def test_skew_split_join_parity_planted_zipf(ray_session):
+    """Planted zipf skew: the hot/cold split union must equal the plain
+    hash join bit-exactly, hot keys must actually take the broadcast
+    path, and LEFT join keeps unmatched-left rows."""
+    from vaero_ray.stages.joins import hash_join, skew_split_join
+
+    rng = np.random.default_rng(17)
+    # key 0 is degenerate-hot (60% of rows); a tail of cold keys
+    keys = np.where(rng.random(4000) < 0.6, 0, rng.integers(1, 200, 4000))
+    left = pd.DataFrame({"k": keys.astype(np.int64), "lid": np.arange(4000, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 150, dtype=np.int64), "rv": np.arange(0, 150, dtype=np.int64) * 10}
+    )
+    lb = [left.iloc[i::5] for i in range(5)]
+    rb = [right.iloc[i::2] for i in range(2)]
+
+    got = (
+        skew_split_join(rd.from_pandas(lb), rd.from_pandas(rb), "k", hot_count=500, num_buckets=4)
+        .to_pandas()
+        .sort_values(["lid"], ignore_index=True)[["k", "lid", "rv"]]
+    )
+    want = (
+        hash_join(rd.from_pandas(lb), rd.from_pandas(rb), ["k"], "inner", num_buckets=4)
+        .to_pandas()
+        .sort_values(["lid"], ignore_index=True)[["k", "lid", "rv"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+    # left join: rows with k in 150..199 have no match -> null rv survives
+    gl = (
+        skew_split_join(rd.from_pandas(lb), rd.from_pandas(rb), "k", join_type="left", hot_count=500, num_buckets=4)
+        .to_pandas()
+    )
+    assert len(gl) == 4000
+    assert gl.loc[gl["k"] >= 150, "rv"].isna().all()
+
+    # no hot keys at an absurd threshold -> falls back to plain hash join
+    cold = skew_split_join(
+        rd.from_pandas(lb), rd.from_pandas(rb), "k", hot_count=10_000, num_buckets=4
+    ).to_pandas()
+    assert len(cold) == len(want)

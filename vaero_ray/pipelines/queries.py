@@ -4019,6 +4019,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_user_stats_skew_join(sf_dir: str):
+    """Skew-aware join: hot keys (users with >= 70 events here) bypass
+    the shuffle — their rows join per-batch against a broadcast right
+    slice, so a degenerate key's volume spreads across every input block
+    instead of landing on one reducer; cold keys take the normal
+    partitioned hash join; the disjoint results union bit-exact
+    (joins.skew_split_join)."""
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.joins import skew_split_join
+
+    left = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = tbl.column("user_id").to_pandas().value_counts(dropna=False)
+        return pa.table(
+            {"user_id": pa.array(vc.index), "n_user_events": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    right = (
+        _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n_user_events", alias_name="n_user_events"))
+    )
+    return skew_split_join(left, right, "user_id", hot_count=70, num_buckets=8)
+
+
+SQL_SKEW_JOIN = """
+WITH s AS (SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY 1)
+SELECT e.event_id, e.user_id, s.n_user_events FROM events e JOIN s USING (user_id)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4093,6 +4129,7 @@ QUERIES: dict[str, QueryFn] = {
     "p90_value_cont_per_user": q_p90_value_cont_per_user,
     "value_outliers_per_user": q_value_outliers_per_user,
     "vaero_parse_json": q_vaero_parse_json,
+    "user_stats_skew_join": q_user_stats_skew_join,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4217,6 +4254,7 @@ ORACLES: dict[str, str] = {
     "p90_value_cont_per_user": SQL_P90_CONT,
     "value_outliers_per_user": SQL_ZSCORE_OUTLIERS,
     "vaero_parse_json": SQL_PARSE_JSON,
+    "user_stats_skew_join": SQL_SKEW_JOIN,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -647,3 +647,126 @@ def range_join(
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def skew_split_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    join_type: str = "inner",
+    hot_count: int | None = None,
+    hot_frac: float = 0.001,
+    max_hot_keys: int = 100_000,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Skew-aware join: HOT keys bypass the shuffle entirely.
+
+    The classic failure of a partitioned hash join at corpus scale is one
+    degenerate key (a bot user, an empty-string device id) sending its
+    entire row set to ONE reducer — wall time becomes max-key volume, not
+    volume/cpus. This operator splits the key space at runtime:
+
+    1. exact left-key counts ride a partial-counts exchange (one row per
+       distinct key per block — the vocabulary shape, never raw rows);
+       keys with count >= ``hot_count`` (default: ``hot_frac`` of total
+       rows, min 2) are HOT. The hot set is bounded by construction
+       (sum of counts = n, so at most n/hot_count ~= 1/hot_frac keys);
+       ``max_hot_keys`` guards the broadcast anyway.
+    2. the right side's hot-key rows gather to a driver Arrow table and
+       broadcast (``ray.put`` once); hot LEFT rows join per-batch with
+       ZERO shuffle — the hot key's volume is spread across every input
+       block instead of one reducer.
+    3. cold rows of both sides take the normal partitioned ``hash_join``.
+    4. the two disjoint results union; output == plain join, bit-exact
+       (verified by the gate oracle and the planted-zipf parity test).
+
+    Supports inner/left joins with no overlapping non-key columns (the
+    broadcast kernel applies no suffix — same contract as ``auto_join``).
+    The right side's hot rows must fit the driver (true in the fact ⋈
+    dimension shape where skew lives on the left).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    jt = join_type.replace("_", " ").split()[0]
+    if jt not in ("inner", "left"):
+        raise ValueError("skew_split_join: inner/left only (broadcast kernel)")
+    join_type = "inner" if jt == "inner" else "left outer"  # Arrow/Ray canonical
+    overlap = (set(left.schema().names) & set(right.schema().names)) - {key}
+    if overlap:
+        raise ValueError(f"skew_split_join: overlapping non-key columns {sorted(overlap)}")
+
+    def key_counts(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = tbl.column(key).to_pandas().value_counts(dropna=False)
+        return pa.table({key: pa.array(vc.index), "__n": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = left.map_batches(key_counts, batch_format="pyarrow", zero_copy_batch=True)
+    merged = counts.groupby(key).aggregate(Sum("__n", alias_name="__n"))
+    if hot_count is None:
+        total = left.count()
+        hot_count = max(2, int(total * hot_frac))
+    hot_rows = merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("__n"), hot_count)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    if len(hot_rows) > max_hot_keys:
+        raise ValueError(
+            f"skew_split_join: {len(hot_rows)} hot keys exceed max_hot_keys="
+            f"{max_hot_keys}; raise hot_count"
+        )
+    if not hot_rows:
+        return hash_join(left, right, [key], join_type, num_buckets)
+
+    lsch = left.schema()  # Ray Schema wrapper: names/types lists, no .field
+    key_type = dict(zip(lsch.names, lsch.types))[key]
+    hot_arr = pa.array([r[key] for r in hot_rows], key_type)
+    hot_ref = ray.put(hot_arr)
+
+    def split(tbl: pa.Table, want_hot: bool) -> pa.Table:
+        import ray as _ray
+
+        hs = _ray.get(hot_ref)
+        m = pc.is_in(tbl.column(key), value_set=hs)
+        return tbl.filter(m if want_hot else pc.invert(m))
+
+    right_hot_blocks = [
+        t
+        for t in ray.get(
+            right.map_batches(
+                lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    right_sch = right.schema()
+    right_hot = (
+        pa.concat_tables(right_hot_blocks)
+        if right_hot_blocks
+        else pa.table(
+            {n: pa.array([], t) for n, t in zip(right_sch.names, right_sch.types)}
+        )
+    )
+    right_cold = right.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    left_hot = left.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    left_cold = left.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    out_cols = list(left.schema().names) + [n for n in right_sch.names if n != key]
+    hot_out = broadcast_join(left_hot, right_hot, key, join_type).map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+    cold_out = hash_join(left_cold, right_cold, [key], join_type, num_buckets).map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hot_out.union(cold_out)
