@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "p90_value_cont_per_user",      # interpolated percentile (integer-exact x q_den)
     "value_outliers_per_user",      # per-group z-score anomalies (division-free int compare)
     "dup_ngram_stats",              # per-doc duplicate-span exposure (gram-sharded df>=2)
+    "vaero_parse_json",             # vectorized JSON payload promotion (one NDJSON read/batch)
+    "user_stats_skew_join",         # skew-aware join (hot keys bypass the shuffle)
+    "pagerank_user_types",          # integer-exact PageRank (2 fixed-point iterations)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -154,3 +154,41 @@ def test_skew_split_join_parity_planted_zipf(ray_session):
         rd.from_pandas(lb), rd.from_pandas(rb), "k", hot_count=10_000, num_buckets=4
     ).to_pandas()
     assert len(cold) == len(want)
+
+
+def test_pagerank_matches_reference_impl(ray_session):
+    """Fixed-point PageRank must equal a single-threaded reference run of
+    the same integer recurrence on a random directed graph (including a
+    dangling-target node), for 1 and 3 iterations."""
+    from vaero_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    blocks = [edges.iloc[i::3] for i in range(3)]
+
+    def reference(iters):
+        deg = edges.groupby("src").size().to_dict()
+        nodes = sorted(deg)  # nodes with out-edges define the state table
+        n = len(nodes)
+        scale = 10**12
+        r = {v: scale // n for v in nodes}
+        base = (scale * 15) // (100 * n)
+        for _ in range(iters):
+            s = {v: 0 for v in nodes}
+            for u, v in zip(edges["src"], edges["dst"]):
+                if v in s:
+                    s[v] += (r[u] * 85) // (100 * deg[u])
+            r = {v: base + s[v] for v in nodes}
+        return r
+
+    for iters in (1, 3):
+        got = (
+            pagerank(rd.from_pandas(blocks), iters=iters, num_buckets=4)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        want = reference(iters)
+        assert got["node"].tolist() == sorted(want)
+        assert got["rank_scaled"].tolist() == [want[v] for v in sorted(want)]

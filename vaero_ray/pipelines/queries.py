@@ -4055,6 +4055,76 @@ SELECT e.event_id, e.user_id, s.n_user_events FROM events e JOIN s USING (user_i
 """
 
 
+def q_pagerank_user_types(sf_dir: str):
+    """Integer-exact distributed PageRank (2 fixed-point power
+    iterations, every division a floor division — deterministic across
+    shard layouts AND engines, which float PageRank can never be) over
+    the bipartite user <-> event_type interaction graph: nodes are
+    user_id*2 and type_code*2+1, edges both directions of the distinct
+    (user, type) pairs. See graph.pagerank for the two-exchange-per-
+    iteration shape."""
+    from vaero_ray.stages.graph import pagerank
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    types_rows = ds.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type").unique()}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    code = {v: i for i, v in enumerate(sorted({r["event_type"] for r in types_rows}))}
+
+    def to_pairs(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl.column("event_type").to_pandas().map(code).to_numpy(dtype=np.int64)
+        uniq = pd.DataFrame({"u": u, "t": t}).drop_duplicates()
+        return pa.table({"u": pa.array(uniq["u"].to_numpy()),
+                         "t": pa.array(uniq["t"].to_numpy(), pa.int64())})
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = bucketed_map_groups(pairs, "u", lambda df: df.drop_duplicates(), num_buckets=8)
+
+    def to_edges(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64) * 2
+        t = tbl.column("t").to_numpy(zero_copy_only=False).astype(np.int64) * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, t])),
+                "dst": pa.array(np.concatenate([t, u])),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(edges, iters=2, num_buckets=8)
+
+
+SQL_PAGERANK = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+tid AS (SELECT event_type, CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT) AS t
+        FROM (SELECT DISTINCT event_type FROM events)),
+edges AS (
+  SELECT p.user_id*2 AS src, tid.t*2+1 AS dst FROM p JOIN tid USING (event_type)
+  UNION ALL
+  SELECT tid.t*2+1 AS src, p.user_id*2 AS dst FROM p JOIN tid USING (event_type)),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, deg, 1000000000000 // nn.n AS r FROM deg CROSS JOIN nn),
+c1 AS (SELECT e.dst AS node, SUM((r0.r * 85) // (100 * r0.deg)) AS s
+       FROM edges e JOIN r0 ON r0.node = e.src GROUP BY 1),
+r1 AS (SELECT d.node, d.deg,
+              (1000000000000 * 15) // (100 * nn.n) + COALESCE(c1.s, 0) AS r
+       FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.node = d.node),
+c2 AS (SELECT e.dst AS node, SUM((r1.r * 85) // (100 * r1.deg)) AS s
+       FROM edges e JOIN r1 ON r1.node = e.src GROUP BY 1),
+r2 AS (SELECT d.node, d.deg,
+              (1000000000000 * 15) // (100 * nn.n) + COALESCE(c2.s, 0) AS r
+       FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.node = d.node)
+SELECT node, deg, CAST(r AS BIGINT) AS rank_scaled FROM r2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4130,6 +4200,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_outliers_per_user": q_value_outliers_per_user,
     "vaero_parse_json": q_vaero_parse_json,
     "user_stats_skew_join": q_user_stats_skew_join,
+    "pagerank_user_types": q_pagerank_user_types,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4255,6 +4326,7 @@ ORACLES: dict[str, str] = {
     "value_outliers_per_user": SQL_ZSCORE_OUTLIERS,
     "vaero_parse_json": SQL_PARSE_JSON,
     "user_stats_skew_join": SQL_SKEW_JOIN,
+    "pagerank_user_types": SQL_PAGERANK,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -188,3 +188,156 @@ def connected_components(
         return tbl.rename_columns([id_out, label_out])
 
     return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank(
+    edges: rd.Dataset,
+    iters: int = 2,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """INTEGER-EXACT distributed PageRank over an int64 edge list
+    ``(src, dst)`` — power iteration with every division a FLOOR division
+    on a fixed-point scale, so ranks are deterministic integers identical
+    across shard layouts, merge orders and engines (the SQL oracle
+    unrolls the same iterations with `//`):
+
+        r0(v)   = scale // N
+        r_k(v)  = (scale*(d_den-d_num)) // (d_den*N)
+                  + sum over in-edges u->v of (r_{k-1}(u)*d_num) // (d_den*deg(u))
+
+    Float PageRank cannot pass a hash gate (sum order changes the last
+    ulp); the fixed-point form keeps the semantics (damping 0.85,
+    out-degree-normalized mass) with exact arithmetic. Dangling nodes
+    keep their base term only (their mass leaks — the standard
+    simplification; feed both edge directions for random-walk graphs).
+
+    Scale shape: TWO bucketed exchanges per iteration, both moving
+    bounded rows — (1) edges union per-node contribution quotas
+    co-bucketed by src, emitting <= one partial row per (bucket, dst);
+    (2) partials union the per-node state co-bucketed by node. Edge
+    blocks reshuffle each iteration (a long-running deployment would
+    pin the bucketed edge blocks in the object store; at k=2 the
+    re-exchange is cheaper than the pin bookkeeping). Per-node state
+    rides sentinel-tagged int64 columns — no typed nulls, so nothing
+    degrades to float64 in the pandas bucket kernels.
+
+    int64 bounds: r <= scale and r*d_num <= scale*d_num < 2^63 for the
+    default scale; contribution sums per node <= scale. N and node ids
+    must fit int64.
+    """
+
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(
+            tbl.column("src").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"node": pa.array(vals, pa.int64()),
+                         "deg": pa.array(cnt, pa.int64())})
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    deg = bucketed_keyed_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], ["deg"], num_buckets=num_buckets,
+    ).materialize()
+    n_nodes = deg.count()
+    if not n_nodes:
+        return deg.map_batches(
+            lambda t: t.append_column("rank_scaled", pa.array([], pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    r0 = scale // n_nodes
+    base = (scale * (damp_den - damp_num)) // (damp_den * n_nodes)
+
+    state = deg.map_batches(
+        lambda t: t.append_column(
+            "rank_scaled", pa.array(np.full(t.num_rows, r0, np.int64))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    # edge rows tagged q=-1; quota rows tagged dst=-1 (quotas are >= 0,
+    # dsts are >= 0: sentinel columns, never typed nulls)
+    def as_edge_rows(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table({
+            "k": tbl.column("src").cast(pa.int64()),
+            "dst": tbl.column("dst").cast(pa.int64()),
+            "q": pa.array(np.full(n, -1, np.int64)),
+        })
+
+    e_rows = edges.map_batches(as_edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    for _ in range(iters):
+        def as_quota_rows(tbl: pa.Table) -> pa.Table:
+            r = tbl.column("rank_scaled").to_numpy(zero_copy_only=False)
+            d = tbl.column("deg").to_numpy(zero_copy_only=False)
+            q = (r * damp_num) // (damp_den * d)
+            n = tbl.num_rows
+            return pa.table({
+                "k": tbl.column("node").cast(pa.int64()),
+                "dst": pa.array(np.full(n, -1, np.int64)),
+                "q": pa.array(q, pa.int64()),
+            })
+
+        quotas = state.map_batches(
+            as_quota_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def contrib_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            qrows = df[df["dst"] < 0]
+            erows = df[df["dst"] >= 0]
+            m = erows[["k", "dst"]].merge(
+                qrows[["k", "q"]], on="k", how="inner"
+            )
+            out = m.groupby("dst", sort=False)["q"].sum().reset_index()
+            out.columns = ["node", "s"]
+            return out.astype({"node": "int64", "s": "int64"})
+
+        partials = bucketed_map_groups(
+            e_rows.union(quotas), "k", contrib_bucket, num_buckets
+        )
+
+        # merge partial sums with the deg table: contrib rows s>=0 deg=-1,
+        # state rows s=-1 carrying deg
+        def as_deg_rows(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            return pa.table({
+                "node": tbl.column("node").cast(pa.int64()),
+                "s": pa.array(np.full(n, -1, np.int64)),
+                "deg": tbl.column("deg").cast(pa.int64()),
+            })
+
+        def tag_partials(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            return pa.table({
+                "node": tbl.column("node").cast(pa.int64()),
+                "s": tbl.column("s").cast(pa.int64()),
+                "deg": pa.array(np.full(n, -1, np.int64)),
+            })
+
+        def update_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            degs = df[df["deg"] >= 0][["node", "deg"]]
+            sums = (
+                df[df["s"] >= 0].groupby("node", sort=False)["s"].sum().reset_index()
+            )
+            out = degs.merge(sums, on="node", how="left")
+            out["s"] = out["s"].fillna(0).astype("int64")
+            out["rank_scaled"] = base + out["s"]
+            return out[["node", "deg", "rank_scaled"]].astype(
+                {"node": "int64", "deg": "int64", "rank_scaled": "int64"}
+            )
+
+        tagged = partials.map_batches(
+            tag_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        deg_rows = deg.map_batches(
+            as_deg_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        state = bucketed_map_groups(
+            tagged.union(deg_rows), "node", update_bucket, num_buckets
+        ).materialize()
+
+    return state
