@@ -192,3 +192,34 @@ def test_pagerank_matches_reference_impl(ray_session):
         want = reference(iters)
         assert got["node"].tolist() == sorted(want)
         assert got["rank_scaled"].tolist() == [want[v] for v in sorted(want)]
+
+
+def test_bigram_association_naive_parity(ray_session):
+    """Counts and association flags must equal a naive single-threaded
+    reference on a tiny corpus (min_count=1 so everything survives)."""
+    from collections import Counter
+
+    from vaero_ray.stages.textstats import bigram_association
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a log",
+        "the dog and the cat",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": docs})
+    out = (
+        bigram_association(rd.from_pandas([df.iloc[:2], df.iloc[2:]]), min_count=1, num_buckets=2)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"], ignore_index=True)
+    )
+    toks = [d.split() for d in docs]
+    tc = Counter(t for ts in toks for t in ts)
+    bc = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    n_tok, n_big = sum(tc.values()), sum(bc.values())
+    assert len(out) == len(bc)
+    for _, r in out.iterrows():
+        pair = (r["tok_a"], r["tok_b"])
+        assert bc[pair] == r["n_ab"] and tc[pair[0]] == r["n_a"] and tc[pair[1]] == r["n_b"]
+        want = 1 if bc[pair] * n_tok * n_tok > tc[pair[0]] * tc[pair[1]] * n_big else 0
+        assert r["assoc"] == want, pair

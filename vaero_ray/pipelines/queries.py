@@ -4125,6 +4125,37 @@ SELECT node, deg, CAST(r AS BIGINT) AS rank_scaled FROM r2
 """
 
 
+def q_bigram_associations(sf_dir: str):
+    """Exact positive-PMI collocations: p(ab) > p(a)p(b) cross-multiplied
+    to pure integers (n_ab*N^2 > n_a*n_b*N2) — no logs, hash-identical
+    flags (textstats.bigram_association; vocabulary-shaped exchanges +
+    two partitioned hash joins, nothing broadcast)."""
+    from vaero_ray.stages.textstats import bigram_association
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_association(ds, min_count=5, num_buckets=8)
+
+
+SQL_BIGRAM_ASSOC = r"""
+WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+u AS (SELECT UNNEST(toks) AS tok FROM t),
+tc AS (SELECT tok, COUNT(*) AS n FROM u GROUP BY 1),
+nn AS (SELECT SUM(n) AS n_tok FROM tc),
+bg AS (SELECT UNNEST([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS b FROM t),
+bc AS (SELECT b, COUNT(*) AS n_ab FROM bg GROUP BY 1),
+n2 AS (SELECT SUM(n_ab) AS n_big FROM bc),
+f AS (SELECT split_part(b, ' ', 1) AS tok_a, split_part(b, ' ', 2) AS tok_b, n_ab
+      FROM bc WHERE n_ab >= 5)
+SELECT f.tok_a, f.tok_b, CAST(f.n_ab AS BIGINT) AS n_ab,
+       CAST(a.n AS BIGINT) AS n_a, CAST(c.n AS BIGINT) AS n_b,
+       CAST(CASE WHEN f.n_ab * nn.n_tok * nn.n_tok > a.n * c.n * n2.n_big
+                 THEN 1 ELSE 0 END AS BIGINT) AS assoc
+FROM f JOIN tc a ON a.tok = f.tok_a JOIN tc c ON c.tok = f.tok_b
+CROSS JOIN nn CROSS JOIN n2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4201,6 +4232,7 @@ QUERIES: dict[str, QueryFn] = {
     "vaero_parse_json": q_vaero_parse_json,
     "user_stats_skew_join": q_user_stats_skew_join,
     "pagerank_user_types": q_pagerank_user_types,
+    "bigram_associations": q_bigram_associations,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4327,6 +4359,7 @@ ORACLES: dict[str, str] = {
     "vaero_parse_json": SQL_PARSE_JSON,
     "user_stats_skew_join": SQL_SKEW_JOIN,
     "pagerank_user_types": SQL_PAGERANK,
+    "bigram_associations": SQL_BIGRAM_ASSOC,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -636,3 +636,125 @@ def chunk_documents(
             "chunk_text": text,
         }
     )
+
+
+def bigram_association(
+    ds,
+    text_col: str = "text",
+    min_count: int = 5,
+    num_buckets: "int | None" = None,
+):
+    """EXACT positive-PMI bigram detection with zero transcendentals:
+    the association test  p(ab) > p(a)p(b)  cross-multiplies to
+
+        n_ab * N_tok * N_tok  >  n_a * n_b * N_bigrams
+
+    — pure integer arithmetic, so the flag (and every count) hashes
+    identically to SQL; log-PMI ordering can be derived downstream from
+    the emitted integers. The collocation/phrase-mining primitive
+    (Church & Hanks association ratio, kept exact).
+
+    Scale shape: token counts and bigram counts are BOTH partial-count
+    exchanges (one row per distinct term per block — vocabulary, never
+    tokens, on the wire); corpus totals derive from the merged count
+    tables; unigram counts attach via two partitioned hash joins (the
+    count tables are corpus-sized at 100 TB — nothing is broadcast).
+    Only bigrams with ``n_ab >= min_count`` survive to the join (the
+    standard collocation support floor; totals are computed BEFORE the
+    floor). int64 guard: raises when ``max(n_ab) * N_tok^2`` could wrap
+    (switch to the HUGEINT/ratio form at that corpus size)."""
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.dedup import _flat_tokens
+    from vaero_ray.stages.joins import hash_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    def tok_partial(tbl: pa.Table) -> pa.Table:
+        toks, _ = _flat_tokens(tbl, text_col)
+        vals, cnt = np.unique(np.asarray(toks), return_counts=True)
+        return pa.table({"tok": pa.array(vals, pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    def bigram_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"b": pa.array([], pa.string()),
+                          "n_ab": pa.array([], pa.int64())})
+        if not tbl.num_rows:
+            return empty
+        toks, off = _flat_tokens(tbl, text_col)
+        total = len(toks)
+        if total < 2:
+            return empty
+        valid = np.ones(total - 1, dtype=bool)
+        ends = off[1:] - 1
+        ends = ends[(ends >= 0) & (ends < total - 1)]
+        valid[ends] = False
+        if not valid.any():
+            return empty
+        grams = pc.binary_join_element_wise(
+            toks.slice(0, total - 1), toks.slice(1, total - 1), " "
+        ).filter(pa.array(valid))
+        vals, cnt = np.unique(np.asarray(grams), return_counts=True)
+        return pa.table({"b": pa.array(vals, pa.string()),
+                         "n_ab": pa.array(cnt, pa.int64())})
+
+    tok_counts = bucketed_keyed_sum(
+        ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], ["n"], num_buckets=num_buckets,
+    ).materialize()
+    bigram_counts = bucketed_keyed_sum(
+        ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["b"], ["n_ab"], num_buckets=num_buckets,
+    ).materialize()
+
+    n_tok = int(tok_counts.sum("n") or 0)
+    n_big = int(bigram_counts.sum("n_ab") or 0)
+    if not n_big:
+        return bigram_counts  # empty
+
+    def split_floor(tbl: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(tbl.column("n_ab"), min_count)
+        t = tbl.filter(keep)
+        parts = pc.split_pattern(t.column("b").combine_chunks(), " ", max_splits=1)
+        return pa.table({
+            "tok_a": pc.list_element(parts, 0),
+            "tok_b": pc.list_element(parts, 1),
+            "n_ab": t.column("n_ab").cast(pa.int64()),
+        })
+
+    survivors = bigram_counts.map_batches(
+        split_floor, batch_format="pyarrow", zero_copy_batch=True
+    )
+    a_counts = tok_counts.map_batches(
+        lambda t: t.rename_columns(["tok_a", "n_a"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    b_counts = tok_counts.map_batches(
+        lambda t: t.rename_columns(["tok_b", "n_b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = hash_join(survivors, a_counts, ["tok_a"], num_buckets=num_buckets)
+    joined = hash_join(joined, b_counts, ["tok_b"], num_buckets=num_buckets)
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        n_ab = tbl.column("n_ab").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_a = tbl.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_b = tbl.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(n_ab) and (
+            float(n_ab.max()) * n_tok * n_tok >= 2.0**63
+            or float(n_a.max()) * float(n_b.max()) * n_big >= 2.0**63
+        ):
+            raise ValueError(
+                "bigram_association: corpus too large for the int64 "
+                "cross-multiplication; use the ratio form"
+            )
+        assoc = (n_ab * n_tok * n_tok > n_a * n_b * n_big).astype(np.int64)
+        return pa.table({
+            "tok_a": tbl.column("tok_a"),
+            "tok_b": tbl.column("tok_b"),
+            "n_ab": pa.array(n_ab),
+            "n_a": pa.array(n_a),
+            "n_b": pa.array(n_b),
+            "assoc": pa.array(assoc),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
