@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "user_stats_skew_join",         # skew-aware join (hot keys bypass the shuffle)
     "pagerank_user_types",          # integer-exact PageRank (2 fixed-point iterations)
     "bigram_associations",          # exact positive-PMI collocations (integer cross-multiply)
+    "sft_examples",                 # transcripts -> SFT context/target materialization
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -223,3 +223,30 @@ def test_bigram_association_naive_parity(ray_session):
         assert bc[pair] == r["n_ab"] and tc[pair[0]] == r["n_a"] and tc[pair[1]] == r["n_b"]
         want = 1 if bc[pair] * n_tok * n_tok > tc[pair[0]] * tc[pair[1]] * n_big else 0
         assert r["assoc"] == want, pair
+
+
+def test_sft_examples_hand_built(ray_session):
+    """Context assembly: oldest-first join of up to n previous turns in
+    the SAME conversation, assistant turns only, first turn excluded."""
+    from vaero_ray.stages.stitch import sft_examples
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 5 + ["b"],
+            "turn_idx": np.array([0, 1, 2, 3, 4, 0], dtype=np.int32),
+            "role": ["user", "assistant", "user", "user", "assistant", "assistant"],
+            "text": ["hi", "yo", "q2", "more", "a2", "solo"],
+        }
+    )
+    out = (
+        sft_examples(rd.from_pandas([df.iloc[:3], df.iloc[3:]]), n_context=3, num_buckets=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    assert out["conv_id"].tolist() == ["a", "a"]  # b's turn 0 excluded
+    assert out["turn_idx"].tolist() == [1, 4]
+    assert out.loc[0, "context"] == "user: hi"
+    assert out.loc[0, "target"] == "yo"
+    # window of 3: turns 1..3, oldest first
+    assert out.loc[1, "context"] == "assistant: yo\nuser: q2\nuser: more"
+    assert out.loc[1, "target"] == "a2"

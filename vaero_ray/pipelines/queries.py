@@ -4156,6 +4156,32 @@ CROSS JOIN nn CROSS JOIN n2
 """
 
 
+def q_sft_examples(sf_dir: str):
+    """The transcripts -> training-data materialization: per assistant
+    turn, the previous <= 3 turns rendered 'role: text' joined by
+    newlines as CONTEXT, the turn's text as TARGET — the SFT example
+    builder (stitch.sft_examples: stateless part render, one conv
+    exchange, k constant shifted-array joins in the bucket)."""
+    from vaero_ray.pipelines.derived import derive_transcripts
+    from vaero_ray.stages.stitch import sft_examples
+
+    ds = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    )
+    return sft_examples(ds, n_context=3)
+
+
+SQL_SFT_EXAMPLES = f"""
+WITH {TRANSCRIPTS_CTE},
+l AS (SELECT conv_id, turn_idx, role, text, role || ': ' || text AS part FROM transcripts)
+SELECT conv_id, turn_idx,
+       string_agg(part, chr(10)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+       text AS target
+FROM l QUALIFY role = 'assistant' AND turn_idx > 0
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4233,6 +4259,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_stats_skew_join": q_user_stats_skew_join,
     "pagerank_user_types": q_pagerank_user_types,
     "bigram_associations": q_bigram_associations,
+    "sft_examples": q_sft_examples,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4360,6 +4387,7 @@ ORACLES: dict[str, str] = {
     "user_stats_skew_join": SQL_SKEW_JOIN,
     "pagerank_user_types": SQL_PAGERANK,
     "bigram_associations": SQL_BIGRAM_ASSOC,
+    "sft_examples": SQL_SFT_EXAMPLES,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -766,7 +766,15 @@ def skew_split_join(
     hot_out = broadcast_join(left_hot, right_hot, key, join_type).map_batches(
         lambda t: t.select(out_cols), batch_format="pyarrow", zero_copy_batch=True
     )
-    cold_out = hash_join(left_cold, right_cold, [key], join_type, num_buckets).map_batches(
+    # cold join takes the EXPLICIT bucketed path, not the native hash
+    # shuffle: derived sides (aggregate/map_groups outputs) can carry
+    # zero-COLUMN empty blocks that poison the native join's partition
+    # schema seeding (flaked at sf0.001: "No match ... FieldRef.Name(k)
+    # on right side" whenever a join partition received no rows); the
+    # bucketed path's sort shuffle tolerates them (warn-only).
+    cold_out = _bucketed_hash_join(
+        left_cold, right_cold, [key], join_type, num_buckets or DEFAULT_BUCKETS
+    ).map_batches(
         lambda t: t.select(out_cols), batch_format="pyarrow", zero_copy_batch=True
     )
     return hot_out.union(cold_out)

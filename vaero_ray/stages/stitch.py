@@ -177,3 +177,86 @@ def response_latency(
         return out
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets)
+
+
+def sft_examples(
+    ds: rd.Dataset,
+    n_context: int = 3,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    target_role: str = "assistant",
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Training-example assembly over transcripts — the SFT builder: for
+    every ``target_role`` turn (except a conversation's first turn), emit
+    the previous ``n_context`` turns rendered as ``role: text`` joined by
+    ``sep`` as the CONTEXT, and the turn's own text as the TARGET. The
+    core transcripts->training-data materialization (context windows per
+    assistant turn), exactly the SQL
+    ``string_agg(part, sep) OVER (... ROWS BETWEEN n PRECEDING AND 1
+    PRECEDING)`` frame.
+
+    Scale shape: the per-row ``role: text`` part renders STATELESS before
+    the shuffle; ONE conv-bucketed exchange; inside the bucket the
+    context is k shifted-array joins (k = n_context, a constant), all
+    Arrow kernels — no per-row Python, no per-conversation loop. Output
+    rows = target-role turns only."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def render(tbl: pa.Table) -> pa.Table:
+        part = pc.binary_join_element_wise(
+            tbl.column(role), tbl.column(text), ": "
+        )
+        return tbl.append_column("__part", part)
+
+    ds = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        k_arr = df[key].to_numpy()
+        vals = df["__part"].to_numpy()
+        # context = join of up to n_context previous parts in the SAME conv
+        segs: "list[pa.Array]" = []
+        for back in range(n_context, 0, -1):
+            shifted = np.empty(n, dtype=object)
+            ok = np.zeros(n, dtype=bool)
+            if n > back:
+                same = k_arr[back:] == k_arr[:-back]
+                ok[back:] = same
+            shifted[:] = ""
+            shifted[ok] = vals[np.flatnonzero(ok) - back]
+            segs.append(pa.array(shifted, pa.string()))
+        # join non-empty segments with sep: build via pairwise joins that
+        # skip empty slots (join "" edges would inject separators)
+        ctx = segs[0]
+        for s in segs[1:]:
+            both = pc.binary_join_element_wise(ctx, s, sep)
+            ctx = pc.if_else(
+                pc.equal(ctx, ""), s, pc.if_else(pc.equal(s, ""), ctx, both)
+            )
+        m = (df[role].to_numpy() == target_role) & (
+            np.concatenate(([False], k_arr[1:] == k_arr[:-1]))
+        )
+        idx = np.flatnonzero(m)
+        out = pa.table(
+            {
+                key: pa.array(k_arr[idx], pa.string()),
+                order: pa.array(df[order].to_numpy()[idx]),
+                "context": pc.take(ctx, pa.array(idx, pa.int64())),
+                "target": pa.array(df[text].to_numpy()[idx], pa.string()),
+            }
+        )
+        res = out.to_pandas()
+        if res.empty:
+            res = res.astype({key: "string", "context": "string", "target": "string"})
+        return res
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets)

@@ -663,10 +663,13 @@ def bigram_association(
     standard collocation support floor; totals are computed BEFORE the
     floor). int64 guard: raises when ``max(n_ab) * N_tok^2`` could wrap
     (switch to the HUGEINT/ratio form at that corpus size)."""
-    from ray.data.aggregate import Sum
-
     from vaero_ray.stages.dedup import _flat_tokens
-    from vaero_ray.stages.joins import hash_join
+
+    # the EXPLICIT bucketed join, not the native hash shuffle: both join
+    # inputs here are map_groups outputs, which can carry zero-column
+    # empty blocks that poison the native join's partition schema
+    # seeding (see joins.skew_split_join's cold path for the flake)
+    from vaero_ray.stages.joins import _bucketed_hash_join as hash_join
     from vaero_ray.stages.keyed import bucketed_keyed_sum
 
     def tok_partial(tbl: pa.Table) -> pa.Table:
@@ -732,8 +735,8 @@ def bigram_association(
         lambda t: t.rename_columns(["tok_b", "n_b"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    joined = hash_join(survivors, a_counts, ["tok_a"], num_buckets=num_buckets)
-    joined = hash_join(joined, b_counts, ["tok_b"], num_buckets=num_buckets)
+    joined = hash_join(survivors, a_counts, ["tok_a"], num_buckets=num_buckets or 16)
+    joined = hash_join(joined, b_counts, ["tok_b"], num_buckets=num_buckets or 16)
 
     def finalize(tbl: pa.Table) -> pa.Table:
         n_ab = tbl.column("n_ab").to_numpy(zero_copy_only=False).astype(np.int64)
