@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "pagerank_user_types",          # integer-exact PageRank (2 fixed-point iterations)
     "bigram_associations",          # exact positive-PMI collocations (integer cross-multiply)
     "sft_examples",                 # transcripts -> SFT context/target materialization
+    "longest_type_streak",          # gaps-and-islands CEP (longest equal-value run per key)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

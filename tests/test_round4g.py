@@ -250,3 +250,25 @@ def test_sft_examples_hand_built(ray_session):
     # window of 3: turns 1..3, oldest first
     assert out.loc[1, "context"] == "assistant: yo\nuser: q2\nuser: more"
     assert out.loc[1, "target"] == "a2"
+
+
+def test_longest_run_hand_built(ray_session):
+    from vaero_ray.stages.cep import longest_run_per_key
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 1, 2, 2, 2],
+            "v": ["a", "a", "b", "b", "b", "x", "y", "x"],
+            "ts": np.arange(8, dtype=np.int64),
+        }
+    )
+    out = (
+        longest_run_per_key(
+            rd.from_pandas([df.iloc[:4], df.iloc[4:]]), "u", "v", "ts", num_buckets=2
+        )
+        .to_pandas()
+        .sort_values("u", ignore_index=True)
+    )
+    assert out["u"].tolist() == [1, 2]
+    assert out["value"].tolist() == ["b", "x"]  # u2 ties at 1 -> value asc
+    assert out["run_len"].tolist() == [3, 1]

@@ -4182,6 +4182,40 @@ FROM l QUALIFY role = 'assistant' AND turn_idx > 0
 """
 
 
+def q_longest_type_streak(sf_dir: str):
+    """Gaps-and-islands CEP: the longest consecutive same-event_type
+    streak per user (retry storms / crawler bursts), the SQL rn - rn2
+    islands trick vectorized in one bucket kernel
+    (cep.longest_run_per_key); ties run_len desc then value asc."""
+    from vaero_ray.stages.cep import longest_run_per_key
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    out = longest_run_per_key(
+        ds, key="user_id", value_col="event_type", order=["ts", "event_id"],
+        num_buckets=16,
+    )
+    return out.rename_columns({"value": "event_type"})
+
+
+SQL_LONGEST_STREAK = """
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS island
+  FROM events
+),
+runs AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+         FROM o GROUP BY user_id, event_type, island)
+SELECT user_id, event_type, run_len FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY run_len DESC, event_type) AS rk
+  FROM runs) WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4260,6 +4294,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank_user_types": q_pagerank_user_types,
     "bigram_associations": q_bigram_associations,
     "sft_examples": q_sft_examples,
+    "longest_type_streak": q_longest_type_streak,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4388,6 +4423,7 @@ ORACLES: dict[str, str] = {
     "pagerank_user_types": SQL_PAGERANK,
     "bigram_associations": SQL_BIGRAM_ASSOC,
     "sft_examples": SQL_SFT_EXAMPLES,
+    "longest_type_streak": SQL_LONGEST_STREAK,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

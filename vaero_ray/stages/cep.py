@@ -212,3 +212,50 @@ def absence_counts(
         return g.astype({"n_first": "int64", "n_abandoned": "int64"})
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def longest_run_per_key(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    order: "list[str] | str",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Gaps-and-islands: the longest CONSECUTIVE run of equal
+    ``value_col`` per ``key`` in ``order`` — e.g. "longest streak of the
+    same event type per user", the run-length CEP primitive (retry
+    storms, tool-call loops, crawler bursts). Output one row per key:
+    ``(key, value, run_len)``, ties broken by (run_len desc, value asc)
+    so the pick is deterministic and shard-invariant.
+
+    One bucketed shuffle; per bucket the runs derive from TWO boundary
+    masks (key change | value change) + one np.diff over run starts, and
+    the per-key argmax is a lexsort + first-of-segment gather — no
+    per-key loop, the SQL ``rn - rn2`` islands trick vectorized."""
+    import numpy as np
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    order_cols = [order] if isinstance(order, str) else list(order)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        k = df[key].to_numpy()
+        v = df[value_col].to_numpy()
+        n = len(df)
+        new_run = np.ones(n, dtype=bool)
+        if n:
+            new_run[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, n))
+        runs = pd.DataFrame(
+            {key: k[starts], "value": v[starts], "run_len": run_len.astype(np.int64)}
+        )
+        # deterministic per-key pick: run_len desc, value asc
+        runs = runs.sort_values(
+            [key, "run_len", "value"], ascending=[True, False, True], kind="mergesort"
+        )
+        first = runs.groupby(key, sort=False, as_index=False).head(1)
+        return first.reset_index(drop=True)
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets)
