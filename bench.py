@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "bigram_associations",          # exact positive-PMI collocations (integer cross-multiply)
     "sft_examples",                 # transcripts -> SFT context/target materialization
     "longest_type_streak",          # gaps-and-islands CEP (longest equal-value run per key)
+    "user_state_changelog",         # CDC apply (base + upserts/tombstones, one compaction exchange)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

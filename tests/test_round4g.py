@@ -272,3 +272,38 @@ def test_longest_run_hand_built(ray_session):
     assert out["u"].tolist() == [1, 2]
     assert out["value"].tolist() == ["b", "x"]  # u2 ties at 1 -> value asc
     assert out["run_len"].tolist() == [3, 1]
+
+
+def test_apply_changelog_hand_built(ray_session):
+    """Upsert overrides base, tombstone deletes, untouched keys survive,
+    and a base row newer than a change wins (order decides, not source)."""
+    from vaero_ray.stages.rowwindow import apply_changelog
+
+    base = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 3, 4], dtype=np.int64),
+            "v": np.array([10, 20, 30, 40], dtype=np.int64),
+            "seq": np.array([0, 0, 0, 9], dtype=np.int64),
+            "tie": np.array([0, 0, 0, 0], dtype=np.int64),
+        }
+    )
+    changes = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 4], dtype=np.int64),
+            "v": np.array([11, 0, 41], dtype=np.int64),
+            "seq": np.array([5, 5, 5], dtype=np.int64),
+            "tie": np.array([1, 1, 1], dtype=np.int64),
+            "op": ["U", "D", "U"],
+        }
+    )
+    out = (
+        apply_changelog(
+            rd.from_pandas([base]), rd.from_pandas([changes]),
+            key="k", order_col="seq", tie_col="tie", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    # k1 upserted, k2 tombstoned, k3 untouched, k4 base (seq 9) beats change
+    assert out["k"].tolist() == [1, 3, 4]
+    assert out["v"].tolist() == [11, 30, 40]

@@ -4216,6 +4216,78 @@ SELECT user_id, event_type, run_len FROM (
 """
 
 
+_CHANGELOG_CUTOFF = "2024-01-15"
+
+
+def q_user_state_changelog(sf_dir: str):
+    """CDC / snapshot maintenance: a base snapshot (latest per-user state
+    before the cutoff) plus a changelog (post-cutoff events; 'error' rows
+    are tombstones) compact to the current state in ONE exchange — base
+    and changes union into the same compaction shuffle, the winner per
+    key is the greatest (ts, event_id), tombstone winners drop the key
+    (rowwindow.apply_changelog)."""
+    import numpy as np
+
+    from vaero_ray.stages.rowwindow import apply_changelog, compact_latest
+
+    cutoff = np.datetime64(_CHANGELOG_CUTOFF, "us")
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "value_cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+            }
+        )
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value", "ts", "event_id", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def before(tbl: pa.Table) -> pa.Table:
+        m = pc.less(tbl.column("ts").cast(pa.timestamp("us")), pa.scalar(cutoff))
+        return tbl.filter(m).drop_columns("event_type")
+
+    def after(tbl: pa.Table) -> pa.Table:
+        m = pc.greater_equal(tbl.column("ts").cast(pa.timestamp("us")), pa.scalar(cutoff))
+        t = tbl.filter(m)
+        op = pc.if_else(pc.equal(t.column("event_type"), "error"), "D", "U")
+        return t.drop_columns("event_type").append_column("op", op)
+
+    base = compact_latest(
+        ds.map_batches(before, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id", order_col="ts", tie_col="event_id", num_buckets=8,
+    )
+    changes = ds.map_batches(after, batch_format="pyarrow", zero_copy_batch=True)
+    return apply_changelog(
+        base, changes, key="user_id", order_col="ts", tie_col="event_id",
+        num_buckets=8,
+    )
+
+
+SQL_CHANGELOG = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents,
+         ts, event_id,
+         CASE WHEN ts >= TIMESTAMP '{_CHANGELOG_CUTOFF}' AND event_type = 'error'
+              THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rk
+    FROM ev) WHERE rk = 1
+)
+SELECT user_id, value_cents, ts, event_id FROM last WHERE op <> 'D'
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4295,6 +4367,7 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_associations": q_bigram_associations,
     "sft_examples": q_sft_examples,
     "longest_type_streak": q_longest_type_streak,
+    "user_state_changelog": q_user_state_changelog,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4424,6 +4497,7 @@ ORACLES: dict[str, str] = {
     "bigram_associations": SQL_BIGRAM_ASSOC,
     "sft_examples": SQL_SFT_EXAMPLES,
     "longest_type_streak": SQL_LONGEST_STREAK,
+    "user_state_changelog": SQL_CHANGELOG,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

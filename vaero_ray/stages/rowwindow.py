@@ -378,3 +378,60 @@ def lag_lead(
         return df
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def apply_changelog(
+    base: rd.Dataset,
+    changes: rd.Dataset,
+    key: str,
+    order_col: str,
+    tie_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Apply a keyed changelog (upserts + deletes) to a base snapshot —
+    the table-maintenance primitive behind incremental snapshot rebuild
+    (Kafka-compacted topic replay, CDC apply, SCD type 1 with
+    tombstones). ``changes`` rows carry ``op_col``: ``delete_op`` rows
+    are tombstones, anything else is an upsert. Per key the row with the
+    greatest ``(order_col, tie_col)`` across base+changes wins; if the
+    winner is a tombstone the key disappears. Base rows must sort BELOW
+    every change (give them the epoch floor in ``order_col``).
+
+    One bucketed exchange (base and changes union into the same
+    compaction shuffle — no separate join pass); per bucket one sort +
+    keep-last + tombstone filter. Output schema = base columns.
+    """
+    import pyarrow as pa
+
+    base_cols = list(base.schema().names)
+
+    def tag_base(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return tbl.append_column(op_col, pa.array(["U"] * n, pa.string()))
+
+    b = base.map_batches(tag_base, batch_format="pyarrow", zero_copy_batch=True)
+    c = changes.map_batches(
+        lambda t: t.select(base_cols + [op_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col, tie_col], kind="mergesort")
+        last = df.drop_duplicates(subset=[key], keep="last")
+        live = last[last[op_col] != delete_op]
+        return live[base_cols].reset_index(drop=True)
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        b.map_batches(
+            lambda t: t.select(base_cols + [op_col]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).union(c),
+        key,
+        per_bucket,
+        num_buckets=num_buckets,
+    )
