@@ -4084,7 +4084,12 @@ def q_pagerank_user_types(sf_dir: str):
                          "t": pa.array(uniq["t"].to_numpy(), pa.int64())})
 
     pairs = ds.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = bucketed_map_groups(pairs, "u", lambda df: df.drop_duplicates(), num_buckets=8)
+    # compact: the bucketed dedup's sort emits ~2x-cpus mostly-empty
+    # blocks; left as-is every pagerank stage downstream pays the
+    # empty-task scheduling per execution (see graph.pagerank's nb note)
+    pairs = bucketed_map_groups(
+        pairs, "u", lambda df: df.drop_duplicates(), num_buckets=8
+    ).repartition(8)
 
     def to_edges(tbl: pa.Table) -> pa.Table:
         u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64) * 2

@@ -238,10 +238,17 @@ def pagerank(
 
     from vaero_ray.stages.keyed import bucketed_keyed_sum
 
+    nb = num_buckets or 16
+    # compact every materialized per-node/per-edge table to nb blocks:
+    # Ray's sort shuffle emits ~2x-cpus output partitions regardless of
+    # bucket count, so a bucketed stage's output is MOSTLY EMPTY blocks
+    # (measured 64 blocks / 56 empty at sf0.1) and every downstream
+    # stage pays ~2 s of empty-task scheduling PER EXECUTION — the gate
+    # ran 23 s where the same data in compact blocks runs ~3 s.
     deg = bucketed_keyed_sum(
         edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True),
         ["node"], ["deg"], num_buckets=num_buckets,
-    ).materialize()
+    ).repartition(nb).materialize()
     n_nodes = deg.count()
     if not n_nodes:
         return deg.map_batches(
@@ -268,7 +275,12 @@ def pagerank(
             "q": pa.array(np.full(n, -1, np.int64)),
         })
 
-    e_rows = edges.map_batches(as_edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize ONCE: e_rows is consumed every iteration, and an
+    # unmaterialized dataset re-executes its WHOLE upstream lineage per
+    # consumer (measured: 26 s -> ~8 s at sf0.1 for 2 iterations)
+    e_rows = edges.map_batches(
+        as_edge_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(nb).materialize()
 
     for _ in range(iters):
         def as_quota_rows(tbl: pa.Table) -> pa.Table:
@@ -298,7 +310,7 @@ def pagerank(
 
         partials = bucketed_map_groups(
             e_rows.union(quotas), "k", contrib_bucket, num_buckets
-        )
+        ).repartition(nb)
 
         # merge partial sums with the deg table: contrib rows s>=0 deg=-1,
         # state rows s=-1 carrying deg
@@ -338,6 +350,6 @@ def pagerank(
         )
         state = bucketed_map_groups(
             tagged.union(deg_rows), "node", update_bucket, num_buckets
-        ).materialize()
+        ).repartition(nb).materialize()
 
     return state

@@ -696,6 +696,16 @@ def skew_split_join(
     if overlap:
         raise ValueError(f"skew_split_join: overlapping non-key columns {sorted(overlap)}")
 
+    # each side feeds MULTIPLE consumers (counts + hot/cold splits);
+    # an unmaterialized dataset re-executes its whole upstream lineage
+    # per consumer, so pin both once (object-store blocks spill at
+    # scale) and compact pathological mostly-empty block layouts from
+    # upstream shuffles (see keyed.compact_small_blocks)
+    from vaero_ray.stages.keyed import compact_small_blocks
+
+    left = compact_small_blocks(left.materialize())
+    right = compact_small_blocks(right.materialize())
+
     def key_counts(tbl: pa.Table) -> pa.Table:
         import pandas as pd
 

@@ -674,9 +674,11 @@ def bigram_association(
 
     def tok_partial(tbl: pa.Table) -> pa.Table:
         toks, _ = _flat_tokens(tbl, text_col)
-        vals, cnt = np.unique(np.asarray(toks), return_counts=True)
-        return pa.table({"tok": pa.array(vals, pa.string()),
-                         "n": pa.array(cnt, pa.int64())})
+        # pc.value_counts stays in Arrow — np.unique over an Arrow string
+        # array first materializes a Python-object array, which dominates
+        vc = pc.value_counts(toks)
+        return pa.table({"tok": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     def bigram_partial(tbl: pa.Table) -> pa.Table:
         empty = pa.table({"b": pa.array([], pa.string()),
@@ -696,18 +698,27 @@ def bigram_association(
         grams = pc.binary_join_element_wise(
             toks.slice(0, total - 1), toks.slice(1, total - 1), " "
         ).filter(pa.array(valid))
-        vals, cnt = np.unique(np.asarray(grams), return_counts=True)
-        return pa.table({"b": pa.array(vals, pa.string()),
-                         "n_ab": pa.array(cnt, pa.int64())})
+        vc = pc.value_counts(grams)
+        return pa.table({"b": vc.field("values"),
+                         "n_ab": vc.field("counts").cast(pa.int64())})
 
-    tok_counts = bucketed_keyed_sum(
-        ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["tok"], ["n"], num_buckets=num_buckets,
-    ).materialize()
-    bigram_counts = bucketed_keyed_sum(
-        ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["b"], ["n_ab"], num_buckets=num_buckets,
-    ).materialize()
+    from vaero_ray.stages.keyed import compact_small_blocks
+
+    # compact the materialized count tables: the bucketed sum's sort
+    # emits ~2x-cpus mostly-empty blocks, taxing the sums and both
+    # joins below on every execution (keyed.compact_small_blocks)
+    tok_counts = compact_small_blocks(
+        bucketed_keyed_sum(
+            ds.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["tok"], ["n"], num_buckets=num_buckets,
+        ).materialize()
+    )
+    bigram_counts = compact_small_blocks(
+        bucketed_keyed_sum(
+            ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["b"], ["n_ab"], num_buckets=num_buckets,
+        ).materialize()
+    )
 
     n_tok = int(tok_counts.sum("n") or 0)
     n_big = int(bigram_counts.sum("n_ab") or 0)
