@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "sft_examples",                 # transcripts -> SFT context/target materialization
     "longest_type_streak",          # gaps-and-islands CEP (longest equal-value run per key)
     "user_state_changelog",         # CDC apply (base + upserts/tombstones, one compaction exchange)
+    "conversation_sft_pipeline",    # transcript-tier capstone: conv dedup -> quality -> SFT assembly
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

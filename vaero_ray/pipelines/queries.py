@@ -4293,6 +4293,116 @@ SELECT user_id, value_cents, ts, event_id FROM last WHERE op <> 'D'
 """
 
 
+def q_conversation_sft_pipeline(sf_dir: str):
+    """The transcript-tier CAPSTONE — the full conversations ->
+    training-data story in one pipeline: conversation-level exact dedup
+    (order-sensitive mergeable fingerprint over event-id-stripped text,
+    keep-min survivor), turn-taking quality filter (< 20% same-role
+    adjacent violations), then SFT example assembly (previous <= 3 turns
+    as context per assistant turn) restricted to the surviving
+    well-formed conversations via a semi join. Composes convstats +
+    stitch + joins; every stage SQL-mirrored."""
+    from vaero_ray.pipelines.derived import derive_transcripts
+    from vaero_ray.stages.convstats import (
+        alternation_stats,
+        conv_fingerprint,
+        dedup_by_fingerprint,
+        turn_hash,
+    )
+    from vaero_ray.stages.joins import semi_join
+    from vaero_ray.stages.keyed import compact_small_blocks
+    from vaero_ray.stages.stitch import sft_examples
+
+    tr = derive_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).materialize()
+
+    def hash_stage(tbl: pa.Table) -> pa.Table:
+        stripped = pc.replace_substring_regex(tbl.column("text"), r"^event \d+ ", "")
+        tmp = turn_hash(pa.table({"__t": stripped}), "__t")
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "turn_idx": tbl.column("turn_idx"),
+                "th": tmp.column("th"),
+            }
+        )
+
+    hashed = tr.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    surv = dedup_by_fingerprint(conv_fingerprint(hashed, order="turn_idx"))
+    surv_ids = surv.select_columns(["conv_id"])
+
+    viol = alternation_stats(
+        tr.select_columns(["conv_id", "role", "turn_idx"]), order="turn_idx"
+    )
+
+    def ok_filter(tbl: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            pc.multiply(tbl.column("n_violations"), pa.scalar(5, pa.int64())),
+            tbl.column("n_turns"),
+        )
+        return tbl.filter(keep).select(["conv_id"])
+
+    ok_ids = viol.map_batches(ok_filter, batch_format="pyarrow", zero_copy_batch=True)
+    allowed = compact_small_blocks(
+        semi_join(surv_ids, ok_ids, "conv_id", num_buckets=8).materialize()
+    )
+
+    examples = sft_examples(tr, n_context=3)
+    return semi_join(examples, allowed, "conv_id", num_buckets=8)
+
+
+SQL_CONV_SFT_PIPELINE = f"""
+WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id, turn_idx,
+    lower(regexp_replace(regexp_replace(text, '^event \\d+ ', ''), '\\s+', ' ', 'g')) AS norm
+  FROM transcripts
+),
+h AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN length(norm) = 0 THEN 0 ELSE
+      list_reduce([CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT)
+                   FOR i IN range(1, length(norm)+1)],
+                  (a,c) -> (a*31+c) % 2147483647) END AS th
+  FROM s
+),
+t AS (
+  SELECT conv_id,
+    ((th + 1) * list_reduce([CAST(1 AS BIGINT)] ||
+        [CAST(131 AS BIGINT) FOR i IN range(1, turn_idx + 1)],
+        (a,c) -> (a*c) % 2147483647)) % 2147483647 AS term
+  FROM h
+),
+f AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         CAST(SUM(term) % 2147483647 AS BIGINT) AS conv_fp
+  FROM t GROUP BY conv_id
+),
+surv AS (SELECT MIN(conv_id) AS conv_id FROM f GROUP BY conv_fp, n_turns),
+lv AS (
+  SELECT conv_id,
+         CASE WHEN role = LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 1 ELSE 0 END AS v
+  FROM transcripts
+),
+ok AS (SELECT conv_id FROM lv GROUP BY conv_id HAVING SUM(v) * 5 <= COUNT(*)),
+allowed AS (SELECT conv_id FROM surv JOIN ok USING (conv_id)),
+parts AS (SELECT conv_id, turn_idx, role, text, role || ': ' || text AS part
+          FROM transcripts),
+sftl AS (
+  SELECT conv_id, turn_idx,
+         string_agg(part, chr(10)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+         text AS target, role
+  FROM parts
+)
+SELECT conv_id, turn_idx, context, target
+FROM sftl JOIN allowed USING (conv_id)
+WHERE role = 'assistant' AND turn_idx > 0
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4373,6 +4483,7 @@ QUERIES: dict[str, QueryFn] = {
     "sft_examples": q_sft_examples,
     "longest_type_streak": q_longest_type_streak,
     "user_state_changelog": q_user_state_changelog,
+    "conversation_sft_pipeline": q_conversation_sft_pipeline,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4503,6 +4614,7 @@ ORACLES: dict[str, str] = {
     "sft_examples": SQL_SFT_EXAMPLES,
     "longest_type_streak": SQL_LONGEST_STREAK,
     "user_state_changelog": SQL_CHANGELOG,
+    "conversation_sft_pipeline": SQL_CONV_SFT_PIPELINE,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
