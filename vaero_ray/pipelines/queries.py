@@ -4403,6 +4403,66 @@ WHERE role = 'assistant' AND turn_idx > 0
 """
 
 
+def q_streaming_value_quantile(sf_dir: str):
+    """STREAMING per-window quantile sketch: log-histogram registers AS
+    ROWS through the exactly-once windowed machinery (the same
+    composition as streaming_hll_distinct) — a stateless per-event
+    (bin) map, then the standard tumbling job keyed by bin with a count
+    aggregate; window quantile bounds derive from the committed
+    registers downstream. Registers are sum-mergeable, so partials
+    merge associatively across epochs with zero new streaming
+    machinery."""
+    import os
+    import shutil
+
+    from vaero_ray.stages.sketch import lhq_bins
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = _stream_chunks(sf_dir, "value_quantile_in", ["ts", "value"])
+    base = os.path.dirname(ind)
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def per_batch(tbl: pa.Table) -> pa.Table:
+            v = tbl.column("value").to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {"ts": tbl.column("ts"), "bin": pa.array(lhq_bins(cents), pa.int64())}
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_d, ckpt_d = f"{base}/value_quantile_out", f"{base}/value_quantile_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["bin"],
+        aggs=[AggSpec(None, "count", "cnt")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+    return job.committed_output()
+
+
+SQL_STREAMING_VALUE_QUANTILE = r"""
+WITH c AS (
+  SELECT ts, CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+b AS (
+  SELECT ts, v, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bl FROM c)
+SELECT CAST(CASE WHEN v < 8 THEN v
+            ELSE (bl << 3) | ((v >> greatest(bl - 4, 0)) & 7) END AS BIGINT) AS bin,
+       date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4484,6 +4544,7 @@ QUERIES: dict[str, QueryFn] = {
     "longest_type_streak": q_longest_type_streak,
     "user_state_changelog": q_user_state_changelog,
     "conversation_sft_pipeline": q_conversation_sft_pipeline,
+    "streaming_value_quantile": q_streaming_value_quantile,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4615,6 +4676,7 @@ ORACLES: dict[str, str] = {
     "longest_type_streak": SQL_LONGEST_STREAK,
     "user_state_changelog": SQL_CHANGELOG,
     "conversation_sft_pipeline": SQL_CONV_SFT_PIPELINE,
+    "streaming_value_quantile": SQL_STREAMING_VALUE_QUANTILE,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
