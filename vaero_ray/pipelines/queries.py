@@ -4463,6 +4463,94 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_preference_pairs(sf_dir: str):
+    """DPO/RLHF preference-pair assembly over the derived transcripts:
+    every (user turn -> immediately-following assistant turn) adjacency
+    is a candidate response to the user turn's prompt key (the ``k``
+    field embedded in the text); per prompt key the longest response is
+    ``chosen`` and the shortest ``rejected`` (opposed deterministic
+    tie-breaks on the response event id). Adjacency derives INSIDE one
+    conv-bucket kernel over the stateless transcript derivation (no
+    turn-numbering shuffle); pairing is the two-phase bounded-exchange
+    ``preference_pairs`` operator (stages/preference.py)."""
+    import pandas as pd
+
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.preference import preference_pairs
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        txt = tbl.column("text")
+        pk = pc.struct_field(pc.extract_regex(txt, r'"k": (?P<k>\d+)'), "k")
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "role": tbl.column("role"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "pk": pc.fill_null(pc.cast(pk, pa.int64()), -1),
+                "tlen": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }
+        )
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        # (ts, event_id) order inside a conv == turn_idx order by
+        # construction — adjacency without the numbering shuffle
+        df = df.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        pk = df["pk"].to_numpy()
+        m = (
+            (conv[1:] == conv[:-1])
+            & (role[:-1] == "user")
+            & (role[1:] == "assistant")
+            & (pk[:-1] >= 0)
+        )
+        return pd.DataFrame(
+            {
+                "prompt_key": pk[:-1][m],
+                "resp_id": df["event_id"].to_numpy()[1:][m],
+                "score": df["tlen"].to_numpy()[1:][m],
+            }
+        )
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    cand = bucketed_map_groups(pre_ds, "conv_id", candidates)
+    return preference_pairs(cand, "prompt_key", "score", "resp_id")
+
+
+SQL_PREFERENCE_PAIRS = rf"""
+WITH {TRANSCRIPTS_CTE},
+seq AS (
+  SELECT conv_id, role, text,
+         lead(role) OVER w AS nrole, lead(text) OVER w AS ntext
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+cand AS (
+  SELECT TRY_CAST(regexp_extract(text, '"k": (\d+)', 1) AS BIGINT) AS prompt_key,
+         CAST(regexp_extract(ntext, '^event (\d+) ', 1) AS BIGINT) AS resp_id,
+         CAST(length(ntext) AS BIGINT) AS score
+  FROM seq WHERE role = 'user' AND nrole = 'assistant'),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY prompt_key ORDER BY score DESC, resp_id ASC) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY prompt_key ORDER BY score ASC, resp_id DESC) AS rr
+  FROM cand WHERE prompt_key IS NOT NULL AND prompt_key >= 0)
+SELECT prompt_key,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       MAX(CASE WHEN rc = 1 THEN resp_id END) AS chosen_id,
+       MAX(CASE WHEN rc = 1 THEN score END) AS chosen_score,
+       MAX(CASE WHEN rr = 1 THEN resp_id END) AS rejected_id,
+       MAX(CASE WHEN rr = 1 THEN score END) AS rejected_score,
+       MAX(CASE WHEN rc = 1 THEN score END) - MAX(CASE WHEN rr = 1 THEN score END) AS margin
+FROM r GROUP BY prompt_key HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4545,6 +4633,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_state_changelog": q_user_state_changelog,
     "conversation_sft_pipeline": q_conversation_sft_pipeline,
     "streaming_value_quantile": q_streaming_value_quantile,
+    "preference_pairs": q_preference_pairs,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4677,6 +4766,7 @@ ORACLES: dict[str, str] = {
     "user_state_changelog": SQL_CHANGELOG,
     "conversation_sft_pipeline": SQL_CONV_SFT_PIPELINE,
     "streaming_value_quantile": SQL_STREAMING_VALUE_QUANTILE,
+    "preference_pairs": SQL_PREFERENCE_PAIRS,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
