@@ -59,3 +59,39 @@ class TestPreferencePairs:
             ds = rd.from_pandas(df).repartition(nblocks)
             outs.append(_pairs_df(preference_pairs(ds, "prompt_key", "score", "resp_id", num_buckets=3)))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestMixtureResample:
+    def _mk(self, sizes: dict, nblocks=5):
+        rows = []
+        i = 0
+        for s, n in sizes.items():
+            for _ in range(n):
+                rows.append({"doc_id": i, "source": s})
+                i += 1
+        return rd.from_pandas(pd.DataFrame(rows)).repartition(nblocks)
+
+    def test_quotas_exact(self, ray_session):
+        from vaero_ray.stages.corpus import resample_to_mixture
+
+        # limiting stratum: b (40/4=10 < 60/3=20 < 100/5=20)
+        ds = self._mk({"a": 100, "b": 40, "c": 60})
+        out = resample_to_mixture(
+            ds, "doc_id", "source", {"a": 5, "b": 4, "c": 3}, num_buckets=3
+        ).to_pandas()
+        got = out.groupby("source").size().to_dict()
+        assert got == {"a": 50, "b": 40, "c": 30}
+
+    def test_unweighted_strata_dropped_and_invariant(self, ray_session):
+        from vaero_ray.stages.corpus import resample_to_mixture
+
+        outs = []
+        for nblocks in (1, 9):
+            ds = self._mk({"a": 30, "b": 10, "junk": 25}, nblocks=nblocks)
+            out = resample_to_mixture(
+                ds, "doc_id", "source", {"a": 1, "b": 1}, num_buckets=2
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+            outs.append(out)
+        assert set(outs[0].source) == {"a", "b"}
+        assert outs[0].groupby("source").size().to_dict() == {"a": 10, "b": 10}
+        pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -4551,6 +4551,59 @@ FROM r GROUP BY prompt_key HAVING COUNT(*) >= 2
 """
 
 
+_MIXTURE_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2}
+
+
+def q_mixture_resample(sf_dir: str):
+    """Exact-proportion corpus mixing (stages/corpus.resample_to_mixture):
+    the largest sub-corpus at 5:3:2 across three sources, survivors the
+    smallest-(hll_hash, id) rows per stratum. Counts pass + one bounded
+    prune/shuffle selection."""
+    from vaero_ray.stages.corpus import resample_to_mixture
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return resample_to_mixture(ds, "doc_id", "source", _MIXTURE_WEIGHTS)
+
+
+# the limiting stratum (lim) is the lexicographically-first argmin of
+# n/wt, compared in integers (b.n*a.wt vs a.n*b.wt) — same rule as the
+# Fraction-based driver math in resample_to_mixture
+SQL_MIXTURE = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+w AS (SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 2)) AS t(source, wt)),
+c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+cw AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source) WHERE c.n > 0),
+lim AS (SELECT a.n AS cm, a.wt AS wm FROM cw a
+        WHERE NOT EXISTS (SELECT 1 FROM cw b
+              WHERE b.n * a.wt < a.n * b.wt
+                 OR (b.n * a.wt = a.n * b.wt AND b.source < a.source))),
+q AS (SELECT cw.source, CAST((lim.cm * cw.wt) // lim.wm AS BIGINT) AS quota FROM cw, lim),
+h1 AS (SELECT doc_id, source,
+  CAST(((A * ((CASE WHEN doc_id < 0
+       THEN CAST(doc_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+       ELSE CAST(doc_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM documents, m),
+h2 AS (SELECT doc_id, source,
+  CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m),
+r AS (SELECT h2.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h2)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+"""
+
+
+def _fmt_mixture_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return SQL_MIXTURE.format(
+        A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2), XS=HLL_XS
+    )
+
+
+SQL_MIXTURE = _fmt_mixture_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4634,6 +4687,7 @@ QUERIES: dict[str, QueryFn] = {
     "conversation_sft_pipeline": q_conversation_sft_pipeline,
     "streaming_value_quantile": q_streaming_value_quantile,
     "preference_pairs": q_preference_pairs,
+    "mixture_resample": q_mixture_resample,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4767,6 +4821,7 @@ ORACLES: dict[str, str] = {
     "conversation_sft_pipeline": SQL_CONV_SFT_PIPELINE,
     "streaming_value_quantile": SQL_STREAMING_VALUE_QUANTILE,
     "preference_pairs": SQL_PREFERENCE_PAIRS,
+    "mixture_resample": SQL_MIXTURE,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -178,3 +178,75 @@ def sample_k_per_group(
         withh, group_col, "__h", k, tie_col=id_col, descending=False, num_buckets=num_buckets
     )
     return out.drop_columns(["__h"])
+
+
+def resample_to_mixture(
+    ds: rd.Dataset,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, int],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic exact-proportion data mixing: the LARGEST sub-corpus
+    whose per-stratum row counts follow the integer ``weights`` exactly —
+    quota_s = floor(c_m * w_s / w_m), where m is the limiting stratum
+    (lexicographically-first argmin of c_s / w_s; strata with weight 0 or
+    absent from ``weights`` are dropped). The mixture knob of corpus
+    construction when targets are PROPORTIONS ("40% web / 40% books /
+    20% code"), complementing ``stratified_sample`` whose knobs are
+    per-stratum RATES.
+
+    Survivors per stratum are the quota_s rows with the smallest
+    ``(hll_hash(id), id)`` — a pure function of the id set (re-run /
+    re-shard invariant), and the same hash family as ``hash_split`` /
+    ``stratified_sample`` so nested selections stay nested.
+
+    Two input passes: a per-stratum count aggregate (G rows to the
+    driver — metadata scale; prune the read to [id, strata] upstream),
+    then one bounded selection: a per-block partial prune keeps at most
+    quota_s rows per (stratum, block), so the single bucketed exchange
+    moves <= quota_s rows per stratum per block however hot a stratum is.
+
+    Partitioning assumption: one stratum's quota_s selected rows fit in
+    one task's heap (same contract as ``cap_per_key``). When quota_s is
+    a large fraction of a huge stratum, select by RATE instead
+    (``stratified_sample`` with permille ~ quota_s/c_s: O(1) memory,
+    approximate size) or pre-prune with a hash threshold before this.
+    """
+    import numpy as np
+    from fractions import Fraction
+
+    from vaero_ray.stages.sketch import hll_hash
+
+    counts = {
+        r[strata_col]: int(r["count()"])
+        for r in ds.groupby(strata_col).count().take_all()
+    }
+    live = sorted(s for s, w in weights.items() if w > 0 and counts.get(s, 0) > 0)
+    if not live:
+        raise ValueError("resample_to_mixture: no stratum has both weight and rows")
+    m = min(live, key=lambda s: (Fraction(counts[s], weights[s]), s))
+    quota = {s: (counts[m] * weights[s]) // weights[m] for s in live}
+
+    def prune(df):
+        lim = df[strata_col].map(quota)
+        df = df[lim.notna()]
+        if not len(df):
+            return df
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        df = df.assign(__h=hll_hash(ids).astype(np.int64))
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        cc = df.groupby(strata_col, sort=False).cumcount().to_numpy()
+        return df[cc < df[strata_col].map(quota).to_numpy()]
+
+    def final(df):
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        cc = df.groupby(strata_col, sort=False).cumcount().to_numpy()
+        return (
+            df[cc < df[strata_col].map(quota).to_numpy()]
+            .drop(columns="__h")
+            .reset_index(drop=True)
+        )
+
+    partial = ds.map_batches(prune, batch_format="pandas")
+    return bucketed_map_groups(partial, strata_col, final, num_buckets=num_buckets)
