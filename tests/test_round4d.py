@@ -95,3 +95,32 @@ class TestMixtureResample:
         assert set(outs[0].source) == {"a", "b"}
         assert outs[0].groupby("source").size().to_dict() == {"a": 10, "b": 10}
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestQuantileBand:
+    def test_bounds_and_filter(self, ray_session):
+        from vaero_ray.stages.sketch import lhq_bins, quantile_band_bounds, quantile_band_filter
+
+        vals = np.concatenate([np.arange(1, 101), np.array([100000] * 5)])
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+        lo, hi = quantile_band_bounds(ds, "v", 100, 900)
+        # lo covers the 10th-percentile bin, hi excludes the giant outliers
+        assert lo <= 11 and hi <= max(vals)
+        kept = quantile_band_filter(ds, "v", 100, 900).to_pandas()["v"].to_numpy()
+        assert kept.min() >= lo and kept.max() < hi
+        assert 100000 not in kept
+        # band bounds land on exact bin edges of the sketch
+        assert lo == int(__import__("vaero_ray.stages.sketch", fromlist=["lhq_bounds"]).lhq_bounds(lhq_bins(np.array([lo])))[0][0])
+
+    def test_band_is_shard_invariant(self, ray_session):
+        from vaero_ray.stages.sketch import quantile_band_bounds
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 10000, 2000)
+        got = {
+            quantile_band_bounds(
+                rd.from_pandas(pd.DataFrame({"v": vals})).repartition(nb), "v", 50, 950
+            )
+            for nb in (1, 13)
+        }
+        assert len(got) == 1

@@ -4604,6 +4604,43 @@ def _fmt_mixture_sql() -> str:
 SQL_MIXTURE = _fmt_mixture_sql()
 
 
+def q_docs_length_band(sf_dir: str):
+    """Sketch -> filter composition: keep documents inside the
+    [5%, 95%] length band resolved from the log-histogram quantile
+    sketch (bin-resolution bounds; stages/sketch.quantile_band_filter).
+    The standard drop-the-length-outliers curation stage, with the
+    band derived FROM the data rather than hand-tuned."""
+    from vaero_ray.stages.sketch import quantile_band_filter
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    return quantile_band_filter(ds, "n_chars", 50, 950)
+
+
+SQL_LENGTH_BAND = r"""
+WITH b AS (
+  SELECT n_chars,
+         CASE WHEN n_chars < 8 THEN n_chars
+              ELSE (length(bin(n_chars)) << 3)
+                   | ((n_chars >> greatest(length(bin(n_chars)) - 4, 0)) & 7) END AS bin
+  FROM documents),
+h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+               (SELECT SUM(cnt) FROM h) AS n
+        FROM h),
+blo AS (SELECT MIN(bin) AS b FROM cum WHERE cum >= ((50 * n + 999) // 1000)),
+bhi AS (SELECT MIN(bin) AS b FROM cum WHERE cum >= ((950 * n + 999) // 1000)),
+bounds AS (
+  SELECT CASE WHEN blo.b < 8 THEN blo.b
+              ELSE ((8 + (blo.b & 7)) << greatest((blo.b >> 3) - 4, 0)) END AS lo,
+         CASE WHEN bhi.b < 8 THEN bhi.b + 1
+              ELSE ((8 + (bhi.b & 7)) << greatest((bhi.b >> 3) - 4, 0))
+                   + (CAST(1 AS BIGINT) << greatest((bhi.b >> 3) - 4, 0)) END AS hi
+  FROM blo, bhi)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d, bounds WHERE d.n_chars >= bounds.lo AND d.n_chars < bounds.hi
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4688,6 +4725,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_value_quantile": q_streaming_value_quantile,
     "preference_pairs": q_preference_pairs,
     "mixture_resample": q_mixture_resample,
+    "docs_length_band": q_docs_length_band,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4822,6 +4860,7 @@ ORACLES: dict[str, str] = {
     "streaming_value_quantile": SQL_STREAMING_VALUE_QUANTILE,
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "mixture_resample": SQL_MIXTURE,
+    "docs_length_band": SQL_LENGTH_BAND,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

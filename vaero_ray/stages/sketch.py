@@ -589,3 +589,56 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int) -> rd.Dataset:
         return pa.table({col: tbl.column(col), "n_events": nn}).filter(keep)
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_band_bounds(
+    ds: rd.Dataset, col: str, lo_permille: int, hi_permille: int
+) -> tuple[int, int]:
+    """Value band [lo, hi) covering the [lo_permille, hi_permille]
+    quantile range of a non-negative int column, resolved from the
+    log-histogram sketch: lo = the inclusive lower bound of the first
+    bin whose cumulative count reaches ceil(lo_permille*N/1000), hi =
+    the exclusive upper bound of the first bin reaching
+    ceil(hi_permille*N/1000). Bin-resolution (<=6.25% relative) rather
+    than exact rank — the standard sketch/filter trade. All integer, so
+    Ray and SQL agree bit-for-bit. Only occupied-bin registers reach
+    the driver (<= ~500 rows)."""
+    regs = sorted(
+        (int(r["bin"]), int(r["cnt"])) for r in lhq_registers(ds, col).take_all()
+    )
+    if not regs:
+        raise ValueError("quantile_band_bounds: empty input")
+    n = sum(c for _, c in regs)
+    k_lo = (lo_permille * n + 999) // 1000
+    k_hi = (hi_permille * n + 999) // 1000
+    cum = 0
+    b_lo = b_hi = None
+    for b, c in regs:
+        cum += c
+        if b_lo is None and cum >= k_lo:
+            b_lo = b
+        if b_hi is None and cum >= k_hi:
+            b_hi = b
+            break
+    lo = int(lhq_bounds(np.array([b_lo]))[0][0])
+    hi = int(lhq_bounds(np.array([b_hi]))[1][0])
+    return lo, hi
+
+
+def quantile_band_filter(
+    ds: rd.Dataset, col: str, lo_permille: int, hi_permille: int
+) -> rd.Dataset:
+    """Keep rows whose ``col`` lies in the sketch-derived quantile band
+    (e.g. drop the shortest 5% and longest 5% of documents — the
+    outlier-length filter of corpus curation). Two passes: the register
+    aggregate (tiny driver merge), then a stateless vectorized filter —
+    no shuffle in either."""
+    lo, hi = quantile_band_bounds(ds, col, lo_permille, hi_permille)
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = tbl.column(col)
+        return tbl.filter(pc.and_(pc.greater_equal(v, lo), pc.less(v, hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
