@@ -124,3 +124,43 @@ class TestQuantileBand:
             for nb in (1, 13)
         }
         assert len(got) == 1
+
+
+class TestOrderedEwma:
+    def test_matches_sequential_reference(self, ray_session):
+        from vaero_ray.stages.cep import ordered_ewma
+
+        rng = np.random.default_rng(7)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 9, n),
+                "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="us"),
+                "tie": np.arange(n),
+                "v": rng.integers(0, 1000, n),
+            }
+        )
+        out = (
+            ordered_ewma(
+                rd.from_pandas(df).repartition(5), "k", "ts", "v", "tie", 30, 100, num_buckets=3
+            )
+            .to_pandas()
+            .set_index("k")
+            .sort_index()
+        )
+        # python reference fold per key
+        for k, g in df.sort_values(["ts", "tie"]).groupby("k"):
+            e = None
+            for v in g["v"]:
+                e = v if e is None else (30 * v + 70 * e) // 100
+            assert out.loc[k, "ewma"] == e
+            assert out.loc[k, "n_events"] == len(g)
+
+    def test_single_event_keys(self, ray_session):
+        from vaero_ray.stages.cep import ordered_ewma
+
+        df = pd.DataFrame(
+            {"k": [1, 2], "ts": pd.to_datetime([1, 2], unit="s"), "tie": [0, 1], "v": [5, 9]}
+        )
+        out = ordered_ewma(rd.from_pandas(df), "k", "ts", "v", "tie", num_buckets=2).to_pandas()
+        assert sorted(zip(out.k, out.ewma)) == [(1, 5), (2, 9)]

@@ -4641,6 +4641,43 @@ FROM documents d, bounds WHERE d.n_chars >= bounds.lo AND d.n_chars < bounds.hi
 """
 
 
+def q_user_value_ewma(sf_dir: str):
+    """Per-user integer-exact EWMA of event value (cents fixed-point,
+    alpha = 0.30) over the (ts, event_id)-ordered stream — the decayed
+    per-entity signal (fraud/engagement scoring) that a mergeable
+    aggregate cannot express (floor-div fold is non-associative); see
+    stages/cep.ordered_ewma for the rank-step vectorization."""
+    from vaero_ray.stages.cep import ordered_ewma
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return ordered_ewma(ds, "user_id", "ts", "cents", "event_id", 30, 100, out="ewma_cents")
+
+
+SQL_USER_EWMA = r"""
+WITH c AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+l AS (SELECT user_id, list(v ORDER BY ts, event_id) AS lv FROM c GROUP BY 1)
+SELECT user_id, CAST(len(lv) AS BIGINT) AS n_events,
+       CAST(list_reduce(lv, (a, x) -> (30 * x + 70 * a) // 100) AS BIGINT) AS ewma_cents
+FROM l
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4726,6 +4763,7 @@ QUERIES: dict[str, QueryFn] = {
     "preference_pairs": q_preference_pairs,
     "mixture_resample": q_mixture_resample,
     "docs_length_band": q_docs_length_band,
+    "user_value_ewma": q_user_value_ewma,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4861,6 +4899,7 @@ ORACLES: dict[str, str] = {
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "mixture_resample": SQL_MIXTURE,
     "docs_length_band": SQL_LENGTH_BAND,
+    "user_value_ewma": SQL_USER_EWMA,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

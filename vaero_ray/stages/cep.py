@@ -259,3 +259,61 @@ def longest_run_per_key(
         return first.reset_index(drop=True)
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets)
+
+
+def ordered_ewma(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tie_col: str,
+    alpha_num: int = 30,
+    alpha_den: int = 100,
+    out: str = "ewma",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key integer-exact exponentially-weighted moving average over
+    the (ts, tie)-ordered event sequence:
+
+        e_0 = v_0
+        e_t = (alpha_num * v_t + (alpha_den - alpha_num) * e_{t-1}) // alpha_den
+
+    One row per key: (key, n_events, out). ``val_col`` must be int64
+    (fixed-point upstream, the engine-wide rule) and NON-NEGATIVE when a
+    SQL twin must match bit-for-bit (both sides then never divide a
+    negative). SQL twin: ``list_reduce(list(v ORDER BY ts, tie),
+    (a, x) -> (an*x + (ad-an)*a) // ad)`` — list_reduce seeds from the
+    first element, exactly e_0 = v_0.
+
+    The fold is NON-associative (floor division), so it cannot be a
+    mergeable aggregate: each key's chain is inherently sequential.
+    Vectorized ACROSS keys instead — one rank-step loop per bucket
+    (iteration r updates position r of EVERY key simultaneously), so the
+    Python-loop count is max events-per-key in the bucket, not rows.
+    Partitioning assumption: keys with multi-million event chains make
+    the rank loop long; there is no parallel form of this recurrence.
+    """
+    if not (0 < alpha_num <= alpha_den):
+        raise ValueError("ordered_ewma: need 0 < alpha_num <= alpha_den")
+    beta = alpha_den - alpha_num
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(drop=True)
+        v = df[val_col].to_numpy().astype(np.int64)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, len(codes)])
+        state = v[starts].copy()
+        for r in range(1, int(lens.max()) if len(lens) else 0):
+            active = lens > r
+            idx = starts[active] + r
+            state[active] = (alpha_num * v[idx] + beta * state[active]) // alpha_den
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[starts],
+                "n_events": lens.astype(np.int64),
+                out: state,
+            }
+        )
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
