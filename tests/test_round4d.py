@@ -164,3 +164,49 @@ class TestOrderedEwma:
         )
         out = ordered_ewma(rd.from_pandas(df), "k", "ts", "v", "tie", num_buckets=2).to_pandas()
         assert sorted(zip(out.k, out.ewma)) == [(1, 5), (2, 9)]
+
+
+class TestSourceSimilarity:
+    def test_identical_groups_agree_fully(self, ray_session):
+        from vaero_ray.stages.sourcesim import NUM_PERM, source_similarity
+
+        docs = ["the quick brown fox jumps over the lazy dog"] * 4
+        df = pd.DataFrame({"source": ["a", "a", "b", "b"], "text": docs})
+        out = source_similarity(rd.from_pandas(df).repartition(3), "source", "text").to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].n_agree == NUM_PERM and out.iloc[0].est_permille == 1000
+
+    def test_disjoint_groups_agree_rarely(self, ray_session):
+        from vaero_ray.stages.sourcesim import NUM_PERM, source_similarity
+
+        rng = np.random.default_rng(5)
+        mk = lambda pool: " ".join(rng.choice(pool, 60))
+        a_pool = np.array([f"alpha{i}" for i in range(50)])
+        b_pool = np.array([f"beta{i}" for i in range(50)])
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 5 + ["b"] * 5,
+                "text": [mk(a_pool) for _ in range(5)] + [mk(b_pool) for _ in range(5)],
+            }
+        )
+        out = source_similarity(rd.from_pandas(df), "source", "text").to_pandas()
+        assert out.iloc[0].n_agree < NUM_PERM // 4  # true Jaccard is 0
+
+    def test_shard_invariant_registers(self, ray_session):
+        from vaero_ray.stages.sourcesim import grouped_minhash_registers
+
+        rng = np.random.default_rng(9)
+        pool = np.array([f"w{i}" for i in range(30)])
+        df = pd.DataFrame(
+            {
+                "source": rng.choice(["x", "y", "z"], 40),
+                "text": [" ".join(rng.choice(pool, 20)) for _ in range(40)],
+            }
+        )
+        sigs = []
+        for nb in (1, 8):
+            regs = grouped_minhash_registers(
+                rd.from_pandas(df).repartition(nb), "source", "text"
+            ).to_pandas().sort_values(["source", "perm"]).reset_index(drop=True)
+            sigs.append(regs)
+        pd.testing.assert_frame_equal(sigs[0], sigs[1])

@@ -4678,6 +4678,51 @@ FROM l
 """
 
 
+def q_source_similarity(sf_dir: str):
+    """Corpus-overlap scan: pairwise estimated Jaccard between every
+    pair of sources from ONE grouped-minhash pass (register-sized
+    exchange; stages/sourcesim.py) instead of a cross-corpus pairwise
+    join. SQL twin recomputes the identical signature (char-poly mod
+    M31 shingle hash, (a*h+b) mod M31 perms, min per source)."""
+    from vaero_ray.stages.sourcesim import source_similarity
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_similarity(ds, "source", "text")
+
+
+def _fmt_source_sim_sql() -> str:
+    from vaero_ray.stages.sourcesim import NUM_PERM, SS_A, SS_B
+
+    perms = ", ".join(
+        f"({j}, {int(SS_A[j])}, {int(SS_B[j])})" for j in range(NUM_PERM)
+    )
+    return rf"""
+WITH t AS (SELECT source,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT source, array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS sh
+      FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)),
+h AS (SELECT source,
+             list_reduce([CAST(unicode(substr(sh, CAST(i AS INT), 1)) AS BIGINT)
+                          FOR i IN range(1, 1 + length(sh))],
+                         (a, c) -> (a * 31 + c) % 2147483647) AS hv
+      FROM g),
+p AS (SELECT CAST(j AS BIGINT) AS j, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      FROM (VALUES {perms}) AS v(j, a, b)),
+s AS (SELECT source, p.j, MIN((p.a * h.hv + p.b) % 2147483647) AS sig
+      FROM h, p GROUP BY 1, 2)
+SELECT x.source AS group_a, y.source AS group_b,
+       CAST(COUNT(*) FILTER (WHERE x.sig = y.sig) AS BIGINT) AS n_agree,
+       CAST((COUNT(*) FILTER (WHERE x.sig = y.sig)) * 1000 // {NUM_PERM} AS BIGINT)
+         AS est_permille
+FROM s x JOIN s y ON x.j = y.j AND x.source < y.source
+GROUP BY 1, 2
+"""
+
+
+SQL_SOURCE_SIM = _fmt_source_sim_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4764,6 +4809,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_resample": q_mixture_resample,
     "docs_length_band": q_docs_length_band,
     "user_value_ewma": q_user_value_ewma,
+    "source_similarity": q_source_similarity,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4900,6 +4946,7 @@ ORACLES: dict[str, str] = {
     "mixture_resample": SQL_MIXTURE,
     "docs_length_band": SQL_LENGTH_BAND,
     "user_value_ewma": SQL_USER_EWMA,
+    "source_similarity": SQL_SOURCE_SIM,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
