@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "longest_type_streak",          # gaps-and-islands CEP (longest equal-value run per key)
     "user_state_changelog",         # CDC apply (base + upserts/tombstones, one compaction exchange)
     "conversation_sft_pipeline",    # transcript-tier capstone: conv dedup -> quality -> SFT assembly
+    "preference_pairs",             # DPO pair assembly (two-extremes bounded exchange)
+    "mixture_resample",             # exact-proportion mixing (quota by hash rank)
+    "docs_length_band",             # sketch-derived quantile band filter
+    "user_value_ewma",              # per-key ordered integer EWMA (rank-step fold)
+    "source_similarity",            # grouped-minhash corpus overlap (one scan)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).
