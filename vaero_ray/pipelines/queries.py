@@ -4723,6 +4723,60 @@ GROUP BY 1, 2
 SQL_SOURCE_SIM = _fmt_source_sim_sql()
 
 
+def q_streaming_user_ewma(sf_dir: str):
+    """STREAMING ordered per-key fold: the integer EWMA of
+    ``user_value_ewma`` computed over arrival chunks by
+    ``StreamingFoldJob`` — events fold only once the watermark proves
+    their event-time position final; a carried (key, acc, n) accumulator
+    rides the state snapshot between epochs; rows inside the lateness
+    horizon buffer. Emission at finalize == the batch operator's rows,
+    so the gate shares SQL_USER_EWMA verbatim (stream == batch parity
+    for a NON-mergeable fold — the class of op the keyed-aggregate
+    streaming path cannot express)."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming.fold_job import StreamingFoldJob
+
+    ind = _stream_chunks(sf_dir, "ewma_in", ["ts", "event_id", "user_id", "value"])
+    base = os.path.dirname(ind)
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def per_batch(tbl: pa.Table) -> pa.Table:
+            v = tbl.column("value").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "ts": tbl.column("ts"),
+                    "event_id": tbl.column("event_id"),
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_d, ckpt_d = f"{base}/ewma_out", f"{base}/ewma_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingFoldJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        val_col="cents",
+        alpha_num=30,
+        alpha_den=100,
+        out_val="ewma_cents",
+        allowed_lateness_s=3600,
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+    return job.committed_output()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4810,6 +4864,7 @@ QUERIES: dict[str, QueryFn] = {
     "docs_length_band": q_docs_length_band,
     "user_value_ewma": q_user_value_ewma,
     "source_similarity": q_source_similarity,
+    "streaming_user_ewma": q_streaming_user_ewma,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -4947,6 +5002,7 @@ ORACLES: dict[str, str] = {
     "docs_length_band": SQL_LENGTH_BAND,
     "user_value_ewma": SQL_USER_EWMA,
     "source_similarity": SQL_SOURCE_SIM,
+    "streaming_user_ewma": SQL_USER_EWMA,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
