@@ -218,10 +218,15 @@ def resample_to_mixture(
 
     from vaero_ray.stages.sketch import hll_hash
 
-    counts = {
-        r[strata_col]: int(r["count()"])
-        for r in ds.groupby(strata_col).count().take_all()
-    }
+    def block_counts(df):
+        vc = df[strata_col].value_counts(dropna=False)
+        return vc.rename_axis(strata_col).reset_index(name="__n")
+
+    counts: dict = {}
+    # per-block partials -> driver sum: the counts pass is a pure scan
+    # (blocks x strata tiny rows out), not a sort-based shuffle
+    for r in ds.map_batches(block_counts, batch_format="pandas").take_all():
+        counts[r[strata_col]] = counts.get(r[strata_col], 0) + int(r["__n"])
     live = sorted(s for s, w in weights.items() if w > 0 and counts.get(s, 0) > 0)
     if not live:
         raise ValueError("resample_to_mixture: no stratum has both weight and rows")

@@ -50,7 +50,10 @@ def _shingle_strings(tbl: pa.Table, text_col: str, k: int) -> tuple[pa.Array, np
         return pa.array([], pa.string()), s
     pos = np.repeat(off[:-1], s) + _seg_arange(s)
     parts = [pc.take(toks, pa.array(pos + j)) for j in range(k)]
-    return pc.binary_join_element_wise(*parts, " "), s
+    # separator must match the token type (large_string corpora would
+    # otherwise hit "no kernel matching input types (..., string)")
+    sep = pa.scalar(" ", type=parts[0].type)
+    return pc.binary_join_element_wise(*parts, sep), s
 
 
 def grouped_minhash_registers(
@@ -76,9 +79,15 @@ def grouped_minhash_registers(
         hs = h[order]
         starts = np.flatnonzero(np.r_[True, gcodes[order][1:] != gcodes[order][:-1]])
         n_g = len(starts)
+        from vaero_ray.stages.dedup import _mod_mersenne31
+
         sigs = np.empty((n_g, NUM_PERM), dtype=np.int64)
         for j in range(NUM_PERM):
-            sigs[:, j] = np.minimum.reduceat((SS_A[j] * hs + SS_B[j]) % M31, starts)
+            # shift-add Mersenne fold, not numpy % (a scalar-division
+            # loop): a*h + b < M31^2 + M31 < 2^62, so one fold is exact
+            sigs[:, j] = np.minimum.reduceat(
+                _mod_mersenne31(SS_A[j] * hs + SS_B[j]), starts
+            )
         return pa.table(
             {
                 group_col: pa.array(np.repeat(guniq[gcodes[order][starts]], NUM_PERM)),
