@@ -91,3 +91,30 @@ def test_five_demo_transforms_over_text_fixture(ray_session, tmp_path):
     assert set(df["status"]) == {"200"}  # even i -> status 200
     sdf = sel.to_pandas()
     assert sdf.columns.tolist() == ["user"] and len(sdf) == 10
+
+
+def test_csv_source_runs_transform_chain(tmp_path, ray_session):
+    """Header CSV -> typed columns -> the demo transform chain (source
+    format breadth: csv joins parquet/text/jsonl in resolve_source)."""
+    csvdir = tmp_path / "csv"
+    csvdir.mkdir()
+    for name, lo, hi in (("a.csv", 0, 5), ("b.csv", 5, 10)):
+        with open(csvdir / name, "w") as fh:
+            fh.write("user,role,seq\n")
+            for i in range(lo, hi):
+                fh.write(f"user{i}@corp.example,{'user' if i % 2 == 0 else 'assistant'},{i}\n")
+
+    Vaero.reset()
+    src = Vaero().source("csv", path=str(csvdir))
+    (
+        src.add("env", "prod")
+        .filter_regexp("role", "^user$")
+        .mask("user", r"user(\d+)@", "u$1@")
+        .sink("stdout")
+    )
+    res = run_batch(Vaero.start())
+    df = list(res.values())[0].to_pandas()
+    assert len(df) == 5
+    assert df["seq"].dtype.kind == "i"  # Arrow CSV typed the int column
+    assert df["user"].str.match(r"u\d+@corp\.example").all()
+    assert set(df["env"]) == {"prod"}

@@ -4777,6 +4777,95 @@ def q_streaming_user_ewma(sf_dir: str):
     return job.committed_output()
 
 
+def q_dedup_against_reference(sf_dir: str):
+    """Incremental dedup of a NEW shard against a FROZEN reference
+    corpus (the new-crawl-vs-previous-crawls production step): 'new' =
+    the hash_split train docs, 'reference' = the val docs; a new doc is
+    dropped when its opening-boilerplate fingerprint (char-poly hash of
+    the first-2-token prefix) already appears in the reference. Anti
+    semi-join on the int64 fingerprint — the reference side shrinks to
+    distinct keys before the one exchange, no payload moves."""
+    from vaero_ray.stages.convstats import turn_hash
+    from vaero_ray.stages.dedup import _flat_tokens
+    from vaero_ray.stages.joins import semi_join
+    from vaero_ray.stages.sketch import hash_split
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fingerprint(tbl: pa.Table) -> pa.Table:
+        toks, off = _flat_tokens(tbl, "text")
+        n = tbl.num_rows
+        counts = off[1:] - off[:-1]
+        if len(toks):
+            last = len(toks) - 1
+            t0 = pc.take(toks, pa.array(np.minimum(off[:-1], last)))
+            t1 = pc.take(toks, pa.array(np.minimum(off[:-1] + 1, last)))
+            sep = pa.scalar(" ", type=t0.type)
+            both = pc.binary_join_element_wise(t0, t1, sep)
+            pfx = pc.if_else(
+                pa.array(counts >= 2), both, pc.if_else(pa.array(counts >= 1), t0, "")
+            )
+        else:
+            pfx = pa.array([""] * n, pa.string())
+        h = turn_hash(pa.table({"__t": pc.cast(pfx, pa.string())}), "__t", "h").column("h")
+        return pa.table({"doc_id": tbl.column("doc_id"), "pfx_hash": h})
+
+    keyed = hash_split(
+        ds.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True), "doc_id"
+    )
+
+    def pick(which: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            t = tbl.filter(pc.equal(tbl.column("split"), which))
+            return t.select(["doc_id", "pfx_hash"]) if which == "train" else t.select(["pfx_hash"])
+
+        return fn
+
+    new = keyed.map_batches(pick("train"), batch_format="pyarrow", zero_copy_batch=True)
+    ref = keyed.map_batches(pick("val"), batch_format="pyarrow", zero_copy_batch=True)
+    return semi_join(new, ref, "pfx_hash", anti=True)
+
+
+SQL_DEDUP_AGAINST_REF = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents),
+p AS (SELECT doc_id, array_to_string(toks[1:2], ' ') AS pfx FROM t),
+hh AS (SELECT doc_id,
+              CASE WHEN length(pfx) = 0 THEN 0
+                   ELSE list_reduce([CAST(unicode(substr(pfx, CAST(i AS INT), 1)) AS BIGINT)
+                                     FOR i IN range(1, 1 + length(pfx))],
+                                    (a, c) -> (a * 31 + c) % 2147483647) END AS pfx_hash
+       FROM p),
+h1 AS (SELECT doc_id, pfx_hash,
+  CAST(((A * ((CASE WHEN doc_id < 0
+       THEN CAST(doc_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+       ELSE CAST(doc_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM hh, m),
+sp AS (SELECT doc_id, pfx_hash,
+  CASE WHEN CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT)
+            % 1000 < 900 THEN 'train' ELSE 'val' END AS split
+  FROM h1, m)
+SELECT n.doc_id, n.pfx_hash FROM sp n
+WHERE n.split = 'train'
+  AND NOT EXISTS (SELECT 1 FROM sp r WHERE r.split = 'val' AND r.pfx_hash = n.pfx_hash)
+"""
+
+
+def _fmt_dedup_ref_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return SQL_DEDUP_AGAINST_REF.format(
+        A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2), XS=HLL_XS
+    )
+
+
+SQL_DEDUP_AGAINST_REF = _fmt_dedup_ref_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4865,6 +4954,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_value_ewma": q_user_value_ewma,
     "source_similarity": q_source_similarity,
     "streaming_user_ewma": q_streaming_user_ewma,
+    "dedup_against_reference": q_dedup_against_reference,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -5003,6 +5093,7 @@ ORACLES: dict[str, str] = {
     "user_value_ewma": SQL_USER_EWMA,
     "source_similarity": SQL_SOURCE_SIM,
     "streaming_user_ewma": SQL_USER_EWMA,
+    "dedup_against_reference": SQL_DEDUP_AGAINST_REF,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -46,6 +46,7 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
       text         raw log lines -> one `message` event per line
                    (reference s3 newline split, source_s3.go:74)
       jsonl        JSON-lines -> columns via the NDJSON breaker
+      csv          header CSV -> typed columns (Arrow CSV reader)
       random       reference demo feed (source_random.go:16-33) -> fixture
       transcripts  synthetic transcript stream (FIXTURES.md F1)
     The `s3` op honors args[format] in {parquet (default), text, jsonl}.
@@ -59,14 +60,14 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
         return _read_pq(source_data)
     if spec is None:
         raise ValueError("plan has no source and no source_data given")
-    if spec.op in ("parquet", "s3", "text", "jsonl"):
+    if spec.op in ("parquet", "s3", "text", "jsonl", "csv"):
         from vaero_ray.sinks.parquet_sink import s3_uri_and_fs
 
         path, fs = s3_uri_and_fs(spec.args)
         if not path:
             raise ValueError(f"source {spec.op!r}: no path/bucket configured")
         kw = {"filesystem": fs} if fs is not None else {}
-        fmt = spec.op if spec.op in ("text", "jsonl") else spec.args.get("format", "parquet")
+        fmt = spec.op if spec.op in ("text", "jsonl", "csv") else spec.args.get("format", "parquet")
         if fmt == "text":
             from vaero_ray.sources.textlines import read_text_events
 
@@ -75,6 +76,10 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
             from vaero_ray.sources.textlines import read_jsonl_events
 
             return read_jsonl_events(path, **kw)
+        if fmt == "csv":
+            ds = rd.read_csv(path, **kw)
+            cols = spec.args.get("columns")
+            return ds.select_columns(cols) if cols else ds
         cols = spec.args.get("columns")
         return _read_pq(path, columns=cols, **kw)
     if spec.op == "random":
