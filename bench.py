@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "docs_length_band",             # sketch-derived quantile band filter
     "user_value_ewma",              # per-key ordered integer EWMA (rank-step fold)
     "source_similarity",            # grouped-minhash corpus overlap (one scan)
+    "inverted_index",               # posting-list index build (distinct pairs -> term shuffle)
+    "near_dedup_docs",              # end-to-end near-dedup (edges -> CC -> anti-join survivors)
+    "brand_promo_revenue",          # part-dimension rollup (runtime-filtered auto_join)
+    "streaming_user_state",         # streaming CDC compaction (alpha=1 ordered fold)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -1,0 +1,169 @@
+"""Round-4 fourth-session additions: inverted index, end-to-end
+near-dedup survivors, streaming CDC compaction (alpha=1 ordered fold)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _blocks(df, n=3):
+    return [df.iloc[i::n] for i in range(n)]
+
+
+def test_inverted_index_matches_pandas(ray_session):
+    from vaero_ray.stages.textstats import inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [10, 3, 7, 42, 5],
+            "text": [
+                "the cat sat",
+                "the dog  ran",
+                "a cat ran fast",
+                "THE Cat",
+                "",
+            ],
+        }
+    )
+    out = (
+        inverted_index(rd.from_pandas(_blocks(docs)), min_df=2, num_buckets=4)
+        .to_pandas()
+        .sort_values("term", ignore_index=True)
+    )
+    # expected: ascending-doc-id postings per term with df >= 2
+    want = {
+        "cat": ("3", [7, 10, 42]),
+        "ran": ("2", [3, 7]),
+        "the": ("3", [3, 10, 42]),
+    }
+    assert sorted(out["term"]) == sorted(want)
+    for _, r in out.iterrows():
+        df_want, ids = want[r["term"]]
+        assert int(r["df"]) == int(df_want)
+        assert r["postings"] == ",".join(str(i) for i in ids)
+
+
+def test_inverted_index_max_df_cap(ray_session):
+    from vaero_ray.stages.textstats import inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            # 'stop' in every doc; 'rare' in docs 0 and 1
+            "text": ["stop rare" if i < 2 else "stop" for i in range(20)],
+        }
+    )
+    out = inverted_index(
+        rd.from_pandas(_blocks(docs)), min_df=2, max_df=10, num_buckets=4
+    ).to_pandas()
+    assert out["term"].tolist() == ["rare"]
+    assert out["postings"].tolist() == ["0,1"]
+
+
+def test_inverted_index_dups_within_doc_count_once(ray_session):
+    from vaero_ray.stages.textstats import inverted_index
+
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": ["x x x y", "y x"]})
+    out = (
+        inverted_index(rd.from_pandas([docs]), min_df=1, num_buckets=2)
+        .to_pandas()
+        .set_index("term")
+    )
+    assert int(out.loc["x", "df"]) == 2 and out.loc["x", "postings"] == "1,2"
+    assert int(out.loc["y", "df"]) == 2 and out.loc["y", "postings"] == "1,2"
+
+
+def test_near_dedup_survivors_planted_cluster(ray_session):
+    """A planted 3-doc near-dup chain keeps only its min doc_id; the
+    unrelated doc survives untouched (composition: edges -> CC -> anti
+    semi-join, the q_near_dedup_docs shape)."""
+    from vaero_ray.stages.dedup import ngram_jaccard_dups
+    from vaero_ray.stages.graph import connected_components
+    from vaero_ray.stages.joins import semi_join
+    import pyarrow.compute as pc
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [4, 9, 2, 30],
+            "text": [
+                base,
+                base + " lambda",   # near-dup of base
+                base + " mu",       # near-dup of base (chain via base)
+                "totally different words with no shared shingles at all here",
+            ],
+            "source": ["s1", "s1", "s2", "s3"],
+        }
+    )
+    ds = rd.from_pandas(_blocks(docs))
+    edges = ngram_jaccard_dups(
+        ds.select_columns(["doc_id", "text"]), shingle_k=3, threshold=0.5, unit="word"
+    )
+    labels = connected_components(edges, a_col="doc_id", b_col="dup_of")
+
+    def losers(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        keep = pc.invert(pc.equal(tbl.column("doc_id"), tbl.column("cluster")))
+        return tbl.filter(keep).select(["doc_id"])
+
+    lose = labels.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        semi_join(ds.select_columns(["doc_id", "source"]), lose, keys="doc_id", anti=True)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [2, 30]  # min of {4,9,2} cluster + singleton
+
+
+def test_streaming_fold_alpha1_is_last_value(ray_session, tmp_path):
+    """alpha = 1/1 degrades the ordered EWMA fold to last-value-per-key
+    — the CDC-compaction identity q_streaming_user_state rides."""
+    import pyarrow.parquet as pq
+
+    from vaero_ray.streaming.fold_job import StreamingFoldJob
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 100_000, n)), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 40, n).astype(np.int64),
+            "v": rng.integers(-500, 500, n).astype(np.int64),
+        }
+    )
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i * n // 3 : (i + 1) * n // 3], preserve_index=False),
+            ind / f"chunk-{i:03d}.parquet",
+        )
+    job = StreamingFoldJob(
+        input_dir=str(ind),
+        out_dir=str(tmp_path / "out"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        key_col="key",
+        ts_col="ts",
+        tie_col="event_id",
+        val_col="v",
+        alpha_num=1,
+        alpha_den=1,
+        out_val="last_v",
+        allowed_lateness_s=600,
+        num_partitions=3,
+    )
+    job.run()
+    got = job.committed_output().to_pandas().sort_values("key", ignore_index=True)
+    want = (
+        df.sort_values(["key", "ts", "event_id"])
+        .groupby("key")
+        .agg(n_events=("v", "size"), last_v=("v", "last"))
+        .reset_index()
+    )
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["last_v"].tolist() == want["last_v"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()

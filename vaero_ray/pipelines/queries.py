@@ -4866,6 +4866,240 @@ def _fmt_dedup_ref_sql() -> str:
 SQL_DEDUP_AGAINST_REF = _fmt_dedup_ref_sql()
 
 
+def q_inverted_index(sf_dir: str):
+    """Posting-list inverted index over the corpus vocabulary
+    (textstats.inverted_index): term -> (df, ascending doc-id posting
+    string), terms with 2 <= df <= 500 — per-block distinct (doc, term)
+    pairs dedup BEFORE the one term-bucketed exchange; df bounds apply
+    inside the bucket where df is global. The retrieval-side primitive
+    backing contamination / search ops (extension; no reference index)."""
+    from vaero_ray.stages.textstats import inverted_index
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=2, max_df=500, num_buckets=16)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents),
+pairs AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+HAVING COUNT(*) BETWEEN 2 AND 500
+"""
+
+
+def q_near_dedup_docs(sf_dir: str):
+    """The END-TO-END near-dedup a corpus pipeline actually ships: dup
+    EDGES (word-3-gram true-Jaccard >= 0.5, the ``minhash_dup_edges``
+    pipeline) -> connected components -> keep each cluster's min doc_id
+    plus all unclustered docs, anti-semi-joined back onto the corpus.
+    Composition of three already-verified stages in their 100-TB shapes
+    (keys-only CC labels; the anti join ships only loser doc_ids)."""
+    from vaero_ray.stages.graph import connected_components
+    from vaero_ray.stages.joins import semi_join
+
+    text = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges = ngram_jaccard_dups(text, shingle_k=3, threshold=0.5, unit="word")
+    labels = connected_components(edges, a_col="doc_id", b_col="dup_of")
+
+    def losers(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:  # empty shuffle partitions carry no columns
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        keep = pc.invert(pc.equal(tbl.column("doc_id"), tbl.column("cluster")))
+        return tbl.filter(keep).select(["doc_id"])
+
+    lose = labels.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return semi_join(docs, lose, keys="doc_id", anti=True)
+
+
+SQL_NEAR_DEDUP = f"""
+WITH RECURSIVE dup_pairs AS ({SQL_MINHASH_WORD}),
+dup_edges AS (SELECT doc_id AS src, dup_of AS dst FROM dup_pairs
+              UNION SELECT dup_of, doc_id FROM dup_pairs),
+dup_nodes AS (SELECT DISTINCT src AS node FROM dup_edges),
+reach(node, m) AS (
+  SELECT node, node FROM dup_nodes
+  UNION
+  SELECT r.node, de.dst FROM reach r JOIN dup_edges de ON de.src = r.m
+),
+labels AS (SELECT node AS doc_id, MIN(m) AS cluster FROM reach GROUP BY 1)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
+"""
+
+
+def q_brand_promo_revenue(sf_dir: str):
+    """Part-dimension revenue rollup (TPC-H-Q14-family shape): revenue
+    and line count per p_brand for PROMO-type parts. The part side is
+    runtime-filtered then ``auto_join``-sized (broadcast at toy SF,
+    partitioned-hash where the brand dimension outgrows the threshold);
+    line revenue fixed-points to integer cents PER LINE before any sum
+    (identical float64 chain both engines), and the lineitem side
+    pre-collapses per (block, partkey) so the fact exchange ships
+    partial sums, not line items."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.joins import auto_join
+
+    def promo_parts(tbl: _pa.Table) -> _pa.Table:
+        t = tbl.filter(_pc.equal(tbl.column("p_type"), "PROMO"))
+        return _pa.table({"l_partkey": t.column("p_partkey"), "p_brand": t.column("p_brand")})
+
+    parts = _read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_brand"]
+    ).map_batches(promo_parts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_partial(tbl: _pa.Table) -> _pa.Table:
+        cents = _pc.cast(
+            _pc.floor(
+                _pc.add(
+                    _pc.multiply(
+                        _pc.multiply(
+                            tbl.column("l_extendedprice"),
+                            _pc.subtract(_pa.scalar(1.0), tbl.column("l_discount")),
+                        ),
+                        _pa.scalar(100.0),
+                    ),
+                    _pa.scalar(0.5),
+                )
+            ),
+            _pa.int64(),
+        )
+        g = (
+            _pa.table({"l_partkey": tbl.column("l_partkey"), "cents": cents})
+            .group_by("l_partkey")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return _pa.table(
+            {
+                "l_partkey": g.column("l_partkey"),
+                "rev": g.column("cents_sum"),
+                "n": g.column("cents_count").cast(_pa.int64()),
+            }
+        )
+
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = auto_join(line, parts, keys="l_partkey")
+    return joined.groupby("p_brand").aggregate(
+        Sum("rev", alias_name="revenue_cents"), Sum("n", alias_name="n_lines")
+    )
+
+
+SQL_BRAND_PROMO_REVENUE = r"""
+SELECT p.p_brand,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+def q_streaming_user_state(sf_dir: str):
+    """STREAMING CDC compaction: the current per-user state (last value
+    by event time; 'error' events are tombstones that DROP the user)
+    maintained incrementally over arrival chunks by ``StreamingFoldJob``
+    with alpha = 1/1 — the ordered-fold identity ``acc = v`` makes the
+    carried accumulator exactly the per-key LAST value, so the CDC
+    changelog-apply op rides the existing exactly-once fold machinery
+    with zero new streaming code. Tombstone-ness rides the value lane
+    (live = 2*cents, tombstone = 1); a stateless post-filter drops keys
+    whose final state is a tombstone."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming.fold_job import StreamingFoldJob
+
+    ind = _stream_chunks(sf_dir, "cdc_in", ["ts", "event_id", "user_id", "value", "event_type"])
+    base = os.path.dirname(ind)
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def per_batch(tbl: pa.Table) -> pa.Table:
+            v = tbl.column("value").to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            tomb = np.asarray(pc.equal(tbl.column("event_type"), "error"))
+            enc = np.where(tomb, np.int64(1), cents * 2)
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "ts": tbl.column("ts"),
+                    "event_id": tbl.column("event_id"),
+                    "enc": pa.array(enc, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_d, ckpt_d = f"{base}/cdc_out", f"{base}/cdc_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingFoldJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        val_col="enc",
+        alpha_num=1,
+        alpha_den=1,
+        out_val="enc",
+        allowed_lateness_s=3600,
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+
+    def decode(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "state_cents": pa.array([], pa.int64()),
+                }
+            )
+        enc = tbl.column("enc").to_numpy(zero_copy_only=False)
+        live = (enc % 2) == 0
+        t = tbl.filter(pa.array(live))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": t.column("n_events"),
+                "state_cents": pa.array(
+                    t.column("enc").to_numpy(zero_copy_only=False) // 2, pa.int64()
+                ),
+            }
+        )
+
+    return job.committed_output().map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_STREAMING_USER_STATE = r"""
+WITH ranked AS (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS state_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -4955,6 +5189,10 @@ QUERIES: dict[str, QueryFn] = {
     "source_similarity": q_source_similarity,
     "streaming_user_ewma": q_streaming_user_ewma,
     "dedup_against_reference": q_dedup_against_reference,
+    "inverted_index": q_inverted_index,
+    "near_dedup_docs": q_near_dedup_docs,
+    "brand_promo_revenue": q_brand_promo_revenue,
+    "streaming_user_state": q_streaming_user_state,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -5094,6 +5332,10 @@ ORACLES: dict[str, str] = {
     "source_similarity": SQL_SOURCE_SIM,
     "streaming_user_ewma": SQL_USER_EWMA,
     "dedup_against_reference": SQL_DEDUP_AGAINST_REF,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "near_dedup_docs": SQL_NEAR_DEDUP,
+    "brand_promo_revenue": SQL_BRAND_PROMO_REVENUE,
+    "streaming_user_state": SQL_STREAMING_USER_STATE,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -476,7 +476,7 @@ def semi_join(
         out = tbl.select(keys).group_by(keys).aggregate([])
         n = out.num_rows
         return pa.table(
-            {c: (out.column(c) if c in keys else pa.nulls(n, types[c])) for c in lcols}
+            {c: (out.column(c) if c in keys else pa.nulls(n, _pa_type(types[c]))) for c in lcols}
         )
 
     l = left.map_batches(_tag(0, keys, num_buckets), batch_format="pyarrow", zero_copy_batch=True)
