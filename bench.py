@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "near_dedup_docs",              # end-to-end near-dedup (edges -> CC -> anti-join survivors)
     "brand_promo_revenue",          # part-dimension rollup (runtime-filtered auto_join)
     "streaming_user_state",         # streaming CDC compaction (alpha=1 ordered fold)
+    "query_top_docs",               # lexical tf-idf retrieval (scan-pruned, shuffle-free scores)
+    "global_event_seq",             # global ROW_NUMBER (sort + block-offset prefix sum)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -167,3 +167,66 @@ def test_streaming_fold_alpha1_is_last_value(ray_session, tmp_path):
     assert got["key"].tolist() == want["key"].tolist()
     assert got["last_v"].tolist() == want["last_v"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
+
+
+def test_global_row_number_matches_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import global_row_number
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "ts": rng.integers(0, 10_000, n).astype(np.int64),
+            "id": rng.permutation(n).astype(np.int64),
+            "x": rng.integers(0, 5, n).astype(np.int64),
+        }
+    )
+    out = (
+        global_row_number(rd.from_pandas(_blocks(df, 4)), keys=["ts", "id"], out_col="seq")
+        .to_pandas()
+        .sort_values("seq", ignore_index=True)
+    )
+    want = df.sort_values(["ts", "id"], ignore_index=True)
+    assert out["seq"].tolist() == list(range(1, n + 1))
+    assert out["id"].tolist() == want["id"].tolist()
+    assert out["x"].tolist() == want["x"].tolist()
+
+
+def test_global_row_number_int_key_block_order(ray_session):
+    """Block minima 9 vs 10 would invert under stringified comparison —
+    the regression the native-value block-offset keying guards."""
+    from vaero_ray.stages.rowwindow import global_row_number
+
+    df = pd.DataFrame({"k": np.array([9, 10, 11, 2, 100, 20], dtype=np.int64)})
+    out = (
+        global_row_number(rd.from_pandas(_blocks(df, 3)), keys=["k"], out_col="seq")
+        .to_pandas()
+        .sort_values("seq", ignore_index=True)
+    )
+    assert out["k"].tolist() == [2, 9, 10, 11, 20, 100]
+    assert out["seq"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_query_topk_docs_matches_manual(ray_session):
+    from vaero_ray.stages.textstats import query_topk_docs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hash hash join",      # tf: hash=2, join=1
+                "join stream",         # join=1, stream=1
+                "nothing relevant",
+                "stream stream stream hash",  # stream=3, hash=1
+            ],
+        }
+    )
+    out = (
+        query_topk_docs(rd.from_pandas(_blocks(docs, 2)), ["hash", "join", "stream"], k=3, n_docs=4)
+        .to_pandas()
+    )
+    w = {"hash": 4000 // 2, "join": 4000 // 2, "stream": 4000 // 2}
+    want = {1: 2 * w["hash"] + w["join"], 2: w["join"] + w["stream"],
+            4: 3 * w["stream"] + w["hash"]}
+    want_rows = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(out["doc_id"], out["score"])) == want_rows

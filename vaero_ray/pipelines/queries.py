@@ -5100,6 +5100,56 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_query_top_docs(sf_dir: str):
+    """Lexical retrieval (the search-time complement of the ANN gates):
+    top-10 docs for the bag-of-terms query {hash, join, stream} by
+    integer tf-idf — tokens pruned to the query set inside the scan, df
+    is a 3-row driver aggregate, per-doc scores need no shuffle, and the
+    only exchange is the final sort-limit (textstats.query_topk_docs)."""
+    import pyarrow.parquet as _pq
+
+    from vaero_ray.stages.textstats import query_topk_docs
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return query_topk_docs(ds, terms=["hash", "join", "stream"], k=10, n_docs=n_docs)
+
+
+SQL_QUERY_TOP_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents),
+tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1)
+SELECT t.doc_id,
+       CAST(SUM(t.tf * ((1000 * (SELECT count(*) FROM documents)) // d.df)) AS BIGINT) AS score
+FROM tfc t JOIN dfc d USING (term)
+GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_global_event_seq(sf_dir: str):
+    """Global ordered enumeration — ROW_NUMBER() with NO partition
+    clause over the full event stream (export numbering): one
+    range-partitioning sort, then the pack_sequences-style block-offset
+    prefix sum (one metadata row per block to the driver; no row leaves
+    its post-sort block). rowwindow.global_row_number."""
+    from vaero_ray.stages.rowwindow import global_row_number
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type"])
+    out = global_row_number(ds, keys=["ts", "event_id"], out_col="seq")
+    return out.select_columns(["event_id", "event_type", "seq"])
+
+
+SQL_GLOBAL_EVENT_SEQ = r"""
+SELECT event_id, event_type,
+       CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -5193,6 +5243,8 @@ QUERIES: dict[str, QueryFn] = {
     "near_dedup_docs": q_near_dedup_docs,
     "brand_promo_revenue": q_brand_promo_revenue,
     "streaming_user_state": q_streaming_user_state,
+    "query_top_docs": q_query_top_docs,
+    "global_event_seq": q_global_event_seq,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -5336,6 +5388,8 @@ ORACLES: dict[str, str] = {
     "near_dedup_docs": SQL_NEAR_DEDUP,
     "brand_promo_revenue": SQL_BRAND_PROMO_REVENUE,
     "streaming_user_state": SQL_STREAMING_USER_STATE,
+    "query_top_docs": SQL_QUERY_TOP_DOCS,
+    "global_event_seq": SQL_GLOBAL_EVENT_SEQ,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

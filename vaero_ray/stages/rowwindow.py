@@ -435,3 +435,69 @@ def apply_changelog(
         per_bucket,
         num_buckets=num_buckets,
     )
+
+
+def global_row_number(
+    ds: rd.Dataset,
+    keys: "list[str]",
+    out_col: str = "seq",
+    start: int = 1,
+) -> rd.Dataset:
+    """Global ordered enumeration — ``ROW_NUMBER() OVER (ORDER BY
+    keys)`` with NO partition clause (the total-order complement of
+    ``rank_rows``): the distributed export-numbering / line-numbering
+    primitive.
+
+    Requires the key tuple to be UNIQUE per row (pass a unique id as the
+    last key) — uniqueness makes the global order total, so the result
+    is shard- and layout-invariant.
+
+    Scale shape: one range-partitioning sort (``ds.sort(keys)`` — the
+    unavoidable all-to-all for a total order), then a two-pass
+    block-offset prefix sum exactly like ``pack.pack_sequences``: pass 1
+    ships ONE (first-key-tuple, row-count) metadata row per block to the
+    driver (lineage-size, not data); pass 2 adds each block's exclusive
+    offset to a local ``arange``. No row leaves its post-sort block."""
+    import pyarrow as pa
+
+    from vaero_ray.stages.joins import _pa_type
+
+    s = ds.sort(keys).materialize()
+    sch = s.schema()
+    key_types = {k: _pa_type(t) for k, t in zip(sch.names, sch.types) if k in keys}
+
+    def block_meta(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:  # empty post-sort blocks may carry NO columns
+            return pa.table(
+                {**{k: pa.array([], key_types[k]) for k in keys}, "n": pa.array([], pa.int64())}
+            )
+        # blocks are internally sorted: row 0 is the block minimum; key
+        # values stay NATIVE (a stringified int would sort "10" < "9")
+        return pa.table(
+            {
+                **{k: tbl.column(k).slice(0, 1) for k in keys},
+                "n": pa.array([tbl.num_rows], pa.int64()),
+            }
+        )
+
+    metas = s.map_batches(block_meta, batch_format="pyarrow").take_all()
+    metas.sort(key=lambda r: tuple(r[k] for k in keys))
+    offsets: dict[tuple, int] = {}
+    acc = start
+    for r in metas:
+        offsets[tuple(r[k] for k in keys)] = acc
+        acc += r["n"]
+
+    empty_full = pa.table(
+        {n: pa.array([], _pa_type(t)) for n, t in zip(sch.names, sch.types)}
+    ).append_column(out_col, pa.array([], pa.int64()))
+
+    def enumerate_block(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return empty_full
+        base = offsets[tuple(tbl.column(k)[0].as_py() for k in keys)]
+        return tbl.append_column(
+            out_col, pa.array(base + np.arange(tbl.num_rows, dtype=np.int64))
+        )
+
+    return s.map_batches(enumerate_block, batch_format="pyarrow", zero_copy_batch=True)

@@ -837,3 +837,83 @@ def inverted_index(
 
     dpairs = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_map_groups(dpairs, "term", per_bucket, num_buckets=num_buckets)
+
+
+def query_topk_docs(
+    ds,
+    terms: "list[str]",
+    k: int = 10,
+    n_docs: "int | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Query-time retrieval over the corpus: top-``k`` documents for a
+    bag-of-terms query by integer tf-idf (same ``tf * ((1000 * n_docs)
+    // df)`` weighting as ``tfidf_topk``; the lexical complement of the
+    ANN embedding search). Ties at rank k break on doc_id ascending.
+
+    Scale shape: tokens are pruned to the query term set INSIDE the
+    scan (``pc.is_in`` on the flat token array — only query-term hits
+    survive the batch), and a doc is one input row, so each (doc, term,
+    tf) pair is globally unique per block; df is a ``|terms|``-row
+    aggregate shipped to the driver (lineage-size) and closed over, the
+    per-doc score needs NO shuffle, and the only exchange is the final
+    sort-limit over docs that matched at least one term."""
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    if n_docs is None:
+        raise ValueError("query_topk_docs: pass n_docs (parquet-footer count at the call site)")
+    term_set = pa.array(sorted(set(terms)), pa.string())
+    scale = 1000 * int(n_docs)
+
+    def tf_pairs(tbl: pa.Table) -> pa.Table:
+        toks, off = _flat_tokens(tbl, text_col)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if not len(toks):
+            return empty
+        hit = pc.is_in(toks, value_set=term_set)
+        ids = np.repeat(tbl.column(id_col).to_numpy(zero_copy_only=False), np.diff(off))
+        ids = ids[np.asarray(hit)]
+        toks = toks.filter(hit)
+        if not len(toks):
+            return empty
+        g = (
+            pa.table({id_col: pa.array(ids, pa.int64()), "term": toks})
+            .group_by([id_col, "term"])
+            .aggregate([(id_col, "count")])
+        )
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "term": g.column("term"),
+                "tf": g.column(f"{id_col}_count").cast(pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # df: one row per query term — driver-tiny by construction
+    df_rows = pairs.groupby("term").count().take_all()
+    weights = {r["term"]: scale // int(r["count()"]) for r in df_rows}
+
+    def score(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.int64())})
+        w = np.array(
+            [weights[t] for t in tbl.column("term").to_pylist()], dtype=np.int64
+        )
+        sc = tbl.column("tf").to_numpy(zero_copy_only=False) * w
+        g = (
+            pa.table({id_col: tbl.column(id_col), "s": pa.array(sc, pa.int64())})
+            .group_by(id_col)
+            .aggregate([("s", "sum")])
+        )
+        return pa.table({id_col: g.column(id_col), "score": g.column("s_sum")})
+
+    scored = pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)
