@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "streaming_user_state",         # streaming CDC compaction (alpha=1 ordered fold)
     "query_top_docs",               # lexical tf-idf retrieval (scan-pruned, shuffle-free scores)
     "global_event_seq",             # global ROW_NUMBER (sort + block-offset prefix sum)
+    "streaming_enriched_agg",       # stream x dim enrichment (broadcast lut + exactly-once windows)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

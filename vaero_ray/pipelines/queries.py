@@ -5100,6 +5100,81 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_streaming_enriched_agg(sf_dir: str):
+    """STREAMING dimension enrichment (the stream-enrichment production
+    op: events x slowly-changing dim): each arrival chunk is joined to
+    the customer market-segment dim INSIDE the epoch transform via a
+    ``ray.put``-broadcast sorted-key lookup (read zero-copy per task —
+    never re-shipped per batch), then the enriched rows ride the
+    standard exactly-once tumbling window aggregate. Unmatched users map
+    to 'UNKNOWN' (left-outer semantics). At 100 TB the dim broadcast is
+    the documented small-side pattern; a dim too big to broadcast would
+    use the hash_join stage pre-window instead."""
+    import os
+    import shutil
+
+    import ray as _ray
+
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    dim = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    dim = dim.take(pc.sort_indices(dim, sort_keys=[("c_custkey", "ascending")]))
+    lut_ref = _ray.put(
+        (
+            dim.column("c_custkey").to_numpy().astype(np.int64),
+            np.asarray(dim.column("c_mktsegment"), dtype=object),
+        )
+    )
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def enrich(tbl: pa.Table) -> pa.Table:
+            k, s = _ray.get(lut_ref)
+            uid = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.minimum(np.searchsorted(k, uid), len(k) - 1)
+            ok = k[idx] == uid
+            seg = np.where(ok, s[idx], "UNKNOWN")
+            v = tbl.column("value").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "segment": pa.array(seg, pa.string()),
+                    "ts": tbl.column("ts"),
+                    "value": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+    ind = _stream_chunks(sf_dir, "enrich_in", ["ts", "user_id", "value"])
+    base = os.path.dirname(ind)
+    out_d, ckpt_d = f"{base}/enrich_out", f"{base}/enrich_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["segment"],
+        aggs=[AggSpec(None, "count", "n_events"), AggSpec("value", "sum", "sum_value_cents")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,  # arrival chunks are ts-sorted
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+    return job.committed_output()
+
+
+SQL_STREAMING_ENRICHED = """
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       date_trunc('hour', e.ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_query_top_docs(sf_dir: str):
     """Lexical retrieval (the search-time complement of the ANN gates):
     top-10 docs for the bag-of-terms query {hash, join, stream} by
@@ -5245,6 +5320,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_user_state": q_streaming_user_state,
     "query_top_docs": q_query_top_docs,
     "global_event_seq": q_global_event_seq,
+    "streaming_enriched_agg": q_streaming_enriched_agg,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -5390,6 +5466,7 @@ ORACLES: dict[str, str] = {
     "streaming_user_state": SQL_STREAMING_USER_STATE,
     "query_top_docs": SQL_QUERY_TOP_DOCS,
     "global_event_seq": SQL_GLOBAL_EVENT_SEQ,
+    "streaming_enriched_agg": SQL_STREAMING_ENRICHED,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
