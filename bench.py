@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "query_top_docs",               # lexical tf-idf retrieval (scan-pruned, shuffle-free scores)
     "global_event_seq",             # global ROW_NUMBER (sort + block-offset prefix sum)
     "streaming_enriched_agg",       # stream x dim enrichment (broadcast lut + exactly-once windows)
+    "supplier_nation_balance",      # broadcast-dim rollup (last uncovered testdata table)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

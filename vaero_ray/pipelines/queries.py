@@ -5175,6 +5175,50 @@ GROUP BY 1, 2
 """
 
 
+def q_supplier_nation_balance(sf_dir: str):
+    """Supplier-dimension rollup (completes gate coverage of every
+    testdata table): account-balance cents and supplier count per
+    nation. The 25-row nation dim broadcasts (driver-side read +
+    broadcast_join — the canonical small-side pattern); balances
+    fixed-point to integer cents per row before the two-phase sum."""
+    from ray.data.aggregate import Count, Sum
+
+    from vaero_ray.stages.joins import broadcast_join
+
+    nat = (
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+        .rename_columns(["s_nationkey", "n_name"])
+    )
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_nationkey": tbl.column("s_nationkey").cast(pa.int32()),
+                "bal": pc.cast(
+                    pc.floor(pc.add(pc.multiply(tbl.column("s_acctbal"), 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    sup = _read_pq(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    ).map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_join(sup, nat, keys="s_nationkey")
+    return joined.groupby("n_name").aggregate(
+        Sum("bal", alias_name="acctbal_cents"), Count(alias_name="n_suppliers")
+    )
+
+
+SQL_SUPPLIER_NATION_BALANCE = r"""
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+       COUNT(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 def q_query_top_docs(sf_dir: str):
     """Lexical retrieval (the search-time complement of the ANN gates):
     top-10 docs for the bag-of-terms query {hash, join, stream} by
@@ -5321,6 +5365,7 @@ QUERIES: dict[str, QueryFn] = {
     "query_top_docs": q_query_top_docs,
     "global_event_seq": q_global_event_seq,
     "streaming_enriched_agg": q_streaming_enriched_agg,
+    "supplier_nation_balance": q_supplier_nation_balance,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -5467,6 +5512,7 @@ ORACLES: dict[str, str] = {
     "query_top_docs": SQL_QUERY_TOP_DOCS,
     "global_event_seq": SQL_GLOBAL_EVENT_SEQ,
     "streaming_enriched_agg": SQL_STREAMING_ENRICHED,
+    "supplier_nation_balance": SQL_SUPPLIER_NATION_BALANCE,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,
