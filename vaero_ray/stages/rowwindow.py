@@ -485,7 +485,13 @@ def global_row_number(
     offsets: dict[tuple, int] = {}
     acc = start
     for r in metas:
-        offsets[tuple(r[k] for k in keys)] = acc
+        t = tuple(r[k] for k in keys)
+        if t in offsets:  # two blocks share a minimum => key tuple not unique
+            raise ValueError(
+                "global_row_number: key tuple is not unique across rows "
+                f"(duplicate block minimum {t}); add a unique id as the last key"
+            )
+        offsets[t] = acc
         acc += r["n"]
 
     empty_full = pa.table(
