@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "global_event_seq",             # global ROW_NUMBER (sort + block-offset prefix sum)
     "streaming_enriched_agg",       # stream x dim enrichment (broadcast lut + exactly-once windows)
     "supplier_nation_balance",      # broadcast-dim rollup (last uncovered testdata table)
+    "conv_tool_calls",              # agentic tool-call adjacency CEP (one-shuffle kernel)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -230,3 +230,32 @@ def test_query_topk_docs_matches_manual(ray_session):
             4: 3 * w["stream"] + w["hash"]}
     want_rows = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(zip(out["doc_id"], out["score"])) == want_rows
+
+
+def test_pair_pattern_stats_matches_pandas(ray_session):
+    from vaero_ray.stages.convstats import pair_pattern_stats
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{v}" for v in rng.integers(0, 30, n)],
+            "role": rng.choice(["user", "assistant", "tool"], n),
+            "turn_idx": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        pair_pattern_stats(
+            rd.from_pandas(_blocks(df)), key="conv_id", col="role",
+            from_val="assistant", to_val="tool", order="turn_idx",
+            out_col="n_tool_calls", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    want = []
+    for c, g in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        r = g["role"].to_numpy()
+        want.append((c, len(g), int(((r[:-1] == "assistant") & (r[1:] == "tool")).sum())))
+    want.sort()
+    assert list(zip(out["conv_id"], out["n_turns"], out["n_tool_calls"])) == want

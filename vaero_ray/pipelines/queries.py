@@ -5219,6 +5219,38 @@ GROUP BY 1
 """
 
 
+def q_conv_tool_calls(sf_dir: str):
+    """Agentic tool-call adjacency over transcripts: per conversation,
+    count of assistant -> tool adjacent turn pairs (the tool-invocation
+    micro-pattern; uses the transcript ``tool``-role lane the input_hint
+    mandates). Same one-shuffle kernel family as conv_role_violations
+    (convstats.pair_pattern_stats)."""
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.convstats import pair_pattern_stats
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(["conv_id", "role", "ts", "event_id"])
+    return pair_pattern_stats(
+        ds, key="conv_id", col="role", from_val="assistant", to_val="tool",
+        order=["ts", "event_id"], out_col="n_tool_calls",
+    )
+
+
+SQL_CONV_TOOL_CALLS = f"""
+WITH {TRANSCRIPTS_CTE}, l AS (
+  SELECT conv_id,
+         CASE WHEN LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = 'assistant'
+              AND role = 'tool' THEN 1 ELSE 0 END AS hit
+  FROM transcripts
+)
+SELECT conv_id, COUNT(*) AS n_turns, CAST(SUM(hit) AS BIGINT) AS n_tool_calls
+FROM l GROUP BY conv_id
+"""
+
+
 def q_query_top_docs(sf_dir: str):
     """Lexical retrieval (the search-time complement of the ANN gates):
     top-10 docs for the bag-of-terms query {hash, join, stream} by
@@ -5366,6 +5398,7 @@ QUERIES: dict[str, QueryFn] = {
     "global_event_seq": q_global_event_seq,
     "streaming_enriched_agg": q_streaming_enriched_agg,
     "supplier_nation_balance": q_supplier_nation_balance,
+    "conv_tool_calls": q_conv_tool_calls,
     "dup_ngram_stats": q_dup_ngram_stats,
     "streaming_distinct_users": q_streaming_distinct_users,
     "length_histogram_by_source": q_length_histogram_by_source,
@@ -5513,6 +5546,7 @@ ORACLES: dict[str, str] = {
     "global_event_seq": SQL_GLOBAL_EVENT_SEQ,
     "streaming_enriched_agg": SQL_STREAMING_ENRICHED,
     "supplier_nation_balance": SQL_SUPPLIER_NATION_BALANCE,
+    "conv_tool_calls": SQL_CONV_TOOL_CALLS,
     "dup_ngram_stats": SQL_DUP_NGRAMS,
     "streaming_distinct_users": SQL_STREAMING_DISTINCT,
     "length_histogram_by_source": SQL_LHQ_BY,

@@ -208,3 +208,46 @@ def alternation_stats(
         return out
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets)
+
+
+def pair_pattern_stats(
+    ds: rd.Dataset,
+    key: str = "conv_id",
+    col: str = "role",
+    from_val: str = "assistant",
+    to_val: str = "tool",
+    order: "list[str] | str" = "turn_idx",
+    out_col: str = "n_hits",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key adjacent-pair pattern counts: ``(key, n_turns, out_col)``
+    where a hit is an adjacent pair (by ``order``) whose ``col`` goes
+    ``from_val -> to_val`` — the agentic tool-call adjacency
+    (assistant turn immediately followed by a tool turn) and any other
+    two-step micro-pattern. Same one-shuffle shape as
+    ``alternation_stats``: the lag compare and the per-key aggregate run
+    in the bucket kernel, only aggregate rows leave any task. Keys with
+    zero hits DO emit a row (COUNT semantics)."""
+    order_cols = [order] if isinstance(order, str) else list(order)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        k = df[key].to_numpy()
+        r = df[col].to_numpy()
+        n = len(df)
+        hit = np.zeros(n, dtype=np.int64)
+        if n:
+            same = k[1:] == k[:-1]
+            hit[1:] = ((r[:-1] == from_val) & (r[1:] == to_val) & same).astype(np.int64)
+        sub = pd.DataFrame({key: k, "__h": hit})
+        g = sub.groupby(key, sort=False)["__h"]
+        out = pd.DataFrame(
+            {"n_turns": g.count().astype("int64"), out_col: g.sum().astype("int64")}
+        )
+        out.index.name = key
+        out = out.reset_index()
+        if out.empty and df[key].dtype == object:
+            out[key] = out[key].astype("string")
+        return out
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets)
