@@ -74,6 +74,40 @@ def test_inverted_index_dups_within_doc_count_once(ray_session):
     assert int(out.loc["y", "df"]) == 2 and out.loc["y", "postings"] == "1,2"
 
 
+def test_inverted_index_stopword_prefilter_identical(ray_session):
+    """The sampled stopword pre-filter is an exchange-volume optimization
+    only: output must be bitwise-identical with it on, off, and with a
+    sample too small to catch every over-cap term (the exact post-shuffle
+    cap then does the dropping)."""
+    from vaero_ray.stages.textstats import inverted_index
+
+    rng = np.random.default_rng(7)
+    n = 400
+    # 'stop' everywhere (caught by any sample); 'semi' in half the docs
+    # (over max_df globally but may dodge a tiny sample); rare tail terms
+    texts = [
+        "stop " + ("semi " if i % 2 == 0 else "") + f"t{rng.integers(0, 40)}"
+        for i in range(n)
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    blocks = _blocks(docs, 8)
+
+    def run(**kw):
+        return (
+            inverted_index(rd.from_pandas(blocks), min_df=2, max_df=30,
+                           num_buckets=4, **kw)
+            .to_pandas()
+            .sort_values("term", ignore_index=True)
+        )
+
+    base = run(prefilter_stopwords=False)
+    assert "stop" not in set(base["term"]) and "semi" not in set(base["term"])
+    pd.testing.assert_frame_equal(run(), base)
+    # sample of 1*max_df=30 docs: 'semi' df within sample ~15 <= max_df,
+    # so it slips the pre-filter and must be dropped post-shuffle
+    pd.testing.assert_frame_equal(run(prefilter_sample_factor=1), base)
+
+
 def test_near_dedup_survivors_planted_cluster(ray_session):
     """A planted 3-doc near-dup chain keeps only its min doc_id; the
     unrelated doc survives untouched (composition: edges -> CC -> anti
