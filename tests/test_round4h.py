@@ -102,10 +102,14 @@ def test_inverted_index_stopword_prefilter_identical(ray_session):
 
     base = run(prefilter_stopwords=False)
     assert "stop" not in set(base["term"]) and "semi" not in set(base["term"])
-    pd.testing.assert_frame_equal(run(), base)
+    pd.testing.assert_frame_equal(run(prefilter_stopwords=True), base)
     # sample of 1*max_df=30 docs: 'semi' df within sample ~15 <= max_df,
     # so it slips the pre-filter and must be dropped post-shuffle
-    pd.testing.assert_frame_equal(run(prefilter_sample_factor=1), base)
+    pd.testing.assert_frame_equal(
+        run(prefilter_stopwords=True, prefilter_sample_factor=1), base
+    )
+    # default "auto": in-memory input has no resolvable read lineage -> off
+    pd.testing.assert_frame_equal(run(), base)
 
 
 def test_near_dedup_survivors_planted_cluster(ray_session):

@@ -781,8 +781,9 @@ def inverted_index(
     min_df: int = 1,
     max_df: "int | None" = None,
     num_buckets: "int | None" = None,
-    prefilter_stopwords: bool = True,
+    prefilter_stopwords: "bool | str" = "auto",
     prefilter_sample_factor: int = 8,
+    prefilter_min_bytes: int = 1 << 30,
     stopword_broadcast_max: int = 2_000_000,
 ):
     """Posting-list inverted index: one row per distinct term with its
@@ -820,7 +821,13 @@ def inverted_index(
     210 s — the sample keeps the win without paying a second tokenize
     scan; see BASELINE.md). Falls back to the single-pass plan if the
     over-cap set exceeds ``stopword_broadcast_max`` (a pathological
-    flat distribution)."""
+    flat distribution). Default ``"auto"`` enables the pre-pass only
+    when the read lineage's metadata size estimate is >=
+    ``prefilter_min_bytes`` (the pre-pass is a second small Dataset
+    execution, a ~1 s fixed premium toy inputs shouldn't pay — the
+    same metadata switch as ``exact_dedup auto`` and the Bloom
+    semi-join pre-filter; unresolvable lineage == small in-memory
+    input == off)."""
     import pandas as pd
 
     from vaero_ray.stages.dedup import _flat_tokens
@@ -840,8 +847,18 @@ def inverted_index(
         )
         return g.select([id_col, "term"])
 
+    enabled = bool(prefilter_stopwords)
+    if prefilter_stopwords == "auto" and max_df is not None:
+        from vaero_ray.stages.keyed import input_file_bytes, lineage_inmemory_bytes
+
+        est = lineage_inmemory_bytes(ds)
+        if est is None:
+            fb = input_file_bytes(ds)
+            est = fb * 3 if fb is not None else None
+        enabled = est is not None and est >= prefilter_min_bytes
+
     stop_ref = None
-    if max_df is not None and prefilter_stopwords:
+    if max_df is not None and enabled:
         import ray as _ray
 
         def df_partial(tbl: pa.Table) -> pa.Table:
