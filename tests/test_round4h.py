@@ -297,3 +297,45 @@ def test_pair_pattern_stats_matches_pandas(ray_session):
         want.append((c, len(g), int(((r[:-1] == "assistant") & (r[1:] == "tool")).sum())))
     want.sort()
     assert list(zip(out["conv_id"], out["n_turns"], out["n_tool_calls"])) == want
+
+
+def test_exact_quantiles_disc_vs_duckdb(ray_session):
+    """Radix selection must reproduce DuckDB quantile_disc exactly:
+    negatives, duplicates, nulls, multi-block, extreme magnitudes."""
+    import duckdb
+
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    rng = np.random.default_rng(11)
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    con = duckdb.connect()
+    for trial, vals in enumerate(
+        [
+            rng.integers(-1000, 1000, 500).astype(np.int64),
+            rng.integers(-(2**62), 2**62, 300).astype(np.int64),
+            np.array([7], dtype=np.int64),
+            np.repeat(np.int64(-5), 40),
+        ]
+    ):
+        s = pd.Series(vals, dtype="Int64")
+        if trial == 0:  # sprinkle nulls: excluded from n
+            s[::7] = pd.NA
+        df = pd.DataFrame({"v": s})
+        got = exact_quantiles_disc(rd.from_pandas(_blocks(df, 4)), "v", qs)
+        con.register("t", df)
+        want = [
+            con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            for q in qs
+        ]
+        con.unregister("t")
+        assert got == want, (trial, got, want)
+
+
+def test_exact_quantiles_disc_all_null_raises(ray_session):
+    import pytest as _pytest
+
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    df = pd.DataFrame({"v": pd.Series([pd.NA] * 5, dtype="Int64")})
+    with _pytest.raises(ValueError):
+        exact_quantiles_disc(rd.from_pandas([df]), "v", [0.5])
