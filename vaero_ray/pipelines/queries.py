@@ -2301,9 +2301,11 @@ FROM b GROUP BY 1
 def q_doc_length_quantiles(sf_dir: str):
     """EXACT global length quantiles by bit-prefix radix selection — the
     exact counterpart of the `doc_length_histogram` sketch: binary-search
-    the VALUE domain instead of sorting rows (4 column-pruned scans, the
-    only exchange is <=2^16-bin register rows; a sort-based quantile is
-    an all-to-all of every row). All four quantiles ride the same passes
+    the VALUE domain instead of sorting rows (a (min,max,n)-per-block
+    metadata pass anchors the search, then ceil(bits(range)/16) histogram
+    passes — 1 for this column; the only exchange is <=2^16-bin register
+    rows; a sort-based quantile is an all-to-all of every row). All four
+    quantiles ride the same passes
     (stages/selection.exact_quantiles_disc; DuckDB quantile_disc rank
     semantics, verified over 300 random arrays)."""
     from vaero_ray.stages.selection import exact_quantiles_disc

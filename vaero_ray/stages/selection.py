@@ -3,18 +3,25 @@
 The log-histogram sketch (``stages/sketch.lhq_*``) answers quantiles
 APPROXIMATELY in one pass; this module answers them EXACTLY without the
 classic alternative — a full range-partition sort — by binary-searching
-the VALUE DOMAIN instead of moving rows. An int64 column is resolved in
-``64 / digit_bits`` (default 4) filtered scans: each scan reduces the
-block's candidate rows to a <=2^digit_bits-bin digit histogram emitted
-as ``(key, cnt)`` register rows (groupby-SUM mergeable — the identical
-exchange shape as the sketches), the driver walks the merged histogram
-to pick each quantile's digit, and the next scan tracks only rows whose
-high bits match a chosen prefix. No data row ever leaves its block; the
-only exchange is register rows. At 100 TB this is 4 column-pruned scans
-plus a KB-scale shuffle, where a sort-based quantile is an all-to-all
-of every row. All requested quantiles ride the SAME passes (divergent
+the VALUE DOMAIN instead of moving rows. Pass 0 reduces each block to a
+single ``(min, max, n)`` metadata row (the same one-row-per-block
+driver pattern as ``rowwindow.global_row_number``); the driver anchors
+the search at the global min, so only ``ceil(bits(max - min) /
+digit_bits)`` histogram passes follow — 1-2 for the narrow domains real
+columns have (lengths, counts, cents), at most 4 for full-range int64.
+Each histogram pass reduces a block's candidate rows to a
+<=2^digit_bits-bin digit histogram emitted as ``(key, cnt)`` register
+rows (groupby-SUM mergeable — the identical exchange shape as the
+sketches); the driver walks the merged histogram to pick each
+quantile's digit, and the next pass tracks only rows whose high bits
+match a chosen prefix. No data row ever leaves its block; the only
+exchanges are register rows. At 100 TB this is 2-5 column-pruned scans
+plus KB-scale shuffles, where a sort-based quantile is an all-to-all of
+every row. All requested quantiles ride the SAME passes (divergent
 prefixes are tracked side by side), so p50/p90/p99 cost no more than
-the median alone.
+the median alone. Repeated/derived inputs: materialize the projected
+int column first (int64 rows are tiny) so the passes re-scan 8 bytes
+per row, not the expression lineage.
 
 Rank semantics match DuckDB ``quantile_disc``: the 0-based sorted index
 is ``max(ceil(q*n) - 1, 0)`` (verified against DuckDB over 300 random
@@ -44,50 +51,76 @@ def exact_quantiles_disc(
     digit_bits: int = 16,
 ) -> "list[int]":
     """Exact ``quantile_disc`` values of int64 column ``col`` for each
-    q in ``qs``, via 64/digit_bits radix-selection passes (see module
+    q in ``qs``, via adaptive radix-selection passes (see module
     docstring). Returns plain ints in ``qs`` order. Raises on an
     all-null/empty column (DuckDB would return NULL)."""
     from ray.data.aggregate import Sum
 
-    if 64 % digit_bits:
-        raise ValueError("digit_bits must divide 64")
+    if not 1 <= digit_bits <= 32:
+        raise ValueError("digit_bits must be in [1, 32]")
     if not qs:
         return []
     if any(q < 0.0 or q > 1.0 for q in qs):
         raise ValueError("quantiles must be in [0, 1]")
-    rounds = 64 // digit_bits
     mask = np.uint64((1 << digit_bits) - 1)
+
+    def col_u64(tbl: pa.Table) -> np.ndarray:
+        x = pc.drop_null(tbl.column(col))
+        if not len(x):
+            return np.empty(0, dtype=np.uint64)
+        return x.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64) ^ _SIGN
+
+    # pass 0: one (min, max, n) metadata row per block -> global bounds
+    def minmax(tbl: pa.Table) -> pa.Table:
+        u = col_u64(tbl)
+        if not len(u):
+            return pa.table({"lo": pa.array([], pa.uint64()),
+                             "hi": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([u.min()], pa.uint64()),
+                         "hi": pa.array([u.max()], pa.uint64()),
+                         "n": pa.array([len(u)], pa.int64())})
+
+    rows = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not rows:
+        raise ValueError(f"exact_quantiles_disc: no non-null values in {col!r}")
+    base = np.uint64(min(r["lo"] for r in rows))
+    rng = int(max(r["hi"] for r in rows)) - int(base)
+    n = int(sum(r["n"] for r in rows))
+    ranks = [max(math.ceil(q * n) - 1, 0) for q in qs]
+    if rng == 0:  # constant column: every quantile is the single value
+        return [int(np.int64(base ^ _SIGN))] * len(qs)
+    rounds = math.ceil(rng.bit_length() / digit_bits)
+    width = rounds * digit_bits  # digits of w = u - base within this many bits
 
     def histogram(prefixes: np.ndarray, shift: int) -> "dict[int, np.ndarray]":
         """One pass: merged per-(tracked prefix, next digit) counts.
-        ``prefixes`` is the sorted uint64 array of tracked high-bit
-        values (u >> (shift + digit_bits)); tiny, shipped in the task
-        closure. Returns {prefix_idx: int64[2^digit_bits] counts}."""
+        ``prefixes`` is the sorted uint64 array of tracked high-digit
+        values of w (w >> (shift + digit_bits)); tiny, shipped in the
+        task closure. Returns {prefix_idx: int64[2^digit_bits] counts}."""
         P = prefixes  # closure capture
         sh = np.uint64(shift)
-        top = shift + digit_bits >= 64
+        top = shift + digit_bits >= width
 
         def partial(tbl: pa.Table) -> pa.Table:
-            x = pc.drop_null(tbl.column(col))
+            u = col_u64(tbl)
             empty = pa.table(
                 {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
             )
-            if not len(x):
+            if not len(u):
                 return empty
-            u = x.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            u = u ^ _SIGN
-            if top:  # first round: every row is under the single root prefix
-                idx = np.zeros(len(u), dtype=np.int64)
-                keep = u
+            w = u - base  # candidates all have u >= base by construction
+            if top:  # first histogram round: one root prefix holds all rows
+                idx = np.zeros(len(w), dtype=np.int64)
             else:
-                pref = u >> np.uint64(shift + digit_bits)
+                pref = w >> np.uint64(shift + digit_bits)
                 idx = np.searchsorted(P, pref)
                 ok = (idx < len(P)) & (P[np.minimum(idx, len(P) - 1)] == pref)
                 if not ok.any():
                     return empty
                 idx = idx[ok]
-                keep = u[ok]
-            dig = (keep >> sh) & mask
+                w = w[ok]
+            dig = (w >> sh) & mask
             key = (idx << digit_bits) | dig.astype(np.int64)
             ub, uc = np.unique(key, return_counts=True)
             return pa.table(
@@ -106,19 +139,12 @@ def exact_quantiles_disc(
             out.setdefault(i, np.zeros(1 << digit_bits, dtype=np.int64))[d] = r["cnt"]
         return out
 
-    # round 0 histogram doubles as the count pass: n = total non-null rows
+    # (tracked prefix of w, local 0-based rank) per requested quantile
+    state = [(np.uint64(0), k) for k in ranks]
     prefixes = np.array([0], dtype=np.uint64)
-    hists = histogram(prefixes, 64 - digit_bits)
-    n = int(sum(h.sum() for h in hists.values()))
-    if n == 0:
-        raise ValueError(f"exact_quantiles_disc: no non-null values in {col!r}")
-    # (tracked prefix value, local 0-based rank) per requested quantile
-    state = [(np.uint64(0), max(math.ceil(q * n) - 1, 0)) for q in qs]
-
     for rnd in range(rounds):
-        shift = 64 - digit_bits * (rnd + 1)
-        if rnd:  # round 0's histogram was the count pass above
-            hists = histogram(prefixes, shift)
+        shift = width - digit_bits * (rnd + 1)
+        hists = histogram(prefixes, shift)
         nxt = []
         for pref, k in state:
             i = int(np.searchsorted(prefixes, pref))
@@ -129,4 +155,4 @@ def exact_quantiles_disc(
         state = nxt
         prefixes = np.unique(np.array([p for p, _ in state], dtype=np.uint64))
 
-    return [int(np.int64(p ^ _SIGN)) for p, _ in state]
+    return [int(np.int64((p + base) ^ _SIGN)) for p, _ in state]
