@@ -64,7 +64,8 @@ BENCH_QUERIES = [
     "doc_token_diversity",          # Simpson concentration (integer-exact entropy alternative)
     "chunk_docs",                   # 32/24 context-window chunker (one take + binary_join)
     "doc_length_histogram",         # log-histogram quantile sketch (sum-merge bins)
-    "doc_length_quantiles",         # exact quantiles by radix selection (4 scans, no sort)
+    "doc_length_quantiles",         # exact quantiles by radix selection (adaptive scans, no sort)
+    "source_length_quantiles",      # grouped exact quantiles, all groups ride the same scans
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

@@ -339,3 +339,33 @@ def test_exact_quantiles_disc_all_null_raises(ray_session):
     df = pd.DataFrame({"v": pd.Series([pd.NA] * 5, dtype="Int64")})
     with _pytest.raises(ValueError):
         exact_quantiles_disc(rd.from_pandas([df]), "v", [0.5])
+
+
+def test_exact_group_quantiles_disc_vs_duckdb(ray_session):
+    """Grouped radix selection: every (group, q) must equal DuckDB's
+    quantile_disc GROUP BY — skewed group sizes, negatives, nulls."""
+    import duckdb
+
+    from vaero_ray.stages.selection import exact_group_quantiles_disc
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "zz"], n, p=[0.7, 0.2, 0.09, 0.01]),
+            "v": pd.Series(rng.integers(-5000, 5000, n), dtype="Int64"),
+        }
+    )
+    df.loc[::11, "v"] = pd.NA
+    qs = [0.25, 0.5, 0.9, 1.0]
+    got = exact_group_quantiles_disc(rd.from_pandas(_blocks(df, 5)), "v", "g", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    for g in ["a", "b", "c", "zz"]:
+        want = [
+            con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t WHERE g = ?", [g]
+            ).fetchone()[0]
+            for q in qs
+        ]
+        assert got[g] == want, (g, got[g], want)

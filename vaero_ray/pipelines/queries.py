@@ -2331,6 +2331,37 @@ FROM documents
 """
 
 
+def q_source_length_quantiles(sf_dir: str):
+    """Per-SOURCE exact p50/p90/p99 of document length by GROUPED radix
+    selection: every (source, quantile) pair rides the same 2-3
+    column-pruned scans — NO row exchange at all, where the
+    `median_length_per_source` shape moves every row through its
+    bucketed shuffle (the win is few-groups x huge-rows;
+    stages/selection.exact_group_quantiles_disc)."""
+    from vaero_ray.stages.selection import exact_group_quantiles_disc
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    per = exact_group_quantiles_disc(ds, "n_chars", "source", [0.5, 0.9, 0.99])
+    srcs = sorted(per)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "p50_chars": pa.array([per[s][0] for s in srcs], pa.int64()),
+            "p90_chars": pa.array([per[s][1] for s in srcs], pa.int64()),
+            "p99_chars": pa.array([per[s][2] for s in srcs], pa.int64()),
+        }
+    )
+
+
+SQL_SOURCE_LENGTH_QUANTILES = r"""
+SELECT source,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50_chars,
+       CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90_chars,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_chars
+FROM documents GROUP BY source
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -5386,6 +5417,7 @@ QUERIES: dict[str, QueryFn] = {
     "cms_user_counts": q_cms_user_counts,
     "doc_length_histogram": q_doc_length_histogram,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "source_length_quantiles": q_source_length_quantiles,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -5535,6 +5567,7 @@ ORACLES: dict[str, str] = {
     "cms_user_counts": SQL_CMS,
     "doc_length_histogram": SQL_LHQ,
     "doc_length_quantiles": SQL_LENGTH_QUANTILES,
+    "source_length_quantiles": SQL_SOURCE_LENGTH_QUANTILES,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
