@@ -369,3 +369,44 @@ def test_exact_group_quantiles_disc_vs_duckdb(ray_session):
             for q in qs
         ]
         assert got[g] == want, (g, got[g], want)
+
+
+def test_table_diff_classifies(ray_session):
+    """left_only / right_only / changed / identical-silent over a planted
+    reconciliation scenario; duplicate keys raise."""
+    import pytest as _pytest
+
+    from vaero_ray.stages.diff import table_diff
+
+    left = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "text": ["a", "b", "c", "d", "e"],
+            "src": ["s", "s", "t", "t", "t"],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "id": [1, 2, 4, 5, 9],          # 3 dropped, 9 added
+            "text": ["a", "bX", "d", "e", "z"],  # 2 mutated
+            "src": ["s", "s", "t", "u", "u"],    # 5 mutated (other col)
+        }
+    )
+    out = (
+        table_diff(
+            rd.from_pandas(_blocks(left)), rd.from_pandas(_blocks(right, 2)),
+            keys="id", compare_cols=["text", "src"], num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert list(zip(out["id"], out["diff"])) == [
+        (2, "changed"), (3, "left_only"), (5, "changed"), (9, "right_only"),
+    ]
+
+    dup = pd.DataFrame({"id": [7, 7], "text": ["x", "y"], "src": ["s", "s"]})
+    with _pytest.raises(Exception):
+        table_diff(
+            rd.from_pandas([dup]), rd.from_pandas([left]),
+            keys="id", compare_cols=["text"], num_buckets=2,
+        ).materialize()

@@ -2362,6 +2362,61 @@ FROM documents GROUP BY source
 """
 
 
+def q_table_diff_docs(sf_dir: str):
+    """Corpus-copy reconciliation (stages/diff.table_diff): documents vs
+    a deterministically perturbed replica (drops where doc_id%131==0,
+    text mutations where %97==0, id remaps where %151==0 — the CDC-drift
+    trifecta). Each side reduces in-scan to (doc_id, 128-bit content
+    hash); the one key-bucketed exchange moves ~24 B/row, no payload
+    byte leaves its scan task (oracle: FULL OUTER JOIN on values)."""
+    import pyarrow.compute as pc
+
+    from vaero_ray.stages.diff import table_diff
+
+    left = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def perturb(tbl: pa.Table) -> pa.Table:
+        d = pc.cast(tbl.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        tbl = tbl.filter(pa.array(d % 131 != 0))
+        d = d[d % 131 != 0]
+        text = pc.if_else(
+            pa.array(d % 97 == 0),
+            pc.binary_join_element_wise(
+                pc.cast(tbl.column("text"), pa.string()), "X", ""
+            ),
+            tbl.column("text"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.where(d % 151 == 0, d + 10_000_000, d), pa.int64()),
+                "text": text,
+                "source": tbl.column("source"),
+            }
+        )
+
+    right = left.map_batches(perturb, batch_format="pyarrow", zero_copy_batch=True)
+    return table_diff(
+        left, right, keys="doc_id", compare_cols=["text", "source"], num_buckets=8
+    )
+
+
+SQL_TABLE_DIFF = r"""
+WITH b AS (
+  SELECT CASE WHEN doc_id % 151 = 0 THEN doc_id + 10000000 ELSE doc_id END AS doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN text || 'X' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 131 <> 0),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'left_only'
+              WHEN a.doc_id IS NULL THEN 'right_only'
+              WHEN a.text <> b.text OR a.source <> b.source THEN 'changed'
+              ELSE NULL END AS diff
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id, diff FROM j WHERE diff IS NOT NULL
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -5418,6 +5473,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_length_histogram": q_doc_length_histogram,
     "doc_length_quantiles": q_doc_length_quantiles,
     "source_length_quantiles": q_source_length_quantiles,
+    "table_diff_docs": q_table_diff_docs,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -5568,6 +5624,7 @@ ORACLES: dict[str, str] = {
     "doc_length_histogram": SQL_LHQ,
     "doc_length_quantiles": SQL_LENGTH_QUANTILES,
     "source_length_quantiles": SQL_SOURCE_LENGTH_QUANTILES,
+    "table_diff_docs": SQL_TABLE_DIFF,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
