@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_length_quantiles",         # exact quantiles by radix selection (adaptive scans, no sort)
     "source_length_quantiles",      # grouped exact quantiles, all groups ride the same scans
     "table_diff_docs",              # copy reconciliation: keys+content-hash exchange only
+    "length_equidepth_bins",        # percentile bucketize: selection boundaries + one scan
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

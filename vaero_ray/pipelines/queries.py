@@ -2400,6 +2400,55 @@ def q_table_diff_docs(sf_dir: str):
     )
 
 
+def q_length_equidepth_bins(sf_dir: str):
+    """Equi-depth (quartile) binning WITHOUT a sort: the exact q25/q50/
+    q75 boundaries come from radix selection (2 metadata-light scans),
+    then ONE scan assigns bins by searchsorted and a 4-group aggregate
+    profiles each bin — the classic percentile-bucketize preprocessing,
+    composed from exact_quantiles_disc as a building block."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    bounds = np.array(
+        exact_quantiles_disc(ds, "n_chars", [0.25, 0.5, 0.75]), dtype=np.int64
+    )
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        v = pc.cast(tbl.column("n_chars"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": pa.array(np.searchsorted(bounds, v, side="left"), pa.int64()),
+                "n_chars": pa.array(v, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="lo_chars"),
+            Max("n_chars", alias_name="hi_chars"),
+        )
+    )
+
+
+SQL_EQUIDEPTH = r"""
+WITH q AS (SELECT quantile_disc(n_chars, 0.25) AS b1,
+                  quantile_disc(n_chars, 0.50) AS b2,
+                  quantile_disc(n_chars, 0.75) AS b3 FROM documents)
+SELECT CAST(CASE WHEN n_chars <= b1 THEN 0 WHEN n_chars <= b2 THEN 1
+            WHEN n_chars <= b3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS lo_chars,
+       CAST(max(n_chars) AS BIGINT) AS hi_chars
+FROM documents, q GROUP BY 1
+"""
+
+
 SQL_TABLE_DIFF = r"""
 WITH b AS (
   SELECT CASE WHEN doc_id % 151 = 0 THEN doc_id + 10000000 ELSE doc_id END AS doc_id,
@@ -5474,6 +5523,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "source_length_quantiles": q_source_length_quantiles,
     "table_diff_docs": q_table_diff_docs,
+    "length_equidepth_bins": q_length_equidepth_bins,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -5625,6 +5675,7 @@ ORACLES: dict[str, str] = {
     "doc_length_quantiles": SQL_LENGTH_QUANTILES,
     "source_length_quantiles": SQL_SOURCE_LENGTH_QUANTILES,
     "table_diff_docs": SQL_TABLE_DIFF,
+    "length_equidepth_bins": SQL_EQUIDEPTH,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
