@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "source_length_quantiles",      # grouped exact quantiles, all groups ride the same scans
     "table_diff_docs",              # copy reconciliation: keys+content-hash exchange only
     "length_equidepth_bins",        # percentile bucketize: selection boundaries + one scan
+    "trimmed_length_stats",         # trimmed mean: selection band + one integer scan
+    "user_activity_intervals",      # per-key interval union (one shuffle + cummax sweep)
+    "weighted_sample_docs",         # weighted bottom-k sample (tickets never leave blocks)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

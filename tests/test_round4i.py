@@ -1,0 +1,170 @@
+"""Round-4 sixth-session additions: interval union (merge_intervals),
+weighted bottom-k sampling (weighted_sample_k), trimmed mean via radix
+selection (trimmed_stats)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _blocks(df, n=3):
+    return [df.iloc[i::n] for i in range(n)]
+
+
+def _ref_merge(df):
+    """Reference interval union per key, plain python sweep."""
+    out = []
+    for k, g in df.groupby("k", dropna=False):
+        g = g.sort_values(["s", "e"])
+        cs = ce = None
+        n = 0
+        for s, e in zip(g["s"], g["e"]):
+            if cs is None:
+                cs, ce, n = s, e, 1
+            elif s <= ce:  # overlap or touch
+                ce, n = max(ce, e), n + 1
+            else:
+                out.append((k, cs, ce, n))
+                cs, ce, n = s, e, 1
+        if cs is not None:
+            out.append((k, cs, ce, n))
+    return sorted(out)
+
+
+def test_merge_intervals_matches_reference_sweep(ray_session):
+    from vaero_ray.stages.cep import merge_intervals
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, n),
+            "s": rng.integers(0, 10**6, n).astype(np.int64),
+        }
+    )
+    df["e"] = df["s"] + rng.integers(0, 4000, n)
+    out = (
+        merge_intervals(rd.from_pandas(_blocks(df, 5)), "k", "s", "e", num_buckets=7)
+        .to_pandas()
+        .sort_values(["k", "s"], ignore_index=True)
+    )
+    assert _ref_merge(df) == list(zip(out["k"], out["s"], out["e"], out["n_merged"]))
+    # shard/bucket invariance: different layout, same bitwise result
+    out2 = (
+        merge_intervals(rd.from_pandas(_blocks(df, 2)), "k", "s", "e", num_buckets=3)
+        .to_pandas()
+        .sort_values(["k", "s"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_merge_intervals_touching_and_timestamps(ray_session):
+    from vaero_ray.stages.cep import merge_intervals
+
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],
+            "s": [base, base + pd.Timedelta(seconds=10), base + pd.Timedelta(seconds=30), base],
+            "e": [
+                base + pd.Timedelta(seconds=10),  # touches the next -> merges
+                base + pd.Timedelta(seconds=20),
+                base + pd.Timedelta(seconds=40),  # gap before this one
+                base + pd.Timedelta(seconds=5),
+            ],
+        }
+    )
+    out = (
+        merge_intervals(rd.from_pandas([df]), "k", "s", "e", num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "s"], ignore_index=True)
+    )
+    assert len(out) == 3
+    assert out["s"].dtype.kind == "M" and out["e"].dtype.kind == "M"
+    a = out[out["k"] == "a"].reset_index(drop=True)
+    assert a.loc[0, "e"] == base + pd.Timedelta(seconds=20)
+    assert a.loc[0, "n_merged"] == 2 and a.loc[1, "n_merged"] == 1
+
+
+def test_merge_intervals_rejects_bad_extents(ray_session):
+    from vaero_ray.stages.cep import merge_intervals
+
+    rev = pd.DataFrame({"k": [1], "s": [10], "e": [5]})
+    with pytest.raises(Exception):
+        merge_intervals(rd.from_pandas([rev]), "k", "s", "e", num_buckets=1).materialize()
+    nul = pd.DataFrame({"k": [1, 1], "s": [1.0, np.nan], "e": [2.0, 3.0]})
+    with pytest.raises(Exception):
+        merge_intervals(rd.from_pandas([nul]), "k", "s", "e", num_buckets=1).materialize()
+
+
+def test_weighted_sample_k_deterministic_and_weighted(ray_session):
+    from vaero_ray.stages.corpus import weighted_sample_k
+
+    n = 6000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64)})
+    df["w"] = (df["id"] % 10 == 0).astype(np.int64) * 9 + 1  # 10% rows weight 10
+    a = (
+        weighted_sample_k(rd.from_pandas(_blocks(df, 4)), "id", "w", 600, max_weight=10)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    b = (
+        weighted_sample_k(rd.from_pandas(_blocks(df, 9)), "id", "w", 600, max_weight=10)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # membership independent of layout
+    assert len(a) == 600
+    # heavy rows (10x tickets) must be strongly over-represented: they are
+    # 10% of rows but hold ~52% of tickets; expect well over 2x base rate
+    heavy = (a["w"] == 10).mean()
+    assert heavy > 0.3, heavy
+
+    with pytest.raises(Exception):
+        weighted_sample_k(
+            rd.from_pandas([pd.DataFrame({"id": [1], "w": [99]})]), "id", "w", 1, max_weight=10
+        ).materialize()
+    with pytest.raises(Exception):
+        weighted_sample_k(
+            rd.from_pandas([pd.DataFrame({"id": [1], "w": [0]})]), "id", "w", 1, max_weight=10
+        ).materialize()
+
+
+def test_weighted_sample_k_weight_one_equals_sample_k(ray_session):
+    from vaero_ray.stages.corpus import sample_k, weighted_sample_k
+
+    # with all weights 1 and max_weight 1, tickets are hll_hash(id*1+0) ==
+    # hll_hash(id): the uniform sampler must fall out as the special case
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64), "w": 1})
+    ws = (
+        weighted_sample_k(rd.from_pandas(_blocks(df)), "id", "w", 50, max_weight=1)
+        .to_pandas()["id"]
+        .sort_values()
+        .to_numpy()
+    )
+    us = (
+        sample_k(rd.from_pandas(_blocks(df[["id"]])), "id", 50)
+        .to_pandas()["id"]
+        .sort_values()
+        .to_numpy()
+    )
+    assert np.array_equal(ws, us)
+
+
+def test_trimmed_stats_matches_numpy(ray_session):
+    from vaero_ray.stages.selection import trimmed_stats
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(-500, 50_000, 3000).astype(np.int64)
+    df = pd.DataFrame({"x": v})
+    out = trimmed_stats(rd.from_pandas(_blocks(df, 6)), "x", 0.1, 0.9).to_pandas()
+    sv = np.sort(v)
+    lo = sv[max(int(np.ceil(0.1 * len(v))) - 1, 0)]
+    hi = sv[max(int(np.ceil(0.9 * len(v))) - 1, 0)]
+    kept = v[(v >= lo) & (v <= hi)]
+    assert out.loc[0, "lo"] == lo and out.loc[0, "hi"] == hi
+    assert out.loc[0, "n_kept"] == len(kept)
+    assert out.loc[0, "sum_val"] == kept.sum()
+    assert out.loc[0, "mean_val"] == float(kept.sum()) / float(len(kept))

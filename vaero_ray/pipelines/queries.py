@@ -2466,6 +2466,130 @@ SELECT doc_id, diff FROM j WHERE diff IS NOT NULL
 """
 
 
+def q_user_activity_intervals(sf_dir: str):
+    """Per-user UNION of overlapping activity intervals (merged
+    sessions with explicit durations): each event opens an extent of
+    (event_id % 3600 + 60) seconds; overlapping-or-touching extents of
+    a user collapse to one row (the coverage/uptime operator,
+    stages/cep.merge_intervals — the SQL islands pattern in one
+    key-bucketed shuffle + one cummax sweep, no per-key Python)."""
+    from vaero_ray.stages.cep import merge_intervals
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        end = ts + ((eid % 3600) + 60) * 1_000_000
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "start_us": pa.array(ts, pa.int64()),
+                "end_us": pa.array(end, pa.int64()),
+            }
+        )
+
+    iv = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return merge_intervals(iv, "user_id", "start_us", "end_us")
+
+
+SQL_ACTIVITY_INTERVALS = r"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + ((event_id % 3600) + 60) * 1000000 AS e
+  FROM events),
+o AS (SELECT user_id, s, e,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+g AS (SELECT *, SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o)
+SELECT user_id, MIN(s) AS start_us, MAX(e) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM g GROUP BY user_id, grp
+"""
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic WEIGHTED 200-sample without replacement: weight
+    (doc_id % 7 + 1) tickets per doc, selection key = smallest ticket
+    hash (stages/corpus.weighted_sample_k — replicated bottom-k /
+    coordinated weighted sampling); membership is a pure function of the
+    (id, weight) set, tickets never leave their block. The per-ROW
+    importance knob of corpus mixing (sample_k/mixture handle uniform /
+    per-stratum)."""
+    from vaero_ray.stages.corpus import weighted_sample_k
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return tbl.append_column("wt", pa.array((ids % 7) + 1, pa.int64()))
+
+    withw = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return weighted_sample_k(withw, "doc_id", "wt", 200, max_weight=8)
+
+
+# DuckDB recomputes the SAME Mersenne-61 ticket hashes with HUGEINT
+# arithmetic (constants from stages/sketch), replicating each doc's
+# weight tickets via LATERAL generate_series — verified bitwise against
+# the numpy kernel on 3000 random ids before the gate landed.
+SQL_WEIGHTED_SAMPLE = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+w AS (SELECT doc_id, source, n_chars, doc_id % 7 + 1 AS wt FROM documents),
+rep AS (SELECT doc_id, CAST(doc_id AS HUGEINT) * 8 + j.j AS rid
+        FROM w, LATERAL (SELECT unnest(generate_series(0, doc_id % 7)) AS j) j),
+h1 AS (SELECT doc_id, CAST(((A * (rid % M)) % M + B) % M AS BIGINT) AS v1
+       FROM rep, m),
+h2 AS (SELECT doc_id,
+  CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m),
+mk AS (SELECT doc_id, MIN(hv) AS hkey FROM h2 GROUP BY doc_id),
+r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hkey, doc_id) AS rn FROM mk)
+SELECT w.doc_id, w.source, w.n_chars, CAST(w.wt AS BIGINT) AS wt
+FROM r JOIN w USING (doc_id) WHERE rn <= 200
+"""
+
+
+def _fmt_weighted_sample_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return SQL_WEIGHTED_SAMPLE.format(
+        A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2), XS=HLL_XS
+    )
+
+
+SQL_WEIGHTED_SAMPLE = _fmt_weighted_sample_sql()
+
+
+def q_trimmed_length_stats(sf_dir: str):
+    """Outlier-robust length profile: exact [p05, p95] band from radix
+    selection, then one integer (count, sum) scan — the trimmed mean
+    (stages/selection.trimmed_stats). No sort, no hand-tuned cutoffs,
+    register-sized exchange only."""
+    from vaero_ray.stages.selection import trimmed_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return trimmed_stats(ds, "n_chars", 0.05, 0.95)
+
+
+SQL_TRIMMED_STATS = r"""
+WITH q AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                  quantile_disc(n_chars, 0.95) AS hi FROM documents),
+f AS (SELECT n_chars FROM documents, q WHERE n_chars BETWEEN q.lo AND q.hi)
+SELECT CAST(q.lo AS BIGINT) AS lo, CAST(q.hi AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_val,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_val
+FROM f, q GROUP BY q.lo, q.hi
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -5524,6 +5648,9 @@ QUERIES: dict[str, QueryFn] = {
     "source_length_quantiles": q_source_length_quantiles,
     "table_diff_docs": q_table_diff_docs,
     "length_equidepth_bins": q_length_equidepth_bins,
+    "user_activity_intervals": q_user_activity_intervals,
+    "weighted_sample_docs": q_weighted_sample_docs,
+    "trimmed_length_stats": q_trimmed_length_stats,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -5676,6 +5803,9 @@ ORACLES: dict[str, str] = {
     "source_length_quantiles": SQL_SOURCE_LENGTH_QUANTILES,
     "table_diff_docs": SQL_TABLE_DIFF,
     "length_equidepth_bins": SQL_EQUIDEPTH,
+    "user_activity_intervals": SQL_ACTIVITY_INTERVALS,
+    "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+    "trimmed_length_stats": SQL_TRIMMED_STATS,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

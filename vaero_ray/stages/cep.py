@@ -317,3 +317,80 @@ def ordered_ewma(
         )
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def merge_intervals(
+    ds: rd.Dataset,
+    key: str,
+    start_col: str,
+    end_col: str,
+    count_out: str = "n_merged",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per KEY: the union of overlapping-or-TOUCHING ``[start, end]``
+    extents — each maximal connected run of intervals collapses to one
+    row ``(key, start, end, n_merged)`` with the component's min start /
+    max end and its member count. The coverage operator (merged user
+    sessions with explicit durations, on-call/uptime accounting, span
+    dedup before length bookkeeping); complements ``sessionize``
+    (rowwindow.py), which infers extent from inter-event GAPS, by
+    merging on EXPLICIT extents.
+
+    Semantics (the SQL islands pattern): sorted by (key, start, end), a
+    new component starts when ``start > running_max(end)`` of the key's
+    earlier rows; ties and touching intervals (``start == prev end``)
+    merge. Union-of-intervals is tie-order invariant, so re-runs and
+    re-shards agree bitwise. Endpoints must be non-null with
+    ``end >= start`` (raise — a reversed extent is a data bug, not a
+    merge request); int64 and timestamp columns both work (timestamps
+    merge at microsecond resolution and come back as timestamps).
+
+    Scale shape: ONE key-bucketed shuffle, then per bucket one mergesort
+    + one ``np.maximum.accumulate`` sweep over composite-shifted
+    endpoints (the ``_shifted_ts`` trick applied to interval VALUES) —
+    no per-key or per-component Python. Partitioning assumption (as
+    everywhere in keyed.py): one bucket's rows fit in one task's heap.
+    """
+
+    def _i64(series: "pd.Series") -> "tuple[np.ndarray, bool]":
+        arr = series.to_numpy()
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64), True
+        return arr.astype(np.int64), False
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df[start_col].isna().any() or df[end_col].isna().any():
+            raise ValueError("merge_intervals: null interval endpoints")
+        df = df.sort_values([key, start_col, end_col], kind="mergesort").reset_index(drop=True)
+        s, s_ts = _i64(df[start_col])
+        e, e_ts = _i64(df[end_col])
+        if (e < s).any():
+            raise ValueError("merge_intervals: end < start")
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        base = int(s.min())
+        off = int(e.max()) - base + 2  # > extent span: codes never collide
+        n_codes = int(codes.max()) + 1
+        if n_codes * off >= 2**63:
+            raise ValueError(
+                f"merge_intervals: composite shift overflows int64 ({n_codes} keys "
+                f"x {off} span in one bucket); raise num_buckets or narrow extents"
+            )
+        sc = codes * off + (s - base)
+        ec = codes * off + (e - base)
+        run_max = np.maximum.accumulate(ec)
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = sc[1:] > run_max[:-1]
+        starts = np.flatnonzero(new)
+        out_s = s[starts]
+        out_e = np.maximum.reduceat(e, starts) if len(starts) else e[:0]
+        counts = np.diff(np.append(starts, len(s))).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[starts],
+                start_col: out_s.astype("datetime64[us]") if s_ts else out_s,
+                end_col: out_e.astype("datetime64[us]") if e_ts else out_e,
+                count_out: counts,
+            }
+        )
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)

@@ -255,3 +255,71 @@ def resample_to_mixture(
 
     partial = ds.map_batches(prune, batch_format="pandas")
     return bucketed_map_groups(partial, strata_col, final, num_buckets=num_buckets)
+
+
+def weighted_sample_k(
+    ds: rd.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    max_weight: int = 64,
+) -> rd.Dataset:
+    """Deterministic WEIGHTED k-sample without replacement: a row with
+    integer weight ``w`` holds ``w`` tickets — hashes of ``id*max_weight
+    + j`` for ``j < w`` — and its selection key is the SMALLEST ticket
+    (replicated bottom-k / coordinated weighted sampling, Cohen &
+    Kaplan-style): heavier rows draw the minimum of more uniforms, so
+    they win proportionally more often, and membership is a pure
+    function of the (id, weight) set — re-runs, re-shards and resumes
+    pick the SAME sample (the seedless property of ``sample_k``,
+    extended to importance weights: the upsample knob of corpus mixing
+    when weights are PER-ROW, not per-stratum).
+
+    The exact-k selection is the k smallest ``(min_ticket, id)``.
+    Weights must lie in ``[1, max_weight]`` (raise otherwise —
+    ``max_weight`` bounds both the ticket-replication temp, ``sum(w)``
+    hashes per block, and the id stride) and ids must be non-negative
+    with ``id*max_weight + max_weight <= 2^63`` so the ticket domain
+    never wraps.
+
+    Scale shape: identical to ``sample_k`` — tickets never leave their
+    block (per-block prune to the k smallest keys), then one sort over
+    <= blocks*k pruned rows + ``limit(k)``."""
+    import numpy as np
+
+    from vaero_ray.stages.sketch import hll_hash
+
+    if k <= 0:
+        raise ValueError("weighted_sample_k: k must be positive")
+    if max_weight < 1:
+        raise ValueError("weighted_sample_k: max_weight must be >= 1")
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return tbl.append_column("__h", pa.array([], pa.uint64()))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = tbl.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 1).any() or (w > max_weight).any():
+            raise ValueError(
+                f"weighted_sample_k: weights must be in [1, {max_weight}]"
+            )
+        if (ids < 0).any() or int(ids.max()) * max_weight + max_weight - 1 >= 2**63:
+            raise ValueError("weighted_sample_k: id*max_weight would wrap int64")
+        base = ids.astype(np.uint64) * np.uint64(max_weight)
+        starts = np.zeros(len(w), dtype=np.int64)
+        np.cumsum(w[:-1], out=starts[1:])
+        offs = np.arange(int(w.sum()), dtype=np.uint64) - np.repeat(
+            starts.astype(np.uint64), w
+        )
+        tickets = hll_hash(np.repeat(base, w) + offs)
+        key = np.minimum.reduceat(tickets, starts)
+        out = tbl.append_column("__h", pa.array(key, pa.uint64()))
+        if tbl.num_rows <= k:
+            return out
+        # prune by the SAME total order as the final sort — (key, id)
+        keep = np.lexsort((ids, key))[:k]
+        return out.take(pa.array(np.sort(keep)))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    picked = pruned.sort(["__h", id_col]).limit(k)
+    return picked.drop_columns(["__h"])

@@ -37,6 +37,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -315,3 +316,43 @@ def exact_group_quantiles_disc(
     for (gi, _, p), _q in zip(state, [q for _ in groups for q in qs]):
         out[groups[gi]].append(int(np.int64((p + base) ^ _SIGN)))
     return out
+
+
+def trimmed_stats(
+    ds: rd.Dataset,
+    col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> "pa.Table":
+    """Robust central-tendency profile of int64 ``col``: the exact
+    ``[quantile_disc(q_lo), quantile_disc(q_hi)]`` band from radix
+    selection, then ONE more scan reduces each block to an integer
+    (count, sum) partial over the in-band rows — the trimmed mean
+    outlier-robust aggregate (corpus length/score QA without a sort and
+    without hand-tuned cutoffs). Returns a 1-row table
+    ``(lo, hi, n_kept, sum_val, mean_val)``; sums are exact int64 so
+    shard order can't perturb the mean (``float(sum)/float(n)`` is one
+    deterministic double division)."""
+    lo, hi = exact_quantiles_disc(ds, col, [q_lo, q_hi])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)].astype(np.int64)
+        v = v[(v >= lo) & (v <= hi)]
+        return pa.table(
+            {"n": pa.array([len(v)], pa.int64()), "s": pa.array([int(v.sum())], pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n", "s"]
+    )
+    n, s = int(agg["sum(n)"]), int(agg["sum(s)"])
+    return pa.table(
+        {
+            "lo": pa.array([lo], pa.int64()),
+            "hi": pa.array([hi], pa.int64()),
+            "n_kept": pa.array([n], pa.int64()),
+            "sum_val": pa.array([s], pa.int64()),
+            "mean_val": pa.array([float(s) / float(n) if n else None], pa.float64()),
+        }
+    )
