@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "trimmed_length_stats",         # trimmed mean: selection band + one integer scan
     "user_activity_intervals",      # per-key interval union (one shuffle + cummax sweep)
     "weighted_sample_docs",         # weighted bottom-k sample (tickets never leave blocks)
+    "length_percent_rank",          # global rank normalize via broadcast cumulative lookup
+    "documents_profile",            # DESCRIBE: metadata-row scan + deduped-hash distinct
+    "lang_source_chi2",             # chi-square contingency (pre-collapsed cell partials)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

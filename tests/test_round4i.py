@@ -168,3 +168,94 @@ def test_trimmed_stats_matches_numpy(ray_session):
     assert out.loc[0, "n_kept"] == len(kept)
     assert out.loc[0, "sum_val"] == kept.sum()
     assert out.loc[0, "mean_val"] == float(kept.sum()) / float(len(kept))
+
+
+def test_global_percent_rank_matches_pandas(ray_session):
+    from vaero_ray.stages.ranking import global_percent_rank
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(-50, 200, 900).astype(np.int64)  # heavy ties
+    df = pd.DataFrame({"id": np.arange(900), "x": v})
+    out = (
+        global_percent_rank(rd.from_pandas(_blocks(df, 5)), "x")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    want = (df["x"].rank(method="min") - 1) / (len(df) - 1)
+    assert np.array_equal(out["pct_rank"].to_numpy(), want.to_numpy())
+    # different layout -> identical values
+    out2 = (
+        global_percent_rank(rd.from_pandas(_blocks(df, 2)), "x")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_global_percent_rank_nulls_and_guard(ray_session):
+    from vaero_ray.stages.ranking import global_percent_rank
+
+    df = pd.DataFrame({"id": [0, 1, 2, 3], "x": [5.0, np.nan, 5.0, 7.0]})
+    out = (
+        global_percent_rank(rd.from_pandas([df]), "x")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    # nulls excluded from n (=3) and rank as null
+    assert out["pct_rank"].isna().tolist() == [False, True, False, False]
+    assert out.loc[0, "pct_rank"] == 0.0 and out.loc[3, "pct_rank"] == 1.0
+
+    big = pd.DataFrame({"x": np.arange(100, dtype=np.int64)})
+    with pytest.raises(ValueError):
+        global_percent_rank(rd.from_pandas([big]), "x", max_distinct=10)
+
+
+def test_profile_table_matches_pandas(ray_session):
+    from vaero_ray.stages.profile import profile_table
+
+    df = pd.DataFrame(
+        {
+            "i": [9, 10, 2, None, 2],        # min/max must merge NATIVE (not "10"<"9")
+            "s": ["b", None, "a", "a", "c"],
+        }
+    )
+    df["i"] = df["i"].astype("Int64")
+    out = (
+        profile_table(rd.from_pandas(_blocks(df, 3)), ["i", "s"], num_buckets=3)
+        .to_pandas()
+        .set_index("col")
+    )
+    assert out.loc["i", "n_rows"] == 5 and out.loc["i", "n_nulls"] == 1
+    assert out.loc["i", "n_distinct"] == 3
+    assert out.loc["i", "min_val"] == "2" and out.loc["i", "max_val"] == "10"
+    assert out.loc["s", "n_nulls"] == 1 and out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_val"] == "a" and out.loc["s", "max_val"] == "c"
+
+
+def test_contingency_chi2_matches_manual(ray_session):
+    from vaero_ray.stages.relational import contingency_chi2
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 2000),
+            "b": rng.choice(["p", "q"], 2000, p=[0.3, 0.7]),
+        }
+    )
+    out = (
+        contingency_chi2(rd.from_pandas(_blocks(df, 4)), "a", "b", num_buckets=3)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    ct = df.groupby(["a", "b"], as_index=False).size().sort_values(["a", "b"], ignore_index=True)
+    assert np.array_equal(out["n"].to_numpy(), ct["size"].to_numpy())
+    ra = ct.groupby("a")["size"].transform("sum").to_numpy().astype(float)
+    cb = ct.groupby("b")["size"].transform("sum").to_numpy().astype(float)
+    e = ra * cb / float(len(df))
+    assert np.array_equal(out["expected"].to_numpy(), e)
+    assert np.array_equal(out["chi2_term"].to_numpy(), (ct["size"] - e) ** 2 / e)
+    # chi2 over independent uniform columns should be small-ish (sanity)
+    assert out["chi2_term"].sum() < 30
+
+    with pytest.raises(ValueError):
+        contingency_chi2(rd.from_pandas([df]), "a", "b", max_cells=2)

@@ -2590,6 +2590,81 @@ FROM f, q GROUP BY q.lo, q.hi
 """
 
 
+def q_length_percent_rank(sf_dir: str):
+    """Global rank normalization WITHOUT a global sort: every document's
+    PERCENT_RANK over n_chars via a broadcast (value, cumulative-count)
+    lookup (stages/ranking.global_percent_rank — blocks reduce to
+    distinct value counts, one small merge, one assign scan; no data row
+    leaves its block). Percentile calibration of a metric column, the
+    row-level complement of the quantile/binning gates."""
+    from vaero_ray.stages.ranking import global_percent_rank
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return global_percent_rank(ds, "n_chars", out="pct_rank")
+
+
+SQL_LENGTH_PERCENT_RANK = r"""
+SELECT doc_id, n_chars, PERCENT_RANK() OVER (ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
+def q_documents_profile(sf_dir: str):
+    """DESCRIBE at corpus scale (stages/profile.profile_table): row
+    count, per-column nulls, native-typed min/max and EXACT distinct
+    cardinalities for all five documents columns — one metadata-row
+    scan plus one deduped-hash-pair exchange; no data row or raw string
+    rides a shuffle."""
+    from vaero_ray.stages.profile import profile_table
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet")
+    return profile_table(ds, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _profile_col_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(MIN({c}) AS VARCHAR) AS min_val, "
+        f"CAST(MAX({c}) AS VARCHAR) AS max_val FROM documents"
+    )
+
+
+SQL_DOCUMENTS_PROFILE = " UNION ALL ".join(
+    _profile_col_sql(c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """Chi-square contingency profile lang x source
+    (stages/relational.contingency_chi2): per-cell observed counts,
+    independence-expected counts and chi-square terms — the
+    distribution-drift / association screen of corpus QA. Blocks
+    pre-collapse to distinct cell partials; one keyed-sum exchange;
+    exact integer marginals, doubles only in the final per-cell
+    expression."""
+    from vaero_ray.stages.relational import contingency_chi2
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return contingency_chi2(ds, "lang", "source")
+
+
+SQL_LANG_SOURCE_CHI2 = r"""
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+m AS (SELECT *, SUM(n) OVER (PARTITION BY lang) AS rt,
+             SUM(n) OVER (PARTITION BY source) AS ct,
+             SUM(n) OVER () AS tot FROM c),
+x AS (SELECT lang, source, n,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE) AS expected
+      FROM m)
+SELECT lang, source, n, expected,
+       (n - expected) * (n - expected) / expected AS chi2_term
+FROM x
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -5651,6 +5726,9 @@ QUERIES: dict[str, QueryFn] = {
     "user_activity_intervals": q_user_activity_intervals,
     "weighted_sample_docs": q_weighted_sample_docs,
     "trimmed_length_stats": q_trimmed_length_stats,
+    "length_percent_rank": q_length_percent_rank,
+    "documents_profile": q_documents_profile,
+    "lang_source_chi2": q_lang_source_chi2,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -5806,6 +5884,9 @@ ORACLES: dict[str, str] = {
     "user_activity_intervals": SQL_ACTIVITY_INTERVALS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "trimmed_length_stats": SQL_TRIMMED_STATS,
+    "length_percent_rank": SQL_LENGTH_PERCENT_RANK,
+    "documents_profile": SQL_DOCUMENTS_PROFILE,
+    "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

@@ -911,3 +911,66 @@ def zscore_outliers(
         return out.reset_index(drop=True)
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def contingency_chi2(
+    ds: rd.Dataset,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Chi-square contingency profile of two categorical columns: per
+    (a, b) cell the observed count, the independence-expected count
+    ``row_total * col_total / grand_total`` and the cell's chi-square
+    contribution ``(n - e)^2 / e`` — the drift/association screen a
+    corpus QA pass runs (is language independent of source? did the new
+    crawl shift the mix?). Sum ``chi2_term`` for the statistic; the
+    per-cell terms localize WHERE the dependence is.
+
+    Scale shape: each block pre-collapses to its distinct (a, b, n)
+    partial counts, ONE bucketed keyed-sum exchange merges them, and the
+    bounded cell table (``max_cells`` guard — contingency analysis is
+    only meaningful at low cell cardinality) is finished in the driver
+    with exact integer marginals; doubles appear only in the final
+    per-cell division, one deterministic expression per cell."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([col_a, col_b], sort=False, as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    cells_ds = bucketed_keyed_sum(
+        parts, [col_a, col_b], ["n"], num_buckets=num_buckets
+    ).materialize()
+    n_cells = cells_ds.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"contingency_chi2: {n_cells} cells exceed max_cells={max_cells}"
+        )
+    cells = cells_ds.to_pandas()  # bounded by max_cells: the cell table only
+    n = cells["n"].to_numpy().astype(np.int64)
+    ra = cells.groupby(col_a, dropna=False)["n"].transform("sum").to_numpy().astype(np.int64)
+    cb = cells.groupby(col_b, dropna=False)["n"].transform("sum").to_numpy().astype(np.int64)
+    tot = int(n.sum())
+    # doubles from the start: int64 ra*cb would overflow at ~2^31 rows per
+    # marginal, and the float-first product is what the SQL oracle
+    # (CAST(rt AS DOUBLE) * ct / tot) computes — same expression tree
+    e = ra.astype(np.float64) * cb.astype(np.float64) / np.float64(tot)
+    d = n.astype(np.float64) - e
+    chi = d * d / e
+    return pa.table(
+        {
+            col_a: pa.array(cells[col_a]),
+            col_b: pa.array(cells[col_b]),
+            "n": pa.array(n, pa.int64()),
+            "expected": pa.array(e, pa.float64()),
+            "chi2_term": pa.array(chi, pa.float64()),
+        }
+    )
