@@ -259,3 +259,37 @@ def test_contingency_chi2_matches_manual(ray_session):
 
     with pytest.raises(ValueError):
         contingency_chi2(rd.from_pandas([df]), "a", "b", max_cells=2)
+
+
+def test_iqr_outlier_filter_matches_manual(ray_session):
+    from vaero_ray.stages.selection import iqr_outlier_filter
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(1200),
+            "g": rng.choice(["a", "b", "c"], 1200),
+            "x": rng.integers(100, 200, 1200).astype(np.int64),
+        }
+    )
+    # plant extreme outliers in group a
+    df.loc[df.index[:5], ["g", "x"]] = [["a", 10_000]] * 5
+    out = (
+        iqr_outlier_filter(rd.from_pandas(_blocks(df, 4)), "x", "g", k=1.5)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+
+    def fences(s):
+        v = np.sort(s.to_numpy())
+        q1 = v[max(int(np.ceil(0.25 * len(v))) - 1, 0)]
+        q3 = v[max(int(np.ceil(0.75 * len(v))) - 1, 0)]
+        return q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+
+    keep = []
+    for g, grp in df.groupby("g"):
+        lo, hi = fences(grp["x"])
+        keep.append(grp[(grp["x"] >= lo) & (grp["x"] <= hi)])
+    want = pd.concat(keep).sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, want)
+    assert (out["x"] < 10_000).all() and len(out) < len(df)

@@ -2665,6 +2665,149 @@ FROM x
 """
 
 
+def q_source_iqr_survivors(sf_dir: str):
+    """Per-source Tukey-fence outlier removal
+    (stages/selection.iqr_outlier_filter): keep documents whose length
+    lies in [q1 - 1.5*IQR, q3 + 1.5*IQR] of THEIR source — the
+    data-derived robust curation cut. q1/q3 for every source ride the
+    same radix-selection scans (zero row exchange); fences broadcast;
+    one filter scan."""
+    from vaero_ray.stages.selection import iqr_outlier_filter
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return iqr_outlier_filter(ds, "n_chars", "source", k=1.5)
+
+
+SQL_IQR_SURVIVORS = r"""
+WITH q AS (SELECT source, quantile_disc(n_chars, 0.25) AS q1,
+                  quantile_disc(n_chars, 0.75) AS q3
+           FROM documents GROUP BY 1)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN q USING (source)
+WHERE d.n_chars >= q.q1 - 1.5 * (q.q3 - q.q1)
+  AND d.n_chars <= q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H-Q3-style capstone: top-10 BUILDING-segment orders by
+    unshipped revenue (ordered before 1997-07-01, line items shipped
+    after). Same composition rules as the Q5 gate: runtime-filtered
+    customer keys through auto_join (broadcast under threshold,
+    partitioned above), lineitem revenue fixed-pointed to integer cents
+    PER LINE and pre-aggregated by orderkey inside each scan block
+    before its exchange, final exact sum per order, deterministic
+    (revenue DESC, orderkey) top-10."""
+    import datetime as _dt
+
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.joins import auto_join
+
+    cut = pa.scalar(_dt.datetime(1997, 7, 1), pa.timestamp("us"))
+
+    def cust_keys(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(_pc.equal(tbl.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"o_custkey": t.column("c_custkey")})
+
+    cust = _read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_window(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(_pc.less(tbl.column("o_orderdate"), cut))
+        return t.select(["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_window, batch_format="pyarrow", zero_copy_batch=True)
+    orders_b = auto_join(orders, cust, keys="o_custkey").drop_columns(["o_custkey"])
+
+    def line_rev_partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(_pc.greater(tbl.column("l_shipdate"), cut))
+        cents = _pc.cast(
+            _pc.floor(
+                _pc.add(
+                    _pc.multiply(
+                        _pc.multiply(
+                            t.column("l_extendedprice"),
+                            _pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                        ),
+                        pa.scalar(100.0),
+                    ),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"o_orderkey": t.column("l_orderkey"), "cents": cents})
+            .group_by("o_orderkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table(
+            {"o_orderkey": g.column("o_orderkey"), "rev": g.column("cents_sum")}
+        )
+
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Min
+
+    joined = auto_join(line, orders_b, keys="o_orderkey")
+    # date/priority are functionally dependent on the order key, so Min
+    # carries them through the ONE aggregate exactly — no re-attach join
+    per_order = joined.groupby("o_orderkey").aggregate(
+        Sum("rev", alias_name="revenue_cents"),
+        Min("o_orderdate", alias_name="o_orderdate"),
+        Min("o_orderpriority", alias_name="o_orderpriority"),
+    )
+    # (revenue desc, orderkey asc) via the negated tie key, the
+    # top10_orders idiom — one two-column descending sort + limit
+    ranked = per_order.map_batches(
+        lambda t: t.append_column(
+            "__nk", _pc.negate(_pc.cast(t.column("o_orderkey"), pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = ranked.sort(["revenue_cents", "__nk"], descending=True).limit(10)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's Min aggregate coarsens timestamp[us] to [s]; restore
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "revenue_cents": t.column("revenue_cents"),
+                "o_orderdate": t.column("o_orderdate").cast(pa.timestamp("us")),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOP_UNSHIPPED = r"""
+WITH l AS (SELECT l_orderkey,
+                  CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-07-01')
+SELECT o.o_orderkey, CAST(SUM(l.cents) AS BIGINT) AS revenue_cents,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -5729,6 +5872,8 @@ QUERIES: dict[str, QueryFn] = {
     "length_percent_rank": q_length_percent_rank,
     "documents_profile": q_documents_profile,
     "lang_source_chi2": q_lang_source_chi2,
+    "source_iqr_survivors": q_source_iqr_survivors,
+    "top_unshipped_orders": q_top_unshipped_orders,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -5887,6 +6032,8 @@ ORACLES: dict[str, str] = {
     "length_percent_rank": SQL_LENGTH_PERCENT_RANK,
     "documents_profile": SQL_DOCUMENTS_PROFILE,
     "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
+    "source_iqr_survivors": SQL_IQR_SURVIVORS,
+    "top_unshipped_orders": SQL_TOP_UNSHIPPED,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

@@ -356,3 +356,48 @@ def trimmed_stats(
             "mean_val": pa.array([float(s) / float(n) if n else None], pa.float64()),
         }
     )
+
+
+def iqr_outlier_filter(
+    ds: rd.Dataset,
+    col: str,
+    group: str,
+    k: float = 1.5,
+    digit_bits: int = 16,
+    max_groups: int = 4096,
+) -> rd.Dataset:
+    """Per-GROUP Tukey-fence outlier filter: keep rows whose ``col``
+    lies in ``[q1 - k*IQR, q3 + k*IQR]`` of THEIR group — the
+    data-derived robust counterpart of a hand-tuned per-source length
+    cutoff (quantile_band_filter's bounds are global and
+    bin-resolution; these are per-group and exact). Rows whose group
+    has no non-null values, and null ``col`` rows, drop (SQL inner-join
+    + WHERE semantics).
+
+    Scale shape: the per-group q1/q3 come from grouped radix selection
+    (``exact_group_quantiles_disc`` — all groups and both quantiles
+    ride the same 2-5 column-pruned scans, ZERO row exchange), the
+    fence table is broadcast via ``ray.put``, and ONE filter scan
+    finishes; same ``max_groups`` low-cardinality contract. Fences are
+    computed as ``q1 - k*(q3-q1)`` in float64 — the identical
+    expression an SQL oracle writes, so boundary rows agree bitwise."""
+    import ray
+
+    gq = exact_group_quantiles_disc(
+        ds, col, group, [0.25, 0.75], digit_bits=digit_bits, max_groups=max_groups
+    )
+    keys = sorted(gq.keys())
+    los = np.array([gq[g][0] - k * (gq[g][1] - gq[g][0]) for g in keys], np.float64)
+    his = np.array([gq[g][1] + k * (gq[g][1] - gq[g][0]) for g in keys], np.float64)
+    fences_ref = ray.put((keys, los, his))
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        f_keys, f_lo, f_hi = ray.get(fences_ref)
+        g = tbl.column(group).to_pandas().to_numpy()
+        codes = pd.Categorical(g, categories=f_keys).codes  # -1: unseen group
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        cc = np.clip(codes, 0, max(len(f_keys) - 1, 0))
+        ok = (codes >= 0) & (v >= f_lo[cc]) & (v <= f_hi[cc])  # NaN compares False
+        return tbl.filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
