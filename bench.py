@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "lang_source_chi2",             # chi-square contingency (pre-collapsed cell partials)
     "source_iqr_survivors",         # per-group Tukey fences from grouped radix selection
     "top_unshipped_orders",         # TPC-H-Q3-style 3-way join capstone (integer cents)
+    "rolling_value_sums",           # per-event moving aggregate (prefix sums per bucket)
+    "edit_distance_dups",           # pair-vectorized exact Levenshtein verify
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

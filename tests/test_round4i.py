@@ -293,3 +293,107 @@ def test_iqr_outlier_filter_matches_manual(ray_session):
     want = pd.concat(keep).sort_values("id", ignore_index=True)
     pd.testing.assert_frame_equal(out, want)
     assert (out["x"] < 10_000).all() and len(out) < len(df)
+
+
+def test_batch_levenshtein_matches_duckdb(ray_session):
+    import string
+
+    import duckdb
+
+    from vaero_ray.stages.editdist import _batch_levenshtein
+
+    rng = np.random.default_rng(23)
+    alpha = list(string.ascii_lowercase + " ")
+    A, B = [], []
+    for _ in range(400):
+        a = "".join(rng.choice(alpha, rng.integers(0, 50)))
+        if rng.random() < 0.5:
+            b = list(a)
+            for _ in range(rng.integers(0, 5)):
+                if not b:
+                    b = ["x"]
+                p = rng.integers(0, len(b))
+                op = rng.integers(0, 3)
+                if op == 0:
+                    b[p] = "z"
+                elif op == 1:
+                    b.insert(p, "y")
+                else:
+                    b.pop(p)
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(alpha, rng.integers(0, 50)))
+        A.append(a)
+        B.append(b)
+    mine = _batch_levenshtein(A, B)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"a": A, "b": B}))
+    duck = con.execute("SELECT levenshtein(a, b) FROM t").df().iloc[:, 0].to_numpy()
+    assert np.array_equal(mine, duck)
+
+
+def test_edit_distance_pairs_blocking_and_cap(ray_session):
+    from vaero_ray.stages.editdist import edit_distance_pairs
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "text": ["hello", "hellq", "byeee", "hello", "zzzzz", "hellx"],
+            "blk": ["a", "a", "a", "b", "b", "a"],
+        }
+    )
+    out = (
+        edit_distance_pairs(
+            rd.from_pandas(_blocks(df, 2)), "id", "text", ["blk"], max_distance=2,
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    # in-block pairs within distance 2: (1,2)=1, (1,6)=1, (2,6)=1; cross-block
+    # (1,4) identical but different blk -> NOT a candidate
+    assert list(zip(out["id_a"], out["id_b"], out["dist"])) == [
+        (1, 2, 1), (1, 6, 1), (2, 6, 1),
+    ]
+
+    # fat-bucket cap: 30 identical docs capped to 5 -> C(5,2)=10 pairs survive
+    fat = pd.DataFrame({"id": range(30), "text": "same", "blk": "x"})
+    capped = edit_distance_pairs(
+        rd.from_pandas([fat]), "id", "text", ["blk"], max_distance=0, max_bucket=5,
+        num_buckets=1,
+    ).to_pandas()
+    assert len(capped) == 10
+    assert capped["id_a"].max() <= 4  # deterministic smallest-id survivors
+
+
+def test_rolling_sums_matches_brute(ray_session):
+    from vaero_ray.stages.cep import rolling_sums
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 50_000, n), unit="s"),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    out = (
+        rolling_sums(rd.from_pandas(_blocks(df, 4)), "k", "ts", "v", window_s=600,
+                     num_buckets=5)
+        .to_pandas()
+        .sort_values(["k", "ts", "v"], ignore_index=True)
+    )
+    # brute force incl. equal-ts peers (RANGE semantics)
+    want = []
+    for _, r in df.iterrows():
+        m = (df["k"] == r["k"]) & (df["ts"] >= r["ts"] - pd.Timedelta(seconds=600)) & (
+            df["ts"] <= r["ts"]
+        )
+        want.append((r["k"], r["ts"], r["v"], df.loc[m, "v"].sum()))
+    wdf = pd.DataFrame(want, columns=["k", "ts", "v", "rolling_sum"]).sort_values(
+        ["k", "ts", "v"], ignore_index=True
+    )
+    wdf["rolling_sum"] = wdf["rolling_sum"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, wdf)

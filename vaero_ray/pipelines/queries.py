@@ -2808,6 +2808,102 @@ ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
 """
 
 
+def q_rolling_value_sums(sf_dir: str):
+    """Per-event moving aggregate (stages/cep.rolling_sums): each
+    event's sum of the same user's fixed-point value over the trailing
+    30 minutes — spend-in-last-window burst detection, the aggregate
+    complement of rolling_user_counts. Values fixed-pointed to integer
+    micro-units with the identical floor(x*1e6 + 0.5) expression the
+    oracle writes, so sums are order/shard-invariant integers."""
+    import pyarrow.compute as _pc
+
+    from vaero_ray.stages.cep import rolling_sums
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        micro = _pc.cast(
+            _pc.floor(
+                _pc.add(
+                    _pc.multiply(tbl.column("value"), pa.scalar(1_000_000.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"user_id": tbl.column("user_id"), "ts": tbl.column("ts"), "micro": micro}
+        )
+
+    ev = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return rolling_sums(ev, "user_id", "ts", "micro", window_s=1800)
+
+
+SQL_ROLLING_VALUE_SUMS = r"""
+WITH e AS (SELECT user_id, ts,
+                  CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS micro
+           FROM events)
+SELECT user_id, ts, micro,
+       CAST(SUM(micro) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1800 SECONDS PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_sum
+FROM e
+"""
+
+
+def q_edit_distance_dups(sf_dir: str):
+    """Exact Levenshtein-verified duplicate pairs
+    (stages/editdist.edit_distance_pairs): documents unioned with a
+    planted perturbed replica (first char replaced, every 5th doc),
+    blocked on (source, n_chars) equality, every in-bucket pair verified
+    by the pair-vectorized Wagner-Fischer DP, dist <= 3 emitted. The
+    edit-metric verify step of fuzzy dedup (typos / small template
+    perturbations), complementing the token-overlap verifiers."""
+    from vaero_ray.stages.editdist import edit_distance_pairs
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
+    )
+
+    def with_replica(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % 5 == 0
+        sub = tbl.filter(pa.array(sel))
+        texts = sub.column("text").to_pylist()
+        mtexts = ["q" + t[1:] if t else t for t in texts]
+        rep = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub.column("doc_id").to_numpy(zero_copy_only=False) + 10_000_000,
+                    pa.int64(),
+                ),
+                "text": pa.array(mtexts, pa.string()),
+                "source": sub.column("source"),
+                "n_chars": sub.column("n_chars"),
+            }
+        )
+        return pa.concat_tables([tbl.select(rep.column_names), rep])
+
+    both = ds.map_batches(with_replica, batch_format="pyarrow", zero_copy_batch=True)
+    return edit_distance_pairs(
+        both, "doc_id", "text", ["source", "n_chars"], max_distance=3
+    )
+
+
+SQL_EDIT_DISTANCE_DUPS = r"""
+WITH all_docs AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'q' || substr(text, 2), source, n_chars
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM all_docs a JOIN all_docs b
+  ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 3
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -5874,6 +5970,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_source_chi2": q_lang_source_chi2,
     "source_iqr_survivors": q_source_iqr_survivors,
     "top_unshipped_orders": q_top_unshipped_orders,
+    "rolling_value_sums": q_rolling_value_sums,
+    "edit_distance_dups": q_edit_distance_dups,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6034,6 +6132,8 @@ ORACLES: dict[str, str] = {
     "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
     "source_iqr_survivors": SQL_IQR_SURVIVORS,
     "top_unshipped_orders": SQL_TOP_UNSHIPPED,
+    "rolling_value_sums": SQL_ROLLING_VALUE_SUMS,
+    "edit_distance_dups": SQL_EDIT_DISTANCE_DUPS,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

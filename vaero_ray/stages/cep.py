@@ -394,3 +394,34 @@ def merge_intervals(
         )
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def rolling_sums(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    window_s: int,
+    out: str = "rolling_sum",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per EVENT: the sum of the same key's integer ``val_col`` over the
+    event-time window ``[ts - window_s, ts]`` (inclusive; equal-ts peers
+    count — SQL RANGE ... CURRENT ROW). The moving-AGGREGATE form of
+    ``rolling_counts`` (volume bursts, spend-in-last-hour): one prefix
+    sum per bucket and the same offset-searchsorted window bounds, no
+    per-key Python. ``val_col`` must be integer (fixed-point any doubles
+    upstream) so summation order can't perturb results."""
+    w_us = int(window_s) * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        s = _shifted_ts(df, key, ts_col, w_us)
+        v = df[val_col].to_numpy().astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(v)))
+        lo = np.searchsorted(s, s - w_us, side="left")
+        hi = np.searchsorted(s, s, side="right")
+        df[out] = (csum[hi] - csum[lo]).astype(np.int64)
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
