@@ -397,3 +397,45 @@ def test_rolling_sums_matches_brute(ray_session):
     )
     wdf["rolling_sum"] = wdf["rolling_sum"].astype(np.int64)
     pd.testing.assert_frame_equal(out, wdf)
+
+
+def test_transition_counts_matches_pandas(ray_session):
+    from vaero_ray.stages.cep import transition_counts
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "st": rng.choice(["a", "b", "c", "d"], n),
+            "tie": np.arange(n),
+        }
+    )
+    out = (
+        transition_counts(
+            rd.from_pandas(_blocks(df, 4)), "k", "ts", "st", "tie", num_buckets=5
+        )
+        .to_pandas()
+        .sort_values(["prev", "cur"], ignore_index=True)
+    )
+    s = df.sort_values(["k", "ts", "tie"])
+    prev = s.groupby("k")["st"].shift(1)
+    mask = prev.notna()
+    want = (
+        pd.DataFrame({"prev": prev[mask], "cur": s["st"][mask]})
+        .groupby(["prev", "cur"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev", "cur"], ignore_index=True)
+    )
+    assert np.array_equal(out["n"].to_numpy(), want["n"].to_numpy())
+    assert list(out["prev"]) == list(want["prev"]) and list(out["cur"]) == list(want["cur"])
+    og = want.groupby("prev")["n"].transform("sum").to_numpy()
+    assert np.array_equal(
+        out["p"].to_numpy(), want["n"].to_numpy().astype(float) / og.astype(float)
+    )
+    # probabilities per prev row sum to 1
+    sums = out.groupby("prev")["p"].sum()
+    assert np.allclose(sums, 1.0)

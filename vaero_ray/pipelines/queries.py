@@ -2904,6 +2904,33 @@ WHERE levenshtein(a.text, b.text) <= 3
 """
 
 
+def q_event_type_transitions(sf_dir: str):
+    """First-order Markov transition matrix of per-user event streams
+    (stages/cep.transition_counts): consecutive event-type steps in
+    (ts, event_id) order, counted and normalized to transition
+    probabilities — the journey-graph summary. One key-bucketed
+    shuffle; per-bucket shift-and-mask collapses to distinct cells
+    immediately; tiny bounded cell merge."""
+    from vaero_ray.stages.cep import transition_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+    return transition_counts(ds, "user_id", "ts", "event_type", "event_id")
+
+
+SQL_EVENT_TRANSITIONS = r"""
+WITH s AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT prev, cur, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+FROM c
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -5972,6 +5999,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "rolling_value_sums": q_rolling_value_sums,
     "edit_distance_dups": q_edit_distance_dups,
+    "event_type_transitions": q_event_type_transitions,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6134,6 +6162,7 @@ ORACLES: dict[str, str] = {
     "top_unshipped_orders": SQL_TOP_UNSHIPPED,
     "rolling_value_sums": SQL_ROLLING_VALUE_SUMS,
     "edit_distance_dups": SQL_EDIT_DISTANCE_DUPS,
+    "event_type_transitions": SQL_EVENT_TRANSITIONS,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

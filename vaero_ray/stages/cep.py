@@ -425,3 +425,66 @@ def rolling_sums(
         return df
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def transition_counts(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tie_col: str,
+    max_cells: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> "pa.Table":
+    """First-order Markov transition matrix of a keyed event stream:
+    for every consecutive same-key step in ``(ts, tie)`` order, count
+    ``prev_state -> state`` and derive each row's transition probability
+    ``n / outgoing(prev_state)`` — the behavioral-model / journey-graph
+    summary (what follows a view? which tool call follows which?).
+
+    Scale shape: ONE key-bucketed shuffle; per bucket a vectorized
+    shift-and-mask produces (prev, cur) pairs which collapse to the
+    bucket's distinct cell counts immediately; a second TINY keyed-sum
+    exchange merges the per-bucket cells (bounded by |states|^2,
+    ``max_cells`` guard — same bounded-cells contract as
+    contingency_chi2); probabilities are one deterministic double
+    division per cell in the driver."""
+    import pyarrow as pa
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        if not len(df):
+            return pd.DataFrame(
+                {"prev": pd.Series(dtype=object), "cur": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64")}
+            )
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        st = df[state_col].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = codes[1:] == codes[:-1]
+        out = pd.DataFrame({"prev": np.roll(st, 1)[same], "cur": st[same]})
+        g = out.groupby(["prev", "cur"], sort=False, as_index=False, dropna=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    parts = bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+    cells_ds = bucketed_keyed_sum(parts, ["prev", "cur"], ["n"], num_buckets=8).materialize()
+    if cells_ds.count() > max_cells:
+        raise ValueError("transition_counts: cell count exceeds max_cells")
+    cells = cells_ds.to_pandas()  # bounded by max_cells: the cell table only
+    n = cells["n"].to_numpy().astype(np.int64)
+    outgoing = cells.groupby("prev", dropna=False)["n"].transform("sum").to_numpy()
+    p = n.astype(np.float64) / outgoing.astype(np.float64)
+    return pa.table(
+        {
+            "prev": pa.array(cells["prev"]),
+            "cur": pa.array(cells["cur"]),
+            "n": pa.array(n, pa.int64()),
+            "p": pa.array(p, pa.float64()),
+        }
+    )
