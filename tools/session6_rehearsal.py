@@ -62,6 +62,47 @@ def rehearse_pctrank():
     return {"op": "global_percent_rank", "rows_out": n_out, "wall_s": round(wall, 1)}
 
 
+def rehearse_editdist():
+    """Planted-mutation fuzzy-dedup verify at corpus scale: every 64th
+    turn gets a 3-edit replica; blocking key = first 24 chars of text
+    (mutations append at the end, so true pairs share a block);
+    edit_distance_pairs verifies every in-block candidate with the
+    batched DP. Exercises the vectorized cross-group pair enumeration
+    (millions of tiny blocking groups, no per-group Python)."""
+    ds = rd.read_parquet(CORPUS, columns=["conv_id", "turn_idx", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ti = tbl.column("turn_idx").to_numpy().astype(np.int64)
+        # stable 64-bit row id from (conv_id hash, turn_idx)
+        conv = tbl.column("conv_id").to_pandas()
+        import pandas as pd
+        ch = pd.util.hash_array(conv.to_numpy(object), categorize=False).astype(np.uint64)
+        rid = ((ch >> np.uint64(16)) << np.uint64(10)).astype(np.int64) + (ti % 512) * 2
+        texts = tbl.column("text").to_pylist()
+        base = pa.table({
+            "rid": pa.array(rid, pa.int64()),
+            "text": tbl.column("text"),
+            "blk": pa.array([t[:40] for t in texts], pa.string()),
+        })
+        sel = np.flatnonzero(ti % 64 == 0)
+        mtexts = [texts[i] + " xq" for i in sel]
+        rep = pa.table({
+            "rid": pa.array(rid[sel] + 1, pa.int64()),  # odd lane: never aliases a real turn
+            "text": pa.array(mtexts, tbl.schema.field("text").type),
+            "blk": pa.array([t[:40] for t in mtexts], pa.string()),
+        })
+        return pa.concat_tables([base, rep])
+
+    both = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    from vaero_ray.stages.editdist import edit_distance_pairs
+    t0 = time.time()
+    out = edit_distance_pairs(both, "rid", "text", ["blk"], max_distance=3)
+    n_pairs = out.count()
+    wall = time.time() - t0
+    return {"op": "edit_distance_pairs", "rows_in": both.count(), "pairs_out": n_pairs, "wall_s": round(wall, 1)}
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", default="both")
@@ -76,6 +117,8 @@ if __name__ == "__main__":
         res.append(rehearse_intervals())
     if args.op in ("pctrank", "both"):
         res.append(rehearse_pctrank())
+    if args.op == "editdist":
+        res.append(rehearse_editdist())
     for r in res:
         print(json.dumps(r))
     ray.shutdown()

@@ -76,50 +76,90 @@ def edit_distance_pairs(
 ) -> rd.Dataset:
     """All pairs ``(id_a < id_b, dist)`` with exact Levenshtein
     ``dist <= max_distance`` among rows sharing ``bucket_cols``
-    (equality blocking). One shuffle on ``bucket_cols[0]``; per
-    candidate bucket the pair DP is vectorized across all pairs at
-    once. Buckets larger than ``max_bucket`` rows are DETERMINISTICALLY
-    SAMPLED to ``max_bucket`` smallest ids (recall loss counted and
-    logged — the same no-silent-caps policy as the banded LSH
-    emitters; a degenerate blocking key would otherwise cost
+    (equality blocking). One shuffle on ``bucket_cols[0]``; within a
+    shard the candidate-pair index is built for ALL blocking groups at
+    once (vectorized per-row pair counts + offset arithmetic over the
+    group-sorted frame — no per-group Python, many tiny groups cost the
+    same as one big one) and the DP runs in cell-budgeted chunks.
+    Groups larger than ``max_bucket`` rows are DETERMINISTICALLY
+    SAMPLED to their ``max_bucket`` smallest ids (recall loss counted
+    and logged once per shard — the same no-silent-caps policy as the
+    banded LSH emitters; a degenerate blocking key would otherwise cost
     O(m^2) DP cells)."""
     from vaero_ray.stages.keyed import bucketed_map_groups
 
+    _EMPTY = {
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "dist": pd.Series(dtype="int64"),
+    }
+    cell_budget = 64_000_000  # max DP cells per _batch_levenshtein call
+
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
-        ids_o, ids_i, dists = [], [], []
-        for key, g in df.groupby(bucket_cols, sort=False, dropna=False):
-            m = len(g)
-            if m < 2:
-                continue
-            if m > max_bucket:
-                logger.warning(
-                    "edit_distance_pairs: capping fat candidate bucket %s: "
-                    "%d docs > max_bucket=%d (dropping %d; pairs among "
-                    "dropped docs are lost — raise max_bucket or refine "
-                    "bucket_cols)",
-                    key, m, max_bucket, m - max_bucket,
-                )
-                g = g.nsmallest(max_bucket, id_col)
-                m = max_bucket
-            g = g.sort_values(id_col, kind="mergesort")
-            ids = g[id_col].to_numpy()
-            texts = g[text_col].to_numpy()
-            iu, ju = np.triu_indices(m, k=1)
-            d = _batch_levenshtein(list(texts[iu]), list(texts[ju]))
-            keep = d <= max_distance
-            ids_o.append(ids[iu[keep]])
-            ids_i.append(ids[ju[keep]])
-            dists.append(d[keep])
-        if not ids_o:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "dist": pd.Series(dtype="int64")}
+        df = df.sort_values(bucket_cols + [id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(df)
+        if n < 2:
+            return pd.DataFrame(_EMPTY)
+        gid = df.groupby(bucket_cols, sort=False, dropna=False).ngroup().to_numpy()
+        first = np.ones(n, dtype=bool)
+        first[1:] = gid[1:] != gid[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, lens)  # position within group
+        glen = np.repeat(lens, lens)
+        over = lens > max_bucket
+        if over.any():
+            logger.warning(
+                "edit_distance_pairs: capped %d fat candidate bucket(s) to "
+                "max_bucket=%d (largest had %d rows; %d rows dropped shard-wide "
+                "— pairs among dropped rows are lost; raise max_bucket or "
+                "refine bucket_cols)",
+                int(over.sum()), max_bucket, int(lens.max()),
+                int((lens[over] - max_bucket).sum()),
             )
+            keep_rows = pos < max_bucket  # ids sorted within group: smallest survive
+            df = df.loc[keep_rows].reset_index(drop=True)
+            n = len(df)
+            gid = gid[keep_rows]
+            starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+            lens = np.diff(np.append(starts, n))
+            pos = np.arange(n) - np.repeat(starts, lens)
+            glen = np.repeat(lens, lens)
+        # vectorized in-group triu pair enumeration across ALL groups:
+        # row r (at in-group position p of a size-m group) is the a-side
+        # of (m - 1 - p) pairs; the b-side is the next run of rows
+        cnt = (glen - 1 - pos).astype(np.int64)
+        total = int(cnt.sum())
+        if not total:
+            return pd.DataFrame(_EMPTY)
+        a_idx = np.repeat(np.arange(n), cnt)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        b_idx = a_idx + (np.arange(total) - np.repeat(offs, cnt)) + 1
+        ids = df[id_col].to_numpy()
+        texts = df[text_col].to_numpy()
+        tlen = np.fromiter((len(t) for t in texts), np.int64, n)
+        out_a, out_b, out_d = [], [], []
+        lo = 0
+        while lo < total:
+            # cell-budgeted chunking: bound pairs x maxlen^2 temp size
+            ml = max(int(tlen.max()), 1)
+            step = max(cell_budget // (ml * ml), 1024)
+            hi = min(lo + step, total)
+            ai, bi = a_idx[lo:hi], b_idx[lo:hi]
+            d = _batch_levenshtein(list(texts[ai]), list(texts[bi]))
+            keep = d <= max_distance
+            out_a.append(ids[ai[keep]])
+            out_b.append(ids[bi[keep]])
+            out_d.append(d[keep])
+            lo = hi
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(ids_o).astype(np.int64),
-                "id_b": np.concatenate(ids_i).astype(np.int64),
-                "dist": np.concatenate(dists).astype(np.int64),
+                "id_a": np.concatenate(out_a).astype(np.int64),
+                "id_b": np.concatenate(out_b).astype(np.int64),
+                "dist": np.concatenate(out_d).astype(np.int64),
             }
         )
 
