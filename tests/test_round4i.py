@@ -439,3 +439,34 @@ def test_transition_counts_matches_pandas(ray_session):
     # probabilities per prev row sum to 1
     sums = out.groupby("prev")["p"].sum()
     assert np.allclose(sums, 1.0)
+
+
+def test_weighted_quantiles_matches_brute(ray_session):
+    import math
+
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    rng = np.random.default_rng(53)
+    v = rng.integers(-10_000, 10_000, 2500).astype(np.int64)
+    w = rng.integers(0, 7, 2500).astype(np.int64)  # zero weights excluded
+    w[0] = 1
+    df = pd.DataFrame({"v": v, "w": w})
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = exact_quantiles_disc(
+        rd.from_pandas(_blocks(df, 5)), "v", qs, weight_col="w"
+    )
+    order = np.argsort(v, kind="stable")
+    cv, cw = v[order], np.cumsum(w[order])
+    W = int(w.sum())
+    want = [int(cv[np.searchsorted(cw, max(math.ceil(q * W), 1))]) for q in qs]
+    assert got == want
+    # all-ones weights must equal the unweighted path exactly
+    df1 = pd.DataFrame({"v": v, "w": np.ones(len(v), np.int64)})
+    a = exact_quantiles_disc(rd.from_pandas(_blocks(df1, 4)), "v", qs, weight_col="w")
+    b = exact_quantiles_disc(rd.from_pandas(_blocks(df1, 4)), "v", qs)
+    assert a == b
+    with pytest.raises(Exception):
+        exact_quantiles_disc(
+            rd.from_pandas([pd.DataFrame({"v": [1], "w": [-2]})]), "v", [0.5],
+            weight_col="w",
+        )

@@ -2931,6 +2931,53 @@ FROM c
 """
 
 
+def q_weighted_length_quantiles(sf_dir: str):
+    """EXACT WEIGHTED quantiles by radix selection
+    (stages/selection.exact_quantiles_disc with weight_col): p25/p50/p90
+    of document length where each doc carries integer weight
+    (doc_id % 7 + 1) — the importance-weighted form of the quantile
+    gates (e.g. median length weighted by sampling multiplicity). Same
+    passes and register-row exchanges as the unweighted gate; histograms
+    sum weights. Rank rule: smallest value whose cumulative weight
+    reaches max(ceil(q * total_weight), 1), verified vs DuckDB over 200
+    random weighted arrays."""
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_chars": tbl.column("n_chars"),
+                "wt": pa.array((ids % 7) + 1, pa.int64()),
+            }
+        )
+
+    withw = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    p25, p50, p90 = exact_quantiles_disc(
+        withw, "n_chars", [0.25, 0.5, 0.9], weight_col="wt"
+    )
+    return pa.table(
+        {
+            "p25_chars": pa.array([p25], pa.int64()),
+            "p50_chars": pa.array([p50], pa.int64()),
+            "p90_chars": pa.array([p90], pa.int64()),
+        }
+    )
+
+
+SQL_WEIGHTED_QUANTILES = r"""
+WITH x AS (SELECT n_chars AS v, doc_id % 7 + 1 AS w FROM documents),
+tot AS (SELECT SUM(w) AS t FROM x),
+o AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c FROM x)
+SELECT CAST(MIN(CASE WHEN c >= GREATEST(CEIL(0.25 * t), 1) THEN v END) AS BIGINT) AS p25_chars,
+       CAST(MIN(CASE WHEN c >= GREATEST(CEIL(0.50 * t), 1) THEN v END) AS BIGINT) AS p50_chars,
+       CAST(MIN(CASE WHEN c >= GREATEST(CEIL(0.90 * t), 1) THEN v END) AS BIGINT) AS p90_chars
+FROM o, tot
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -6000,6 +6047,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_value_sums": q_rolling_value_sums,
     "edit_distance_dups": q_edit_distance_dups,
     "event_type_transitions": q_event_type_transitions,
+    "weighted_length_quantiles": q_weighted_length_quantiles,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6163,6 +6211,7 @@ ORACLES: dict[str, str] = {
     "rolling_value_sums": SQL_ROLLING_VALUE_SUMS,
     "edit_distance_dups": SQL_EDIT_DISTANCE_DUPS,
     "event_type_transitions": SQL_EVENT_TRANSITIONS,
+    "weighted_length_quantiles": SQL_WEIGHTED_QUANTILES,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

@@ -50,11 +50,21 @@ def exact_quantiles_disc(
     col: str,
     qs: "list[float]",
     digit_bits: int = 16,
+    weight_col: "str | None" = None,
 ) -> "list[int]":
     """Exact ``quantile_disc`` values of int64 column ``col`` for each
     q in ``qs``, via adaptive radix-selection passes (see module
     docstring). Returns plain ints in ``qs`` order. Raises on an
-    all-null/empty column (DuckDB would return NULL)."""
+    all-null/empty column (DuckDB would return NULL).
+
+    With ``weight_col`` (non-negative int64; null weights raise,
+    zero-weight rows are unselectable), answers the WEIGHTED discrete
+    quantile — the smallest value whose cumulative weight reaches
+    ``max(ceil(q * total_weight), 1)`` (the unweighted rule with counts
+    replaced by weights; identical when all weights are 1). Same passes,
+    same register-row exchanges — histograms sum weights instead of
+    counting rows, so a weighted median costs exactly what the plain
+    median does."""
     from ray.data.aggregate import Sum
 
     if not 1 <= digit_bits <= 32:
@@ -65,22 +75,42 @@ def exact_quantiles_disc(
         raise ValueError("quantiles must be in [0, 1]")
     mask = np.uint64((1 << digit_bits) - 1)
 
-    def col_u64(tbl: pa.Table) -> np.ndarray:
-        x = pc.drop_null(tbl.column(col))
-        if not len(x):
-            return np.empty(0, dtype=np.uint64)
-        return x.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64) ^ _SIGN
+    def col_u64(tbl: pa.Table) -> "tuple[np.ndarray, np.ndarray | None]":
+        c = tbl.column(col)
+        if weight_col is None:
+            x = pc.drop_null(c)
+            if not len(x):
+                return np.empty(0, dtype=np.uint64), None
+            return (
+                x.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+                ^ _SIGN,
+                None,
+            )
+        wc = tbl.column(weight_col)
+        if wc.null_count:
+            raise ValueError("exact_quantiles_disc: null weights")
+        t = pa.table({"c": c, "w": wc}).filter(pc.is_valid(c))
+        if not t.num_rows:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        wt = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        if (wt < 0).any():
+            raise ValueError("exact_quantiles_disc: negative weights")
+        u = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64).view(
+            np.uint64
+        ) ^ _SIGN
+        return u, wt
 
     # pass 0: one (min, max, n) metadata row per block -> global bounds
     def minmax(tbl: pa.Table) -> pa.Table:
-        u = col_u64(tbl)
+        u, wt = col_u64(tbl)
         if not len(u):
             return pa.table({"lo": pa.array([], pa.uint64()),
                              "hi": pa.array([], pa.uint64()),
                              "n": pa.array([], pa.int64())})
+        total = len(u) if wt is None else int(wt.sum())
         return pa.table({"lo": pa.array([u.min()], pa.uint64()),
                          "hi": pa.array([u.max()], pa.uint64()),
-                         "n": pa.array([len(u)], pa.int64())})
+                         "n": pa.array([total], pa.int64())})
 
     rows = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).take_all()
     if not rows:
@@ -88,6 +118,8 @@ def exact_quantiles_disc(
     base = np.uint64(min(r["lo"] for r in rows))
     rng = int(max(r["hi"] for r in rows)) - int(base)
     n = int(sum(r["n"] for r in rows))
+    if weight_col is not None and n <= 0:
+        raise ValueError("exact_quantiles_disc: total weight is zero")
     ranks = [max(math.ceil(q * n) - 1, 0) for q in qs]
     if rng == 0:  # constant column: every quantile is the single value
         return [int(np.int64(base ^ _SIGN))] * len(qs)
@@ -104,7 +136,7 @@ def exact_quantiles_disc(
         top = shift + digit_bits >= width
 
         def partial(tbl: pa.Table) -> pa.Table:
-            u = col_u64(tbl)
+            u, wt = col_u64(tbl)
             empty = pa.table(
                 {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
             )
@@ -121,9 +153,17 @@ def exact_quantiles_disc(
                     return empty
                 idx = idx[ok]
                 w = w[ok]
+                if wt is not None:
+                    wt = wt[ok]
             dig = (w >> sh) & mask
             key = (idx << digit_bits) | dig.astype(np.int64)
-            ub, uc = np.unique(key, return_counts=True)
+            if wt is None:
+                ub, uc = np.unique(key, return_counts=True)
+            else:  # exact integer weight sums per key (bincount would float)
+                order = np.argsort(key, kind="stable")
+                ks, ws = key[order], wt[order]
+                b = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+                ub, uc = ks[b], np.add.reduceat(ws, b)
             return pa.table(
                 {"key": pa.array(ub, pa.int64()), "cnt": pa.array(uc, pa.int64())}
             )
