@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "edit_distance_dups",           # pair-vectorized exact Levenshtein verify
     "event_type_transitions",       # Markov transition matrix (shift-mask + tiny cell merge)
     "weighted_length_quantiles",    # exact weighted quantiles (histograms sum weights)
+    "streaming_activity_intervals", # STREAMING interval union (extent-mode session driver)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

@@ -220,3 +220,102 @@ def test_finalize_fires_when_drained_in_exactly_max_epochs(ray_session, tmp_path
     )
     exp = _norm(_batch_sessions(tbl, 1800))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _make_intervals(n=3000, n_users=40, seed=13):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2026-01-01").value // 1000
+    s_us = base + np.sort(rng.integers(0, 86_400_000_000 * 2, n))
+    e_us = s_us + rng.integers(0, 3_600_000_000, n)
+    return pa.table(
+        {
+            "user_id": pa.array([f"u{int(u)}" for u in rng.integers(0, n_users, n)]),
+            "ts": pa.array(s_us.astype("datetime64[us]")),
+            "end_us": pa.array(e_us.astype("int64")),
+        }
+    )
+
+
+IAGGS = [
+    AggSpec(None, "count", "n_merged"),
+    AggSpec("ts", "min", "start_ts"),
+    AggSpec("end_us", "max", "end_us"),
+]
+
+
+def test_extent_mode_matches_batch_interval_union(ray_session, tmp_path):
+    from vaero_ray.stages.cep import merge_intervals
+
+    tbl = _make_intervals()
+    ind = str(tmp_path / "in")
+    _write_chunks(tbl, ind)
+    job = StreamingSessionJob(
+        input_dir=ind, out_dir=str(tmp_path / "out"), ckpt_dir=str(tmp_path / "ck"),
+        key="user_id", aggs=IAGGS, ts_col="ts", end_col="end_us", gap_s=0,
+        num_partitions=3,
+    )
+    job.run()
+    got = (
+        job.committed_output()
+        .to_pandas()
+        .sort_values(["user_id", "start_ts"], ignore_index=True)
+    )
+
+    df = tbl.to_pandas()
+    df["s_us"] = df["ts"].astype("int64")
+    batch = (
+        merge_intervals(rd.from_pandas([df]), "user_id", "s_us", "end_us", num_buckets=3)
+        .to_pandas()
+        .sort_values(["user_id", "s_us"], ignore_index=True)
+    )
+    assert np.array_equal(got["n_merged"].to_numpy(), batch["n_merged"].to_numpy())
+    assert np.array_equal(got["start_ts"].astype("int64").to_numpy(), batch["s_us"].to_numpy())
+    assert np.array_equal(got["end_us"].to_numpy(), batch["end_us"].to_numpy())
+    assert list(got["user_id"]) == list(batch["user_id"])
+
+
+def test_extent_mode_kill_resume_bit_identical(ray_session, tmp_path):
+    tbl = _make_intervals(n=1200, n_users=15, seed=21)
+    ind = str(tmp_path / "in")
+    _write_chunks(tbl, ind)
+
+    def mk(tag):
+        return StreamingSessionJob(
+            input_dir=ind, out_dir=str(tmp_path / f"out{tag}"),
+            ckpt_dir=str(tmp_path / f"ck{tag}"),
+            key="user_id", aggs=IAGGS, ts_col="ts", end_col="end_us", gap_s=0,
+            num_partitions=3,
+        )
+
+    ja = mk("a"); ja.run()
+    jb = mk("b"); jb.run(max_epochs=2, finalize=False)
+    jb2 = mk("b"); jb2.run()
+    import hashlib
+    digs = []
+    for tag in ("a", "b"):
+        d = str(tmp_path / f"out{tag}")
+        files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+        digs.append([(os.path.relpath(f, d), hashlib.sha256(open(f, "rb").read()).hexdigest())
+                     for f in files])
+    assert digs[0] == digs[1]
+
+
+def test_extent_mode_rejects_reversed_extents(ray_session, tmp_path):
+    import pytest
+
+    bad = pa.table(
+        {
+            "user_id": pa.array(["a"]),
+            "ts": pa.array(np.array([10_000_000], dtype="datetime64[us]")),
+            "end_us": pa.array([5_000_000]),
+        }
+    )
+    ind = str(tmp_path / "in")
+    os.makedirs(ind)
+    pq.write_table(bad, os.path.join(ind, "chunk-0000.parquet"))
+    job = StreamingSessionJob(
+        input_dir=ind, out_dir=str(tmp_path / "out"), ckpt_dir=str(tmp_path / "ck"),
+        key="user_id", aggs=IAGGS, ts_col="ts", end_col="end_us", gap_s=0,
+    )
+    with pytest.raises(Exception):
+        job.run()

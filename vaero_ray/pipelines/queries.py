@@ -2978,6 +2978,82 @@ FROM o, tot
 """
 
 
+def q_streaming_activity_intervals(sf_dir: str):
+    """STREAMING interval union through the exactly-once session driver
+    (StreamingSessionJob extent mode, gap 0): the same per-user activity
+    extents as the batch `user_activity_intervals` gate arrive as 4
+    ts-sorted chunks; open components are held as mergeable fragment
+    partials and close when the watermark (max raw START — an extent's
+    end is not its event time) passes their end; committed output must
+    equal the batch islands oracle. Completes the batch<->streaming
+    matrix for the interval-union operator."""
+    import os
+    import shutil
+
+    import pyarrow.compute as _pc
+
+    from vaero_ray.stages.windows import AggSpec
+    from vaero_ray.streaming import StreamingSessionJob
+
+    ind = _stream_chunks(sf_dir, "iunion/in", ["event_id", "ts", "user_id"])
+    base = os.path.dirname(ind)
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+
+    def derive_end(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        end = ts_us + ((eid % 3600) + 60) * 1_000_000
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "end_us": pa.array(end, pa.int64()),
+            }
+        )
+
+    job = StreamingSessionJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        key="user_id",
+        aggs=[
+            AggSpec(None, "count", "n_merged"),
+            AggSpec("ts", "min", "start_ts"),
+            AggSpec("end_us", "max", "end_us"),
+        ],
+        ts_col="ts",
+        end_col="end_us",
+        gap_s=0,
+        allowed_lateness_s=0,  # arrival chunks are ts-sorted
+        num_partitions=4,
+        transform=lambda ds: ds.map_batches(
+            derive_end, batch_format="pyarrow", zero_copy_batch=True
+        ),
+    )
+    job.run()
+    return job.committed_output()
+
+
+SQL_STREAMING_ACTIVITY = r"""
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         epoch_us(ts) + ((event_id % 3600) + 60) * 1000000 AS e
+  FROM events),
+o AS (SELECT user_id, s, e,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+g AS (SELECT *, SUM(CASE WHEN pm IS NULL OR epoch_us(s) > pm THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
+       MIN(s) AS start_ts, MAX(e) AS end_us
+FROM g GROUP BY user_id, grp
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -6048,6 +6124,7 @@ QUERIES: dict[str, QueryFn] = {
     "edit_distance_dups": q_edit_distance_dups,
     "event_type_transitions": q_event_type_transitions,
     "weighted_length_quantiles": q_weighted_length_quantiles,
+    "streaming_activity_intervals": q_streaming_activity_intervals,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6212,6 +6289,7 @@ ORACLES: dict[str, str] = {
     "edit_distance_dups": SQL_EDIT_DISTANCE_DUPS,
     "event_type_transitions": SQL_EVENT_TRANSITIONS,
     "weighted_length_quantiles": SQL_WEIGHTED_QUANTILES,
+    "streaming_activity_intervals": SQL_STREAMING_ACTIVITY,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

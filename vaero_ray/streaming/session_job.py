@@ -72,6 +72,17 @@ class StreamingSessionJob:
     key: str
     aggs: list[AggSpec]
     ts_col: str = "ts"
+    # EXTENT mode (streaming interval union): when set, each row is an
+    # explicit [ts_col, end_col] extent instead of a point event —
+    # fragments are the rows themselves (block-local pre-merge via the
+    # same chain rule), components merge when a new extent's start is
+    # within gap_s of the running max end (gap_s=0 -> touching-union,
+    # i.e. the streaming form of stages/cep.merge_intervals), and the
+    # watermark advances from the max raw START (an extent's end lies
+    # arbitrarily far ahead of event time; anchoring the watermark there
+    # would wrongly lateness-drop the next orderly arrivals). Close rule
+    # is unchanged: wm >= end + gap proves no future extent can chain.
+    end_col: "str | None" = None
     gap_s: int = 1800
     allowed_lateness_s: int = 0
     num_partitions: int = 8
@@ -133,10 +144,46 @@ class StreamingSessionJob:
         return out
 
     # -- fragment construction (per-block combiner) --------------------
+    @staticmethod
+    def _col_us(series: "pd.Series") -> np.ndarray:
+        arr = series.to_numpy()
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def _extent_fragments(self, df: pd.DataFrame, prev_wm: int, ts_aliases: set) -> pd.DataFrame:
+        """Extent mode: each kept row IS a fragment; block-local
+        pre-merge via the shared chain rule. ``__smax`` (the block's max
+        raw start) rides the live fragments only, for the watermark."""
+        s = self._col_us(df[self.ts_col])
+        e = self._col_us(df[self.end_col])
+        if (e < s).any():
+            raise ValueError(f"{self.end_col} < {self.ts_col}: reversed extent")
+        keep = s > prev_wm
+        df, s, e = df[keep], s[keep], e[keep]
+        frame = pd.DataFrame(
+            {
+                self.key: df[self.key].to_numpy(),
+                "start_us": s,
+                "end_us": e,
+                "__n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        for alias, fn, col, pcol in self._pcols(ts_aliases):
+            if pcol.startswith("__pt_"):
+                frame[pcol] = df[col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            else:
+                frame[pcol] = df[col].to_numpy()
+        merged = self._merge_fragments(frame, ts_aliases)
+        merged["__smax"] = int(s.max()) if len(s) else np.int64(-(1 << 62))
+        return merged
+
     def _fragment_block(self, df: pd.DataFrame, prev_wm: int, ts_aliases: set) -> pd.DataFrame:
         """Drop late events, sessionize the block per key, emit one
         partial row per block-local fragment (vectorized; degenerate
         1-event fragments included)."""
+        if self.end_col is not None:
+            return self._extent_fragments(df, prev_wm, ts_aliases)
         gap_us = self.gap_s * US
         ts = df[self.ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         df = df[ts > prev_wm]
@@ -277,7 +324,10 @@ class StreamingSessionJob:
             ).materialize()
             kept = int(live_frags.sum("__n") or 0)
             rows_late = rows_in - kept
-            epoch_max_ts = int(live_frags.max("end_us")) if kept else None
+            # extent mode anchors the watermark at the max raw START (an
+            # extent's end is not its event time); point mode keeps max ts
+            wm_col = "__smax" if self.end_col is not None else "end_us"
+            epoch_max_ts = int(live_frags.max(wm_col)) if kept else None
 
         new_wm = prev_wm
         if epoch_max_ts is not None:
