@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "event_type_transitions",       # Markov transition matrix (shift-mask + tiny cell merge)
     "weighted_length_quantiles",    # exact weighted quantiles (histograms sum weights)
     "streaming_activity_intervals", # STREAMING interval union (extent-mode session driver)
+    "user_state_history",           # SCD2 validity timeline (one bucketed sort)
+    "weighted_source_medians",      # grouped weighted quantiles, zero row exchange
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

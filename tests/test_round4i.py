@@ -470,3 +470,78 @@ def test_weighted_quantiles_matches_brute(ray_session):
             rd.from_pandas([pd.DataFrame({"v": [1], "w": [-2]})]), "v", [0.5],
             weight_col="w",
         )
+
+
+def test_state_history_matches_pandas(ray_session):
+    from vaero_ray.stages.rowwindow import state_history
+
+    rng = np.random.default_rng(61)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "st": rng.choice(["a", "b", None], n, p=[0.45, 0.45, 0.1]),
+            "tie": np.arange(n),
+        }
+    )
+    out = (
+        state_history(rd.from_pandas(_blocks(df, 4)), "k", "ts", "st", "tie",
+                      num_buckets=5)
+        .to_pandas()
+        .sort_values(["k", "valid_from"], ignore_index=True)
+    )
+    s = df.sort_values(["k", "ts", "tie"])
+    grp = s.groupby("k")["st"]
+    # null-safe change detection (null run == one run)
+    prev = grp.shift(1)
+    chg = (s["st"].isna() != prev.isna()) | (
+        s["st"].notna() & prev.notna() & (s["st"] != prev)
+    ) | grp.cumcount().eq(0)
+    c = s[chg]
+    want = pd.DataFrame(
+        {
+            "k": c["k"].to_numpy(),
+            "state": c["st"].to_numpy(),
+            "valid_from": c["ts"].to_numpy(),
+            "valid_to": c.groupby("k")["ts"].shift(-1).to_numpy(),
+        }
+    ).sort_values(["k", "valid_from"], ignore_index=True)
+    pd.testing.assert_frame_equal(out, want)
+    # runs tile each key's timeline: next valid_from == previous valid_to
+    for _, g in out.groupby("k"):
+        assert (g["valid_to"].iloc[:-1].to_numpy() == g["valid_from"].iloc[1:].to_numpy()).all()
+        assert pd.isna(g["valid_to"].iloc[-1])
+
+
+def test_grouped_weighted_quantiles_match_brute(ray_session):
+    import math
+
+    from vaero_ray.stages.selection import exact_group_quantiles_disc
+
+    rng = np.random.default_rng(67)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], n, p=[0.6, 0.3, 0.1]),
+            "v": rng.integers(-5000, 5000, n).astype(np.int64),
+            "w": rng.integers(0, 6, n).astype(np.int64),
+        }
+    )
+    qs = [0.25, 0.5, 0.95]
+    got = exact_group_quantiles_disc(
+        rd.from_pandas(_blocks(df, 5)), "v", "g", qs, weight_col="w"
+    )
+    for g, grp in df.groupby("g"):
+        W = int(grp["w"].sum())
+        order = np.argsort(grp["v"].to_numpy(), kind="stable")
+        cv = grp["v"].to_numpy()[order]
+        cw = np.cumsum(grp["w"].to_numpy()[order])
+        want = [int(cv[np.searchsorted(cw, max(math.ceil(q * W), 1))]) for q in qs]
+        assert got[g] == want, g
+    # all-ones == unweighted
+    df1 = df.assign(w=1)
+    a = exact_group_quantiles_disc(rd.from_pandas(_blocks(df1, 4)), "v", "g", qs, weight_col="w")
+    b = exact_group_quantiles_disc(rd.from_pandas(_blocks(df1, 4)), "v", "g", qs)
+    assert a == b

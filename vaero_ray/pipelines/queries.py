@@ -3054,6 +3054,82 @@ FROM g GROUP BY user_id, grp
 """
 
 
+def q_user_state_history(sf_dir: str):
+    """SCD2 timeline build (stages/rowwindow.state_history): per-user
+    event-type runs with [valid_from, valid_to) validity — consecutive
+    equal states collapse, the next run's start closes each row, the
+    live run stays open (null). The warehouse slowly-changing-dimension
+    complement of user_state_changelog (which keeps only the LAST
+    state). One bucketed sort, shard-invariant via the event_id tie."""
+    from vaero_ray.stages.rowwindow import state_history
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+    return state_history(ds, "user_id", "ts", "event_type", "event_id")
+
+
+SQL_STATE_HISTORY = r"""
+WITH s AS (SELECT user_id, ts, event_type, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT user_id, ts, event_type, event_id FROM s
+      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM c
+"""
+
+
+def q_weighted_source_medians(sf_dir: str):
+    """Per-SOURCE exact WEIGHTED p50/p90 — the grouped form of the
+    weighted quantile gate (stages/selection.exact_group_quantiles_disc
+    with weight_col): every (source, quantile) pair rides the same
+    scans, histograms sum the doc's integer weight (doc_id % 7 + 1),
+    zero row exchange."""
+    from vaero_ray.stages.selection import exact_group_quantiles_disc
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": tbl.column("source"),
+                "n_chars": tbl.column("n_chars"),
+                "wt": pa.array((ids % 7) + 1, pa.int64()),
+            }
+        )
+
+    withw = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    per = exact_group_quantiles_disc(
+        withw, "n_chars", "source", [0.5, 0.9], weight_col="wt"
+    )
+    srcs = sorted(per)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "p50_chars": pa.array([per[s][0] for s in srcs], pa.int64()),
+            "p90_chars": pa.array([per[s][1] for s in srcs], pa.int64()),
+        }
+    )
+
+
+SQL_WEIGHTED_SOURCE_MEDIANS = r"""
+WITH x AS (SELECT source, n_chars AS v, doc_id % 7 + 1 AS w FROM documents),
+tot AS (SELECT source, SUM(w) AS t FROM x GROUP BY 1),
+o AS (SELECT source, v,
+        SUM(w) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+      FROM x)
+SELECT o.source,
+       CAST(MIN(CASE WHEN c >= GREATEST(CEIL(0.50 * t), 1) THEN v END) AS BIGINT) AS p50_chars,
+       CAST(MIN(CASE WHEN c >= GREATEST(CEIL(0.90 * t), 1) THEN v END) AS BIGINT) AS p90_chars
+FROM o JOIN tot USING (source) GROUP BY o.source
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -6125,6 +6201,8 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_transitions": q_event_type_transitions,
     "weighted_length_quantiles": q_weighted_length_quantiles,
     "streaming_activity_intervals": q_streaming_activity_intervals,
+    "user_state_history": q_user_state_history,
+    "weighted_source_medians": q_weighted_source_medians,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6290,6 +6368,8 @@ ORACLES: dict[str, str] = {
     "event_type_transitions": SQL_EVENT_TRANSITIONS,
     "weighted_length_quantiles": SQL_WEIGHTED_QUANTILES,
     "streaming_activity_intervals": SQL_STREAMING_ACTIVITY,
+    "user_state_history": SQL_STATE_HISTORY,
+    "weighted_source_medians": SQL_WEIGHTED_SOURCE_MEDIANS,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

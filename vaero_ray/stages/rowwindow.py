@@ -507,3 +507,47 @@ def global_row_number(
         )
 
     return s.map_batches(enumerate_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def state_history(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tie_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SCD2 history build from a changelog: collapse consecutive equal
+    states per key, emit one validity row per state RUN —
+    ``(key, state, valid_from, valid_to)`` with ``valid_to`` = the next
+    run's start (null for the current run). The
+    slowly-changing-dimension type-2 table a warehouse derives from an
+    event/CDC stream; ``compact_latest`` (above) keeps only the last
+    row, this keeps the full timeline.
+
+    Same one-shuffle bucketed-sort shape as every rowwindow op; change
+    detection compares factorized state codes (null state == null state,
+    so a null run is one run, SQL ``IS DISTINCT FROM`` semantics); ties
+    broken by ``tie_col`` for shard-invariant output."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        kc = pd.factorize(df[key], use_na_sentinel=False)[0]
+        sc = pd.factorize(df[state_col], use_na_sentinel=False)[0]
+        change = np.ones(n, dtype=bool)
+        change[1:] = (kc[1:] != kc[:-1]) | (sc[1:] != sc[:-1])
+        c = df.loc[change, [key, state_col, ts_col]].reset_index(drop=True)
+        ckc = kc[change]
+        vt = c[ts_col].shift(-1)
+        vt[np.r_[ckc[1:] != ckc[:-1], True]] = None  # last run per key: open
+        return pd.DataFrame(
+            {
+                key: c[key],
+                "state": c[state_col],
+                "valid_from": c[ts_col],
+                "valid_to": vt,
+            }
+        )
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)

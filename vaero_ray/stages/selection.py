@@ -206,6 +206,7 @@ def exact_group_quantiles_disc(
     qs: "list[float]",
     digit_bits: int = 16,
     max_groups: int = 4096,
+    weight_col: "str | None" = None,
 ) -> "dict[object, list[int]]":
     """Per-GROUP exact ``quantile_disc`` for LOW-cardinality group
     columns: {group_value: [value per q]}. Every group and every
@@ -218,7 +219,13 @@ def exact_group_quantiles_disc(
     (per-group subranges just concentrate their histograms), capped at
     ``max_groups`` (beyond that the register exchange stops being small
     — use the shuffle-based operators). Groups with zero non-null
-    values are omitted (SQL would emit a NULL-quantile row)."""
+    values are omitted (SQL would emit a NULL-quantile row).
+
+    ``weight_col`` (non-negative int64, nulls raise) switches to the
+    WEIGHTED rank rule — the grouped form of
+    ``exact_quantiles_disc(weight_col=...)``: histograms sum weights,
+    ranks target max(ceil(q * group_weight), 1), zero-total-weight
+    groups are omitted. Same passes either way."""
     from ray.data.aggregate import Sum
 
     if not 1 <= digit_bits <= 32:
@@ -239,6 +246,17 @@ def exact_group_quantiles_disc(
             return np.empty(0, dtype=np.uint64)
         return x.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64) ^ _SIGN
 
+    def col_wt(tbl: pa.Table) -> "np.ndarray | None":
+        if weight_col is None:
+            return None
+        wc = tbl.column(weight_col)
+        if wc.null_count:
+            raise ValueError("exact_group_quantiles_disc: null weights")
+        wt = wc.to_numpy(zero_copy_only=False).astype(np.int64)
+        if (wt < 0).any():
+            raise ValueError("exact_group_quantiles_disc: negative weights")
+        return wt
+
     # pass 0: per-(block, group) (min, max, n) rows -> per-group bounds
     def minmax(tbl: pa.Table) -> pa.Table:
         tbl = valid(tbl)
@@ -252,7 +270,11 @@ def exact_group_quantiles_disc(
         su = u[order]
         lo = np.minimum.reduceat(su, bounds)
         hi = np.maximum.reduceat(su, bounds)
-        n = np.diff(np.append(bounds, len(su)))
+        wt = col_wt(tbl)
+        if wt is None:
+            n = np.diff(np.append(bounds, len(su)))
+        else:
+            n = np.add.reduceat(wt[order], bounds)
         return pa.table({"g": pa.array([str(v) for v in uniq], pa.string()),
                          "lo": pa.array(lo, pa.uint64()),
                          "hi": pa.array(hi, pa.uint64()),
@@ -267,6 +289,10 @@ def exact_group_quantiles_disc(
         e[0] = min(e[0], r["lo"])
         e[1] = max(e[1], r["hi"])
         e[2] += r["n"]
+    if weight_col is not None:  # zero-total-weight groups have no quantile
+        agg = {g: e for g, e in agg.items() if e[2] > 0}
+        if not agg:
+            return {}
     if len(agg) > max_groups:
         raise ValueError(
             f"exact_group_quantiles_disc: {len(agg)} groups > max_groups={max_groups}"
@@ -316,7 +342,15 @@ def exact_group_quantiles_disc(
                 return empty
             dig = (w[ok] >> sh) & mask
             key = (idx[ok].astype(np.int64) << digit_bits) | dig.astype(np.int64)
-            ub, uc = np.unique(key, return_counts=True)
+            wt = col_wt(tbl)
+            if wt is None:
+                ub, uc = np.unique(key, return_counts=True)
+            else:  # exact integer weight sums per key
+                ws = wt[ok]
+                order2 = np.argsort(key, kind="stable")
+                ks, ws = key[order2], ws[order2]
+                b2 = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+                ub, uc = ks[b2], np.add.reduceat(ws, b2)
             return pa.table(
                 {"key": pa.array(ub, pa.int64()), "cnt": pa.array(uc, pa.int64())}
             )
