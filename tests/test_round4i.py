@@ -545,3 +545,38 @@ def test_grouped_weighted_quantiles_match_brute(ray_session):
     a = exact_group_quantiles_disc(rd.from_pandas(_blocks(df1, 4)), "v", "g", qs, weight_col="w")
     b = exact_group_quantiles_disc(rd.from_pandas(_blocks(df1, 4)), "v", "g", qs)
     assert a == b
+
+
+def test_path_counts_matches_pandas(ray_session):
+    from vaero_ray.stages.cep import path_counts
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "st": rng.choice(["a", "b", "c"], n),
+            "tie": np.arange(n),
+        }
+    )
+    out = (
+        path_counts(rd.from_pandas(_blocks(df, 4)), "k", "ts", "st", "tie", depth=3,
+                    num_buckets=5)
+        .to_pandas()
+        .sort_values(["step_1", "step_2", "step_3"], ignore_index=True)
+    )
+    s = df.sort_values(["k", "ts", "tie"])
+    g = s.groupby("k")["st"]
+    t = pd.DataFrame({"step_1": g.shift(2), "step_2": g.shift(1), "step_3": s["st"]})
+    t = t.dropna()
+    want = (
+        t.groupby(["step_1", "step_2", "step_3"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["step_1", "step_2", "step_3"], ignore_index=True)
+    )
+    assert np.array_equal(out["n"].to_numpy(), want["n"].to_numpy())
+    assert out["n"].sum() == len(t)
+    assert abs(out["p"].sum() - 1.0) < 1e-12

@@ -3130,6 +3130,76 @@ FROM o JOIN tot USING (source) GROUP BY o.source
 """
 
 
+def q_event_state_asof(sf_dir: str):
+    """Point-in-time enrichment against the SCD2 dimension — the
+    composition the history table exists for: every event gains the
+    state valid AT its timestamp via a backward as-of join against the
+    change rows (stages/rowwindow.state_history -> stages/joins.asof_join,
+    per-side shuffles). Oracle: DuckDB ASOF JOIN against the same
+    LAG-filtered change set."""
+    from vaero_ray.stages.joins import asof_join
+    from vaero_ray.stages.rowwindow import state_history
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+    hist = state_history(ev, "user_id", "ts", "event_type", "event_id")
+
+    def as_right(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("valid_from"),
+                "state": tbl.column("state"),
+            }
+        )
+
+    right = hist.map_batches(as_right, batch_format="pyarrow", zero_copy_batch=True)
+    left = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return asof_join(
+        left, right, key="user_id", ts_col="ts",
+        right_ts_out="state_since", right_cols=["state"],
+    )
+
+
+SQL_EVENT_STATE_ASOF = r"""
+WITH s AS (SELECT user_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT user_id, ts, event_type FROM s
+      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+SELECT e.event_id, e.user_id, e.ts, c.ts AS state_since, c.event_type AS state
+FROM events e ASOF JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts
+"""
+
+
+def q_user_path_counts(sf_dir: str):
+    """Top 3-step user journeys (stages/cep.path_counts): every
+    consecutive same-user event-type triple in (ts, event_id) order,
+    counted with each path's share of all 3-step windows — the k-gram
+    generalization of the transition matrix. Same shape: shifts +
+    immediate cell collapse, tiny bounded merge."""
+    from vaero_ray.stages.cep import path_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+    return path_counts(ds, "user_id", "ts", "event_type", "event_id", depth=3)
+
+
+SQL_USER_PATH_COUNTS = r"""
+WITH s AS (SELECT user_id, event_type AS step_3,
+             LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step_2,
+             LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step_1
+           FROM events),
+c AS (SELECT step_1, step_2, step_3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE step_1 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT step_1, step_2, step_3, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS p
+FROM c
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -6203,6 +6273,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_activity_intervals": q_streaming_activity_intervals,
     "user_state_history": q_user_state_history,
     "weighted_source_medians": q_weighted_source_medians,
+    "event_state_asof": q_event_state_asof,
+    "user_path_counts": q_user_path_counts,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6370,6 +6442,8 @@ ORACLES: dict[str, str] = {
     "streaming_activity_intervals": SQL_STREAMING_ACTIVITY,
     "user_state_history": SQL_STATE_HISTORY,
     "weighted_source_medians": SQL_WEIGHTED_SOURCE_MEDIANS,
+    "event_state_asof": SQL_EVENT_STATE_ASOF,
+    "user_path_counts": SQL_USER_PATH_COUNTS,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

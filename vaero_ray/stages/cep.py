@@ -488,3 +488,64 @@ def transition_counts(
             "p": pa.array(p, pa.float64()),
         }
     )
+
+
+def path_counts(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tie_col: str,
+    depth: int = 3,
+    max_cells: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> "pa.Table":
+    """Top user journeys: count every consecutive ``depth``-step same-key
+    state sequence in ``(ts, tie)`` order — the k-gram generalization of
+    ``transition_counts`` (which is depth=2). Output one row per distinct
+    path ``(step_1..step_k, n, p)`` where ``p`` is the path's share of
+    all k-step windows (one deterministic double division per cell).
+
+    Scale shape: same as transition_counts — ONE key-bucketed shuffle,
+    ``depth-1`` vectorized shifts with key-boundary masks, immediate
+    collapse to the bucket's distinct path cells, tiny bounded cell
+    merge (``max_cells`` guard)."""
+    import pyarrow as pa
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    if depth < 2:
+        raise ValueError("path_counts: depth must be >= 2")
+    step_cols = [f"step_{i + 1}" for i in range(depth)]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(df)
+        if n < depth:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in step_cols}
+                                | {"n": pd.Series(dtype="int64")})
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        st = df[state_col].to_numpy()
+        ok = np.ones(n, dtype=bool)
+        ok[: depth - 1] = False
+        for i in range(1, depth):  # loop over DEPTH (tiny), never rows
+            ok[i:] &= codes[i:] == codes[:-i]
+        out = pd.DataFrame(
+            {c: np.roll(st, depth - 1 - i)[ok] for i, c in enumerate(step_cols)}
+        )
+        g = out.groupby(step_cols, sort=False, as_index=False, dropna=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    parts = bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+    cells_ds = bucketed_keyed_sum(parts, step_cols, ["n"], num_buckets=8).materialize()
+    if cells_ds.count() > max_cells:
+        raise ValueError("path_counts: cell count exceeds max_cells")
+    cells = cells_ds.to_pandas()  # bounded by max_cells: the cell table only
+    n_arr = cells["n"].to_numpy().astype(np.int64)
+    tot = int(n_arr.sum())
+    out = {c: pa.array(cells[c]) for c in step_cols}
+    out["n"] = pa.array(n_arr, pa.int64())
+    out["p"] = pa.array(n_arr.astype(np.float64) / np.float64(tot), pa.float64())
+    return pa.table(out)
