@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "weighted_source_medians",      # grouped weighted quantiles, zero row exchange
     "event_state_asof",             # point-in-time join vs the SCD2 dim (asof composition)
     "user_path_counts",             # 3-step journey k-grams (shifts + tiny cell merge)
+    "user_covered_seconds",         # distinct covered time (union -> keyed aggregate)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

@@ -3200,6 +3200,76 @@ FROM c
 """
 
 
+def q_user_covered_seconds(sf_dir: str):
+    """Coverage accounting on top of the interval union: per user, total
+    DISTINCT covered seconds (overlaps counted once — the reason the
+    union must run first; a plain SUM of extents double-counts) plus the
+    span and event counts. merge_intervals -> one small keyed aggregate
+    over the merged spans."""
+    from ray.data.aggregate import Count, Sum
+
+    from vaero_ray.stages.cep import merge_intervals
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        end = ts + ((eid % 3600) + 60) * 1_000_000
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "start_us": pa.array(ts, pa.int64()),
+                "end_us": pa.array(end, pa.int64()),
+            }
+        )
+
+    iv = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    merged = merge_intervals(iv, "user_id", "start_us", "end_us")
+
+    def span_len(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("start_us").to_numpy(zero_copy_only=False)
+        e = tbl.column("end_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "sec": pa.array((e - s) // 1_000_000, pa.int64()),
+                "n_merged": tbl.column("n_merged"),
+            }
+        )
+
+    return (
+        merged.map_batches(span_len, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_spans"),
+            Sum("sec", alias_name="covered_sec"),
+            Sum("n_merged", alias_name="n_events"),
+        )
+    )
+
+
+SQL_USER_COVERED_SECONDS = r"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + ((event_id % 3600) + 60) * 1000000 AS e
+  FROM events),
+o AS (SELECT user_id, s, e,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+g AS (SELECT *, SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o),
+sp AS (SELECT user_id, (MAX(e) - MIN(s)) // 1000000 AS sec, COUNT(*) AS n
+       FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(sec) AS BIGINT) AS covered_sec,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM sp GROUP BY user_id
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -6275,6 +6345,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_source_medians": q_weighted_source_medians,
     "event_state_asof": q_event_state_asof,
     "user_path_counts": q_user_path_counts,
+    "user_covered_seconds": q_user_covered_seconds,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6444,6 +6515,7 @@ ORACLES: dict[str, str] = {
     "weighted_source_medians": SQL_WEIGHTED_SOURCE_MEDIANS,
     "event_state_asof": SQL_EVENT_STATE_ASOF,
     "user_path_counts": SQL_USER_PATH_COUNTS,
+    "user_covered_seconds": SQL_USER_COVERED_SECONDS,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
