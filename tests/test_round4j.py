@@ -1,0 +1,57 @@
+"""Round-4 seventh-session additions: market-basket pair co-occurrence
+(basket.pair_cooccurrence) and the covered-time composition."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _ref_pairs(df, min_support=1):
+    """Reference support counts: per-group distinct items, all unordered
+    pairs, plain python."""
+    from itertools import combinations
+
+    counts = {}
+    for _, g in df.groupby("g"):
+        for a, b in combinations(sorted(set(g["item"])), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return sorted((a, b, c) for (a, b), c in counts.items() if c >= min_support)
+
+
+def test_pair_cooccurrence_matches_bruteforce(ray_session):
+    from vaero_ray.stages.basket import pair_cooccurrence
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 300, 5000),
+            "item": rng.integers(0, 40, 5000),
+        }
+    )
+    # duplicate (group, item) rows must count once
+    df = pd.concat([df, df.head(500)], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(5)
+    got = (
+        pair_cooccurrence(ds, "g", "item", min_support=2, num_buckets=8)
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+    )
+    want = _ref_pairs(df, min_support=2)
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert (got["item_a"] < got["item_b"]).all()
+    assert str(got["support"].dtype) == "int64"
+
+
+def test_pair_cooccurrence_fat_basket_cap(ray_session):
+    """A degenerate basket above max_basket is truncated to its smallest
+    items — bounded emission, pairs among the retained items only."""
+    from vaero_ray.stages.basket import pair_cooccurrence
+
+    df = pd.DataFrame({"g": ["fat"] * 50 + ["ok", "ok"], "item": list(range(50)) + [1, 2]})
+    ds = rd.from_pandas(df)
+    got = pair_cooccurrence(ds, "g", "item", num_buckets=2, max_basket=10).to_pandas()
+    # fat basket contributes C(10,2)=45 pairs over items 0..9; ok adds (1,2)
+    assert len(got) == 45
+    assert got["item_a"].max() <= 9 and got["item_b"].max() <= 9
+    assert int(got.loc[(got.item_a == 1) & (got.item_b == 2), "support"].iloc[0]) == 2

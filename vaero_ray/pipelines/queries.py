@@ -3270,6 +3270,41 @@ FROM sp GROUP BY user_id
 """
 
 
+def q_part_pair_support(sf_dir: str):
+    """Market-basket pair co-occurrence over lineitem: support count per
+    unordered part pair appearing in the same order (DISTINCT per order),
+    kept at support >= 2. The quadratic pair emission is confined inside
+    each order's basket (vectorized repeat/cumsum index arithmetic, fat
+    baskets truncated with a logged cap); cross-corpus cost is two
+    hash-bucket exchanges of (pair, partial-count) rows."""
+    from vaero_ray.stages.basket import pair_cooccurrence
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pairs = pair_cooccurrence(ds, "l_orderkey", "l_partkey", min_support=2)
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part1": tbl.column("item_a"),
+                "part2": tbl.column("item_b"),
+                "support": tbl.column("support"),
+            }
+        )
+
+    return pairs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PART_PAIR_SUPPORT = r"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -6346,6 +6381,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_state_asof": q_event_state_asof,
     "user_path_counts": q_user_path_counts,
     "user_covered_seconds": q_user_covered_seconds,
+    "part_pair_support": q_part_pair_support,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6516,6 +6552,7 @@ ORACLES: dict[str, str] = {
     "event_state_asof": SQL_EVENT_STATE_ASOF,
     "user_path_counts": SQL_USER_PATH_COUNTS,
     "user_covered_seconds": SQL_USER_COVERED_SECONDS,
+    "part_pair_support": SQL_PART_PAIR_SUPPORT,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
