@@ -55,3 +55,42 @@ def test_pair_cooccurrence_fat_basket_cap(ray_session):
     assert len(got) == 45
     assert got["item_a"].max() <= 9 and got["item_b"].max() <= 9
     assert int(got.loc[(got.item_a == 1) & (got.item_b == 2), "support"].iloc[0]) == 2
+
+
+def _ref_twa(df):
+    out = []
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["ts", "tie"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        v = g["v"].to_numpy()
+        if len(g) < 2:
+            continue
+        hold = (ts[1:] - ts[:-1]) // 1_000_000
+        out.append((k, int((v[:-1] * hold).sum()), int(hold.sum()), len(g) - 1))
+    return sorted(out)
+
+
+def test_time_weighted_sums_matches_bruteforce(ray_session):
+    from vaero_ray.stages.cep import time_weighted_sums
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 120, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**7, n), unit="s"),
+            "v": rng.integers(-50, 500, n),
+            "tie": np.arange(n),
+        }
+    )
+    # planted single-event key: must emit NO row
+    df.loc[len(df)] = [999, pd.Timestamp("2001-01-01"), 7, len(df)]
+    ds = rd.from_pandas(df).repartition(4)
+    got = time_weighted_sums(ds, "k", "ts", "v", "tie", num_buckets=8).to_pandas()
+    want = _ref_twa(df)
+    got_rows = sorted(
+        (int(r.k), int(r.vw_sum), int(r.held_sec), int(r.n_holds))
+        for r in got.itertuples()
+    )
+    assert got_rows == want
+    assert 999 not in set(got["k"])

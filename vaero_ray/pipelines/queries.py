@@ -3294,6 +3294,37 @@ def q_part_pair_support(sf_dir: str):
     return pairs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_user_time_weighted(sf_dir: str):
+    """Time-weighted value accounting per user: each event's value (cents)
+    is held until the user's next event; exact integer sums of
+    value x hold-seconds and of held seconds (the TWA numerator /
+    denominator, no ratio emitted). One bucketed shuffle, shift +
+    key-boundary mask inside the bucket."""
+    from vaero_ray.stages.cep import time_weighted_sums
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(_value_to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    return time_weighted_sums(ds, "user_id", "ts", "value", "event_id")
+
+
+SQL_USER_TIME_WEIGHTED = r"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM events),
+h AS (SELECT user_id, v,
+             (epoch_us(nts) - epoch_us(ts)) // 1000000 AS hold_sec
+      FROM e WHERE nts IS NOT NULL)
+SELECT user_id,
+       CAST(SUM(v * hold_sec) AS BIGINT) AS vw_sum,
+       CAST(SUM(hold_sec) AS BIGINT) AS held_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_holds
+FROM h GROUP BY user_id
+"""
+
+
 SQL_PART_PAIR_SUPPORT = r"""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part1, b.l_partkey AS part2,
@@ -6382,6 +6413,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_path_counts": q_user_path_counts,
     "user_covered_seconds": q_user_covered_seconds,
     "part_pair_support": q_part_pair_support,
+    "user_time_weighted": q_user_time_weighted,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6553,6 +6585,7 @@ ORACLES: dict[str, str] = {
     "user_path_counts": SQL_USER_PATH_COUNTS,
     "user_covered_seconds": SQL_USER_COVERED_SECONDS,
     "part_pair_support": SQL_PART_PAIR_SUPPORT,
+    "user_time_weighted": SQL_USER_TIME_WEIGHTED,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

@@ -549,3 +549,62 @@ def path_counts(
     out["n"] = pa.array(n_arr, pa.int64())
     out["p"] = pa.array(n_arr.astype(np.float64) / np.float64(tot), pa.float64())
     return pa.table(out)
+
+
+def time_weighted_sums(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    tie_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per KEY, over the (ts, tie)-ordered event sequence: each event's
+    integer ``val_col`` is HELD until the key's next event, and the
+    holds reduce to exact integer sums — the building blocks of a
+    time-weighted average without emitting a ratio:
+
+        vw_sum   = sum(value_i * hold_sec_i)   (int64)
+        held_sec = sum(hold_sec_i)             (int64)
+        n_holds  = events with a successor     (= n_events - 1)
+
+    The final event has no successor and contributes nothing (standard
+    last-observation-excluded TWA); single-event keys therefore emit no
+    row. hold durations are floored to whole seconds so both sides of
+    the SQL twin (LEAD + integer division) are exact. ``val_col`` must
+    be int64 (fixed-point upstream, the engine-wide rule).
+
+    One bucketed shuffle; inside a bucket the successor timestamp is a
+    plain shift over the (key, ts, tie)-sorted frame with a key-boundary
+    mask — no per-key Python. Partitioning assumption: one bucket's rows
+    fit one task's heap (keyed.py contract)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(drop=True)
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = df[val_col].to_numpy().astype(np.int64)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        same_next = np.r_[codes[1:] == codes[:-1], False]
+        hold = np.zeros(len(df), np.int64)
+        if len(df) > 1:
+            hold[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+        hold[~same_next] = 0
+        g = pd.DataFrame(
+            {
+                key: df[key],
+                "vw": np.where(same_next, v * hold, 0),
+                "held": hold,
+                "n": same_next.astype(np.int64),
+            }
+        ).groupby(key, sort=False, as_index=False, dropna=False).sum()
+        g = g[g["n"] > 0]
+        return pd.DataFrame(
+            {
+                key: g[key],
+                "vw_sum": g["vw"].astype("int64"),
+                "held_sec": g["held"].astype("int64"),
+                "n_holds": g["n"].astype("int64"),
+            }
+        )
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
