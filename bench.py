@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "user_covered_seconds",         # distinct covered time (union -> keyed aggregate)
     "part_pair_support",            # market-basket pair co-occurrence (in-basket quadratic only)
     "user_time_weighted",           # time-weighted value sums (TWA numerator/denominator)
+    "part_triangle_counts",         # degree-oriented triangle counting on the co-occurrence graph
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

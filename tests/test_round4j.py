@@ -94,3 +94,50 @@ def test_time_weighted_sums_matches_bruteforce(ray_session):
     )
     assert got_rows == want
     assert 999 not in set(got["k"])
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    from vaero_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 60, 400)
+    b = rng.integers(0, 60, 400)
+    # duplicates, reversed duplicates and self-loops must all be ignored
+    df = pd.DataFrame({"u": np.r_[a, b[:50], np.arange(5)],
+                       "v": np.r_[b, a[:50], np.arange(5)]})
+    ds = rd.from_pandas(df).repartition(4)
+    got = triangle_counts(ds, "u", "v", num_buckets=8).to_pandas()
+
+    es, adj = set(), {}
+    for x, y in zip(df["u"], df["v"]):
+        if x != y:
+            es.add((min(x, y), max(x, y)))
+    for x, y in es:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    tri = {tuple(sorted((x, y, z))) for x, y in es for z in adj[x] & adj[y]}
+    ref = {}
+    for t in tri:
+        for nd in t:
+            ref[nd] = ref.get(nd, 0) + 1
+    got_rows = sorted((int(r.node), int(r.n_triangles)) for r in got.itertuples())
+    assert got_rows == sorted(ref.items())
+
+
+def test_triangle_counts_out_degree_cap(ray_session):
+    """A star graph closed into a fan: cap the hub's wedge emission."""
+    from vaero_ray.stages.graph import triangle_counts
+
+    # hub 0 connects to 1..20; ring edges (i, i+1) close triangles
+    spokes = [(0, i) for i in range(1, 21)]
+    ring = [(i, i + 1) for i in range(1, 20)]
+    df = pd.DataFrame(spokes + ring, columns=["u", "v"])
+    ds = rd.from_pandas(df)
+    full = triangle_counts(ds, "u", "v", num_buckets=4).to_pandas()
+    # every ring edge closes one triangle with the hub: 19 triangles
+    assert int(full.loc[full.node == 0, "n_triangles"].iloc[0]) == 19
+    capped = triangle_counts(ds, "u", "v", num_buckets=4, max_out_degree=5).to_pandas()
+    # truncation only loses triangles, never invents them
+    got_full = dict(zip(full.node, full.n_triangles))
+    for r in capped.itertuples():
+        assert r.n_triangles <= got_full[r.node]

@@ -3336,6 +3336,40 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_part_triangle_counts(sf_dir: str):
+    """Per-part triangle participation in the co-occurrence graph
+    (support >= 2 pairs as edges): how many closed part-triples each part
+    belongs to — the clustering signal on top of part_pair_support.
+    Degree-oriented wedge emission bounds the quadratic work by each
+    node's OUT-neighborhood (O(sqrt(m)) under degree orientation), with
+    a logged truncation guard for degenerate lists."""
+    from vaero_ray.stages.basket import pair_cooccurrence
+    from vaero_ray.stages.graph import triangle_counts
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    edges = pair_cooccurrence(ds, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_counts(
+        edges, "item_a", "item_b", node_out="part", count_out="n_triangles"
+    )
+
+
+SQL_PART_TRIANGLES = r"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e a JOIN e b ON b.u = a.v
+        JOIN e c ON c.u = a.u AND c.v = b.v)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS part FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY part
+"""
+
+
 _BLOOM_M = 1 << 16
 
 
@@ -6414,6 +6448,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_covered_seconds": q_user_covered_seconds,
     "part_pair_support": q_part_pair_support,
     "user_time_weighted": q_user_time_weighted,
+    "part_triangle_counts": q_part_triangle_counts,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6586,6 +6621,7 @@ ORACLES: dict[str, str] = {
     "user_covered_seconds": SQL_USER_COVERED_SECONDS,
     "part_pair_support": SQL_PART_PAIR_SUPPORT,
     "user_time_weighted": SQL_USER_TIME_WEIGHTED,
+    "part_triangle_counts": SQL_PART_TRIANGLES,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

@@ -353,3 +353,219 @@ def pagerank(
         ).repartition(nb).materialize()
 
     return state
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    a_col: str = "u",
+    b_col: str = "v",
+    node_out: str = "node",
+    count_out: str = "n_triangles",
+    num_buckets: int | None = None,
+    max_out_degree: int = 8192,
+) -> rd.Dataset:
+    """Per-node triangle participation counts over an undirected int64
+    edge list (each triangle contributes 1 to each of its three corners).
+
+    Scale shape — the standard degree-ordered node-iterator (MapReduce
+    triangle counting): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, emit WEDGES only from each node's
+    out-neighborhood (out-degree under degree orientation is bounded by
+    O(sqrt(m)) for any graph — a million-degree hub emits no wedge
+    explosion because almost all its edges point INTO it), then close
+    wedges against the oriented edge set with one hash-bucket co-group.
+    Every stage is a bounded bucketed exchange of int64 triples; the
+    quadratic wedge work is confined to out-neighborhoods, guarded by
+    ``max_out_degree`` (degenerate lists are DETERMINISTICALLY truncated
+    to the lowest-rank neighbors and the cap is logged — no silent caps).
+
+    Node ids must be NON-NEGATIVE int64 (sentinel tagging rides the
+    sign bit, as in pagerank). Parallel/duplicate edges and self-loops
+    are removed up front, so inputs need not be pre-canonicalized.
+    """
+    import logging
+
+    log = logging.getLogger("vaero_ray.stages.graph")
+
+    def canon(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:  # empty blocks carry no columns
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        a = np.asarray(tbl.column(a_col).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        b = np.asarray(tbl.column(b_col).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"u": pa.array(pairs[:, 0], pa.int64()),
+                         "v": pa.array(pairs[:, 1], pa.int64())})
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    e = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        "u", dedup_bucket, num_buckets=num_buckets,
+    ).materialize()
+
+    # -- degrees (two-phase count) ------------------------------------
+    def deg_partial(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+        both = np.concatenate([
+            np.asarray(tbl.column("u").to_numpy(zero_copy_only=False)),
+            np.asarray(tbl.column("v").to_numpy(zero_copy_only=False)),
+        ])
+        vals, cnt = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(vals, pa.int64()), "deg": pa.array(cnt, pa.int64())})
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    degs = bucketed_keyed_sum(
+        e.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], ["deg"], num_buckets=num_buckets,
+    ).materialize()
+
+    # -- attach deg to each endpoint (two sentinel-tagged co-groups) --
+    _KOD_EMPTY = pa.table({"k": pa.array([], pa.int64()), "other": pa.array([], pa.int64()),
+                           "deg": pa.array([], pa.int64())})
+
+    def tag_edges_by_u(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:  # empty derived blocks carry no columns
+            return _KOD_EMPTY
+        n = tbl.num_rows
+        return pa.table({"k": tbl.column("u"), "other": tbl.column("v"),
+                         "deg": pa.array(np.full(n, -1, np.int64))})
+
+    def tag_deg(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return _KOD_EMPTY
+        n = tbl.num_rows
+        return pa.table({"k": tbl.column("node"), "other": pa.array(np.full(n, -1, np.int64)),
+                         "deg": tbl.column("deg")})
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        drows = df[df["other"] < 0][["k", "deg"]]
+        erows = df[df["other"] >= 0][["k", "other"]]
+        m = erows.merge(drows, on="k", how="inner")
+        # output: (k=this endpoint, other, deg_k) -> re-tag keyed on other
+        return m.astype({"k": "int64", "other": "int64", "deg": "int64"})
+
+    with_du = bucketed_map_groups(
+        e.map_batches(tag_edges_by_u, batch_format="pyarrow", zero_copy_batch=True)
+        .union(degs.map_batches(tag_deg, batch_format="pyarrow", zero_copy_batch=True)),
+        "k", attach, num_buckets=num_buckets,
+    )
+
+    def retag_by_v(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"k": pa.array([], pa.int64()), "other": pa.array([], pa.int64()),
+                             "du": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+        n = tbl.num_rows
+        return pa.table({"k": tbl.column("other"), "other": tbl.column("k"),
+                         "du": tbl.column("deg"),
+                         "deg": pa.array(np.full(n, -1, np.int64))})
+
+    def tag_deg2(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"k": pa.array([], pa.int64()), "other": pa.array([], pa.int64()),
+                             "du": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+        n = tbl.num_rows
+        return pa.table({"k": tbl.column("node"), "other": pa.array(np.full(n, -1, np.int64)),
+                         "du": pa.array(np.full(n, -1, np.int64)), "deg": tbl.column("deg")})
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        drows = df[df["other"] < 0][["k", "deg"]]
+        erows = df[df["other"] >= 0][["k", "other", "du"]]
+        m = erows.merge(drows, on="k", how="inner")
+        # edge (other=u, k=v) with du=deg(u), deg=deg(v): orient from the
+        # lower (deg, id) endpoint to the higher
+        u = m["other"].to_numpy(); v = m["k"].to_numpy()
+        du = m["du"].to_numpy(); dv = m["deg"].to_numpy()
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v); dst = np.where(u_first, v, u)
+        ddst = np.where(u_first, dv, du)
+        return pd.DataFrame({"src": src, "dst": dst, "ddst": ddst}).astype("int64")
+
+    oriented = bucketed_map_groups(
+        with_du.map_batches(retag_by_v, batch_format="pyarrow", zero_copy_batch=True)
+        .union(degs.map_batches(tag_deg2, batch_format="pyarrow", zero_copy_batch=True)),
+        "k", orient, num_buckets=num_buckets,
+    ).materialize()
+
+    # -- wedges from each out-neighborhood, rank-sorted ----------------
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("x", "y", "center")})
+        if not len(df):
+            return empty
+        df = df.sort_values(["src", "ddst", "dst"], kind="mergesort")
+        s = df["src"].to_numpy(); d = df["dst"].to_numpy()
+        n = len(df)
+        bounds = np.flatnonzero(s[1:] != s[:-1]) + 1
+        starts = np.concatenate(([0], bounds)); ends = np.concatenate((bounds, [n]))
+        sizes = ends - starts
+        if (sizes > max_out_degree).any():
+            fat = int((sizes > max_out_degree).sum())
+            log.warning(
+                "triangle_counts: truncating %d out-neighborhood(s) > max_out_degree=%d",
+                fat, max_out_degree,
+            )
+            rank = np.arange(n) - np.repeat(starts, sizes)
+            keep = rank < max_out_degree
+            s, d = s[keep], d[keep]
+            n = len(s)
+            if not n:
+                return empty
+            bounds = np.flatnonzero(s[1:] != s[:-1]) + 1
+            starts = np.concatenate(([0], bounds)); ends = np.concatenate((bounds, [n]))
+            sizes = ends - starts
+        end_at = np.repeat(ends, sizes)
+        reps = end_at - np.arange(n) - 1
+        total = int(reps.sum())
+        if not total:
+            return empty
+        left = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        right = np.arange(total) - cum[left] + left + 1
+        # out-list is rank-sorted, so rank(d[left]) <= rank(d[right]) and
+        # the closing edge, if present, is oriented d[left] -> d[right]
+        return pd.DataFrame({"x": d[left], "y": d[right], "center": s[left]}).astype("int64")
+
+    w = bucketed_map_groups(oriented, "src", wedges, num_buckets=num_buckets)
+
+    # -- close wedges against the oriented edges -----------------------
+    def tag_closing_edges(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
+                             "center": pa.array([], pa.int64())})
+        n = tbl.num_rows
+        return pa.table({"x": tbl.column("src"), "y": tbl.column("dst"),
+                         "center": pa.array(np.full(n, -1, np.int64))})
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        erows = df[df["center"] < 0][["x", "y"]]
+        wrows = df[df["center"] >= 0]
+        m = wrows.merge(erows, on=["x", "y"], how="inner")
+        return m[["x", "y", "center"]].astype("int64")
+
+    tri = bucketed_map_groups(
+        w.union(oriented.map_batches(tag_closing_edges, batch_format="pyarrow", zero_copy_batch=True)),
+        "x", close, num_buckets=num_buckets,
+    )
+
+    # -- per-corner counts ---------------------------------------------
+    def corner_partial(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({node_out: pa.array([], pa.int64()),
+                             count_out: pa.array([], pa.int64())})
+        allc = np.concatenate([
+            np.asarray(tbl.column(c).to_numpy(zero_copy_only=False))
+            for c in ("x", "y", "center")
+        ])
+        vals, cnt = np.unique(allc, return_counts=True)
+        return pa.table({node_out: pa.array(vals, pa.int64()),
+                         count_out: pa.array(cnt, pa.int64())})
+
+    return bucketed_keyed_sum(
+        tri.map_batches(corner_partial, batch_format="pyarrow", zero_copy_batch=True),
+        [node_out], [count_out], num_buckets=num_buckets,
+    )
