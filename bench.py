@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "part_pair_support",            # market-basket pair co-occurrence (in-basket quadratic only)
     "user_time_weighted",           # time-weighted value sums (TWA numerator/denominator)
     "part_triangle_counts",         # degree-oriented triangle counting on the co-occurrence graph
+    "lineitem_corr_matrix",         # one-pass pairwise Pearson matrix (Gram partials, zero shuffle)
+    "value_trend_per_type",         # per-group OLS drift (closed form over integer moments)
+    "user_event_entropy",           # behavioral diversity (exact counts -> ln closed form)
+    "value_gini_per_type",          # exact Gini via distinct-value compression (no row sort)
+    "source_length_ranksum",        # Mann-Whitney A/B shift test, exact with ties
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

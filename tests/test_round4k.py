@@ -1,0 +1,169 @@
+"""Session-7 numstats tier: corr_matrix / regression / entropy / gini /
+rank-sum vs brute-force numpy oracles on randomized inputs."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    from vaero_ray.stages.numstats import corr_matrix
+
+    rng = _rng()
+    n = 5000
+    a = rng.integers(0, 100, n)
+    b = a * 3 + rng.integers(0, 50, n)  # correlated
+    c = rng.integers(-20, 20, n)
+    df = pd.DataFrame({"a": a, "b": b, "c": c})
+    out = corr_matrix(rd.from_pandas(df).repartition(7), ["a", "b", "c"]).to_pandas()
+    assert len(out) == 3
+    ref = np.corrcoef(np.stack([a, b, c]))
+    got = {(r.col_x, r.col_y): r.corr_xy for r in out.itertuples()}
+    for (i, x), (j, y) in [((0, "a"), (1, "b")), ((0, "a"), (2, "c")), ((1, "b"), (2, "c"))]:
+        assert abs(got[(x, y)] - ref[i, j]) < 1e-6
+    # exact integer moments survive resharding
+    out2 = corr_matrix(rd.from_pandas(df).repartition(23), ["a", "b", "c"]).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["col_x", "col_y"]).reset_index(drop=True),
+        out2.sort_values(["col_x", "col_y"]).reset_index(drop=True),
+    )
+
+
+def test_corr_matrix_zero_variance_is_null(ray_session):
+    from vaero_ray.stages.numstats import corr_matrix
+
+    df = pd.DataFrame({"a": [1, 1, 1, 1], "b": [1, 2, 3, 4]})
+    out = corr_matrix(rd.from_pandas(df), ["a", "b"]).to_pandas()
+    assert out["corr_xy"].isna().all()
+
+
+def test_regression_per_group_matches_polyfit(ray_session):
+    from vaero_ray.stages.numstats import regression_per_group
+
+    rng = _rng()
+    rows = []
+    for g, slope in [("g1", 2), ("g2", -3)]:
+        x = rng.integers(0, 1000, 800)
+        y = slope * x + 17 + rng.integers(-40, 40, 800)
+        rows.append(pd.DataFrame({"g": g, "x": x, "y": y}))
+    df = pd.concat(rows, ignore_index=True)
+    out = (
+        regression_per_group(rd.from_pandas(df).repartition(9), "g", "x", "y")
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in ["g1", "g2"]:
+        sub = df[df.g == g]
+        sl, ic = np.polyfit(sub.x, sub.y, 1)
+        assert abs(out.loc[g, "slope"] - sl) < 1e-4
+        assert abs(out.loc[g, "intercept"] - ic) < 1e-3
+        r = np.corrcoef(sub.x, sub.y)[0, 1]
+        assert abs(out.loc[g, "r2"] - r * r) < 1e-6
+
+
+def test_regression_zero_x_variance_nulls(ray_session):
+    from vaero_ray.stages.numstats import regression_per_group
+
+    df = pd.DataFrame({"g": ["a"] * 4, "x": [5, 5, 5, 5], "y": [1, 2, 3, 4]})
+    out = regression_per_group(rd.from_pandas(df), "g", "x", "y").to_pandas()
+    assert out["slope"].isna().all() and out["intercept"].isna().all()
+
+
+def test_entropy_per_group_matches_bruteforce(ray_session):
+    from vaero_ray.stages.numstats import entropy_per_group
+
+    rng = _rng()
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, 6000).astype(str),
+            "cat": rng.choice(list("abcde"), 6000, p=[0.5, 0.2, 0.15, 0.1, 0.05]),
+        }
+    )
+    out = (
+        entropy_per_group(rd.from_pandas(df).repartition(11), "k", "cat")
+        .to_pandas()
+        .set_index("k")
+    )
+    for k, sub in df.groupby("k"):
+        p = sub["cat"].value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log(p)).sum())
+        assert abs(out.loc[k, "entropy"] - h) < 2e-6
+        assert out.loc[k, "n_rows"] == len(sub)
+        assert out.loc[k, "n_cats"] == sub["cat"].nunique()
+
+
+def test_entropy_single_category_is_zero(ray_session):
+    from vaero_ray.stages.numstats import entropy_per_group
+
+    df = pd.DataFrame({"k": ["a"] * 5, "cat": ["x"] * 5})
+    out = entropy_per_group(rd.from_pandas(df), "k", "cat").to_pandas()
+    assert out["entropy"].iloc[0] == 0.0
+
+
+def _gini_brute(x: np.ndarray) -> float:
+    x = np.sort(x)
+    n = len(x)
+    i = np.arange(1, n + 1)
+    return float(((2 * i - n - 1) * x).sum() / (n * x.sum()))
+
+
+def test_gini_per_group_matches_bruteforce(ray_session):
+    from vaero_ray.stages.numstats import gini_per_group
+
+    rng = _rng()
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["lo", "hi", "mix"], 9000),
+            # heavy ties: small integer domain
+            "v": rng.integers(1, 40, 9000),
+        }
+    )
+    # make 'hi' genuinely unequal
+    df.loc[df.g == "hi", "v"] = (rng.pareto(1.5, (df.g == "hi").sum()) * 10 + 1).astype(int)
+    out = (
+        gini_per_group(rd.from_pandas(df).repartition(13), "g", "v")
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, sub in df.groupby("g"):
+        v = sub["v"].to_numpy(np.int64)
+        assert abs(out.loc[g, "gini"] - _gini_brute(v)) < 1e-6
+        assert out.loc[g, "n_rows"] == len(v)
+        assert out.loc[g, "sum_val"] == v.sum()
+    # all-equal values => gini exactly 0 via the integer numerator
+    df0 = pd.DataFrame({"g": ["z"] * 6, "v": [7] * 6})
+    out0 = gini_per_group(rd.from_pandas(df0), "g", "v").to_pandas()
+    assert out0["gini_num"].iloc[0] == 0 and out0["gini"].iloc[0] == 0.0
+
+
+def test_rank_sum_matches_bruteforce(ray_session):
+    from vaero_ray.stages.numstats import rank_sum_test
+
+    rng = _rng()
+    v1 = rng.integers(0, 50, 700)
+    v2 = rng.integers(10, 60, 900)
+    df = pd.DataFrame(
+        {
+            "v": np.r_[v1, v2, rng.integers(0, 50, 100)],
+            "side": ["g1"] * 700 + ["g2"] * 900 + ["other"] * 100,
+        }
+    )
+    out = rank_sum_test(
+        rd.from_pandas(df.sample(frac=1, random_state=7)).repartition(8),
+        "v", "side", "g1", "g2",
+    ).to_pandas()
+    # brute force: average ranks over the pooled sample
+    pooled = np.r_[v1, v2]
+    order = pd.Series(pooled).rank(method="average").to_numpy()  # 1-based avg ranks
+    r1 = order[:700].sum()
+    assert out["n1"].iloc[0] == 700 and out["n2"].iloc[0] == 900
+    assert out["two_r1"].iloc[0] == int(round(2 * r1))
+    u1 = r1 - 700 * 701 / 2
+    assert out["two_u1"].iloc[0] == int(round(2 * u1))

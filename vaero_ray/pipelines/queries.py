@@ -6373,6 +6373,203 @@ FROM events
 """
 
 
+# ------------------------------------------------------------------
+# Numerical-statistics tier (stages/numstats.py): one-pass correlation
+# matrix, per-group OLS, entropy, exact Gini, Mann-Whitney rank-sum
+# ------------------------------------------------------------------
+
+def _lineitem_scaled(sf_dir: str) -> rd.Dataset:
+    """Integer-scale the four lineitem measures with the engine-wide
+    half-away fixed-point (floor(x*s + 0.5)): qty (integral), price in
+    whole dollars, discount/tax in percent points. Headroom: worst Gram
+    entry dollars^2 ~ 1.1e10 x 6e5 rows (sf0.1) = 6.6e15 << 2^63."""
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        fx = lambda col, s: pc.cast(  # noqa: E731
+            pc.floor(pc.add(pc.multiply(t.column(col), s), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "qty": fx("l_quantity", 1.0),
+                "price_usd": fx("l_extendedprice", 1.0),
+                "disc_pct": fx("l_discount", 100.0),
+                "tax_pct": fx("l_tax", 100.0),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lineitem_corr_matrix(sf_dir: str):
+    """All pairwise Pearson correlations over the four lineitem measures
+    in ONE pass: each block reduces to a single 15-int64 partial (one
+    numpy Gram matmul), the merge is a driver-side Dataset.sum — zero
+    shuffle, exact integer moments, 6-dp closed-form corr (numstats
+    docstring has the full scale shape)."""
+    from vaero_ray.stages.numstats import corr_matrix
+
+    return corr_matrix(_lineitem_scaled(sf_dir), ["qty", "price_usd", "disc_pct", "tax_pct"])
+
+
+SQL_LINEITEM_CORR = r"""
+WITH t AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+                  CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS price_usd,
+                  CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+                  CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tax_pct
+           FROM lineitem),
+u AS (
+  SELECT 'qty' AS col_x, 'price_usd' AS col_y, qty AS x, price_usd AS y FROM t
+  UNION ALL SELECT 'qty', 'disc_pct', qty, disc_pct FROM t
+  UNION ALL SELECT 'qty', 'tax_pct', qty, tax_pct FROM t
+  UNION ALL SELECT 'price_usd', 'disc_pct', price_usd, disc_pct FROM t
+  UNION ALL SELECT 'price_usd', 'tax_pct', price_usd, tax_pct FROM t
+  UNION ALL SELECT 'disc_pct', 'tax_pct', disc_pct, tax_pct FROM t),
+m AS (SELECT col_x, col_y, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x*x) AS BIGINT) AS sum_xx, CAST(sum(y*y) AS BIGINT) AS sum_yy,
+             CAST(sum(x*y) AS BIGINT) AS sum_xy
+      FROM u GROUP BY 1, 2)
+SELECT col_x, col_y, n_rows, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       CASE WHEN (CAST(n_rows AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)
+               * (CAST(n_rows AS DOUBLE) * sum_yy - CAST(sum_y AS DOUBLE) * sum_y) > 0
+            THEN ROUND((CAST(n_rows AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+                       / sqrt((CAST(n_rows AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)
+                            * (CAST(n_rows AS DOUBLE) * sum_yy - CAST(sum_y AS DOUBLE) * sum_y)), 6)
+            ELSE NULL END AS corr_xy
+FROM m
+"""
+
+
+def q_value_trend_per_type(sf_dir: str):
+    """Per-event-type OLS trend of value (cents) on event-time (whole
+    hours since epoch): slope/intercept/r2 from the exact grouped
+    integer moments — the drift detector over a metric stream. Hours
+    (~4.8e5) keep sum_xx ~ 2.3e11 x rows inside int64 at any tested
+    scale; closed-form finalize (NOT DuckDB regr_slope, whose streaming
+    accumulation differs in low bits)."""
+    from vaero_ray.stages.numstats import regression_per_group
+
+    ds = _events(sf_dir, columns=["event_type", "ts", "value"]).map_batches(
+        _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def add_hours(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        hours = pc.divide(us, 3600000000)  # integer division on int64
+        return pa.table(
+            {"event_type": t.column("event_type"), "hr": hours, "cents": t.column("value")}
+        )
+
+    scaled = ds.map_batches(add_hours, batch_format="pyarrow", zero_copy_batch=True)
+    return regression_per_group(scaled, "event_type", "hr", "cents")
+
+
+SQL_VALUE_TREND = r"""
+WITH t AS (SELECT event_type, epoch_us(ts) // 3600000000 AS x,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM t GROUP BY 1),
+f AS (SELECT event_type, n_rows,
+             CAST(n_rows AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+             CAST(n_rows AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS dx,
+             CAST(n_rows AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dy,
+             CAST(sx AS DOUBLE) AS fsx, CAST(sy AS DOUBLE) AS fsy
+      FROM m)
+SELECT event_type, n_rows,
+       CASE WHEN dx > 0 THEN ROUND(num / dx, 6) END AS slope,
+       CASE WHEN dx > 0 THEN ROUND((fsy - (num / dx) * fsx) / n_rows, 6) END AS intercept,
+       CASE WHEN dx > 0 AND dy > 0 THEN ROUND(num * num / (dx * dy), 6) END AS r2
+FROM f
+"""
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each user's event-type mix — the
+    behavioral-diversity score: exact integer (user, type) counts
+    through two bounded bucketed exchanges; only the final
+    ``ln(n) - sum(c ln c)/n`` is float (6-dp, identical expression both
+    engines)."""
+    from vaero_ray.stages.numstats import entropy_per_group
+
+    return entropy_per_group(
+        _events(sf_dir, columns=["user_id", "event_type"]), "user_id", "event_type"
+    )
+
+
+SQL_USER_ENTROPY = r"""
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cats,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM c GROUP BY 1
+"""
+
+
+def q_value_gini_per_type(sf_dir: str):
+    """Exact Gini coefficient of event value (cents) per event type
+    WITHOUT a row sort: distinct-value compression moves one exact
+    (type, cents, count) row per distinct value (~6.6k per type, data
+    domain-bounded), the per-type fold is a vectorized cumsum, and the
+    numerator stays int64 to the end (tie-invariant closed form — see
+    numstats.gini_per_group)."""
+    from vaero_ray.stages.numstats import gini_per_group
+
+    ds = _events(sf_dir, columns=["event_type", "value"]).map_batches(
+        _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return gini_per_group(ds, "event_type", "value")
+
+
+SQL_VALUE_GINI = r"""
+WITH t AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+r AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM t)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_val,
+       CAST(SUM((2*rn - n - 1) * v) AS BIGINT) AS gini_num,
+       ROUND(CAST(SUM((2*rn - n - 1) * v) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)), 6) AS gini
+FROM r GROUP BY 1
+"""
+
+
+def q_source_length_ranksum(sf_dir: str):
+    """Mann-Whitney rank-sum comparing src0 vs src1 document lengths —
+    exact with ties via average-rank DOUBLING (all-integer output:
+    2*R1 and 2*U1), distinct-value compressed so the exchange carries
+    one row per distinct length (~313 here; domain-bounded by
+    contract). The distribution-shift A/B check for corpus QA."""
+    from vaero_ray.stages.numstats import rank_sum_test
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return rank_sum_test(ds, "n_chars", "source", "src0", "src1")
+
+
+SQL_RANKSUM = r"""
+WITH t AS (SELECT n_chars AS v, source FROM documents WHERE source IN ('src0', 'src1')),
+r AS (SELECT v, source, RANK() OVER (ORDER BY v) AS mn,
+             COUNT(*) OVER (PARTITION BY v) AS c
+      FROM t)
+SELECT CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS n1,
+       CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS n2,
+       CAST(SUM(2*mn + c - 1) FILTER (source = 'src0') AS BIGINT) AS two_r1,
+       CAST(SUM(2*mn + c - 1) FILTER (source = 'src0') AS BIGINT)
+         - COUNT(*) FILTER (source = 'src0')
+           * (COUNT(*) FILTER (source = 'src0') + 1) AS two_u1
+FROM r
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -6449,6 +6646,11 @@ QUERIES: dict[str, QueryFn] = {
     "part_pair_support": q_part_pair_support,
     "user_time_weighted": q_user_time_weighted,
     "part_triangle_counts": q_part_triangle_counts,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "value_trend_per_type": q_value_trend_per_type,
+    "user_event_entropy": q_user_event_entropy,
+    "value_gini_per_type": q_value_gini_per_type,
+    "source_length_ranksum": q_source_length_ranksum,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6622,6 +6824,11 @@ ORACLES: dict[str, str] = {
     "part_pair_support": SQL_PART_PAIR_SUPPORT,
     "user_time_weighted": SQL_USER_TIME_WEIGHTED,
     "part_triangle_counts": SQL_PART_TRIANGLES,
+    "lineitem_corr_matrix": SQL_LINEITEM_CORR,
+    "value_trend_per_type": SQL_VALUE_TREND,
+    "user_event_entropy": SQL_USER_ENTROPY,
+    "value_gini_per_type": SQL_VALUE_GINI,
+    "source_length_ranksum": SQL_RANKSUM,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

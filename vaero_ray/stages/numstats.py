@@ -1,0 +1,305 @@
+"""Distributed numerical statistics over integer-scaled columns.
+
+Every operator here follows the engine's exact-aggregate convention
+(see relational.grouped_moments): the DISTRIBUTED part moves only
+mergeable integer sums (order- and shard-independent, hash-exact), and
+any float statistic is derived at the very end by ONE closed-form
+float64 expression — the identical expression a SQL oracle writes over
+the same integers, so 6-dp rounded results are engine-independent.
+
+Scale shapes
+------------
+- ``corr_matrix``: one row of ``k + k*(k+1)/2 + 1`` int64 partials per
+  BLOCK (a numpy ``X.T @ X`` per batch), merged by one tiny ``Dataset.sum``
+  — zero row exchange, any number of columns in one pass.
+- ``regression_per_group`` / ``entropy_per_group``: per-batch partial
+  collapse, then ONE hash-bucket exchange bounded by distinct keys
+  (x categories for entropy) x blocks.
+- ``gini_per_group`` / ``rank_sum_test``: DISTINCT-VALUE COMPRESSION —
+  the rank-weighted sums both need a global sorted order, but every
+  tie-block contributes a closed form of (value, count, cumulative
+  start), so the exchange carries one row per distinct (key, value)
+  instead of per input row. The per-key fold is then a vectorized sort
+  + cumsum over the compressed rows (contract: distinct values per key
+  bounded — lengths, cents, scores — NOT free-form doubles).
+
+Int64 headroom is the caller's contract, as in grouped_moments: scale
+inputs so ``n * max|x*y|`` fits (documented per gate).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+__all__ = [
+    "corr_matrix",
+    "regression_per_group",
+    "entropy_per_group",
+    "gini_per_group",
+    "rank_sum_test",
+]
+
+
+def corr_matrix(ds: rd.Dataset, cols: "list[str]") -> pa.Table:
+    """Pairwise Pearson correlation matrix over k INTEGER columns in ONE
+    pass: each block reduces to a single partial row holding ``n``, the
+    k column sums and the upper triangle of the exact int64 Gram matrix
+    ``X.T @ X`` (one numpy matmul per batch — all k*(k+1)/2 cross
+    moments at once, no per-pair scans); ``Dataset.sum`` merges the
+    partials driver-side (k*(k+3)/2+1 scalars, no shuffle). Returns one
+    row per unordered pair ``(col_x, col_y)`` with the exact integer
+    moments plus the 6-dp closed-form ``corr_xy`` (NULL when either
+    variance is zero, SQL semantics).
+
+    Caller scales inputs so ``n * max|x_i * x_j|`` fits int64."""
+    k = len(cols)
+    iu = np.triu_indices(k)
+    gcols = [f"g_{i}_{j}" for i, j in zip(*iu)]
+    scols = [f"s_{i}" for i in range(k)]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = np.empty((tbl.num_rows, k), np.int64)
+        for i, c in enumerate(cols):
+            x[:, i] = tbl.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        gram = x.T @ x
+        out = {"n": pa.array([tbl.num_rows], pa.int64())}
+        sums = x.sum(axis=0)
+        for i in range(k):
+            out[scols[i]] = pa.array([int(sums[i])], pa.int64())
+        for name, i, j in zip(gcols, *iu):
+            out[name] = pa.array([int(gram[i, j])], pa.int64())
+        return pa.table(out)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n", *scols, *gcols]
+    )
+    n = int(agg["sum(n)"])
+    s = {i: int(agg[f"sum(s_{i})"]) for i in range(k)}
+    g = {(i, j): int(agg[f"sum(g_{i}_{j})"]) for i, j in zip(*iu)}
+
+    rows = {c: [] for c in (
+        "col_x", "col_y", "n_rows", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy", "corr_xy"
+    )}
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = float(n) * g[(i, j)] - float(s[i]) * s[j]
+            den2 = (float(n) * g[(i, i)] - float(s[i]) * s[i]) * (
+                float(n) * g[(j, j)] - float(s[j]) * s[j]
+            )
+            rows["col_x"].append(cols[i])
+            rows["col_y"].append(cols[j])
+            rows["n_rows"].append(n)
+            rows["sum_x"].append(s[i])
+            rows["sum_y"].append(s[j])
+            rows["sum_xx"].append(g[(i, i)])
+            rows["sum_yy"].append(g[(j, j)])
+            rows["sum_xy"].append(g[(i, j)])
+            rows["corr_xy"].append(round(num / math.sqrt(den2), 6) if den2 > 0 else None)
+    return pa.table(
+        {
+            "col_x": pa.array(rows["col_x"], pa.string()),
+            "col_y": pa.array(rows["col_y"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "sum_x": pa.array(rows["sum_x"], pa.int64()),
+            "sum_y": pa.array(rows["sum_y"], pa.int64()),
+            "sum_xx": pa.array(rows["sum_xx"], pa.int64()),
+            "sum_yy": pa.array(rows["sum_yy"], pa.int64()),
+            "sum_xy": pa.array(rows["sum_xy"], pa.int64()),
+            "corr_xy": pa.array(rows["corr_xy"], pa.float64()),
+        }
+    )
+
+
+def regression_per_group(ds: rd.Dataset, key: str, x_col: str, y_col: str) -> rd.Dataset:
+    """Per-key simple OLS of INTEGER ``y`` on INTEGER ``x`` — slope,
+    intercept and r² derived in closed form from grouped_moments' exact
+    mergeable integer sums:
+
+        slope     = (n*sxy - sx*sy) / (n*sxx - sx^2)
+        intercept = (sy - slope_raw * sx) / n          (raw slope, THEN round)
+        r2        = (n*sxy - sx*sy)^2 / ((n*sxx - sx^2)*(n*syy - sy^2))
+
+    Deliberately NOT DuckDB's ``regr_slope`` (whose streaming covariance
+    accumulates differently): the oracle writes these exact expressions
+    over the same integer sums, so 6-dp results match bitwise.
+    Zero-x-variance groups emit NULLs. Same int64-headroom contract."""
+    from vaero_ray.stages.relational import grouped_moments
+
+    moments = grouped_moments(ds, key, x_col, y_col)
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_rows").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = tbl.column("sum_x").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = tbl.column("sum_y").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = tbl.column("sum_xx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = tbl.column("sum_yy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = tbl.column("sum_xy").to_numpy(zero_copy_only=False).astype(np.float64)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        ok = dx > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = num / dx
+            intercept = (sy - slope * sx) / n
+            r2 = np.where((dx > 0) & (dy > 0), (num * num) / (dx * dy), np.nan)
+        mk = lambda v, cond: pa.array(  # noqa: E731
+            [round(float(x), 6) if c else None for x, c in zip(v, cond)], pa.float64()
+        )
+        return pa.table(
+            {
+                key: tbl.column(key),
+                "n_rows": tbl.column("n_rows"),
+                "slope": mk(slope, ok),
+                "intercept": mk(intercept, ok),
+                "r2": mk(r2, ok & (dy > 0)),
+            }
+        )
+
+    return moments.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entropy_per_group(ds: rd.Dataset, key: str, cat_col: str) -> rd.Dataset:
+    """Shannon entropy (nats) of the ``cat_col`` distribution per ``key``:
+    H = ln(n) - sum(c * ln c) / n over the exact category counts.
+
+    Two-phase: per-batch (key, cat) count partials, one bucketed exchange
+    merging them (bounded by distinct (key, cat) x blocks), then a
+    second bucketed fold per key — counts stay exact integers end to
+    end; only the final H is float (6-dp, the identical ln expression
+    the oracle writes). Single-category keys emit 0.0."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, cat_col], sort=False, dropna=False).size()
+        return g.rename("c").reset_index()
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(counts, [key, cat_col], ["c"])
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.float64)
+        clogc = pd.Series(c * np.log(c), index=df.index)
+        out = pd.DataFrame(
+            {
+                key: df[key],
+                "n_rows": df["c"],
+                "__h": clogc,
+            }
+        )
+        agg = out.groupby(key, sort=False, dropna=False, as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_cats=("n_rows", "size"), __h=("__h", "sum")
+        )
+        nn = agg["n_rows"].to_numpy(np.float64)
+        agg["entropy"] = np.round(np.log(nn) - agg["__h"].to_numpy(np.float64) / nn, 6)
+        return agg.drop(columns="__h")
+
+    return bucketed_map_groups(merged, key, per_key)
+
+
+def _compressed_counts(ds: rd.Dataset, key: str, val_col: str) -> rd.Dataset:
+    """Distinct-value compression: exact counts per (key, value) — the
+    shared front half of gini_per_group / rank_sum_test."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, val_col], sort=False).size()
+        return g.rename("c").reset_index()
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_keyed_sum(counts, [key, val_col], ["c"])
+
+
+def gini_per_group(ds: rd.Dataset, key: str, val_col: str) -> rd.Dataset:
+    """Exact Gini coefficient of non-negative INTEGER ``val_col`` per
+    ``key`` without a row sort: with 1-based ascending positions i,
+    ``gini = sum((2i - n - 1) * x_i) / (n * sum(x))`` — tie-invariant
+    (equal values commute), so it collapses under distinct-value
+    compression: a tie-block of value v, count c, starting after
+    ``start`` rows contributes ``v * c * (2*start + c - n)``. The
+    exchange carries one exact (key, value, count) row per distinct
+    value; the per-key fold is one vectorized sort + cumsum over the
+    compressed rows. Emits the exact int64 numerator plus the one
+    float64 division (6-dp) — hash-stable across shard orders."""
+    merged = _compressed_counts(ds, key, val_col)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, val_col], kind="stable")
+        if not len(df):
+            return pd.DataFrame(
+                {key: [], "n_rows": [], "sum_val": [], "gini_num": [], "gini": []}
+            )
+        v = df[val_col].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)  # nondecreasing
+        # rows before each tie-block WITHIN its key: global exclusive
+        # cumsum minus the key segment's opening value
+        excl = np.cumsum(c) - c
+        seg_first = np.r_[True, codes[1:] != codes[:-1]]
+        first_idx = np.maximum.accumulate(np.where(seg_first, np.arange(len(c)), 0))
+        start = excl - excl[first_idx]
+        g = pd.DataFrame({key: df[key].to_numpy(), "c": c})
+        n_per = g.groupby(key, sort=False)["c"].transform("sum").to_numpy(np.int64)
+        g["sv"] = v * c
+        g["term"] = v * c * (2 * start + c - n_per)
+        agg = g.groupby(key, sort=False, as_index=False).agg(
+            n_rows=("c", "sum"), sum_val=("sv", "sum"), gini_num=("term", "sum")
+        )
+        den = agg["n_rows"].to_numpy(np.float64) * agg["sum_val"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            agg["gini"] = np.where(
+                den > 0, np.round(agg["gini_num"].to_numpy(np.float64) / den, 6), np.nan
+            )
+        agg["gini"] = agg["gini"].astype(object).where(den > 0, None)
+        return agg
+
+    return bucketed_map_groups(merged, key, per_key)
+
+
+def rank_sum_test(
+    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str
+) -> pa.Table:
+    """Mann-Whitney rank-sum between two groups, exact with ties:
+    average-rank doubling keeps everything integer — a tie-block of
+    total count c whose min 1-based rank is ``start+1`` has
+    ``2 * avg_rank = 2*start + c + 1``, so ``two_r1 = sum over group-1
+    rows of (2*start + c + 1)`` and ``two_u1 = two_r1 - n1*(n1+1)``.
+    Distinct-value compression again: the exchange carries one exact
+    (value, c1, c2) row per distinct value; the global fold is a single
+    small sort + cumsum (contract: bounded value domain). Returns a
+    1-row table (n1, n2, two_r1, two_u1) — all exact int64."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin([g1, g2])]
+        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
+        out = pd.DataFrame(
+            {
+                val_col: p[val_col],
+                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
+                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
+            }
+        )
+        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
+    # compressed table: one row per distinct value — small by contract
+    comp = merged.to_pandas().sort_values(val_col, kind="stable")
+    c1 = comp["c1"].to_numpy(np.int64)
+    c2 = comp["c2"].to_numpy(np.int64)
+    c = c1 + c2
+    start = np.cumsum(c) - c
+    two_r1 = int(np.sum(c1 * (2 * start + c + 1)))
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "two_r1": pa.array([two_r1], pa.int64()),
+            "two_u1": pa.array([two_r1 - n1 * (n1 + 1)], pa.int64()),
+        }
+    )
