@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "user_event_entropy",           # behavioral diversity (exact counts -> ln closed form)
     "value_gini_per_type",          # exact Gini via distinct-value compression (no row sort)
     "source_length_ranksum",        # Mann-Whitney A/B shift test, exact with ties
+    "conv_turn_balance",            # per-conversation role balance (transcript health)
+    "tool_followup_roles",          # tool-outcome profile (what follows a tool turn)
+    "winsorized_length_stats",      # per-source winsorized mean (clamp to exact p05/p95)
+    "session_conversion_rate",      # sessionize -> per-session funnel outcome
+    "user_rfm_scores",              # RFM quintiles (3 global ntiles on the aggregate)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

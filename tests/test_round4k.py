@@ -167,3 +167,76 @@ def test_rank_sum_matches_bruteforce(ray_session):
     assert out["two_r1"].iloc[0] == int(round(2 * r1))
     u1 = r1 - 700 * 701 / 2
     assert out["two_u1"].iloc[0] == int(round(2 * u1))
+
+
+def test_follow_role_counts_bruteforce(ray_session):
+    from vaero_ray.stages.convstats import follow_role_counts
+
+    df = pd.DataFrame(
+        {
+            "conv": ["c1"] * 4 + ["c2"] * 3,
+            "idx": [0, 1, 2, 3, 0, 1, 2],
+            "role": ["user", "tool", "assistant", "tool", "tool", "tool", "user"],
+            "tool": ["", "search", "", "web", "calc", "calc", ""],
+        }
+    )
+    out = (
+        follow_role_counts(
+            rd.from_pandas(df).repartition(3),
+            key="conv", col="role", from_val="tool", by_col="tool", order="idx",
+        )
+        .to_pandas()
+        .set_index(["tool", "next"])["n"]
+        .to_dict()
+    )
+    # c1: tool@1 -> assistant; tool@3 -> <end>; c2: tool@0 -> tool; tool@1 -> user
+    assert out == {("search", "assistant"): 1, ("web", "<end>"): 1,
+                   ("calc", "tool"): 1, ("calc", "user"): 1}
+
+
+def test_winsorized_stats_per_group_bruteforce(ray_session):
+    from vaero_ray.stages.selection import winsorized_stats_per_group
+
+    rng = _rng()
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 4000),
+            "v": rng.integers(0, 1000, 4000),
+        }
+    )
+    out = (
+        winsorized_stats_per_group(rd.from_pandas(df).repartition(7), "v", "g")
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy(np.int64))
+        n = len(v)
+        lo = v[max(math.ceil(0.05 * n) - 1, 0)]
+        hi = v[max(math.ceil(0.95 * n) - 1, 0)]
+        w = np.clip(sub["v"].to_numpy(np.int64), lo, hi)
+        assert out.loc[g, "lo"] == lo and out.loc[g, "hi"] == hi
+        assert out.loc[g, "n_rows"] == n
+        assert out.loc[g, "sum_w"] == w.sum()
+        assert abs(out.loc[g, "mean_w"] - w.mean()) < 1e-12
+
+
+def test_rfm_ntile_formula_matches_sql_ntile(ray_session):
+    """The closed-form ntile split in q_user_rfm_scores must reproduce
+    SQL NTILE(5) for n not divisible by 5 (first n%5 tiles one bigger)."""
+    import duckdb
+
+    from vaero_ray.pipelines.queries import QUERIES, ORACLES
+
+    # tiny deterministic events table exercising n=23 users via sf0.001
+    got = QUERIES["user_rfm_scores"]("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = con.execute(ORACLES["user_rfm_scores"]).fetchdf()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    for c in ["r_score", "f_score", "m_score", "rfm"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all()

@@ -6570,6 +6570,274 @@ FROM r
 """
 
 
+# ------------------------------------------------------------------
+# Session-7 batch 2: transcript turn-balance / tool outcomes,
+# winsorized robust mean, session conversion, RFM scoring
+# ------------------------------------------------------------------
+
+def q_conv_turn_balance(sf_dir: str):
+    """Per-conversation role balance: turn counts and text volume per
+    role lane (user/assistant/tool) — the transcript-health profile
+    (one-sided conversations, tool-heavy loops). Stateless per-batch
+    indicator partials, ONE bounded keyed exchange; no turn numbering
+    needed, so the derivation's row_number shuffle is skipped."""
+    import pandas as _pd
+
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        ln = df["text"].str.len().astype("int64")
+        role = df["role"]
+        out = _pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "n_user": (role == "user").astype("int64"),
+                "n_assistant": (role == "assistant").astype("int64"),
+                "n_tool": (role == "tool").astype("int64"),
+                "user_chars": np.where(role == "user", ln, 0),
+                "assistant_chars": np.where(role == "assistant", ln, 0),
+            }
+        )
+        return out.groupby("conv_id", sort=False, as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_keyed_sum(
+        parts,
+        ["conv_id"],
+        ["n_user", "n_assistant", "n_tool", "user_chars", "assistant_chars"],
+    )
+
+
+SQL_CONV_TURN_BALANCE = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       CAST(COUNT(*) FILTER (role = 'user') AS BIGINT) AS n_user,
+       CAST(COUNT(*) FILTER (role = 'assistant') AS BIGINT) AS n_assistant,
+       CAST(COUNT(*) FILTER (role = 'tool') AS BIGINT) AS n_tool,
+       CAST(COALESCE(SUM(length(text)) FILTER (role = 'user'), 0) AS BIGINT) AS user_chars,
+       CAST(COALESCE(SUM(length(text)) FILTER (role = 'assistant'), 0) AS BIGINT) AS assistant_chars
+FROM transcripts GROUP BY 1
+"""
+
+
+def q_tool_followup_roles(sf_dir: str):
+    """Tool-outcome profile of the agentic stream: for every tool turn,
+    the distribution of what the conversation does NEXT (hand back to
+    the assistant, another tool hop, user interjection, or end) grouped
+    by tool name — convstats.follow_role_counts, one conv-bucketed
+    shuffle + one tiny cell merge."""
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.convstats import follow_role_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(["conv_id", "role", "tool", "ts", "event_id"])
+    return follow_role_counts(
+        ds, key="conv_id", col="role", from_val="tool", by_col="tool",
+        order=["ts", "event_id"],
+    )
+
+
+SQL_TOOL_FOLLOWUP = f"""
+WITH {TRANSCRIPTS_CTE}, l AS (
+  SELECT tool, role,
+         COALESCE(LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx), '<end>') AS next
+  FROM transcripts)
+SELECT tool, next, CAST(COUNT(*) AS BIGINT) AS n
+FROM l WHERE role = 'tool' GROUP BY 1, 2
+"""
+
+
+def q_winsorized_length_stats(sf_dir: str):
+    """Per-source winsorized mean length — tails CLAMPED to the exact
+    per-group [p05, p95] (vs trimmed_length_stats, which drops them):
+    grouped radix-selection quantiles (zero row exchange), clamp bounds
+    broadcast once, integer clamped-sum partials through one bounded
+    keyed exchange."""
+    from vaero_ray.stages.selection import winsorized_stats_per_group
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return winsorized_stats_per_group(ds, "n_chars", "source", 0.05, 0.95)
+
+
+SQL_WINSORIZED = r"""
+WITH q AS (SELECT source,
+                  CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS lo,
+                  CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS hi
+           FROM documents GROUP BY 1)
+SELECT d.source, q.lo, q.hi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(LEAST(GREATEST(d.n_chars, q.lo), q.hi)) AS BIGINT) AS sum_w,
+       CAST(SUM(LEAST(GREATEST(d.n_chars, q.lo), q.hi)) AS DOUBLE) / COUNT(*) AS mean_w
+FROM documents d JOIN q USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_session_conversion_rate(sf_dir: str):
+    """Session-level funnel outcome per user: gap-1800s sessionization
+    (the sessionize_events kernel), per-(user, session) any-purchase
+    flag collapsed IN the partial, then two bounded keyed exchanges —
+    sessions with a purchase vs sessions total."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.rowwindow import sessionize
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    s = sessionize(ds, "user_id", "ts", "event_id", gap_s=1800)
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "session_id": df["session_id"],
+                "p": (df["event_type"] == "purchase").astype("int64"),
+            }
+        )
+        return out.groupby(["user_id", "session_id"], sort=False, as_index=False).max()
+
+    per_sess = bucketed_keyed_sum(
+        s.map_batches(partial, batch_format="pandas"),
+        ["user_id", "session_id"], ["p"], agg="max",
+    )
+
+    def to_counts(df: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "n_sessions": np.ones(len(df), np.int64),
+                "n_converted": df["p"].astype("int64"),
+            }
+        )
+
+    return bucketed_keyed_sum(
+        per_sess.map_batches(to_counts, batch_format="pandas"),
+        ["user_id"], ["n_sessions", "n_converted"],
+    )
+
+
+SQL_SESSION_CONVERSION = r"""
+WITH s AS (
+  SELECT user_id, event_type,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (SELECT event_id, user_id, event_type, ts,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events)),
+g AS (SELECT user_id, session_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(p) AS BIGINT) AS n_converted
+FROM g GROUP BY 1
+"""
+
+
+def q_user_rfm_scores(sf_dir: str):
+    """RFM quintile scoring — the classic audience-segmentation
+    composite: exact per-user (recency, frequency, monetary) aggregates,
+    then THREE global NTILE(5) rankings via global_row_number (range-
+    partitioning sort + block-offset prefix sum — runs on the AGGREGATED
+    user table, orders of magnitude smaller than the stream) with
+    DESC-by-negation and user_id tiebreak; the closed-form ntile split
+    (first n%k tiles one row bigger) reproduces SQL NTILE exactly."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_agg
+    from vaero_ray.stages.rowwindow import global_row_number
+
+    ds = _events(sf_dir, columns=["ts", "user_id", "value"]).map_batches(
+        _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = _pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "rec_us": us,
+                "freq": np.ones(len(df), np.int64),
+                "mon": df["value"].astype("int64"),
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"rec_us": "max", "freq": "sum", "mon": "sum"}
+        )
+
+    agg = bucketed_keyed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"rec_us": "max", "freq": "sum", "mon": "sum"},
+    )
+
+    def addneg(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.copy()
+        df["neg_rec"] = -df["rec_us"].astype("int64")
+        df["neg_freq"] = -df["freq"].astype("int64")
+        df["neg_mon"] = -df["mon"].astype("int64")
+        return df
+
+    a = agg.map_batches(addneg, batch_format="pandas")
+    a = global_row_number(a, ["neg_rec", "user_id"], out_col="r_seq")
+    a = global_row_number(a, ["neg_freq", "user_id"], out_col="f_seq")
+    a = global_row_number(a, ["neg_mon", "user_id"], out_col="m_seq")
+    n = a.count()
+
+    def tiles(df: _pd.DataFrame) -> _pd.DataFrame:
+        k = 5
+        big, small = n % k, n // k
+
+        def ntile(seq: _pd.Series) -> np.ndarray:
+            r0 = seq.to_numpy(np.int64) - 1
+            cut = big * (small + 1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                late = big + (r0 - cut) // max(small, 1)
+            return np.where(r0 < cut, r0 // (small + 1), late).astype(np.int64) + 1
+
+        out = _pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "rec_us": df["rec_us"],
+                "freq": df["freq"],
+                "mon": df["mon"],
+                "r_score": ntile(df["r_seq"]),
+                "f_score": ntile(df["f_seq"]),
+                "m_score": ntile(df["m_seq"]),
+            }
+        )
+        out["rfm"] = out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]
+        return out
+
+    return a.map_batches(tiles, batch_format="pandas")
+
+
+SQL_USER_RFM = r"""
+WITH a AS (SELECT user_id,
+                  CAST(max(epoch_us(ts)) AS BIGINT) AS rec_us,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon
+           FROM events GROUP BY 1)
+SELECT user_id, rec_us, freq, mon,
+       CAST(ntile(5) OVER (ORDER BY rec_us DESC, user_id) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY mon DESC, user_id) AS BIGINT) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY rec_us DESC, user_id) * 100
+            + ntile(5) OVER (ORDER BY freq DESC, user_id) * 10
+            + ntile(5) OVER (ORDER BY mon DESC, user_id) AS BIGINT) AS rfm
+FROM a
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -6651,6 +6919,11 @@ QUERIES: dict[str, QueryFn] = {
     "user_event_entropy": q_user_event_entropy,
     "value_gini_per_type": q_value_gini_per_type,
     "source_length_ranksum": q_source_length_ranksum,
+    "conv_turn_balance": q_conv_turn_balance,
+    "tool_followup_roles": q_tool_followup_roles,
+    "winsorized_length_stats": q_winsorized_length_stats,
+    "session_conversion_rate": q_session_conversion_rate,
+    "user_rfm_scores": q_user_rfm_scores,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -6829,6 +7102,11 @@ ORACLES: dict[str, str] = {
     "user_event_entropy": SQL_USER_ENTROPY,
     "value_gini_per_type": SQL_VALUE_GINI,
     "source_length_ranksum": SQL_RANKSUM,
+    "conv_turn_balance": SQL_CONV_TURN_BALANCE,
+    "tool_followup_roles": SQL_TOOL_FOLLOWUP,
+    "winsorized_length_stats": SQL_WINSORIZED,
+    "session_conversion_rate": SQL_SESSION_CONVERSION,
+    "user_rfm_scores": SQL_USER_RFM,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

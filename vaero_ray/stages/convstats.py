@@ -251,3 +251,47 @@ def pair_pattern_stats(
         return out
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets)
+
+
+def follow_role_counts(
+    ds: rd.Dataset,
+    key: str = "conv_id",
+    col: str = "role",
+    from_val: str = "tool",
+    by_col: str = "tool",
+    order: "list[str] | str" = "turn_idx",
+    end_label: str = "<end>",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """What happens AFTER a marker turn: for every row whose ``col`` ==
+    ``from_val``, count the distribution of the NEXT row's ``col``
+    within the same key (conversation), grouped by ``by_col`` (e.g. the
+    tool name) — the tool-outcome profile of an agentic transcript
+    stream (did the tool call hand back to the assistant, stall into
+    another tool hop, or end the conversation?). Marker turns that close
+    their conversation count under ``end_label``.
+
+    One bucketed shuffle on ``key``; the shift-compare and the
+    (by, next) count collapse run vectorized in the bucket kernel, so
+    only tiny (by_col, next, n) cells leave any task; a second bounded
+    exchange merges the per-bucket cells."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    order_cols = [order] if isinstance(order, str) else list(order)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        k = df[key].to_numpy()
+        r = df[col].to_numpy()
+        n = len(df)
+        nxt = np.full(n, end_label, dtype=object)
+        if n > 1:
+            same = k[1:] == k[:-1]
+            nxt[:-1] = np.where(same, r[1:], end_label)
+        sel = r == from_val
+        sub = pd.DataFrame({by_col: df[by_col].to_numpy()[sel], "next": nxt[sel]})
+        g = sub.groupby([by_col, "next"], sort=False).size().rename("n").reset_index()
+        return g
+
+    cells = bucketed_map_groups(ds, key, per_bucket, num_buckets)
+    return bucketed_keyed_sum(cells, [by_col, "next"], ["n"])

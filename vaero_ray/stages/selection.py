@@ -475,3 +475,69 @@ def iqr_outlier_filter(
         return tbl.filter(pa.array(ok))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winsorized_stats_per_group(
+    ds: rd.Dataset,
+    col: str,
+    group: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    digit_bits: int = 16,
+    max_groups: int = 4096,
+) -> rd.Dataset:
+    """Per-group WINSORIZED mean of int64 ``col``: values below the
+    group's exact ``quantile_disc(q_lo)`` are clamped UP to it and
+    values above ``quantile_disc(q_hi)`` clamped DOWN (versus
+    ``trimmed_stats``, which drops the tails — winsorizing keeps n
+    constant, the robust-mean variant preferred when tail mass itself
+    is informative).
+
+    Scale shape mirrors ``iqr_outlier_filter``: per-group quantiles from
+    the shared grouped radix-selection scans (zero row exchange), the
+    clamp bounds broadcast once via ``ray.put``, then per-batch integer
+    (n, clamped-sum) partials merge through one bucketed exchange
+    bounded by distinct groups x blocks. Clamped sums stay exact int64;
+    the mean is one float64 division. Null ``col`` rows and groups
+    beyond the selection's tracked set drop (inner-join semantics)."""
+    import ray
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    gq = exact_group_quantiles_disc(
+        ds, col, group, [q_lo, q_hi], digit_bits=digit_bits, max_groups=max_groups
+    )
+    keys = sorted(gq.keys())
+    lo = np.array([gq[g][0] for g in keys], np.int64)
+    hi = np.array([gq[g][1] for g in keys], np.int64)
+    bounds_ref = ray.put((keys, lo, hi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b_keys, b_lo, b_hi = ray.get(bounds_ref)
+        codes = pd.Categorical(df[group], categories=b_keys).codes
+        v = df[col].to_numpy()
+        ok = (codes >= 0) & ~pd.isna(v)
+        codes = codes[ok].astype(np.int64)
+        w = np.clip(
+            v[ok].astype(np.int64),
+            np.asarray(b_lo)[codes],
+            np.asarray(b_hi)[codes],
+        )
+        out = pd.DataFrame({group: np.asarray(b_keys, dtype=object)[codes], "w": w})
+        g = out.groupby(group, sort=False, as_index=False).agg(
+            n_rows=("w", "size"), sum_w=("w", "sum")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [group], ["n_rows", "sum_w"])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        b_keys, b_lo, b_hi = ray.get(bounds_ref)
+        codes = pd.Categorical(df[group], categories=b_keys).codes.astype(np.int64)
+        df["lo"] = np.asarray(b_lo)[codes]
+        df["hi"] = np.asarray(b_hi)[codes]
+        df["mean_w"] = df["sum_w"].to_numpy(np.float64) / df["n_rows"].to_numpy(np.float64)
+        return df[[group, "lo", "hi", "n_rows", "sum_w", "mean_w"]]
+
+    return merged.map_batches(finalize, batch_format="pandas")
