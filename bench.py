@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "winsorized_length_stats",      # per-source winsorized mean (clamp to exact p05/p95)
     "session_conversion_rate",      # sessionize -> per-session funnel outcome
     "user_rfm_scores",              # RFM quintiles (3 global ntiles on the aggregate)
+    "discount_band_revenue",        # TPC-H Q6 shape (zero-shuffle filter-aggregate)
+    "order_priority_counts",        # TPC-H Q4 shape (EXISTS as keys-only max pre-agg)
+    "small_qty_part_revenue",       # TPC-H Q17 shape (broadcast brand keys, int threshold)
+    "large_volume_customers",       # TPC-H Q18 shape (HAVING before joins, top-100)
+    "embedding_dim_stats",          # per-dim embedding mean/variance (micro-int sums)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

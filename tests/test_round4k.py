@@ -240,3 +240,24 @@ def test_rfm_ntile_formula_matches_sql_ntile(ray_session):
     want = want.sort_values("user_id").reset_index(drop=True)
     for c in ["r_score", "f_score", "m_score", "rfm"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all()
+
+
+def test_embedding_dim_stats_bruteforce(ray_session):
+    from vaero_ray.stages.ann import embedding_dim_stats
+
+    rng = _rng()
+    m = rng.normal(0, 0.3, (500, 8)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    out = (
+        embedding_dim_stats(rd.from_arrow(tbl).repartition(5), "embedding")
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    micro = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    assert (out["sum_micro"].to_numpy() == micro.sum(0)).all()
+    assert (out["sumsq_micro"].to_numpy() == (micro * micro).sum(0)).all()
+    ref_mean = micro.mean(0) / 1e6
+    ref_var = micro.var(0) / 1e12
+    assert np.abs(out["mean_val"].to_numpy() - ref_mean).max() < 1e-9
+    assert np.abs(out["var_val"].to_numpy() - ref_var).max() < 1e-9

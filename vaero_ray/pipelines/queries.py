@@ -6838,6 +6838,329 @@ FROM a
 """
 
 
+# ------------------------------------------------------------------
+# Session-7 batch 3: TPC-H-style join/agg fills (Q4/Q6/Q17/Q18 shapes
+# adapted to the testdata columns) + per-dimension embedding stats
+# ------------------------------------------------------------------
+
+_US = 1_000_000
+
+
+def q_discount_band_revenue(sf_dir: str):
+    """TPC-H Q6 shape — forecasting-revenue-change filter-aggregate:
+    shipdate year 1995, discount band [5%, 7%], qty < 24; revenue =
+    sum(price_cents x disc_pct) kept in exact integer micro-units (no
+    float product). Pure scan: column-pruned read, per-block (n, sum)
+    partials, one driver-side Dataset.sum — zero shuffle."""
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = int(pa.scalar(np.datetime64("1995-01-01", "us")).value)
+    hi = int(pa.scalar(np.datetime64("1996-01-01", "us")).value)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        disc = pc.cast(pc.floor(pc.add(pc.multiply(t.column("l_discount"), 100.0), 0.5)), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)), pa.int64())
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)),
+                pc.and_(pc.greater_equal(disc, 5), pc.less_equal(disc, 7)),
+            ),
+            pc.less(t.column("l_quantity"), 24.0),
+        )
+        rev = pc.multiply(pc.filter(cents, keep), pc.filter(disc, keep))
+        n = len(rev)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "rev": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(["n", "rev"])
+    return pa.table(
+        {
+            "n_rows": pa.array([int(agg["sum(n)"])], pa.int64()),
+            "revenue_micro": pa.array([int(agg["sum(rev)"])], pa.int64()),
+        }
+    )
+
+
+SQL_DISCOUNT_BAND = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micro
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape — order-priority checking with the correlated
+    EXISTS rewritten as a per-order MAX pre-aggregate: lineitem collapses
+    to one (orderkey, max_shipdate) row per order BEFORE any join (the
+    keys-only exchange — at 100 TB this is the difference between
+    shuffling the fact table and shuffling its key set), orders are
+    date-filtered at the scan, one partitioned hash join, then
+    EXISTS(l_shipdate > o_orderdate) == max_ship > o_orderdate and a
+    tiny priority count."""
+    import pandas as _pd
+
+    from vaero_ray.stages.joins import hash_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    lo = np.datetime64("1995-07-01", "us").astype(np.int64)
+    hi = np.datetime64("1995-10-01", "us").astype(np.int64)
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "max_ship": df["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        return out.groupby("o_orderkey", sort=False, as_index=False).max()
+
+    li_max = bucketed_keyed_sum(
+        li.map_batches(li_partial, batch_format="pandas"), ["o_orderkey"], ["max_ship"], agg="max"
+    )
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        od = pc.cast(t.column("o_orderdate").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        keep = pc.and_(pc.greater_equal(od, int(lo)), pc.less(od, int(hi)))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "od_us": od,
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ).filter(keep)
+
+    of = orders.map_batches(o_filter, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(of, li_max, "o_orderkey")
+
+    def count_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hit = df[df["max_ship"] > df["od_us"]]
+        g = hit.groupby("o_orderpriority", sort=False).size().rename("n_orders").reset_index()
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    counts = j.map_batches(count_partial, batch_format="pandas")
+    return bucketed_keyed_sum(counts, ["o_orderpriority"], ["n_orders"])
+
+
+SQL_ORDER_PRIORITY = r"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-07-01' AND o.o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+"""
+
+
+def q_small_qty_part_revenue(sf_dir: str):
+    """TPC-H Q17 shape — small-quantity-order revenue for one brand:
+    the brand filter shrinks the part dimension to a driver-resident
+    key set (broadcast, not shuffled); lineitem is filtered to those
+    parts AT THE SCAN; the per-part (sum_qty, cnt) pre-aggregate is a
+    73-row driver table rebroadcast for the final pass; and the
+    correlated ``qty < 0.2 * avg(qty)`` becomes the EXACT integer
+    inequality ``5*q*cnt < sum_qty`` on both engines (no float
+    threshold at the boundary)."""
+    import pandas as _pd
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    keys = pc.filter(
+        part.column("p_partkey"), pc.equal(part.column("p_brand"), "Brand#23")
+    ).combine_chunks()
+    key_set = pa.array(keys.to_pylist(), pa.int64())
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t.column("l_partkey"), pa.int64()), value_set=key_set)
+        q = pc.cast(pc.floor(pc.add(t.column("l_quantity"), 0.5)), pa.int64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {"pk": pc.cast(t.column("l_partkey"), pa.int64()), "q": q, "cents": cents}
+        ).filter(keep)
+
+    nds = li.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"pk": df["pk"], "s": df["q"], "c": np.ones(len(df), np.int64)})
+        return out.groupby("pk", sort=False, as_index=False).sum()
+
+    # brand-filtered part set: 73 keys -> the pre-agg is driver-sized
+    ag = (
+        nds.map_batches(agg_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("pk", sort=False, as_index=False)
+        .sum()
+    )
+    thr = dict(zip(ag["pk"], zip(ag["s"], ag["c"])))
+
+    def survivors(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        s = np.array([thr[k][0] for k in pk], np.int64) if len(pk) else np.array([], np.int64)
+        c = np.array([thr[k][1] for k in pk], np.int64) if len(pk) else np.array([], np.int64)
+        keep = 5 * q * c < s
+        return pa.table(
+            {
+                "n": pa.array([int(keep.sum())], pa.int64()),
+                "sum_cents": pa.array([int(cents[keep].sum())], pa.int64()),
+            }
+        )
+
+    agg = nds.map_batches(survivors, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n", "sum_cents"]
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([int(agg["sum(n)"])], pa.int64()),
+            "sum_cents": pa.array([int(agg["sum(sum_cents)"])], pa.int64()),
+        }
+    )
+
+
+SQL_SMALL_QTY_PART = r"""
+WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+li AS (SELECT l_partkey, CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       FROM lineitem JOIN pp ON l_partkey = p_partkey),
+ag AS (SELECT l_partkey, SUM(q) AS s, COUNT(*) AS c FROM li GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM li JOIN ag USING (l_partkey) WHERE 5 * q * c < s
+"""
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape — large-volume customers: lineitem collapses to
+    per-order quantity sums (keys-only exchange), the HAVING > 250
+    filter shrinks the result to ~0.1% of orders BEFORE the two hash
+    joins (orders, then customer), and the global top-100 rides the
+    top10_orders negated-tiebreak sort."""
+    import pandas as _pd
+
+    from vaero_ray.stages.joins import hash_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "sum_qty": np.floor(df["l_quantity"].to_numpy() + 0.5).astype(np.int64),
+            }
+        )
+        return out.groupby("o_orderkey", sort=False, as_index=False).sum()
+
+    per_order = bucketed_keyed_sum(
+        li.map_batches(li_partial, batch_format="pandas"), ["o_orderkey"], ["sum_qty"]
+    ).filter(expr="sum_qty > 250")
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "o_orderdate": t.column("o_orderdate"),
+                "price_cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("c_custkey"),
+            "c_custkey",
+            pc.cast(t.column("c_custkey"), pa.int64()),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = hash_join(hash_join(per_order, orders, "o_orderkey"), cust, "c_custkey")
+    j = j.map_batches(
+        lambda t: t.append_column(
+            "__nk", pc.negate_checked(pc.cast(t.column("o_orderkey"), pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = j.sort(["price_cents", "__nk"], descending=True).limit(100)
+    return out.select_columns(
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "price_cents", "sum_qty"]
+    )
+
+
+SQL_LARGE_VOLUME = r"""
+WITH t AS (SELECT l_orderkey,
+                  CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 250)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, t.sum_qty
+FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY price_cents DESC, o.o_orderkey LIMIT 100
+"""
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance over the embedding corpus (feature
+    drift / normalization profile): micro-unit integer sums + squared
+    sums per block, one d-row bucketed merge, closed-form 6-dp finalize
+    (ann.embedding_dim_stats)."""
+    from vaero_ray.stages.ann import embedding_dim_stats
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_dim_stats(ds, "embedding")
+
+
+SQL_EMBEDDING_DIM_STATS = r"""
+WITH u AS (SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+           FROM embeddings),
+a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(m) AS BIGINT) AS sum_micro,
+             CAST(SUM(m * m) AS BIGINT) AS sumsq_micro
+      FROM u GROUP BY 1)
+SELECT dim, n_vecs, sum_micro, sumsq_micro,
+       CAST(sum_micro AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0) AS mean_val,
+       (CAST(sumsq_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        - (CAST(sum_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+          * (CAST(sum_micro AS DOUBLE) / CAST(n_vecs AS DOUBLE)))
+       / 1000000000000.0 AS var_val
+FROM a
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -6924,6 +7247,11 @@ QUERIES: dict[str, QueryFn] = {
     "winsorized_length_stats": q_winsorized_length_stats,
     "session_conversion_rate": q_session_conversion_rate,
     "user_rfm_scores": q_user_rfm_scores,
+    "discount_band_revenue": q_discount_band_revenue,
+    "order_priority_counts": q_order_priority_counts,
+    "small_qty_part_revenue": q_small_qty_part_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -7107,6 +7435,11 @@ ORACLES: dict[str, str] = {
     "winsorized_length_stats": SQL_WINSORIZED,
     "session_conversion_rate": SQL_SESSION_CONVERSION,
     "user_rfm_scores": SQL_USER_RFM,
+    "discount_band_revenue": SQL_DISCOUNT_BAND,
+    "order_priority_counts": SQL_ORDER_PRIORITY,
+    "small_qty_part_revenue": SQL_SMALL_QTY_PART,
+    "large_volume_customers": SQL_LARGE_VOLUME,
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

@@ -375,3 +375,68 @@ def kmeans_assign(
         })
 
     return ds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_dim_stats(
+    ds: rd.Dataset,
+    emb_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Global per-DIMENSION mean/variance of an embedding column — the
+    feature-drift / normalization profile of a vector corpus. Same
+    exact-integer convention as :func:`label_centroid_sums`: components
+    fixed-pointed once (``floor(v*scale + 0.5)``, exact in float64 both
+    engines), then each block reduces to d rows of
+    (dim, n_vecs, sum_micro, sumsq_micro) — one matrix sum + one squared
+    sum per batch, no per-row Python — merged through one tiny bucketed
+    exchange (d rows per block). mean/variance are derived at the end by
+    the identical closed-form float64 expression the SQL oracle writes
+    (6-dp). Headroom: |v| <= ~30 at scale=1e6 keeps sumsq x 1e8 vectors
+    inside int64."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+                "sum_micro": pa.array([], pa.int64()),
+                "sumsq_micro": pa.array([], pa.int64()),
+            }
+        )
+        if not tbl.num_rows:
+            return empty
+        m = _mat(tbl, emb_col, dtype=np.float64)
+        micro = np.floor(m * scale + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n_vecs": pa.array(np.full(d, tbl.num_rows, np.int64)),
+                "sum_micro": pa.array(micro.sum(axis=0)),
+                "sumsq_micro": pa.array((micro * micro).sum(axis=0)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = bucketed_keyed_sum(
+        partials, ["dim"], ["n_vecs", "sum_micro", "sumsq_micro"], num_buckets=8
+    )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tbl.column("sum_micro").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = tbl.column("sumsq_micro").to_numpy(zero_copy_only=False).astype(np.float64)
+        # NO rounding: the inputs are exact integers, so the identical
+        # IEEE expression tree is bit-deterministic on both engines —
+        # and ROUND would REINTRODUCE a mismatch (numpy half-even vs
+        # DuckDB half-away differ when s/(n*sc) lands exactly on a
+        # .5e-6 boundary, observed at sf0.001: max diff exactly 1e-6).
+        sc = float(scale)
+        mean = s / (n * sc)
+        var = (ss / n - (s / n) * (s / n)) / (sc * sc)
+        return tbl.append_column("mean_val", pa.array(mean, pa.float64())).append_column(
+            "var_val", pa.array(var, pa.float64())
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
