@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "small_qty_part_revenue",       # TPC-H Q17 shape (broadcast brand keys, int threshold)
     "large_volume_customers",       # TPC-H Q18 shape (HAVING before joins, top-100)
     "embedding_dim_stats",          # per-dim embedding mean/variance (micro-int sums)
+    "source_simpson_diversity",     # Simpson index per source (integer numerator)
+    "hourly_type_share",            # ratio-to-report (share of hour per type)
+    "user_interarrival_cv",         # burstiness (CV of gaps, exact moments)
+    "streaming_type_entropy",       # streaming windowed entropy (counts-are-aggregates)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

@@ -261,3 +261,49 @@ def test_embedding_dim_stats_bruteforce(ray_session):
     ref_var = micro.var(0) / 1e12
     assert np.abs(out["mean_val"].to_numpy() - ref_mean).max() < 1e-9
     assert np.abs(out["var_val"].to_numpy() - ref_var).max() < 1e-9
+
+
+def test_simpson_per_group_bruteforce(ray_session):
+    from vaero_ray.stages.numstats import simpson_per_group
+
+    rng = _rng()
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 5000),
+            "cat": rng.choice(list("xyzuv"), 5000, p=[0.4, 0.3, 0.15, 0.1, 0.05]),
+        }
+    )
+    out = (
+        simpson_per_group(rd.from_pandas(df).repartition(9), "k", "cat")
+        .to_pandas()
+        .set_index("k")
+    )
+    for k, sub in df.groupby("k"):
+        c = sub["cat"].value_counts().to_numpy(np.int64)
+        n = c.sum()
+        num = int((c * (c - 1)).sum())
+        assert out.loc[k, "simpson_num"] == num
+        assert abs(out.loc[k, "simpson"] - num / (n * (n - 1))) < 1e-12
+    # n=1 group -> NULL
+    one = pd.DataFrame({"k": ["solo"], "cat": ["x"]})
+    o1 = simpson_per_group(rd.from_pandas(one), "k", "cat").to_pandas()
+    assert o1["simpson"].isna().all()
+
+
+def test_entropy_from_counts_matches_entropy_per_group(ray_session):
+    from vaero_ray.stages.numstats import entropy_from_counts, entropy_per_group
+
+    rng = _rng()
+    df = pd.DataFrame(
+        {"k": rng.choice(["p", "q"], 3000), "cat": rng.choice(list("abc"), 3000)}
+    )
+    full = entropy_per_group(rd.from_pandas(df).repartition(5), "k", "cat").to_pandas()
+    counts = (
+        df.groupby(["k", "cat"], as_index=False).size().rename(columns={"size": "c"})
+    )
+    counts["c"] = counts["c"].astype("int64")
+    half = entropy_from_counts(rd.from_pandas(counts), "k").to_pandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values("k").reset_index(drop=True),
+        half.sort_values("k").reset_index(drop=True),
+    )

@@ -7161,6 +7161,192 @@ FROM a
 """
 
 
+# ------------------------------------------------------------------
+# Session-7 batch 4: Simpson diversity, ratio-to-report, interarrival
+# burstiness, and streaming windowed entropy (counts-are-aggregates)
+# ------------------------------------------------------------------
+
+def q_source_simpson_diversity(sf_dir: str):
+    """Simpson concentration of each source's language mix — entropy's
+    fully-integer sibling (numerator never touches float; see
+    numstats.simpson_per_group)."""
+    from vaero_ray.stages.numstats import simpson_per_group
+
+    return simpson_per_group(
+        _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang"]),
+        "source", "lang",
+    )
+
+
+SQL_SOURCE_SIMPSON = r"""
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cats,
+       CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num,
+       CASE WHEN SUM(c) >= 2
+            THEN CAST(SUM(c * (c - 1)) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * (CAST(SUM(c) AS DOUBLE) - 1.0)) END AS simpson
+FROM c GROUP BY 1
+"""
+
+
+def q_hourly_type_share(sf_dir: str):
+    """Ratio-to-report: each event type's share of its hour — exact
+    (hour, type) counts through one bounded exchange, the per-hour total
+    and the single share division in a second tiny hour-bucketed fold
+    (the windowed SUM() OVER (PARTITION BY hr) without shipping rows)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        hr = pc.divide(us, 3600000000)
+        df = _pd.DataFrame(
+            {"hr": hr.to_numpy(zero_copy_only=False), "event_type": t.column("event_type").to_pandas()}
+        )
+        g = df.groupby(["hr", "event_type"], sort=False).size().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = bucketed_keyed_sum(counts, ["hr", "event_type"], ["c"])
+
+    def per_hour(df: _pd.DataFrame) -> _pd.DataFrame:
+        tot = df.groupby("hr", sort=False)["c"].transform("sum").astype("int64")
+        df = df.copy()
+        df["hr_total"] = tot
+        df["share"] = df["c"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        return df
+
+    return bucketed_map_groups(merged, "hr", per_hour)
+
+
+SQL_HOURLY_SHARE = r"""
+WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+SELECT hr, event_type, c,
+       CAST(SUM(c) OVER (PARTITION BY hr) AS BIGINT) AS hr_total,
+       CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY hr) AS DOUBLE) AS share
+FROM c
+"""
+
+
+def q_user_interarrival_cv(sf_dir: str):
+    """Burstiness profile per user: coefficient of variation of the
+    inter-event gaps (whole seconds) — exact integer (n, sum, sumsq)
+    moments over the interarrival kernel's gaps, one closed-form
+    UNROUNDED sqrt/division tree (identical IEEE expression both
+    engines; the variance>0 guard is itself part of the shared tree, so
+    mask decisions agree bitwise)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.rowwindow import interarrival
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    g = interarrival(ds, "user_id", "ts", "event_id", out="gap_us")
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df[df["gap_us"] >= 0]
+        gs = (df["gap_us"].to_numpy(np.int64) // 1_000_000).astype(np.int64)
+        out = _pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "n_gaps": np.ones(len(gs), np.int64),
+                "sum_s": gs,
+                "sumsq_s": gs * gs,
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).sum()
+
+    merged = bucketed_keyed_sum(
+        g.map_batches(partial, batch_format="pandas"),
+        ["user_id"], ["n_gaps", "sum_s", "sumsq_s"],
+    )
+
+    def finalize(df: _pd.DataFrame) -> _pd.DataFrame:
+        n = df["n_gaps"].to_numpy(np.float64)
+        s = df["sum_s"].to_numpy(np.float64)
+        ss = df["sumsq_s"].to_numpy(np.float64)
+        var = ss / n - (s / n) * (s / n)
+        ok = (s > 0) & (var > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cv = np.sqrt(var) / (s / n)
+        df = df.copy()
+        df["cv"] = [float(x) if o else None for x, o in zip(cv, ok)]
+        return df
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+SQL_INTERARRIVAL_CV = r"""
+WITH g AS (SELECT user_id,
+                  (epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+           FROM events),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sumsq_s
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps, sum_s, sumsq_s,
+       CASE WHEN sum_s > 0
+             AND (CAST(sumsq_s AS DOUBLE) / n_gaps
+                  - (CAST(sum_s AS DOUBLE) / n_gaps) * (CAST(sum_s AS DOUBLE) / n_gaps)) > 0
+            THEN sqrt(CAST(sumsq_s AS DOUBLE) / n_gaps
+                      - (CAST(sum_s AS DOUBLE) / n_gaps) * (CAST(sum_s AS DOUBLE) / n_gaps))
+                 / (CAST(sum_s AS DOUBLE) / n_gaps) END AS cv
+FROM m
+"""
+
+
+def q_streaming_type_entropy(sf_dir: str):
+    """STREAMING per-window behavioral entropy: exact (event_type, hour)
+    counts ride the exactly-once windowed job as ordinary mergeable
+    aggregates (checkpointed partial/merge/carry, idempotent commit);
+    the entropy finalize runs DOWNSTREAM of the committed output via
+    numstats.entropy_from_counts — the same counts-are-windowed-
+    aggregates composition as the streaming HLL gate, reused for an
+    information-theoretic statistic with zero new streaming machinery."""
+    import os
+    import shutil
+
+    from vaero_ray.stages.numstats import entropy_from_counts
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = _stream_chunks(sf_dir, "type_entropy_in", ["event_type", "ts"])
+    base = os.path.dirname(ind)
+    out_d, ckpt_d = f"{base}/type_entropy_out", f"{base}/type_entropy_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["event_type"],
+        aggs=[AggSpec(None, "count", "c")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+    )
+    job.run()
+    return entropy_from_counts(job.committed_output(), "window_start")
+
+
+SQL_STREAMING_ENTROPY = r"""
+WITH c AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+SELECT window_start, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cats,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM c GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -7252,6 +7438,10 @@ QUERIES: dict[str, QueryFn] = {
     "small_qty_part_revenue": q_small_qty_part_revenue,
     "large_volume_customers": q_large_volume_customers,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "source_simpson_diversity": q_source_simpson_diversity,
+    "hourly_type_share": q_hourly_type_share,
+    "user_interarrival_cv": q_user_interarrival_cv,
+    "streaming_type_entropy": q_streaming_type_entropy,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -7440,6 +7630,10 @@ ORACLES: dict[str, str] = {
     "small_qty_part_revenue": SQL_SMALL_QTY_PART,
     "large_volume_customers": SQL_LARGE_VOLUME,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "source_simpson_diversity": SQL_SOURCE_SIMPSON,
+    "hourly_type_share": SQL_HOURLY_SHARE,
+    "user_interarrival_cv": SQL_INTERARRIVAL_CV,
+    "streaming_type_entropy": SQL_STREAMING_ENTROPY,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,

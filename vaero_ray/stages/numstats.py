@@ -42,6 +42,8 @@ __all__ = [
     "corr_matrix",
     "regression_per_group",
     "entropy_per_group",
+    "entropy_from_counts",
+    "simpson_per_group",
     "gini_per_group",
     "rank_sum_test",
 ]
@@ -181,14 +183,23 @@ def entropy_per_group(ds: rd.Dataset, key: str, cat_col: str) -> rd.Dataset:
 
     counts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_keyed_sum(counts, [key, cat_col], ["c"])
+    return entropy_from_counts(merged, key)
+
+
+def entropy_from_counts(merged: rd.Dataset, key: str, c_col: str = "c") -> rd.Dataset:
+    """Entropy finalize over ALREADY-MERGED exact (key, category, count)
+    rows — the back half of :func:`entropy_per_group`, exposed so
+    committed STREAMING window counts (mergeable aggregates through the
+    exactly-once job) feed the identical fold: counts are windowed
+    aggregates; entropy is a downstream finalize."""
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["c"].to_numpy(np.float64)
+        c = df[c_col].to_numpy(np.float64)
         clogc = pd.Series(c * np.log(c), index=df.index)
         out = pd.DataFrame(
             {
                 key: df[key],
-                "n_rows": df["c"],
+                "n_rows": df[c_col],
                 "__h": clogc,
             }
         )
@@ -303,3 +314,37 @@ def rank_sum_test(
             "two_u1": pa.array([two_r1 - n1 * (n1 + 1)], pa.int64()),
         }
     )
+
+
+def simpson_per_group(ds: rd.Dataset, key: str, cat_col: str) -> rd.Dataset:
+    """Simpson concentration index of the ``cat_col`` distribution per
+    ``key`` — the probability two rows drawn WITHOUT replacement share a
+    category: ``D = sum(c*(c-1)) / (n*(n-1))`` — entropy's fully-INTEGER
+    sibling (the numerator never touches float, so the exchange and the
+    emitted ``simpson_num`` are exact; ``simpson`` itself is one
+    deterministic division). Same two bounded exchanges as
+    :func:`entropy_per_group`; keys with n < 2 emit NULL."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, cat_col], sort=False, dropna=False).size()
+        return g.rename("c").reset_index()
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(counts, [key, cat_col], ["c"])
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        out = pd.DataFrame({key: df[key], "n_rows": c, "__num": c * (c - 1)})
+        agg = out.groupby(key, sort=False, dropna=False, as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_cats=("n_rows", "size"), simpson_num=("__num", "sum")
+        )
+        n = agg["n_rows"].to_numpy(np.float64)
+        num = agg["simpson_num"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = num / (n * (n - 1.0))
+        agg["simpson"] = [
+            float(x) if nn >= 2 else None for x, nn in zip(d, agg["n_rows"])
+        ]
+        return agg
+
+    return bucketed_map_groups(merged, key, per_key)
