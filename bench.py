@@ -108,6 +108,10 @@ BENCH_QUERIES = [
     "hourly_type_share",            # ratio-to-report (share of hour per type)
     "user_interarrival_cv",         # burstiness (CV of gaps, exact moments)
     "streaming_type_entropy",       # streaming windowed entropy (counts-are-aggregates)
+    "hourly_count_change",          # hour-over-hour LAG deltas per type (agg-then-shift)
+    "conv_duration_quantiles",      # per-conv duration p50/p90/p99 (exact radix selection)
+    "type_value_topn_share",        # top-10 value concentration per type
+    "vocab_zipf_slope",             # Zipf log-log OLS slope (quantized exact moments)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

@@ -7347,6 +7347,275 @@ FROM c GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------
+# Session-7 batch 5: hourly deltas, conv duration quantiles, top-10
+# value concentration, Zipf slope (quantized-log exact OLS)
+# ------------------------------------------------------------------
+
+def q_hourly_count_change(sf_dir: str):
+    """Hour-over-hour change per event type — the ops-monitoring delta
+    series: exact (type, hour) counts through one bounded exchange,
+    then the per-type ordered shift (LAG) and the single pct division
+    run in a tiny type-bucketed fold over the AGGREGATED series (hours
+    x types rows, never events)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        df = _pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "hr": pc.divide(us, 3600000000).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "hr"], sort=False).size().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = bucketed_keyed_sum(counts, ["event_type", "hr"], ["c"])
+
+    def per_type(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(["event_type", "hr"], kind="mergesort").reset_index(drop=True)
+        c = df["c"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        prev = np.roll(c, 1)
+        first = np.r_[True, et[1:] != et[:-1]] if len(c) else np.zeros(0, bool)
+        delta = c - prev
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = delta.astype(np.float64) / prev.astype(np.float64)
+        # first row per type has no prior hour: null delta / null pct
+        delta_n = _pd.array(delta, dtype="Int64")
+        delta_n[first] = _pd.NA
+        pct[first] = np.nan  # NaN -> arrow null via from_pandas
+        return _pd.DataFrame(
+            {
+                "event_type": et,
+                "hr": df["hr"].to_numpy(np.int64),
+                "c": c,
+                "delta": delta_n,
+                "pct_change": pct,
+            }
+        )
+
+    return bucketed_map_groups(merged, "event_type", per_type)
+
+
+SQL_HOURLY_CHANGE = r"""
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+SELECT event_type, hr, c,
+       c - LAG(c) OVER (PARTITION BY event_type ORDER BY hr) AS delta,
+       CAST(c - LAG(c) OVER (PARTITION BY event_type ORDER BY hr) AS DOUBLE)
+         / CAST(LAG(c) OVER (PARTITION BY event_type ORDER BY hr) AS DOUBLE) AS pct_change
+FROM c
+"""
+
+
+def q_conv_duration_quantiles(sf_dir: str):
+    """Conversation-duration distribution: per-conv (max ts - min ts)
+    whole seconds via one bounded min/max keyed exchange, then EXACT
+    p50/p90/p99 by radix selection over the MATERIALIZED per-conv
+    aggregate (the selection's multi-scan reads the 1-row-per-conv
+    table, never the event stream). Composition proof that the
+    selection tier runs on derived datasets, not just file reads."""
+    import pandas as _pd
+
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.keyed import bucketed_keyed_agg
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = _pd.DataFrame({"conv_id": df["conv_id"], "mn": us, "mx": us})
+        return out.groupby("conv_id", sort=False, as_index=False).agg(
+            {"mn": "min", "mx": "max"}
+        )
+
+    spans = bucketed_keyed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["conv_id"], {"mn": "min", "mx": "max"},
+    )
+    durs = spans.map_batches(
+        lambda df: _pd.DataFrame({"dur_s": (df["mx"] - df["mn"]) // 1_000_000}),
+        batch_format="pandas",
+    ).materialize()
+    n = durs.count()
+    p50, p90, p99 = exact_quantiles_disc(durs, "dur_s", [0.5, 0.9, 0.99])
+    return pa.table(
+        {
+            "n_convs": pa.array([n], pa.int64()),
+            "p50_s": pa.array([p50], pa.int64()),
+            "p90_s": pa.array([p90], pa.int64()),
+            "p99_s": pa.array([p99], pa.int64()),
+        }
+    )
+
+
+SQL_CONV_DURATION = f"""
+WITH {TRANSCRIPTS_CTE},
+d AS (SELECT conv_id, (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS dur_s
+      FROM transcripts GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS p90_s,
+       CAST(quantile_disc(dur_s, 0.99) AS BIGINT) AS p99_s
+FROM d
+"""
+
+
+def q_type_value_topn_share(sf_dir: str):
+    """Revenue concentration per event type: the share of total value
+    captured by each type's top-10 users — exact per-(type, user) cent
+    sums through one bounded exchange, then the rank/take-10/total fold
+    runs per type over the AGGREGATED table (users x types rows).
+    Deterministic ties: (value DESC, user_id ASC)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _events(sf_dir, columns=["event_type", "user_id", "value"]).map_batches(
+        _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "user_id": df["user_id"],
+                "v": df["value"].astype("int64"),
+            }
+        )
+        return out.groupby(["event_type", "user_id"], sort=False, as_index=False).sum()
+
+    agg = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["event_type", "user_id"], ["v"]
+    )
+
+    def per_type(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(
+            ["event_type", "v", "user_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = df.groupby("event_type", sort=False)
+        top10 = g.head(10).groupby("event_type", sort=False, as_index=False)["v"].sum()
+        tot = g["v"].sum().rename("total_cents").reset_index()
+        out = tot.merge(top10.rename(columns={"v": "top10_cents"}), on="event_type")
+        out["share"] = out["top10_cents"].to_numpy(np.float64) / out[
+            "total_cents"
+        ].to_numpy(np.float64)
+        return out
+
+    return bucketed_map_groups(agg, "event_type", per_type)
+
+
+SQL_TOPN_SHARE = r"""
+WITH a AS (SELECT event_type, user_id,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v DESC, user_id) AS rn
+      FROM a)
+SELECT event_type, CAST(SUM(v) AS BIGINT) AS total_cents,
+       CAST(SUM(v) FILTER (rn <= 10) AS BIGINT) AS top10_cents,
+       CAST(SUM(v) FILTER (rn <= 10) AS DOUBLE) / CAST(SUM(v) AS DOUBLE) AS share
+FROM r GROUP BY 1
+"""
+
+
+def q_vocab_zipf_slope(sf_dir: str):
+    """Zipf-law fit over the corpus vocabulary: OLS slope of
+    log(count) on log(rank) — run EXACTLY: the distributed part is the
+    vocab_top_terms partial-count merge (the exchange moves vocabulary,
+    never tokens), and the log-log regression QUANTIZES both logs to
+    1e-4 units (``floor(ln(v)*10000 + 0.5)`` — identical float64 ln +
+    fixed-point both engines) so the OLS moments are exact integers and
+    the slope is one closed-form float expression. Vocabulary-bounded
+    by contract (the same bound vocab_top_terms already assumes)."""
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks, _ = _flat_tokens(tbl, "text")
+        if not len(toks):
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        g = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {"token": g.column("token"), "cnt": g.column("token_count").cast(pa.int64())}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    merged = merged.sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    rank = np.arange(1, len(merged) + 1, dtype=np.int64)
+    cnt = merged["cnt"].to_numpy(np.int64)
+    x = np.floor(np.log(rank.astype(np.float64)) * 10000.0 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cnt.astype(np.float64)) * 10000.0 + 0.5).astype(np.int64)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    num = float(n) * sxy - float(sx) * sy
+    dx = float(n) * sxx - float(sx) * sx
+    dy = float(n) * syy - float(sy) * sy
+    slope = num / dx if dx > 0 else None
+    r2 = (num * num) / (dx * dy) if dx > 0 and dy > 0 else None
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_y": pa.array([sy], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "r2": pa.array([r2], pa.float64()),
+        }
+    )
+
+
+SQL_ZIPF = r"""
+WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+u AS (SELECT UNNEST(toks) AS token FROM t),
+v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+r AS (SELECT CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+      FROM v),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy, CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM r)
+SELECT n AS n_terms, sx AS sum_x, sy AS sum_y, sxy AS sum_xy,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END AS slope,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) END AS r2
+FROM m
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -7442,6 +7711,10 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_type_share": q_hourly_type_share,
     "user_interarrival_cv": q_user_interarrival_cv,
     "streaming_type_entropy": q_streaming_type_entropy,
+    "hourly_count_change": q_hourly_count_change,
+    "conv_duration_quantiles": q_conv_duration_quantiles,
+    "type_value_topn_share": q_type_value_topn_share,
+    "vocab_zipf_slope": q_vocab_zipf_slope,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -7634,6 +7907,10 @@ ORACLES: dict[str, str] = {
     "hourly_type_share": SQL_HOURLY_SHARE,
     "user_interarrival_cv": SQL_INTERARRIVAL_CV,
     "streaming_type_entropy": SQL_STREAMING_ENTROPY,
+    "hourly_count_change": SQL_HOURLY_CHANGE,
+    "conv_duration_quantiles": SQL_CONV_DURATION,
+    "type_value_topn_share": SQL_TOPN_SHARE,
+    "vocab_zipf_slope": SQL_ZIPF,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
