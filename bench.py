@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "conv_duration_quantiles",      # per-conv duration p50/p90/p99 (exact radix selection)
     "type_value_topn_share",        # top-10 value concentration per type
     "vocab_zipf_slope",             # Zipf log-log OLS slope (quantized exact moments)
+    "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
+    "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
+    "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)
+    "rich_inactive_customers",      # TPC-H Q22 shape (integer avg threshold + anti join)
     "length_histogram_by_source",   # per-source length histogram (sketch x keyed agg)
     "rolling_user_counts",          # per-event rolling window agg (CEP, offset-searchsorted)
     "funnel_view_purchase",         # A-then-B-within-T funnel (CEP)

@@ -7616,6 +7616,378 @@ FROM m
 """
 
 
+# ------------------------------------------------------------------
+# Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
+# columns — returned-item top customers, max-equality supplier,
+# distinct-suppliers-per-(brand,size), rich-churned anti join
+# ------------------------------------------------------------------
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H-Q10 shape: top-20 customers by revenue lost to returned
+    items ('R' line items of 1996-H1 orders) with name / balance /
+    nation attached. Composition: per-block cents partials by orderkey
+    on the lineitem scan, adaptive join to the window-filtered orders,
+    exact per-customer integer sum, THEN the two dimension attachments
+    run on the aggregate (one row per returning customer, never line
+    items) — nation broadcast (25 rows), customer via auto_join.
+    Deterministic top-20: (revenue DESC, custkey ASC) via the negated
+    tie key."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.joins import auto_join, broadcast_join
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 7, 1), pa.timestamp("us"))
+
+    def order_window(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("o_orderdate")
+        t = tbl.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "c_custkey": t.column("o_custkey")})
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_rev_partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("l_returnflag"), "R"))
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                        ),
+                        pa.scalar(100.0),
+                    ),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"o_orderkey": t.column("l_orderkey"), "cents": cents})
+            .group_by("o_orderkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table({"o_orderkey": g.column("o_orderkey"), "rev": g.column("cents_sum")})
+
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(line_rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    per_cust = (
+        auto_join(line, orders, keys="o_orderkey")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev", alias_name="revenue_cents"))
+    )
+
+    def cust_prep(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(tbl.column("c_acctbal"), pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "c_custkey": tbl.column("c_custkey"),
+                "c_name": tbl.column("c_name"),
+                "acctbal_cents": cents,
+                "c_nationkey": tbl.column("c_nationkey"),
+            }
+        )
+
+    cust = _read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).map_batches(cust_prep, batch_format="pyarrow", zero_copy_batch=True)
+    nat = (
+        pq.read_table(f"{sf_dir}/nation.parquet")
+        .select(["n_nationkey", "n_name"])
+        .rename_columns(["c_nationkey", "n_name"])
+    )
+
+    enriched = broadcast_join(
+        auto_join(per_cust, cust, keys="c_custkey"), nat, keys="c_nationkey"
+    ).drop_columns(["c_nationkey"])
+    ranked = enriched.map_batches(
+        lambda t: t.append_column("__nk", pc.negate(pc.cast(t.column("c_custkey"), pa.int64()))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ranked.sort(["revenue_cents", "__nk"], descending=True).limit(20).drop_columns(["__nk"])
+
+
+SQL_RETURNED_REVENUE = r"""
+WITH l AS (SELECT l_orderkey,
+                  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem WHERE l_returnflag = 'R'),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'),
+r AS (SELECT o.o_custkey, CAST(SUM(l.cents) AS BIGINT) AS revenue_cents
+      FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY 1)
+SELECT c.c_custkey, c.c_name, r.revenue_cents,
+       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents, n.n_name
+FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_cents DESC, c.c_custkey LIMIT 20
+"""
+
+
+def q_top_revenue_supplier(sf_dir: str):
+    """TPC-H-Q15 shape (max-equality scalar subquery): the supplier(s)
+    whose 1996-Q1 shipped revenue equals the GLOBAL max. Per-block cents
+    partials by suppkey -> one bounded exchange (#suppliers rows) ->
+    the materialized per-supplier aggregate is probed twice (max scalar,
+    then the equality filter) without re-reading lineitem; only the
+    TIED winners (a handful of rows by construction) come to the driver
+    and broadcast into a distributed filter over the supplier table —
+    supplier itself is never collected."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("l_shipdate")
+        t = tbl.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                        ),
+                        pa.scalar(100.0),
+                    ),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"s_suppkey": t.column("l_suppkey"), "cents": cents})
+            .group_by("s_suppkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table({"s_suppkey": g.column("s_suppkey"), "rev": g.column("cents_sum")})
+
+    revs = (
+        _read_pq(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev", alias_name="rev_cents"))
+        .materialize()  # one row per supplier — bounded, reused twice
+    )
+    mx = revs.max("rev_cents")
+    winners = {
+        r["s_suppkey"]: r["rev_cents"]
+        for r in revs.filter(lambda row: row["rev_cents"] == mx).take_all()
+    }  # ties-only: a handful of rows by construction
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        keys = np.asarray(tbl.column("s_suppkey").to_numpy(zero_copy_only=False))
+        wk = np.fromiter(winners.keys(), dtype=np.int64, count=len(winners))
+        mask = np.isin(keys, wk)
+        t = tbl.filter(pa.array(mask))
+        rev = pa.array(
+            [winners[int(k)] for k in t.column("s_suppkey").to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_name": t.column("s_name"),
+                "rev_cents": rev,
+            }
+        )
+
+    return _read_pq(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOP_SUPPLIER = r"""
+WITH r AS (SELECT l_suppkey,
+                  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.rev AS rev_cents
+FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+WHERE r.rev = (SELECT MAX(rev) FROM r)
+"""
+
+
+def q_brand_size_supplier_counts(sf_dir: str):
+    """TPC-H-Q16 shape: COUNT(DISTINCT supplier) per (brand, size) —
+    the distinct-agg-after-join composition. lineitem (part, supp)
+    pairs are block-locally DEDUPED before the join exchange (orders
+    repeat pairs heavily), joined to the filtered part dimension, then
+    the salted-distinct pattern: triples dedupe per block, shuffle by
+    hash(suppkey) so a supplier lands in exactly one bucket (per-bucket
+    per-group counts are disjoint — no task sees a whole hot group),
+    tiny keyed sum merges. Brand#45 excluded as in Q16."""
+    from vaero_ray.stages.joins import auto_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    def pair_partial(tbl: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"p_partkey": tbl.column("l_partkey"), "s": tbl.column("l_suppkey")}
+            )
+            .group_by(["p_partkey", "s"])
+            .aggregate([])
+        )
+        return g
+
+    pairs = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part_prep(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.invert(pc.equal(tbl.column("p_brand"), "Brand#45")))
+        return t.select(["p_partkey", "p_brand", "p_size"])
+
+    part = _read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(part_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    triples = auto_join(pairs, part, keys="p_partkey").drop_columns(["p_partkey"])
+
+    def dedup_block(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(["p_brand", "p_size", "s"]).aggregate([])
+
+    triples = triples.map_batches(dedup_block, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df):
+        import pandas as _pd
+
+        g = df.drop_duplicates(["p_brand", "p_size", "s"]).groupby(
+            ["p_brand", "p_size"], sort=False
+        )
+        out = g.size().rename("supplier_cnt").reset_index()
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out[["p_brand", "p_size", "supplier_cnt"]]
+
+    partials = bucketed_map_groups(triples, "s", per_bucket)
+    return bucketed_keyed_sum(partials, ["p_brand", "p_size"], ["supplier_cnt"])
+
+
+SQL_BRAND_SIZE_SUPPLIERS = r"""
+SELECT p.p_brand, p.p_size, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+GROUP BY 1, 2
+"""
+
+
+def q_rich_inactive_customers(sf_dir: str):
+    """TPC-H-Q22 shape (scalar-subquery threshold + anti join): per
+    nation, the count and total balance of customers with
+    ABOVE-AVERAGE positive account balance and NO orders in the last
+    year of the data. The average threshold is compared exactly as the
+    cross-multiplied integers cents*n > total (no float division on
+    either engine); recent orders shrink to distinct custkeys inside
+    the anti semi-join; the final nation attachment broadcasts 25
+    rows against the per-nation aggregate."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Count, Sum
+
+    from vaero_ray.stages.joins import broadcast_join, semi_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    def cust_prep(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.greater(tbl.column("c_acctbal"), 0.0))
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("c_acctbal"), pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": t.column("c_nationkey"),
+                "cents": cents,
+            }
+        )
+
+    cust = _read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(cust_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    agg = cust.aggregate(Sum("cents", alias_name="total"), Count(alias_name="n"))
+    total, n = int(agg["total"]), int(agg["n"])  # two driver scalars
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t.column("cents"), pa.scalar(n, pa.int64())), pa.scalar(total, pa.int64()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    cut = pa.scalar(_dt.datetime(2000, 8, 1), pa.timestamp("us"))
+
+    def recent_keys(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.greater_equal(tbl.column("o_orderdate"), cut))
+        return pa.table({"c_custkey": t.column("o_custkey")})
+
+    recent = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    churned = semi_join(rich, recent, keys="c_custkey", anti=True)
+
+    def per_nation_partial(tbl: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"c_nationkey": tbl.column("c_nationkey"), "cents": tbl.column("cents")})
+            .group_by("c_nationkey")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return pa.table(
+            {
+                "c_nationkey": g.column("c_nationkey"),
+                "bal_cents": g.column("cents_sum"),
+                "n_cust": g.column("cents_count").cast(pa.int64()),
+            }
+        )
+
+    per_nat = bucketed_keyed_sum(
+        churned.map_batches(per_nation_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_nationkey"],
+        ["bal_cents", "n_cust"],
+    )
+    nat = (
+        pq.read_table(f"{sf_dir}/nation.parquet")
+        .select(["n_nationkey", "n_name"])
+        .rename_columns(["c_nationkey", "n_name"])
+    )
+    return broadcast_join(per_nat, nat, keys="c_nationkey").drop_columns(["c_nationkey"])
+
+
+SQL_RICH_INACTIVE = r"""
+WITH p AS (SELECT c_custkey, c_nationkey,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer WHERE c_acctbal > 0.0),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM p),
+r AS (SELECT p.* FROM p, t WHERE p.cents * t.n > t.total
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-08-01'))
+SELECT n.n_name, CAST(SUM(r.cents) AS BIGINT) AS bal_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM r JOIN nation n ON r.c_nationkey = n.n_nationkey GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -7715,6 +8087,10 @@ QUERIES: dict[str, QueryFn] = {
     "conv_duration_quantiles": q_conv_duration_quantiles,
     "type_value_topn_share": q_type_value_topn_share,
     "vocab_zipf_slope": q_vocab_zipf_slope,
+    "returned_item_revenue": q_returned_item_revenue,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "brand_size_supplier_counts": q_brand_size_supplier_counts,
+    "rich_inactive_customers": q_rich_inactive_customers,
     "rolling_user_counts": q_rolling_user_counts,
     "funnel_view_purchase": q_funnel_view_purchase,
     "customers_no_big_orders": q_customers_no_big_orders,
@@ -7911,6 +8287,10 @@ ORACLES: dict[str, str] = {
     "conv_duration_quantiles": SQL_CONV_DURATION,
     "type_value_topn_share": SQL_TOPN_SHARE,
     "vocab_zipf_slope": SQL_ZIPF,
+    "returned_item_revenue": SQL_RETURNED_REVENUE,
+    "top_revenue_supplier": SQL_TOP_SUPPLIER,
+    "brand_size_supplier_counts": SQL_BRAND_SIZE_SUPPLIERS,
+    "rich_inactive_customers": SQL_RICH_INACTIVE,
     "rolling_user_counts": SQL_ROLLING,
     "funnel_view_purchase": SQL_FUNNEL,
     "customers_no_big_orders": SQL_ANTI_JOIN,
