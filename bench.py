@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "conv_duration_quantiles",      # per-conv duration p50/p90/p99 (exact radix selection)
     "type_value_topn_share",        # top-10 value concentration per type
     "vocab_zipf_slope",             # Zipf log-log OLS slope (quantized exact moments)
+    "conv_turn_drift",              # within-conv half-vs-half verbosity drift (exact cross-mult)
+    "role_transition_gaps",         # inter-turn gap sums per role handoff (LAG in-bucket)
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

@@ -7616,6 +7616,159 @@ FROM m
 """
 
 
+def q_conv_turn_drift(sf_dir: str):
+    """Within-conversation verbosity drift: for every conversation with
+    >=4 turns, does the SECOND half (turns n//2..) average longer text
+    than the first? The half-vs-half mean comparison is EXACT via
+    cross-multiplied integer char sums (s2*c1 > s1*c2 — no division on
+    either engine). Per-conv halves fold inside the one conv_id-bucketed
+    shuffle the transcript derivation already pays; only four integer
+    partials per conversation reach the global aggregate."""
+    import pandas as _pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "len": pc.cast(pc.utf8_length(tbl.column("text")), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_conv(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        n = g["len"].transform("size").to_numpy(np.int64)
+        idx = g.cumcount().to_numpy(np.int64)
+        keep = n >= 4
+        first = idx < (n // 2)
+        ln = df["len"].to_numpy(np.int64)
+        out = _pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy()[keep],
+                "s1": np.where(first, ln, 0)[keep],
+                "c1": first.astype(np.int64)[keep],
+                "s2": np.where(~first, ln, 0)[keep],
+                "c2": (~first).astype(np.int64)[keep],
+            }
+        )
+        agg = out.groupby("conv_id", sort=False, as_index=False).sum()
+        agg["up"] = (agg["s2"] * agg["c1"] > agg["s1"] * agg["c2"]).astype(np.int64)
+        return agg[["s1", "s2", "up"]]
+
+    convs = bucketed_map_groups(ds, "conv_id", per_conv)
+    a = convs.aggregate(
+        Count(alias_name="n_convs"),
+        Sum("up", alias_name="n_drift_up"),
+        Sum("s1", alias_name="first_half_chars"),
+        Sum("s2", alias_name="second_half_chars"),
+    )
+    return pa.table(
+        {
+            "n_convs": pa.array([int(a["n_convs"])], pa.int64()),
+            "n_drift_up": pa.array([int(a["n_drift_up"])], pa.int64()),
+            "first_half_chars": pa.array([int(a["first_half_chars"])], pa.int64()),
+            "second_half_chars": pa.array([int(a["second_half_chars"])], pa.int64()),
+        }
+    )
+
+
+SQL_TURN_DRIFT = f"""
+WITH {TRANSCRIPTS_CTE},
+t AS (SELECT conv_id, turn_idx, CAST(length(text) AS BIGINT) AS len,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n
+      FROM transcripts),
+c AS (SELECT conv_id,
+             COALESCE(SUM(len) FILTER (turn_idx < n // 2), 0) AS s1,
+             COUNT(*) FILTER (turn_idx < n // 2) AS c1,
+             COALESCE(SUM(len) FILTER (turn_idx >= n // 2), 0) AS s2,
+             COUNT(*) FILTER (turn_idx >= n // 2) AS c2
+      FROM t WHERE n >= 4 GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) FILTER (s2 * c1 > s1 * c2) AS BIGINT) AS n_drift_up,
+       CAST(SUM(s1) AS BIGINT) AS first_half_chars,
+       CAST(SUM(s2) AS BIGINT) AS second_half_chars
+FROM c
+"""
+
+
+def q_role_transition_gaps(sf_dir: str):
+    """Inter-turn latency per role handoff (user->assistant,
+    assistant->tool, ...): LAG of (role, ts) within each conversation,
+    exact integer-microsecond gap sums per ordered role pair. The lag
+    runs vectorized inside the conv_id-bucketed shuffle (shift + same-
+    conv mask, no per-conv Python); the exchange after it carries nine
+    partial rows per bucket, not turns."""
+    import pandas as _pd
+
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "role": tbl.column("role"),
+            }
+        )
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        role = df["role"].to_numpy()
+        same = np.r_[False, conv[1:] == conv[:-1]]
+        gap = np.empty_like(us)
+        gap[1:] = us[1:] - us[:-1]
+        prev_role = np.roll(role, 1)
+        out = _pd.DataFrame(
+            {
+                "role_prev": prev_role[same],
+                "role": role[same],
+                "n": np.ones(int(same.sum()), np.int64),
+                "gap_us": gap[same],
+            }
+        )
+        return out.groupby(["role_prev", "role"], sort=False, as_index=False).sum()
+
+    partials = bucketed_map_groups(ds, "conv_id", per_bucket)
+    return bucketed_keyed_sum(partials, ["role_prev", "role"], ["n", "gap_us"])
+
+
+SQL_ROLE_GAPS = f"""
+WITH {TRANSCRIPTS_CTE},
+t AS (SELECT conv_id, role, epoch_us(ts) AS us,
+             LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_prev,
+             LAG(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS us_prev
+      FROM transcripts)
+SELECT role_prev, role, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(us - us_prev) AS BIGINT) AS gap_us
+FROM t WHERE role_prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -8087,6 +8240,8 @@ QUERIES: dict[str, QueryFn] = {
     "conv_duration_quantiles": q_conv_duration_quantiles,
     "type_value_topn_share": q_type_value_topn_share,
     "vocab_zipf_slope": q_vocab_zipf_slope,
+    "conv_turn_drift": q_conv_turn_drift,
+    "role_transition_gaps": q_role_transition_gaps,
     "returned_item_revenue": q_returned_item_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
     "brand_size_supplier_counts": q_brand_size_supplier_counts,
@@ -8287,6 +8442,8 @@ ORACLES: dict[str, str] = {
     "conv_duration_quantiles": SQL_CONV_DURATION,
     "type_value_topn_share": SQL_TOPN_SHARE,
     "vocab_zipf_slope": SQL_ZIPF,
+    "conv_turn_drift": SQL_TURN_DRIFT,
+    "role_transition_gaps": SQL_ROLE_GAPS,
     "returned_item_revenue": SQL_RETURNED_REVENUE,
     "top_revenue_supplier": SQL_TOP_SUPPLIER,
     "brand_size_supplier_counts": SQL_BRAND_SIZE_SUPPLIERS,
