@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "vocab_zipf_slope",             # Zipf log-log OLS slope (quantized exact moments)
     "conv_turn_drift",              # within-conv half-vs-half verbosity drift (exact cross-mult)
     "role_transition_gaps",         # inter-turn gap sums per role handoff (LAG in-bucket)
+    "kmv_user_minima",              # KMV bottom-k distinct sketch (one-task merge)
+    "user_value_frontier",          # Pareto skyline over per-user (spend, events)
+    "value_benford_digits",         # Benford leading-digit QA profile per type
+    "zorder_events",                # Morton Z-order layout key (user x hour)
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

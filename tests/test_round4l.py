@@ -1,0 +1,118 @@
+"""Session-8 batch 1: KMV distinct sketch, Pareto frontier (skyline),
+Morton Z-order dilation — brute-force numpy/python oracles on
+randomized inputs."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _rng():
+    return np.random.default_rng(7)
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    from vaero_ray.stages.sketch import kmv_estimate, kmv_minima
+
+    rng = _rng()
+    true_n = 40_000
+    # duplicated draws from a 40k-distinct pool, sharded into many blocks
+    vals = rng.choice(np.arange(true_n, dtype=np.int64), size=120_000, replace=True)
+    vals = np.concatenate([vals, np.arange(true_n, dtype=np.int64)])  # force all present
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(16)
+    k = 256
+    minima = kmv_minima(ds, "v", k=k)
+    tbl = pa.Table.from_pylist(minima.take_all())
+    assert tbl.num_rows == k
+    hv = tbl.column("hv").to_numpy()
+    assert (np.diff(hv) > 0).all()  # distinct, ascending
+    est = kmv_estimate(tbl, k=k)
+    assert abs(est - true_n) / true_n < 0.15  # ~1/sqrt(k-1) ≈ 6% std
+
+
+def test_kmv_exact_below_k(ray_session):
+    from vaero_ray.stages.sketch import kmv_estimate, kmv_minima
+
+    ds = rd.from_arrow(pa.table({"v": pa.array(np.arange(37, dtype=np.int64))}))
+    tbl = pa.Table.from_pylist(kmv_minima(ds, "v", k=64).take_all())
+    assert tbl.num_rows == 37
+    assert kmv_estimate(tbl, k=64) == 37.0
+
+
+def test_kmv_merge_shard_invariant(ray_session):
+    """Same input under different sharding -> identical minima."""
+    from vaero_ray.stages.sketch import kmv_minima
+
+    rng = _rng()
+    vals = rng.integers(0, 1 << 40, size=5000).astype(np.int64)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    a = pa.Table.from_pylist(kmv_minima(rd.from_arrow(t), "v", k=128).take_all())
+    b = pa.Table.from_pylist(
+        kmv_minima(rd.from_arrow(t).repartition(13), "v", k=128).take_all()
+    )
+    assert a.column("hv").to_pylist() == b.column("hv").to_pylist()
+
+
+def _brute_pareto(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    keep = np.ones(len(x), bool)
+    for i in range(len(x)):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        if dom.any():
+            keep[i] = False
+    return keep
+
+
+def test_block_pareto_matches_bruteforce():
+    from vaero_ray.stages.selection import _block_pareto
+
+    rng = _rng()
+    for _ in range(20):
+        n = int(rng.integers(1, 200))
+        # small domain -> plenty of ties and duplicate points
+        x = rng.integers(0, 12, size=n).astype(np.int64)
+        y = rng.integers(0, 12, size=n).astype(np.int64)
+        tbl = pa.table({"x": pa.array(x), "y": pa.array(y)})
+        got = _block_pareto(tbl, "x", "y")
+        keep = _brute_pareto(x, y)
+        want = sorted(zip(x[keep].tolist(), y[keep].tolist()))
+        have = sorted(zip(got.column("x").to_pylist(), got.column("y").to_pylist()))
+        assert have == want
+
+
+def test_pareto_frontier_combiner_property(ray_session):
+    """pareto over many blocks == brute-force pareto over the union."""
+    from vaero_ray.stages.selection import pareto_frontier
+
+    rng = _rng()
+    n = 4000
+    x = rng.integers(0, 1000, size=n).astype(np.int64)
+    y = (1000 - x + rng.integers(-80, 80, size=n)).astype(np.int64)  # anti-correlated
+    ds = rd.from_arrow(pa.table({"x": pa.array(x), "y": pa.array(y)})).repartition(11)
+    got = pa.Table.from_pylist(pareto_frontier(ds, "x", "y").take_all())
+    keep = _brute_pareto(x, y)
+    want = sorted(zip(x[keep].tolist(), y[keep].tolist()))
+    have = sorted(zip(got.column("x").to_pylist(), got.column("y").to_pylist()))
+    assert have == want
+
+
+def test_morton16_roundtrip_and_order():
+    from vaero_ray.stages.keyed import _spread16, morton16
+
+    rng = _rng()
+    a = rng.integers(0, 1 << 16, size=2000).astype(np.uint64)
+    b = rng.integers(0, 1 << 16, size=2000).astype(np.uint64)
+    z = morton16(a, b).astype(np.uint64)
+
+    def compact(v):  # inverse dilation: gather even bits
+        v = v & np.uint64(0x55555555)
+        v = (v | (v >> np.uint64(1))) & np.uint64(0x33333333)
+        v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF)
+        v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF)
+        return v
+
+    assert (compact(z) == a).all()
+    assert (compact(z >> np.uint64(1)) == b).all()
+    # dilation is strictly monotone, so equal-b rows sort by a
+    sa = np.sort(a)
+    assert (np.diff(_spread16(sa)[np.argsort(sa, kind="stable")]) >= 0).all()

@@ -7770,6 +7770,183 @@ FROM t WHERE role_prev IS NOT NULL GROUP BY 1, 2
 
 
 # ------------------------------------------------------------------
+# Session-8 batch 1: KMV distinct sketch, Pareto frontier, Benford
+# leading-digit profile, Z-order layout key
+# ------------------------------------------------------------------
+
+_KMV_K = 64  # < distinct users at every test scale, so bottom-k selects
+
+
+def q_kmv_user_minima(sf_dir: str):
+    """K-minimum-values distinct sketch of user_id: the 64 smallest
+    distinct 61-bit hashes across the corpus — the third mergeable
+    distinct shape beside HLL (register max) and Bloom (word OR), and
+    the one that composes into set-operation estimates. Per-block
+    bottom-k partials (≤k ints leave any block), one-task merge over
+    block refs; minima + estimate are integer-exact and SQL-identical
+    (same strengthened M61 hash as the HLL gates)."""
+    from vaero_ray.stages.sketch import kmv_minima
+
+    return kmv_minima(_events(sf_dir, columns=["user_id"]), "user_id", k=_KMV_K)
+
+
+SQL_KMV = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT DISTINCT CAST(((A * ((CASE WHEN user_id < 0
+                THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+                ELSE CAST(user_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM events, m),
+hs AS (
+  SELECT DISTINCT CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m)
+SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) - 1 AS rk, hv
+FROM hs ORDER BY hv LIMIT {K}
+"""
+
+
+def _fmt_kmv_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return SQL_KMV.format(
+        A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2),
+        XS=HLL_XS, K=_KMV_K,
+    )
+
+
+SQL_KMV = _fmt_kmv_sql()
+
+
+def q_user_value_frontier(sf_dir: str):
+    """Pareto frontier (skyline) over per-user (total spend, event
+    count): the users no other user weakly dominates with a strict
+    improvement on either axis — multi-objective top-N without a
+    scalarization weight. Exact-cents keyed sum feeds the distributed
+    skyline: per-block local frontiers (the combiner property
+    pareto(pareto(A) ∪ pareto(B)) == pareto(A ∪ B)) prune before one
+    tiny repartition; only frontier candidates ever move."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.selection import pareto_frontier
+
+    ds = _events(sf_dir, columns=["user_id", "value"]).map_batches(
+        _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def proj(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "n_events": pa.array(np.ones(tbl.num_rows, np.int64), pa.int64()),
+                "sum_value_cents": tbl.column("value"),
+            }
+        )
+
+    per_user = bucketed_keyed_sum(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        ["n_events", "sum_value_cents"],
+    )
+    return pareto_frontier(per_user, "sum_value_cents", "n_events")
+
+
+SQL_FRONTIER = r"""
+WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+           FROM events GROUP BY 1)
+SELECT user_id, n_events, sum_value_cents FROM a r
+WHERE NOT EXISTS (
+  SELECT 1 FROM a s
+  WHERE s.sum_value_cents >= r.sum_value_cents AND s.n_events >= r.n_events
+    AND (s.sum_value_cents > r.sum_value_cents OR s.n_events > r.n_events))
+"""
+
+
+def q_value_benford_digits(sf_dir: str):
+    """Benford leading-digit profile of the money column per event
+    type — the classic fabricated-data / unit-mixup QA scan. Exact:
+    cents fixed-point per row, first digit via decimal string slice
+    (identical expression in SQL), per-block (type, digit) partials,
+    tiny keyed-sum merge — at most 9x|types| rows leave any block."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _events(sf_dir, columns=["event_type", "value"]).map_batches(
+        _value_to_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.greater(tbl.column("value"), 0))
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(t.column("value"), pa.string()), 0, 1),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"event_type": t.column("event_type"), "digit": digit})
+            .group_by(["event_type", "digit"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "digit": g.column("digit"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_keyed_sum(partials, ["event_type", "digit"], ["n"], num_buckets=4)
+
+
+SQL_BENFORD = r"""
+WITH c AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT event_type, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c WHERE cents > 0 GROUP BY 1, 2
+"""
+
+
+def q_zorder_events(sf_dir: str):
+    """Z-order (Morton) layout key over (user_id, event hour): the
+    multi-dimensional clustering primitive — sort/partition output
+    files by this interleaved code and a 100-TB scan filtered on EITHER
+    dimension prunes row groups instead of reading everything (the
+    Delta/Iceberg OPTIMIZE ZORDER trick as a plain vectorized column).
+    Stateless mask-shift dilation per batch; bit-exact in SQL via 16
+    shift-mask terms per dimension."""
+    from vaero_ray.stages.keyed import morton16
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+
+    def add_z(tbl: pa.Table) -> pa.Table:
+        u = np.asarray(tbl.column("user_id").to_numpy(zero_copy_only=False)).astype(
+            np.uint64
+        )
+        us = np.asarray(
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        hrs = (us // 3_600_000_000).astype(np.uint64)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "zcode": pa.array(morton16(u, hrs), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_Z_U = " | ".join(f"(((u >> {i}) & 1) << {2 * i})" for i in range(16))
+_Z_T = " | ".join(f"(((h >> {i}) & 1) << {2 * i + 1})" for i in range(16))
+SQL_ZORDER = f"""
+WITH b AS (SELECT event_id, (user_id & 65535) AS u,
+                  ((epoch_us(ts) // 3600000000) & 65535) AS h
+           FROM events)
+SELECT event_id, CAST({_Z_U} | {_Z_T} AS BIGINT) AS zcode FROM b
+"""
+
+
+# ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
 # distinct-suppliers-per-(brand,size), rich-churned anti join
@@ -8242,6 +8419,10 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_zipf_slope": q_vocab_zipf_slope,
     "conv_turn_drift": q_conv_turn_drift,
     "role_transition_gaps": q_role_transition_gaps,
+    "kmv_user_minima": q_kmv_user_minima,
+    "user_value_frontier": q_user_value_frontier,
+    "value_benford_digits": q_value_benford_digits,
+    "zorder_events": q_zorder_events,
     "returned_item_revenue": q_returned_item_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
     "brand_size_supplier_counts": q_brand_size_supplier_counts,
@@ -8444,6 +8625,10 @@ ORACLES: dict[str, str] = {
     "vocab_zipf_slope": SQL_ZIPF,
     "conv_turn_drift": SQL_TURN_DRIFT,
     "role_transition_gaps": SQL_ROLE_GAPS,
+    "kmv_user_minima": SQL_KMV,
+    "user_value_frontier": SQL_FRONTIER,
+    "value_benford_digits": SQL_BENFORD,
+    "zorder_events": SQL_ZORDER,
     "returned_item_revenue": SQL_RETURNED_REVENUE,
     "top_revenue_supplier": SQL_TOP_SUPPLIER,
     "brand_size_supplier_counts": SQL_BRAND_SIZE_SUPPLIERS,

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -235,3 +236,28 @@ def compact_small_blocks(mat: rd.MaterializedDataset) -> rd.MaterializedDataset:
     if mat.num_blocks() > 4 * target:
         return mat.repartition(target).materialize()
     return mat
+
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each uint64 onto even bit positions
+    (0,2,4,..,30) — the standard mask-shift Morton dilation."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """32-bit Morton (Z-order) code interleaving the low 16 bits of
+    ``a`` (even positions) and ``b`` (odd positions) — the
+    multi-dimensional data-layout key: sorting/partitioning output files
+    by the interleaved code co-locates rows that are close in BOTH
+    dimensions (e.g. user x hour), so a 100-TB scan with predicates on
+    either dimension prunes row groups instead of reading everything
+    (the Z-order clustering trick of Delta/Iceberg OPTIMIZE, expressed
+    here as a plain vectorized key you hand to ``ds.sort`` /
+    ``write_parquet`` partitioning). Bit-exact in SQL via 16 shift-mask
+    terms per dimension."""
+    return (_spread16(a) | (_spread16(b) << np.uint64(1))).astype(np.int64)

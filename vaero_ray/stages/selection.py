@@ -541,3 +541,50 @@ def winsorized_stats_per_group(
         return df[[group, "lo", "hi", "n_rows", "sum_w", "mean_w"]]
 
     return merged.map_batches(finalize, batch_format="pandas")
+
+
+def _block_pareto(tbl: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Non-dominated rows of one block under componentwise-maximize
+    order: keep row r iff no row s has s.x >= r.x AND s.y >= r.y with at
+    least one strict (exact duplicates of a frontier point are all
+    kept — nothing strictly improves on them). Vectorized: sort by
+    (x desc, y desc); a row is dominated iff the max y among strictly
+    greater x reaches its y, or a same-x row has strictly greater y."""
+    if not tbl.num_rows:
+        return tbl
+    x = np.asarray(tbl.column(x_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+    y = np.asarray(tbl.column(y_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    grp_start = np.r_[True, xs[1:] != xs[:-1]]
+    gidx = np.cumsum(grp_start) - 1  # x-group index per row
+    top_y = ys[grp_start]  # each x-group's max y (y desc within group)
+    prev_max = np.r_[np.int64(np.iinfo(np.int64).min), np.maximum.accumulate(top_y)[:-1]]
+    dominated = (prev_max[gidx] >= ys) | (ys < top_y[gidx])
+    return tbl.take(pa.array(order[~dominated]))
+
+
+def pareto_frontier(ds: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
+    """Distributed Pareto frontier (skyline) maximizing two int64
+    metrics: the rows no other row weakly dominates with a strict
+    improvement. The operator's combiner property makes it
+    embarrassingly distributable — ``pareto(pareto(A) ∪ pareto(B)) ==
+    pareto(A ∪ B)`` — so each block is pruned to its LOCAL frontier
+    first and only frontier candidates ride the one repartition into
+    the final single-task resolve. Partitioning assumption: the union
+    of per-block frontiers fits one task (frontiers are tiny for any
+    correlated metrics; worst case is a fully anti-correlated dataset,
+    where no skyline algorithm compresses). Ties kept SQL-style:
+    duplicate points on the frontier all survive (NOT EXISTS
+    dominance), so output matches the relational oracle exactly."""
+    local = ds.map_batches(
+        lambda t: _block_pareto(t, x_col, y_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return local.repartition(1).map_batches(
+        lambda t: _block_pareto(t, x_col, y_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -451,6 +451,62 @@ def bloom_registers(
     return bucketed_map_groups(partials, "word", _merge_bits, num_buckets=4)
 
 
+def kmv_minima(ds: rd.Dataset, col: str, k: int = 256) -> rd.Dataset:
+    """K-minimum-values distinct sketch: the ``k`` smallest DISTINCT
+    61-bit hash values of ``col`` across the whole dataset, as
+    ``(rk, hv)`` rows (rk 0..k-1 ascending). Mergeable by
+    union→unique→bottom-k (commutative/associative/idempotent), so each
+    block contributes at most ``k`` int64 values regardless of its size
+    — the third mergeable-distinct shape beside HLL (register max) and
+    Bloom (word OR), and the one that also supports set operations
+    (union/intersection estimates from merged minima).
+
+    Merge is ONE Ray task over the partial block refs (≤ k ints each,
+    same recipe as ``bloom_registers(merge="task")``) — no shuffle, no
+    driver copy. Distinct-count estimate: see ``kmv_estimate``. Both
+    the minima and the estimate are integer-exact and SQL-reproducible
+    (same strengthened M61 hash as HLL)."""
+    import ray
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"hv": pa.array([], pa.int64())})
+        x = np.asarray(tbl.column(col).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        h = np.unique(hll_hash(x))  # unique returns sorted ascending
+        return pa.table({"hv": pa.array(h[:k].astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def bottom_k(*tbls: pa.Table) -> pa.Table:
+        parts = [t.column("hv").to_numpy() for t in tbls if t.num_rows]
+        if not parts:
+            return pa.table(
+                {"rk": pa.array([], pa.int64()), "hv": pa.array([], pa.int64())}
+            )
+        h = np.unique(np.concatenate(parts))[:k]
+        return pa.table(
+            {"rk": pa.array(np.arange(len(h), dtype=np.int64), pa.int64()),
+             "hv": pa.array(h, pa.int64())}
+        )
+
+    return rd.from_arrow_refs([bottom_k.remote(*partials.to_arrow_refs())])
+
+
+def kmv_estimate(minima: "pd.DataFrame | pa.Table", k: int = 256) -> float:
+    """Distinct-count estimate from KMV minima: if the k-th smallest of
+    n uniform hashes in [0, M61) is h_k, then n ≈ (k-1) * M61 / h_k
+    (the unbiased KMV estimator). Falls back to the exact count when
+    fewer than ``k`` distinct values exist (the minima ARE the set)."""
+    if isinstance(minima, pa.Table):
+        hv = minima.column("hv").to_numpy()
+    else:
+        hv = minima["hv"].to_numpy()
+    if len(hv) < k:
+        return float(len(hv))
+    return (k - 1) * float(M61) / float(hv[k - 1])
+
+
 def bloom_may_contain(
     registers: "pd.DataFrame | pa.Table", keys: np.ndarray, m_bits: int = 1 << 16
 ) -> np.ndarray:
