@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "user_value_frontier",          # Pareto skyline over per-user (spend, events)
     "value_benford_digits",         # Benford leading-digit QA profile per type
     "zorder_events",                # Morton Z-order layout key (user x hour)
+    "conv_pattern_matches",         # regex CEP at+a over per-conv role sequences
+    "event_regex_funnel",           # regex CEP v+c over per-user event types
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

@@ -116,3 +116,60 @@ def test_morton16_roundtrip_and_order():
     # dilation is strictly monotone, so equal-b rows sort by a
     sa = np.sort(a)
     assert (np.diff(_spread16(sa)[np.argsort(sa, kind="stable")]) >= 0).all()
+
+
+def test_regex_pattern_counts_bruteforce(ray_session):
+    """Randomized sequences vs pure-Python re.findall per key."""
+    import re
+
+    from vaero_ray.stages.cep import regex_pattern_counts
+
+    rng = _rng()
+    n = 3000
+    keys = rng.integers(0, 60, size=n).astype(np.int64)
+    ts = rng.integers(0, 10**9, size=n).astype("datetime64[us]")
+    types = rng.choice(np.array(["A", "B", "C", "odd"]), size=n, p=[0.4, 0.3, 0.2, 0.1])
+    eid = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"k": pa.array(keys), "ts": pa.array(ts), "eid": pa.array(eid),
+         "t": pa.array(types)}
+    )
+    mapping = {"A": "a", "B": "b", "C": "c"}  # 'odd' unmapped -> wall
+    pat = r"ab+c"
+    got = regex_pattern_counts(
+        rd.from_arrow(tbl).repartition(9), "k", ["ts", "eid"], "t", mapping, pat
+    )
+    have = {
+        r["k"]: r["n_matches"] for r in got.take_all()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "ts": ts, "eid": eid, "t": types}).sort_values(
+        ["k", "ts", "eid"]
+    )
+    want = {}
+    for k, g in df.groupby("k"):
+        s = "".join(mapping.get(t, "-") for t in g["t"])
+        want[k] = len(re.findall(pat, s))
+    assert have == want
+
+
+def test_regex_pattern_counts_no_cross_key_match(ray_session):
+    """A pattern spanning two keys' sequences must NOT match."""
+    from vaero_ray.stages.cep import regex_pattern_counts
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([0, 1, 2, 3], dtype="datetime64[us]")
+            ),
+            "eid": pa.array([0, 1, 2, 3], pa.int64()),
+            "t": pa.array(["A", "B", "B", "C"]),
+        }
+    )
+    got = regex_pattern_counts(
+        rd.from_arrow(tbl), "k", ["ts", "eid"], "t",
+        {"A": "a", "B": "b", "C": "c"}, r"ab+c"
+    )
+    assert {r["k"]: r["n_matches"] for r in got.take_all()} == {1: 0, 2: 0}

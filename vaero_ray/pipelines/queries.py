@@ -7947,6 +7947,89 @@ SELECT event_id, CAST({_Z_U} | {_Z_T} AS BIGINT) AS zcode FROM b
 
 
 # ------------------------------------------------------------------
+# Session-8 batch 2: MATCH_RECOGNIZE-style regex CEP over per-key
+# event/turn sequences
+# ------------------------------------------------------------------
+
+
+def q_conv_pattern_matches(sf_dir: str):
+    """Regex CEP over per-conversation role sequences: count
+    non-overlapping ``at+a`` matches (assistant -> tool call(s) ->
+    assistant, the resolved-tool-use exchange) per conv — the pattern
+    QUANTIFIER form of sequence detection that fixed-step funnels can't
+    express (MATCH_RECOGNIZE territory). One conv_id-bucketed shuffle,
+    one compiled-regex scan per bucket over a separator-walled byte
+    buffer; the Python loop is over matches, never rows."""
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.cep import regex_pattern_counts
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "role": tbl.column("role"),
+            }
+        )
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return regex_pattern_counts(
+        ds,
+        "conv_id",
+        ["ts", "event_id"],
+        "role",
+        {"user": "u", "assistant": "a", "tool": "t"},
+        r"at+a",
+    )
+
+
+SQL_CONV_PATTERN = f"""
+WITH {TRANSCRIPTS_CTE},
+s AS (SELECT conv_id,
+             string_agg(CASE role WHEN 'user' THEN 'u'
+                                  WHEN 'assistant' THEN 'a'
+                                  ELSE 't' END, '' ORDER BY turn_idx) AS seq
+      FROM transcripts GROUP BY 1)
+SELECT conv_id, CAST(len(regexp_extract_all(seq, 'at+a')) AS BIGINT) AS n_matches
+FROM s
+"""
+
+
+def q_event_regex_funnel(sf_dir: str):
+    """The same regex-CEP operator over the raw event stream: per user,
+    non-overlapping ``v+c`` matches (a browse burst of consecutive
+    views ending in a click) over the (ts, event_id)-ordered event-type
+    sequence — event types encode as their distinct first letters
+    (v/c/p/s/e), identical to the SQL twin's substr."""
+    from vaero_ray.stages.cep import regex_pattern_counts
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return regex_pattern_counts(
+        ds,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"},
+        r"v+c",
+    )
+
+
+SQL_EVENT_REGEX = r"""
+WITH s AS (SELECT user_id,
+                  string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY 1)
+SELECT user_id, CAST(len(regexp_extract_all(seq, 'v+c')) AS BIGINT) AS n_matches
+FROM s
+"""
+
+
+# ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
 # distinct-suppliers-per-(brand,size), rich-churned anti join
@@ -8420,6 +8503,8 @@ QUERIES: dict[str, QueryFn] = {
     "conv_turn_drift": q_conv_turn_drift,
     "role_transition_gaps": q_role_transition_gaps,
     "kmv_user_minima": q_kmv_user_minima,
+    "conv_pattern_matches": q_conv_pattern_matches,
+    "event_regex_funnel": q_event_regex_funnel,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -8626,6 +8711,8 @@ ORACLES: dict[str, str] = {
     "conv_turn_drift": SQL_TURN_DRIFT,
     "role_transition_gaps": SQL_ROLE_GAPS,
     "kmv_user_minima": SQL_KMV,
+    "conv_pattern_matches": SQL_CONV_PATTERN,
+    "event_regex_funnel": SQL_EVENT_REGEX,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

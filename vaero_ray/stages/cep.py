@@ -608,3 +608,79 @@ def time_weighted_sums(
         )
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def regex_pattern_counts(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: "list[str]",
+    type_col: str,
+    mapping: "dict[str, str]",
+    pattern: str,
+    out: str = "n_matches",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """MATCH_RECOGNIZE-style CEP: per KEY, count non-overlapping matches
+    of a regular expression over the key's event-type sequence in
+    ``order_cols`` order — the general pattern quantifier form
+    (``at+a``: assistant -> tool(s) -> assistant) that fixed-step
+    funnels (``sequence_matches``) can't express.
+
+    Vectorized as ONE compiled-regex scan per bucket: event types map to
+    single chars (``mapping``; unmapped types become ``'-'`` walls that
+    no alphabet pattern crosses), every key's chars land in one shared
+    byte buffer with ``'|'`` separators between keys (pure numpy
+    scatter: position = row_index + group_index), one ``re.finditer``
+    over the buffer, and match starts are attributed back to keys with a
+    single searchsorted against the group start offsets. The only Python
+    loop is over MATCHES (<< rows). Greedy leftmost non-overlapping
+    semantics — identical in Python re and DuckDB/RE2
+    ``regexp_extract_all`` for alternation-free patterns, so gates are
+    hash-exact.
+
+    ``order_cols`` must make the per-key order total (unique tiebreak),
+    or counts are nondeterministic under resharding. Output: one row per
+    key, ``(key, out)`` int64, zero-match keys INCLUDED (mirrors the SQL
+    ``string_agg -> regexp_extract_all`` twin, which emits every key).
+
+    One bucketed shuffle; partitioning assumption: one bucket's rows fit
+    one task's heap (keyed.py contract). Scale note: the buffer is
+    ~1 byte/row, so the regex pass is trivially memory-bounded next to
+    the frame itself."""
+    import re as _re
+
+    pat = _re.compile(pattern.encode("ascii"))
+    cmap = {k: v.encode("ascii") for k, v in mapping.items()}
+    if any(len(v) != 1 for v in cmap.values()):
+        raise ValueError("mapping values must be single ASCII chars")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({key: df[key], out: np.array([], np.int64)})
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        gs = np.r_[True, codes[1:] != codes[:-1]]
+        gid = np.cumsum(gs) - 1
+        n_groups = int(gid[-1]) + 1
+        chars = (
+            df[type_col]
+            .map({k: v[0] for k, v in cmap.items()})
+            .fillna(float(ord("-")))
+            .to_numpy()
+            .astype(np.uint8)
+        )
+        buf = np.full(n + n_groups, ord("|"), np.uint8)
+        pos = np.arange(n, dtype=np.int64) + gid
+        buf[pos] = chars
+        starts = pos[gs]  # first char position of each key group
+        mstarts = np.fromiter(
+            (m.start() for m in pat.finditer(buf.tobytes())), dtype=np.int64
+        )
+        counts = np.zeros(n_groups, np.int64)
+        if len(mstarts):
+            g = np.searchsorted(starts, mstarts, side="right") - 1
+            counts = np.bincount(g, minlength=n_groups).astype(np.int64)
+        return pd.DataFrame({key: df[key].to_numpy()[gs], out: counts})
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
