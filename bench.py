@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "zorder_events",                # Morton Z-order layout key (user x hour)
     "conv_pattern_matches",         # regex CEP at+a over per-conv role sequences
     "event_regex_funnel",           # regex CEP v+c over per-user event types
+    "hourly_autocorr",              # lag-1 autocorrelation of hourly counts per type
+    "hourly_cusum_peak",            # CUSUM change-point peak hour per type (integer-exact)
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

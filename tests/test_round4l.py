@@ -173,3 +173,69 @@ def test_regex_pattern_counts_no_cross_key_match(ray_session):
         {"A": "a", "B": "b", "C": "c"}, r"ab+c"
     )
     assert {r["k"]: r["n_matches"] for r in got.take_all()} == {1: 0, 2: 0}
+
+
+def test_cusum_peak_bruteforce(ray_session):
+    """Segmented-cumsum argmax vs a per-key Python fold."""
+    from vaero_ray.stages.numstats import cusum_peak_per_group
+
+    rng = _rng()
+    rows = []
+    for k in range(12):
+        n = int(rng.integers(1, 40))
+        hrs = np.sort(rng.choice(np.arange(200), size=n, replace=False))
+        # plant a level shift in half the keys
+        vals = rng.integers(1, 20, size=n)
+        if k % 2:
+            vals[n // 2:] += 30
+        rows.append((k, hrs, vals))
+    tbl = pa.table(
+        {
+            "k": pa.array(np.concatenate([[k] * len(h) for k, h, _ in rows]).astype(np.int64)),
+            "hr": pa.array(np.concatenate([h for _, h, _ in rows]).astype(np.int64)),
+            "c": pa.array(np.concatenate([v for _, _, v in rows]).astype(np.int64)),
+        }
+    )
+    got = {
+        r["k"]: (r["n_points"], r["total"], r["peak_dev"], r["peak_ord"])
+        for r in cusum_peak_per_group(
+            rd.from_arrow(tbl).repartition(5), "k", "hr", "c"
+        ).take_all()
+    }
+    for k, hrs, vals in rows:
+        n, tot = len(vals), int(vals.sum())
+        best = (-1, None)
+        pref = 0
+        for i, (h, v) in enumerate(zip(hrs, vals), start=1):
+            pref += int(v)
+            dev = abs(n * pref - i * tot)
+            if dev > best[0]:
+                best = (dev, int(h))
+        assert got[k] == (n, tot, best[0], best[1]), k
+
+
+def test_lag_autocorr_matches_numpy(ray_session):
+    from vaero_ray.stages.numstats import lag_autocorr_per_group
+
+    rng = _rng()
+    ks, hs, cs = [], [], []
+    for k in range(6):
+        n = int(rng.integers(3, 60))
+        hrs = np.sort(rng.choice(np.arange(300), size=n, replace=False))
+        vals = rng.integers(0, 50, size=n)
+        ks.append(np.full(n, k)); hs.append(hrs); cs.append(vals)
+    tbl = pa.table(
+        {"k": pa.array(np.concatenate(ks).astype(np.int64)),
+         "hr": pa.array(np.concatenate(hs).astype(np.int64)),
+         "c": pa.array(np.concatenate(cs).astype(np.int64))}
+    )
+    got = {
+        r["k"]: r["autocorr"]
+        for r in lag_autocorr_per_group(
+            rd.from_arrow(tbl).repartition(4), "k", "hr", "c"
+        ).take_all()
+    }
+    for k, v in zip(range(6), cs):
+        x, y = v[:-1].astype(float), v[1:].astype(float)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(got[k] - want) < 1e-5, k

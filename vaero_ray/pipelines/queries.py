@@ -8030,6 +8030,106 @@ FROM s
 
 
 # ------------------------------------------------------------------
+# Session-8 batch 3: time-series QA over the hourly count series —
+# lag-1 autocorrelation and CUSUM change-point peak per event type
+# ------------------------------------------------------------------
+
+
+def _hourly_type_counts(sf_dir: str):
+    """Exact (event_type, hr, c) hourly counts: per-block partials,
+    one bounded keyed-sum exchange (hours x types rows, never events)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        df = _pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "hr": pc.divide(us, 3600000000).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "hr"], sort=False).size().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_keyed_sum(counts, ["event_type", "hr"], ["c"])
+
+
+def q_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly count series per event type
+    — the burstiness/seasonality probe (r near 0: Poisson-ish arrivals;
+    near 1: trending load). Exact int64 pair moments over the ALREADY
+    AGGREGATED (type, hour) series, one closed-form 6-dp float,
+    identical expression in the SQL twin (LAG over observed hours)."""
+    from vaero_ray.stages.numstats import lag_autocorr_per_group
+
+    return lag_autocorr_per_group(_hourly_type_counts(sf_dir), "event_type", "hr", "c")
+
+
+SQL_HOURLY_AUTOCORR = r"""
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, x,
+             LAG(x) OVER (PARTITION BY event_type ORDER BY hr) AS xp
+      FROM c),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(xp) AS BIGINT) AS sum_x, CAST(SUM(x) AS BIGINT) AS sum_y,
+             CAST(SUM(xp * xp) AS BIGINT) AS sum_xx,
+             CAST(SUM(x * x) AS BIGINT) AS sum_yy,
+             CAST(SUM(xp * x) AS BIGINT) AS sum_xy
+      FROM l WHERE xp IS NOT NULL GROUP BY 1)
+SELECT event_type, n_pairs, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)
+               * (CAST(n_pairs AS DOUBLE) * sum_yy - CAST(sum_y AS DOUBLE) * sum_y) > 0
+            THEN ROUND((CAST(n_pairs AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+                       / sqrt((CAST(n_pairs AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)
+                            * (CAST(n_pairs AS DOUBLE) * sum_yy - CAST(sum_y AS DOUBLE) * sum_y)), 6)
+            ELSE NULL END AS autocorr
+FROM m
+"""
+
+
+def q_hourly_cusum_peak(sf_dir: str):
+    """CUSUM change-point per event type: the hour where the scaled
+    cumulative deviation |n*prefix_k - k*total| of the hourly count
+    series peaks (ties -> earliest hour) — the level-shift detector,
+    INTEGER-exact end to end (the n* scaling keeps the mean-free CUSUM
+    in int64, no float anywhere)."""
+    from vaero_ray.stages.numstats import cusum_peak_per_group
+
+    ds = cusum_peak_per_group(_hourly_type_counts(sf_dir), "event_type", "hr", "c")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["event_type", "n_points", "total", "peak_dev", "peak_hr"]
+        )
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_HOURLY_CUSUM = r"""
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, hr, x,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY hr) AS pref,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS k,
+             SUM(x) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+d AS (SELECT event_type, hr, n, tot, abs(n * pref - k * tot) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(n * pref - k * tot) DESC, hr) AS rn
+      FROM w)
+SELECT event_type, CAST(n AS BIGINT) AS n_points, CAST(tot AS BIGINT) AS total,
+       CAST(dev AS BIGINT) AS peak_dev, CAST(hr AS BIGINT) AS peak_hr
+FROM d WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
 # distinct-suppliers-per-(brand,size), rich-churned anti join
@@ -8505,6 +8605,8 @@ QUERIES: dict[str, QueryFn] = {
     "kmv_user_minima": q_kmv_user_minima,
     "conv_pattern_matches": q_conv_pattern_matches,
     "event_regex_funnel": q_event_regex_funnel,
+    "hourly_autocorr": q_hourly_autocorr,
+    "hourly_cusum_peak": q_hourly_cusum_peak,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -8713,6 +8815,8 @@ ORACLES: dict[str, str] = {
     "kmv_user_minima": SQL_KMV,
     "conv_pattern_matches": SQL_CONV_PATTERN,
     "event_regex_funnel": SQL_EVENT_REGEX,
+    "hourly_autocorr": SQL_HOURLY_AUTOCORR,
+    "hourly_cusum_peak": SQL_HOURLY_CUSUM,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

@@ -348,3 +348,107 @@ def simpson_per_group(ds: rd.Dataset, key: str, cat_col: str) -> rd.Dataset:
         return agg
 
     return bucketed_map_groups(merged, key, per_key)
+
+
+def lag_autocorr_per_group(
+    merged: rd.Dataset, key: str, ord_col: str, val_col: str
+) -> rd.Dataset:
+    """Lag-1 autocorrelation of an already-merged EXACT integer series
+    per key (e.g. hourly event counts): Pearson corr of consecutive
+    observed points in ``ord_col`` rank order — the seasonality /
+    burstiness probe of a metric stream. Pairs form over OBSERVED
+    points (SQL LAG semantics; gaps in ``ord_col`` don't densify).
+
+    Input is the engine's standard merged-counts shape (one row per
+    (key, ord) — bounded by series length x keys, never raw rows), so
+    the per-key fold is a tiny vectorized pass: sort, same-key shift
+    mask, exact int64 pair moments, one closed-form 6-dp float —
+    identical expression to the SQL twin. Int64 contract: n_pairs *
+    max(x*y) per key must fit (counts: always)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ord_col], kind="mergesort").reset_index(drop=True)
+        v = df[val_col].to_numpy().astype(np.int64)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        same = np.r_[False, codes[1:] == codes[:-1]]
+        xp = np.roll(v, 1)[same]  # lagged value
+        x = v[same]
+        sub = pd.DataFrame(
+            {
+                key: df[key].to_numpy()[same],
+                "n_pairs": np.ones(len(x), np.int64),
+                "sum_x": xp, "sum_y": x,
+                "sum_xx": xp * xp, "sum_yy": x * x, "sum_xy": xp * x,
+            }
+        )
+        g = sub.groupby(key, sort=False, as_index=False, dropna=False).sum()
+
+        nf = g["n_pairs"].to_numpy().astype(np.float64)
+        sx = g["sum_x"].to_numpy().astype(np.float64)
+        sy = g["sum_y"].to_numpy().astype(np.float64)
+        vx = nf * g["sum_xx"].to_numpy() - sx * g["sum_x"].to_numpy()
+        vy = nf * g["sum_yy"].to_numpy() - sy * g["sum_y"].to_numpy()
+        num = nf * g["sum_xy"].to_numpy() - sx * g["sum_y"].to_numpy()
+        den2 = vx * vy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.round(num / np.sqrt(den2), 6)
+        g["autocorr"] = np.where(den2 > 0, r, np.nan)
+        g.loc[den2 <= 0, "autocorr"] = None
+        for c in ("n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return bucketed_map_groups(merged, key, per_bucket, num_buckets=4)
+
+
+def cusum_peak_per_group(
+    merged: rd.Dataset, key: str, ord_col: str, val_col: str
+) -> rd.Dataset:
+    """CUSUM change-point peak per key over an already-merged EXACT
+    integer series: the ``ord`` where the scaled cumulative deviation
+    ``|n * prefix_k - k * total|`` (the mean-free CUSUM times n — kept
+    in int64 so there is NO float anywhere) is largest, ties broken by
+    smallest ``ord``. The classic level-shift detector: the peak ord is
+    the most likely change point, the peak value its evidence.
+
+    All-numpy per bucket (segmented cumsum via offset subtraction,
+    reduceat totals, lexsort argmax) — no per-key Python. Output one
+    row per key: ``(key, n_points, total, peak_dev, peak_<ord>)``.
+    Int64 contract: n_points * total per key < 2^62 (guarded)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ord_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return pd.DataFrame(
+                {key: df[key], "n_points": [], "total": [], "peak_dev": [], "peak_ord": []}
+            )
+        v = df[val_col].to_numpy().astype(np.int64)
+        o = df[ord_col].to_numpy().astype(np.int64)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        gs = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(gs)
+        gid = np.cumsum(gs) - 1
+        csum = np.cumsum(v)
+        base = np.r_[0, csum[starts[1:] - 1]] if len(starts) > 1 else np.array([0])
+        pref = csum - base[gid]  # per-key prefix sums
+        tot = np.add.reduceat(v, starts)
+        cnt = np.diff(np.r_[starts, n]).astype(np.int64)
+        if int((cnt * np.abs(tot)).max(initial=0)) >= 2**62:
+            raise ValueError("cusum composite overflows int64; rescale val_col")
+        k = np.arange(n, dtype=np.int64) - starts[gid] + 1
+        dev = np.abs(cnt[gid] * pref - k * tot[gid])
+        # per-group argmax, ties -> smallest ord (= first position, rows sorted by ord)
+        order = np.lexsort((np.arange(n), -dev, gid))
+        first = order[np.r_[True, gid[order][1:] != gid[order][:-1]]]
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[first],
+                "n_points": cnt,
+                "total": tot.astype(np.int64),
+                "peak_dev": dev[first],
+                "peak_ord": o[first],
+            }
+        )
+
+    return bucketed_map_groups(merged, key, per_bucket, num_buckets=4)
