@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "event_regex_funnel",           # regex CEP v+c over per-user event types
     "hourly_autocorr",              # lag-1 autocorrelation of hourly counts per type
     "hourly_cusum_peak",            # CUSUM change-point peak hour per type (integer-exact)
+    "streaming_pattern_counts",     # streaming regex CEP via the stitch buffer (exactly-once)
+    "purchase_attribution",         # last-touch attribution via vectorized index ffill
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

@@ -239,3 +239,40 @@ def test_lag_autocorr_matches_numpy(ray_session):
         x, y = v[:-1].astype(float), v[1:].astype(float)
         want = np.corrcoef(x, y)[0, 1]
         assert abs(got[k] - want) < 1e-5, k
+
+
+def test_last_touch_counts_bruteforce(ray_session):
+    from vaero_ray.stages.cep import last_touch_counts
+
+    rng = _rng()
+    n = 2500
+    users = rng.integers(0, 40, size=n).astype(np.int64)
+    ts = rng.integers(0, 10**8, size=n).astype("datetime64[us]")
+    eid = np.arange(n, dtype=np.int64)
+    types = rng.choice(np.array(["view", "click", "purchase"]), size=n, p=[0.5, 0.3, 0.2])
+    tbl = pa.table(
+        {"user_id": pa.array(users), "ts": pa.array(ts), "event_id": pa.array(eid),
+         "event_type": pa.array(types)}
+    )
+    got = {
+        r["attr_type"]: r["n"]
+        for r in last_touch_counts(
+            rd.from_arrow(tbl).repartition(7), "user_id", ["ts", "event_id"],
+            "event_type", "purchase"
+        ).take_all()
+    }
+    import pandas as pd
+    from collections import Counter
+
+    want = Counter()
+    df = pd.DataFrame({"u": users, "ts": ts, "eid": eid, "t": types}).sort_values(
+        ["u", "ts", "eid"]
+    )
+    for _, g in df.groupby("u"):
+        last = None
+        for t in g["t"]:
+            if t == "purchase":
+                want[last or "none"] += 1
+            else:
+                last = t
+    assert got == dict(want)

@@ -650,16 +650,12 @@ def q_streaming_sliding_count(sf_dir: str):
 SQL_STREAMING_SLIDING = SQL_SLIDING  # identical final answer by design
 
 
-def q_streaming_stitch(sf_dir: str):
-    """Streaming stateful turn-stitch join driven through the gate: the
-    derived transcript table arrives as 4 ts-sorted chunks; conversations
-    close when the watermark passes last-ts + gap; the committed output
-    must equal the batch/SQL whole-conversation stitch (gap > any
-    intra-conversation silence, so one segment per conversation)."""
+def _transcript_chunks(sf_dir: str) -> str:
+    """Shared streaming fixture: the derived transcript table as 4
+    ts-sorted arrival chunks under /tmp (built once per scale; prep runs
+    INSIDE a Ray task — the driver holds only the row-count ack)."""
     import os
     import shutil
-
-    from vaero_ray.streaming import StreamingStitchJob
 
     base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/stitch"
     ind = f"{base}/in"
@@ -671,8 +667,6 @@ def q_streaming_stitch(sf_dir: str):
 
         @ray.remote
         def prep_chunks(*tabs: pa.Table) -> int:
-            # fixture prep runs INSIDE a Ray task: the driver never holds
-            # data partitions, only the row-count ack
             t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
             t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
             n = t.num_rows
@@ -683,6 +677,22 @@ def q_streaming_stitch(sf_dir: str):
 
         ray.get(prep_chunks.remote(*derive_transcripts(sf_dir).to_arrow_refs()))
         os.replace(tmp, ind)
+    return ind
+
+
+def q_streaming_stitch(sf_dir: str):
+    """Streaming stateful turn-stitch join driven through the gate: the
+    derived transcript table arrives as 4 ts-sorted chunks; conversations
+    close when the watermark passes last-ts + gap; the committed output
+    must equal the batch/SQL whole-conversation stitch (gap > any
+    intra-conversation silence, so one segment per conversation)."""
+    import os
+    import shutil
+
+    from vaero_ray.streaming import StreamingStitchJob
+
+    ind = _transcript_chunks(sf_dir)
+    base = os.path.dirname(ind)
     out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out_d, ignore_errors=True)
     shutil.rmtree(ckpt_d, ignore_errors=True)
@@ -699,6 +709,50 @@ def q_streaming_stitch(sf_dir: str):
 
 
 SQL_STREAMING_STITCH = SQL_STITCH  # whole-conversation stitch, same answer
+
+
+def q_streaming_pattern_counts(sf_dir: str):
+    """STREAMING regex CEP through the exactly-once machinery: the
+    ``at+a`` (assistant -> tool(s) -> assistant) pattern counted per
+    conversation as conversations CLOSE at the watermark — the
+    buffer-until-watermark stitch job supplies whole per-key sequences,
+    and the batch regex kernel (cep.regex_counts_df) plugs in as the
+    closed-conversation emitter. No new streaming machinery; committed
+    output must equal the batch/SQL whole-conversation count."""
+    import os
+    import shutil
+
+    from vaero_ray.stages.cep import regex_counts_df
+    from vaero_ray.streaming import StreamingStitchJob
+
+    ind = _transcript_chunks(sf_dir)
+    base = f"{os.path.dirname(ind)}/regexcep"
+    out_d, ckpt_d = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+
+    def emit(closed: "pd.DataFrame") -> "pd.DataFrame":
+        return regex_counts_df(
+            closed,
+            "conv_id",
+            ["turn_idx"],
+            "role",
+            {"user": "u", "assistant": "a", "tool": "t"},
+            r"at+a",
+        )
+
+    job = StreamingStitchJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        gap_s=86400 * 2,  # > any intra-conversation gap -> whole convs
+        allowed_lateness_s=0,
+        num_partitions=4,
+        emitter=emit,
+    )
+    job.run()
+    return job.committed_output()
+
 
 
 def q_streaming_session_stats(sf_dir: str):
@@ -8129,6 +8183,35 @@ FROM d WHERE rn = 1
 """
 
 
+def q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase credits the same user's
+    latest prior non-purchase event type (unbounded lookback, strict
+    (ts, event_id) order; first-event purchases credit 'none') — the
+    marketing-attribution / tool-credit CEP shape. One bucketed shuffle,
+    vectorized index forward-fill, (attr_type, n) partials out."""
+    from vaero_ray.stages.cep import last_touch_counts
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    out = last_touch_counts(ds, "user_id", ["ts", "event_id"], "event_type", "purchase")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["attr_type", "n_purchases"])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ATTRIBUTION = r"""
+WITH o AS (SELECT event_type,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+           FROM events)
+SELECT COALESCE(attr, 'none') AS attr_type, CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM o WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -8607,6 +8690,8 @@ QUERIES: dict[str, QueryFn] = {
     "event_regex_funnel": q_event_regex_funnel,
     "hourly_autocorr": q_hourly_autocorr,
     "hourly_cusum_peak": q_hourly_cusum_peak,
+    "streaming_pattern_counts": q_streaming_pattern_counts,
+    "purchase_attribution": q_purchase_attribution,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -8817,6 +8902,8 @@ ORACLES: dict[str, str] = {
     "event_regex_funnel": SQL_EVENT_REGEX,
     "hourly_autocorr": SQL_HOURLY_AUTOCORR,
     "hourly_cusum_peak": SQL_HOURLY_CUSUM,
+    "streaming_pattern_counts": SQL_CONV_PATTERN,  # stream == batch by design
+    "purchase_attribution": SQL_ATTRIBUTION,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

@@ -647,40 +647,107 @@ def regex_pattern_counts(
     one task's heap (keyed.py contract). Scale note: the buffer is
     ~1 byte/row, so the regex pass is trivially memory-bounded next to
     the frame itself."""
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return regex_counts_df(df, key, order_cols, type_col, mapping, pattern, out)
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def regex_counts_df(
+    df: pd.DataFrame,
+    key: str,
+    order_cols: "list[str]",
+    type_col: str,
+    mapping: "dict[str, str]",
+    pattern: str,
+    out: str = "n_matches",
+) -> pd.DataFrame:
+    """The per-bucket regex-CEP kernel of ``regex_pattern_counts``,
+    exposed standalone so the STREAMING stitch-buffer job can reuse it
+    as a closed-conversation emitter (buffer-until-watermark supplies
+    whole per-key sequences; this counts the pattern in each). re.compile
+    is module-cached, so per-call compilation costs nothing."""
     import re as _re
 
     pat = _re.compile(pattern.encode("ascii"))
     cmap = {k: v.encode("ascii") for k, v in mapping.items()}
     if any(len(v) != 1 for v in cmap.values()):
         raise ValueError("mapping values must be single ASCII chars")
+    df = df.sort_values([key, *order_cols], kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    if not n:
+        return pd.DataFrame({key: df[key], out: np.array([], np.int64)})
+    codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+    gs = np.r_[True, codes[1:] != codes[:-1]]
+    gid = np.cumsum(gs) - 1
+    n_groups = int(gid[-1]) + 1
+    chars = (
+        df[type_col]
+        .map({k: v[0] for k, v in cmap.items()})
+        .fillna(float(ord("-")))
+        .to_numpy()
+        .astype(np.uint8)
+    )
+    buf = np.full(n + n_groups, ord("|"), np.uint8)
+    pos = np.arange(n, dtype=np.int64) + gid
+    buf[pos] = chars
+    starts = pos[gs]  # first char position of each key group
+    mstarts = np.fromiter(
+        (m.start() for m in pat.finditer(buf.tobytes())), dtype=np.int64
+    )
+    counts = np.zeros(n_groups, np.int64)
+    if len(mstarts):
+        g = np.searchsorted(starts, mstarts, side="right") - 1
+        counts = np.bincount(g, minlength=n_groups).astype(np.int64)
+    return pd.DataFrame({key: df[key].to_numpy()[gs], out: counts})
+
+
+def last_touch_counts(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: "list[str]",
+    type_col: str,
+    target: str,
+    none_label: str = "none",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Last-touch attribution: for every ``target``-type event, the
+    type of the SAME KEY's latest prior non-target event (unbounded
+    lookback, strict order), counted per attributed type — which
+    activity purchases/conversions follow. Targets with no prior event
+    attribute to ``none_label`` (SQL COALESCE semantics).
+
+    Vectorized forward-fill per bucket: index-valued maximum.accumulate
+    over non-target positions; a carried index from a previous key is
+    necessarily below the current key's segment start, so one compare
+    voids cross-key attribution — no per-key Python. The exchange after
+    the fold carries (attr_type, n) partials per bucket, never events."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, *order_cols], kind="mergesort").reset_index(drop=True)
         n = len(df)
         if not n:
-            return pd.DataFrame({key: df[key], out: np.array([], np.int64)})
+            return pd.DataFrame({"attr_type": pd.array([], dtype=object),
+                                 "n": np.array([], np.int64)})
         codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
-        gs = np.r_[True, codes[1:] != codes[:-1]]
-        gid = np.cumsum(gs) - 1
-        n_groups = int(gid[-1]) + 1
-        chars = (
-            df[type_col]
-            .map({k: v[0] for k, v in cmap.items()})
-            .fillna(float(ord("-")))
-            .to_numpy()
-            .astype(np.uint8)
-        )
-        buf = np.full(n + n_groups, ord("|"), np.uint8)
-        pos = np.arange(n, dtype=np.int64) + gid
-        buf[pos] = chars
-        starts = pos[gs]  # first char position of each key group
-        mstarts = np.fromiter(
-            (m.start() for m in pat.finditer(buf.tobytes())), dtype=np.int64
-        )
-        counts = np.zeros(n_groups, np.int64)
-        if len(mstarts):
-            g = np.searchsorted(starts, mstarts, side="right") - 1
-            counts = np.bincount(g, minlength=n_groups).astype(np.int64)
-        return pd.DataFrame({key: df[key].to_numpy()[gs], out: counts})
+        starts_of = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        gid = np.cumsum(np.r_[True, codes[1:] != codes[:-1]]) - 1
+        et = df[type_col].to_numpy()
+        is_tgt = et == target
+        idx = np.where(~is_tgt, np.arange(n, dtype=np.int64), -1)
+        ffill = np.maximum.accumulate(idx)
+        tpos = np.flatnonzero(is_tgt)
+        src = ffill[tpos]
+        valid = src >= starts_of[gid[tpos]]
+        attr = np.where(valid, et[np.maximum(src, 0)], none_label)
+        out = pd.DataFrame({"attr_type": attr}).groupby(
+            "attr_type", sort=False
+        ).size().rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
 
-    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+    from vaero_ray.stages.keyed import bucketed_map_groups as _bmg
+
+    partials = _bmg(ds, key, per_bucket, num_buckets=num_buckets)
+    return bucketed_keyed_sum(partials, ["attr_type"], ["n"], num_buckets=4)
