@@ -276,3 +276,68 @@ def test_last_touch_counts_bruteforce(ray_session):
             else:
                 last = t
     assert got == dict(want)
+
+
+def test_kmv_by_key_shard_invariant_and_exact(ray_session):
+    from vaero_ray.stages.sketch import hll_hash, kmv_minima_by_key
+
+    rng = _rng()
+    n = 8000
+    ks = rng.choice(np.array(["a", "b", "c"]), size=n)
+    vs = rng.integers(0, 500, size=n).astype(np.int64)
+    tbl = pa.table({"g": pa.array(ks), "v": pa.array(vs)})
+    a = sorted(
+        (r["g"], r["rk"], r["hv"])
+        for r in kmv_minima_by_key(rd.from_arrow(tbl), "g", "v", k=16).take_all()
+    )
+    b = sorted(
+        (r["g"], r["rk"], r["hv"])
+        for r in kmv_minima_by_key(
+            rd.from_arrow(tbl).repartition(11), "g", "v", k=16
+        ).take_all()
+    )
+    assert a == b
+    # brute force: per key, bottom-16 of distinct hashes
+    import pandas as pd
+
+    df = pd.DataFrame({"g": ks, "v": vs})
+    want = []
+    for g, sub in df.groupby("g"):
+        hv = np.unique(hll_hash(sub["v"].to_numpy().astype(np.uint64)).astype(np.int64))[:16]
+        want += [(g, i, int(h)) for i, h in enumerate(hv)]
+    assert a == sorted(want)
+
+
+def test_rolling_zscores_matches_pandas(ray_session):
+    from vaero_ray.stages.numstats import rolling_zscores_per_group
+
+    rng = _rng()
+    ks, hs, cs = [], [], []
+    for k in range(5):
+        n = int(rng.integers(2, 80))
+        hrs = np.sort(rng.choice(np.arange(400), size=n, replace=False))
+        vals = rng.integers(0, 100, size=n)
+        ks.append(np.full(n, k)); hs.append(hrs); cs.append(vals)
+    tbl = pa.table(
+        {"k": pa.array(np.concatenate(ks).astype(np.int64)),
+         "hr": pa.array(np.concatenate(hs).astype(np.int64)),
+         "c": pa.array(np.concatenate(cs).astype(np.int64))}
+    )
+    got = {
+        (r["k"], r["hr"]): (r["m"], r["s1"], r["s2"], r["z"])
+        for r in rolling_zscores_per_group(
+            rd.from_arrow(tbl).repartition(3), "k", "hr", "c", w=7
+        ).take_all()
+    }
+    for k, hrs, vals in zip(range(5), hs, cs):
+        for i, (h, x) in enumerate(zip(hrs, vals)):
+            wlo = max(0, i - 7)
+            win = vals[wlo:i].astype(np.int64)
+            m, s1, s2 = len(win), int(win.sum()), int((win * win).sum())
+            zm, zs1, zs2, z = got[(k, int(h))]
+            assert (zm, zs1, zs2) == (m, s1, s2)
+            den2 = float(m) * s2 - float(s1) * s1
+            if m > 0 and den2 > 0:
+                assert abs(z - round((float(m) * x - s1) / np.sqrt(den2), 6)) < 1e-9
+            else:
+                assert z is None

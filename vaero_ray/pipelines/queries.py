@@ -8213,6 +8213,158 @@ FROM o WHERE event_type = 'purchase' GROUP BY 1
 
 
 # ------------------------------------------------------------------
+# Session-8 batch 5: grouped KMV, rolling z-score anomaly detection,
+# time-to-convert quantiles
+# ------------------------------------------------------------------
+
+
+def q_kmv_users_by_type(sf_dir: str):
+    """GROUPED KMV distinct sketch: per event type, the 64 smallest
+    distinct user-id hashes — the per-group companion of
+    kmv_user_minima (as hll_users_by_type is to hll_user_registers).
+    Partials carry ≤k hashes per (block, type); one bounded keyed
+    exchange merges by union→unique→bottom-k."""
+    from vaero_ray.stages.sketch import kmv_minima_by_key
+
+    return kmv_minima_by_key(
+        _events(sf_dir, columns=["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+        k=_KMV_K,
+    )
+
+
+SQL_KMV_BY_TYPE_T = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT DISTINCT event_type,
+         CAST(((A * ((CASE WHEN user_id < 0
+               THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+               ELSE CAST(user_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM events, m),
+hs AS (
+  SELECT DISTINCT event_type,
+         CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m),
+r AS (SELECT event_type, hv,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hv) AS BIGINT) - 1 AS rk
+      FROM hs)
+SELECT event_type, rk, hv FROM r WHERE rk < {K}
+"""
+
+
+def _fmt_kmv_by_type_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return SQL_KMV_BY_TYPE_T.format(
+        A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2),
+        XS=HLL_XS, K=_KMV_K,
+    )
+
+
+SQL_KMV_BY_TYPE = _fmt_kmv_by_type_sql()
+
+
+def q_hourly_anomaly_scores(sf_dir: str):
+    """Trailing-24h anomaly score for every (type, hour): population
+    z-score of the hour's count against the previous 24 OBSERVED hours,
+    derived from exact int64 window sums (z = (m*x - s1)/sqrt(m*s2 -
+    s1^2)) — the streaming ops-alerting shape, hash-exact because no
+    engine ever runs a streaming STDDEV."""
+    from vaero_ray.stages.numstats import rolling_zscores_per_group
+
+    return rolling_zscores_per_group(
+        _hourly_type_counts(sf_dir), "event_type", "hr", "c", w=24
+    )
+
+
+SQL_HOURLY_ANOMALY = r"""
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, hr, x,
+             COUNT(x) OVER win AS m,
+             COALESCE(SUM(x) OVER win, 0) AS s1,
+             COALESCE(SUM(x * x) OVER win, 0) AS s2
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS c,
+       CAST(m AS BIGINT) AS m, CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CASE WHEN m > 0 AND CAST(m AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1 > 0
+            THEN ROUND((CAST(m AS DOUBLE) * x - s1)
+                       / sqrt(CAST(m AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1), 6)
+            END AS z
+FROM w
+"""
+
+
+def q_view_to_purchase_quantiles(sf_dir: str):
+    """Time-to-convert distribution: per user the gap from FIRST view
+    to FIRST purchase (whole seconds, users whose first purchase
+    follows their first view), then EXACT p50/p90 by radix selection
+    over the 1-row-per-user aggregate — the funnel-latency SLA curve.
+    Conditional mins ride one keyed exchange as sentinel-encoded int64
+    (missing = +2^62, absorbing under min)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_agg
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    NO_TS = 1 << 62
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        out = _pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "v": np.where(et == "view", us, NO_TS),
+                "p": np.where(et == "purchase", us, NO_TS),
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"v": "min", "p": "min"}
+        )
+
+    firsts = bucketed_keyed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"v": "min", "p": "min"},
+    )
+
+    def to_delta(df: _pd.DataFrame) -> _pd.DataFrame:
+        ok = (df["v"] < NO_TS) & (df["p"] < NO_TS) & (df["p"] >= df["v"])
+        return _pd.DataFrame({"dt_s": (df.loc[ok, "p"] - df.loc[ok, "v"]) // 1_000_000})
+
+    deltas = firsts.map_batches(to_delta, batch_format="pandas").materialize()
+    n = deltas.count()
+    p50, p90 = exact_quantiles_disc(deltas, "dt_s", [0.5, 0.9])
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "p50_s": pa.array([p50], pa.int64()),
+            "p90_s": pa.array([p90], pa.int64()),
+        }
+    )
+
+
+SQL_VIEW_TO_PURCHASE = r"""
+WITH f AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+           FROM events GROUP BY 1),
+d AS (SELECT (p - v) // 1000000 AS dt_s
+      FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(dt_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(dt_s, 0.9) AS BIGINT) AS p90_s
+FROM d
+"""
+
+
+# ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
 # distinct-suppliers-per-(brand,size), rich-churned anti join
@@ -8692,6 +8844,9 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_cusum_peak": q_hourly_cusum_peak,
     "streaming_pattern_counts": q_streaming_pattern_counts,
     "purchase_attribution": q_purchase_attribution,
+    "kmv_users_by_type": q_kmv_users_by_type,
+    "hourly_anomaly_scores": q_hourly_anomaly_scores,
+    "view_to_purchase_quantiles": q_view_to_purchase_quantiles,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -8904,6 +9059,9 @@ ORACLES: dict[str, str] = {
     "hourly_cusum_peak": SQL_HOURLY_CUSUM,
     "streaming_pattern_counts": SQL_CONV_PATTERN,  # stream == batch by design
     "purchase_attribution": SQL_ATTRIBUTION,
+    "kmv_users_by_type": SQL_KMV_BY_TYPE,
+    "hourly_anomaly_scores": SQL_HOURLY_ANOMALY,
+    "view_to_purchase_quantiles": SQL_VIEW_TO_PURCHASE,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

@@ -452,3 +452,66 @@ def cusum_peak_per_group(
         )
 
     return bucketed_map_groups(merged, key, per_bucket, num_buckets=4)
+
+
+def rolling_zscores_per_group(
+    merged: rd.Dataset, key: str, ord_col: str, val_col: str, w: int = 24
+) -> rd.Dataset:
+    """Trailing-window anomaly score per point of an already-merged
+    EXACT integer series: the population z-score of each value against
+    the PREVIOUS ``w`` observed points (SQL ROWS BETWEEN w PRECEDING AND
+    1 PRECEDING — rank space, gaps don't densify). The whole score
+    derives from integer window sums — ``z = (m*x - s1) /
+    sqrt(m*s2 - s1^2)`` equals (x - mean)/sd_pop exactly — so both
+    engines compute ONE closed-form float from identical int64 moments
+    (never a streaming STDDEV, whose accumulation order differs).
+
+    Per-bucket fold: segmented prefix sums + two fancy-index gathers —
+    no per-key Python, bounded by the merged series size (hours x keys),
+    never raw rows. First point of each key has m=0 and NULL z."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ord_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return pd.DataFrame(
+                {key: df[key], ord_col: [], val_col: [],
+                 "m": [], "s1": [], "s2": [], "z": []}
+            )
+        v = df[val_col].to_numpy().astype(np.int64)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        gs = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(gs)
+        gid = np.cumsum(gs) - 1
+        kpos = np.arange(n, dtype=np.int64) - starts[gid]  # rank within key
+        pref1 = np.cumsum(v)
+        pref2 = np.cumsum(v * v)
+        base1 = np.r_[0, pref1[starts[1:] - 1]] if len(starts) > 1 else np.array([0])
+        base2 = np.r_[0, pref2[starts[1:] - 1]] if len(starts) > 1 else np.array([0])
+        p1 = pref1 - base1[gid]  # within-key inclusive prefix
+        p2 = pref2 - base2[gid]
+        i = np.arange(n, dtype=np.int64)
+        m = np.minimum(kpos, w)
+        hi1 = np.where(kpos > 0, p1[np.maximum(i - 1, 0)], 0)
+        hi2 = np.where(kpos > 0, p2[np.maximum(i - 1, 0)], 0)
+        lo1 = np.where(kpos > w, p1[np.maximum(i - w - 1, 0)], 0)
+        lo2 = np.where(kpos > w, p2[np.maximum(i - w - 1, 0)], 0)
+        s1 = hi1 - lo1
+        s2 = hi2 - lo2
+        mf, s1f = m.astype(np.float64), s1.astype(np.float64)
+        den2 = mf * s2 - s1f * s1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.round((mf * v - s1) / np.sqrt(den2), 6)
+        out = pd.DataFrame(
+            {
+                key: df[key],
+                ord_col: df[ord_col].to_numpy().astype(np.int64),
+                val_col: v,
+                "m": m, "s1": s1, "s2": s2,
+                "z": z,
+            }
+        )
+        out.loc[(m == 0) | (den2 <= 0), "z"] = None
+        return out
+
+    return bucketed_map_groups(merged, key, per_bucket, num_buckets=4)

@@ -698,3 +698,44 @@ def quantile_band_filter(
         return tbl.filter(pc.and_(pc.greater_equal(v, lo), pc.less(v, hi)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmv_minima_by_key(ds: rd.Dataset, key: str, col: str, k: int = 64) -> rd.Dataset:
+    """GROUPED K-minimum-values sketch: per ``key``, the ``k`` smallest
+    distinct 61-bit hashes of ``col`` — the per-group distinct sketch
+    beside ``hll_registers_by_key`` (register max) with KMV's set-ops
+    bonus. Per-block partials keep at most k hashes PER (block, key);
+    the merge is the same union→unique→bottom-k fold keyed on ``key``
+    through one bounded exchange. Output (key, rk, hv) rows, rk 0..<k
+    ascending per key — integer-exact and SQL-reproducible."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def bottomk_df(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df[[key, "hv"]].drop_duplicates().sort_values(
+            [key, "hv"], kind="mergesort"
+        )
+        codes = pd.factorize(kv[key], use_na_sentinel=False)[0]
+        gs = np.r_[True, codes[1:] != codes[:-1]] if len(kv) else np.zeros(0, bool)
+        starts = np.flatnonzero(gs)
+        rk = np.arange(len(kv), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(kv)])
+        ) if len(kv) else np.zeros(0, np.int64)
+        out = kv.iloc[rk < k].copy()
+        out["rk"] = rk[rk < k]
+        return out[[key, "rk", "hv"]]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {key: tbl.column(key), "rk": pa.array([], pa.int64()),
+                 "hv": pa.array([], pa.int64())}
+            )
+        x = np.asarray(tbl.column(col).to_numpy(zero_copy_only=False)).astype(np.uint64)
+        df = pd.DataFrame(
+            {key: tbl.column(key).to_pandas(),
+             "hv": hll_hash(x).astype(np.int64)}
+        )
+        return pa.Table.from_pandas(bottomk_df(df), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_map_groups(partials, key, bottomk_df, num_buckets=4)
