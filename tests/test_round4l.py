@@ -341,3 +341,24 @@ def test_rolling_zscores_matches_pandas(ray_session):
                 assert abs(z - round((float(m) * x - s1) / np.sqrt(den2), 6)) < 1e-9
             else:
                 assert z is None
+
+
+def test_kmv_overlap_estimates_accuracy(ray_session):
+    """Planted overlap: |A|=30k, |B|=20k, |A∩B|=10k -> estimates within
+    ~3/sqrt(k-1) of truth."""
+    from vaero_ray.stages.sketch import hll_hash, kmv_overlap_stats
+
+    a_ids = np.arange(0, 30_000, dtype=np.int64)
+    b_ids = np.arange(20_000, 40_000, dtype=np.int64)  # overlap 10k
+    k = 256
+    ha = np.sort(hll_hash(a_ids.astype(np.uint64)).astype(np.int64))[:k]
+    hb = np.sort(hll_hash(b_ids.astype(np.uint64)).astype(np.int64))[:k]
+    st = kmv_overlap_stats(ha, hb, k)
+    assert abs(st["est_a"] - 30_000) / 30_000 < 0.25
+    assert abs(st["est_b"] - 20_000) / 20_000 < 0.25
+    assert abs(st["est_union"] - 40_000) / 40_000 < 0.25
+    assert abs(st["est_intersection"] - 10_000) / 10_000 < 0.45
+    # exact identity: sketches of the same set -> jaccard exactly 1
+    st2 = kmv_overlap_stats(ha, ha.copy(), k)
+    assert st2["jaccard"] == 1.0
+    assert st2["hk_union"] == st2["hk_a"]

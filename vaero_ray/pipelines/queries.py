@@ -8364,6 +8364,85 @@ FROM d
 """
 
 
+def q_kmv_audience_estimates(sf_dir: str):
+    """KMV set-operation estimates — the sketch-tier payoff over HLL:
+    viewer-audience and purchaser-audience sketches (ONE pass, the
+    two-sided grouped KMV) compose into union / Jaccard / intersection
+    estimates from ≤2k integers, because bottom-k(A ∪ B) is computable
+    from the two bottom-k sketches alone. Integer core (h_k of each
+    sketch + shared count) is hash-exact; the float estimates are one
+    closed-form expression mirrored in SQL."""
+    from vaero_ray.stages.sketch import kmv_minima_by_key, kmv_overlap_stats
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"]).filter(
+        expr="event_type == 'view' or event_type == 'purchase'"
+    )
+    sk = kmv_minima_by_key(ds, "event_type", "user_id", k=_KMV_K)
+    rows = sk.take_all()  # <= 2k sketch rows — the sketches ARE the product
+    a = np.array([r["hv"] for r in rows if r["event_type"] == "view"], np.int64)
+    b = np.array([r["hv"] for r in rows if r["event_type"] == "purchase"], np.int64)
+    st = kmv_overlap_stats(a, b, _KMV_K)
+    return pa.table(
+        {
+            "hk_a": pa.array([st["hk_a"]], pa.int64()),
+            "hk_b": pa.array([st["hk_b"]], pa.int64()),
+            "hk_union": pa.array([st["hk_union"]], pa.int64()),
+            "n_shared": pa.array([st["n_shared"]], pa.int64()),
+            "est_a": pa.array([st["est_a"]], pa.float64()),
+            "est_b": pa.array([st["est_b"]], pa.float64()),
+            "est_union": pa.array([st["est_union"]], pa.float64()),
+            "jaccard": pa.array([st["jaccard"]], pa.float64()),
+            "est_intersection": pa.array([st["est_intersection"]], pa.float64()),
+        }
+    )
+
+
+SQL_KMV_OVERLAP_T = r"""
+WITH m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+                  CAST({A} AS HUGEINT) AS A,  CAST({B} AS HUGEINT) AS B,
+                  CAST({A2} AS HUGEINT) AS A2, CAST({B2} AS HUGEINT) AS B2),
+h1 AS (
+  SELECT DISTINCT event_type,
+         CAST(((A * ((CASE WHEN user_id < 0
+               THEN CAST(user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+               ELSE CAST(user_id AS HUGEINT) END) % M)) % M + B) % M AS BIGINT) AS v1
+  FROM events, m WHERE event_type IN ('view', 'purchase')),
+hs AS (
+  SELECT DISTINCT event_type,
+         CAST(((A2 * CAST(xor(v1, v1 >> {XS}) AS HUGEINT)) % M + B2) % M AS BIGINT) AS hv
+  FROM h1, m),
+a AS (SELECT hv FROM hs WHERE event_type = 'view' ORDER BY hv LIMIT {K}),
+b AS (SELECT hv FROM hs WHERE event_type = 'purchase' ORDER BY hv LIMIT {K}),
+u AS (SELECT DISTINCT hv FROM (SELECT hv FROM a UNION ALL SELECT hv FROM b)
+      ORDER BY hv LIMIT {K}),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared FROM u
+      WHERE hv IN (SELECT hv FROM a) AND hv IN (SELECT hv FROM b)),
+t AS (SELECT (SELECT max(hv) FROM a) AS hk_a, (SELECT max(hv) FROM b) AS hk_b,
+             (SELECT max(hv) FROM u) AS hk_union, (SELECT n_shared FROM s) AS n_shared)
+SELECT hk_a, hk_b, hk_union, n_shared,
+       ROUND(({KM1} * CAST(2305843009213693951 AS DOUBLE)) / hk_a, 4) AS est_a,
+       ROUND(({KM1} * CAST(2305843009213693951 AS DOUBLE)) / hk_b, 4) AS est_b,
+       ROUND(({KM1} * CAST(2305843009213693951 AS DOUBLE)) / hk_union, 4) AS est_union,
+       ROUND(CAST(n_shared AS DOUBLE) / {K}, 6) AS jaccard,
+       ROUND((CAST(n_shared AS DOUBLE) / {K})
+             * (({KM1} * CAST(2305843009213693951 AS DOUBLE)) / hk_union), 4)
+         AS est_intersection
+FROM t
+"""
+
+
+def _fmt_kmv_overlap_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return SQL_KMV_OVERLAP_T.format(
+        A=int(HLL_A), B=int(HLL_B), A2=int(HLL_A2), B2=int(HLL_B2),
+        XS=HLL_XS, K=_KMV_K, KM1=_KMV_K - 1,
+    )
+
+
+SQL_KMV_OVERLAP = _fmt_kmv_overlap_sql()
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -8847,6 +8926,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmv_users_by_type": q_kmv_users_by_type,
     "hourly_anomaly_scores": q_hourly_anomaly_scores,
     "view_to_purchase_quantiles": q_view_to_purchase_quantiles,
+    "kmv_audience_estimates": q_kmv_audience_estimates,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9062,6 +9142,7 @@ ORACLES: dict[str, str] = {
     "kmv_users_by_type": SQL_KMV_BY_TYPE,
     "hourly_anomaly_scores": SQL_HOURLY_ANOMALY,
     "view_to_purchase_quantiles": SQL_VIEW_TO_PURCHASE,
+    "kmv_audience_estimates": SQL_KMV_OVERLAP,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

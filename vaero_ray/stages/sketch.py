@@ -739,3 +739,41 @@ def kmv_minima_by_key(ds: rd.Dataset, key: str, col: str, k: int = 64) -> rd.Dat
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_map_groups(partials, key, bottomk_df, num_buckets=4)
+
+
+def kmv_overlap_stats(
+    minima_a: np.ndarray, minima_b: np.ndarray, k: int
+) -> dict:
+    """Set-operation estimates from two KMV sketches (the k smallest
+    distinct hashes of sets A and B) — the payoff KMV has over HLL:
+    bottom-k(A ∪ B) is computable from the two sketches alone
+    (any union-bottom-k hash belonging to A is necessarily in A's own
+    bottom-k), so union size, Jaccard and intersection all derive from
+    ≤2k integers. Requires both sets to have ≥k distinct values (the
+    estimator's standard regime; callers assert upstream).
+
+    Returns exact ints (h_k of each sketch and of the union, the shared
+    count among the union bottom-k) plus the closed-form float
+    estimates, expression-ordered identically to the SQL twin:
+    ``est = ((k-1) * M61) / h_k``, ``jaccard = n_shared / k``,
+    ``est_intersection = (n_shared / k) * (((k-1) * M61) / h_union_k)``."""
+    a = np.unique(minima_a.astype(np.int64))[:k]
+    b = np.unique(minima_b.astype(np.int64))[:k]
+    if len(a) < k or len(b) < k:
+        raise ValueError("kmv_overlap_stats needs >=k distinct values per side")
+    u = np.unique(np.concatenate([a, b]))[:k]
+    shared = np.intersect1d(u, a, assume_unique=True)
+    n_shared = int(np.isin(shared, b, assume_unique=True).sum())
+    hk_a, hk_b, hk_u = int(a[-1]), int(b[-1]), int(u[-1])
+    md = float(M61)
+    est_a = ((k - 1) * md) / hk_a
+    est_b = ((k - 1) * md) / hk_b
+    est_u = ((k - 1) * md) / hk_u
+    jac = n_shared / k
+    est_i = (n_shared / k) * (((k - 1) * md) / hk_u)
+    return {
+        "hk_a": hk_a, "hk_b": hk_b, "hk_union": hk_u, "n_shared": n_shared,
+        "est_a": round(est_a, 4), "est_b": round(est_b, 4),
+        "est_union": round(est_u, 4), "jaccard": round(jac, 6),
+        "est_intersection": round(est_i, 4),
+    }
