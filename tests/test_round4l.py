@@ -362,3 +362,28 @@ def test_kmv_overlap_estimates_accuracy(ray_session):
     st2 = kmv_overlap_stats(ha, ha.copy(), k)
     assert st2["jaccard"] == 1.0
     assert st2["hk_union"] == st2["hk_a"]
+
+
+def test_cms_inner_product_bound_and_exactness():
+    """Estimate upper-bounds the true inner product; exact when no
+    collisions (few keys vs width)."""
+    import pandas as pd
+
+    from vaero_ray.stages.sketch import cms_inner_product, cms_slots
+
+    rng = _rng()
+    keys = rng.choice(np.arange(50, dtype=np.int64), size=5000)  # 50 distinct << 1024
+    width, depth = 1024, 4
+    counters = np.zeros((depth, width), np.int64)
+    for r in range(depth):
+        counters[r] = np.bincount(
+            cms_slots(keys.astype(np.uint64), r, width), minlength=width
+        )
+    rows, slots = np.nonzero(counters)
+    regs = pd.DataFrame({"row": rows, "slot": slots, "cnt": counters[rows, slots]})
+    est = cms_inner_product(regs, width=width, depth=depth)
+    true = int((np.bincount(keys) ** 2).sum())
+    assert est >= true
+    # 50 keys in 1024 slots: overwhelmingly likely collision-free in
+    # at least one of 4 rows -> exact
+    assert est == true

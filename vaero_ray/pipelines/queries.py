@@ -8443,6 +8443,68 @@ def _fmt_kmv_overlap_sql() -> str:
 SQL_KMV_OVERLAP = _fmt_kmv_overlap_sql()
 
 
+def q_cms_join_size(sf_dir: str):
+    """Self-join size estimation from the Count-Min sketch — the query
+    planner's cardinality primitive: ``min_r sum_slot cnt_r[slot]^2``
+    upper-bounds ``sum_u f(u)^2`` = |events ⋈ events ON user_id|
+    (Cormode-Muthukrishnan inner product). The gate emits BOTH the
+    sketch estimate and the exact value (per-user counts via one
+    bounded keyed exchange, then a sum of squares), so the oracle also
+    certifies the bound's tightness. Everything integer — hash-exact."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.sketch import cms_inner_product, cms_registers
+
+    ds = _events(sf_dir, columns=["user_id"])
+    regs = cms_registers(ds, "user_id", width=_CMS_W, depth=_CMS_D)
+    est = cms_inner_product(
+        pa.Table.from_pylist(regs.take_all()), width=_CMS_W, depth=_CMS_D
+    )  # <= depth*width register rows — sketch metadata, not data
+
+    def ones(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    per_user = bucketed_keyed_sum(
+        ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], ["n"],
+    )
+
+    def sq(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array([int((n * n).sum())], pa.int64())})
+
+    true_sz = int(
+        per_user.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True).sum("s")
+    )
+    return pa.table(
+        {
+            "est_join_size": pa.array([est], pa.int64()),
+            "true_join_size": pa.array([true_sz], pa.int64()),
+        }
+    )
+
+
+def _fmt_cms_join_sql() -> str:
+    # reuse the register CTE of SQL_CMS verbatim, then min-over-rows of
+    # the per-row sum of squared counters vs the exact per-user fold
+    regs = SQL_CMS.strip()
+    return f"""
+WITH regs AS ({regs}),
+e AS (SELECT CAST(min(s) AS BIGINT) AS est
+      FROM (SELECT row, SUM(cnt * cnt) AS s FROM regs GROUP BY 1)),
+t AS (SELECT CAST(SUM(n * n) AS BIGINT) AS tru
+      FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id))
+SELECT (SELECT est FROM e) AS est_join_size, (SELECT tru FROM t) AS true_join_size
+"""
+
+
+SQL_CMS_JOIN = _fmt_cms_join_sql()
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -8927,6 +8989,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_anomaly_scores": q_hourly_anomaly_scores,
     "view_to_purchase_quantiles": q_view_to_purchase_quantiles,
     "kmv_audience_estimates": q_kmv_audience_estimates,
+    "cms_join_size": q_cms_join_size,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9143,6 +9206,7 @@ ORACLES: dict[str, str] = {
     "hourly_anomaly_scores": SQL_HOURLY_ANOMALY,
     "view_to_purchase_quantiles": SQL_VIEW_TO_PURCHASE,
     "kmv_audience_estimates": SQL_KMV_OVERLAP,
+    "cms_join_size": SQL_CMS_JOIN,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

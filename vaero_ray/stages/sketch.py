@@ -777,3 +777,29 @@ def kmv_overlap_stats(
         "est_union": round(est_u, 4), "jaccard": round(jac, 6),
         "est_intersection": round(est_i, 4),
     }
+
+
+def cms_inner_product(
+    regs_a: "pd.DataFrame | pa.Table",
+    regs_b: "pd.DataFrame | pa.Table | None" = None,
+    width: int = 1024,
+    depth: int = 4,
+) -> int:
+    """Inner-product estimate from Count-Min registers: for frequency
+    vectors f, g of two streams, ``min_r sum_slot a_r[slot]*b_r[slot]``
+    upper-bounds ``sum_x f(x)*g(x)`` (Cormode-Muthukrishnan) — with
+    ``regs_b=None`` the SELF product, i.e. the equi-self-join size
+    estimate sum f(x)^2, the cardinality-estimation primitive a query
+    planner uses to size a join. Integer-exact: registers are exact
+    int64 counts, so both engines compute the identical estimate."""
+    def load(regs) -> np.ndarray:
+        if isinstance(regs, pa.Table):
+            regs = regs.to_pandas()
+        c = np.zeros((depth, width), dtype=np.int64)
+        if len(regs):
+            c[regs["row"].to_numpy(), regs["slot"].to_numpy()] = regs["cnt"].to_numpy()
+        return c
+
+    a = load(regs_a)
+    b = a if regs_b is None else load(regs_b)
+    return int(min(int(np.dot(a[r], b[r])) for r in range(depth)))
