@@ -387,3 +387,46 @@ def test_cms_inner_product_bound_and_exactness():
     # 50 keys in 1024 slots: overwhelmingly likely collision-free in
     # at least one of 4 rows -> exact
     assert est == true
+
+
+def test_zorder_layout_prunes_row_groups(tmp_path):
+    """Scale evidence for the Morton layout key: sorting a file by
+    zcode(user, hr) makes row-group min/max stats selective on BOTH
+    dimensions, so a predicate on either prunes most row groups —
+    unsorted layout prunes (almost) nothing."""
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.keyed import morton16
+
+    rng = _rng()
+    n = 200_000
+    user = rng.integers(0, 1 << 12, size=n).astype(np.uint64)
+    hr = rng.integers(0, 1 << 12, size=n).astype(np.uint64)
+    z = morton16(user, hr)
+    tbl = pa.table(
+        {"user_id": pa.array(user.astype(np.int64)), "hr": pa.array(hr.astype(np.int64)),
+         "z": pa.array(z)}
+    )
+
+    def matching_groups(path, col, lo, hi):
+        f = pq.ParquetFile(path)
+        idx = f.schema_arrow.get_field_index(col)
+        m = 0
+        for g in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(g).column(idx).statistics
+            if st.max >= lo and st.min <= hi:
+                m += 1
+        return m, f.metadata.num_row_groups
+
+    p_sorted = str(tmp_path / "zsorted.parquet")
+    p_plain = str(tmp_path / "plain.parquet")
+    order = np.argsort(z, kind="stable")
+    pq.write_table(tbl.take(pa.array(order)), p_sorted, row_group_size=5_000)
+    pq.write_table(tbl, p_plain, row_group_size=5_000)
+
+    lo, hi = 100, 160  # narrow band on ONE dimension
+    for col in ("user_id", "hr"):
+        m_sorted, total = matching_groups(p_sorted, col, lo, hi)
+        m_plain, _ = matching_groups(p_plain, col, lo, hi)
+        assert m_plain == total  # random layout: every group overlaps
+        assert m_sorted <= total // 2, (col, m_sorted, total)
