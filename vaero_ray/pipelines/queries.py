@@ -8505,6 +8505,84 @@ SELECT (SELECT est FROM e) AS est_join_size, (SELECT tru FROM t) AS true_join_si
 SQL_CMS_JOIN = _fmt_cms_join_sql()
 
 
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape: the GROUPWISE argmin equality join — per part,
+    the cheapest lineitem price and the supplier achieving it (ties ->
+    smallest suppkey), with the supplier name attached. The argmin is
+    a MERGEABLE integer min by packing (cents << 20) | suppkey into one
+    int64 (cents < 2^42, suppkey < 2^20 — asserted): per-block lexsort
+    partials collapse to one row per (block, part), the keyed min
+    exchange is order/shard independent, and the dimension attaches by
+    broadcast — no groupwise re-join against the fact table."""
+    from vaero_ray.stages.joins import broadcast_join
+    from vaero_ray.stages.keyed import bucketed_keyed_agg
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cents = np.floor(
+            tbl.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        sk = tbl.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = tbl.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cents) and (int(cents.max()) >= 1 << 42 or int(sk.max()) >= 1 << 20):
+            raise ValueError("packed argmin overflows int64; widen the packing")
+        packed = (cents << 20) | sk
+        import pandas as _pd
+
+        g = (
+            _pd.DataFrame({"p_partkey": pk, "packed": packed})
+            .groupby("p_partkey", sort=False, as_index=False)
+            .min()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = bucketed_keyed_agg(partials, ["p_partkey"], {"packed": "min"})
+
+    def unpack(tbl: pa.Table) -> pa.Table:
+        packed = tbl.column("packed").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": tbl.column("p_partkey"),
+                "min_price_cents": pa.array(packed >> 20, pa.int64()),
+                "s_suppkey": pa.array(packed & ((1 << 20) - 1), pa.int64()),
+            }
+        )
+
+    facts = merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+    supp = (
+        _read_pq(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+        .materialize()
+        .take_all()
+    )
+    supp_tbl = pa.Table.from_pylist(supp).select(["s_suppkey", "s_name"])
+    supp_tbl = pa.table(
+        {
+            "s_suppkey": supp_tbl.column("s_suppkey").cast(pa.int64()),
+            "s_name": supp_tbl.column("s_name"),
+        }
+    )
+    return broadcast_join(facts, supp_tbl, "s_suppkey")
+
+
+SQL_CHEAPEST_SUPPLIER = r"""
+WITH l AS (SELECT l_partkey AS p_partkey, l_suppkey,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem),
+mn AS (SELECT p_partkey, min(cents) AS min_price_cents FROM l GROUP BY 1),
+w AS (SELECT l.p_partkey, mn.min_price_cents,
+             CAST(min(l.l_suppkey) AS BIGINT) AS s_suppkey
+      FROM l JOIN mn ON l.p_partkey = mn.p_partkey AND l.cents = mn.min_price_cents
+      GROUP BY 1, 2)
+SELECT w.p_partkey, w.min_price_cents, w.s_suppkey, s.s_name
+FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -8990,6 +9068,7 @@ QUERIES: dict[str, QueryFn] = {
     "view_to_purchase_quantiles": q_view_to_purchase_quantiles,
     "kmv_audience_estimates": q_kmv_audience_estimates,
     "cms_join_size": q_cms_join_size,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9207,6 +9286,7 @@ ORACLES: dict[str, str] = {
     "view_to_purchase_quantiles": SQL_VIEW_TO_PURCHASE,
     "kmv_audience_estimates": SQL_KMV_OVERLAP,
     "cms_join_size": SQL_CMS_JOIN,
+    "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,
