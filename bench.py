@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "kmv_audience_estimates",       # KMV union/Jaccard/intersection from two sketches
     "cms_join_size",                # CMS inner-product self-join size estimate vs exact
     "cheapest_supplier_per_part",   # TPC-H Q2 shape: packed-int mergeable argmin join
+    "lateness_coverage",            # allowed-lateness coverage curve (watermark sizing)
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

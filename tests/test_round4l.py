@@ -430,3 +430,36 @@ def test_zorder_layout_prunes_row_groups(tmp_path):
         m_plain, _ = matching_groups(p_plain, col, lo, hi)
         assert m_plain == total  # random layout: every group overlaps
         assert m_sorted <= total // 2, (col, m_sorted, total)
+
+
+def test_lateness_coverage_bruteforce(ray_session):
+    from vaero_ray.pipelines.queries import QUERIES
+
+    # tiny planted stream via the real gate path is covered by selfcheck;
+    # here: the segmented running max must not cross user boundaries
+    import pandas as pd
+    import ray.data as rd2
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    # reuse the gate's kernel indirectly: craft 2 users where user B's
+    # first event is EARLIER than user A's max — cross-segment carry
+    # would mark it late
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "ts": pa.array(
+                np.array([1000_000_000, 2000_000_000, 500_000_000, 400_000_000],
+                         dtype="datetime64[us]")
+            ),
+        }
+    )
+    import tempfile, os
+    import pyarrow.parquet as pq2
+
+    d = tempfile.mkdtemp()
+    pq2.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = {r["lateness_s"]: r["n_late"] for r in QUERIES["lateness_coverage"](d).take_all()}
+    # only user 2's second event (100 s behind) is late at L=0/60, not at 300+
+    assert got[0] == 1 and got[60] == 1 and got[300] == 0 and got[3600] == 0

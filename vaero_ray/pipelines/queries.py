@@ -8583,6 +8583,65 @@ FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
 """
 
 
+def q_lateness_coverage(sf_dir: str):
+    """Event-time disorder profile — the measurement that SIZES a
+    watermark policy instead of guessing it: per user in arrival order
+    (event_id), how far events land behind the running event-time max,
+    and for each candidate allowed-lateness L the count of events a
+    watermark at (max_seen - L) would declare late. One bucketed pass
+    (segmented maximum.accumulate, no per-key Python); the exchange
+    carries |L| count partials per bucket."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    LS = [0, 60, 300, 3600]
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+
+    def per_bucket(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes = _pd.factorize(df["user_id"], use_na_sentinel=False)[0]
+        gs = np.r_[True, codes[1:] != codes[:-1]] if len(df) else np.zeros(0, bool)
+        if len(us):
+            # segmented running max via the offset trick: seg_id * BIG
+            # keeps maxima from crossing user segments in one global
+            # maximum.accumulate (BIG > the bucket's whole time range)
+            seg_id = np.cumsum(gs) - 1
+            big = int(us.max() - us.min()) + 1
+            shifted = (us - us.min()) + seg_id * big
+            runm = np.maximum.accumulate(shifted) - seg_id * big + us.min()
+            prev = np.r_[np.int64(0), runm[:-1]]
+            lu = np.maximum(prev - us, 0)
+            lu[gs] = 0  # first arrival per user is never late
+        else:
+            lu = us
+        rows = {"lateness_s": [], "n_late": []}
+        for L in LS:
+            rows["lateness_s"].append(L)
+            rows["n_late"].append(int((lu > L * 1_000_000).sum()))
+        return _pd.DataFrame(rows)
+
+    partials = bucketed_map_groups(ds, "user_id", per_bucket)
+    return bucketed_keyed_sum(partials, ["lateness_s"], ["n_late"], num_buckets=4)
+
+
+SQL_LATENESS = r"""
+WITH w AS (SELECT epoch_us(ts) AS us,
+                  MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+           FROM events),
+late AS (SELECT CASE WHEN runmax IS NULL THEN 0
+                     ELSE GREATEST(runmax - us, 0) END AS lu FROM w),
+ls AS (SELECT * FROM (VALUES (0), (60), (300), (3600)) t(lateness_s))
+SELECT CAST(lateness_s AS BIGINT) AS lateness_s,
+       CAST(COUNT(*) FILTER (WHERE lu > CAST(lateness_s AS BIGINT) * 1000000) AS BIGINT) AS n_late
+FROM late, ls GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9069,6 +9128,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmv_audience_estimates": q_kmv_audience_estimates,
     "cms_join_size": q_cms_join_size,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "lateness_coverage": q_lateness_coverage,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9287,6 +9347,7 @@ ORACLES: dict[str, str] = {
     "kmv_audience_estimates": SQL_KMV_OVERLAP,
     "cms_join_size": SQL_CMS_JOIN,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER,
+    "lateness_coverage": SQL_LATENESS,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,
