@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "cms_join_size",                # CMS inner-product self-join size estimate vs exact
     "cheapest_supplier_per_part",   # TPC-H Q2 shape: packed-int mergeable argmin join
     "lateness_coverage",            # allowed-lateness coverage curve (watermark sizing)
+    "embedding_dim_quantiles",      # per-dim robust p25/50/75 via grouped radix selection
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

@@ -8642,6 +8642,60 @@ FROM late, ls GROUP BY 1
 """
 
 
+def q_embedding_dim_quantiles(sf_dir: str):
+    """Per-dimension p25/median/p75 (+IQR) of the embedding corpus —
+    the ROBUST normalization profile (median/IQR scaling shrugs off the
+    outliers that pollute mean/std): components fixed-pointed to micro
+    units, exploded per batch (stateless, no exchange), then every
+    (dim, quantile) pair rides the SAME grouped radix-selection scans —
+    zero row exchange for 64 x 3 exact quantiles."""
+    from vaero_ray.stages.ann import _mat
+    from vaero_ray.stages.selection import exact_group_quantiles_disc
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "micro": pa.array([], pa.int64())}
+            )
+        m = _mat(tbl, "embedding", dtype=np.float64)
+        micro = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        n, d = micro.shape
+        dims = np.tile(np.arange(1, d + 1, dtype=np.int64), n)
+        return pa.table(
+            {"dim": pa.array(dims), "micro": pa.array(micro.reshape(-1))}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    per = exact_group_quantiles_disc(exploded, "micro", "dim", [0.25, 0.5, 0.75])
+    dims = sorted(per, key=int)  # group keys round-trip as strings
+    p25 = np.array([per[d][0] for d in dims], np.int64)
+    p75 = np.array([per[d][2] for d in dims], np.int64)
+    return pa.table(
+        {
+            "dim": pa.array([int(d) for d in dims], pa.int64()),
+            "p25_micro": pa.array(p25, pa.int64()),
+            "p50_micro": pa.array([per[d][1] for d in dims], pa.int64()),
+            "p75_micro": pa.array(p75, pa.int64()),
+            "iqr_micro": pa.array(p75 - p25, pa.int64()),
+        }
+    )
+
+
+SQL_EMBEDDING_DIM_QUANTILES = r"""
+WITH u AS (SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+           FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(quantile_disc(m, 0.25) AS BIGINT) AS p25_micro,
+       CAST(quantile_disc(m, 0.50) AS BIGINT) AS p50_micro,
+       CAST(quantile_disc(m, 0.75) AS BIGINT) AS p75_micro,
+       CAST(quantile_disc(m, 0.75) - quantile_disc(m, 0.25) AS BIGINT) AS iqr_micro
+FROM u GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9129,6 +9183,7 @@ QUERIES: dict[str, QueryFn] = {
     "cms_join_size": q_cms_join_size,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "lateness_coverage": q_lateness_coverage,
+    "embedding_dim_quantiles": q_embedding_dim_quantiles,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9348,6 +9403,7 @@ ORACLES: dict[str, str] = {
     "cms_join_size": SQL_CMS_JOIN,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER,
     "lateness_coverage": SQL_LATENESS,
+    "embedding_dim_quantiles": SQL_EMBEDDING_DIM_QUANTILES,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,
