@@ -8696,6 +8696,75 @@ FROM u GROUP BY 1
 """
 
 
+def q_tool_resolution_latency(sf_dir: str):
+    """Tool-resolution latency SLA: the gap from each TOOL turn to the
+    next turn in the conversation WHEN that turn is the assistant
+    resuming (exact whole-second p50/p90/p99 + count) — how long tool
+    calls stall conversations. Adjacent-pair extraction runs inside the
+    conv bucket shuffle (shift + same-conv mask, no per-conv Python);
+    quantiles by radix selection over the materialized gap rows."""
+    import pandas as _pd
+
+    from vaero_ray.pipelines.derived import _prep
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.selection import exact_quantiles_disc
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "event_id": tbl.column("event_id"),
+                "role": tbl.column("role"),
+            }
+        )
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        role = df["role"].to_numpy()
+        same = np.r_[conv[1:] == conv[:-1], False]
+        hit = same & (role == "tool") & np.r_[role[1:] == "assistant", False]
+        gaps = (np.r_[us[1:], 0] - us)[hit] // 1_000_000
+        return _pd.DataFrame({"gap_s": gaps.astype(np.int64)})
+
+    gaps = bucketed_map_groups(ds, "conv_id", per_bucket).materialize()
+    n = gaps.count()
+    p50, p90, p99 = exact_quantiles_disc(gaps, "gap_s", [0.5, 0.9, 0.99])
+    return pa.table(
+        {
+            "n_resolutions": pa.array([n], pa.int64()),
+            "p50_s": pa.array([p50], pa.int64()),
+            "p90_s": pa.array([p90], pa.int64()),
+            "p99_s": pa.array([p99], pa.int64()),
+        }
+    )
+
+
+SQL_TOOL_LATENCY = f"""
+WITH {TRANSCRIPTS_CTE},
+t AS (SELECT conv_id, role, epoch_us(ts) AS us,
+             LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_next,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS us_next
+      FROM transcripts),
+g AS (SELECT (us_next - us) // 1000000 AS gap_s
+      FROM t WHERE role = 'tool' AND role_next = 'assistant')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_resolutions,
+       CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s,
+       CAST(quantile_disc(gap_s, 0.99) AS BIGINT) AS p99_s
+FROM g
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9184,6 +9253,7 @@ QUERIES: dict[str, QueryFn] = {
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "lateness_coverage": q_lateness_coverage,
     "embedding_dim_quantiles": q_embedding_dim_quantiles,
+    "tool_resolution_latency": q_tool_resolution_latency,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9404,6 +9474,7 @@ ORACLES: dict[str, str] = {
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER,
     "lateness_coverage": SQL_LATENESS,
     "embedding_dim_quantiles": SQL_EMBEDDING_DIM_QUANTILES,
+    "tool_resolution_latency": SQL_TOOL_LATENCY,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,
