@@ -463,3 +463,41 @@ def test_lateness_coverage_bruteforce(ray_session):
     got = {r["lateness_s"]: r["n_late"] for r in QUERIES["lateness_coverage"](d).take_all()}
     # only user 2's second event (100 s behind) is late at L=0/60, not at 300+
     assert got[0] == 1 and got[60] == 1 and got[300] == 0 and got[3600] == 0
+
+
+def test_funnel_dropoff_bruteforce(ray_session):
+    from vaero_ray.stages.cep import funnel_dropoff
+
+    rng = _rng()
+    n = 4000
+    users = rng.integers(0, 80, size=n).astype(np.int64)
+    ts = rng.integers(0, 10**7, size=n).astype("datetime64[us]")
+    types = rng.choice(np.array(["A", "B", "C", "x"]), size=n, p=[0.35, 0.3, 0.25, 0.1])
+    tbl = pa.table(
+        {"u": pa.array(users), "ts": pa.array(ts), "t": pa.array(types)}
+    )
+    got = {
+        r["step_idx"]: r["n_reached"]
+        for r in funnel_dropoff(
+            rd.from_arrow(tbl).repartition(6), "u", "ts", "t", ["A", "B", "C"]
+        ).take_all()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame({"u": users, "ts": ts.astype("int64"), "t": types})
+    want = {1: 0, 2: 0, 3: 0}
+    for _, g in df.sort_values(["u", "ts"]).groupby("u"):
+        a = g[g["t"] == "A"]["ts"]
+        if a.empty:
+            continue
+        want[1] += 1
+        t1 = a.iloc[0]
+        b = g[(g["t"] == "B") & (g["ts"] >= t1)]["ts"]
+        if b.empty:
+            continue
+        want[2] += 1
+        t2 = b.iloc[0]
+        c = g[(g["t"] == "C") & (g["ts"] >= t2)]["ts"]
+        if not c.empty:
+            want[3] += 1
+    assert got == want

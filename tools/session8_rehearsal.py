@@ -1,8 +1,8 @@
 """Corpus-scale rehearsal of the session-8 operators over the cached
 16M-turn transcript corpus (tools/session5_rehearsal.py regenerates it).
 
-- regex CEP: non-overlapping ``at+a`` (assistant -> tool(s) ->
-  assistant) matches per conversation — ONE compiled-regex scan per
+- regex CEP: non-overlapping ``at+u`` (assistant -> tool(s) -> user
+  resumes; the corpus's tool bursts trail assistant turns) per conv — ONE compiled-regex scan per
   bucket over a separator-walled byte buffer built from 16M turns; the
   Python loop is over matches, never rows.
 - last-touch attribution: per assistant turn, the same conversation's
@@ -11,9 +11,11 @@
 - hourly anomaly scores: per-role hourly turn counts (bounded keyed
   exchange) -> trailing-24h population z-scores from exact int window
   sums over the merged series.
-- Pareto frontier: per-conv (total chars, n turns) skyline — ~800k
-  aggregated rows prune to per-block local frontiers before one tiny
-  repartition.
+- Pareto frontier: per-conv (total chars, NEGATED turns) skyline —
+  the verbosity-efficiency frontier (longest text in fewest turns);
+  negation makes the axes anti-correlated, the skyline's hard case.
+  ~800k aggregated rows prune to per-block local frontiers before one
+  tiny repartition.
 
 Run: python tools/session8_rehearsal.py [--op regex|attr|anomaly|pareto|all]
 """
@@ -42,7 +44,7 @@ def rehearse_regex():
         ["turn_idx"],
         "role",
         {"user": "u", "assistant": "a", "tool": "t"},
-        r"at+a",
+        r"at+u",
     )
 
     def tot(tbl: pa.Table) -> pa.Table:
@@ -59,7 +61,7 @@ def rehearse_regex():
     )
     wall = time.time() - t0
     return {
-        "op": "regex CEP at+a per conv",
+        "op": "regex CEP at+u per conv",
         "convs": int(agg["sum(convs)"]),
         "matches": int(agg["sum(matches)"]),
         "wall_s": round(wall, 1),
@@ -127,7 +129,7 @@ def rehearse_pareto():
         df = pd.DataFrame(
             {
                 "conv_id": t.column("conv_id").to_pandas(),
-                "n_turns": np.ones(t.num_rows, np.int64),
+                "neg_turns": np.full(t.num_rows, -1, np.int64),
                 "n_chars": n_chars.to_numpy(zero_copy_only=False),
             }
         )
@@ -138,12 +140,12 @@ def rehearse_pareto():
 
     per_conv = bucketed_keyed_sum(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["conv_id"], ["n_turns", "n_chars"],
+        ["conv_id"], ["neg_turns", "n_chars"],
     )
-    front = pareto_frontier(per_conv, "n_chars", "n_turns").take_all()
+    front = pareto_frontier(per_conv, "n_chars", "neg_turns").take_all()
     wall = time.time() - t0
     return {
-        "op": "Pareto frontier over ~800k per-conv aggregates",
+        "op": "Pareto frontier (chars vs -turns) over ~800k per-conv aggregates",
         "frontier_size": len(front),
         "wall_s": round(wall, 1),
     }

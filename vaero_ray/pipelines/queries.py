@@ -8765,6 +8765,36 @@ FROM g
 """
 
 
+def q_funnel_dropoff(sf_dir: str):
+    """Funnel drop-off table view -> click -> purchase (first-touch,
+    unbounded window): users reaching each step, where step i+1 is the
+    first matching event AT/AFTER step i's first qualifying time. One
+    bucketed shuffle; per step ONE composite searchsorted against the
+    surviving frontier; the exchange carries 3 integers per bucket."""
+    from vaero_ray.stages.cep import funnel_dropoff
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return funnel_dropoff(ds, "user_id", "ts", "event_type",
+                          ["view", "click", "purchase"])
+
+
+SQL_FUNNEL_DROPOFF = r"""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_reached
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p))
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9254,6 +9284,7 @@ QUERIES: dict[str, QueryFn] = {
     "lateness_coverage": q_lateness_coverage,
     "embedding_dim_quantiles": q_embedding_dim_quantiles,
     "tool_resolution_latency": q_tool_resolution_latency,
+    "funnel_dropoff": q_funnel_dropoff,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9475,6 +9506,7 @@ ORACLES: dict[str, str] = {
     "lateness_coverage": SQL_LATENESS,
     "embedding_dim_quantiles": SQL_EMBEDDING_DIM_QUANTILES,
     "tool_resolution_latency": SQL_TOOL_LATENCY,
+    "funnel_dropoff": SQL_FUNNEL_DROPOFF,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

@@ -751,3 +751,71 @@ def last_touch_counts(
 
     partials = _bmg(ds, key, per_bucket, num_buckets=num_buckets)
     return bucketed_keyed_sum(partials, ["attr_type"], ["n"], num_buckets=4)
+
+
+def funnel_dropoff(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: "list[str]",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Step-by-step funnel drop-off: how many keys reach step i of the
+    ORDERED chain steps[0] -> steps[1] -> ... (unbounded window, each
+    step at or after the previous step's FIRST qualifying time — the
+    classic first-touch funnel table, where ``sequence_matches`` counts
+    completions of the windowed variant). Per key: t1 = first step-0
+    event; t_{i+1} = first step-(i+1) event with ts >= t_i.
+
+    Vectorized frontier propagation per bucket: each step is ONE
+    composite-shifted searchsorted of the step's (key, ts) lane against
+    the previous frontier (loop over STEPS, never keys). The exchange
+    carries len(steps) integers per bucket. Output: one row per step,
+    ``(step_idx, step, n_reached)``."""
+    if len(steps) < 2:
+        raise ValueError("funnel_dropoff needs at least 2 steps")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        et = df[type_col].to_numpy()
+        base = ts - ts.min() if len(ts) else ts
+        off = (int(base.max()) if len(base) else 0) + 2
+        n_codes = int(codes.max()) + 1 if len(codes) else 0
+        if n_codes * off >= 2**63:
+            raise ValueError("composite shift overflows int64; raise num_buckets")
+        s = codes * off + base
+
+        # frontier: per surviving key, the composite of its first
+        # qualifying time at the current step
+        m0 = et == steps[0]
+        s0, c0 = s[m0], codes[m0]
+        first = np.r_[True, c0[1:] != c0[:-1]] if len(c0) else np.zeros(0, bool)
+        frontier_s = s0[first]
+        frontier_c = c0[first]
+        counts = [len(frontier_c)]
+        for step in steps[1:]:
+            mi = et == step
+            si, ci = s[mi], codes[mi]
+            # first event of this step lane at/after the frontier time
+            idx = np.searchsorted(si, frontier_s, side="left")
+            ok = idx < len(si)
+            hit = np.zeros(len(frontier_c), bool)
+            hit[ok] = ci[idx[ok]] == frontier_c[ok]
+            frontier_s = si[idx[ok & hit]] if len(si) else si[:0]
+            frontier_c = frontier_c[ok & hit]
+            counts.append(len(frontier_c))
+        return pd.DataFrame(
+            {
+                "step_idx": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "step": steps,
+                "n_reached": np.array(counts, np.int64),
+            }
+        )
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    partials = bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+    return bucketed_keyed_sum(partials, ["step_idx", "step"], ["n_reached"], num_buckets=4)
