@@ -501,3 +501,32 @@ def test_funnel_dropoff_bruteforce(ray_session):
         if not c.empty:
             want[3] += 1
     assert got == want
+
+
+def test_kendall_trend_bruteforce(ray_session):
+    from vaero_ray.stages.numstats import kendall_trend_per_group
+
+    rng = _rng()
+    ks, hs, cs = [], [], []
+    for k in range(6):
+        n = int(rng.integers(1, 60))
+        hrs = np.sort(rng.choice(np.arange(200), size=n, replace=False))
+        vals = rng.integers(0, 15, size=n)  # small domain -> ties
+        ks.append(np.full(n, k)); hs.append(hrs); cs.append(vals)
+    tbl = pa.table(
+        {"k": pa.array(np.concatenate(ks).astype(np.int64)),
+         "hr": pa.array(np.concatenate(hs).astype(np.int64)),
+         "c": pa.array(np.concatenate(cs).astype(np.int64))}
+    )
+    got = {
+        r["k"]: (r["n_points"], r["s_stat"])
+        for r in kendall_trend_per_group(
+            rd.from_arrow(tbl).repartition(4), "k", "hr", "c"
+        ).take_all()
+    }
+    for k, vals in zip(range(6), cs):
+        s = 0
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                s += int(np.sign(int(vals[j]) - int(vals[i])))
+        assert got[k] == (len(vals), s), k

@@ -8795,6 +8795,35 @@ SELECT * FROM (
 """
 
 
+def q_hourly_trend_kendall(sf_dir: str):
+    """Mann-Kendall monotone-trend test per event type over the hourly
+    count series — the robust companion of the OLS trend gate (sign
+    statistic shrugs off outliers and level shifts): exact int64 S over
+    all ordered hour pairs, tau_a 6-dp closed form. Pairwise pass runs
+    on the MERGED series (hours x types rows), chunked broadcasting."""
+    from vaero_ray.stages.numstats import kendall_trend_per_group
+
+    return kendall_trend_per_group(_hourly_type_counts(sf_dir), "event_type", "hr", "c")
+
+
+SQL_HOURLY_KENDALL = r"""
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM c a JOIN c b ON a.event_type = b.event_type AND b.hr > a.hr
+      GROUP BY 1),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points FROM c GROUP BY 1)
+SELECT n.event_type, n.n_points, COALESCE(p.s_stat, 0) AS s_stat,
+       CASE WHEN n.n_points >= 2
+            THEN ROUND(CAST(COALESCE(p.s_stat, 0) AS DOUBLE)
+                       / (CAST(n.n_points AS DOUBLE) * (n.n_points - 1) / 2), 6)
+            END AS tau_a
+FROM n LEFT JOIN p USING (event_type)
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9285,6 +9314,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dim_quantiles": q_embedding_dim_quantiles,
     "tool_resolution_latency": q_tool_resolution_latency,
     "funnel_dropoff": q_funnel_dropoff,
+    "hourly_trend_kendall": q_hourly_trend_kendall,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9507,6 +9537,7 @@ ORACLES: dict[str, str] = {
     "embedding_dim_quantiles": SQL_EMBEDDING_DIM_QUANTILES,
     "tool_resolution_latency": SQL_TOOL_LATENCY,
     "funnel_dropoff": SQL_FUNNEL_DROPOFF,
+    "hourly_trend_kendall": SQL_HOURLY_KENDALL,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

@@ -515,3 +515,51 @@ def rolling_zscores_per_group(
         return out
 
     return bucketed_map_groups(merged, key, per_bucket, num_buckets=4)
+
+
+def kendall_trend_per_group(
+    merged: rd.Dataset, key: str, ord_col: str, val_col: str
+) -> rd.Dataset:
+    """Mann-Kendall trend test per key over an already-merged EXACT
+    integer series: S = sum over ordered pairs i<j of sign(x_j - x_i)
+    — the nonparametric monotone-trend statistic (robust to outliers
+    and level shifts where OLS slope is not), plus tau_a = S / C(n,2)
+    as a 6-dp closed form mirrored in SQL.
+
+    Quadratic in the SERIES length by definition — bounded, because the
+    input is the merged (key, ord, val) aggregate (hours x keys), never
+    raw rows; the pairwise pass is CHUNKED broadcasting (<=1e7-element
+    sign blocks, temps ~tens of MB) with a same-key mask, so no per-key
+    Python and no O(n^2) allocation. Int64-exact S."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ord_col], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return pd.DataFrame(
+                {key: df[key], "n_points": [], "s_stat": [], "tau_a": []}
+            )
+        x = df[val_col].to_numpy().astype(np.int64)
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0].astype(np.int64)
+        n_keys = int(codes[-1]) + 1
+        s_per_key = np.zeros(n_keys, np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        chunk = max(1, 10_000_000 // n)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sgn = np.sign(x[None, :] - x[lo:hi, None]).astype(np.int64)
+            mask = (codes[None, :] == codes[lo:hi, None]) & (idx[None, :] > idx[lo:hi, None])
+            np.add.at(s_per_key, codes[lo:hi], (sgn * mask).sum(axis=1))
+        cnt = np.bincount(codes, minlength=n_keys).astype(np.int64)
+        gs = np.r_[True, codes[1:] != codes[:-1]]
+        keys_out = df[key].to_numpy()[gs]
+        nf = cnt.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tau = np.round(s_per_key / (nf * (cnt - 1) / 2), 6)
+        out = pd.DataFrame(
+            {key: keys_out, "n_points": cnt, "s_stat": s_per_key, "tau_a": tau}
+        )
+        out.loc[cnt < 2, "tau_a"] = None
+        return out
+
+    return bucketed_map_groups(merged, key, per_bucket, num_buckets=4)
