@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "tool_resolution_latency",      # tool->assistant resume gap p50/p90/p99
     "funnel_dropoff",               # step-by-step first-touch funnel table
     "hourly_trend_kendall",         # Mann-Kendall S + tau_a per type (chunked pairwise)
+    "hourly_active_sessions",       # occupancy histogram: concurrent sessions per hour
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

@@ -8824,6 +8824,72 @@ FROM n LEFT JOIN p USING (event_type)
 """
 
 
+def q_hourly_active_sessions(sf_dir: str):
+    """Occupancy histogram — concurrent session count per hour (the ops
+    concurrency metric): 30-min-gap sessions per user collapse to
+    (start_hr, end_hr) spans inside the user-bucketed shuffle, then an
+    INTERVAL->GRID explode (repeat + offset arange, bounded by span
+    hours) and a tiny per-hour keyed sum. A session touching an hour
+    counts once; the exchange after the fold carries (hr, n) partials."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    GAP_US = 1800 * 1_000_000
+
+    def per_bucket(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort").reset_index(drop=True)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes = _pd.factorize(df["user_id"], use_na_sentinel=False)[0]
+        new_sess = np.r_[True, (codes[1:] != codes[:-1])
+                         | (us[1:] - us[:-1] > GAP_US)] if len(df) else np.zeros(0, bool)
+        starts = np.flatnonzero(new_sess)
+        if not len(starts):
+            return _pd.DataFrame({"hr": np.array([], np.int64),
+                                  "n": np.array([], np.int64)})
+        ends = np.r_[starts[1:], len(df)] - 1
+        h0 = us[starts] // 3_600_000_000
+        h1 = us[ends] // 3_600_000_000
+        spans = (h1 - h0 + 1).astype(np.int64)
+        total = int(spans.sum())
+        rep = np.repeat(h0, spans)
+        base = np.repeat(np.cumsum(spans) - spans, spans)
+        hrs = rep + (np.arange(total, dtype=np.int64) - base)
+        g = _pd.DataFrame({"hr": hrs}).groupby("hr", sort=False).size().rename(
+            "n"
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = bucketed_map_groups(ds, "user_id", per_bucket)
+    return bucketed_keyed_sum(partials, ["hr"], ["n"], num_buckets=4).map_batches(
+        lambda t: t.rename_columns(["hr", "n_sessions"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+SQL_ACTIVE_SESSIONS = r"""
+WITH sess_d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+sess_s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM sess_d),
+sp AS (SELECT user_id, session_id,
+              epoch_us(min(ts)) // 3600000000 AS h0,
+              epoch_us(max(ts)) // 3600000000 AS h1
+       FROM sess_s GROUP BY 1, 2),
+h AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM sp)
+SELECT CAST(hr AS BIGINT) AS hr, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM h GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9315,6 +9381,7 @@ QUERIES: dict[str, QueryFn] = {
     "tool_resolution_latency": q_tool_resolution_latency,
     "funnel_dropoff": q_funnel_dropoff,
     "hourly_trend_kendall": q_hourly_trend_kendall,
+    "hourly_active_sessions": q_hourly_active_sessions,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9538,6 +9605,7 @@ ORACLES: dict[str, str] = {
     "tool_resolution_latency": SQL_TOOL_LATENCY,
     "funnel_dropoff": SQL_FUNNEL_DROPOFF,
     "hourly_trend_kendall": SQL_HOURLY_KENDALL,
+    "hourly_active_sessions": SQL_ACTIVE_SESSIONS,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,
