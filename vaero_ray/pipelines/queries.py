@@ -8890,6 +8890,110 @@ FROM h GROUP BY 1
 """
 
 
+def q_value_psi_drift(sf_dir: str):
+    """Population Stability Index of the money column between the first
+    and second half of the observed time range, per event type — the
+    standard ML-monitoring drift score, here with integer-exact bin
+    counts (log2 bins via bit length, the mergeable log-histogram's
+    binning) and per-BIN 6-dp contributions so no cross-bin float sum
+    ever happens in either engine (SQL SUM order is unspecified; the
+    reader sums rounded contributions). Two executions: a tiny min/max
+    bounds pass, then per-block (type, half, bin) partials through one
+    bounded exchange; bins present in only one half are omitted (PSI's
+    undefined-bin case, disclosed)."""
+    import pandas as _pd
+
+    from ray.data.aggregate import Max, Min
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _events(sf_dir, columns=["event_type", "ts", "value"])
+
+    def hr_only(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        return pa.table({"hr": pc.divide(us, 3600000000)})
+
+    b = ds.map_batches(hr_only, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Min("hr"), Max("hr")
+    )
+    mid = (int(b["min(hr)"]) + int(b["max(hr)"]) + 1) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        hr = pc.divide(us, 3600000000).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        # bit_length(n) == frexp exponent (exact for cents < 2^53),
+        # matching SQL length(bin(cents))
+        bl = np.where(cents <= 0, 0, np.frexp(np.maximum(cents, 1).astype(np.float64))[1])
+        df = _pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "half": (hr >= mid).astype(np.int64),
+                "bin": bl.astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "half", "bin"], sort=False).size().rename(
+            "n"
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = bucketed_keyed_sum(counts, ["event_type", "half", "bin"], ["n"], num_buckets=4)
+
+    def finalize(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            tot = g.groupby("half")["n"].sum()
+            if 0 not in tot.index or 1 not in tot.index:
+                continue
+            a = g[g["half"] == 0].set_index("bin")["n"]
+            bb = g[g["half"] == 1].set_index("bin")["n"]
+            bins = sorted(set(a.index) & set(bb.index))
+            for bn in bins:
+                pa_ = float(a[bn]) / float(tot[0])
+                pb_ = float(bb[bn]) / float(tot[1])
+                out.append(
+                    (et, int(bn), int(a[bn]), int(bb[bn]),
+                     round((pa_ - pb_) * np.log(pa_ / pb_), 6))
+                )
+        return _pd.DataFrame(
+            out, columns=["event_type", "bin", "n_a", "n_b", "psi_bin"]
+        ).astype({"bin": "int64", "n_a": "int64", "n_b": "int64"})
+
+    return bucketed_map_groups(merged, "event_type", finalize, num_buckets=4)
+
+
+SQL_PSI_DRIFT = r"""
+WITH bounds AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+                       max(epoch_us(ts) // 3600000000) AS h1 FROM events),
+c0 AS (SELECT event_type,
+              CASE WHEN epoch_us(ts) // 3600000000 < (h0 + h1 + 1) // 2
+                   THEN 0 ELSE 1 END AS half,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       FROM events, bounds),
+c AS (SELECT event_type, half,
+             CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS bin,
+             COUNT(*) AS n
+      FROM c0 GROUP BY 1, 2, 3),
+t AS (SELECT event_type, half, SUM(n) AS tot FROM c GROUP BY 1, 2),
+j AS (SELECT a.event_type, a.bin, a.n AS n_a, b.n AS n_b,
+             ta.tot AS tot_a, tb.tot AS tot_b
+      FROM c a
+      JOIN c b ON a.event_type = b.event_type AND a.bin = b.bin
+                  AND a.half = 0 AND b.half = 1
+      JOIN t ta ON ta.event_type = a.event_type AND ta.half = 0
+      JOIN t tb ON tb.event_type = a.event_type AND tb.half = 1)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND((CAST(n_a AS DOUBLE) / tot_a - CAST(n_b AS DOUBLE) / tot_b)
+             * ln((CAST(n_a AS DOUBLE) / tot_a)
+                  / (CAST(n_b AS DOUBLE) / tot_b)), 6) AS psi_bin
+FROM j
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9382,6 +9486,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_dropoff": q_funnel_dropoff,
     "hourly_trend_kendall": q_hourly_trend_kendall,
     "hourly_active_sessions": q_hourly_active_sessions,
+    "value_psi_drift": q_value_psi_drift,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9606,6 +9711,7 @@ ORACLES: dict[str, str] = {
     "funnel_dropoff": SQL_FUNNEL_DROPOFF,
     "hourly_trend_kendall": SQL_HOURLY_KENDALL,
     "hourly_active_sessions": SQL_ACTIVE_SESSIONS,
+    "value_psi_drift": SQL_PSI_DRIFT,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,
