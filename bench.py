@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "hourly_trend_kendall",         # Mann-Kendall S + tau_a per type (chunked pairwise)
     "hourly_active_sessions",       # occupancy histogram: concurrent sessions per hour
     "value_psi_drift",              # PSI drift per type between time halves (per-bin 6dp)
+    "hourly_ctr_wilson",            # Wilson-lower-bound click share per hour
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

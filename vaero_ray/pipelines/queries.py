@@ -8994,6 +8994,73 @@ FROM j
 """
 
 
+def q_hourly_ctr_wilson(sf_dir: str):
+    """Hourly click share with the Wilson-score LOWER bound — the
+    ranking-with-uncertainty primitive (a raw rate from 3 interactions
+    outranks one from 30k; the Wilson bound doesn't): p = clicks /
+    (views + clicks), a true proportion. Exact integer counts per hour
+    through one bounded exchange, then ONE closed-form float64
+    expression per row, written with the identical operation tree in
+    SQL (z = 1.96 literal both sides). Zero-interaction hours omitted."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        hr = pc.divide(us, 3600000000).to_numpy(zero_copy_only=False)
+        df = _pd.DataFrame(
+            {
+                "hr": hr,
+                "n_views": (et == "view").astype(np.int64),
+                "n_clicks": (et == "click").astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("hr", sort=False, as_index=False).sum(), preserve_index=False
+        )
+
+    counts = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["hr"], ["n_views", "n_clicks"], num_buckets=4,
+    )
+
+    def finalize(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df[(df["n_views"] + df["n_clicks"]) > 0].copy()
+        nf = (df["n_views"] + df["n_clicks"]).to_numpy().astype(np.float64)
+        kf = df["n_clicks"].to_numpy().astype(np.float64)
+        p = kf / nf
+        z = 1.96
+        lb = (p + z * z / (2 * nf)
+              - z * np.sqrt((p * (1 - p) + z * z / (4 * nf)) / nf)) / (1 + z * z / nf)
+        df["ctr"] = np.round(p, 6)
+        df["wilson_lb"] = np.round(lb, 6)
+        return df
+
+    return bucketed_map_groups(counts, "hr", finalize, num_buckets=4)
+
+
+SQL_CTR_WILSON = r"""
+WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+                  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks
+           FROM events GROUP BY 1),
+f AS (SELECT hr, n_views, n_clicks,
+             CAST(n_clicks AS DOUBLE) / (n_views + n_clicks) AS p,
+             CAST(n_views + n_clicks AS DOUBLE) AS nf
+      FROM c WHERE n_views + n_clicks > 0)
+SELECT CAST(hr AS BIGINT) AS hr, n_views, n_clicks,
+       ROUND(p, 6) AS ctr,
+       ROUND((p + 1.96 * 1.96 / (2 * nf)
+              - 1.96 * sqrt((p * (1 - p) + 1.96 * 1.96 / (4 * nf)) / nf))
+             / (1 + 1.96 * 1.96 / nf), 6) AS wilson_lb
+FROM f
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9487,6 +9554,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_trend_kendall": q_hourly_trend_kendall,
     "hourly_active_sessions": q_hourly_active_sessions,
     "value_psi_drift": q_value_psi_drift,
+    "hourly_ctr_wilson": q_hourly_ctr_wilson,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9712,6 +9780,7 @@ ORACLES: dict[str, str] = {
     "hourly_trend_kendall": SQL_HOURLY_KENDALL,
     "hourly_active_sessions": SQL_ACTIVE_SESSIONS,
     "value_psi_drift": SQL_PSI_DRIFT,
+    "hourly_ctr_wilson": SQL_CTR_WILSON,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,
