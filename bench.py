@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "hourly_active_sessions",       # occupancy histogram: concurrent sessions per hour
     "value_psi_drift",              # PSI drift per type between time halves (per-bin 6dp)
     "hourly_ctr_wilson",            # Wilson-lower-bound click share per hour
+    "length_ks_en_rest",            # two-sample KS via cross-multiplied integer CDFs
     "returned_item_revenue",        # TPC-H Q10 shape (returned-item top-20 customers)
     "top_revenue_supplier",         # TPC-H Q15 shape (max-equality scalar subquery)
     "brand_size_supplier_counts",   # TPC-H Q16 shape (distinct-agg after join, salted)

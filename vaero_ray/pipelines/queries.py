@@ -9061,6 +9061,54 @@ FROM f
 """
 
 
+def q_length_ks_en_rest(sf_dir: str):
+    """Two-sample KS test: do English documents have a different length
+    distribution than the rest of the corpus? Exact integer max-CDF-gap
+    via distinct-value compression (one (len, c_en, c_rest) row per
+    distinct length moves, never documents) — the binning-free
+    distribution-shift test beside PSI."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.numstats import ks_two_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.equal(t.column("lang"), "en").to_numpy(zero_copy_only=False)
+        df = _pd.DataFrame(
+            {
+                "v": t.column("n_chars").to_numpy(zero_copy_only=False),
+                "c1": en.astype(np.int64),
+                "c2": (~en).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("v", sort=False, as_index=False).sum(), preserve_index=False
+        )
+
+    merged = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], ["c1", "c2"], num_buckets=4,
+    )
+    return ks_two_sample(merged, "v")
+
+
+SQL_LENGTH_KS = r"""
+WITH a AS (SELECT n_chars AS v,
+                  COUNT(*) FILTER (WHERE lang = 'en') AS c1,
+                  COUNT(*) FILTER (WHERE lang <> 'en') AS c2
+           FROM documents GROUP BY 1),
+w AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+             SUM(c2) OVER (ORDER BY v) AS cum2 FROM a),
+t AS (SELECT (SELECT SUM(c1) FROM a) AS n1, (SELECT SUM(c2) FROM a) AS n2)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_scaled,
+       ROUND(CAST(max(abs(n2 * cum1 - n1 * cum2)) AS DOUBLE) / (n1 * n2), 6) AS d_stat
+FROM w, t GROUP BY n1, n2
+"""
+
+
 # ------------------------------------------------------------------
 # Session-7 batch 6: TPC-H Q10/Q15/Q16/Q22 shapes over the available
 # columns — returned-item top customers, max-equality supplier,
@@ -9555,6 +9603,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_active_sessions": q_hourly_active_sessions,
     "value_psi_drift": q_value_psi_drift,
     "hourly_ctr_wilson": q_hourly_ctr_wilson,
+    "length_ks_en_rest": q_length_ks_en_rest,
     "user_value_frontier": q_user_value_frontier,
     "value_benford_digits": q_value_benford_digits,
     "zorder_events": q_zorder_events,
@@ -9781,6 +9830,7 @@ ORACLES: dict[str, str] = {
     "hourly_active_sessions": SQL_ACTIVE_SESSIONS,
     "value_psi_drift": SQL_PSI_DRIFT,
     "hourly_ctr_wilson": SQL_CTR_WILSON,
+    "length_ks_en_rest": SQL_LENGTH_KS,
     "user_value_frontier": SQL_FRONTIER,
     "value_benford_digits": SQL_BENFORD,
     "zorder_events": SQL_ZORDER,

@@ -563,3 +563,47 @@ def kendall_trend_per_group(
         return out
 
     return bucketed_map_groups(merged, key, per_bucket, num_buckets=4)
+
+
+def ks_two_sample(
+    merged: rd.Dataset, val_col: str, c1: str = "c1", c2: str = "c2"
+) -> pa.Table:
+    """Two-sample Kolmogorov-Smirnov statistic from DISTINCT-VALUE
+    compressed counts (one (value, count_A, count_B) row per distinct
+    value — the same compression contract as gini/rank-sum): the max
+    CDF gap is computed EXACTLY in integers as
+    ``D_scaled = max |n2 * cum1(v) - n1 * cum2(v)|`` (cross-multiplied,
+    no division until the final 6-dp ``D = D_scaled / (n1*n2)``) — the
+    distribution-shift test that, unlike PSI, needs no binning choice.
+    The merged table is bounded by the distinct-value domain; the final
+    fold is one task (sort + two cumsums + max). Int64 contract:
+    n1 * n2 and n2 * n1-counts products must fit (n1*n2 < 2^62)."""
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {"n1": pa.array([0], pa.int64()), "n2": pa.array([0], pa.int64()),
+                 "d_scaled": pa.array([0], pa.int64()),
+                 "d_stat": pa.array([None], pa.float64())}
+            )
+        v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        a = tbl.column(c1).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column(c2).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        cum1 = np.cumsum(a[order])
+        cum2 = np.cumsum(b[order])
+        n1, n2 = int(cum1[-1]), int(cum2[-1])
+        if n1 * n2 >= 2**62:
+            raise ValueError("KS cross products overflow int64; rescale counts")
+        d_scaled = int(np.abs(n2 * cum1 - n1 * cum2).max()) if n1 and n2 else 0
+        d = round(d_scaled / (n1 * n2), 6) if n1 and n2 else None
+        return pa.table(
+            {"n1": pa.array([n1], pa.int64()), "n2": pa.array([n2], pa.int64()),
+             "d_scaled": pa.array([d_scaled], pa.int64()),
+             "d_stat": pa.array([d], pa.float64())}
+        )
+
+    out = merged.repartition(1).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pa.Table.from_pylist(out.take_all())
