@@ -530,3 +530,51 @@ def test_kendall_trend_bruteforce(ray_session):
             for j in range(i + 1, len(vals)):
                 s += int(np.sign(int(vals[j]) - int(vals[i])))
         assert got[k] == (len(vals), s), k
+
+
+def test_ks_two_sample_matches_scipy_style(ray_session):
+    """Exact KS vs a brute-force CDF-gap computation."""
+    from vaero_ray.stages.numstats import ks_two_sample
+
+    rng = _rng()
+    a = rng.integers(0, 50, size=3000)
+    b = rng.integers(5, 60, size=2000)  # shifted -> nonzero D
+    vals = np.concatenate([a, b])
+    c1 = np.concatenate([np.ones(len(a), np.int64), np.zeros(len(b), np.int64)])
+    import pandas as pd
+
+    df = pd.DataFrame({"v": vals, "c1": c1, "c2": 1 - c1}).groupby(
+        "v", as_index=False
+    ).sum()
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    out = ks_two_sample(rd.from_arrow(tbl).repartition(5), "v")
+    n1, n2 = out["n1"][0].as_py(), out["n2"][0].as_py()
+    assert (n1, n2) == (3000, 2000)
+    grid = np.arange(0, 61)
+    cdf1 = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    cdf2 = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    want = np.abs(cdf1 - cdf2).max()
+    assert abs(out["d_stat"][0].as_py() - want) < 1e-9
+
+
+def test_hourly_active_sessions_spanning(ray_session):
+    """A session spanning 3 hours counts once in each hour."""
+    from vaero_ray.pipelines.queries import QUERIES
+    import tempfile, os
+    import pyarrow.parquet as pq2
+
+    ts = np.array(
+        ["2026-01-01T10:10", "2026-01-01T10:30", "2026-01-01T10:50",
+         "2026-01-01T11:10", "2026-01-01T11:30", "2026-01-01T11:50",
+         "2026-01-01T12:10",  # same 30-min-gap chain -> one session 10..12
+         "2026-01-01T15:00"],  # second session, hour 15
+        dtype="datetime64[us]",
+    )
+    tbl = pa.table(
+        {"user_id": pa.array([7] * 8, pa.int64()), "ts": pa.array(ts)}
+    )
+    d = tempfile.mkdtemp()
+    pq2.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = {r["hr"]: r["n_sessions"] for r in QUERIES["hourly_active_sessions"](d).take_all()}
+    h10 = int(ts[0].astype("datetime64[h]").astype("int64"))
+    assert got == {h10: 1, h10 + 1: 1, h10 + 2: 1, h10 + 5: 1}
