@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "streaming_enriched_agg",       # stream x dim enrichment (broadcast lut + exactly-once windows)
     "supplier_nation_balance",      # broadcast-dim rollup (last uncovered testdata table)
     "conv_tool_calls",              # agentic tool-call adjacency CEP (one-shuffle kernel)
+    "nation_pair_volume",           # Q7 shape (two off-fact dims, adaptive joins)
+    "disjunctive_brand_revenue",    # Q19 shape (OR-of-ANDs predicate after pruned join)
+    "order_blocker_suppliers",      # Q21 shape (exists/not-exists self-join, one exchange)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

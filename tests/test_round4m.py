@@ -1,0 +1,107 @@
+"""Session-9 batch 1: TPC-H Q20/Q21 shape kernels — brute-force python
+oracles on randomized synthetic lineitem tables (the in-bucket share /
+uniqueness logic is the part the SQL oracle can't isolate)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _rng():
+    return np.random.default_rng(11)
+
+
+def _write_lineitem(d, n_orders=400, n_parts=60, n_supp=12, n=5000):
+    rng = _rng()
+    order = rng.integers(0, n_orders, size=n).astype(np.int64)
+    part = rng.integers(0, n_parts, size=n).astype(np.int64)
+    supp = rng.integers(0, n_supp, size=n).astype(np.int64)
+    qty = rng.integers(1, 51, size=n).astype(np.float64)
+    # dense second-resolution ship dates => frequent exact ties at max
+    ship = np.datetime64("2026-01-01") + rng.integers(0, 3600, size=n).astype(
+        "timedelta64[s]"
+    )
+    tbl = pa.table(
+        {
+            "l_orderkey": order,
+            "l_partkey": part,
+            "l_suppkey": supp,
+            "l_quantity": qty,
+            "l_shipdate": pa.array(ship.astype("datetime64[us]")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "lineitem.parquet"))
+    return tbl
+
+
+def test_order_blocker_bruteforce(ray_session):
+    """Unique-strict-max supplier per multi-supplier order vs a python
+    dict oracle, including tie-at-max orders (excluded) and
+    single-supplier orders (excluded)."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    tbl = _write_lineitem(d)
+    got = {
+        r["l_suppkey"]: r["n_blocked"]
+        for r in QUERIES["order_blocker_suppliers"](d).take_all()
+    }
+
+    smax = {}
+    for o, s, ts in zip(
+        tbl["l_orderkey"].to_pylist(),
+        tbl["l_suppkey"].to_pylist(),
+        tbl["l_shipdate"].to_pylist(),
+    ):
+        k = (o, s)
+        if k not in smax or ts > smax[k]:
+            smax[k] = ts
+    per_order = {}
+    for (o, s), ts in smax.items():
+        per_order.setdefault(o, []).append((ts, s))
+    want = {}
+    n_tied = n_single = 0
+    for o, lst in per_order.items():
+        if len(lst) < 2:
+            n_single += 1
+            continue
+        mx = max(ts for ts, _ in lst)
+        at_max = [s for ts, s in lst if ts == mx]
+        if len(at_max) != 1:
+            n_tied += 1
+            continue
+        want[at_max[0]] = want.get(at_max[0], 0) + 1
+    assert n_tied > 0, "fixture must exercise the tie-at-max exclusion"
+    assert got == want
+
+
+def test_dominant_suppliers_bruteforce(ray_session):
+    """q*nsup > 2*tot share filter vs a python oracle; also checks the
+    emitted part_qty/n_supp columns."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    tbl = _write_lineitem(d, n_orders=200, n_parts=40, n_supp=6, n=3000)
+    rows = QUERIES["dominant_part_suppliers"](d).take_all()
+    got = {(r["l_partkey"], r["l_suppkey"]): (r["qty"], r["part_qty"], r["n_supp"]) for r in rows}
+
+    ps = {}
+    for p, s, q in zip(
+        tbl["l_partkey"].to_pylist(),
+        tbl["l_suppkey"].to_pylist(),
+        tbl["l_quantity"].to_pylist(),
+    ):
+        ps[(p, s)] = ps.get((p, s), 0) + int(q)
+    tot, nsup = {}, {}
+    for (p, s), q in ps.items():
+        tot[p] = tot.get(p, 0) + q
+        nsup[p] = nsup.get(p, 0) + 1
+    want = {
+        (p, s): (q, tot[p], nsup[p])
+        for (p, s), q in ps.items()
+        if nsup[p] >= 3 and q * nsup[p] > 2 * tot[p]
+    }
+    assert got == want

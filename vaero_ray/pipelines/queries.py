@@ -9481,6 +9481,525 @@ FROM r JOIN nation n ON r.c_nationkey = n.n_nationkey GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------
+# TPC-H Q7/Q8/Q9/Q19/Q20/Q21 join shapes (adapted: the driver tables
+# carry no partsupp / commitdate / shipmode, so each query keeps the
+# REFERENCE SHAPE — the join topology + aggregate skeleton — over the
+# columns that exist; reference parity target is the shape inventory
+# of SURVEY.md §2's analytics tier)
+# ------------------------------------------------------------------
+
+
+def _line_cents(tbl: pa.Table) -> pa.Array:
+    """floor(ext * (1 - disc) * 100 + 0.5) — the engine-wide fixed-point
+    revenue chain (identical left-assoc float64 expression in every SQL
+    oracle, so partial sums are order/shard-invariant int64)."""
+    return pc.cast(
+        pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        tbl.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), tbl.column("l_discount")),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ),
+        pa.int64(),
+    )
+
+
+def _typed_empty(cols: "dict[str, pa.DataType]") -> pa.Table:
+    """Typed empty output for post-join kernels: empty blocks from derived
+    datasets can carry no columns (the documented trap guarded in
+    joins/graph/sketch), so every kernel downstream of a join returns this
+    instead of touching t.column()."""
+    return pa.table({c: pa.array([], typ) for c, typ in cols.items()})
+
+
+def _supp_nation_ds(sf_dir: str) -> rd.Dataset:
+    """supplier ⋈ nation as a Dataset keyed ``l_suppkey`` → ``supp_nation``.
+    nation (25 rows) resolves driver-side; supplier stays a Dataset so the
+    downstream ``auto_join`` picks broadcast vs partitioned from its
+    ACTUAL size (SF·10k rows: broadcast here, hash join at 100-TB SF)."""
+    from vaero_ray.stages.joins import broadcast_join
+
+    nat = (
+        pq.read_table(f"{sf_dir}/nation.parquet")
+        .select(["n_nationkey", "n_name"])
+        .rename_columns(["s_nationkey", "supp_nation"])
+    )
+    supp = _read_pq(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    return broadcast_join(supp, nat, keys="s_nationkey").map_batches(
+        lambda t: pa.table(
+            {"l_suppkey": t.column("s_suppkey"), "supp_nation": t.column("supp_nation")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape — cross-nation trade volume per (supp_nation,
+    cust_nation, ship year): the two-dimension join where NEITHER
+    dimension lives on the fact row (supplier side via l_suppkey,
+    customer side via orders ⋈ customer). Both fact exchanges are
+    adaptive joins (the dims are only small at test SF); revenue is
+    fixed-pointed per line BEFORE the joins so the final merge is an
+    integer keyed sum over ≤ nations² × years rows."""
+    from vaero_ray.stages.joins import auto_join, broadcast_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    nat_c = (
+        pq.read_table(f"{sf_dir}/nation.parquet")
+        .select(["n_nationkey", "n_name"])
+        .rename_columns(["c_nationkey", "cust_nation"])
+    )
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_nat = broadcast_join(cust, nat_c, keys="c_nationkey").drop_columns(
+        ["c_nationkey"]
+    )
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders_nat = (
+        auto_join(
+            orders.map_batches(
+                lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            cust_nat,
+            keys="c_custkey",
+        )
+        .drop_columns(["c_custkey"])
+        .map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "cust_nation"])
+            if t.num_rows
+            else _typed_empty({"l_orderkey": pa.int64(), "cust_nation": pa.string()}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def line_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "cents": _line_cents(t),
+            }
+        )
+
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_proj, batch_format="pyarrow", zero_copy_batch=True)
+    j = auto_join(line, _supp_nation_ds(sf_dir), keys="l_suppkey")
+    j = auto_join(j, orders_nat, keys="l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _typed_empty(
+                {"supp_nation": pa.string(), "cust_nation": pa.string(),
+                 "l_year": pa.int64(), "revenue_cents": pa.int64()}
+            )
+        t = t.filter(pc.invert(pc.equal(t.column("supp_nation"), t.column("cust_nation"))))
+        g = (
+            t.select(["supp_nation", "cust_nation", "l_year", "cents"])
+            .group_by(["supp_nation", "cust_nation", "l_year"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year", "revenue_cents"])
+
+    partials = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_keyed_sum(
+        partials, ["supp_nation", "cust_nation", "l_year"], ["revenue_cents"], num_buckets=4
+    )
+
+
+SQL_NATION_PAIR_VOLUME = r"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promo_market_share(sf_dir: str):
+    """TPC-H Q8 shape — every supplier nation's share of PROMO-part
+    revenue per order year, emitted as EXACT integer (nation_cents,
+    total_cents) pairs instead of a float ratio (the driver hash is
+    order-insensitive but float-exact; the ratio is downstream's one
+    division). The year total rides the same bucketed exchange as the
+    per-nation merge: buckets key on o_year, so a vectorized transform
+    sum inside the bucket sees every nation of that year."""
+    from vaero_ray.stages.joins import auto_join
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    part = _read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo = part.map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.filter(pc.equal(t.column("p_type"), "PROMO")).column("p_partkey")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "cents": _line_cents(t),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = auto_join(line, promo, keys="l_partkey").drop_columns(["l_partkey"])
+    j = auto_join(j, _supp_nation_ds(sf_dir), keys="l_suppkey")
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = auto_join(j, orders, keys="l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _typed_empty(
+                {"o_year": pa.int64(), "supp_nation": pa.string(), "nation_cents": pa.int64()}
+            )
+        g = (
+            t.select(["o_year", "supp_nation", "cents"])
+            .group_by(["o_year", "supp_nation"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["o_year", "supp_nation", "nation_cents"])
+
+    partials = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_year(df):
+        g = df.groupby(["o_year", "supp_nation"], sort=False, as_index=False)[
+            "nation_cents"
+        ].sum()
+        g["total_cents"] = g.groupby("o_year")["nation_cents"].transform("sum")
+        return g
+
+    return bucketed_map_groups(partials, "o_year", per_year, num_buckets=4)
+
+
+SQL_PROMO_MARKET_SHARE = r"""
+WITH v AS (
+  SELECT year(o.o_orderdate) AS o_year, ns.n_name AS supp_nation,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey),
+g AS (SELECT o_year, supp_nation, SUM(cents) AS nation_cents FROM v GROUP BY 1, 2)
+SELECT CAST(o_year AS BIGINT) AS o_year, supp_nation,
+       CAST(nation_cents AS BIGINT) AS nation_cents,
+       CAST(SUM(nation_cents) OVER (PARTITION BY o_year) AS BIGINT) AS total_cents
+FROM g
+"""
+
+
+def q_part_type_profit(sf_dir: str):
+    """TPC-H Q9 shape — profit by (supplier nation, ship year) for one
+    part type, with the supply cost proxied at 50% of p_retailprice
+    (the driver tables carry no partsupp.ps_supplycost). Revenue and
+    cost are each fixed-pointed per line item with the oracle's exact
+    float64 chain, so the profit partial is an int64 the keyed sum can
+    merge in any order."""
+    from vaero_ray.stages.joins import auto_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    part = _read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_retailprice"]
+    ).map_batches(
+        lambda t: (lambda f: pa.table(
+            {"l_partkey": f.column("p_partkey"), "p_retailprice": f.column("p_retailprice")}
+        ))(t.filter(pc.equal(t.column("p_type"), "PROMO"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    j = auto_join(line, part, keys="l_partkey")
+
+    def profit(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _typed_empty(
+                {"l_suppkey": pa.int64(), "l_year": pa.int64(), "profit_cents": pa.int64()}
+            )
+        cost = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(t.column("p_retailprice"), t.column("l_quantity")),
+                        pa.scalar(50.0),
+                    ),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "profit_cents": pc.subtract(_line_cents(t), cost),
+            }
+        )
+
+    j = j.map_batches(profit, batch_format="pyarrow", zero_copy_batch=True)
+    j = auto_join(j, _supp_nation_ds(sf_dir), keys="l_suppkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _typed_empty(
+                {"supp_nation": pa.string(), "l_year": pa.int64(), "profit_cents": pa.int64()}
+            )
+        g = (
+            t.select(["supp_nation", "l_year", "profit_cents"])
+            .group_by(["supp_nation", "l_year"])
+            .aggregate([("profit_cents", "sum")])
+        )
+        return g.rename_columns(["supp_nation", "l_year", "profit_cents"])
+
+    partials = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_keyed_sum(
+        partials, ["supp_nation", "l_year"], ["profit_cents"], num_buckets=4
+    )
+
+
+SQL_PART_TYPE_PROFIT = r"""
+SELECT ns.n_name AS supp_nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+              - CAST(floor(p.p_retailprice * l.l_quantity * 50 + 0.5) AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_disjunctive_brand_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under an OR of three conjunctive
+    (brand, size band, quantity band) clauses: the disjunctive-predicate
+    pattern that defeats naive predicate pushdown. The part side prunes
+    to the three brands BEFORE the adaptive join; the clause disjunction
+    evaluates as one vectorized boolean expression per batch; output is
+    a single exact row (n_lines, revenue_cents) from int64 partials."""
+    from ray.data.aggregate import Count, Sum
+
+    from vaero_ray.stages.joins import auto_join
+
+    part = _read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda t: (lambda f: pa.table(
+            {
+                "l_partkey": f.column("p_partkey"),
+                "p_brand": f.column("p_brand"),
+                "p_size": f.column("p_size"),
+            }
+        ))(t.filter(
+            pc.is_in(t.column("p_brand"), value_set=pa.array(["Brand#1", "Brand#2", "Brand#3"]))
+        )),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    j = auto_join(line, part, keys="l_partkey")
+
+    def clause_filter(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _typed_empty({"cents": pa.int64()})
+        brand = t.column("p_brand")
+        size = t.column("p_size")
+        qty = t.column("l_quantity")
+
+        def band(b, smax, qlo, qhi):
+            return pc.and_(
+                pc.and_(pc.equal(brand, b), pc.less_equal(size, smax)),
+                pc.and_(
+                    pc.greater_equal(qty, pa.scalar(float(qlo))),
+                    pc.less_equal(qty, pa.scalar(float(qhi))),
+                ),
+            )
+
+        keep = pc.or_(
+            pc.or_(band("Brand#1", 15, 1, 20), band("Brand#2", 25, 10, 35)),
+            band("Brand#3", 35, 20, 50),
+        )
+        t = t.filter(keep)
+        return pa.table({"cents": _line_cents(t)})
+
+    f = j.map_batches(clause_filter, batch_format="pyarrow", zero_copy_batch=True)
+    agg = f.aggregate(Count(), Sum("cents"))
+    return pa.table(
+        {
+            "n_lines": pa.array([int(agg["count()"] or 0)], pa.int64()),
+            "revenue_cents": pa.array([int(agg["sum(cents)"] or 0)], pa.int64()),
+        }
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 25 AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 35 AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_dominant_part_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — (part, supplier) pairs where the supplier moved
+    more than DOUBLE the fair share of that part's total shipped
+    quantity (q · n_supp > 2 · total, exact integers; parts with < 3
+    suppliers excluded): the correlated-aggregate semi-join, done in ONE
+    exchange — bucketing on l_partkey co-locates every supplier row of
+    a part, so the per-part total/count and the share filter are a
+    vectorized transform inside the same bucket that merges the
+    per-block (part, supp) partials."""
+    from vaero_ray.stages.keyed import bucketed_map_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("l_quantity"), pa.int64())
+        g = (
+            pa.table(
+                {"l_partkey": t.column("l_partkey"), "l_suppkey": t.column("l_suppkey"), "q": q}
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("q", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "l_suppkey", "q"])
+
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(df):
+        ps = df.groupby(["l_partkey", "l_suppkey"], sort=False, as_index=False)["q"].sum()
+        ps["part_qty"] = ps.groupby("l_partkey")["q"].transform("sum")
+        ps["n_supp"] = ps.groupby("l_partkey")["q"].transform("size").astype("int64")
+        out = ps[(ps["n_supp"] >= 3) & (ps["q"] * ps["n_supp"] > 2 * ps["part_qty"])]
+        return out.rename(columns={"q": "qty"}).reset_index(drop=True)
+
+    return bucketed_map_groups(line, "l_partkey", per_part, num_buckets=4)
+
+
+SQL_DOMINANT_SUPPLIERS = r"""
+WITH ps AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+            FROM lineitem GROUP BY 1, 2),
+pt AS (SELECT l_partkey, SUM(q) AS tot, COUNT(*) AS nsup FROM ps GROUP BY 1)
+SELECT ps.l_partkey, ps.l_suppkey, CAST(ps.q AS BIGINT) AS qty,
+       CAST(pt.tot AS BIGINT) AS part_qty, CAST(pt.nsup AS BIGINT) AS n_supp
+FROM ps JOIN pt USING (l_partkey)
+WHERE pt.nsup >= 3 AND ps.q * pt.nsup > 2 * pt.tot
+"""
+
+
+def q_order_blocker_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — per multi-supplier order, the UNIQUE supplier
+    holding the strictly latest ship date (the order's "blocker"),
+    counted per supplier: the exists + not-exists self-join on the fact
+    table, collapsed to one exchange — per-block (order, supplier) max
+    partials bucket on l_orderkey, the bucket kernel merges maxes and
+    resolves n_suppliers / order max / uniqueness vectorized, and only
+    tiny (supplier, count) partials leave the bucket for the final
+    keyed sum."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "smax": us,
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("smax", "max")])
+        )
+        return g.rename_columns(["l_orderkey", "l_suppkey", "smax"])
+
+    line = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_order(df):
+        sm = df.groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)["smax"].max()
+        g = sm.groupby("l_orderkey")["smax"]
+        sm["omax"] = g.transform("max")
+        sm["nsupp"] = g.transform("size").astype("int64")
+        at_max = sm[(sm["nsupp"] >= 2) & (sm["smax"] == sm["omax"])].copy()
+        at_max["n_at_max"] = at_max.groupby("l_orderkey")["l_suppkey"].transform("size")
+        uniq = at_max[at_max["n_at_max"] == 1]
+        out = uniq.groupby("l_suppkey", sort=False, as_index=False).size()
+        out = out.rename(columns={"size": "n_blocked"})
+        out["n_blocked"] = out["n_blocked"].astype("int64")
+        return out
+
+    partials = bucketed_map_groups(line, "l_orderkey", per_order, num_buckets=4)
+    return bucketed_keyed_sum(partials, ["l_suppkey"], ["n_blocked"], num_buckets=2)
+
+
+SQL_ORDER_BLOCKERS = r"""
+WITH sm AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+            FROM lineitem GROUP BY 1, 2),
+om AS (SELECT l_orderkey, MAX(smax) AS omax, COUNT(*) AS nsupp FROM sm GROUP BY 1),
+b AS (SELECT sm.l_orderkey, MAX(sm.l_suppkey) AS the_supp
+      FROM sm JOIN om USING (l_orderkey)
+      WHERE om.nsupp >= 2 AND sm.smax = om.omax
+      GROUP BY 1 HAVING COUNT(*) = 1)
+SELECT the_supp AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_blocked
+FROM b GROUP BY 1
+"""
+
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -9706,6 +10225,12 @@ QUERIES: dict[str, QueryFn] = {
     "sample_per_source": q_sample_per_source,
     "revenue_by_nation": q_revenue_by_nation,
     "term_frequency_spectrum": q_term_frequency_spectrum,
+    "nation_pair_volume": q_nation_pair_volume,
+    "promo_market_share": q_promo_market_share,
+    "part_type_profit": q_part_type_profit,
+    "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
+    "order_blocker_suppliers": q_order_blocker_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -9933,4 +10458,10 @@ ORACLES: dict[str, str] = {
     "sample_per_source": SQL_SAMPLE_PER_SOURCE,
     "revenue_by_nation": SQL_REVENUE_NATION,
     "term_frequency_spectrum": SQL_TERM_SPECTRUM,
+    "nation_pair_volume": SQL_NATION_PAIR_VOLUME,
+    "promo_market_share": SQL_PROMO_MARKET_SHARE,
+    "part_type_profit": SQL_PART_TYPE_PROFIT,
+    "disjunctive_brand_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "dominant_part_suppliers": SQL_DOMINANT_SUPPLIERS,
+    "order_blocker_suppliers": SQL_ORDER_BLOCKERS,
 }
