@@ -105,3 +105,46 @@ def test_dominant_suppliers_bruteforce(ray_session):
         if nsup[p] >= 3 and q * nsup[p] > 2 * tot[p]
     }
     assert got == want
+
+
+def test_spearman_bruteforce(ray_session):
+    """Pair-count Spearman vs direct tie-averaged-rank Pearson on the
+    raw rows (numpy average ranks), heavy ties included."""
+    import tempfile
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 4000
+    x = rng.integers(5, 40, size=n)  # heavy ties
+    # monotone-ish in x plus noise, also tied
+    y = (x // 3 + rng.integers(0, 6, size=n)).astype(np.int64)
+    texts = [" ".join(["w"] * int(t)) if t > 0 else "" for t in y]
+    tbl = pa.table(
+        {
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array(x, pa.int64()),
+        }
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = QUERIES["length_token_spearman"](d)
+    assert out["n"][0].as_py() == n
+
+    def avg_rank(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(n, dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < n:
+            j = i
+            while j < n and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_rank(np.asarray(x, np.float64)), avg_rank(np.asarray(y, np.float64))
+    want = np.corrcoef(rx, ry)[0, 1]
+    got = out["rho_e6"][0].as_py() / 1e6
+    assert abs(got - want) < 2e-6

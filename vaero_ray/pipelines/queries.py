@@ -10000,6 +10000,100 @@ FROM b GROUP BY 1
 
 
 
+
+
+def q_length_token_spearman(sf_dir: str):
+    """Global Spearman rank correlation of (n_chars, n_tokens) — the
+    monotone-association complement to the Pearson gate. Ranks depend
+    only on the VALUE distribution, so the whole statistic computes from
+    the joint (x, y) PAIR-COUNT table: per-block pair counts, one
+    bucketed keyed-sum exchange bounded by DISTINCT pairs (never rows),
+    then a driver finalize that builds the tie-averaged rank maps and
+    the moment sums in arbitrary-precision Python ints — exact at any
+    corpus size (the SQL mirror casts through HUGEINT). rho emitted as
+    floor(rho * 1e6 + 0.5) from the identical float64 expression
+    A / (sqrt(B) * sqrt(C)) both engines."""
+    import math
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        wt = token_counts(t, "text")
+        g = (
+            pa.table({"x": wt.column("n_chars"), "y": wt.column("n_tokens")})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["x", "y", "c"])
+
+    pairs = ds.map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+    merged = pa.Table.from_pylist(
+        bucketed_keyed_sum(pairs, ["x", "y"], ["c"], num_buckets=4).take_all()
+    )
+    xs = merged.column("x").to_pylist()
+    ys = merged.column("y").to_pylist()
+    cs = merged.column("c").to_pylist()
+
+    def rank2_map(vals, cnts):
+        # 2 * tie-averaged rank per distinct value: 2*cum_before + c + 1
+        per = {}
+        for v, c in zip(vals, cnts):
+            per[v] = per.get(v, 0) + c
+        out, cum = {}, 0
+        for v in sorted(per):
+            out[v] = 2 * cum + per[v] + 1
+            cum += per[v]
+        return out
+
+    r2x = rank2_map(xs, cs)
+    r2y = rank2_map(ys, cs)
+    n = sx = sy = sxx = syy = sxy = 0
+    for x, y, c in zip(xs, ys, cs):
+        rx, ry = r2x[x], r2y[y]
+        n += c
+        sx += c * rx
+        sy += c * ry
+        sxx += c * rx * rx
+        syy += c * ry * ry
+        sxy += c * rx * ry
+    a = n * sxy - sx * sy
+    b = n * sxx - sx * sx
+    cc = n * syy - sy * sy
+    rho = float(a) / (math.sqrt(float(b)) * math.sqrt(float(cc)))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "rho_e6": pa.array([math.floor(rho * 1e6 + 0.5)], pa.int64()),
+        }
+    )
+
+
+SQL_SPEARMAN = r"""
+WITH t AS (SELECT n_chars AS x,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS y
+           FROM documents),
+r AS (SELECT 2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+             2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+      FROM t),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                  * 1000000 + 0.5) AS BIGINT) AS rho_e6
+FROM m
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -10231,6 +10325,7 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_brand_revenue": q_disjunctive_brand_revenue,
     "dominant_part_suppliers": q_dominant_part_suppliers,
     "order_blocker_suppliers": q_order_blocker_suppliers,
+    "length_token_spearman": q_length_token_spearman,
 }
 
 ORACLES: dict[str, str] = {
@@ -10464,4 +10559,5 @@ ORACLES: dict[str, str] = {
     "disjunctive_brand_revenue": SQL_DISJUNCTIVE_REVENUE,
     "dominant_part_suppliers": SQL_DOMINANT_SUPPLIERS,
     "order_blocker_suppliers": SQL_ORDER_BLOCKERS,
+    "length_token_spearman": SQL_SPEARMAN,
 }
