@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "nation_pair_volume",           # Q7 shape (two off-fact dims, adaptive joins)
     "disjunctive_brand_revenue",    # Q19 shape (OR-of-ANDs predicate after pruned join)
     "order_blocker_suppliers",      # Q21 shape (exists/not-exists self-join, one exchange)
+    "length_token_spearman",        # global Spearman rho from joint pair counts
+    "length_token_kendall",         # global Kendall tau-b (Fenwick sweep over distinct pairs)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

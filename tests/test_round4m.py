@@ -148,3 +148,37 @@ def test_spearman_bruteforce(ray_session):
     want = np.corrcoef(rx, ry)[0, 1]
     got = out["rho_e6"][0].as_py() / 1e6
     assert abs(got - want) < 2e-6
+
+
+def test_kendall_bruteforce(ray_session):
+    """Fenwick-sweep tau-b vs the O(n^2) sign-product definition,
+    heavy ties on both margins."""
+    import tempfile
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 900
+    x = rng.integers(0, 25, size=n).astype(np.int64)
+    y = (x // 2 + rng.integers(0, 8, size=n)).astype(np.int64)
+    texts = [" ".join(["w"] * int(t)) if t > 0 else "" for t in y]
+    tbl = pa.table(
+        {"text": pa.array(texts, pa.string()), "n_chars": pa.array(x, pa.int64())}
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = QUERIES["length_token_kendall"](d)
+
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    prod = dx * dy
+    iu = np.triu_indices(n, k=1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    assert out["conc"][0].as_py() == conc
+    assert out["disc"][0].as_py() == disc
+    n0 = n * (n - 1) // 2
+    n1 = int((dx[iu] == 0).sum())
+    n2 = int((dy[iu] == 0).sum())
+    want = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert abs(out["tau_e6"][0].as_py() / 1e6 - want) < 2e-6

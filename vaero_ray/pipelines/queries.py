@@ -10094,6 +10094,126 @@ FROM m
 """
 
 
+
+
+def q_length_token_kendall(sf_dir: str):
+    """Global Kendall tau-b of (n_chars, n_tokens) — the third
+    association measure next to Pearson/Spearman, exact under heavy
+    ties. Rides the SAME joint pair-count exchange as the Spearman gate
+    (bounded by distinct pairs, never rows); the driver finalize counts
+    concordant/discordant pairs with a Fenwick tree over y-ranks in one
+    x-ascending sweep over DISTINCT pairs (O(P log P), arbitrary-
+    precision ints), versus the oracle's O(P^2) distinct-pair self-join.
+    tau emitted as floor(tau * 1e6 + 0.5) from the identical float64
+    expression (C - D) / sqrt((n0 - n1) * (n0 - n2))."""
+    import math
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        wt = token_counts(t, "text")
+        g = (
+            pa.table({"x": wt.column("n_chars"), "y": wt.column("n_tokens")})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["x", "y", "c"])
+
+    pairs = ds.map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+    merged = pa.Table.from_pylist(
+        bucketed_keyed_sum(pairs, ["x", "y"], ["c"], num_buckets=4).take_all()
+    )
+    rows = sorted(
+        zip(
+            merged.column("x").to_pylist(),
+            merged.column("y").to_pylist(),
+            merged.column("c").to_pylist(),
+        )
+    )
+    ys = sorted({y for _, y, _ in rows})
+    yrank = {y: i + 1 for i, y in enumerate(ys)}
+    m = len(ys)
+    tree = [0] * (m + 1)  # Fenwick over y-ranks, counts of rows already seen
+
+    def bit_add(i, v):
+        while i <= m:
+            tree[i] += v
+            i += i & (-i)
+
+    def bit_prefix(i):
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    conc = disc = 0
+    seen = 0
+    i = 0
+    P = len(rows)
+    while i < P:
+        j = i
+        while j < P and rows[j][0] == rows[i][0]:
+            j += 1
+        for _, y, c in rows[i:j]:  # loop over DISTINCT pairs, not rows
+            r = yrank[y]
+            less = bit_prefix(r - 1)
+            conc += c * less
+            disc += c * (seen - bit_prefix(r))
+        for _, y, c in rows[i:j]:
+            bit_add(yrank[y], c)
+            seen += c
+        i = j
+
+    n = sum(c for _, _, c in rows)
+    n0 = n * (n - 1) // 2
+    cx: dict = {}
+    cy: dict = {}
+    for x, y, c in rows:
+        cx[x] = cx.get(x, 0) + c
+        cy[y] = cy.get(y, 0) + c
+    n1 = sum(v * (v - 1) // 2 for v in cx.values())
+    n2 = sum(v * (v - 1) // 2 for v in cy.values())
+    tau = float(conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "conc": pa.array([conc], pa.int64()),
+            "disc": pa.array([disc], pa.int64()),
+            "tau_e6": pa.array([math.floor(tau * 1e6 + 0.5)], pa.int64()),
+        }
+    )
+
+
+SQL_KENDALL = r"""
+WITH t AS (SELECT n_chars AS x,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS y
+           FROM documents),
+c AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS n FROM t GROUP BY 1, 2),
+p AS (SELECT
+        COALESCE(SUM(a.n * b.n) FILTER (WHERE b.x < a.x AND b.y < a.y), 0) AS conc,
+        COALESCE(SUM(a.n * b.n) FILTER (WHERE b.x < a.x AND b.y > a.y), 0) AS disc
+      FROM c a, c b),
+m AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(n * (n - 1) / 2) AS HUGEINT) AS n3 FROM c),
+tx AS (SELECT CAST(SUM(s * (s - 1) / 2) AS HUGEINT) AS n1
+       FROM (SELECT SUM(n) AS s FROM c GROUP BY x)),
+ty AS (SELECT CAST(SUM(s * (s - 1) / 2) AS HUGEINT) AS n2
+       FROM (SELECT SUM(n) AS s FROM c GROUP BY y))
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS conc,
+       CAST(disc AS BIGINT) AS disc,
+       CAST(floor(CAST(conc - disc AS DOUBLE)
+                  / sqrt(CAST(nn * (nn - 1) / 2 - n1 AS DOUBLE)
+                         * CAST(nn * (nn - 1) / 2 - n2 AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS tau_e6
+FROM p, m, tx, ty
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -10326,6 +10446,7 @@ QUERIES: dict[str, QueryFn] = {
     "dominant_part_suppliers": q_dominant_part_suppliers,
     "order_blocker_suppliers": q_order_blocker_suppliers,
     "length_token_spearman": q_length_token_spearman,
+    "length_token_kendall": q_length_token_kendall,
 }
 
 ORACLES: dict[str, str] = {
@@ -10560,4 +10681,5 @@ ORACLES: dict[str, str] = {
     "dominant_part_suppliers": SQL_DOMINANT_SUPPLIERS,
     "order_blocker_suppliers": SQL_ORDER_BLOCKERS,
     "length_token_spearman": SQL_SPEARMAN,
+    "length_token_kendall": SQL_KENDALL,
 }
