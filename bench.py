@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     "order_blocker_suppliers",      # Q21 shape (exists/not-exists self-join, one exchange)
     "length_token_spearman",        # global Spearman rho from joint pair counts
     "length_token_kendall",         # global Kendall tau-b (Fenwick sweep over distinct pairs)
+    "late_shipment_priority",       # Q12 shape (fact-fact join + CASE-split counts)
+    "customer_order_distribution",  # Q13 shape (two-level agg, footer-metadata zero bucket)
+    "hourly_theil_sen",             # Theil-Sen robust slope per type (pairwise median)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -182,3 +182,93 @@ def test_kendall_bruteforce(ray_session):
     n2 = int((dy[iu] == 0).sum())
     want = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
     assert abs(out["tau_e6"][0].as_py() / 1e6 - want) < 2e-6
+
+
+def test_theil_sen_bruteforce(ray_session):
+    """Driver Fenwick-free finalize vs direct pairwise-median numpy,
+    duckdb-interpolation semantics on even pair counts."""
+    import math
+    import tempfile
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    rows = []
+    base = np.datetime64("2026-03-01T00:00:00", "us")
+    for et, trend in [("a", 3), ("b", -2)]:
+        for h in range(40):
+            # trend * h events in hour h, plus outlier noise hours
+            cnt = max(1, trend * h + 200 + int(rng.integers(-5, 6)))
+            if h in (7, 23):
+                cnt += 5000  # outliers Theil-Sen must shrug off
+            for _ in range(cnt):
+                rows.append((base + np.timedelta64(h, "h"), et))
+    ts = pa.array([r[0] for r in rows], pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = QUERIES["hourly_theil_sen"](d)
+    got = dict(zip(out["event_type"].to_pylist(), out["slope_e6"].to_pylist()))
+
+    import pandas as pd
+
+    df = pd.DataFrame({"ts": [r[0] for r in rows], "et": [r[1] for r in rows]})
+    hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+    df["hr"] = hr
+    for et in ("a", "b"):
+        g = df[df["et"] == et].groupby("hr").size()
+        h = g.index.to_numpy(np.int64)
+        n = g.to_numpy(np.int64)
+        i, j = np.triu_indices(len(h), k=1)
+        sl = np.sort((n[j] - n[i]) / (h[j] - h[i]).astype(np.float64))
+        rn = (len(sl) - 1) * 0.5
+        lo, hi = int(math.floor(rn)), int(math.ceil(rn))
+        med = sl[lo] + (sl[hi] - sl[lo]) * (rn - lo)
+        assert got[et] == math.floor(med * 1e6 + 0.5)
+        # robustness: the estimator tracks the planted trend, not the outliers
+        assert abs(got[et] / 1e6 - (3 if et == "a" else -2)) < 1.5
+
+
+def test_customer_order_distribution_zeros(ray_session):
+    """Zero-order customers come from parquet-footer arithmetic, not a
+    customer-table scan — verify the zero bucket and the histogram."""
+    import tempfile
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n_cust = 300
+    # customers 0..99 get orders, 100..299 get none
+    ck = rng.integers(0, 100, size=1200).astype(np.int64)
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1200), pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(range(n_cust), pa.int64())}),
+        os.path.join(d, "customer.parquet"),
+    )
+    out = QUERIES["customer_order_distribution"](d)
+    got = dict(zip(out["c_count"].to_pylist(), out["custdist"].to_pylist()))
+    import collections
+
+    per = collections.Counter(ck.tolist())
+    want = collections.Counter(per.values())
+    want[0] = n_cust - len(per)
+    assert got == dict(want)
+    assert sum(got.values()) == n_cust

@@ -10214,6 +10214,235 @@ FROM p, m, tx, ty
 """
 
 
+def q_late_shipment_priority(sf_dir: str):
+    """TPC-H Q12 shape (adapted: the driver tables carry no
+    l_shipmode/l_commitdate — reference tpch Q12 semantics re-keyed to
+    the columns that exist): per line STATUS, how many lines shipped
+    more than 60 days after their order date, split into high-priority
+    ('1-URGENT'/'2-HIGH') vs low-priority counts. The classic fact-fact
+    join + CASE-split conditional aggregate: both sides project to
+    three narrow int columns BEFORE the partitioned hash join (the
+    orders side ships one int flag instead of the priority string), the
+    late filter and both conditional counts collapse per block, and
+    only (status, hi, lo) partials reach the final tiny exchange.
+    All comparisons are int64 microsecond arithmetic — exact."""
+    import pandas as _pd
+
+    from vaero_ray.stages.joins import hash_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    LATE_US = 60 * 86400 * 1_000_000
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        od = pc.cast(t.column("o_orderdate").combine_chunks().cast(pa.timestamp("us")), pa.int64())
+        hi = pc.cast(
+            pc.is_in(
+                t.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "od_us": od,
+                "is_high": hi,
+            }
+        )
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate", "l_linestatus"]
+    )
+
+    def l_proj(t: pa.Table) -> pa.Table:
+        ship = pc.cast(
+            t.column("l_shipdate").combine_chunks().cast(pa.timestamp("us")), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "ship_us": ship,
+                "l_linestatus": t.column("l_linestatus"),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(l_proj, batch_format="pyarrow", zero_copy_batch=True),
+        orders.map_batches(o_proj, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey",
+    )
+
+    def split_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        late = df[df["ship_us"].to_numpy() > df["od_us"].to_numpy() + LATE_US]
+        hi = late["is_high"].to_numpy()
+        out = _pd.DataFrame(
+            {
+                "l_linestatus": late["l_linestatus"],
+                "high_line_count": hi,
+                "low_line_count": 1 - hi,
+            }
+        )
+        return out.groupby("l_linestatus", sort=False, as_index=False).sum()
+
+    parts = j.map_batches(split_partial, batch_format="pandas")
+    return bucketed_keyed_sum(parts, ["l_linestatus"], ["high_line_count", "low_line_count"])
+
+
+SQL_LATE_SHIPMENT = r"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape — distribution of customers by order count,
+    INCLUDING the zero-order customers the classic LEFT JOIN exists to
+    keep. The left join is rewritten away: orders collapse to
+    (custkey, c_count) with per-block partials + one keys-only
+    exchange; a second tiny exchange counts customers per c_count; and
+    the zero bucket is pure parquet-FOOTER arithmetic — customer
+    row-count metadata minus the number of distinct ordering customers
+    (c_custkey is the table's primary key, so num_rows == distinct
+    keys; no customer-table scan, let alone a 100-TB dimension
+    broadcast, is ever needed)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def per_cust(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"ck": df["o_custkey"].astype("int64")})
+        out["c_count"] = np.int64(1)
+        return out.groupby("ck", sort=False, as_index=False).sum()
+
+    per = bucketed_keyed_sum(
+        orders.map_batches(per_cust, batch_format="pandas"), ["ck"], ["c_count"]
+    )
+
+    def hist_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"c_count": df["c_count"].astype("int64")})
+        out["custdist"] = np.int64(1)
+        return out.groupby("c_count", sort=False, as_index=False).sum()
+
+    hist = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            per.map_batches(hist_partial, batch_format="pandas"),
+            ["c_count"],
+            ["custdist"],
+            num_buckets=4,
+        ).take_all()
+    )
+    n_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    n_with_orders = int(pc.sum(hist.column("custdist")).as_py() or 0)
+    zeros = n_customers - n_with_orders
+    if zeros > 0:
+        hist = pa.concat_tables(
+            [
+                hist.select(["c_count", "custdist"]).cast(
+                    pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+                ),
+                pa.table(
+                    {
+                        "c_count": pa.array([0], pa.int64()),
+                        "custdist": pa.array([zeros], pa.int64()),
+                    }
+                ),
+            ]
+        )
+    return hist
+
+
+SQL_CUSTOMER_ORDER_DIST = r"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q_hourly_theil_sen(sf_dir: str):
+    """Theil–Sen robust trend slope per event type over the hourly
+    count series — the slope ESTIMATOR companion to the existing
+    Mann–Kendall trend TEST (`hourly_trend_kendall`): median of all
+    pairwise slopes (n_j - n_i) / (h_j - h_i), insensitive to outlier
+    hours where OLS (`value_trend_per_type`) is not. Scale shape is the
+    hourly family's: the only exchange is the bounded (type, hour)
+    keyed sum (720 rows per type at any corpus size); the O(H^2)
+    pairwise-slope median runs vectorized on the merged tiny series.
+    The median is computed with DuckDB's exact quantile_cont
+    interpolation (lo + (hi - lo) * 0.5, float64) so even-count
+    midpoints hash-match the oracle bit-for-bit; emitted as
+    floor(slope * 1e6 + 0.5)."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas().sort_values(["event_type", "hr"])
+    out_t, out_s = [], []
+    for et, g in df.groupby("event_type", sort=True):
+        h = g["hr"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        i, j = np.triu_indices(len(h), k=1)
+        slopes = (n[j] - n[i]).astype(np.float64) / (h[j] - h[i]).astype(np.float64)
+        slopes.sort()
+        rn = (len(slopes) - 1) * 0.5
+        lo = int(math.floor(rn))
+        hi = int(math.ceil(rn))
+        med = slopes[lo] + (slopes[hi] - slopes[lo]) * (rn - lo)
+        out_t.append(et)
+        out_s.append(int(math.floor(med * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "slope_e6": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+SQL_THEIL_SEN = r"""
+WITH h AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT a.event_type AS event_type,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE) AS sl
+      FROM h a JOIN h b ON a.event_type = b.event_type AND b.hr > a.hr)
+SELECT event_type,
+       CAST(floor(quantile_cont(sl, 0.5) * 1000000 + 0.5) AS BIGINT) AS slope_e6
+FROM s GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -10447,6 +10676,9 @@ QUERIES: dict[str, QueryFn] = {
     "order_blocker_suppliers": q_order_blocker_suppliers,
     "length_token_spearman": q_length_token_spearman,
     "length_token_kendall": q_length_token_kendall,
+    "late_shipment_priority": q_late_shipment_priority,
+    "customer_order_distribution": q_customer_order_distribution,
+    "hourly_theil_sen": q_hourly_theil_sen,
 }
 
 ORACLES: dict[str, str] = {
@@ -10682,4 +10914,7 @@ ORACLES: dict[str, str] = {
     "order_blocker_suppliers": SQL_ORDER_BLOCKERS,
     "length_token_spearman": SQL_SPEARMAN,
     "length_token_kendall": SQL_KENDALL,
+    "late_shipment_priority": SQL_LATE_SHIPMENT,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DIST,
+    "hourly_theil_sen": SQL_THEIL_SEN,
 }
