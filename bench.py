@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "late_shipment_priority",       # Q12 shape (fact-fact join + CASE-split counts)
     "customer_order_distribution",  # Q13 shape (two-level agg, footer-metadata zero bucket)
     "hourly_theil_sen",             # Theil-Sen robust slope per type (pairwise median)
+    "jw_title_dups",                # Jaro-Winkler title dedup (DuckDB-bit-exact kernel)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

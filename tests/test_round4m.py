@@ -272,3 +272,90 @@ def test_customer_order_distribution_zeros(ray_session):
     want[0] = n_cust - len(per)
     assert got == dict(want)
     assert sum(got.values()) == n_cust
+
+
+def test_batch_jaro_winkler_matches_duckdb():
+    """Pair-vectorized JW kernel vs DuckDB's jaro_winkler_similarity,
+    bit-exact, incl. empties, shared prefixes, and transpositions."""
+    import duckdb
+
+    from vaero_ray.stages.editdist import _batch_jaro_winkler
+
+    rng = _rng()
+    alpha = list("abcdefgh XYZ0123")
+    cases = []
+    for _ in range(5000):
+        l1 = int(rng.integers(0, 36))
+        l2 = int(rng.integers(0, 36))
+        s1 = "".join(rng.choice(alpha, size=l1))
+        s2 = "".join(rng.choice(alpha, size=l2))
+        r = rng.random()
+        if r < 0.25 and l1 > 3:
+            s2 = s1[: l1 // 2] + s2[: max(0, l2 - l1 // 2)]
+        elif r < 0.4 and l1 > 4:
+            ls = list(s1)
+            ls[1], ls[2] = ls[2], ls[1]
+            s2 = "".join(ls)
+        cases.append((s1, s2))
+    con = duckdb.connect()
+    con.execute("create table t(a varchar, b varchar)")
+    con.executemany("insert into t values (?,?)", cases)
+    want = np.array(
+        [r[0] for r in con.sql("select jaro_winkler_similarity(a,b) from t").fetchall()]
+    )
+    got = _batch_jaro_winkler([c[0] for c in cases], [c[1] for c in cases])
+    assert (got == want).all()  # bit-exact, not approx
+
+
+def test_jaro_winkler_pairs_blocked(ray_session):
+    """jaro_winkler_pairs finds planted transposed replicas within
+    (source, length) blocks and nothing across blocks."""
+    import tempfile
+
+    import ray.data as rd
+
+    from vaero_ray.stages.editdist import _batch_jaro_winkler, jaro_winkler_pairs
+
+    rng = _rng()
+    alpha = list("abcdefghij")
+    rows = []
+    for i in range(120):
+        t = "".join(rng.choice(alpha, size=32))
+        rows.append((i, t, f"s{i % 3}"))
+        if i % 4 == 0:  # transposed replica, same block
+            rows.append((1000 + i, t[0] + t[2] + t[1] + t[3:], f"s{i % 3}"))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["doc_id", "k", "source"])
+    df["n"] = df["k"].str.len().astype("int64")
+    ds = rd.from_pandas(df)
+    out = pa.Table.from_pylist(
+        jaro_winkler_pairs(
+            ds, "doc_id", "k", ["source", "n"], min_sim=0.99, num_buckets=4
+        ).take_all()
+    )
+    # brute-force oracle over the same blocks
+    want = set()
+    recs = list(df.itertuples(index=False))
+    A, B, pairs = [], [], []
+    for x in range(len(recs)):
+        for y in range(x + 1, len(recs)):
+            a, b = recs[x], recs[y]
+            if a.source == b.source and a.n == b.n:
+                lo, hi = sorted((a.doc_id, b.doc_id))
+                A.append(a.k)
+                B.append(b.k)
+                pairs.append((lo, hi))
+    sims = _batch_jaro_winkler(A, B)
+    for (lo, hi), s in zip(pairs, sims):
+        if s >= 0.99:
+            want.add((lo, hi, int(np.floor(s * 1e6 + 0.5))))
+    got = set(
+        zip(
+            out["id_a"].to_pylist(),
+            out["id_b"].to_pylist(),
+            out["jw_e6"].to_pylist(),
+        )
+    )
+    assert got == want
+    assert len(got) >= 30  # the planted replicas are actually found

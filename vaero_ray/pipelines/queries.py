@@ -10443,6 +10443,68 @@ FROM s GROUP BY 1
 """
 
 
+def q_jw_title_dups(sf_dir: str):
+    """Jaro-Winkler title dedup (stages/editdist.jaro_winkler_pairs):
+    documents unioned with a planted char-TRANSPOSITION replica (chars
+    2/3 swapped, every 5th doc — the perturbation class where JW stays
+    high but Levenshtein counts 2 edits), keyed on the first 32 chars
+    ("title"), blocked on (source, n_chars) equality, every in-bucket
+    pair scored by the pair-vectorized DuckDB-bit-exact JW kernel,
+    sim >= 0.99 emitted as jw_e6. The positional-metric verify step of
+    fuzzy dedup, complementing the edit-distance and token-overlap
+    verifiers."""
+    from vaero_ray.stages.editdist import jaro_winkler_pairs
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
+    )
+
+    def with_replica(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = tbl.column("text").to_pylist()
+        sel = (ids % 5 == 0) & np.array([len(t or "") >= 4 for t in texts])
+        sub = tbl.filter(pa.array(sel))
+        stexts = sub.column("text").to_pylist()
+        swapped = [t[0] + t[2] + t[1] + t[3:] for t in stexts]
+        rep = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub.column("doc_id").to_numpy(zero_copy_only=False) + 10_000_000,
+                    pa.int64(),
+                ),
+                "text": pa.array(swapped, pa.string()),
+                "source": sub.column("source"),
+                "n_chars": sub.column("n_chars"),
+            }
+        )
+        both = pa.concat_tables([tbl.select(rep.column_names), rep])
+        key = pc.utf8_slice_codeunits(both.column("text"), 0, 32)
+        return both.append_column("jw_key", key)
+
+    both = ds.map_batches(with_replica, batch_format="pyarrow", zero_copy_batch=True)
+    return jaro_winkler_pairs(
+        both, "doc_id", "jw_key", ["source", "n_chars"], min_sim=0.99
+    )
+
+
+SQL_JW_TITLE_DUPS = r"""
+WITH all_docs AS (
+  SELECT doc_id, substr(text, 1, 32) AS k, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         substr(substr(text, 1, 1) || substr(text, 3, 1) || substr(text, 2, 1)
+                || substr(text, 4), 1, 32),
+         source, n_chars
+  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 4)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(floor(jaro_winkler_similarity(a.k, b.k) * 1000000 + 0.5) AS BIGINT)
+         AS jw_e6
+FROM all_docs a JOIN all_docs b
+  ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE jaro_winkler_similarity(a.k, b.k) >= 0.99
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -10679,6 +10741,7 @@ QUERIES: dict[str, QueryFn] = {
     "late_shipment_priority": q_late_shipment_priority,
     "customer_order_distribution": q_customer_order_distribution,
     "hourly_theil_sen": q_hourly_theil_sen,
+    "jw_title_dups": q_jw_title_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -10917,4 +10980,5 @@ ORACLES: dict[str, str] = {
     "late_shipment_priority": SQL_LATE_SHIPMENT,
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DIST,
     "hourly_theil_sen": SQL_THEIL_SEN,
+    "jw_title_dups": SQL_JW_TITLE_DUPS,
 }
