@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "customer_order_distribution",  # Q13 shape (two-level agg, footer-metadata zero bucket)
     "hourly_theil_sen",             # Theil-Sen robust slope per type (pairwise median)
     "jw_title_dups",                # Jaro-Winkler title dedup (DuckDB-bit-exact kernel)
+    "source_lang_mutual_info",      # MI + entropies + NMI from exact contingency counts
+    "hourly_view_purchase_lag",     # integer lead/lag cross-products, hourly series
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

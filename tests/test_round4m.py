@@ -359,3 +359,100 @@ def test_jaro_winkler_pairs_blocked(ray_session):
     )
     assert got == want
     assert len(got) >= 30  # the planted replicas are actually found
+
+
+def test_mutual_info_bruteforce(ray_session):
+    """MI/NMI finalize vs direct scipy-free computation on a planted
+    dependent contingency."""
+    import math
+    import tempfile
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 4000
+    src = rng.integers(0, 6, size=n)
+    # lang depends on source (strong association) with noise
+    lang = np.where(rng.random(n) < 0.7, src % 3, rng.integers(0, 3, size=n))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "source": pa.array([f"s{i}" for i in src], pa.string()),
+            "lang": pa.array([f"l{i}" for i in lang], pa.string()),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = QUERIES["source_lang_mutual_info"](d)
+
+    import collections
+
+    cnt = collections.Counter(zip(src.tolist(), lang.tolist()))
+    r = collections.Counter(src.tolist())
+    s = collections.Counter(lang.tolist())
+    mi = sum(
+        (c / n) * math.log(c * n / (r[a] * s[b])) for (a, b), c in cnt.items()
+    )
+    hx = math.log(n) - sum(v * math.log(v) for v in r.values()) / n
+    hy = math.log(n) - sum(v * math.log(v) for v in s.values()) / n
+    assert abs(out["mi"][0].as_py() - mi) < 2e-6
+    assert abs(out["h_source"][0].as_py() - hx) < 2e-6
+    assert abs(out["h_lang"][0].as_py() - hy) < 2e-6
+    assert abs(out["nmi"][0].as_py() - mi / math.sqrt(hx * hy)) < 2e-6
+    assert out["n_rows"][0].as_py() == n
+    assert out["mi"][0].as_py() > 0.3  # the planted dependence is detected
+
+
+def test_view_purchase_lag_bruteforce(ray_session):
+    """Lag cross-products vs a dict-based brute force, incl. missing
+    hours (gaps must drop pairs, not zero-fill)."""
+    import collections
+    import tempfile
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    rows = []
+    base = np.datetime64("2026-05-01T00:00:00", "us")
+    for h in range(50):
+        if h % 7 == 3:
+            continue  # hour gap
+        for _ in range(int(rng.integers(1, 20))):
+            rows.append((base + np.timedelta64(h, "h"), "view"))
+        for _ in range(int(rng.integers(0, 10))):
+            rows.append((base + np.timedelta64(h, "h"), "purchase"))
+        for _ in range(int(rng.integers(0, 5))):
+            rows.append((base + np.timedelta64(h, "h"), "click"))  # ignored
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = QUERIES["hourly_view_purchase_lag"](d)
+
+    v = collections.Counter()
+    p = collections.Counter()
+    for ts, et in rows:
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        if et == "view":
+            v[int(hr)] += 1
+        elif et == "purchase":
+            p[int(hr)] += 1
+    hours = sorted(set(v) | set(p))
+    got = {
+        r["lag"]: (r["n_pairs"], r["sum_vp"]) for r in out.to_pylist()
+    }
+    for lag in range(-3, 4):
+        pairs = [(a, a + lag) for a in hours if a + lag in set(hours)]
+        want_n = len(pairs)
+        want_s = sum(v.get(a, 0) * p.get(b, 0) for a, b in pairs)
+        assert got[lag] == (want_n, want_s), lag

@@ -10505,6 +10505,162 @@ WHERE jaro_winkler_similarity(a.k, b.k) >= 0.99
 """
 
 
+def q_source_lang_mutual_info(sf_dir: str):
+    """Mutual information (nats) between document source and language,
+    plus marginal entropies and normalized MI — the information-
+    theoretic association measure next to the chi-square test
+    (`lang_source_chi2`): how much knowing the source tells you about
+    the language, on the SAME exact integer contingency counts. One
+    bounded (source, lang) keyed exchange (cells ~ |sources| x |langs|,
+    domain-bounded at any corpus size); marginals and the cell sum are
+    driver arithmetic over the tiny table. Only the final expressions
+    are float (6-dp, written identically on both engines — the entropy
+    gates' determinism recipe)."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"source": df["source"], "lang": df["lang"]})
+        out["c"] = np.int64(1)
+        return out.groupby(["source", "lang"], sort=False, as_index=False).sum()
+
+    cells = (
+        pa.Table.from_pylist(
+            bucketed_keyed_sum(
+                ds.map_batches(partial, batch_format="pandas"),
+                ["source", "lang"],
+                ["c"],
+                num_buckets=4,
+            ).take_all()
+        )
+        .to_pandas()
+        .sort_values(["source", "lang"])
+    )
+    c = cells["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    r = cells.groupby("source")["c"].transform("sum").to_numpy(np.int64)
+    s = cells.groupby("lang")["c"].transform("sum").to_numpy(np.int64)
+    mi = float(np.sum((c / n) * np.log(c.astype(np.float64) * n / (r.astype(np.float64) * s))))
+    rm = cells.groupby("source")["c"].sum().to_numpy(np.int64)
+    sm = cells.groupby("lang")["c"].sum().to_numpy(np.int64)
+    h_source = math.log(n) - float(np.sum(rm * np.log(rm.astype(np.float64)))) / n
+    h_lang = math.log(n) - float(np.sum(sm * np.log(sm.astype(np.float64)))) / n
+    nmi = mi / math.sqrt(h_source * h_lang)
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "mi": pa.array([round(mi, 6)], pa.float64()),
+            "h_source": pa.array([round(h_source, 6)], pa.float64()),
+            "h_lang": pa.array([round(h_lang, 6)], pa.float64()),
+            "nmi": pa.array([round(nmi, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_LANG_MI = r"""
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+r AS (SELECT source, CAST(SUM(c) AS BIGINT) AS r FROM c GROUP BY 1),
+s AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS s FROM c GROUP BY 1),
+mi AS (SELECT SUM((CAST(c.c AS DOUBLE) / n.n)
+                  * ln(CAST(c.c AS DOUBLE) * n.n
+                       / (CAST(r.r AS DOUBLE) * s.s))) AS mi,
+              CAST(COUNT(*) AS BIGINT) AS n_cells
+       FROM c JOIN r USING (source) JOIN s USING (lang) CROSS JOIN n),
+hs AS (SELECT ln(CAST(n.n AS DOUBLE))
+              - SUM(r.r * ln(CAST(r.r AS DOUBLE))) / n.n AS h
+       FROM r CROSS JOIN n GROUP BY n.n),
+hl AS (SELECT ln(CAST(n.n AS DOUBLE))
+              - SUM(s.s * ln(CAST(s.s AS DOUBLE))) / n.n AS h
+       FROM s CROSS JOIN n GROUP BY n.n)
+SELECT n.n AS n_rows, mi.n_cells AS n_cells,
+       ROUND(mi.mi, 6) AS mi,
+       ROUND(hs.h, 6) AS h_source,
+       ROUND(hl.h, 6) AS h_lang,
+       ROUND(mi.mi / sqrt(hs.h * hl.h), 6) AS nmi
+FROM n, mi, hs, hl
+"""
+
+
+def q_hourly_view_purchase_lag(sf_dir: str):
+    """Lead/lag cross-products between the hourly VIEW and PURCHASE
+    count series — does view volume lead purchase volume, and by how
+    many hours? For each lag in [-3, 3]: the number of hour pairs
+    (a, a+lag) both present and the EXACT int64 sum of
+    view(a) * purchase(a+lag) (raw cross-moment — no float
+    normalization, so the gate is integer-exact end to end; the
+    analyst can normalize downstream). Scale shape is the hourly
+    family's: one bounded (hour) keyed exchange with per-block
+    view/purchase indicator partials; the 7-lag sweep is a vectorized
+    searchsorted over the tiny merged series."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        keep = (et == "view") | (et == "purchase")
+        sub = df.loc[keep]
+        hr = sub["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        isv = (sub["event_type"].to_numpy() == "view").astype(np.int64)
+        out = _pd.DataFrame({"hr": hr, "v": isv, "p": 1 - isv})
+        return out.groupby("hr", sort=False, as_index=False).sum()
+
+    hourly = (
+        pa.Table.from_pylist(
+            bucketed_keyed_sum(
+                ev.map_batches(hour_partial, batch_format="pandas"),
+                ["hr"],
+                ["v", "p"],
+                num_buckets=4,
+            ).take_all()
+        )
+        .to_pandas()
+        .sort_values("hr")
+    )
+    hr = hourly["hr"].to_numpy(np.int64)
+    v = hourly["v"].to_numpy(np.int64)
+    p = hourly["p"].to_numpy(np.int64)
+    lags, n_pairs, sums = [], [], []
+    for lag in range(-3, 4):
+        idx = np.searchsorted(hr, hr + lag)
+        ok = (idx < len(hr)) & (hr[np.minimum(idx, len(hr) - 1)] == hr + lag)
+        lags.append(lag)
+        n_pairs.append(int(ok.sum()))
+        sums.append(int(np.sum(v[ok] * p[idx[ok]])))
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "sum_vp": pa.array(sums, pa.int64()),
+        }
+    )
+
+
+SQL_VIEW_PURCHASE_LAG = r"""
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS v,
+                  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS p
+           FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+l AS (SELECT CAST(lag AS BIGINT) AS lag
+      FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) t(lag))
+SELECT l.lag, CAST(COUNT(b.hr) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(a.v * b.p), 0) AS BIGINT) AS sum_vp
+FROM l LEFT JOIN h a ON TRUE
+       LEFT JOIN h b ON b.hr = a.hr + l.lag
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -10742,6 +10898,8 @@ QUERIES: dict[str, QueryFn] = {
     "customer_order_distribution": q_customer_order_distribution,
     "hourly_theil_sen": q_hourly_theil_sen,
     "jw_title_dups": q_jw_title_dups,
+    "source_lang_mutual_info": q_source_lang_mutual_info,
+    "hourly_view_purchase_lag": q_hourly_view_purchase_lag,
 }
 
 ORACLES: dict[str, str] = {
@@ -10981,4 +11139,6 @@ ORACLES: dict[str, str] = {
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DIST,
     "hourly_theil_sen": SQL_THEIL_SEN,
     "jw_title_dups": SQL_JW_TITLE_DUPS,
+    "source_lang_mutual_info": SQL_SOURCE_LANG_MI,
+    "hourly_view_purchase_lag": SQL_VIEW_PURCHASE_LAG,
 }
