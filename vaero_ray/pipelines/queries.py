@@ -10106,8 +10106,6 @@ def q_length_token_kendall(sf_dir: str):
     precision ints), versus the oracle's O(P^2) distinct-pair self-join.
     tau emitted as floor(tau * 1e6 + 0.5) from the identical float64
     expression (C - D) / sqrt((n0 - n1) * (n0 - n2))."""
-    import math
-
     from vaero_ray.stages.keyed import bucketed_keyed_sum
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
@@ -10125,64 +10123,19 @@ def q_length_token_kendall(sf_dir: str):
     merged = pa.Table.from_pylist(
         bucketed_keyed_sum(pairs, ["x", "y"], ["c"], num_buckets=4).take_all()
     )
-    rows = sorted(
-        zip(
-            merged.column("x").to_pylist(),
-            merged.column("y").to_pylist(),
-            merged.column("c").to_pylist(),
-        )
+    from vaero_ray.stages.numstats import kendall_tau_from_pairs
+
+    r = kendall_tau_from_pairs(
+        merged.column("x").to_pylist(),
+        merged.column("y").to_pylist(),
+        merged.column("c").to_pylist(),
     )
-    ys = sorted({y for _, y, _ in rows})
-    yrank = {y: i + 1 for i, y in enumerate(ys)}
-    m = len(ys)
-    tree = [0] * (m + 1)  # Fenwick over y-ranks, counts of rows already seen
-
-    def bit_add(i, v):
-        while i <= m:
-            tree[i] += v
-            i += i & (-i)
-
-    def bit_prefix(i):
-        s = 0
-        while i > 0:
-            s += tree[i]
-            i -= i & (-i)
-        return s
-
-    conc = disc = 0
-    seen = 0
-    i = 0
-    P = len(rows)
-    while i < P:
-        j = i
-        while j < P and rows[j][0] == rows[i][0]:
-            j += 1
-        for _, y, c in rows[i:j]:  # loop over DISTINCT pairs, not rows
-            r = yrank[y]
-            less = bit_prefix(r - 1)
-            conc += c * less
-            disc += c * (seen - bit_prefix(r))
-        for _, y, c in rows[i:j]:
-            bit_add(yrank[y], c)
-            seen += c
-        i = j
-
-    n = sum(c for _, _, c in rows)
-    n0 = n * (n - 1) // 2
-    cx: dict = {}
-    cy: dict = {}
-    for x, y, c in rows:
-        cx[x] = cx.get(x, 0) + c
-        cy[y] = cy.get(y, 0) + c
-    n1 = sum(v * (v - 1) // 2 for v in cx.values())
-    n2 = sum(v * (v - 1) // 2 for v in cy.values())
-    tau = float(conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
     return pa.table(
         {
-            "n": pa.array([n], pa.int64()),
-            "conc": pa.array([conc], pa.int64()),
-            "disc": pa.array([disc], pa.int64()),
-            "tau_e6": pa.array([math.floor(tau * 1e6 + 0.5)], pa.int64()),
+            "n": pa.array([r["n"]], pa.int64()),
+            "conc": pa.array([r["conc"]], pa.int64()),
+            "disc": pa.array([r["disc"]], pa.int64()),
+            "tau_e6": pa.array([r["tau_e6"]], pa.int64()),
         }
     )
 
@@ -10385,8 +10338,6 @@ def q_hourly_theil_sen(sf_dir: str):
     interpolation (lo + (hi - lo) * 0.5, float64) so even-count
     midpoints hash-match the oracle bit-for-bit; emitted as
     floor(slope * 1e6 + 0.5)."""
-    import math
-
     import pandas as _pd
 
     from vaero_ray.stages.keyed import bucketed_keyed_sum
@@ -10407,20 +10358,15 @@ def q_hourly_theil_sen(sf_dir: str):
             num_buckets=8,
         ).take_all()
     )
+    from vaero_ray.stages.numstats import theil_sen_slope_e6
+
     df = hourly.to_pandas().sort_values(["event_type", "hr"])
     out_t, out_s = [], []
     for et, g in df.groupby("event_type", sort=True):
-        h = g["hr"].to_numpy(np.int64)
-        n = g["n"].to_numpy(np.int64)
-        i, j = np.triu_indices(len(h), k=1)
-        slopes = (n[j] - n[i]).astype(np.float64) / (h[j] - h[i]).astype(np.float64)
-        slopes.sort()
-        rn = (len(slopes) - 1) * 0.5
-        lo = int(math.floor(rn))
-        hi = int(math.ceil(rn))
-        med = slopes[lo] + (slopes[hi] - slopes[lo]) * (rn - lo)
         out_t.append(et)
-        out_s.append(int(math.floor(med * 1e6 + 0.5)))
+        out_s.append(
+            theil_sen_slope_e6(g["hr"].to_numpy(np.int64), g["n"].to_numpy(np.int64))
+        )
     return pa.table(
         {
             "event_type": pa.array(out_t, pa.string()),

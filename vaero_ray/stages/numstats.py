@@ -607,3 +607,85 @@ def ks_two_sample(
         fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return pa.Table.from_pylist(out.take_all())
+
+
+def kendall_tau_from_pairs(xs, ys, cs) -> dict:
+    """Kendall tau-b finalize from DISTINCT (x, y) pair counts — the
+    driver-side half of the tau-b gate, reusable at any corpus size
+    because its input is bounded by distinct pairs, never rows.
+    Concordant/discordant counts via a Fenwick tree over y-ranks in one
+    x-ascending sweep (O(P log P) over P distinct pairs), exact
+    arbitrary-precision ints; tau as floor(tau * 1e6 + 0.5) from the
+    float64 expression (C - D) / sqrt((n0 - n1) * (n0 - n2))."""
+    import math
+
+    rows = sorted(zip(list(xs), list(ys), list(cs)))
+    ys_d = sorted({y for _, y, _ in rows})
+    yrank = {y: i + 1 for i, y in enumerate(ys_d)}
+    m = len(ys_d)
+    tree = [0] * (m + 1)  # Fenwick over y-ranks, counts of rows already seen
+
+    def bit_add(i, v):
+        while i <= m:
+            tree[i] += v
+            i += i & (-i)
+
+    def bit_prefix(i):
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    conc = disc = 0
+    seen = 0
+    i = 0
+    P = len(rows)
+    while i < P:
+        j = i
+        while j < P and rows[j][0] == rows[i][0]:
+            j += 1
+        for _, y, c in rows[i:j]:  # loop over DISTINCT pairs, not rows
+            r = yrank[y]
+            conc += c * bit_prefix(r - 1)
+            disc += c * (seen - bit_prefix(r))
+        for _, y, c in rows[i:j]:
+            bit_add(yrank[y], c)
+            seen += c
+        i = j
+
+    n = sum(c for _, _, c in rows)
+    n0 = n * (n - 1) // 2
+    cx: dict = {}
+    cy: dict = {}
+    for x, y, c in rows:
+        cx[x] = cx.get(x, 0) + c
+        cy[y] = cy.get(y, 0) + c
+    n1 = sum(v * (v - 1) // 2 for v in cx.values())
+    n2 = sum(v * (v - 1) // 2 for v in cy.values())
+    tau = float(conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    return {
+        "n": n,
+        "conc": conc,
+        "disc": disc,
+        "tau_e6": math.floor(tau * 1e6 + 0.5),
+    }
+
+
+def theil_sen_slope_e6(h: np.ndarray, n: np.ndarray) -> int:
+    """Theil-Sen slope finalize over one (sorted-x, y) series: median
+    of all pairwise slopes, with DuckDB's exact quantile_cont
+    interpolation (lo + (hi - lo) * frac, float64) so even-count
+    midpoints hash-match a SQL oracle bit-for-bit. Vectorized O(H^2);
+    meant for the bounded merged series of a keyed pre-aggregate
+    (hours, days), not raw rows. Returns floor(slope * 1e6 + 0.5)."""
+    import math
+
+    i, j = np.triu_indices(len(h), k=1)
+    slopes = (n[j] - n[i]).astype(np.float64) / (h[j] - h[i]).astype(np.float64)
+    slopes.sort()
+    rn = (len(slopes) - 1) * 0.5
+    lo = int(math.floor(rn))
+    hi = int(math.ceil(rn))
+    med = slopes[lo] + (slopes[hi] - slopes[lo]) * (rn - lo)
+    return int(math.floor(med * 1e6 + 0.5))
