@@ -234,6 +234,9 @@ BENCH_QUERIES = [
     "jw_title_dups",                # Jaro-Winkler title dedup (DuckDB-bit-exact kernel)
     "source_lang_mutual_info",      # MI + entropies + NMI from exact contingency counts
     "hourly_view_purchase_lag",     # integer lead/lag cross-products, hourly series
+    "source_length_kruskal",        # k-group Kruskal-Wallis rank ingredients (tie closed forms)
+    "source_length_jsd",            # Jensen-Shannon divergence, distinct-value compressed
+    "hourly_siegel_slope",          # Siegel repeated-median slope (nested quantile_cont)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

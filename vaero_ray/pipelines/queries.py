@@ -10607,6 +10607,151 @@ GROUP BY 1
 """
 
 
+def q_source_length_kruskal(sf_dir: str):
+    """Kruskal-Wallis rank ingredients for document length across ALL
+    sources at once — the k-group generalization of the two-sample
+    rank-sum gate (`source_length_ranksum`): per source the exact
+    int64 doubled rank sum and count, plus the tie term and the H
+    statistic (plain and tie-corrected, 6-dp — the one closed-form
+    float both engines write over the same integers). Exchange is
+    distinct-value compressed: one (n_chars, source) cell per distinct
+    pair, domain-bounded at any corpus size."""
+    from vaero_ray.stages.numstats import kruskal_rank_ingredients
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return kruskal_rank_ingredients(ds, "n_chars", "source")
+
+
+SQL_KRUSKAL = r"""
+WITH t AS (SELECT n_chars AS v, source FROM documents),
+r AS (SELECT v, source, RANK() OVER (ORDER BY v) AS mn,
+             COUNT(*) OVER (PARTITION BY v) AS c
+      FROM t),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(SUM(2*mn + c - 1) AS BIGINT) AS two_r
+      FROM r GROUP BY 1),
+n AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n FROM g),
+tie AS (SELECT CAST(SUM(c*c*c - c) AS BIGINT) AS tie_sum
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY v)),
+h AS (SELECT 12.0 / (n.n * (n.n + 1.0))
+               * SUM(CAST(two_r AS DOUBLE) * two_r / (4.0 * n_j))
+             - 3.0 * (n.n + 1.0) AS h
+      FROM g CROSS JOIN n GROUP BY n.n)
+SELECT g.source, g.n_j, g.two_r, n.n, tie.tie_sum,
+       ROUND(h.h, 6) AS h,
+       ROUND(h.h / (1.0 - CAST(tie.tie_sum AS DOUBLE)
+                          / (CAST(n.n AS DOUBLE) * n.n * n.n - n.n)), 6)
+         AS h_tie
+FROM g CROSS JOIN n CROSS JOIN tie CROSS JOIN h
+"""
+
+
+def q_source_length_jsd(sf_dir: str):
+    """Jensen-Shannon divergence (nats) between the src0 and src1
+    document-length distributions — the bounded, symmetric
+    distribution-shift measure next to KS (`length_ks_en_rest`) and
+    PSI (`value_psi_drift`): 0.5*KL(P||M) + 0.5*KL(Q||M), M the
+    mixture, always finite on disjoint support (where KL diverges and
+    PSI needs smoothing). Distinct-value compression again: one exact
+    (n_chars, c1, c2) row per distinct length crosses the wire; only
+    the final per-row term + sum are float (written identically in the
+    oracle, 6-dp)."""
+    from vaero_ray.stages.numstats import jsd_two_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return jsd_two_sample(ds, "n_chars", "source", "src0", "src1")
+
+
+SQL_SOURCE_LENGTH_JSD = r"""
+WITH t AS (SELECT n_chars AS v,
+                  CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS c1,
+                  CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS c2
+           FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM t)
+SELECT n.n1, n.n2,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(COUNT(*) FILTER (c1 > 0 AND c2 > 0) AS BIGINT) AS overlap,
+       ROUND(SUM(
+         CASE WHEN c1 > 0 THEN 0.5 * (c1 / CAST(n.n1 AS DOUBLE))
+              * ln((c1 / CAST(n.n1 AS DOUBLE))
+                   / ((c1 / CAST(n.n1 AS DOUBLE)
+                       + c2 / CAST(n.n2 AS DOUBLE)) / 2.0))
+              ELSE 0.0 END
+         + CASE WHEN c2 > 0 THEN 0.5 * (c2 / CAST(n.n2 AS DOUBLE))
+              * ln((c2 / CAST(n.n2 AS DOUBLE))
+                   / ((c1 / CAST(n.n1 AS DOUBLE)
+                       + c2 / CAST(n.n2 AS DOUBLE)) / 2.0))
+              ELSE 0.0 END), 6) AS jsd
+FROM t CROSS JOIN n GROUP BY 1, 2
+"""
+
+
+def q_hourly_siegel_slope(sf_dir: str):
+    """Siegel REPEATED-median slope of the hourly count series per
+    event type — the 50%-breakdown robust-regression step past
+    Theil-Sen (`hourly_theil_sen`, 29%): median over points i of the
+    median slope from i to every other point. Same scale shape: the
+    only exchange is the bounded (type, hour) keyed sum; the O(H^2)
+    slope matrix + two nested medians run vectorized on the tiny
+    merged series, both median levels with DuckDB's exact
+    quantile_cont interpolation so slope_e6 hash-matches the nested
+    quantile_cont oracle bit-for-bit."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.numstats import siegel_slope_e6
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas().sort_values(["event_type", "hr"])
+    out_t, out_s = [], []
+    for et, g in df.groupby("event_type", sort=True):
+        if len(g) < 2:  # SQL's b.hr != a.hr join drops singleton series
+            continue
+        out_t.append(et)
+        out_s.append(
+            siegel_slope_e6(g["hr"].to_numpy(np.int64), g["n"].to_numpy(np.int64))
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "siegel_e6": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+SQL_SIEGEL = r"""
+WITH h AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type AS event_type, a.hr AS hr,
+             quantile_cont(CAST(b.n - a.n AS DOUBLE)
+                           / CAST(b.hr - a.hr AS DOUBLE), 0.5) AS med_i
+      FROM h a JOIN h b ON a.event_type = b.event_type AND b.hr <> a.hr
+      GROUP BY 1, 2)
+SELECT event_type,
+       CAST(floor(quantile_cont(med_i, 0.5) * 1000000 + 0.5) AS BIGINT)
+         AS siegel_e6
+FROM p GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -10846,6 +10991,9 @@ QUERIES: dict[str, QueryFn] = {
     "jw_title_dups": q_jw_title_dups,
     "source_lang_mutual_info": q_source_lang_mutual_info,
     "hourly_view_purchase_lag": q_hourly_view_purchase_lag,
+    "source_length_kruskal": q_source_length_kruskal,
+    "source_length_jsd": q_source_length_jsd,
+    "hourly_siegel_slope": q_hourly_siegel_slope,
 }
 
 ORACLES: dict[str, str] = {
@@ -11087,4 +11235,7 @@ ORACLES: dict[str, str] = {
     "jw_title_dups": SQL_JW_TITLE_DUPS,
     "source_lang_mutual_info": SQL_SOURCE_LANG_MI,
     "hourly_view_purchase_lag": SQL_VIEW_PURCHASE_LAG,
+    "source_length_kruskal": SQL_KRUSKAL,
+    "source_length_jsd": SQL_SOURCE_LENGTH_JSD,
+    "hourly_siegel_slope": SQL_SIEGEL,
 }

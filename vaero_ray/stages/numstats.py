@@ -46,6 +46,9 @@ __all__ = [
     "simpson_per_group",
     "gini_per_group",
     "rank_sum_test",
+    "kruskal_rank_ingredients",
+    "jsd_two_sample",
+    "siegel_slope_e6",
 ]
 
 
@@ -688,4 +691,150 @@ def theil_sen_slope_e6(h: np.ndarray, n: np.ndarray) -> int:
     lo = int(math.floor(rn))
     hi = int(math.ceil(rn))
     med = slopes[lo] + (slopes[hi] - slopes[lo]) * (rn - lo)
+    return int(math.floor(med * 1e6 + 0.5))
+
+
+def kruskal_rank_ingredients(
+    ds: rd.Dataset, val_col: str, group_col: str
+) -> pa.Table:
+    """Kruskal-Wallis rank ingredients across ALL groups — the k-group
+    generalization of :func:`rank_sum_test`, same distinct-value
+    compression: the exchange carries one exact (value, group, c) cell
+    per distinct pair (contract: bounded value domain x small group
+    set), the global fold is one sorted cumsum over tie blocks. Per
+    group: ``n_j`` and the DOUBLED rank sum ``two_r`` (a tie block of
+    total count c starting at 0-based rank ``start`` contributes
+    ``2*start + c + 1`` per member — all exact int64). Broadcast
+    columns: total ``n``, the tie term ``tie_sum = sum(c^3 - c)``, and
+    the H statistic (plain and tie-corrected) as the ONE closed-form
+    float64 expression a SQL oracle writes over the same integers
+    (6-dp rounded)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            df.groupby([val_col, group_col], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        p["c"] = p["c"].astype(np.int64)
+        return p
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [val_col, group_col], ["c"])
+    comp = merged.to_pandas().sort_values([val_col, group_col], kind="stable")
+    # tie blocks over distinct values (across ALL groups)
+    per_val = comp.groupby(val_col, sort=True)["c"].sum()
+    vstart = per_val.cumsum() - per_val  # 0-based start rank per value
+    two_avg = 2 * vstart + per_val + 1  # doubled average rank per value
+    comp = comp.assign(two_avg=comp[val_col].map(two_avg).to_numpy(np.int64))
+    g = comp.groupby(group_col, sort=True)
+    n_j = g["c"].sum().to_numpy(np.int64)
+    two_r = g.apply(
+        lambda x: int(np.sum(x["c"].to_numpy(np.int64) * x["two_avg"].to_numpy(np.int64))),
+        include_groups=False,
+    ).to_numpy(np.int64)
+    groups = list(g.groups.keys())
+    n = int(n_j.sum())
+    cv = per_val.to_numpy(np.int64)
+    tie_sum = int(np.sum(cv * cv * cv - cv))
+    s = float(np.sum(two_r.astype(np.float64) ** 2 / (4.0 * n_j)))
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    h_tie = h / (1.0 - float(tie_sum) / (float(n) * n * n - n))
+    k = len(groups)
+    return pa.table(
+        {
+            group_col: pa.array([str(x) for x in groups], pa.string()),
+            "n_j": pa.array(n_j, pa.int64()),
+            "two_r": pa.array(two_r, pa.int64()),
+            "n": pa.array([n] * k, pa.int64()),
+            "tie_sum": pa.array([tie_sum] * k, pa.int64()),
+            "h": pa.array([round(h, 6)] * k, pa.float64()),
+            "h_tie": pa.array([round(h_tie, 6)] * k, pa.float64()),
+        }
+    )
+
+
+def jsd_two_sample(
+    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str
+) -> pa.Table:
+    """Jensen-Shannon divergence (nats) between two groups' value
+    distributions — the bounded symmetric companion to KS
+    (:func:`ks_two_sample`) and PSI: distinct-value compression moves
+    one exact (value, c1, c2) row per distinct value, the fold is one
+    vectorized pass. Per-row term written EXACTLY as the SQL oracle
+    does — ``0.5*p*ln(p/m) + 0.5*q*ln(q/m)`` with absent sides
+    contributing 0 — then one sum, 6-dp rounded. Also emits the exact
+    integers: n1, n2, support size and overlap count."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin([g1, g2])]
+        p = (
+            df.groupby([val_col, group_col], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        out = pd.DataFrame(
+            {
+                val_col: p[val_col],
+                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
+                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
+            }
+        )
+        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
+    comp = merged.to_pandas().sort_values(val_col, kind="stable")
+    c1 = comp["c1"].to_numpy(np.int64)
+    c2 = comp["c2"].to_numpy(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    p = c1 / float(n1)
+    q = c2 / float(n2)
+    m = (p + q) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(c1 > 0, 0.5 * p * np.log(np.where(c1 > 0, p / m, 1.0)), 0.0)
+        t2 = np.where(c2 > 0, 0.5 * q * np.log(np.where(c2 > 0, q / m, 1.0)), 0.0)
+    jsd = float(np.sum(t1 + t2))
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "support": pa.array([len(comp)], pa.int64()),
+            "overlap": pa.array([int(np.sum((c1 > 0) & (c2 > 0)))], pa.int64()),
+            "jsd": pa.array([round(jsd, 6)], pa.float64()),
+        }
+    )
+
+
+def siegel_slope_e6(h: np.ndarray, n: np.ndarray) -> int:
+    """Siegel REPEATED-median slope over one series: for each point i
+    the median of slopes to every other point, then the median of
+    those per-point medians — breakdown point 50% (vs Theil-Sen's
+    29%). Vectorized O(H^2) full slope matrix with a masked per-row
+    sort (meant for the bounded merged series of a keyed
+    pre-aggregate); both median levels use DuckDB's exact
+    quantile_cont interpolation so the result hash-matches a nested
+    quantile_cont SQL oracle bit-for-bit. Returns
+    floor(slope * 1e6 + 0.5)."""
+    import math
+
+    H = len(h)
+    hh = h.astype(np.float64)
+    nn = n.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = (nn[None, :] - nn[:, None]) / (hh[None, :] - hh[:, None])
+    # drop the diagonal: reshape trick keeps each row's H-1 off-diag slopes
+    off = S[~np.eye(H, dtype=bool)].reshape(H, H - 1)
+    off.sort(axis=1)
+    rn = (H - 2) * 0.5
+    lo = int(math.floor(rn))
+    hi = int(math.ceil(rn))
+    med_i = off[:, lo] + (off[:, hi] - off[:, lo]) * (rn - lo)
+    med_i.sort()
+    rn2 = (H - 1) * 0.5
+    lo2 = int(math.floor(rn2))
+    hi2 = int(math.ceil(rn2))
+    med = med_i[lo2] + (med_i[hi2] - med_i[lo2]) * (rn2 - lo2)
     return int(math.floor(med * 1e6 + 0.5))
