@@ -237,6 +237,9 @@ BENCH_QUERIES = [
     "source_length_kruskal",        # k-group Kruskal-Wallis rank ingredients (tie closed forms)
     "source_length_jsd",            # Jensen-Shannon divergence, distinct-value compressed
     "hourly_siegel_slope",          # Siegel repeated-median slope (nested quantile_cont)
+    "source_length_hl_shift",       # Hodges-Lehmann shift (weighted median of all-pairs diffs)
+    "source_length_mood",           # Mood median test (pooled quantile_disc + 2xk counts)
+    "hourly_friedman",              # Friedman blocked ranks + Kendall W (hours as blocks)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

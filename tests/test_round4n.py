@@ -150,3 +150,111 @@ def test_siegel_outlier_robustness():
     n = 3 * h + 7
     n[11] = 100_000
     assert siegel_slope_e6(h, n) == 3_000_000
+
+
+def test_hodges_lehmann_bruteforce(ray_session):
+    """Weighted-median-over-compressed-diffs vs the fully EXPANDED
+    all-pairs multiset median (the thing HL is defined as)."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    src, vals = _write_documents(d, n=2500, n_sources=4, vmax=50)
+    got = QUERIES["source_length_hl_shift"](d).to_pandas().iloc[0]
+
+    a = vals[src == "src0"]
+    b = vals[src == "src1"]
+    diffs = np.sort((a[:, None].astype(np.int64) - b[None, :]).ravel())
+    tot = len(diffs)
+    rn = (tot - 1) * 0.5
+    lo = int(math.floor(rn))
+    hi = int(math.ceil(rn))
+    hl = diffs[lo] + (diffs[hi] - diffs[lo]) * (rn - lo)
+    assert int(got["n1"]) == len(a) and int(got["n2"]) == len(b)
+    assert int(got["n_pairs"]) == tot
+    assert int(got["n_diffs"]) == len(set(diffs.tolist()))
+    assert int(got["hl_e6"]) == int(math.floor(hl * 1e6 + 0.5))
+
+
+def test_mood_median_bruteforce(ray_session):
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    src, vals = _write_documents(d, n=3000, n_sources=6, vmax=45)
+    got = QUERIES["source_length_mood"](d).to_pandas().set_index("source")
+
+    n = len(vals)
+    med = int(np.sort(vals)[max(math.ceil(0.5 * n) - 1, 0)])
+    njs, ajs = {}, {}
+    for g in sorted(set(src)):
+        sel = src == g
+        njs[g] = int(sel.sum())
+        ajs[g] = int((vals[sel] > med).sum())
+        assert int(got.loc[g, "n_j"]) == njs[g]
+        assert int(got.loc[g, "n_above"]) == ajs[g]
+    assert int(got["med"].iloc[0]) == med
+    A = sum(ajs.values())
+    B = n - A
+    chi2 = sum(
+        (ajs[g] - njs[g] * A / n) ** 2 / (njs[g] * A / n)
+        + ((njs[g] - ajs[g]) - njs[g] * B / n) ** 2 / (njs[g] * B / n)
+        for g in njs
+    )
+    assert int(got["n_above_total"].iloc[0]) == A
+    assert abs(float(got["chi2"].iloc[0]) - chi2) < 1e-6
+
+
+def test_friedman_bruteforce(ray_session):
+    """Friedman blocked ranks vs an explicit per-hour average-rank
+    oracle, on a fixture where some hours MISS some types (the
+    complete-block filter is the part the sf gates can't exercise —
+    driver hours are dense)."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 6000
+    ts = np.datetime64("2026-01-01", "us") + rng.integers(
+        0, 48 * 3600, size=n
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+    # signup is rare => many hours lack it => incomplete blocks exist
+    et = np.array(["view", "click", "purchase", "signup"])[
+        np.minimum(rng.integers(0, 40, size=n), 3)
+    ]
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"ts": pa.array(ts), "event_type": pa.array(et)}),
+        os.path.join(d, "events.parquet"),
+    )
+    got = QUERIES["hourly_friedman"](d).to_pandas().set_index("event_type")
+
+    hr = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+    counts: dict = {}
+    for h, e in zip(hr, et):
+        counts[(h, e)] = counts.get((h, e), 0) + 1
+    k = len(set(et))
+    hours: dict = {}
+    for (h, e), c in counts.items():
+        hours.setdefault(h, []).append((e, c))
+    complete = {h: rows for h, rows in hours.items() if len(rows) == k}
+    assert len(complete) < len(hours), "fixture must have incomplete blocks"
+    two_r: dict = {}
+    tie_sum = 0
+    for h, rows in complete.items():
+        vals = np.array([c for _, c in rows])
+        ranks = _avg_ranks(vals)
+        _, tcnt = np.unique(vals, return_counts=True)
+        tie_sum += int(np.sum(tcnt.astype(np.int64) ** 3 - tcnt))
+        for (e, _), r in zip(rows, ranks):
+            two_r[e] = two_r.get(e, 0) + int(round(2 * r))
+    b = len(complete)
+    for e in sorted(two_r):
+        assert int(got.loc[e, "two_r"]) == two_r[e], e
+    assert int(got["b"].iloc[0]) == b and int(got["k"].iloc[0]) == k
+    assert int(got["tie_sum"].iloc[0]) == tie_sum
+    s = sum(v * v / 4.0 for v in two_r.values())
+    chi2 = 12.0 / (b * k * (k + 1.0)) * s - 3.0 * b * (k + 1.0)
+    chi2_tie = chi2 / (1.0 - tie_sum / (b * k * (float(k) * k - 1.0)))
+    assert abs(float(got["chi2"].iloc[0]) - chi2) < 1e-6
+    assert abs(float(got["chi2_tie"].iloc[0]) - chi2_tie) < 1e-6
+    assert abs(float(got["kendall_w"].iloc[0]) - chi2_tie / (b * (k - 1.0))) < 1e-6
+    # W is a [0, 1] concordance coefficient
+    assert -1e-9 <= float(got["kendall_w"].iloc[0]) <= 1.0 + 1e-9

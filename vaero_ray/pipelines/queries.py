@@ -10752,6 +10752,178 @@ FROM p GROUP BY 1
 """
 
 
+def q_source_length_hl_shift(sf_dir: str):
+    """Hodges-Lehmann location-shift estimate between src0 and src1
+    document lengths — the ESTIMATOR companion to the rank-sum test
+    (`source_length_ranksum`), as Siegel/Theil-Sen are to Mann-Kendall:
+    median of all n1 x n2 pairwise differences. Distinct-value
+    compression keeps the all-pairs multiset off the wire (one
+    (value, c1, c2) row per distinct length crosses; the driver
+    crosses the two ~300-value compressed sides and takes the weighted
+    median by cumsum rank). The median only ever averages two INTEGER
+    diffs, so hl_e6 is exact — no float-expression mirroring needed."""
+    from vaero_ray.stages.numstats import hodges_lehmann_shift
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return hodges_lehmann_shift(ds, "n_chars", "source", "src0", "src1")
+
+
+SQL_HL_SHIFT = r"""
+WITH t AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents WHERE source = 'src0' GROUP BY 1),
+u AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE source = 'src1' GROUP BY 1),
+d AS (SELECT t.v - u.v AS diff, CAST(SUM(t.c * u.c) AS BIGINT) AS w
+      FROM t CROSS JOIN u GROUP BY 1),
+c AS (SELECT diff, SUM(w) OVER (ORDER BY diff) AS cum FROM d),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM d),
+q AS (SELECT
+        (SELECT MIN(diff) FROM c, tot WHERE cum >= (tot.tot - 1) // 2 + 1)
+          AS lo_val,
+        (SELECT MIN(diff) FROM c, tot
+         WHERE cum >= (CASE WHEN tot.tot % 2 = 0 THEN tot.tot // 2
+                            ELSE (tot.tot - 1) // 2 END) + 1) AS hi_val)
+SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM t) AS n1,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM u) AS n2,
+       tot.tot AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_diffs,
+       CAST(floor((q.lo_val + (q.hi_val - q.lo_val)
+                   * (CASE WHEN tot.tot % 2 = 0 THEN 0.5 ELSE 0.0 END))
+                  * 1000000 + 0.5) AS BIGINT) AS hl_e6
+FROM q CROSS JOIN tot
+"""
+
+
+def q_source_length_mood(sf_dir: str):
+    """Mood's median test of document length across ALL sources: the
+    pooled grand median (quantile_disc 0-based rank rule), then each
+    source's above-median count — the coarser, outlier-immune sibling
+    of Kruskal-Wallis on the same exchange (one (n_chars, source) cell
+    per distinct pair). Every count exact int64; the 2xk chi-square is
+    the one final 6-dp float, written identically in the oracle."""
+    from vaero_ray.stages.numstats import mood_median_test
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return mood_median_test(ds, "n_chars", "source")
+
+
+SQL_MOOD = r"""
+WITH t AS (SELECT source, n_chars AS v FROM documents),
+m AS (SELECT CAST(quantile_disc(v, 0.5) AS BIGINT) AS med FROM t),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(COUNT(*) FILTER (v > m.med) AS BIGINT) AS n_above
+      FROM t CROSS JOIN m GROUP BY 1),
+n AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+             CAST(SUM(n_above) AS BIGINT) AS a FROM g),
+chi AS (SELECT SUM(
+          (n_above - CAST(n_j AS DOUBLE) * n.a / n.n)
+            * (n_above - CAST(n_j AS DOUBLE) * n.a / n.n)
+            / (CAST(n_j AS DOUBLE) * n.a / n.n)
+          + ((n_j - n_above) - CAST(n_j AS DOUBLE) * (n.n - n.a) / n.n)
+            * ((n_j - n_above) - CAST(n_j AS DOUBLE) * (n.n - n.a) / n.n)
+            / (CAST(n_j AS DOUBLE) * (n.n - n.a) / n.n)) AS chi2
+        FROM g CROSS JOIN n GROUP BY n.n, n.a)
+SELECT g.source, g.n_j, g.n_above, m.med, n.n, n.a AS n_above_total,
+       ROUND(chi.chi2, 6) AS chi2
+FROM g CROSS JOIN m CROSS JOIN n CROSS JOIN chi
+"""
+
+
+def q_hourly_friedman(sf_dir: str):
+    """Friedman test across event types with hours as blocks: within
+    every COMPLETE hour (all k types present — both engines apply the
+    same completeness filter) rank the types by hourly count, then
+    compare rank sums — the blocked-design cousin of Kruskal-Wallis
+    (hour-of-day/traffic level is the nuisance factor the blocking
+    removes). Doubled average ranks keep every exchanged/emitted count
+    exact int64 (two_r per type, block count b, k, the tie term); the
+    chi-square (plain + tie-corrected) and Kendall's W concordance are
+    the final shared 6-dp floats. The only exchange is the bounded
+    (type, hour) keyed sum; ranking happens on the tiny merged
+    series."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas()
+    k = int(df["event_type"].nunique())
+    cnt = df.groupby("hr")["event_type"].size()
+    complete = cnt[cnt == k].index
+    sub = df[df["hr"].isin(complete)].copy()
+    sub["two_rank"] = (
+        (2 * sub.groupby("hr")["n"].rank(method="average")).round().astype(np.int64)
+    )
+    g = sub.groupby("event_type", sort=True)["two_rank"].sum()
+    b = int(len(complete))
+    tc = sub.groupby(["hr", "n"]).size().to_numpy(np.int64)
+    tie_sum = int(np.sum(tc * tc * tc - tc))
+    s = float(np.sum(g.to_numpy(np.float64) ** 2 / 4.0))
+    chi2 = 12.0 / (b * k * (k + 1.0)) * s - 3.0 * b * (k + 1.0)
+    chi2_tie = chi2 / (1.0 - tie_sum / (b * k * (float(k) * k - 1.0)))
+    kendall_w = chi2_tie / (b * (k - 1.0))
+    nt = len(g)
+    return pa.table(
+        {
+            "event_type": pa.array(list(g.index), pa.string()),
+            "two_r": pa.array(g.to_numpy(np.int64), pa.int64()),
+            "b": pa.array([b] * nt, pa.int64()),
+            "k": pa.array([k] * nt, pa.int64()),
+            "tie_sum": pa.array([tie_sum] * nt, pa.int64()),
+            "chi2": pa.array([round(chi2, 6)] * nt, pa.float64()),
+            "chi2_tie": pa.array([round(chi2_tie, 6)] * nt, pa.float64()),
+            "kendall_w": pa.array([round(kendall_w, 6)] * nt, pa.float64()),
+        }
+    )
+
+
+SQL_FRIEDMAN = r"""
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM h),
+cb AS (SELECT hr FROM h GROUP BY hr HAVING COUNT(*) = (SELECT k FROM k)),
+r AS (SELECT h.event_type, h.hr,
+             RANK() OVER (PARTITION BY h.hr ORDER BY h.n) AS mn,
+             COUNT(*) OVER (PARTITION BY h.hr, h.n) AS c
+      FROM h JOIN cb USING (hr)),
+g AS (SELECT event_type, CAST(SUM(2*mn + c - 1) AS BIGINT) AS two_r
+      FROM r GROUP BY 1),
+b AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cb),
+tie AS (SELECT CAST(SUM(c*c*c - c) AS BIGINT) AS tie_sum
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM h JOIN cb USING (hr) GROUP BY h.hr, h.n)),
+chi AS (SELECT 12.0 / (b.b * k.k * (k.k + 1.0))
+                 * SUM(CAST(two_r AS DOUBLE) * two_r / 4.0)
+               - 3.0 * b.b * (k.k + 1.0) AS chi2
+        FROM g CROSS JOIN b CROSS JOIN k GROUP BY b.b, k.k)
+SELECT g.event_type, g.two_r, b.b, k.k, tie.tie_sum,
+       ROUND(chi.chi2, 6) AS chi2,
+       ROUND(chi.chi2 / (1.0 - CAST(tie.tie_sum AS DOUBLE)
+                               / (b.b * k.k * (CAST(k.k AS DOUBLE) * k.k - 1.0))), 6)
+         AS chi2_tie,
+       ROUND(chi.chi2 / (1.0 - CAST(tie.tie_sum AS DOUBLE)
+                               / (b.b * k.k * (CAST(k.k AS DOUBLE) * k.k - 1.0)))
+             / (b.b * (k.k - 1.0)), 6) AS kendall_w
+FROM g CROSS JOIN b CROSS JOIN k CROSS JOIN tie CROSS JOIN chi
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -10994,6 +11166,9 @@ QUERIES: dict[str, QueryFn] = {
     "source_length_kruskal": q_source_length_kruskal,
     "source_length_jsd": q_source_length_jsd,
     "hourly_siegel_slope": q_hourly_siegel_slope,
+    "source_length_hl_shift": q_source_length_hl_shift,
+    "source_length_mood": q_source_length_mood,
+    "hourly_friedman": q_hourly_friedman,
 }
 
 ORACLES: dict[str, str] = {
@@ -11238,4 +11413,7 @@ ORACLES: dict[str, str] = {
     "source_length_kruskal": SQL_KRUSKAL,
     "source_length_jsd": SQL_SOURCE_LENGTH_JSD,
     "hourly_siegel_slope": SQL_SIEGEL,
+    "source_length_hl_shift": SQL_HL_SHIFT,
+    "source_length_mood": SQL_MOOD,
+    "hourly_friedman": SQL_FRIEDMAN,
 }

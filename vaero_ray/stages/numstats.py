@@ -49,6 +49,8 @@ __all__ = [
     "kruskal_rank_ingredients",
     "jsd_two_sample",
     "siegel_slope_e6",
+    "hodges_lehmann_shift",
+    "mood_median_test",
 ]
 
 
@@ -838,3 +840,107 @@ def siegel_slope_e6(h: np.ndarray, n: np.ndarray) -> int:
     hi2 = int(math.ceil(rn2))
     med = med_i[lo2] + (med_i[hi2] - med_i[lo2]) * (rn2 - lo2)
     return int(math.floor(med * 1e6 + 0.5))
+
+
+def hodges_lehmann_shift(
+    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str
+) -> pa.Table:
+    """Hodges-Lehmann location-shift estimator between two groups: the
+    median of ALL pairwise differences v1 - v2 — the ESTIMATOR
+    companion to the rank-sum TEST (:func:`rank_sum_test`), exactly as
+    Siegel/Theil-Sen estimate the slope the Mann-Kendall test detects.
+    Distinct-value compression makes the all-pairs multiset tractable:
+    the exchange carries one (value, c1, c2) row per distinct value;
+    the driver crosses the two compressed sides (D1 x D2 integer
+    diffs, weight c1*c2 — bounded by the value DOMAIN squared, never
+    rows), dedups diffs, and takes the weighted median by cumsum rank.
+    Median interpolation only ever averages two INTEGER diffs, so
+    hl_e6 is exact. Contract: n1 * n2 < 2^63."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin([g1, g2])]
+        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
+        out = pd.DataFrame(
+            {
+                val_col: p[val_col],
+                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
+                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
+            }
+        )
+        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
+    comp = merged.to_pandas()
+    v = comp[val_col].to_numpy(np.int64)
+    c1 = comp["c1"].to_numpy(np.int64)
+    c2 = comp["c2"].to_numpy(np.int64)
+    v1, w1 = v[c1 > 0], c1[c1 > 0]
+    v2, w2 = v[c2 > 0], c2[c2 > 0]
+    diffs = (v1[:, None] - v2[None, :]).ravel()
+    w = (w1[:, None] * w2[None, :]).ravel()
+    dv, inv = np.unique(diffs, return_inverse=True)
+    dw = np.zeros(len(dv), dtype=np.int64)
+    np.add.at(dw, inv, w)
+    cum = np.cumsum(dw)
+    tot = int(cum[-1])
+    lo_r = (tot - 1) // 2
+    hi_r = tot // 2 if tot % 2 == 0 else lo_r
+    lo_val = int(dv[np.searchsorted(cum, lo_r + 1)])
+    hi_val = int(dv[np.searchsorted(cum, hi_r + 1)])
+    hl = lo_val + (hi_val - lo_val) * (0.5 if tot % 2 == 0 else 0.0)
+    return pa.table(
+        {
+            "n1": pa.array([int(w1.sum())], pa.int64()),
+            "n2": pa.array([int(w2.sum())], pa.int64()),
+            "n_pairs": pa.array([tot], pa.int64()),
+            "n_diffs": pa.array([len(dv)], pa.int64()),
+            "hl_e6": pa.array([int(math.floor(hl * 1e6 + 0.5))], pa.int64()),
+        }
+    )
+
+
+def mood_median_test(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+    """Mood's median test across ALL groups: pooled grand median (the
+    quantile_disc 0-based rank rule ``max(ceil(q*n)-1, 0)``), then the
+    per-group 2xk contingency of above-median counts — every emitted
+    count EXACT int64 (the chi-square statistic is the one final 6-dp
+    float, written identically in the oracle). Same distinct-value
+    compressed exchange as :func:`kruskal_rank_ingredients`; the
+    pooled-median fold is a cumsum over the compressed rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
+        p["c"] = p["c"].astype(np.int64)
+        return p
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [val_col, group_col], ["c"])
+    comp = merged.to_pandas().sort_values([val_col, group_col], kind="stable")
+    per_val = comp.groupby(val_col, sort=True)["c"].sum()
+    cum = per_val.cumsum().to_numpy(np.int64)
+    n = int(cum[-1])
+    rank = max(math.ceil(0.5 * n) - 1, 0)  # quantile_disc(0.5) 0-based
+    med = int(per_val.index.to_numpy(np.int64)[np.searchsorted(cum, rank + 1)])
+    above = comp[comp[val_col] > med]
+    g_n = comp.groupby(group_col, sort=True)["c"].sum()
+    g_a = above.groupby(group_col, sort=True)["c"].sum().reindex(g_n.index, fill_value=0)
+    n_j = g_n.to_numpy(np.int64)
+    a_j = g_a.to_numpy(np.int64)
+    a = int(a_j.sum())
+    b = n - a
+    ea = n_j.astype(np.float64) * a / n
+    eb = n_j.astype(np.float64) * b / n
+    chi2 = float(np.sum((a_j - ea) ** 2 / ea + ((n_j - a_j) - eb) ** 2 / eb))
+    k = len(g_n)
+    return pa.table(
+        {
+            group_col: pa.array([str(x) for x in g_n.index], pa.string()),
+            "n_j": pa.array(n_j, pa.int64()),
+            "n_above": pa.array(a_j, pa.int64()),
+            "med": pa.array([med] * k, pa.int64()),
+            "n": pa.array([n] * k, pa.int64()),
+            "n_above_total": pa.array([a] * k, pa.int64()),
+            "chi2": pa.array([round(chi2, 6)] * k, pa.float64()),
+        }
+    )
