@@ -240,6 +240,9 @@ BENCH_QUERIES = [
     "source_length_hl_shift",       # Hodges-Lehmann shift (weighted median of all-pairs diffs)
     "source_length_mood",           # Mood median test (pooled quantile_disc + 2xk counts)
     "hourly_friedman",              # Friedman blocked ranks + Kendall W (hours as blocks)
+    "source_lang_cramers_v",        # Cramers V / Tschuprow T (full-grid chi2, missing-cell identity)
+    "hourly_runs_test",             # Wald-Wolfowitz runs test on hourly change signs
+    "hourly_durbin_watson",         # Durbin-Watson lag-1 serial-dependence screen
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

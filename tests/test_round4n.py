@@ -258,3 +258,108 @@ def test_friedman_bruteforce(ray_session):
     assert abs(float(got["kendall_w"].iloc[0]) - chi2_tie / (b * (k - 1.0))) < 1e-6
     # W is a [0, 1] concordance coefficient
     assert -1e-9 <= float(got["kendall_w"].iloc[0]) <= 1.0 + 1e-9
+
+
+def test_cramers_v_bruteforce(ray_session):
+    """Full-grid chi-square (unobserved cells contribute their
+    expected mass) vs an explicit r x c double loop — the missing-cell
+    identity is the part under test."""
+    import collections
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 3000
+    sidx = rng.integers(0, 6, size=n)
+    src = np.array([f"src{int(i)}" for i in sidx])
+    LANGS = ["en", "fr", "de", "es"]
+    # source k draws only from the first (k % 4) + 1 langs => some
+    # (lang, source) combos never occur
+    lang = np.array([LANGS[int(rng.integers(0, (int(k) % 4) + 1))] for k in sidx])
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"source": pa.array(src), "lang": pa.array(lang)}),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = QUERIES["source_lang_cramers_v"](d).to_pandas().iloc[0]
+
+    obs = collections.Counter(zip(lang, src))
+    langs, srcs = sorted(set(lang)), sorted(set(src))
+    rt, ct = collections.Counter(lang), collections.Counter(src)
+    chi2 = sum(
+        (obs.get((L, S), 0) - rt[L] * ct[S] / n) ** 2 / (rt[L] * ct[S] / n)
+        for L in langs
+        for S in srcs
+    )
+    r, c = len(langs), len(srcs)
+    assert r * c - int(got["n_cells"]) > 0, "fixture must have unobserved cells"
+    assert int(got["n"]) == n and int(got["r"]) == r and int(got["c"]) == c
+    assert abs(float(got["chi2"]) - chi2) < 1e-5
+    assert abs(float(got["cramers_v"]) - math.sqrt(chi2 / (n * min(r - 1, c - 1)))) < 1e-6
+    assert (
+        abs(float(got["tschuprow_t"]) - math.sqrt(chi2 / (n * math.sqrt((r - 1) * (c - 1)))))
+        < 1e-6
+    )
+
+
+def _write_events(d, n=6000, hours=72, types=("view", "click", "purchase")):
+    rng = _rng()
+    ts = np.datetime64("2026-01-01", "us") + rng.integers(
+        0, hours * 3600, size=n
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+    et = np.array(types)[rng.integers(0, len(types), size=n)]
+    pq.write_table(
+        pa.table({"ts": pa.array(ts), "event_type": pa.array(et)}),
+        os.path.join(d, "events.parquet"),
+    )
+    return ts, et
+
+
+def test_runs_test_bruteforce(ray_session):
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    ts, et = _write_events(d)
+    got = QUERIES["hourly_runs_test"](d).to_pandas().set_index("event_type")
+
+    hr = ts.astype(np.int64) // 3_600_000_000
+    for t in sorted(set(et)):
+        counts: dict = {}
+        for h, e in zip(hr, et):
+            if e == t:
+                counts[h] = counts.get(h, 0) + 1
+        nn = np.array([counts[h] for h in sorted(counts)])
+        sgn = np.sign(np.diff(nn))
+        sgn = sgn[sgn != 0]
+        n1, n2 = int((sgn > 0).sum()), int((sgn < 0).sum())
+        runs = int(1 + (sgn[1:] != sgn[:-1]).sum())
+        assert int(got.loc[t, "n_plus"]) == n1
+        assert int(got.loc[t, "n_minus"]) == n2
+        assert int(got.loc[t, "n_runs"]) == runs
+        m = n1 + n2
+        mu = 2.0 * n1 * n2 / m + 1.0
+        var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (float(m) * m * (m - 1.0))
+        assert abs(float(got.loc[t, "z"]) - (runs - mu) / math.sqrt(var)) < 1e-6
+
+
+def test_durbin_watson_bruteforce(ray_session):
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    ts, et = _write_events(d, n=4000, hours=48)
+    got = QUERIES["hourly_durbin_watson"](d).to_pandas().set_index("event_type")
+
+    hr = ts.astype(np.int64) // 3_600_000_000
+    for t in sorted(set(et)):
+        counts: dict = {}
+        for h, e in zip(hr, et):
+            if e == t:
+                counts[h] = counts.get(h, 0) + 1
+        nn = np.array([counts[h] for h in sorted(counts)], dtype=np.int64)
+        ssd = int(np.sum(np.diff(nn) ** 2))
+        assert int(got.loc[t, "ssd"]) == ssd
+        assert int(got.loc[t, "t_hours"]) == len(nn)
+        den = int(np.sum(nn * nn)) - int(nn.sum()) ** 2 / len(nn)
+        assert abs(float(got.loc[t, "dw"]) - ssd / den) < 1e-6
+        # a mean-reverting random hourly series sits near DW ~ 2-3
+        assert 0.0 < float(got.loc[t, "dw"]) < 4.0

@@ -19,7 +19,11 @@ Run: python tools/session10_rehearsal.py [--op jw|kendall|theilsen|lag|all]
 """
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pandas as pd
@@ -63,7 +67,9 @@ def rehearse_jw():
                 "blk": pa.array([t[:40] for t in mtexts], pa.string()),
             }
         )
-        return pa.concat_tables([base, rep])
+        # corpus text is large_string; the replica table was built as
+        # string — unify before concat
+        return pa.concat_tables([base, rep.cast(base.schema)])
 
     both = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
     from vaero_ray.stages.editdist import jaro_winkler_pairs

@@ -21,7 +21,11 @@ Run: python tools/session11_rehearsal.py [--op kruskal|jsd|hl|mood|friedman|sieg
 """
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pandas as pd

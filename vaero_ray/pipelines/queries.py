@@ -10924,6 +10924,265 @@ FROM g CROSS JOIN b CROSS JOIN k CROSS JOIN tie CROSS JOIN chi
 """
 
 
+def q_source_lang_cramers_v(sf_dir: str):
+    """Cramer's V and Tschuprow's T association effect sizes for the
+    source x lang contingency — the normalized [0,1] companions to the
+    raw chi-square profile (`lang_source_chi2`) and MI
+    (`source_lang_mutual_info`). Unlike the per-cell profile gate this
+    computes the FULL-GRID statistic: unobserved (r x c minus
+    observed) cells contribute their expected mass, via the identity
+    sum over missing cells of e = n - sum over observed cells of e —
+    no grid materialization in either engine. One bounded (source,
+    lang) keyed exchange; marginals and the final 6-dp floats are
+    driver arithmetic over the tiny cell table."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"source": df["source"], "lang": df["lang"]})
+        out["c"] = np.int64(1)
+        return out.groupby(["source", "lang"], sort=False, as_index=False).sum()
+
+    cells = (
+        pa.Table.from_pylist(
+            bucketed_keyed_sum(
+                ds.map_batches(partial, batch_format="pandas"),
+                ["source", "lang"],
+                ["c"],
+                num_buckets=4,
+            ).take_all()
+        )
+        .to_pandas()
+        .sort_values(["source", "lang"])
+    )
+    o = cells["c"].to_numpy(np.int64)
+    n = int(o.sum())
+    rt = cells.groupby("lang")["c"].transform("sum").to_numpy(np.int64)
+    ct = cells.groupby("source")["c"].transform("sum").to_numpy(np.int64)
+    e = rt.astype(np.float64) * ct / n
+    chi2 = float(np.sum((o - e) ** 2 / e)) + (n - float(np.sum(e)))
+    r = int(cells["lang"].nunique())
+    c = int(cells["source"].nunique())
+    v = math.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    t = math.sqrt(chi2 / (n * math.sqrt(float((r - 1) * (c - 1)))))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "r": pa.array([r], pa.int64()),
+            "c": pa.array([c], pa.int64()),
+            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "cramers_v": pa.array([round(v, 6)], pa.float64()),
+            "tschuprow_t": pa.array([round(t, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_CRAMERS_V = r"""
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS tot FROM c),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+x AS (SELECT SUM((c.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.tot)
+                 * (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / n.tot)
+                 / (CAST(rt.rt AS DOUBLE) * ct.ct / n.tot))
+             + (n.tot - SUM(CAST(rt.rt AS DOUBLE) * ct.ct / n.tot)) AS chi2,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+      GROUP BY n.tot),
+d AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c)
+SELECT n.tot AS n, x.n_cells, d.r, d.c,
+       ROUND(x.chi2, 6) AS chi2,
+       ROUND(sqrt(x.chi2 / (n.tot * LEAST(d.r - 1, d.c - 1))), 6) AS cramers_v,
+       ROUND(sqrt(x.chi2 / (n.tot * sqrt(CAST((d.r - 1) * (d.c - 1) AS DOUBLE)))), 6)
+         AS tschuprow_t
+FROM n CROSS JOIN x CROSS JOIN d
+"""
+
+
+def q_hourly_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test on the SIGN of hour-to-hour count
+    change per event type — is the hourly series' direction random, or
+    does it trend/oscillate? Successive-row diffs over the merged
+    hourly series (zero diffs dropped, classic dichotomous form):
+    n_plus, n_minus and the run count are exact int64; the normal
+    z-score is the one shared 6-dp float. Same hourly-family scale
+    shape: one bounded (type, hour) exchange, vectorized sign/run
+    fold on the tiny series."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas().sort_values(["event_type", "hr"])
+    out = {k: [] for k in ("event_type", "n_plus", "n_minus", "n_runs", "z")}
+    for et, g in df.groupby("event_type", sort=True):
+        d = np.diff(g["n"].to_numpy(np.int64))
+        sgn = np.sign(d)
+        sgn = sgn[sgn != 0]
+        if len(sgn) == 0:
+            continue
+        n1 = int(np.sum(sgn > 0))
+        n2 = int(np.sum(sgn < 0))
+        runs = int(1 + np.sum(sgn[1:] != sgn[:-1]))
+        out["event_type"].append(et)
+        out["n_plus"].append(n1)
+        out["n_minus"].append(n2)
+        out["n_runs"].append(runs)
+        m = n1 + n2
+        if n1 == 0 or n2 == 0 or m < 2:
+            out["z"].append(None)
+            continue
+        mu = 2.0 * n1 * n2 / m + 1.0
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / (float(m) * m * (m - 1.0))
+        )
+        out["z"].append(round((runs - mu) / math.sqrt(var), 6))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_plus": pa.array(out["n_plus"], pa.int64()),
+            "n_minus": pa.array(out["n_minus"], pa.int64()),
+            "n_runs": pa.array(out["n_runs"], pa.int64()),
+            "z": pa.array(out["z"], pa.float64()),
+        }
+    )
+
+
+SQL_RUNS_TEST = r"""
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+d AS (SELECT event_type, hr,
+             n - lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS d
+      FROM h),
+s AS (SELECT event_type, hr, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+      FROM d WHERE d IS NOT NULL AND d <> 0),
+r AS (SELECT event_type, sgn,
+             CASE WHEN sgn <> lag(sgn) OVER (PARTITION BY event_type ORDER BY hr)
+                  THEN 1 ELSE 0 END AS chg
+      FROM s),
+a AS (SELECT event_type,
+             CAST(COUNT(*) FILTER (sgn = 1) AS BIGINT) AS n_plus,
+             CAST(COUNT(*) FILTER (sgn = -1) AS BIGINT) AS n_minus,
+             CAST(1 + COALESCE(SUM(chg), 0) AS BIGINT) AS n_runs
+      FROM r GROUP BY 1)
+SELECT event_type, n_plus, n_minus, n_runs,
+       CASE WHEN n_plus = 0 OR n_minus = 0 OR n_plus + n_minus < 2 THEN NULL
+            ELSE ROUND((n_runs - (2.0 * n_plus * n_minus / (n_plus + n_minus) + 1.0))
+                       / sqrt(2.0 * n_plus * n_minus
+                              * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                              / (CAST(n_plus + n_minus AS DOUBLE)
+                                 * (n_plus + n_minus)
+                                 * (n_plus + n_minus - 1.0))), 6)
+       END AS z
+FROM a
+"""
+
+
+def q_hourly_durbin_watson(sf_dir: str):
+    """Durbin-Watson first-order autocorrelation statistic of the
+    hourly count series per event type (constant-model residuals:
+    deviations from the series mean): DW = sum((n_t - n_{t-1})^2) /
+    sum((n_t - mean)^2) — near 2 means no lag-1 autocorrelation, the
+    quick serial-dependence screen next to the ACF gate
+    (`hourly_autocorr`). Everything exchanged/emitted is exact int64
+    (squared-diff sum, sum, sum of squares, T); DW is the one shared
+    6-dp float over those integers."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas().sort_values(["event_type", "hr"])
+    out = {k: [] for k in ("event_type", "t_hours", "sum_n", "sum_n2", "ssd", "dw")}
+    for et, g in df.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(np.int64)
+        t = len(n)
+        d = np.diff(n)
+        ssd = int(np.sum(d * d))
+        sn = int(n.sum())
+        sn2 = int(np.sum(n * n))
+        out["event_type"].append(et)
+        out["t_hours"].append(t)
+        out["sum_n"].append(sn)
+        out["sum_n2"].append(sn2)
+        out["ssd"].append(ssd)
+        den = sn2 - float(sn) * sn / t
+        out["dw"].append(round(ssd / den, 6) if den > 0 else None)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "t_hours": pa.array(out["t_hours"], pa.int64()),
+            "sum_n": pa.array(out["sum_n"], pa.int64()),
+            "sum_n2": pa.array(out["sum_n2"], pa.int64()),
+            "ssd": pa.array(out["ssd"], pa.int64()),
+            "dw": pa.array(out["dw"], pa.float64()),
+        }
+    )
+
+
+SQL_DURBIN_WATSON = r"""
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+d AS (SELECT event_type, n,
+             n - lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS d
+      FROM h),
+a AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS t_hours,
+             CAST(SUM(n) AS BIGINT) AS sum_n,
+             CAST(SUM(n * n) AS BIGINT) AS sum_n2,
+             CAST(COALESCE(SUM(d * d), 0) AS BIGINT) AS ssd
+      FROM d GROUP BY 1)
+SELECT event_type, t_hours, sum_n, sum_n2, ssd,
+       CASE WHEN sum_n2 - CAST(sum_n AS DOUBLE) * sum_n / t_hours > 0
+            THEN ROUND(ssd / (sum_n2 - CAST(sum_n AS DOUBLE) * sum_n / t_hours), 6)
+            ELSE NULL END AS dw
+FROM a
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -11169,6 +11428,9 @@ QUERIES: dict[str, QueryFn] = {
     "source_length_hl_shift": q_source_length_hl_shift,
     "source_length_mood": q_source_length_mood,
     "hourly_friedman": q_hourly_friedman,
+    "source_lang_cramers_v": q_source_lang_cramers_v,
+    "hourly_runs_test": q_hourly_runs_test,
+    "hourly_durbin_watson": q_hourly_durbin_watson,
 }
 
 ORACLES: dict[str, str] = {
@@ -11416,4 +11678,7 @@ ORACLES: dict[str, str] = {
     "source_length_hl_shift": SQL_HL_SHIFT,
     "source_length_mood": SQL_MOOD,
     "hourly_friedman": SQL_FRIEDMAN,
+    "source_lang_cramers_v": SQL_CRAMERS_V,
+    "hourly_runs_test": SQL_RUNS_TEST,
+    "hourly_durbin_watson": SQL_DURBIN_WATSON,
 }
