@@ -243,6 +243,10 @@ BENCH_QUERIES = [
     "source_lang_cramers_v",        # Cramers V / Tschuprow T (full-grid chi2, missing-cell identity)
     "hourly_runs_test",             # Wald-Wolfowitz runs test on hourly change signs
     "hourly_durbin_watson",         # Durbin-Watson lag-1 serial-dependence screen
+    "length_token_gamma",           # Goodman-Kruskal gamma / Somers D / tau-a (shared Fenwick sweep)
+    "source_length_cliffs",         # Cliffs delta effect size (compressed-cumsum pair counts)
+    "source_lang_theil_u",          # Theil U uncertainty coefficients (directional NMI)
+    "source_lang_gtest",            # G-test + Williams correction on the same cells
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

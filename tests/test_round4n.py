@@ -363,3 +363,124 @@ def test_durbin_watson_bruteforce(ray_session):
         assert abs(float(got.loc[t, "dw"]) - ssd / den) < 1e-6
         # a mean-reverting random hourly series sits near DW ~ 2-3
         assert 0.0 < float(got.loc[t, "dw"]) < 4.0
+
+
+def test_ordinal_association_bruteforce(ray_session):
+    """gamma / Somers' D / tau-a finalizer vs an explicit O(n^2)
+    double loop over raw rows (ties in x, y, and both planted)."""
+    from vaero_ray.stages.numstats import ordinal_association_from_pairs
+
+    rng = _rng()
+    n = 400
+    x = rng.integers(0, 12, size=n).astype(np.int64)
+    y = (x // 2 + rng.integers(-3, 4, size=n)).astype(np.int64)
+    cells: dict = {}
+    for a, b in zip(x, y):
+        cells[(int(a), int(b))] = cells.get((int(a), int(b)), 0) + 1
+    xs = [k[0] for k in cells]
+    ys = [k[1] for k in cells]
+    cs = list(cells.values())
+    r = ordinal_association_from_pairs(xs, ys, cs)
+
+    conc = disc = tx = ty = txy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[i] - x[j], y[i] - y[j]
+            if dx == 0 and dy == 0:
+                txy += 1
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                conc += 1
+            else:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    assert r["n"] == n and r["conc"] == conc and r["disc"] == disc
+    assert r["tied_x"] == tx and r["tied_y"] == ty and r["tied_xy"] == txy
+    assert r["gamma_e6"] == math.floor((conc - disc) / (conc + disc) * 1e6 + 0.5)
+    assert r["d_yx_e6"] == math.floor((conc - disc) / (n0 - tx) * 1e6 + 0.5)
+    assert r["d_xy_e6"] == math.floor((conc - disc) / (n0 - ty) * 1e6 + 0.5)
+    assert r["tau_a_e6"] == math.floor((conc - disc) / n0 * 1e6 + 0.5)
+    # ordering: |tau_a| <= |D| <= |gamma| (denominators shrink)
+    assert abs(r["tau_a_e6"]) <= abs(r["d_yx_e6"]) <= abs(r["gamma_e6"])
+
+
+def test_cliffs_delta_bruteforce(ray_session):
+    """Compressed-cumsum pair counts vs the explicit n1 x n2 loop."""
+    from vaero_ray.stages.numstats import cliffs_delta
+
+    import ray.data as rd
+
+    rng = _rng()
+    n = 3000
+    grp = np.where(rng.random(n) < 0.5, "a", "b")
+    # group a shifted up => positive delta; small domain => heavy ties
+    v = rng.integers(0, 40, size=n) + np.where(grp == "a", 4, 0)
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(grp), "v": pa.array(v.astype(np.int64))})
+    )
+    got = cliffs_delta(ds, "v", "g", "a", "b").to_pandas().iloc[0]
+
+    va, vb = v[grp == "a"], v[grp == "b"]
+    gt = int(np.sum(va[:, None] > vb[None, :]))
+    lt = int(np.sum(va[:, None] < vb[None, :]))
+    eq = int(np.sum(va[:, None] == vb[None, :]))
+    assert int(got["n1"]) == len(va) and int(got["n2"]) == len(vb)
+    assert int(got["n_gt"]) == gt and int(got["n_lt"]) == lt and int(got["n_eq"]) == eq
+    assert gt + lt + eq == len(va) * len(vb)
+    assert int(got["delta_e6"]) == math.floor((gt - lt) / (len(va) * len(vb)) * 1e6 + 0.5)
+    assert int(got["delta_e6"]) > 0
+
+
+def test_theil_u_gtest_bruteforce(ray_session):
+    """Theil's U and the G-test vs explicit dict-histogram entropy
+    arithmetic on a planted source->lang dependence."""
+    import collections
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 5000
+    sidx = rng.integers(0, 5, size=n)
+    src = np.array([f"src{int(i)}" for i in sidx])
+    LANGS = ["en", "fr", "de"]
+    lang = np.array(
+        [LANGS[int((k + rng.integers(0, 2)) % 3)] for k in sidx]
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"source": pa.array(src), "lang": pa.array(lang)}),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    joint = collections.Counter(zip(src, lang))
+    cs, cl = collections.Counter(src), collections.Counter(lang)
+    mi = sum(
+        c / n * math.log(c * n / (cs[s] * cl[L])) for (s, L), c in joint.items()
+    )
+    h_s = -sum(c / n * math.log(c / n) for c in cs.values())
+    h_l = -sum(c / n * math.log(c / n) for c in cl.values())
+    h_j = -sum(c / n * math.log(c / n) for c in joint.values())
+
+    u = QUERIES["source_lang_theil_u"](d).to_pandas().iloc[0]
+    assert int(u["n_rows"]) == n and int(u["n_cells"]) == len(joint)
+    assert abs(float(u["h_joint"]) - h_j) < 1e-6
+    assert abs(float(u["u_lang_given_source"]) - mi / h_l) < 1e-6
+    assert abs(float(u["u_source_given_lang"]) - mi / h_s) < 1e-6
+    assert abs(float(u["u_symmetric"]) - 2 * mi / (h_s + h_l)) < 1e-6
+    # dependence planted => a real chunk of lang uncertainty is removed
+    assert 0.05 < float(u["u_lang_given_source"]) <= 1.0
+
+    g = QUERIES["source_lang_gtest"](d).to_pandas().iloc[0]
+    nr, nc = len(cl), len(cs)
+    assert int(g["df"]) == (nr - 1) * (nc - 1)
+    assert abs(float(g["g"]) - 2.0 * n * mi) < 1e-5
+    qw = 1.0 + (n * sum(1.0 / c for c in cl.values()) - 1.0) * (
+        n * sum(1.0 / c for c in cs.values()) - 1.0
+    ) / (6.0 * n * (nr - 1) * (nc - 1))
+    assert abs(float(g["williams_q"]) - qw) < 1e-6
+    assert abs(float(g["g_adj"]) - float(g["g"]) / qw) < 1e-4

@@ -11183,6 +11183,302 @@ FROM a
 """
 
 
+def q_length_token_gamma(sf_dir: str):
+    """Goodman-Kruskal gamma, Somers' D (both directions) and Kendall
+    tau-a of (n_chars, n_tokens) — the tie-aware ordinal effect-size
+    family completing the association suite next to tau-b
+    (`length_token_kendall`), on the SAME joint distinct-pair exchange
+    (bounded by distinct pairs, never rows). The driver finalize is the
+    shared Fenwick sweep (O(P log P), arbitrary-precision ints); the
+    oracle is the O(P^2) distinct-pair self-join. All pair counts exact
+    int64; the four statistics are e6-floored from identical float64
+    expressions: gamma=(C-D)/(C+D), D_yx=(C-D)/(n0-n1),
+    D_xy=(C-D)/(n0-n2), tau_a=(C-D)/n0."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.numstats import ordinal_association_from_pairs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        wt = token_counts(t, "text")
+        g = (
+            pa.table({"x": wt.column("n_chars"), "y": wt.column("n_tokens")})
+            .group_by(["x", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["x", "y", "c"])
+
+    pairs = ds.map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+    merged = pa.Table.from_pylist(
+        bucketed_keyed_sum(pairs, ["x", "y"], ["c"], num_buckets=4).take_all()
+    )
+    r = ordinal_association_from_pairs(
+        merged.column("x").to_pylist(),
+        merged.column("y").to_pylist(),
+        merged.column("c").to_pylist(),
+    )
+    return pa.table(
+        {
+            k: pa.array([r[k]], pa.int64())
+            for k in (
+                "n",
+                "conc",
+                "disc",
+                "tied_x",
+                "tied_y",
+                "tied_xy",
+                "gamma_e6",
+                "d_yx_e6",
+                "d_xy_e6",
+                "tau_a_e6",
+            )
+        }
+    )
+
+
+SQL_GAMMA = r"""
+WITH t AS (SELECT n_chars AS x,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS y
+           FROM documents),
+c AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS n FROM t GROUP BY 1, 2),
+p AS (SELECT
+        COALESCE(SUM(a.n * b.n) FILTER (WHERE b.x < a.x AND b.y < a.y), 0) AS conc,
+        COALESCE(SUM(a.n * b.n) FILTER (WHERE b.x < a.x AND b.y > a.y), 0) AS disc
+      FROM c a, c b),
+m AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(n * (n - 1) / 2) AS HUGEINT) AS n3 FROM c),
+tx AS (SELECT CAST(SUM(s * (s - 1) / 2) AS HUGEINT) AS n1
+       FROM (SELECT SUM(n) AS s FROM c GROUP BY x)),
+ty AS (SELECT CAST(SUM(s * (s - 1) / 2) AS HUGEINT) AS n2
+       FROM (SELECT SUM(n) AS s FROM c GROUP BY y))
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS conc,
+       CAST(disc AS BIGINT) AS disc,
+       CAST(n1 AS BIGINT) AS tied_x,
+       CAST(n2 AS BIGINT) AS tied_y,
+       CAST(n3 AS BIGINT) AS tied_xy,
+       CAST(floor(CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS gamma_e6,
+       CAST(floor(CAST(conc - disc AS DOUBLE)
+                  / CAST(nn * (nn - 1) / 2 - n1 AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS d_yx_e6,
+       CAST(floor(CAST(conc - disc AS DOUBLE)
+                  / CAST(nn * (nn - 1) / 2 - n2 AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS d_xy_e6,
+       CAST(floor(CAST(conc - disc AS DOUBLE)
+                  / CAST(nn * (nn - 1) / 2 AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS tau_a_e6
+FROM p, m, tx, ty
+"""
+
+
+def q_source_length_cliffs(sf_dir: str):
+    """Cliff's delta ordinal effect size of document length, src0 vs
+    src1 — the scale-free EFFECT-SIZE companion to the rank-sum test
+    (`source_length_ranksum`) and the Hodges-Lehmann location estimate
+    (`source_length_hl_shift`); numerically equal to the Mann-Whitney
+    rank-biserial correlation. Distinct-value compression: one
+    (value, c1, c2) row per distinct length crosses; n_gt / n_lt /
+    n_eq are exact int64 from a cumsum over the sorted compressed
+    side (never an n1 x n2 expansion); delta_e6 is the one shared
+    float, floored at 1e6 from the identical expression."""
+    from vaero_ray.stages.numstats import cliffs_delta
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return cliffs_delta(ds, "n_chars", "source", "src0", "src1")
+
+
+SQL_CLIFFS = r"""
+WITH t AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents WHERE source = 'src0' GROUP BY 1),
+u AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE source = 'src1' GROUP BY 1),
+p AS (SELECT
+        CAST(COALESCE(SUM(t.c * u.c) FILTER (WHERE t.v > u.v), 0) AS BIGINT) AS n_gt,
+        CAST(COALESCE(SUM(t.c * u.c) FILTER (WHERE t.v < u.v), 0) AS BIGINT) AS n_lt,
+        CAST(COALESCE(SUM(t.c * u.c) FILTER (WHERE t.v = u.v), 0) AS BIGINT) AS n_eq
+      FROM t CROSS JOIN u),
+n AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM t) AS n1,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM u) AS n2)
+SELECT n.n1, n.n2, p.n_gt, p.n_lt, p.n_eq,
+       CAST(floor(CAST(p.n_gt - p.n_lt AS DOUBLE)
+                  / (CAST(n.n1 AS DOUBLE) * n.n2) * 1000000 + 0.5) AS BIGINT)
+         AS delta_e6
+FROM p CROSS JOIN n
+"""
+
+
+def q_source_lang_theil_u(sf_dir: str):
+    """Theil's U uncertainty coefficients for source x lang — the
+    DIRECTIONAL companions to the symmetric NMI gate
+    (`source_lang_mutual_info`): U(lang|source) = MI / H(lang) is the
+    fraction of language uncertainty removed by knowing the source,
+    U(source|lang) the reverse, plus the symmetric U and the joint
+    entropy. Same bounded (source, lang) cell exchange (exact int64
+    counts); all entropies/ratios are 6-dp floats written identically
+    in the oracle (the entropy gates' determinism recipe)."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"source": df["source"], "lang": df["lang"]})
+        out["c"] = np.int64(1)
+        return out.groupby(["source", "lang"], sort=False, as_index=False).sum()
+
+    cells = (
+        pa.Table.from_pylist(
+            bucketed_keyed_sum(
+                ds.map_batches(partial, batch_format="pandas"),
+                ["source", "lang"],
+                ["c"],
+                num_buckets=4,
+            ).take_all()
+        )
+        .to_pandas()
+        .sort_values(["source", "lang"])
+    )
+    c = cells["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    r = cells.groupby("source")["c"].transform("sum").to_numpy(np.int64)
+    s = cells.groupby("lang")["c"].transform("sum").to_numpy(np.int64)
+    mi = float(np.sum((c / n) * np.log(c.astype(np.float64) * n / (r.astype(np.float64) * s))))
+    rm = cells.groupby("source")["c"].sum().to_numpy(np.int64)
+    sm = cells.groupby("lang")["c"].sum().to_numpy(np.int64)
+    h_source = math.log(n) - float(np.sum(rm * np.log(rm.astype(np.float64)))) / n
+    h_lang = math.log(n) - float(np.sum(sm * np.log(sm.astype(np.float64)))) / n
+    h_joint = math.log(n) - float(np.sum(c * np.log(c.astype(np.float64)))) / n
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "h_joint": pa.array([round(h_joint, 6)], pa.float64()),
+            "u_lang_given_source": pa.array([round(mi / h_lang, 6)], pa.float64()),
+            "u_source_given_lang": pa.array([round(mi / h_source, 6)], pa.float64()),
+            "u_symmetric": pa.array([round(2.0 * mi / (h_source + h_lang), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_THEIL_U = r"""
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+r AS (SELECT source, CAST(SUM(c) AS BIGINT) AS r FROM c GROUP BY 1),
+s AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS s FROM c GROUP BY 1),
+mi AS (SELECT SUM((CAST(c.c AS DOUBLE) / n.n)
+                  * ln(CAST(c.c AS DOUBLE) * n.n
+                       / (CAST(r.r AS DOUBLE) * s.s))) AS mi,
+              CAST(COUNT(*) AS BIGINT) AS n_cells
+       FROM c JOIN r USING (source) JOIN s USING (lang) CROSS JOIN n),
+hs AS (SELECT ln(CAST(n.n AS DOUBLE))
+              - SUM(r.r * ln(CAST(r.r AS DOUBLE))) / n.n AS h
+       FROM r CROSS JOIN n GROUP BY n.n),
+hl AS (SELECT ln(CAST(n.n AS DOUBLE))
+              - SUM(s.s * ln(CAST(s.s AS DOUBLE))) / n.n AS h
+       FROM s CROSS JOIN n GROUP BY n.n),
+hj AS (SELECT ln(CAST(n.n AS DOUBLE))
+              - SUM(c.c * ln(CAST(c.c AS DOUBLE))) / n.n AS h
+       FROM c CROSS JOIN n GROUP BY n.n)
+SELECT n.n AS n_rows, mi.n_cells AS n_cells,
+       ROUND(hj.h, 6) AS h_joint,
+       ROUND(mi.mi / hl.h, 6) AS u_lang_given_source,
+       ROUND(mi.mi / hs.h, 6) AS u_source_given_lang,
+       ROUND(2.0 * mi.mi / (hs.h + hl.h), 6) AS u_symmetric
+FROM n, mi, hs, hl, hj
+"""
+
+
+def q_source_lang_gtest(sf_dir: str):
+    """G-test (log-likelihood ratio chi-square) of source x lang
+    independence, plus the Williams small-sample correction — the
+    LIKELIHOOD-based counterpart to the Pearson chi-square
+    (`lang_source_chi2`) on the same exact integer cells. Zero cells
+    contribute nothing to G (o*ln(o/e) -> 0), so unlike the Pearson
+    full-grid statistic no missing-cell identity is needed. df is
+    exact int64; G, the Williams divisor q and G/q are the 6-dp
+    floats, written identically in the oracle."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"source": df["source"], "lang": df["lang"]})
+        out["c"] = np.int64(1)
+        return out.groupby(["source", "lang"], sort=False, as_index=False).sum()
+
+    cells = (
+        pa.Table.from_pylist(
+            bucketed_keyed_sum(
+                ds.map_batches(partial, batch_format="pandas"),
+                ["source", "lang"],
+                ["c"],
+                num_buckets=4,
+            ).take_all()
+        )
+        .to_pandas()
+        .sort_values(["source", "lang"])
+    )
+    o = cells["c"].to_numpy(np.int64)
+    n = int(o.sum())
+    r = cells.groupby("lang")["c"].transform("sum").to_numpy(np.int64)
+    ct = cells.groupby("source")["c"].transform("sum").to_numpy(np.int64)
+    g = 2.0 * float(
+        np.sum(o * np.log(o.astype(np.float64) * n / (r.astype(np.float64) * ct)))
+    )
+    rm = cells.groupby("lang")["c"].sum().to_numpy(np.int64)
+    cm = cells.groupby("source")["c"].sum().to_numpy(np.int64)
+    nr, nc = len(rm), len(cm)
+    df_ = (nr - 1) * (nc - 1)
+    q = 1.0 + (n * float(np.sum(1.0 / rm)) - 1.0) * (n * float(np.sum(1.0 / cm)) - 1.0) / (
+        6.0 * n * df_
+    )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "df": pa.array([df_], pa.int64()),
+            "g": pa.array([round(g, 6)], pa.float64()),
+            "williams_q": pa.array([round(q, 6)], pa.float64()),
+            "g_adj": pa.array([round(g / q, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_GTEST = r"""
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+g AS (SELECT 2.0 * SUM(c.o * ln(CAST(c.o AS DOUBLE) * n.n
+                                / (CAST(rt.rt AS DOUBLE) * ct.ct))) AS g,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n),
+d AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nr,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS nc,
+             (SELECT SUM(1.0 / rt) FROM rt) AS ir,
+             (SELECT SUM(1.0 / ct) FROM ct) AS ic)
+SELECT n.n, g.n_cells,
+       CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS df,
+       ROUND(g.g, 6) AS g,
+       ROUND(1.0 + (n.n * d.ir - 1.0) * (n.n * d.ic - 1.0)
+                   / (6.0 * n.n * (d.nr - 1) * (d.nc - 1)), 6) AS williams_q,
+       ROUND(g.g / (1.0 + (n.n * d.ir - 1.0) * (n.n * d.ic - 1.0)
+                          / (6.0 * n.n * (d.nr - 1) * (d.nc - 1))), 6) AS g_adj
+FROM n, g, d
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -11431,6 +11727,10 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_cramers_v": q_source_lang_cramers_v,
     "hourly_runs_test": q_hourly_runs_test,
     "hourly_durbin_watson": q_hourly_durbin_watson,
+    "length_token_gamma": q_length_token_gamma,
+    "source_length_cliffs": q_source_length_cliffs,
+    "source_lang_theil_u": q_source_lang_theil_u,
+    "source_lang_gtest": q_source_lang_gtest,
 }
 
 ORACLES: dict[str, str] = {
@@ -11681,4 +11981,8 @@ ORACLES: dict[str, str] = {
     "source_lang_cramers_v": SQL_CRAMERS_V,
     "hourly_runs_test": SQL_RUNS_TEST,
     "hourly_durbin_watson": SQL_DURBIN_WATSON,
+    "length_token_gamma": SQL_GAMMA,
+    "source_length_cliffs": SQL_CLIFFS,
+    "source_lang_theil_u": SQL_THEIL_U,
+    "source_lang_gtest": SQL_GTEST,
 }

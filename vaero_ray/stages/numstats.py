@@ -51,6 +51,9 @@ __all__ = [
     "siegel_slope_e6",
     "hodges_lehmann_shift",
     "mood_median_test",
+    "kendall_tau_from_pairs",
+    "ordinal_association_from_pairs",
+    "cliffs_delta",
 ]
 
 
@@ -614,16 +617,13 @@ def ks_two_sample(
     return pa.Table.from_pylist(out.take_all())
 
 
-def kendall_tau_from_pairs(xs, ys, cs) -> dict:
-    """Kendall tau-b finalize from DISTINCT (x, y) pair counts — the
-    driver-side half of the tau-b gate, reusable at any corpus size
-    because its input is bounded by distinct pairs, never rows.
-    Concordant/discordant counts via a Fenwick tree over y-ranks in one
-    x-ascending sweep (O(P log P) over P distinct pairs), exact
-    arbitrary-precision ints; tau as floor(tau * 1e6 + 0.5) from the
-    float64 expression (C - D) / sqrt((n0 - n1) * (n0 - n2))."""
-    import math
-
+def _pair_sweep_ingredients(xs, ys, cs) -> dict:
+    """Shared concordance machinery for the ordinal-association
+    finalizers: from DISTINCT (x, y) pair counts, the concordant /
+    discordant pair totals (Fenwick tree over y-ranks in one
+    x-ascending sweep, O(P log P) over P distinct pairs, exact
+    arbitrary-precision ints) plus the tie ingredients n0 (all pairs),
+    n1 (pairs tied on x), n2 (pairs tied on y), n3 (tied on both)."""
     rows = sorted(zip(list(xs), list(ys), list(cs)))
     ys_d = sorted({y for _, y, _ in rows})
     yrank = {y: i + 1 for i, y in enumerate(ys_d)}
@@ -668,13 +668,121 @@ def kendall_tau_from_pairs(xs, ys, cs) -> dict:
         cy[y] = cy.get(y, 0) + c
     n1 = sum(v * (v - 1) // 2 for v in cx.values())
     n2 = sum(v * (v - 1) // 2 for v in cy.values())
-    tau = float(conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    n3 = sum(c * (c - 1) // 2 for _, _, c in rows)
     return {
         "n": n,
         "conc": conc,
         "disc": disc,
+        "n0": n0,
+        "n1": n1,
+        "n2": n2,
+        "n3": n3,
+    }
+
+
+def kendall_tau_from_pairs(xs, ys, cs) -> dict:
+    """Kendall tau-b finalize from DISTINCT (x, y) pair counts — the
+    driver-side half of the tau-b gate, reusable at any corpus size
+    because its input is bounded by distinct pairs, never rows.
+    Concordant/discordant counts via the shared Fenwick sweep
+    (:func:`_pair_sweep_ingredients`); tau as floor(tau * 1e6 + 0.5)
+    from the float64 expression (C - D) / sqrt((n0 - n1) * (n0 - n2))."""
+    g = _pair_sweep_ingredients(xs, ys, cs)
+    tau = float(g["conc"] - g["disc"]) / math.sqrt(
+        float(g["n0"] - g["n1"]) * float(g["n0"] - g["n2"])
+    )
+    return {
+        "n": g["n"],
+        "conc": g["conc"],
+        "disc": g["disc"],
         "tau_e6": math.floor(tau * 1e6 + 0.5),
     }
+
+
+def ordinal_association_from_pairs(xs, ys, cs) -> dict:
+    """Goodman-Kruskal gamma, Somers' D (both directions) and Kendall
+    tau-a from DISTINCT (x, y) pair counts — the tie-aware ordinal
+    effect-size family riding the SAME bounded exchange (and the same
+    Fenwick sweep) as the tau-b finalizer. With C concordant and D
+    discordant pairs, n0 = n(n-1)/2 total pairs, n1/n2 pairs tied on
+    x/y:
+
+    - gamma    = (C - D) / (C + D)       (ignores all ties)
+    - D_yx     = (C - D) / (n0 - n1)     (y dependent: pairs untied on x)
+    - D_xy     = (C - D) / (n0 - n2)     (x dependent: pairs untied on y)
+    - tau_a    = (C - D) / n0            (no tie correction at all)
+
+    All integer ingredients exact (arbitrary precision); the four
+    statistics emitted as floor(v * 1e6 + 0.5) from the identical
+    float64 expressions a SQL oracle writes over the same integers."""
+    g = _pair_sweep_ingredients(xs, ys, cs)
+    num = float(g["conc"] - g["disc"])
+    return {
+        "n": g["n"],
+        "conc": g["conc"],
+        "disc": g["disc"],
+        "tied_x": g["n1"],
+        "tied_y": g["n2"],
+        "tied_xy": g["n3"],
+        "gamma_e6": math.floor(num / float(g["conc"] + g["disc"]) * 1e6 + 0.5),
+        "d_yx_e6": math.floor(num / float(g["n0"] - g["n1"]) * 1e6 + 0.5),
+        "d_xy_e6": math.floor(num / float(g["n0"] - g["n2"]) * 1e6 + 0.5),
+        "tau_a_e6": math.floor(num / float(g["n0"]) * 1e6 + 0.5),
+    }
+
+
+def cliffs_delta(ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str) -> pa.Table:
+    """Cliff's delta ordinal effect size between two groups: the
+    probability a g1 value exceeds a g2 value minus the reverse,
+    delta = (#{v1 > v2} - #{v1 < v2}) / (n1 * n2) — the EFFECT-SIZE
+    companion to the rank-sum test (:func:`rank_sum_test`), robust and
+    scale-free where Hodges-Lehmann is a location estimate. The
+    rank-biserial correlation of the Mann-Whitney U equals the same
+    quantity, so one gate covers both names.
+
+    Same distinct-value compression as :func:`hodges_lehmann_shift`:
+    one (value, c1, c2) row per distinct value crosses; the pair
+    counts n_gt / n_lt / n_eq come from a cumsum over the sorted
+    compressed side (never an n1 x n2 expansion) and are exact int64.
+    delta_e6 is the one float, floor(delta * 1e6 + 0.5), identical
+    expression in the oracle. Contract: n1 * n2 < 2^63."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin([g1, g2])]
+        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
+        out = pd.DataFrame(
+            {
+                val_col: p[val_col],
+                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
+                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
+            }
+        )
+        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
+    comp = merged.to_pandas().sort_values(val_col, kind="stable")
+    c1 = comp["c1"].to_numpy(np.int64)
+    c2 = comp["c2"].to_numpy(np.int64)
+    n1 = int(c1.sum())
+    n2 = int(c2.sum())
+    # c2 pairs strictly below / above each distinct value (value-sorted)
+    below = np.concatenate(([0], np.cumsum(c2)[:-1]))
+    above = n2 - below - c2
+    n_gt = int(np.sum(c1 * below))
+    n_lt = int(np.sum(c1 * above))
+    n_eq = int(np.sum(c1 * c2))
+    delta = float(n_gt - n_lt) / (float(n1) * n2)
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "n_gt": pa.array([n_gt], pa.int64()),
+            "n_lt": pa.array([n_lt], pa.int64()),
+            "n_eq": pa.array([n_eq], pa.int64()),
+            "delta_e6": pa.array([int(math.floor(delta * 1e6 + 0.5))], pa.int64()),
+        }
+    )
 
 
 def theil_sen_slope_e6(h: np.ndarray, n: np.ndarray) -> int:
