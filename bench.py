@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "source_length_cliffs",         # Cliffs delta effect size (compressed-cumsum pair counts)
     "source_lang_theil_u",          # Theil U uncertainty coefficients (directional NMI)
     "source_lang_gtest",            # G-test + Williams correction on the same cells
+    "hourly_page_trend",            # Page's L ordered-alternative test (blocked doubled ranks)
+    "hourly_cochran_q",             # Cochran's Q on binary hour x type occurrence
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

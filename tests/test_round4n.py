@@ -484,3 +484,121 @@ def test_theil_u_gtest_bruteforce(ray_session):
     ) / (6.0 * n * (nr - 1) * (nc - 1))
     assert abs(float(g["williams_q"]) - qw) < 1e-6
     assert abs(float(g["g_adj"]) - float(g["g"]) / qw) < 1e-4
+
+
+def test_page_trend_bruteforce(ray_session):
+    """Page's L against explicit per-block average ranks and the
+    textbook chi2_L / z formulas, on a fixture with a planted
+    alphabetical trend and some incomplete blocks."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    types = ["a_ev", "b_ev", "c_ev", "d_ev"]
+    rows_ts, rows_et = [], []
+    base = np.datetime64("2026-02-01", "us")
+    for h in range(60):
+        for j, t in enumerate(types):
+            # planted increasing trend in alphabetical position + noise;
+            # every 7th hour drops one type => incomplete block
+            if h % 7 == 0 and j == 2:
+                continue
+            cnt = 1 + 2 * j + int(rng.integers(0, 3))
+            for _ in range(cnt):
+                rows_ts.append(base + np.timedelta64(h * 3600 + int(rng.integers(0, 3600)), "s"))
+                rows_et.append(t)
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(np.array(rows_ts, dtype="datetime64[us]")),
+                "event_type": pa.array(rows_et),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = QUERIES["hourly_page_trend"](d).to_pandas().iloc[0]
+
+    # brute force: hourly counts, complete blocks, average ranks
+    hr = np.array(rows_ts, dtype="datetime64[us]").astype(np.int64) // 3_600_000_000
+    et = np.array(rows_et)
+    k = len(types)
+    blocks = {}
+    for h in sorted(set(hr)):
+        present = {t: int(np.sum((hr == h) & (et == t))) for t in types}
+        present = {t: c for t, c in present.items() if c > 0}
+        if len(present) == k:
+            blocks[h] = present
+    b = len(blocks)
+    two_l = 0
+    for h, cnts in blocks.items():
+        vals = np.array([cnts[t] for t in types], dtype=np.int64)
+        r = _avg_ranks(vals)
+        two_l += int(np.sum((np.arange(1, k + 1)) * np.round(2 * r).astype(np.int64)))
+    assert int(got["b"]) == b and int(got["k"]) == k
+    assert int(got["two_l"]) == two_l
+    num = 6.0 * two_l - 3.0 * b * k * (k + 1) * (k + 1)
+    den = b * k * k * (k + 1.0) * (k * k - 1)
+    assert abs(float(got["chi2_l"]) - num * num / den) < 1e-5
+    assert abs(float(got["z"]) - num / math.sqrt(den)) < 1e-6
+    # planted monotone trend => strongly positive z
+    assert float(got["z"]) > 3.0
+
+
+def test_cochran_q_bruteforce(ray_session):
+    """Cochran's Q on the binary hour x type occurrence design vs the
+    explicit x_ij matrix formula (one type planted rare)."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    types = ["view", "click", "purchase"]
+    probs = [0.95, 0.7, 0.25]  # purchase present in few hours
+    rows_ts, rows_et = [], []
+    base = np.datetime64("2026-03-01", "us")
+    for h in range(80):
+        any_row = False
+        for t, p in zip(types, probs):
+            if rng.random() < p:
+                any_row = True
+                for _ in range(int(rng.integers(1, 4))):
+                    rows_ts.append(
+                        base + np.timedelta64(h * 3600 + int(rng.integers(0, 3600)), "s")
+                    )
+                    rows_et.append(t)
+        if not any_row:  # keep every hour a block for the brute force
+            rows_ts.append(base + np.timedelta64(h * 3600, "s"))
+            rows_et.append("view")
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(np.array(rows_ts, dtype="datetime64[us]")),
+                "event_type": pa.array(rows_et),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = QUERIES["hourly_cochran_q"](d).to_pandas().set_index("event_type")
+
+    hr = np.array(rows_ts, dtype="datetime64[us]").astype(np.int64) // 3_600_000_000
+    et = np.array(rows_et)
+    hours = sorted(set(hr))
+    k = len(set(et))
+    x = np.zeros((len(hours), k), dtype=np.int64)
+    tl = sorted(set(et))
+    for i, h in enumerate(hours):
+        for j, t in enumerate(tl):
+            x[i, j] = int(np.any((hr == h) & (et == t)))
+    c_j = x.sum(axis=0)
+    r_i = x.sum(axis=1)
+    n_tot = int(x.sum())
+    q = (k - 1.0) * (k * int(np.sum(c_j**2)) - float(n_tot) * n_tot) / (
+        k * n_tot - int(np.sum(r_i**2))
+    )
+    for j, t in enumerate(tl):
+        assert int(got.loc[t, "c_j"]) == int(c_j[j])
+    assert int(got["b"].iloc[0]) == len(hours)
+    assert int(got["n_tot"].iloc[0]) == n_tot
+    assert int(got["sum_r2"].iloc[0]) == int(np.sum(r_i**2))
+    assert abs(float(got["q"].iloc[0]) - q) < 1e-6
+    # planted rare type => Q clearly significant vs chi2(2)
+    assert float(got["q"].iloc[0]) > 10.0

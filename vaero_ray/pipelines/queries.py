@@ -11479,6 +11479,169 @@ FROM n, g, d
 """
 
 
+def q_hourly_page_trend(sf_dir: str):
+    """Page's L test for an ORDERED alternative across event types with
+    hours as blocks — the trend-sensitive refinement of the Friedman
+    test (`hourly_friedman`) on the same complete-block doubled ranks:
+    L = sum_j j * R_j with the hypothesized ordering fixed as the
+    ALPHABETICAL event-type order (a deterministic convention both
+    engines share; analysts re-map the labels to test any other
+    ordering). two_l = sum_j j * two_R_j is exact int64; the df=1
+    chi-square (12L - 3bk(k+1)^2)^2 / (bk^2(k+1)(k^2-1)) and the
+    signed z use 6*two_l = 12L so the numerator stays integer-exact
+    before the one shared float division. Ties ride through the
+    doubled average ranks (the classic large-sample form). Same
+    bounded (type, hour) exchange as the Friedman gate."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas()
+    k = int(df["event_type"].nunique())
+    cnt = df.groupby("hr")["event_type"].size()
+    complete = cnt[cnt == k].index
+    sub = df[df["hr"].isin(complete)].copy()
+    sub["two_rank"] = (
+        (2 * sub.groupby("hr")["n"].rank(method="average")).round().astype(np.int64)
+    )
+    g = sub.groupby("event_type", sort=True)["two_rank"].sum()
+    b = int(len(complete))
+    j = np.arange(1, k + 1, dtype=np.int64)
+    two_l = int(np.sum(j * g.to_numpy(np.int64)))
+    num = 6.0 * two_l - 3.0 * b * k * (k + 1) * (k + 1)
+    den = b * k * k * (k + 1.0) * (k * k - 1)
+    return pa.table(
+        {
+            "b": pa.array([b], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "two_l": pa.array([two_l], pa.int64()),
+            "chi2_l": pa.array([round(num * num / den, 6)], pa.float64()),
+            "z": pa.array([round(num / math.sqrt(den), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_PAGE_TREND = r"""
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM h),
+cb AS (SELECT hr FROM h GROUP BY hr HAVING COUNT(*) = (SELECT k FROM k)),
+r AS (SELECT h.event_type, h.hr,
+             RANK() OVER (PARTITION BY h.hr ORDER BY h.n) AS mn,
+             COUNT(*) OVER (PARTITION BY h.hr, h.n) AS c
+      FROM h JOIN cb USING (hr)),
+g AS (SELECT event_type, CAST(SUM(2*mn + c - 1) AS BIGINT) AS two_r
+      FROM r GROUP BY 1),
+b AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cb),
+pos AS (SELECT event_type,
+               CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS j
+        FROM g),
+l AS (SELECT CAST(SUM(pos.j * g.two_r) AS BIGINT) AS two_l
+      FROM g JOIN pos USING (event_type)),
+f AS (SELECT l.two_l,
+             6.0 * l.two_l - 3.0 * b.b * k.k * (k.k + 1) * (k.k + 1) AS num,
+             b.b * k.k * k.k * (k.k + 1.0) * (k.k * k.k - 1) AS den
+      FROM l CROSS JOIN b CROSS JOIN k)
+SELECT b.b, k.k, f.two_l,
+       ROUND(f.num * f.num / f.den, 6) AS chi2_l,
+       ROUND(f.num / sqrt(f.den), 6) AS z
+FROM f CROSS JOIN b CROSS JOIN k
+"""
+
+
+def q_hourly_cochran_q(sf_dir: str):
+    """Cochran's Q test of equal OCCURRENCE rates across event types
+    with hours as blocks, on the binary design x_ij = [type j had >= 1
+    event in hour i] — the dichotomous member of the blocked-design
+    family next to Friedman (counts->ranks) and Page (ordered): do the
+    k types differ in how many hours they show up in at all? Blocks
+    are the hours with any event (both engines derive the identical
+    block set from the cells themselves). All ingredients exact int64
+    (per-type presence-hours C_j, the cell total N, sum of squared
+    per-hour presence counts sum R_i^2, b, k); Q = (k-1)(k*sum C_j^2 -
+    N^2) / (k*N - sum R_i^2) is the one shared 6-dp float. Same
+    bounded (type, hour) cell exchange; only EXISTENCE of each cell is
+    used."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas()
+    k = int(df["event_type"].nunique())
+    cj = df.groupby("event_type", sort=True).size()
+    ri = df.groupby("hr").size().to_numpy(np.int64)
+    b = int(len(ri))
+    n_tot = int(ri.sum())
+    sum_r2 = int(np.sum(ri * ri))
+    c_j = cj.to_numpy(np.int64)
+    sum_c2 = int(np.sum(c_j * c_j))
+    q = (k - 1.0) * (k * sum_c2 - float(n_tot) * n_tot) / (k * n_tot - sum_r2)
+    nt = len(cj)
+    return pa.table(
+        {
+            "event_type": pa.array(list(cj.index), pa.string()),
+            "c_j": pa.array(c_j, pa.int64()),
+            "b": pa.array([b] * nt, pa.int64()),
+            "k": pa.array([k] * nt, pa.int64()),
+            "n_tot": pa.array([n_tot] * nt, pa.int64()),
+            "sum_r2": pa.array([sum_r2] * nt, pa.int64()),
+            "q": pa.array([round(q, 6)] * nt, pa.float64()),
+        }
+    )
+
+
+SQL_COCHRAN_Q = r"""
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+           FROM events GROUP BY 1, 2),
+k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM h),
+cj AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c_j FROM h GROUP BY 1),
+ri AS (SELECT hr, CAST(COUNT(*) AS BIGINT) AS r FROM h GROUP BY 1),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+               CAST(SUM(r) AS BIGINT) AS n_tot,
+               CAST(SUM(r * r) AS BIGINT) AS sum_r2 FROM ri),
+s AS (SELECT CAST(SUM(c_j * c_j) AS BIGINT) AS sum_c2 FROM cj)
+SELECT cj.event_type, cj.c_j, agg.b, k.k, agg.n_tot, agg.sum_r2,
+       ROUND((k.k - 1.0) * (k.k * s.sum_c2 - CAST(agg.n_tot AS DOUBLE) * agg.n_tot)
+             / (k.k * agg.n_tot - agg.sum_r2), 6) AS q
+FROM cj CROSS JOIN agg CROSS JOIN k CROSS JOIN s
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -11731,6 +11894,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_length_cliffs": q_source_length_cliffs,
     "source_lang_theil_u": q_source_lang_theil_u,
     "source_lang_gtest": q_source_lang_gtest,
+    "hourly_page_trend": q_hourly_page_trend,
+    "hourly_cochran_q": q_hourly_cochran_q,
 }
 
 ORACLES: dict[str, str] = {
@@ -11985,4 +12150,6 @@ ORACLES: dict[str, str] = {
     "source_length_cliffs": SQL_CLIFFS,
     "source_lang_theil_u": SQL_THEIL_U,
     "source_lang_gtest": SQL_GTEST,
+    "hourly_page_trend": SQL_PAGE_TREND,
+    "hourly_cochran_q": SQL_COCHRAN_Q,
 }
