@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "source_lang_gtest",            # G-test + Williams correction on the same cells
     "hourly_page_trend",            # Page's L ordered-alternative test (blocked doubled ranks)
     "hourly_cochran_q",             # Cochran's Q on binary hour x type occurrence
+    "damerau_title_dups",           # unrestricted Damerau-Levenshtein pair verifier
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -602,3 +602,99 @@ def test_cochran_q_bruteforce(ray_session):
     assert abs(float(got["q"].iloc[0]) - q) < 1e-6
     # planted rare type => Q clearly significant vs chi2(2)
     assert float(got["q"].iloc[0]) > 10.0
+
+
+def test_batch_damerau_matches_duckdb():
+    """Pair-vectorized Lowrance-Wagner kernel vs DuckDB's
+    damerau_levenshtein — exact, incl. empties, adjacent AND
+    non-adjacent transpositions (tiny alphabet forces repeats), and
+    the OSA-vs-unrestricted divergence case."""
+    import duckdb
+
+    from vaero_ray.stages.editdist import _batch_damerau
+
+    rng = _rng()
+    alpha = list("abcd")
+    cases = [("CA", "ABC"), ("", ""), ("", "ab"), ("ba", "ab"), ("abcd", "acbd")]
+    for _ in range(5000):
+        l1 = int(rng.integers(0, 24))
+        l2 = int(rng.integers(0, 24))
+        s1 = "".join(rng.choice(alpha, size=l1))
+        s2 = "".join(rng.choice(alpha, size=l2))
+        r = rng.random()
+        if r < 0.3 and l1 > 4:
+            ls = list(s1)
+            i = int(rng.integers(0, l1 - 1))
+            ls[i], ls[i + 1] = ls[i + 1], ls[i]
+            s2 = "".join(ls)
+        elif r < 0.45 and l1 > 6:
+            ls = list(s1)
+            i = int(rng.integers(0, l1 - 3))
+            ls[i], ls[i + 2] = ls[i + 2], ls[i]  # gap transposition
+            s2 = "".join(ls)
+        cases.append((s1, s2))
+    con = duckdb.connect()
+    con.execute("create table t(a varchar, b varchar)")
+    con.executemany("insert into t values (?,?)", cases)
+    want = np.array(
+        [r[0] for r in con.sql("select damerau_levenshtein(a,b) from t").fetchall()],
+        dtype=np.int64,
+    )
+    got = _batch_damerau([c[0] for c in cases], [c[1] for c in cases])
+    assert (got == want).all()
+    assert got[0] == 2  # the unrestricted-DL signature case
+
+
+def test_damerau_pairs_blocked(ray_session):
+    """damerau_pairs finds planted swap+substitution replicas within
+    blocks at max_distance=2 (Levenshtein would need 3)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vaero_ray.stages.editdist import _batch_damerau, damerau_pairs
+
+    rng = _rng()
+    alpha = list("abcdefghij")
+    rows = []
+    for i in range(150):
+        t = "".join(rng.choice(alpha, size=28))
+        rows.append((i, t, f"s{i % 3}"))
+        if i % 4 == 0:  # swap chars 2/3 + substitute char 6 => DL 2
+            lt = list(t)
+            lt[2], lt[3] = lt[3], lt[2]
+            lt[6] = "Z"
+            rows.append((1000 + i, "".join(lt), f"s{i % 3}"))
+    df = pd.DataFrame(rows, columns=["doc_id", "k", "source"])
+    df["n"] = df["k"].str.len().astype("int64")
+    ds = rd.from_pandas(df)
+    out = pa.Table.from_pylist(
+        damerau_pairs(
+            ds, "doc_id", "k", ["source", "n"], max_distance=2, num_buckets=4
+        ).take_all()
+    )
+    got = {
+        (a, b): d
+        for a, b, d in zip(
+            out.column("id_a").to_pylist(),
+            out.column("id_b").to_pylist(),
+            out.column("dl_dist").to_pylist(),
+        )
+    }
+    # brute-force over the same blocks
+    recs = list(df.itertuples(index=False))
+    want = {}
+    A, B, key = [], [], []
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = recs[i], recs[j]
+            if a.source == b.source and a.n == b.n:
+                lo, hi = sorted((a.doc_id, b.doc_id))
+                A.append(a.k)
+                B.append(b.k)
+                key.append((lo, hi))
+    d = _batch_damerau(A, B)
+    for kk, dd in zip(key, d):
+        if dd <= 2:
+            want[kk] = int(dd)
+    assert got == want
+    assert len(want) >= 30  # the planted replicas are all found

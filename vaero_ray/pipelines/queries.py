@@ -11642,6 +11642,68 @@ FROM cj CROSS JOIN agg CROSS JOIN k CROSS JOIN s
 """
 
 
+def q_damerau_title_dups(sf_dir: str):
+    """Unrestricted Damerau-Levenshtein title dedup
+    (stages/editdist.damerau_pairs): documents unioned with a planted
+    swap+substitution replica (chars 2/3 swapped AND char 7 replaced,
+    every 7th doc — DL counts 2 where plain Levenshtein needs 3, so a
+    <=2 threshold admits the typo class and rejects real edits), keyed
+    on the first 32 chars, blocked on (source, n_chars), every
+    in-bucket pair scored by the pair-vectorized Lowrance-Wagner
+    kernel (DuckDB-damerau_levenshtein-exact). Completes the
+    edit-metric verifier family: Levenshtein (pure edits), JW
+    (prefix-weighted similarity), DL (edits + transpositions)."""
+    from vaero_ray.stages.editdist import damerau_pairs
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "n_chars"]
+    )
+
+    def with_replica(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = tbl.column("text").to_pylist()
+        sel = (ids % 7 == 0) & np.array([len(t or "") >= 8 for t in texts])
+        sub = tbl.filter(pa.array(sel))
+        stexts = sub.column("text").to_pylist()
+        mut = [t[0] + t[2] + t[1] + t[3:6] + "Z" + t[7:] for t in stexts]
+        rep = pa.table(
+            {
+                "doc_id": pa.array(
+                    sub.column("doc_id").to_numpy(zero_copy_only=False) + 10_000_000,
+                    pa.int64(),
+                ),
+                "text": pa.array(mut, pa.string()),
+                "source": sub.column("source"),
+                "n_chars": sub.column("n_chars"),
+            }
+        )
+        both = pa.concat_tables([tbl.select(rep.column_names), rep.cast(tbl.select(rep.column_names).schema)])
+        key = pc.utf8_slice_codeunits(both.column("text"), 0, 32)
+        return both.append_column("dl_key", key)
+
+    both = ds.map_batches(with_replica, batch_format="pyarrow", zero_copy_batch=True)
+    return damerau_pairs(
+        both, "doc_id", "dl_key", ["source", "n_chars"], max_distance=2
+    )
+
+
+SQL_DAMERAU_TITLE_DUPS = r"""
+WITH all_docs AS (
+  SELECT doc_id, substr(text, 1, 32) AS k, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         substr(substr(text, 1, 1) || substr(text, 3, 1) || substr(text, 2, 1)
+                || substr(text, 4, 3) || 'Z' || substr(text, 8), 1, 32),
+         source, n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 8)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(damerau_levenshtein(a.k, b.k) AS BIGINT) AS dl_dist
+FROM all_docs a JOIN all_docs b
+  ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE damerau_levenshtein(a.k, b.k) <= 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -11896,6 +11958,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_gtest": q_source_lang_gtest,
     "hourly_page_trend": q_hourly_page_trend,
     "hourly_cochran_q": q_hourly_cochran_q,
+    "damerau_title_dups": q_damerau_title_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -12152,4 +12215,5 @@ ORACLES: dict[str, str] = {
     "source_lang_gtest": SQL_GTEST,
     "hourly_page_trend": SQL_PAGE_TREND,
     "hourly_cochran_q": SQL_COCHRAN_Q,
+    "damerau_title_dups": SQL_DAMERAU_TITLE_DUPS,
 }
