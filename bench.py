@@ -250,6 +250,10 @@ BENCH_QUERIES = [
     "hourly_page_trend",            # Page's L ordered-alternative test (blocked doubled ranks)
     "hourly_cochran_q",             # Cochran's Q on binary hour x type occurrence
     "damerau_title_dups",           # unrestricted Damerau-Levenshtein pair verifier
+    "source_length_anova",          # one-way ANOVA F + eta2 (parametric Kruskal sibling)
+    "source_length_welch",          # Welch unequal-variance t test src0 vs src1
+    "source_length_shape",          # per-source skewness/kurtosis (compressed power sums)
+    "source_length_brown_forsythe", # robust equal-spread test (ANOVA on |v - median|)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

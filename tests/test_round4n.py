@@ -698,3 +698,103 @@ def test_damerau_pairs_blocked(ray_session):
             want[kk] = int(dd)
     assert got == want
     assert len(want) >= 30  # the planted replicas are all found
+
+
+def test_anova_welch_bruteforce(ray_session):
+    """ANOVA F / eta2 and Welch t/df vs explicit textbook formulas on
+    raw group arrays (planted mean shift)."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    rng = _rng()
+    n = 4000
+    sidx = rng.integers(0, 4, size=n)
+    src = np.array([f"src{int(i)}" for i in sidx])
+    v = (rng.integers(10, 120, size=n) + 6 * sidx).astype(np.int64)  # shifted means
+    pq.write_table(
+        pa.table({"source": pa.array(src), "n_chars": pa.array(v)}),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    groups = [v[src == f"src{j}"] for j in range(4)]
+    grand = v.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k = 4
+    f_want = (ssb / (k - 1)) / (ssw / (n - k))
+    a = QUERIES["source_length_anova"](d).to_pandas()
+    assert len(a) == k
+    for j in range(4):
+        row = a[a["source"] == f"src{j}"].iloc[0]
+        assert int(row["n_j"]) == len(groups[j])
+        assert int(row["s1"]) == int(groups[j].sum())
+        assert int(row["s2"]) == int((groups[j].astype(np.int64) ** 2).sum())
+    assert abs(float(a["f_stat"].iloc[0]) - f_want) < 1e-4
+    assert abs(float(a["eta2"].iloc[0]) - ssb / (ssb + ssw)) < 1e-6
+    assert float(a["f_stat"].iloc[0]) > 10.0  # planted shift detected
+
+    w = QUERIES["source_length_welch"](d).to_pandas().iloc[0]
+    g0, g1 = groups[0], groups[1]
+    v0, v1 = g0.var(ddof=1), g1.var(ddof=1)
+    se2 = v0 / len(g0) + v1 / len(g1)
+    t_want = (g0.mean() - g1.mean()) / math.sqrt(se2)
+    df_want = se2**2 / (
+        (v0 / len(g0)) ** 2 / (len(g0) - 1) + (v1 / len(g1)) ** 2 / (len(g1) - 1)
+    )
+    assert abs(float(w["t"]) - t_want) < 1e-5
+    assert abs(float(w["df"]) - df_want) < 1e-3
+    assert abs(float(w["mean_diff"]) - (g0.mean() - g1.mean())) < 1e-6
+    assert float(w["t"]) < -3.0  # src1 shifted up
+
+
+def test_shape_brown_forsythe_bruteforce(ray_session):
+    """Skewness/kurtosis and the Brown-Forsythe F vs explicit
+    central-moment / median-deviation arithmetic (one group planted
+    with doubled spread, one with a long right tail)."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    rng = _rng()
+    n = 6000
+    sidx = rng.integers(0, 3, size=n)
+    src = np.array([f"src{int(i)}" for i in sidx])
+    base = rng.integers(10, 110, size=n)
+    v = np.where(sidx == 1, 10 + (base - 10) * 2, base)  # doubled spread
+    tail = (sidx == 2) & (rng.random(n) < 0.1)
+    v = np.where(tail, v + 400, v).astype(np.int64)  # right tail => skew
+    pq.write_table(
+        pa.table({"source": pa.array(src), "n_chars": pa.array(v)}),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    sh = QUERIES["source_length_shape"](d).to_pandas().set_index("source")
+    for j in range(3):
+        g = v[src == f"src{j}"].astype(np.float64)
+        m2 = ((g - g.mean()) ** 2).mean()
+        m3 = ((g - g.mean()) ** 3).mean()
+        m4 = ((g - g.mean()) ** 4).mean()
+        row = sh.loc[f"src{j}"]
+        gi = v[src == f"src{j}"].astype(object)
+        for p, col in ((1, "s1"), (2, "s2"), (3, "s3"), (4, "s4")):
+            assert int(row[col]) == int(sum(x**p for x in gi))
+        assert abs(float(row["skew"]) - m3 / m2**1.5) < 1e-4
+        assert abs(float(row["ex_kurt"]) - (m4 / m2**2 - 3.0)) < 1e-4
+    assert float(sh.loc["src2", "skew"]) > 1.0  # planted tail
+
+    bf = QUERIES["source_length_brown_forsythe"](d).to_pandas()
+    zs = []
+    for j in range(3):
+        g = np.sort(v[src == f"src{j}"])
+        med = int(g[max(math.ceil(0.5 * len(g)) - 1, 0)])  # quantile_disc rule
+        row = bf[bf["source"] == f"src{j}"].iloc[0]
+        assert int(row["med"]) == med
+        z = np.abs(v[src == f"src{j}"] - med).astype(np.float64)
+        assert int(row["sz"]) == int(z.sum())
+        assert int(row["szz"]) == int((z**2).sum())
+        zs.append(z)
+    grand = np.concatenate(zs).mean()
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f_want = (ssb / 2) / (ssw / (n - 3))
+    assert abs(float(bf["f_bf"].iloc[0]) - f_want) < 1e-4
+    assert float(bf["f_bf"].iloc[0]) > 10.0  # doubled spread detected

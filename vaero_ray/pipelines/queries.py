@@ -11704,6 +11704,154 @@ WHERE damerau_levenshtein(a.k, b.k) <= 2
 """
 
 
+def q_source_length_anova(sf_dir: str):
+    """One-way ANOVA F test of document length across all sources —
+    the PARAMETRIC sibling of Kruskal-Wallis (`source_length_kruskal`)
+    on the same grouping: equal mean lengths? One bounded per-group
+    (n, sum, sum-of-squares) keyed exchange, exact int64; F and
+    eta-squared are the 6-dp ratio floats (raw SS magnitudes would be
+    summation-order-sensitive at 6 dp — ratios keep the error
+    relative)."""
+    from vaero_ray.stages.numstats import anova_oneway
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return anova_oneway(ds, "n_chars", "source")
+
+
+SQL_ANOVA = r"""
+WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j,
+                  CAST(SUM(n_chars) AS BIGINT) AS s1,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n, CAST(SUM(s1) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k FROM g),
+x AS (SELECT SUM(CAST(s1 AS DOUBLE) * s1 / n_j) AS sb_raw,
+             SUM(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_j) AS ssw
+      FROM g),
+f AS (SELECT x.sb_raw - CAST(t.s AS DOUBLE) * t.s / t.n AS ssb, x.ssw AS ssw,
+             t.n AS n, t.k AS k
+      FROM x CROSS JOIN t)
+SELECT g.source, g.n_j, g.s1, g.s2, f.k, f.n,
+       ROUND((f.ssb / (f.k - 1)) / (f.ssw / (f.n - f.k)), 6) AS f_stat,
+       ROUND(f.ssb / (f.ssb + f.ssw), 6) AS eta2
+FROM g CROSS JOIN f
+"""
+
+
+def q_source_length_welch(sf_dir: str):
+    """Welch's unequal-variance t test of mean document length, src0 vs
+    src1 — the parametric two-sample companion to the rank-sum /
+    Hodges-Lehmann / Cliff's-delta family, with the Welch-Satterthwaite
+    df. Per-side (n, sum, sum-of-squares) exact int64 from the shared
+    moments exchange; mean_diff, t, df are the 6-dp floats."""
+    from vaero_ray.stages.numstats import welch_t_test
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return welch_t_test(ds, "n_chars", "source", "src0", "src1")
+
+
+SQL_WELCH = r"""
+WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j,
+                  CAST(SUM(n_chars) AS BIGINT) AS s1,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+w AS (SELECT
+        (SELECT n_j FROM g WHERE source = 'src0') AS n1,
+        (SELECT n_j FROM g WHERE source = 'src1') AS n2,
+        (SELECT s1 FROM g WHERE source = 'src0') AS sum1,
+        (SELECT s1 FROM g WHERE source = 'src1') AS sum2,
+        (SELECT s2 FROM g WHERE source = 'src0') AS ss1,
+        (SELECT s2 FROM g WHERE source = 'src1') AS ss2),
+v AS (SELECT *,
+        (CAST(ss1 AS DOUBLE) - CAST(sum1 AS DOUBLE) * sum1 / n1) / (n1 - 1) AS v1,
+        (CAST(ss2 AS DOUBLE) - CAST(sum2 AS DOUBLE) * sum2 / n2) / (n2 - 1) AS v2,
+        CAST(sum1 AS DOUBLE) / n1 - CAST(sum2 AS DOUBLE) / n2 AS md
+      FROM w),
+s AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
+SELECT n1, n2, sum1, sum2, ss1, ss2,
+       ROUND(md, 6) AS mean_diff,
+       ROUND(md / sqrt(se2), 6) AS t,
+       ROUND(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                          + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+FROM s
+"""
+
+
+def q_source_length_shape(sf_dir: str):
+    """Per-source skewness (Fisher g1) and excess kurtosis of document
+    length — the 3rd/4th-moment shape profile extending the per-source
+    mean/variance gates. Distinct-value compression keeps the power
+    sums exact: one (source, value, count) row per distinct length
+    crosses, s1..s4 fold over the compressed rows as exact int64
+    (contract n * max(v^4) < 2^63 — length-like domains), and only the
+    two O(1)-magnitude shape ratios are 6-dp floats."""
+    from vaero_ray.stages.numstats import shape_per_group
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return shape_per_group(ds, "n_chars", "source")
+
+
+SQL_SHAPE = r"""
+WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(n_chars) AS BIGINT) AS s1,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
+                  CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+                  CAST(SUM(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+           FROM documents GROUP BY 1),
+m AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mean FROM g),
+c AS (SELECT *,
+        CAST(s2 AS DOUBLE) / n - mean * mean AS m2,
+        CAST(s3 AS DOUBLE) / n - 3.0 * mean * CAST(s2 AS DOUBLE) / n
+          + 2.0 * mean * mean * mean AS m3,
+        CAST(s4 AS DOUBLE) / n - 4.0 * mean * CAST(s3 AS DOUBLE) / n
+          + 6.0 * mean * mean * CAST(s2 AS DOUBLE) / n
+          - 3.0 * mean * mean * mean * mean AS m4
+      FROM m)
+SELECT source, n, s1, s2, s3, s4,
+       ROUND(m3 / (m2 * sqrt(m2)), 6) AS skew,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS ex_kurt
+FROM c
+"""
+
+
+def q_source_length_brown_forsythe(sf_dir: str):
+    """Brown-Forsythe equal-spread test of document length across
+    sources: one-way ANOVA on |v - median_j| — the robust Levene
+    variant whose ingredients stay INTEGER because the median-centered
+    deviations are exact (per-group median by the quantile_disc rank
+    rule). Completes the location/spread test pair: ANOVA asks 'same
+    mean?', Brown-Forsythe asks 'same spread?'. Same compressed
+    (source, value, count) exchange; F is the one 6-dp ratio float."""
+    from vaero_ray.stages.numstats import brown_forsythe
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return brown_forsythe(ds, "n_chars", "source")
+
+
+SQL_BROWN_FORSYTHE = r"""
+WITH m AS (SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+           FROM documents GROUP BY 1),
+z AS (SELECT d.source, CAST(abs(d.n_chars - m.med) AS BIGINT) AS z, m.med
+      FROM documents d JOIN m USING (source)),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(MIN(med) AS BIGINT) AS med,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(z * z) AS BIGINT) AS szz
+      FROM z GROUP BY 1),
+t AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n, CAST(SUM(sz) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k FROM g),
+x AS (SELECT SUM(CAST(sz AS DOUBLE) * sz / n_j) AS sb_raw,
+             SUM(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / n_j) AS ssw
+      FROM g),
+f AS (SELECT x.sb_raw - CAST(t.s AS DOUBLE) * t.s / t.n AS ssb, x.ssw AS ssw,
+             t.n AS n, t.k AS k
+      FROM x CROSS JOIN t)
+SELECT g.source, g.n_j, g.med, g.sz, g.szz,
+       ROUND((f.ssb / (f.k - 1)) / (f.ssw / (f.n - f.k)), 6) AS f_bf
+FROM g CROSS JOIN f
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -11959,6 +12107,10 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_page_trend": q_hourly_page_trend,
     "hourly_cochran_q": q_hourly_cochran_q,
     "damerau_title_dups": q_damerau_title_dups,
+    "source_length_anova": q_source_length_anova,
+    "source_length_welch": q_source_length_welch,
+    "source_length_shape": q_source_length_shape,
+    "source_length_brown_forsythe": q_source_length_brown_forsythe,
 }
 
 ORACLES: dict[str, str] = {
@@ -12216,4 +12368,8 @@ ORACLES: dict[str, str] = {
     "hourly_page_trend": SQL_PAGE_TREND,
     "hourly_cochran_q": SQL_COCHRAN_Q,
     "damerau_title_dups": SQL_DAMERAU_TITLE_DUPS,
+    "source_length_anova": SQL_ANOVA,
+    "source_length_welch": SQL_WELCH,
+    "source_length_shape": SQL_SHAPE,
+    "source_length_brown_forsythe": SQL_BROWN_FORSYTHE,
 }

@@ -54,6 +54,10 @@ __all__ = [
     "kendall_tau_from_pairs",
     "ordinal_association_from_pairs",
     "cliffs_delta",
+    "anova_oneway",
+    "welch_t_test",
+    "shape_per_group",
+    "brown_forsythe",
 ]
 
 
@@ -1050,5 +1054,194 @@ def mood_median_test(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
             "n": pa.array([n] * k, pa.int64()),
             "n_above_total": pa.array([a] * k, pa.int64()),
             "chi2": pa.array([round(chi2, 6)] * k, pa.float64()),
+        }
+    )
+
+
+def _group_moments12(ds: rd.Dataset, val_col: str, group_col: str) -> pd.DataFrame:
+    """Per-group (n_j, s1=sum v, s2=sum v^2) exact int64 — the shared
+    exchange of the parametric location-test family (one-way ANOVA,
+    Welch). Contract: n * max(v^2) < 2^63."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "n_j": np.int64(1),
+                "s1": v,
+                "s2": v * v,
+            }
+        )
+        return g.groupby(group_col, sort=False, as_index=False)[["n_j", "s1", "s2"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_keyed_sum(parts, [group_col], ["n_j", "s1", "s2"])
+    return merged.to_pandas().sort_values(group_col, kind="stable").reset_index(drop=True)
+
+
+def anova_oneway(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+    """One-way (fixed-effects) ANOVA F test across ALL groups — the
+    PARAMETRIC sibling of Kruskal-Wallis on means instead of ranks.
+    The exchange is one bounded per-group (n_j, sum, sum-of-squares)
+    keyed sum, all exact int64; only the O(1)-magnitude RATIOS F and
+    eta-squared are emitted as 6-dp floats (the raw between/within
+    sums of squares are ~1e8+ where cross-engine double summation
+    order would break a 6-dp hash — ratios keep the error relative,
+    ~1e-15). Expressions written identically in the oracle."""
+    comp = _group_moments12(ds, val_col, group_col)
+    n_j = comp["n_j"].to_numpy(np.int64)
+    s1 = comp["s1"].to_numpy(np.int64)
+    s2 = comp["s2"].to_numpy(np.int64)
+    n = int(n_j.sum())
+    s = int(s1.sum())
+    k = len(n_j)
+    s1f = s1.astype(np.float64)
+    ssb = float(np.sum(s1f * s1 / n_j)) - float(s) * s / n
+    ssw = float(np.sum(s2.astype(np.float64) - s1f * s1 / n_j))
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta2 = ssb / (ssb + ssw)
+    return pa.table(
+        {
+            group_col: pa.array([str(x) for x in comp[group_col]], pa.string()),
+            "n_j": pa.array(n_j, pa.int64()),
+            "s1": pa.array(s1, pa.int64()),
+            "s2": pa.array(s2, pa.int64()),
+            "k": pa.array([k] * k, pa.int64()),
+            "n": pa.array([n] * k, pa.int64()),
+            "f_stat": pa.array([round(f, 6)] * k, pa.float64()),
+            "eta2": pa.array([round(eta2, 6)] * k, pa.float64()),
+        }
+    )
+
+
+def welch_t_test(
+    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str
+) -> pa.Table:
+    """Welch's unequal-variance t test between two groups — the
+    parametric two-sample companion to the rank-sum test, with the
+    Welch-Satterthwaite df. Ingredients (n, sum, sum-of-squares per
+    side) exact int64 from the shared moments exchange; mean_diff, t
+    and df are the 6-dp floats, each one closed-form expression
+    mirrored in the oracle."""
+    comp = _group_moments12(ds, val_col, group_col)
+    comp = comp.set_index(group_col)
+    n1, s11, s21 = (int(comp.loc[g1, c]) for c in ("n_j", "s1", "s2"))
+    n2, s12, s22 = (int(comp.loc[g2, c]) for c in ("n_j", "s1", "s2"))
+    m1 = float(s11) / n1
+    m2 = float(s12) / n2
+    v1 = (float(s21) - float(s11) * s11 / n1) / (n1 - 1)
+    v2 = (float(s22) - float(s12) * s12 / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "sum1": pa.array([s11], pa.int64()),
+            "sum2": pa.array([s12], pa.int64()),
+            "ss1": pa.array([s21], pa.int64()),
+            "ss2": pa.array([s22], pa.int64()),
+            "mean_diff": pa.array([round(m1 - m2, 6)], pa.float64()),
+            "t": pa.array([round(t, 6)], pa.float64()),
+            "df": pa.array([round(df, 6)], pa.float64()),
+        }
+    )
+
+
+def shape_per_group(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+    """Per-group skewness (Fisher g1) and excess kurtosis (g2) from
+    DISTINCT-VALUE COMPRESSED power sums: the exchange carries one
+    (group, value, count) row per distinct value; s1..s4 = sum c*v^p
+    are computed over the compressed rows (exact int64 — contract:
+    n * max(v^4) < 2^63, fine for length-like domains) and the two
+    shape statistics are the 6-dp floats from the textbook central-
+    moment identities, written identically in the oracle."""
+    merged = _compressed_counts(ds, group_col, val_col).to_pandas()
+    merged = merged.sort_values([group_col, val_col], kind="stable")
+    out = {k: [] for k in (group_col, "n", "s1", "s2", "s3", "s4", "skew", "ex_kurt")}
+    for g, grp in merged.groupby(group_col, sort=True):
+        v = grp[val_col].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        s1 = int(np.sum(c * v))
+        s2 = int(np.sum(c * v * v))
+        s3 = int(np.sum(c * v * v * v))
+        s4 = int(np.sum(c * v * v * v * v))
+        mean = float(s1) / n
+        m2 = float(s2) / n - mean * mean
+        m3 = float(s3) / n - 3.0 * mean * float(s2) / n + 2.0 * mean * mean * mean
+        m4 = (
+            float(s4) / n
+            - 4.0 * mean * float(s3) / n
+            + 6.0 * mean * mean * float(s2) / n
+            - 3.0 * mean * mean * mean * mean
+        )
+        out[group_col].append(str(g))
+        out["n"].append(n)
+        out["s1"].append(s1)
+        out["s2"].append(s2)
+        out["s3"].append(s3)
+        out["s4"].append(s4)
+        out["skew"].append(round(m3 / (m2 * math.sqrt(m2)), 6))
+        out["ex_kurt"].append(round(m4 / (m2 * m2) - 3.0, 6))
+    return pa.table(
+        {
+            group_col: pa.array(out[group_col], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "s1": pa.array(out["s1"], pa.int64()),
+            "s2": pa.array(out["s2"], pa.int64()),
+            "s3": pa.array(out["s3"], pa.int64()),
+            "s4": pa.array(out["s4"], pa.int64()),
+            "skew": pa.array(out["skew"], pa.float64()),
+            "ex_kurt": pa.array(out["ex_kurt"], pa.float64()),
+        }
+    )
+
+
+def brown_forsythe(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+    """Brown-Forsythe test of equal SPREAD across groups: one-way
+    ANOVA on z_ij = |v_ij - median_j| — the robust (median-centered)
+    Levene variant, and the one whose ingredients stay INTEGER (the
+    per-group median is an observed value by the quantile_disc rank
+    rule, so every z is an exact int64). Same compressed exchange as
+    :func:`shape_per_group`; per-group medians and the z power sums
+    fold over the compressed rows; F is the one 6-dp ratio float
+    (identical expression in the oracle)."""
+    merged = _compressed_counts(ds, group_col, val_col).to_pandas()
+    merged = merged.sort_values([group_col, val_col], kind="stable")
+    rows = {k: [] for k in (group_col, "n_j", "med", "sz", "szz")}
+    for g, grp in merged.groupby(group_col, sort=True):
+        v = grp[val_col].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        rank = max(math.ceil(0.5 * n) - 1, 0)  # quantile_disc(0.5) 0-based
+        med = int(v[np.searchsorted(cum, rank + 1)])
+        z = np.abs(v - med)
+        rows[group_col].append(str(g))
+        rows["n_j"].append(n)
+        rows["med"].append(med)
+        rows["sz"].append(int(np.sum(c * z)))
+        rows["szz"].append(int(np.sum(c * z * z)))
+    n_j = np.array(rows["n_j"], np.int64)
+    sz = np.array(rows["sz"], np.int64)
+    szz = np.array(rows["szz"], np.int64)
+    n = int(n_j.sum())
+    s = int(sz.sum())
+    k = len(n_j)
+    szf = sz.astype(np.float64)
+    ssb = float(np.sum(szf * sz / n_j)) - float(s) * s / n
+    ssw = float(np.sum(szz.astype(np.float64) - szf * sz / n_j))
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return pa.table(
+        {
+            group_col: pa.array(rows[group_col], pa.string()),
+            "n_j": pa.array(n_j, pa.int64()),
+            "med": pa.array(rows["med"], pa.int64()),
+            "sz": pa.array(sz, pa.int64()),
+            "szz": pa.array(szz, pa.int64()),
+            "f_bf": pa.array([round(f, 6)] * k, pa.float64()),
         }
     )
