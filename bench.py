@@ -254,6 +254,9 @@ BENCH_QUERIES = [
     "source_length_welch",          # Welch unequal-variance t test src0 vs src1
     "source_length_shape",          # per-source skewness/kurtosis (compressed power sums)
     "source_length_brown_forsythe", # robust equal-spread test (ANOVA on |v - median|)
+    "source_lang_lambda",           # Goodman-Kruskal lambda (all-integer PRE association)
+    "hod_purchase_trend",           # Cochran-Armitage trend across hour-of-day
+    "part_bfs_hops",                # multi-source bounded BFS over co-occurrence edges
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

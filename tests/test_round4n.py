@@ -798,3 +798,168 @@ def test_shape_brown_forsythe_bruteforce(ray_session):
     f_want = (ssb / 2) / (ssw / (n - 3))
     assert abs(float(bf["f_bf"].iloc[0]) - f_want) < 1e-4
     assert float(bf["f_bf"].iloc[0]) > 10.0  # doubled spread detected
+
+
+def test_gk_lambda_bruteforce(ray_session):
+    """Goodman-Kruskal lambda vs explicit modal-guess error counting
+    (deterministic source->lang mapping => lambda(lang|source) = 1
+    region exercised separately via a perfect-association fixture)."""
+    import collections
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 4000
+    sidx = rng.integers(0, 5, size=n)
+    src = np.array([f"src{int(i)}" for i in sidx])
+    LANGS = ["en", "fr", "de"]
+    lang = np.array(
+        [
+            LANGS[int(k) % 3] if rng.random() < 0.7 else LANGS[int(rng.integers(0, 3))]
+            for k in sidx
+        ]
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"source": pa.array(src), "lang": pa.array(lang)}),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = QUERIES["source_lang_lambda"](d).to_pandas().iloc[0]
+
+    joint = collections.Counter(zip(src, lang))
+    cs, cl = collections.Counter(src), collections.Counter(lang)
+    mr, ms = max(cl.values()), max(cs.values())
+    sa = sum(
+        max(c for (s2, _), c in joint.items() if s2 == s) for s in cs
+    )
+    sb = sum(
+        max(c for (_, l2), c in joint.items() if l2 == L) for L in cl
+    )
+    assert int(got["n"]) == n
+    assert int(got["max_lang_marginal"]) == mr
+    assert int(got["max_source_marginal"]) == ms
+    assert int(got["sum_best_lang_per_source"]) == sa
+    assert int(got["sum_best_source_per_lang"]) == sb
+    assert abs(float(got["lambda_lang_given_source"]) - (sa - mr) / (n - mr)) < 1e-6
+    assert abs(float(got["lambda_source_given_lang"]) - (sb - ms) / (n - ms)) < 1e-6
+    assert (
+        abs(float(got["lambda_symmetric"]) - (sa + sb - mr - ms) / (2 * n - mr - ms))
+        < 1e-6
+    )
+    # 70% deterministic mapping => strong PRE for lang given source
+    assert float(got["lambda_lang_given_source"]) > 0.3
+
+    # perfect association: lambda(lang|source) == 1 exactly
+    lang2 = np.array([LANGS[int(k) % 3] for k in sidx])
+    d2 = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"source": pa.array(src), "lang": pa.array(lang2)}),
+        os.path.join(d2, "documents.parquet"),
+    )
+    got2 = QUERIES["source_lang_lambda"](d2).to_pandas().iloc[0]
+    assert float(got2["lambda_lang_given_source"]) == 1.0
+
+
+def test_cochran_armitage_bruteforce(ray_session):
+    """Cochran-Armitage z vs the explicit 2xk formula on a planted
+    rising purchase share across hour-of-day."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    rng = _rng()
+    n = 8000
+    hod = rng.integers(0, 24, size=n)
+    is_p = rng.random(n) < (0.05 + 0.01 * hod)  # rising share
+    et = np.where(is_p, "purchase", "view")
+    day = rng.integers(0, 30, size=n)
+    ts = (
+        np.datetime64("2026-01-01", "us")
+        + (day * 86400 + hod * 3600 + rng.integers(0, 3600, size=n)).astype(
+            "timedelta64[s]"
+        ).astype("timedelta64[us]")
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"ts": pa.array(ts), "event_type": pa.array(et)}),
+        os.path.join(d, "events.parquet"),
+    )
+    got = QUERIES["hod_purchase_trend"](d).to_pandas().iloc[0]
+
+    n_i = np.array([int(np.sum(hod == h)) for h in range(24)], dtype=np.int64)
+    y_i = np.array([int(np.sum((hod == h) & is_p)) for h in range(24)], dtype=np.int64)
+    t = np.arange(24, dtype=np.int64)
+    N, Y = int(n_i.sum()), int(y_i.sum())
+    assert int(got["n"]) == N and int(got["y"]) == Y
+    assert int(got["stn"]) == int(np.sum(t * n_i))
+    assert int(got["sty"]) == int(np.sum(t * y_i))
+    assert int(got["st2n"]) == int(np.sum(t * t * n_i))
+    t_stat = float(np.sum(t * y_i)) - Y / N * float(np.sum(t * n_i))
+    p = Y / N
+    var = p * (1 - p) * (float(np.sum(t * t * n_i)) - float(np.sum(t * n_i)) ** 2 / N)
+    assert abs(float(got["t_num"]) - t_stat) < 1e-5
+    assert abs(float(got["z"]) - t_stat / math.sqrt(var)) < 1e-6
+    assert float(got["z"]) > 5.0  # planted rising trend
+
+
+def test_bfs_hops_bruteforce(ray_session):
+    """bfs_hops vs an explicit queue BFS on a planted multi-component
+    graph (chain + clique + isolated pair), incl. the max_hops cutoff."""
+    import collections
+
+    import ray.data as rd
+
+    from vaero_ray.stages.graph import bfs_hops
+
+    rng = _rng()
+    # chain 0-1-2-...-9, clique 100..104, pair 200-201, random extras
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(200, 201)]
+    for _ in range(40):
+        a, b = int(rng.integers(300, 340)), int(rng.integers(300, 340))
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    edges = sorted(set(edges))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([e[0] for e in edges], pa.int64()),
+                "v": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    seeds = [0, 100, 305]
+    got = bfs_hops(ds, "u", "v", seeds, max_hops=3).to_pandas()
+    gm = dict(zip(got["node"].astype(int), got["hop"].astype(int)))
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {s: 0 for s in seeds}
+    q = collections.deque((s, 0) for s in seeds)
+    while q:
+        nd, h = q.popleft()
+        if h == 3:
+            continue
+        for nb in adj[nd]:
+            if nb not in want:
+                want[nb] = h + 1
+                q.append((nb, h + 1))
+    assert gm == want
+    assert gm[3] == 3 and 4 not in gm  # chain cut at max_hops
+    assert all(gm[100 + i] <= 1 for i in range(5))  # clique all within 1
+    assert 200 not in gm  # unreachable component
+
+
+def test_bfs_hops_empty_frontier(ray_session):
+    """Seeds absent from the edge set terminate immediately with just
+    the seed rows."""
+    import ray.data as rd
+
+    from vaero_ray.stages.graph import bfs_hops
+
+    ds = rd.from_arrow(
+        pa.table({"u": pa.array([1, 2], pa.int64()), "v": pa.array([2, 3], pa.int64())})
+    )
+    got = bfs_hops(ds, "u", "v", [99], max_hops=3).to_pandas()
+    assert list(got["node"]) == [99] and list(got["hop"]) == [0]

@@ -11852,6 +11852,226 @@ FROM g CROSS JOIN f
 """
 
 
+def q_source_lang_lambda(sf_dir: str):
+    """Goodman-Kruskal lambda for source x lang — the
+    proportional-reduction-in-error association measure for NOMINAL
+    categories (no ordering assumed, unlike gamma/Somers): how much
+    does knowing the source cut the error of guessing the lang by its
+    mode? Unique in the association suite in that EVERY ingredient is
+    an integer (modal cell sums and marginal maxima) — the three
+    lambdas are 6-dp ratios of exact int64s, no entropy/chi-square
+    float accumulation at all. Same bounded (source, lang) cell
+    exchange as the MI/chi-square gates."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"source": df["source"], "lang": df["lang"]})
+        out["c"] = np.int64(1)
+        return out.groupby(["source", "lang"], sort=False, as_index=False).sum()
+
+    cells = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source", "lang"],
+            ["c"],
+            num_buckets=4,
+        ).take_all()
+    ).to_pandas()
+    n = int(cells["c"].sum())
+    mr = int(cells.groupby("lang")["c"].sum().max())  # best blind lang guess
+    ms = int(cells.groupby("source")["c"].sum().max())
+    sa = int(cells.groupby("source")["c"].max().sum())  # best lang per source
+    sb = int(cells.groupby("lang")["c"].max().sum())  # best source per lang
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "max_lang_marginal": pa.array([mr], pa.int64()),
+            "max_source_marginal": pa.array([ms], pa.int64()),
+            "sum_best_lang_per_source": pa.array([sa], pa.int64()),
+            "sum_best_source_per_lang": pa.array([sb], pa.int64()),
+            "lambda_lang_given_source": pa.array(
+                [round(float(sa - mr) / (n - mr), 6)], pa.float64()
+            ),
+            "lambda_source_given_lang": pa.array(
+                [round(float(sb - ms) / (n - ms), 6)], pa.float64()
+            ),
+            "lambda_symmetric": pa.array(
+                [round(float(sa + sb - mr - ms) / (2 * n - mr - ms), 6)], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_GK_LAMBDA = r"""
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+rl AS (SELECT CAST(MAX(s) AS BIGINT) AS mr
+       FROM (SELECT SUM(c) AS s FROM c GROUP BY lang)),
+rs AS (SELECT CAST(MAX(s) AS BIGINT) AS ms
+       FROM (SELECT SUM(c) AS s FROM c GROUP BY source)),
+a AS (SELECT CAST(SUM(m) AS BIGINT) AS sa
+      FROM (SELECT MAX(c) AS m FROM c GROUP BY source)),
+b AS (SELECT CAST(SUM(m) AS BIGINT) AS sb
+      FROM (SELECT MAX(c) AS m FROM c GROUP BY lang))
+SELECT n.n, rl.mr AS max_lang_marginal, rs.ms AS max_source_marginal,
+       a.sa AS sum_best_lang_per_source, b.sb AS sum_best_source_per_lang,
+       ROUND(CAST(a.sa - rl.mr AS DOUBLE) / (n.n - rl.mr), 6)
+         AS lambda_lang_given_source,
+       ROUND(CAST(b.sb - rs.ms AS DOUBLE) / (n.n - rs.ms), 6)
+         AS lambda_source_given_lang,
+       ROUND(CAST(a.sa + b.sb - rl.mr - rs.ms AS DOUBLE)
+             / (2 * n.n - rl.mr - rs.ms), 6) AS lambda_symmetric
+FROM n, rl, rs, a, b
+"""
+
+
+def q_hod_purchase_trend(sf_dir: str):
+    """Cochran-Armitage trend test: does the PURCHASE share rise or
+    fall monotonically across hour-of-day (scores t = 0..23)? The 2xk
+    ordered-contingency member of the trend family (Mann-Kendall/
+    Theil-Sen work on the series; this works on the binary share).
+    Per-hod (n_i, y_i) and the score sums (sum t*n, sum t*y, sum
+    t^2*n) are exact int64 from one bounded keyed exchange; the
+    statistic T = sum t*y - (Y/N) sum t*n and z = T / sqrt(p(1-p)
+    (sum t^2 n - (sum t n)^2 / N)) are SCALAR float ops over exact
+    ints (bit-deterministic — no float summation anywhere), 6-dp."""
+    import math
+
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hod_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hod = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        ) % 24
+        out = _pd.DataFrame(
+            {
+                "hod": hod,
+                "n_i": np.int64(1),
+                "y_i": (df["event_type"].to_numpy() == "purchase").astype(np.int64),
+            }
+        )
+        return out.groupby("hod", sort=False, as_index=False).sum()
+
+    g = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hod_partial, batch_format="pandas"),
+            ["hod"],
+            ["n_i", "y_i"],
+            num_buckets=4,
+        ).take_all()
+    ).to_pandas()
+    hod = g["hod"].to_numpy(np.int64)
+    n_i = g["n_i"].to_numpy(np.int64)
+    y_i = g["y_i"].to_numpy(np.int64)
+    n = int(n_i.sum())
+    y = int(y_i.sum())
+    stn = int(np.sum(hod * n_i))
+    sty = int(np.sum(hod * y_i))
+    st2n = int(np.sum(hod * hod * n_i))
+    t_stat = float(sty) - float(y) * stn / n
+    p = float(y) / n
+    var = p * (1.0 - p) * (st2n - float(stn) * stn / n)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "y": pa.array([y], pa.int64()),
+            "stn": pa.array([stn], pa.int64()),
+            "sty": pa.array([sty], pa.int64()),
+            "st2n": pa.array([st2n], pa.int64()),
+            "t_num": pa.array([round(t_stat, 6)], pa.float64()),
+            "z": pa.array([round(t_stat / math.sqrt(var), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_HOD_TREND = r"""
+WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+g AS (SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(y) AS BIGINT) AS y_i
+      FROM e GROUP BY 1),
+s AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(y_i) AS BIGINT) AS y,
+             CAST(SUM(hod * n_i) AS BIGINT) AS stn,
+             CAST(SUM(hod * y_i) AS BIGINT) AS sty,
+             CAST(SUM(hod * hod * n_i) AS BIGINT) AS st2n
+      FROM g),
+f AS (SELECT *,
+             CAST(sty AS DOUBLE) - CAST(y AS DOUBLE) * stn / n AS t_stat,
+             (CAST(y AS DOUBLE) / n) * (1.0 - CAST(y AS DOUBLE) / n)
+               * (st2n - CAST(stn AS DOUBLE) * stn / n) AS var
+      FROM s)
+SELECT n, y, stn, sty, st2n,
+       ROUND(t_stat, 6) AS t_num,
+       ROUND(t_stat / sqrt(var), 6) AS z
+FROM f
+"""
+
+
+def q_part_bfs_hops(sf_dir: str):
+    """Multi-source BFS over the part co-occurrence graph: hop
+    distance (<= 3) from the seed set {parts = 0 mod 23 present in the
+    edge set} along support>=2 co-purchase edges — the k-neighborhood
+    / blast-radius graph query completing the graph tier next to
+    connected components (unbounded reach), pagerank (global weight)
+    and triangles (local density). Edges are the `part_pair_support`
+    pair-mined output, materialized once and re-scanned per round
+    (<= max_hops scans, no labels-x-edges shuffle); each round
+    broadcasts the frontier via ray.put and exchanges per-block
+    DEDUPED neighbor sets only. Oracle: bounded-depth recursive CTE
+    with min-hop fold."""
+    from vaero_ray.stages.basket import pair_cooccurrence
+    from vaero_ray.stages.graph import bfs_hops
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pairs = pair_cooccurrence(ds, "l_orderkey", "l_partkey", min_support=2).materialize()
+
+    def seed_part(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"node": pa.array([], pa.int64())})
+        a = tbl.column("item_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column("item_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.unique(np.concatenate([a[a % 23 == 0], b[b % 23 == 0]]))
+        return pa.table({"node": pa.array(s, pa.int64())})
+
+    seed_rows = pa.Table.from_pylist(
+        pairs.map_batches(seed_part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    )
+    seeds = (
+        np.unique(seed_rows.column("node").to_numpy(zero_copy_only=False))
+        if seed_rows.num_rows
+        else np.empty(0, np.int64)
+    )
+    return bfs_hops(pairs, "item_a", "item_b", seeds, max_hops=3)
+
+
+SQL_PART_BFS = r"""
+WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+seeds AS (SELECT DISTINCT u AS node FROM e WHERE u % 23 = 0),
+r AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.v AS node, r.hop + 1 AS hop
+  FROM r JOIN e ON e.u = r.node WHERE r.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM r GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -12111,6 +12331,9 @@ QUERIES: dict[str, QueryFn] = {
     "source_length_welch": q_source_length_welch,
     "source_length_shape": q_source_length_shape,
     "source_length_brown_forsythe": q_source_length_brown_forsythe,
+    "source_lang_lambda": q_source_lang_lambda,
+    "hod_purchase_trend": q_hod_purchase_trend,
+    "part_bfs_hops": q_part_bfs_hops,
 }
 
 ORACLES: dict[str, str] = {
@@ -12372,4 +12595,7 @@ ORACLES: dict[str, str] = {
     "source_length_welch": SQL_WELCH,
     "source_length_shape": SQL_SHAPE,
     "source_length_brown_forsythe": SQL_BROWN_FORSYTHE,
+    "source_lang_lambda": SQL_GK_LAMBDA,
+    "hod_purchase_trend": SQL_HOD_TREND,
+    "part_bfs_hops": SQL_PART_BFS,
 }

@@ -569,3 +569,71 @@ def triangle_counts(
         tri.map_batches(corner_partial, batch_format="pyarrow", zero_copy_batch=True),
         [node_out], [count_out], num_buckets=num_buckets,
     )
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    u_col: str,
+    v_col: str,
+    seeds,
+    max_hops: int,
+) -> pa.Table:
+    """Multi-source BFS hop distances over an UNDIRECTED edge set,
+    bounded depth: every node reachable from the seed set within
+    ``max_hops`` edges, with its minimum hop count — the "blast
+    radius" / k-neighborhood query over the co-occurrence graph that
+    connected-components and pagerank don't answer.
+
+    Scale shape: the edge set is materialized ONCE into the object
+    store (spillable; it is the pair-mined output, orders smaller than
+    the raw corpus) and re-scanned per round — ``max_hops`` bounded
+    scans instead of any labels-x-edges shuffle. Each round broadcasts
+    the CURRENT FRONTIER once via ``ray.put`` (read zero-copy in every
+    task, never re-shipped per batch) and exchanges only the per-block
+    DEDUPED neighbor sets (``np.isin`` mask + ``np.unique`` — no
+    per-row Python). The visited->hop map lives on the driver: it is
+    exactly the RESULT (every reached node is emitted), so it fits
+    wherever the result fits; callers wanting unbounded reachability
+    over a corpus-scale frontier should use ``connected_components``
+    instead. Empty blocks from derived datasets are guarded (the
+    dsu/or_all trap)."""
+    import ray
+
+    edges = edges.materialize()
+    frontier = np.unique(np.asarray(list(seeds), np.int64))
+    hops: "dict[int, int]" = {int(s): 0 for s in frontier}
+    for hop in range(1, max_hops + 1):
+        if frontier.size == 0:
+            break
+        fref = ray.put(frontier)
+
+        def neighbors(tbl: pa.Table, _fref=fref) -> pa.Table:
+            if not tbl.num_rows:  # empty derived block: no columns
+                return pa.table({"node": pa.array([], pa.int64())})
+            f = ray.get(_fref)
+            u = tbl.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = tbl.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            out = np.unique(np.concatenate([v[np.isin(u, f)], u[np.isin(v, f)]]))
+            return pa.table({"node": pa.array(out, pa.int64())})
+
+        reached = pa.Table.from_pylist(
+            edges.map_batches(
+                neighbors, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        )
+        nodes = (
+            reached.column("node").to_numpy(zero_copy_only=False)
+            if reached.num_rows
+            else np.empty(0, np.int64)
+        )
+        new = np.unique(nodes[~np.isin(nodes, np.fromiter(hops, np.int64, len(hops)))])
+        for nd in new:
+            hops[int(nd)] = hop
+        frontier = new
+    ks = sorted(hops)
+    return pa.table(
+        {
+            "node": pa.array(ks, pa.int64()),
+            "hop": pa.array([hops[k] for k in ks], pa.int64()),
+        }
+    )
