@@ -11610,7 +11610,12 @@ def q_hourly_cochran_q(sf_dir: str):
     sum_r2 = int(np.sum(ri * ri))
     c_j = cj.to_numpy(np.int64)
     sum_c2 = int(np.sum(c_j * c_j))
-    q = (k - 1.0) * (k * sum_c2 - float(n_tot) * n_tot) / (k * n_tot - sum_r2)
+    # denominator sum R_i (k - R_i) == 0 iff every block is all-present
+    # or all-absent — Q is undefined on a saturated design (both
+    # engines emit NULL; happens at dense scales where every hour has
+    # every type)
+    den = k * n_tot - sum_r2
+    q = (k - 1.0) * (k * sum_c2 - float(n_tot) * n_tot) / den if den > 0 else None
     nt = len(cj)
     return pa.table(
         {
@@ -11620,7 +11625,7 @@ def q_hourly_cochran_q(sf_dir: str):
             "k": pa.array([k] * nt, pa.int64()),
             "n_tot": pa.array([n_tot] * nt, pa.int64()),
             "sum_r2": pa.array([sum_r2] * nt, pa.int64()),
-            "q": pa.array([round(q, 6)] * nt, pa.float64()),
+            "q": pa.array([round(q, 6) if q is not None else None] * nt, pa.float64()),
         }
     )
 
@@ -11636,8 +11641,11 @@ agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
                CAST(SUM(r * r) AS BIGINT) AS sum_r2 FROM ri),
 s AS (SELECT CAST(SUM(c_j * c_j) AS BIGINT) AS sum_c2 FROM cj)
 SELECT cj.event_type, cj.c_j, agg.b, k.k, agg.n_tot, agg.sum_r2,
-       ROUND((k.k - 1.0) * (k.k * s.sum_c2 - CAST(agg.n_tot AS DOUBLE) * agg.n_tot)
-             / (k.k * agg.n_tot - agg.sum_r2), 6) AS q
+       CASE WHEN k.k * agg.n_tot - agg.sum_r2 > 0
+            THEN ROUND((k.k - 1.0)
+                       * (k.k * s.sum_c2 - CAST(agg.n_tot AS DOUBLE) * agg.n_tot)
+                       / (k.k * agg.n_tot - agg.sum_r2), 6)
+            ELSE NULL END AS q
 FROM cj CROSS JOIN agg CROSS JOIN k CROSS JOIN s
 """
 
