@@ -257,6 +257,10 @@ BENCH_QUERIES = [
     "source_lang_lambda",           # Goodman-Kruskal lambda (all-integer PRE association)
     "hod_purchase_trend",           # Cochran-Armitage trend across hour-of-day
     "part_bfs_hops",                # multi-source bounded BFS over co-occurrence edges
+    "km_time_to_purchase",          # Kaplan-Meier + Nelson-Aalen with right censoring
+    "logrank_purchase_cohorts",     # two-group log-rank test on censored funnel latency
+    "source_length_jonckheere",     # ordered-alternative trend across sources (JT)
+    "vocab_richness",               # Chao1 + Good-Turing coverage off the term spectrum
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

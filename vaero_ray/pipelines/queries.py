@@ -12080,6 +12080,229 @@ SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM r GROUP BY 1
 """
 
 
+def q_km_time_to_purchase(sf_dir: str):
+    """Kaplan-Meier survival curve of time-to-first-purchase with right
+    censoring (never-purchasers censored at their last event) plus the
+    Nelson-Aalen cumulative hazard — the funnel-latency view that,
+    unlike `view_to_purchase_quantiles`, does NOT throw away users who
+    never converted (dropping them biases every latency quantile
+    optimistic). Exchange: per-user sentinel-min reductions, then one
+    (dur_s, event, c) row per distinct whole-second duration; the KM
+    fold runs over that compressed table."""
+    from vaero_ray.stages.survival import km_curve
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+    return km_curve(ds)
+
+
+SQL_KM = r"""
+WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pe,
+                  max(epoch_us(ts)) AS tm
+           FROM events GROUP BY 1),
+d AS (SELECT CASE WHEN pe IS NOT NULL THEN (pe - t0) // 1000000
+                  ELSE (tm - t0) // 1000000 END AS dur,
+             CASE WHEN pe IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM f),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+alld AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+cums AS (SELECT dur, SUM(c) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS before
+         FROM alld),
+evt AS (SELECT dur AS t_sec, CAST(SUM(ev) AS BIGINT) AS n_event
+        FROM d GROUP BY 1 HAVING SUM(ev) > 0),
+km0 AS (SELECT e.t_sec, e.n_event,
+               CAST((SELECT n FROM tot) - c.before AS BIGINT) AS n_risk
+        FROM evt e JOIN cums c ON c.dur = e.t_sec),
+km AS (SELECT t_sec, n_risk, n_event,
+       MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+         OVER (ORDER BY t_sec) AS zflag,
+       SUM(CASE WHEN n_event < n_risk
+                THEN LN(1.0 - CAST(n_event AS DOUBLE) / n_risk) ELSE 0 END)
+         OVER (ORDER BY t_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+       SUM(CAST(n_event AS DOUBLE) / n_risk)
+         OVER (ORDER BY t_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+       FROM km0)
+SELECT t_sec, n_risk, n_event,
+       ROUND(CASE WHEN zflag = 1 THEN 0.0 ELSE EXP(lsum) END, 6) AS surv,
+       ROUND(ch, 6) AS cumhaz
+FROM km
+"""
+
+
+def q_logrank_purchase_cohorts(sf_dir: str):
+    """Two-group log-rank test: do view-first users (their earliest
+    event is a view) convert to purchase on a different time scale
+    than everyone else? Observed vs expected events per cohort from
+    the hypergeometric fold at each distinct event time, shared
+    chi-square (1 df) — the A/B-test statistic for censored funnel
+    latencies, where a naive mean-delta is biased by the censoring.
+    Same compressed exchange as `km_time_to_purchase` with a cohort
+    axis (x2 rows)."""
+    from vaero_ray.stages.survival import logrank_test
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+    return logrank_test(ds)
+
+
+SQL_LOGRANK = r"""
+WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pe,
+                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS ve,
+                  max(epoch_us(ts)) AS tm
+           FROM events GROUP BY 1),
+d AS (SELECT CASE WHEN pe IS NOT NULL THEN (pe - t0) // 1000000
+                  ELSE (tm - t0) // 1000000 END AS dur,
+             CASE WHEN pe IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CASE WHEN ve = t0 THEN 1 ELSE 0 END AS ch
+      FROM f),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ch) AS BIGINT) AS n1 FROM d),
+alld AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS c,
+                CAST(SUM(ch) AS BIGINT) AS c1 FROM d GROUP BY 1),
+cums AS (SELECT dur,
+               SUM(c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS before,
+               SUM(c1) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c1 AS before1
+         FROM alld),
+evt AS (SELECT dur AS t_sec, CAST(SUM(ev) AS BIGINT) AS dd,
+               CAST(SUM(ev * ch) AS BIGINT) AS d1
+        FROM d GROUP BY 1 HAVING SUM(ev) > 0),
+ing AS (SELECT e.t_sec, e.dd, e.d1,
+               (SELECT n FROM tot) - c.before AS n_all,
+               (SELECT n1 FROM tot) - c.before1 AS n_c1
+        FROM evt e JOIN cums c ON c.dur = e.t_sec),
+agg AS (SELECT SUM(CAST(d1 AS BIGINT)) AS o1, SUM(CAST(dd AS BIGINT)) AS od,
+               SUM(n_c1 * CAST(dd AS DOUBLE) / n_all) AS e1,
+               SUM(CASE WHEN n_all > 1 THEN
+                   dd * (CAST(n_c1 AS DOUBLE) / n_all)
+                      * (1.0 - CAST(n_c1 AS DOUBLE) / n_all)
+                      * (n_all - dd) / (n_all - 1) ELSE 0 END) AS v
+        FROM ing)
+SELECT t.cohort,
+       CASE WHEN t.cohort = 'cohort_first' THEN (SELECT n1 FROM tot)
+            ELSE (SELECT n FROM tot) - (SELECT n1 FROM tot) END AS n_subj,
+       CAST(CASE WHEN t.cohort = 'cohort_first' THEN a.o1
+                 ELSE a.od - a.o1 END AS BIGINT) AS n_event,
+       ROUND(CASE WHEN t.cohort = 'cohort_first' THEN a.e1
+                  ELSE a.od - a.e1 END, 6) AS expected,
+       CASE WHEN a.v > 0
+            THEN ROUND((a.o1 - a.e1) * (a.o1 - a.e1) / a.v, 6) END AS chi2
+FROM (VALUES ('cohort_first'), ('other')) t(cohort) CROSS JOIN agg a
+"""
+
+
+def q_source_length_jonckheere(sf_dir: str):
+    """Jonckheere-Terpstra ordered-trend test of document length
+    across sources in ascending source-name order — the ordered
+    sibling of `source_length_kruskal` (KW asks "any difference", JT
+    asks "a monotone one"): the DOUBLED Mann-Whitney pair sum over all
+    ordered source pairs, its exact null mean and tie-corrected
+    variance ingredients (all int64), and the one z float. Exchange is
+    the same distinct-(value, group) cell compression; the fold is two
+    exclusive cumsums over the dense cell matrix, no pair loop."""
+    from vaero_ray.stages.numstats import jonckheere_trend
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return jonckheere_trend(ds, "n_chars", "source")
+
+
+SQL_JONCKHEERE = r"""
+WITH t AS (SELECT n_chars AS v, source AS g FROM documents),
+gs AS (SELECT DISTINCT g FROM t),
+pairs AS (SELECT a.g AS gi, b.g AS gj FROM gs a JOIN gs b ON a.g < b.g),
+u AS (SELECT p.gi, p.gj, t.g, t.v FROM pairs p JOIN t ON t.g IN (p.gi, p.gj)),
+r AS (SELECT gi, gj, g, v,
+             RANK() OVER (PARTITION BY gi, gj ORDER BY v) AS mn,
+             COUNT(*) OVER (PARTITION BY gi, gj, v) AS c
+      FROM u),
+tu AS (SELECT gi, gj,
+              CAST(SUM(CASE WHEN g = gj THEN 2 * mn + c - 1 ELSE 0 END) AS BIGINT) AS two_r_j,
+              CAST(SUM(CASE WHEN g = gj THEN 1 ELSE 0 END) AS BIGINT) AS nj
+       FROM r GROUP BY 1, 2),
+jt AS (SELECT CAST(SUM(two_r_j - nj * (nj + 1)) AS BIGINT) AS two_jt FROM tu),
+grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_j FROM t GROUP BY 1),
+ties AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_v FROM t GROUP BY v),
+gsum AS (SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+                CAST(SUM(n_j * n_j) AS BIGINT) AS s2,
+                CAST(SUM(n_j * (n_j - 1) * (2 * n_j + 5)) AS BIGINT) AS ga,
+                CAST(SUM(n_j * (n_j - 1) * (n_j - 2)) AS BIGINT) AS b1,
+                CAST(SUM(n_j * (n_j - 1)) AS BIGINT) AS c1
+         FROM grp),
+tsum AS (SELECT CAST(SUM(t_v * (t_v - 1) * (2 * t_v + 5)) AS BIGINT) AS ta,
+                CAST(SUM(t_v * (t_v - 1) * (t_v - 2)) AS BIGINT) AS b2,
+                CAST(SUM(t_v * (t_v - 1)) AS BIGINT) AS c2
+         FROM ties),
+fin AS (SELECT n, n * n - s2 AS mean4,
+               n * (n - 1) * (2 * n + 5) - ga - ta AS a_term,
+               b1, b2, c1, c2,
+               CAST(a_term AS DOUBLE) / 72.0
+                 + CAST(b1 AS DOUBLE) * b2 / (36.0 * n * (n - 1.0) * (n - 2.0))
+                 + CAST(c1 AS DOUBLE) * c2 / (8.0 * n * (n - 1.0)) AS var
+        FROM gsum CROSS JOIN tsum)
+SELECT g.g AS source, g.n_j, f.n, j.two_jt, f.mean4, f.a_term,
+       f.b1, f.b2, f.c1, f.c2,
+       ROUND((CAST(j.two_jt AS DOUBLE) / 2.0 - CAST(f.mean4 AS DOUBLE) / 4.0)
+             / SQRT(f.var), 6) AS z_jt
+FROM grp g CROSS JOIN jt j CROSS JOIN fin f
+"""
+
+
+def q_vocab_richness(sf_dir: str):
+    """Species-richness estimators over the corpus vocabulary: Chao1
+    (bias-corrected: ``V + f1(f1-1)/(2(f2+1))`` — how many distinct
+    terms the corpus would show at infinite sampling) and Good-Turing
+    coverage (``1 - f1/N`` — the probability mass of already-seen
+    terms), both read straight off the term-frequency spectrum
+    (`term_frequency_spectrum`): V distinct terms, N total tokens, f1
+    singletons, f2 doubletons. The exchange is the spectrum's
+    vocabulary-partials shape; the fold is four integer sums over the
+    tiny count-of-counts table plus two float formulas (6-dp)."""
+    from vaero_ray.stages.textstats import term_frequency_spectrum
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    spec = term_frequency_spectrum(ds).to_pandas()
+    occ = spec["occurrences"].to_numpy(np.int64)
+    nt = spec["n_terms"].to_numpy(np.int64)
+    v = int(nt.sum())
+    n = int(np.sum(occ * nt))
+    f1 = int(nt[occ == 1].sum()) if (occ == 1).any() else 0
+    f2 = int(nt[occ == 2].sum()) if (occ == 2).any() else 0
+    chao1 = v + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+    cov = 1.0 - f1 / n if n else None
+    return pa.table(
+        {
+            "v_terms": pa.array([v], pa.int64()),
+            "n_tokens": pa.array([n], pa.int64()),
+            "f1": pa.array([f1], pa.int64()),
+            "f2": pa.array([f2], pa.int64()),
+            "chao1": pa.array([round(chao1, 6)], pa.float64()),
+            "gt_coverage": pa.array(
+                [round(cov, 6) if cov is not None else None], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_VOCAB_RICHNESS = r"""
+WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+u AS (SELECT UNNEST(toks) AS token FROM t),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences FROM u GROUP BY 1),
+spec AS (SELECT occurrences, CAST(COUNT(*) AS BIGINT) AS n_terms FROM c GROUP BY 1),
+agg AS (SELECT CAST(SUM(n_terms) AS BIGINT) AS v,
+               CAST(SUM(occurrences * n_terms) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(n_terms) FILTER (occurrences = 1), 0) AS BIGINT) AS f1,
+               CAST(COALESCE(SUM(n_terms) FILTER (occurrences = 2), 0) AS BIGINT) AS f2
+        FROM spec)
+SELECT v AS v_terms, n AS n_tokens, f1, f2,
+       ROUND(v + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1,
+       CASE WHEN n > 0 THEN ROUND(1.0 - CAST(f1 AS DOUBLE) / n, 6) END AS gt_coverage
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -12342,6 +12565,10 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_lambda": q_source_lang_lambda,
     "hod_purchase_trend": q_hod_purchase_trend,
     "part_bfs_hops": q_part_bfs_hops,
+    "km_time_to_purchase": q_km_time_to_purchase,
+    "logrank_purchase_cohorts": q_logrank_purchase_cohorts,
+    "source_length_jonckheere": q_source_length_jonckheere,
+    "vocab_richness": q_vocab_richness,
 }
 
 ORACLES: dict[str, str] = {
@@ -12606,4 +12833,8 @@ ORACLES: dict[str, str] = {
     "source_lang_lambda": SQL_GK_LAMBDA,
     "hod_purchase_trend": SQL_HOD_TREND,
     "part_bfs_hops": SQL_PART_BFS,
+    "km_time_to_purchase": SQL_KM,
+    "logrank_purchase_cohorts": SQL_LOGRANK,
+    "source_length_jonckheere": SQL_JONCKHEERE,
+    "vocab_richness": SQL_VOCAB_RICHNESS,
 }
