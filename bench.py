@@ -261,6 +261,9 @@ BENCH_QUERIES = [
     "logrank_purchase_cohorts",     # two-group log-rank test on censored funnel latency
     "source_length_jonckheere",     # ordered-alternative trend across sources (JT)
     "vocab_richness",               # Chao1 + Good-Turing coverage off the term spectrum
+    "hourly_quade",                 # range-weighted blocked ranks (Friedman's sharper sibling)
+    "user_halves_mcnemar",          # paired activity shift between window halves
+    "cohort_conversion_odds",       # 2x2 odds ratio + Wald CI on the cohort x conversion table
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

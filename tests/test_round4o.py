@@ -254,3 +254,93 @@ def test_vocab_richness_identities(ray_session):
     assert abs(float(got["chao1"]) - (v + f1 * (f1 - 1) / (2.0 * (f2 + 1)))) < 1e-6
     assert abs(float(got["gt_coverage"]) - (1.0 - f1 / ntok)) < 1e-6
     assert float(got["chao1"]) >= v  # estimator never below observed richness
+
+
+def test_quade_bruteforce(ray_session):
+    """Textbook Quade on a small random blocked design: float average
+    ranks, range-ranked block weights, S_ij = Q_i*(r_ij - (k+1)/2),
+    F = (b-1)B/(A-B) — vs the gate's 4x-scaled integer fold."""
+    import pandas as pd
+
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    rng = _rng(43)
+    k, hours = 3, 40
+    rows_ts, rows_ty = [], []
+    base_us = 472_223 * 3_600_000_000  # hour-aligned so block h == bucket hr+h
+    types = ["view", "click", "purchase"]
+    counts = {}
+    for h in range(hours):
+        for j, ty in enumerate(types):
+            c = int(rng.integers(1, 25))
+            counts[(h, ty)] = c
+            for _ in range(c):
+                rows_ts.append(base_us + h * 3_600_000_000 + int(rng.integers(0, 3_600_000_000)))
+                rows_ty.append(ty)
+    n = len(rows_ts)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(rows_ts, pa.timestamp("us")),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(rows_ty, pa.string()),
+            "value": pa.array([0.0] * n, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = QUERIES["hourly_quade"](d).to_pandas().set_index("event_type")
+
+    # textbook reference (float ranks)
+    hrs = sorted({base_us // 3_600_000_000 + h for h in range(hours)})
+    mat = pd.DataFrame(
+        {ty: [counts[(h, ty)] for h in range(hours)] for ty in types},
+        index=hrs,
+    )
+    r = mat.rank(axis=1, method="average")
+    q = (mat.max(axis=1) - mat.min(axis=1)).rank(method="average")
+    s = (r.sub((k + 1) / 2.0)).mul(q, axis=0)
+    a = float((s**2).values.sum())
+    sj = s.sum(axis=0)
+    bstat = float((sj**2).sum()) / hours
+    f = (hours - 1) * bstat / (a - bstat)
+    assert int(got["b"].iloc[0]) == hours and int(got["k"].iloc[0]) == k
+    for ty in types:
+        assert abs(int(got.loc[ty, "s4"]) - 4 * float(sj[ty])) < 1e-9
+    assert abs(float(got["f_quade"].iloc[0]) - f) < 1e-5
+
+
+def test_mcnemar_and_odds_bruteforce(ray_session):
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    uid, ts, ty = _write_events(d, n_users=350)
+    mcn = QUERIES["user_halves_mcnemar"](d).to_pandas().iloc[0]
+    odd = QUERIES["cohort_conversion_odds"](d).to_pandas().iloc[0]
+
+    mid = (int(ts.min()) + int(ts.max())) // 2
+    n11 = bb = cc = 0
+    a = b = c = dd = 0
+    for u in np.unique(uid):
+        sel = uid == u
+        t, y = ts[sel], ty[sel]
+        a1, a2 = bool(t.min() < mid), bool(t.max() >= mid)
+        n11 += a1 and a2
+        bb += a1 and not a2
+        cc += (not a1) and a2
+        ve = t[y == "view"]
+        coh = len(ve) > 0 and int(ve.min()) == int(t.min())
+        conv = bool((y == "purchase").any())
+        a += coh and conv
+        b += coh and not conv
+        c += (not coh) and conv
+        dd += (not coh) and not conv
+    assert int(mcn["n_both"]) == n11
+    assert int(mcn["b_then_not"]) == bb and int(mcn["c_not_then"]) == cc
+    assert abs(float(mcn["chi2"]) - (bb - cc) ** 2 / (bb + cc)) < 1e-6
+    assert int(odd["a_conv"]) == a and int(odd["b_noconv"]) == b
+    assert int(odd["c_conv"]) == c and int(odd["d_noconv"]) == dd
+    want_or = ((a + 0.5) * (dd + 0.5)) / ((b + 0.5) * (c + 0.5))
+    assert abs(float(odd["odds_ratio"]) - want_or) < 1e-5
+    assert float(odd["ci_lo"]) < float(odd["odds_ratio"]) < float(odd["ci_hi"])

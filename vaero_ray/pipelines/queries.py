@@ -17,6 +17,7 @@ insensitive value-hash):
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Any, Callable
 
@@ -12303,6 +12304,256 @@ FROM agg
 """
 
 
+def q_hourly_quade(sf_dir: str):
+    """Quade test across event types with hours as blocks — the
+    blocked-rank test that, unlike Friedman (`hourly_friedman`),
+    WEIGHTS each block by the rank of its within-block range, so
+    high-traffic hours (where a real treatment difference shows up
+    large) dominate: with doubled within-block ranks 2r and doubled
+    block-range ranks 2Q, the weighted centered score
+    ``fourS = 2Q * (2r - (k+1))`` is exact int64, and the Quade F
+    collapses to the pure integer ratio
+    ``F = (b-1) * sum(S4_j^2) / (b * sum(fourS^2) - sum(S4_j^2))`` —
+    the ONE float. Same bounded (type, hour) keyed-sum exchange as
+    Friedman; all ranking on the tiny merged series."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hour_partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        hr = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        out = _pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "hr"], sort=False, as_index=False).sum()
+
+    hourly = pa.Table.from_pylist(
+        bucketed_keyed_sum(
+            ev.map_batches(hour_partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            ["n"],
+            num_buckets=8,
+        ).take_all()
+    )
+    df = hourly.to_pandas()
+    k = int(df["event_type"].nunique())
+    cnt = df.groupby("hr")["event_type"].size()
+    complete = cnt[cnt == k].index
+    sub = df[df["hr"].isin(complete)].copy()
+    b = int(len(complete))
+    sub["two_rank"] = (
+        (2 * sub.groupby("hr")["n"].rank(method="average")).round().astype(np.int64)
+    )
+    rng = sub.groupby("hr")["n"].agg(lambda x: int(x.max()) - int(x.min()))
+    two_q = (2 * rng.rank(method="average")).round().astype(np.int64)
+    sub["two_q"] = sub["hr"].map(two_q).to_numpy(np.int64)
+    sub["four_s"] = sub["two_q"] * (sub["two_rank"] - (k + 1))
+    a16 = int(np.sum(sub["four_s"].to_numpy(np.int64) ** 2))
+    s4 = sub.groupby("event_type", sort=True)["four_s"].sum()
+    sb = int(np.sum(s4.to_numpy(np.int64) ** 2))
+    den = b * a16 - sb
+    f = round((b - 1) * sb / den, 6) if den > 0 else None
+    nt = len(s4)
+    return pa.table(
+        {
+            "event_type": pa.array(list(s4.index), pa.string()),
+            "s4": pa.array(s4.to_numpy(np.int64), pa.int64()),
+            "b": pa.array([b] * nt, pa.int64()),
+            "k": pa.array([k] * nt, pa.int64()),
+            "a16": pa.array([a16] * nt, pa.int64()),
+            "sb": pa.array([sb] * nt, pa.int64()),
+            "f_quade": pa.array([f] * nt, pa.float64()),
+        }
+    )
+
+
+SQL_QUADE = r"""
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM h),
+cb AS (SELECT hr FROM h GROUP BY hr HAVING COUNT(*) = (SELECT k FROM k)),
+r AS (SELECT h.event_type, h.hr, h.n,
+             CAST(2 * RANK() OVER (PARTITION BY h.hr ORDER BY h.n)
+                  + COUNT(*) OVER (PARTITION BY h.hr, h.n) - 1 AS BIGINT) AS two_rank
+      FROM h JOIN cb USING (hr)),
+rng AS (SELECT hr, MAX(n) - MIN(n) AS sp FROM r GROUP BY 1),
+q AS (SELECT hr, CAST(2 * RANK() OVER (ORDER BY sp)
+                 + COUNT(*) OVER (PARTITION BY sp) - 1 AS BIGINT) AS two_q
+      FROM rng),
+s AS (SELECT r.event_type, r.hr,
+             q.two_q * (r.two_rank - ((SELECT k FROM k) + 1)) AS four_s
+      FROM r JOIN q USING (hr)),
+b AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cb),
+a16 AS (SELECT CAST(SUM(four_s * four_s) AS BIGINT) AS a16 FROM s),
+g AS (SELECT event_type, CAST(SUM(four_s) AS BIGINT) AS s4 FROM s GROUP BY 1),
+sb AS (SELECT CAST(SUM(s4 * s4) AS BIGINT) AS sb FROM g)
+SELECT g.event_type, g.s4, b.b, k.k, a16.a16, sb.sb,
+       CASE WHEN b.b * a16.a16 - sb.sb > 0
+            THEN ROUND((b.b - 1) * CAST(sb.sb AS DOUBLE)
+                       / (b.b * a16.a16 - sb.sb), 6) END AS f_quade
+FROM g CROSS JOIN b CROSS JOIN k CROSS JOIN a16 CROSS JOIN sb
+"""
+
+
+def q_user_halves_mcnemar(sf_dir: str):
+    """McNemar's paired test of user activity between the two halves of
+    the observation window: each user is their own control (the paired
+    design removes between-user variance); only the DISCORDANT users —
+    active in exactly one half — carry information. Counts n11/b/c are
+    exact int64 off one per-user (min ts, max ts) exchange against the
+    driver-computed global midpoint; chi-square plain + Edwards
+    continuity-corrected are the 6-dp floats."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_agg
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def span_partial(tbl: pa.Table) -> pa.Table:
+        us = pc.cast(tbl.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(us).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(us).as_py()], pa.int64()),
+            }
+        )
+
+    span = ds.map_batches(span_partial, batch_format="pyarrow").to_pandas()
+    lo, hi = int(span["lo"].min()), int(span["hi"].max())
+    mid = (lo + hi) // 2
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = _pd.DataFrame({"user_id": df["user_id"], "mn": us, "mx": us})
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"mn": "min", "mx": "max"}
+        )
+
+    spans = bucketed_keyed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"mn": "min", "mx": "max"},
+    ).to_pandas()
+    a1 = spans["mn"].to_numpy(np.int64) < mid
+    a2 = spans["mx"].to_numpy(np.int64) >= mid
+    n11 = int(np.sum(a1 & a2))
+    bb = int(np.sum(a1 & ~a2))
+    cc = int(np.sum(~a1 & a2))
+    chi2 = round((bb - cc) * (bb - cc) / (bb + cc), 6) if bb + cc else None
+    d = abs(bb - cc) - 1
+    chi2_cc = round(d * d / (bb + cc), 6) if bb + cc else None
+    return pa.table(
+        {
+            "n_both": pa.array([n11], pa.int64()),
+            "b_then_not": pa.array([bb], pa.int64()),
+            "c_not_then": pa.array([cc], pa.int64()),
+            "chi2": pa.array([chi2], pa.float64()),
+            "chi2_cc": pa.array([chi2_cc], pa.float64()),
+        }
+    )
+
+
+SQL_MCNEMAR = r"""
+WITH g AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+u AS (SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+      FROM events GROUP BY 1),
+f AS (SELECT CASE WHEN mn < (g.lo + g.hi) // 2 THEN 1 ELSE 0 END AS a1,
+             CASE WHEN mx >= (g.lo + g.hi) // 2 THEN 1 ELSE 0 END AS a2
+      FROM u CROSS JOIN g),
+c AS (SELECT CAST(SUM(a1 * a2) AS BIGINT) AS n_both,
+             CAST(SUM(a1 * (1 - a2)) AS BIGINT) AS b,
+             CAST(SUM((1 - a1) * a2) AS BIGINT) AS c
+      FROM f)
+SELECT n_both, b AS b_then_not, c AS c_not_then,
+       CASE WHEN b + c > 0
+            THEN ROUND((b - c) * (b - c) / CAST(b + c AS DOUBLE), 6) END AS chi2,
+       CASE WHEN b + c > 0
+            THEN ROUND((ABS(b - c) - 1) * (ABS(b - c) - 1)
+                       / CAST(b + c AS DOUBLE), 6) END AS chi2_cc
+FROM c
+"""
+
+
+def q_cohort_conversion_odds(sf_dir: str):
+    """Odds ratio (Haldane-Anscombe corrected) with a 95% Wald CI for
+    view-first cohort membership vs eventual purchase — the effect-size
+    companion to the log-rank gate (`logrank_purchase_cohorts`): the
+    2x2 cells ride the SAME per-user sentinel-min exchange; the cells
+    are exact int64 and lnOR/SE/CI are the mirrored 6-dp floats
+    (+0.5 on every cell, so zero cells stay finite)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_agg
+
+    NO_TS = 1 << 62
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        out = _pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "t0": us,
+                "pe": np.where(et == "purchase", us, NO_TS),
+                "ve": np.where(et == "view", us, NO_TS),
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"t0": "min", "pe": "min", "ve": "min"}
+        )
+
+    firsts = bucketed_keyed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"t0": "min", "pe": "min", "ve": "min"},
+    ).to_pandas()
+    cohort = firsts["ve"].to_numpy(np.int64) == firsts["t0"].to_numpy(np.int64)
+    conv = firsts["pe"].to_numpy(np.int64) < NO_TS
+    a = int(np.sum(cohort & conv))
+    b = int(np.sum(cohort & ~conv))
+    c = int(np.sum(~cohort & conv))
+    d = int(np.sum(~cohort & ~conv))
+    lnor = math.log(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+    se = math.sqrt(1 / (a + 0.5) + 1 / (b + 0.5) + 1 / (c + 0.5) + 1 / (d + 0.5))
+    return pa.table(
+        {
+            "a_conv": pa.array([a], pa.int64()),
+            "b_noconv": pa.array([b], pa.int64()),
+            "c_conv": pa.array([c], pa.int64()),
+            "d_noconv": pa.array([d], pa.int64()),
+            "odds_ratio": pa.array([round(math.exp(lnor), 6)], pa.float64()),
+            "ci_lo": pa.array([round(math.exp(lnor - 1.96 * se), 6)], pa.float64()),
+            "ci_hi": pa.array([round(math.exp(lnor + 1.96 * se), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_COHORT_ODDS = r"""
+WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pe,
+                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS ve
+           FROM events GROUP BY 1),
+f AS (SELECT CASE WHEN ve = t0 THEN 1 ELSE 0 END AS coh,
+             CASE WHEN pe IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM u),
+c AS (SELECT CAST(SUM(coh * conv) AS BIGINT) AS a,
+             CAST(SUM(coh * (1 - conv)) AS BIGINT) AS b,
+             CAST(SUM((1 - coh) * conv) AS BIGINT) AS c,
+             CAST(SUM((1 - coh) * (1 - conv)) AS BIGINT) AS d
+      FROM f),
+s AS (SELECT a, b, c, d,
+             LN(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))) AS lnor,
+             SQRT(1 / (a + 0.5) + 1 / (b + 0.5) + 1 / (c + 0.5) + 1 / (d + 0.5)) AS se
+      FROM c)
+SELECT a AS a_conv, b AS b_noconv, c AS c_conv, d AS d_noconv,
+       ROUND(EXP(lnor), 6) AS odds_ratio,
+       ROUND(EXP(lnor - 1.96 * se), 6) AS ci_lo,
+       ROUND(EXP(lnor + 1.96 * se), 6) AS ci_hi
+FROM s
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -12569,6 +12820,9 @@ QUERIES: dict[str, QueryFn] = {
     "logrank_purchase_cohorts": q_logrank_purchase_cohorts,
     "source_length_jonckheere": q_source_length_jonckheere,
     "vocab_richness": q_vocab_richness,
+    "hourly_quade": q_hourly_quade,
+    "user_halves_mcnemar": q_user_halves_mcnemar,
+    "cohort_conversion_odds": q_cohort_conversion_odds,
 }
 
 ORACLES: dict[str, str] = {
@@ -12837,4 +13091,7 @@ ORACLES: dict[str, str] = {
     "logrank_purchase_cohorts": SQL_LOGRANK,
     "source_length_jonckheere": SQL_JONCKHEERE,
     "vocab_richness": SQL_VOCAB_RICHNESS,
+    "hourly_quade": SQL_QUADE,
+    "user_halves_mcnemar": SQL_MCNEMAR,
+    "cohort_conversion_odds": SQL_COHORT_ODDS,
 }
