@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "hourly_quade",                 # range-weighted blocked ranks (Friedman's sharper sibling)
     "user_halves_mcnemar",          # paired activity shift between window halves
     "cohort_conversion_odds",       # 2x2 odds ratio + Wald CI on the cohort x conversion table
+    "bm25_top_docs",                # Okapi BM25 retrieval (integer-rational tf saturation)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -344,3 +344,48 @@ def test_mcnemar_and_odds_bruteforce(ray_session):
     want_or = ((a + 0.5) * (dd + 0.5)) / ((b + 0.5) * (c + 0.5))
     assert abs(float(odd["odds_ratio"]) - want_or) < 1e-5
     assert float(odd["ci_lo"]) < float(odd["odds_ratio"]) < float(odd["ci_hi"])
+
+
+def test_bm25_bruteforce(ray_session):
+    """Textbook Okapi BM25 (float k1=1.2, b=0.75, avgdl division) on a
+    small corpus vs the gate's integer-rational formulation — scores
+    must agree to fp tolerance and the ranking exactly."""
+    from vaero_ray.pipelines.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    rng = _rng(47)
+    vocab = ["hash", "join", "stream", "alpha", "beta", "gamma", "delta"]
+    docs = []
+    for _ in range(400):
+        k = int(rng.integers(2, 40))
+        docs.append(" ".join(rng.choice(vocab, size=k, p=[0.08, 0.06, 0.04, 0.3, 0.2, 0.2, 0.12])))
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    got = QUERIES["bm25_top_docs"](d).to_pandas()
+
+    terms = ["hash", "join", "stream"]
+    toks = [t.lower().split() for t in docs]
+    n = len(docs)
+    ntok = sum(len(t) for t in toks)
+    avgdl = ntok / n
+    dfs = {q: sum(1 for t in toks if q in t) for q in terms}
+    k1, b = 1.2, 0.75
+    scores = []
+    for i, t in enumerate(toks):
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfs[q] + 0.5) / (dfs[q] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        scores.append((s, i))
+    scores.sort(key=lambda x: (-x[0], x[1]))
+    want = scores[:10]
+    assert list(got["doc_id"]) == [i for _, i in want]
+    for (ws, _), gs in zip(want, got["score"]):
+        assert abs(ws - float(gs)) < 1e-6
+    assert float(got["score"].iloc[0]) > 0

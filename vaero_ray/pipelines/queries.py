@@ -12554,6 +12554,72 @@ FROM s
 """
 
 
+def q_bm25_top_docs(sf_dir: str):
+    """Okapi BM25 top-10 for the bag-of-terms query {hash, join,
+    stream} — the length-normalized, tf-saturating ranking next to the
+    integer tf-idf gate (`query_top_docs`): with k1=6/5, b=3/4 the
+    saturation factor is an exact int64 rational, so the only floats
+    are the 3 idf constants and a FIXED-ORDER 3-term weighted sum
+    (identical association in the oracle). Corpus totals: N from the
+    parquet footer, Ntok from one per-block token-count sum."""
+    import pyarrow.parquet as _pq
+
+    from vaero_ray.stages.textstats import bm25_topk_docs
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok_count(tbl: pa.Table) -> pa.Table:
+        from vaero_ray.stages.dedup import _flat_tokens
+
+        toks, _ = _flat_tokens(tbl, "text")
+        return pa.table({"ntok": pa.array([len(toks)], pa.int64())})
+
+    ntok = int(
+        ds.map_batches(tok_count, batch_format="pyarrow", zero_copy_batch=True).sum("ntok")
+    )
+    return bm25_topk_docs(
+        ds, terms=["hash", "join", "stream"], n_docs=int(n_docs), n_tokens_total=ntok, k=10
+    )
+
+
+SQL_BM25 = r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(toks)) AS BIGINT) AS ntok FROM t),
+u AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM u WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+p AS (SELECT tf.doc_id,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'hash'), 0) AS BIGINT) AS tf_a,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'join'), 0) AS BIGINT) AS tf_b,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'stream'), 0) AS BIGINT) AS tf_c
+      FROM tf GROUP BY 1),
+idf AS (SELECT
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'hash'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'hash'), 0) + 0.5) + 1.0) AS ia,
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'join'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'join'), 0) + 0.5) + 1.0) AS ib,
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'stream'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'stream'), 0) + 0.5) + 1.0) AS ic
+  FROM n),
+s AS (SELECT p.doc_id,
+             idf.ia * ((22.0 * p.tf_a) * n.ntok
+                       / (10 * p.tf_a * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n))
+           + idf.ib * ((22.0 * p.tf_b) * n.ntok
+                       / (10 * p.tf_b * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n))
+           + idf.ic * ((22.0 * p.tf_c) * n.ntok
+                       / (10 * p.tf_c * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n)) AS score
+      FROM p JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN idf)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM s ORDER BY s.score DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -12823,6 +12889,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_quade": q_hourly_quade,
     "user_halves_mcnemar": q_user_halves_mcnemar,
     "cohort_conversion_odds": q_cohort_conversion_odds,
+    "bm25_top_docs": q_bm25_top_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -13094,4 +13161,5 @@ ORACLES: dict[str, str] = {
     "hourly_quade": SQL_QUADE,
     "user_halves_mcnemar": SQL_MCNEMAR,
     "cohort_conversion_odds": SQL_COHORT_ODDS,
+    "bm25_top_docs": SQL_BM25,
 }

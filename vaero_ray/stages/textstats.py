@@ -19,6 +19,8 @@ driver's DuckDB gate can hash-match each operator:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -994,3 +996,113 @@ def query_topk_docs(
 
     scored = pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def bm25_topk_docs(
+    ds,
+    terms: "list[str]",
+    n_docs: int,
+    n_tokens_total: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 top-``k`` retrieval (Lucene defaults k1=1.2, b=0.75)
+    — the length-normalized, tf-saturating upgrade of the integer
+    tf-idf gate (:func:`query_topk_docs`): long documents stop winning
+    on raw term counts, and repeated terms saturate instead of scoring
+    linearly.
+
+    Engine-independence trick: with k1=6/5 and b=3/4 the tf-saturation
+    factor collapses to the exact int64 rational
+    ``22*tf*Ntok / (10*tf*Ntok + 3*Ntok + 9*dl*N)`` (Ntok = corpus
+    tokens, N = corpus docs, dl = doc length), so the ONLY floats are
+    |terms| idf constants ``ln((N-df+0.5)/(df+0.5)+1)`` and the final
+    fixed-order weighted sum over the (sorted) query terms — the
+    identical expression the SQL oracle writes, no order-dependent
+    float aggregation anywhere.
+
+    Scale shape mirrors query_topk_docs: tokens pruned to the query set
+    inside the scan (dl rides each surviving pair row), df is a
+    |terms|-row driver aggregate closed over, scoring is per-block
+    (a doc lives in one row), and the one exchange is the sort-limit."""
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    tsorted = sorted(set(terms))
+    term_set = pa.array(tsorted, pa.string())
+
+    def tf_pairs(tbl: pa.Table) -> pa.Table:
+        toks, off = _flat_tokens(tbl, text_col)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        if not len(toks):
+            return empty
+        dl_per_doc = np.diff(off)
+        hit = pc.is_in(toks, value_set=term_set)
+        ids = np.repeat(tbl.column(id_col).to_numpy(zero_copy_only=False), dl_per_doc)
+        dls = np.repeat(dl_per_doc.astype(np.int64), dl_per_doc)
+        m = np.asarray(hit)
+        if not m.any():
+            return empty
+        g = (
+            pa.table(
+                {
+                    id_col: pa.array(ids[m], pa.int64()),
+                    "term": toks.filter(hit),
+                    "dl": pa.array(dls[m], pa.int64()),
+                }
+            )
+            .group_by([id_col, "term", "dl"])
+            .aggregate([(id_col, "count")])
+        )
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "term": g.column("term"),
+                "tf": g.column(f"{id_col}_count").cast(pa.int64()),
+                "dl": g.column("dl"),
+            }
+        )
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    df_rows = pairs.groupby("term").count().take_all()
+    dfs = {r["term"]: int(r["count()"]) for r in df_rows}
+    idf = {
+        t: math.log((n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0)
+        for t in tsorted
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        piv = df.pivot_table(
+            index=id_col, columns="term", values="tf", aggfunc="sum", fill_value=0
+        )
+        dl = df.groupby(id_col)["dl"].first().loc[piv.index].to_numpy(np.int64)
+        sc = np.zeros(len(piv), np.float64)
+        for t in tsorted:  # FIXED lex order: same float association as the oracle
+            tf = (
+                piv[t].to_numpy(np.int64) if t in piv.columns
+                else np.zeros(len(piv), np.int64)
+            )
+            den = (10 * tf * n_tokens_total + 3 * n_tokens_total + 9 * dl * n_docs).astype(np.float64)
+            sc = sc + idf[t] * (((22.0 * tf) * n_tokens_total) / den)
+        return pd.DataFrame({id_col: piv.index.to_numpy(np.int64), "score": sc})
+
+    scored = pairs.map_batches(score, batch_format="pandas")
+    top = (
+        scored.sort(["score", id_col], descending=[True, False]).limit(k).to_pandas()
+    )
+    return pa.table(
+        {
+            id_col: pa.array(top[id_col].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(np.round(top["score"].to_numpy(np.float64), 6), pa.float64()),
+        }
+    )
