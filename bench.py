@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "user_halves_mcnemar",          # paired activity shift between window halves
     "cohort_conversion_odds",       # 2x2 odds ratio + Wald CI on the cohort x conversion table
     "bm25_top_docs",                # Okapi BM25 retrieval (integer-rational tf saturation)
+    "length_emd_en_rest",           # Wasserstein-1 + Hellinger distribution distance
+    "user_halves_kappa",            # Cohen's kappa of modal behavior between window halves
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

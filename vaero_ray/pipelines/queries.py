@@ -12620,6 +12620,117 @@ FROM s ORDER BY s.score DESC, doc_id LIMIT 10
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 1: distribution-distance + paired-agreement
+# statistics — Wasserstein-1/Hellinger beside KS/PSI/JSD, Cohen's
+# kappa beside McNemar
+# ------------------------------------------------------------------
+
+def q_length_emd_en_rest(sf_dir: str):
+    """Wasserstein-1 (earth mover's) distance + Hellinger affinity of
+    English vs non-English document lengths — the integrated companion
+    to `length_ks_en_rest` (KS is the WORST CDF gap, W1 its integral;
+    Hellinger the bounded affinity metric). Same distinct-value
+    compression: one (len, c_en, c_rest) row per distinct length moves,
+    never documents; w1_num exact int64, w1 the raw division
+    (bit-identical), bc/hellinger 6-dp."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.numstats import emd_two_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.equal(t.column("lang"), "en").to_numpy(zero_copy_only=False)
+        df = _pd.DataFrame(
+            {
+                "v": t.column("n_chars").to_numpy(zero_copy_only=False),
+                "c1": en.astype(np.int64),
+                "c2": (~en).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("v", sort=False, as_index=False).sum(), preserve_index=False
+        )
+
+    merged = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], ["c1", "c2"], num_buckets=4,
+    )
+    return emd_two_sample(merged, "v")
+
+
+SQL_LENGTH_EMD = r"""
+WITH a AS (SELECT n_chars AS v,
+                  COUNT(*) FILTER (WHERE lang = 'en') AS c1,
+                  COUNT(*) FILTER (WHERE lang <> 'en') AS c2
+           FROM documents GROUP BY 1),
+w AS (SELECT v, c1, c2,
+             SUM(c1) OVER (ORDER BY v) AS cum1,
+             SUM(c2) OVER (ORDER BY v) AS cum2,
+             LEAD(v) OVER (ORDER BY v) AS nxt FROM a),
+t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM a),
+s AS (SELECT CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                           ELSE abs(n2 * cum1 - n1 * cum2) * (nxt - v) END)
+                  AS BIGINT) AS w1_num,
+             SUM(SQRT(CAST(c1 * c2 AS DOUBLE))) AS bc_raw
+      FROM w, t GROUP BY n1, n2)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, w1_num,
+       CAST(w1_num AS DOUBLE) / (n1 * n2) AS w1,
+       ROUND(bc_raw / SQRT(CAST(n1 AS DOUBLE) * n2), 6) AS bc,
+       ROUND(SQRT(GREATEST(0.0, 1.0 - bc_raw / SQRT(CAST(n1 AS DOUBLE) * n2))), 6)
+           AS hellinger
+FROM s, t
+"""
+
+
+def q_user_halves_kappa(sf_dir: str):
+    """Cohen's kappa of each user's MODAL event type between the first
+    and second half of their own event sequence — chance-corrected
+    behavioral self-agreement, the categorical companion to the
+    presence-based `user_halves_mcnemar`. One bucketed shuffle on
+    user_id; only modal-contingency cells leave a bucket; kappa is an
+    exact int64 rational plus the raw float64 division."""
+    from vaero_ray.stages.numstats import paired_halves_kappa
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    return paired_halves_kappa(ds, "user_id", "ts", "event_id", "event_type")
+
+
+SQL_HALVES_KAPPA = r"""
+WITH e AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+h AS (SELECT user_id, event_type,
+             CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END AS half
+      FROM e WHERE n >= 2),
+c AS (SELECT user_id, half, event_type, COUNT(*) AS c FROM h GROUP BY 1, 2, 3),
+m AS (SELECT user_id, half, event_type FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, half
+                                      ORDER BY c DESC, event_type) AS r FROM c)
+      WHERE r = 1),
+p AS (SELECT a.event_type AS m1, b.event_type AS m2
+      FROM m a JOIN m b USING (user_id) WHERE a.half = 1 AND b.half = 2),
+g AS (SELECT m1, m2, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(c) FILTER (WHERE m1 = m2), 0) AS BIGINT) AS agree
+        FROM g),
+r_ AS (SELECT m1 AS k, SUM(c) AS rc FROM g GROUP BY 1),
+c_ AS (SELECT m2 AS k, SUM(c) AS cc FROM g GROUP BY 1),
+pe AS (SELECT CAST(COALESCE(SUM(rc * cc), 0) AS BIGINT) AS pe_num
+       FROM r_ JOIN c_ USING (k))
+SELECT tot.n AS n_keys, tot.agree, pe.pe_num,
+       tot.agree * tot.n - pe.pe_num AS kappa_num,
+       tot.n * tot.n - pe.pe_num AS kappa_den,
+       CASE WHEN tot.n * tot.n - pe.pe_num <> 0
+            THEN CAST(tot.agree * tot.n - pe.pe_num AS DOUBLE)
+                 / (tot.n * tot.n - pe.pe_num) END AS kappa
+FROM tot, pe
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -12890,6 +13001,8 @@ QUERIES: dict[str, QueryFn] = {
     "user_halves_mcnemar": q_user_halves_mcnemar,
     "cohort_conversion_odds": q_cohort_conversion_odds,
     "bm25_top_docs": q_bm25_top_docs,
+    "length_emd_en_rest": q_length_emd_en_rest,
+    "user_halves_kappa": q_user_halves_kappa,
 }
 
 ORACLES: dict[str, str] = {
@@ -13162,4 +13275,6 @@ ORACLES: dict[str, str] = {
     "user_halves_mcnemar": SQL_MCNEMAR,
     "cohort_conversion_odds": SQL_COHORT_ODDS,
     "bm25_top_docs": SQL_BM25,
+    "length_emd_en_rest": SQL_LENGTH_EMD,
+    "user_halves_kappa": SQL_HALVES_KAPPA,
 }

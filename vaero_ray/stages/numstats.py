@@ -59,6 +59,8 @@ __all__ = [
     "shape_per_group",
     "brown_forsythe",
     "jonckheere_trend",
+    "emd_two_sample",
+    "paired_halves_kappa",
 ]
 
 
@@ -1316,4 +1318,165 @@ def jonckheere_trend(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
             "c2": pa.array([c2] * k, pa.int64()),
             "z_jt": pa.array([round(z, 6)] * k, pa.float64()),
         }
+    )
+
+
+def emd_two_sample(
+    merged: rd.Dataset, val_col: str, c1: str = "c1", c2: str = "c2"
+) -> pa.Table:
+    """1-D Wasserstein (earth mover's) distance + Hellinger affinity
+    between two integer-valued samples, from the SAME distinct-value
+    compressed ``(value, count_A, count_B)`` contract as
+    :func:`ks_two_sample` — KS reports the worst CDF gap, W1 integrates
+    ALL of it: ``W1 = sum_i |F1(v_i) - F2(v_i)| * (v_{i+1} - v_i)``.
+    Cross-multiplied to stay exact: ``w1_num = sum |n2*cum1 - n1*cum2|
+    * gap`` accumulates in PYTHON ints (no intermediate can overflow)
+    and must itself fit int64 (guarded). The Bhattacharyya coefficient
+    ``bc = sum sqrt(c1_i*c2_i) / sqrt(n1*n2)`` and
+    ``hellinger = sqrt(1 - bc)`` are the two 6-dp floats, summed in
+    ascending-value order (bounded support — same float-cell-sum
+    precedent as jsd_two_sample). ``w1`` is emitted as the RAW float64
+    division w1_num/(n1*n2): bit-identical cross-engine, no rounding
+    choice to disagree on."""
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {"n1": pa.array([0], pa.int64()), "n2": pa.array([0], pa.int64()),
+                 "w1_num": pa.array([0], pa.int64()),
+                 "w1": pa.array([None], pa.float64()),
+                 "bc": pa.array([None], pa.float64()),
+                 "hellinger": pa.array([None], pa.float64())}
+            )
+        v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        a = tbl.column(c1).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column(c2).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, a, b = v[order], a[order], b[order]
+        cum1 = np.cumsum(a)
+        cum2 = np.cumsum(b)
+        n1, n2 = int(cum1[-1]), int(cum2[-1])
+        if not (n1 and n2):
+            return pa.table(
+                {"n1": pa.array([n1], pa.int64()), "n2": pa.array([n2], pa.int64()),
+                 "w1_num": pa.array([0], pa.int64()),
+                 "w1": pa.array([None], pa.float64()),
+                 "bc": pa.array([None], pa.float64()),
+                 "hellinger": pa.array([None], pa.float64())}
+            )
+        gaps = np.diff(v)
+        # python-int accumulation: |n2*cum1 - n1*cum2| * gap can pass
+        # 2^63 transiently at corpus scale even when the total fits
+        w1_num = sum(
+            int(abs(n2 * int(cum1[i]) - n1 * int(cum2[i]))) * int(gaps[i])
+            for i in range(len(gaps))
+        ) if len(gaps) else 0
+        if w1_num >= 2**62:
+            raise ValueError("W1 numerator overflows int64; rescale counts")
+        w1 = w1_num / (n1 * n2)
+        bc = float(np.sum(np.sqrt(a.astype(np.float64) * b.astype(np.float64)))) / math.sqrt(
+            float(n1) * float(n2)
+        )
+        hell = math.sqrt(max(0.0, 1.0 - bc))
+        return pa.table(
+            {"n1": pa.array([n1], pa.int64()), "n2": pa.array([n2], pa.int64()),
+             "w1_num": pa.array([w1_num], pa.int64()),
+             "w1": pa.array([w1], pa.float64()),
+             "bc": pa.array([round(bc, 6)], pa.float64()),
+             "hellinger": pa.array([round(hell, 6)], pa.float64())}
+        )
+
+    out = merged.repartition(1).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pa.Table.from_pylist(out.take_all())
+
+
+def paired_halves_kappa(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    cat_col: str,
+    num_buckets: "int | None" = None,
+) -> pa.Table:
+    """Cohen's kappa of each key's MODAL category between the first and
+    second half of its own event sequence — chance-corrected
+    self-agreement: kappa 1 means users keep their dominant behavior,
+    0 means the second half is as predictable from the first as from
+    the marginal mix. Pairs with :func:`user halves McNemar <...>`
+    (presence agreement) by measuring BEHAVIOR agreement.
+
+    Semantics (mirrored exactly in SQL): order a key's rows by
+    (ts, id); keys with >= 2 rows split at ceil(n/2); each half's modal
+    category breaks ties by (count DESC, category ASC). Kappa is a pure
+    integer rational off the modal contingency: with N keys, ``agree``
+    diagonal count and ``pe_num = sum_k row_k * col_k``,
+    ``kappa = (agree*N - pe_num) / (N*N - pe_num)`` — emitted as exact
+    int64 numerator/denominator plus the raw float64 division
+    (bit-identical cross-engine).
+
+    Scale: ONE bucketed shuffle on ``key`` (all of a key's rows
+    co-locate); per bucket everything is vectorized pandas groupby;
+    only (m1, m2, partial-count) contingency cells leave a bucket —
+    bounded by category-domain^2 per bucket."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"m1": pd.Series([], dtype=object), "m2": pd.Series([], dtype=object),
+             "c": pd.Series([], dtype="int64")}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        n_per = df.groupby(key, sort=False)[cat_col].transform("size").to_numpy(np.int64)
+        rn = df.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        df = df.assign(__half=np.where(rn < (n_per + 1) // 2, 1, 2))
+        df = df[n_per >= 2]
+        if not len(df):
+            return empty
+        cnt = (
+            df.groupby([key, "__half", cat_col], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        cnt = cnt.sort_values(
+            [key, "__half", "c", cat_col],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        ).drop_duplicates([key, "__half"])
+        m1 = cnt[cnt["__half"] == 1].set_index(key)[cat_col]
+        m2 = cnt[cnt["__half"] == 2].set_index(key)[cat_col]
+        pairs = pd.DataFrame({"m1": m1, "m2": m2}).dropna()
+        out = pairs.groupby(["m1", "m2"], sort=False).size().rename("c").reset_index()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    cells = bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+    merged = bucketed_keyed_sum(cells, ["m1", "m2"], ["c"], num_buckets=4).to_pandas()
+    # an all-empty-bucket run can surface a schemaless empty frame
+    n = int(merged["c"].sum()) if "c" in merged.columns else 0
+    if not n:
+        return pa.table(
+            {"n_keys": pa.array([0], pa.int64()), "agree": pa.array([0], pa.int64()),
+             "pe_num": pa.array([0], pa.int64()),
+             "kappa_num": pa.array([0], pa.int64()),
+             "kappa_den": pa.array([0], pa.int64()),
+             "kappa": pa.array([None], pa.float64())}
+        )
+    agree = int(merged.loc[merged["m1"] == merged["m2"], "c"].sum())
+    rows = merged.groupby("m1")["c"].sum()
+    cols = merged.groupby("m2")["c"].sum()
+    pe_num = int(sum(int(rows.get(k, 0)) * int(cols.get(k, 0))
+                     for k in set(rows.index) | set(cols.index)))
+    kappa_num = agree * n - pe_num
+    kappa_den = n * n - pe_num
+    kappa = kappa_num / kappa_den if kappa_den else None
+    return pa.table(
+        {"n_keys": pa.array([n], pa.int64()), "agree": pa.array([agree], pa.int64()),
+         "pe_num": pa.array([pe_num], pa.int64()),
+         "kappa_num": pa.array([kappa_num], pa.int64()),
+         "kappa_den": pa.array([kappa_den], pa.int64()),
+         "kappa": pa.array([kappa], pa.float64())}
     )
