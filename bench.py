@@ -267,6 +267,9 @@ BENCH_QUERIES = [
     "bm25_top_docs",                # Okapi BM25 retrieval (integer-rational tf saturation)
     "length_emd_en_rest",           # Wasserstein-1 + Hellinger distribution distance
     "user_halves_kappa",            # Cohen's kappa of modal behavior between window halves
+    "part_adamic_adar",             # Adamic-Adar link prediction on the co-purchase graph
+    "part_pair_lift",               # association-rule lift (exact integer rational)
+    "part_degree_assortativity",    # endpoint-degree Pearson r of the co-purchase graph
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

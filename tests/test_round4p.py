@@ -142,3 +142,107 @@ def test_paired_halves_kappa_edge_cases(ray_session):
     ).to_pylist()[0]
     assert out2["n_keys"] == 2 and out2["agree"] == 2
     assert out2["kappa_den"] == 0 and out2["kappa"] is None
+
+
+# ---------------- batch 2: basket link prediction ----------------
+
+def _rand_baskets(rng, n_groups=80, max_items=8, domain=30):
+    rows = []
+    for g in range(n_groups):
+        k = int(rng.integers(1, max_items + 1))
+        for it in rng.choice(domain, size=k, replace=False):
+            rows.append({"g": g, "it": int(it)})
+            if rng.random() < 0.2:  # duplicate (group, item) rows: DISTINCT semantics
+                rows.append({"g": g, "it": int(it)})
+    return pd.DataFrame(rows)
+
+
+def test_adamic_adar_matches_bruteforce(ray_session):
+    from vaero_ray.stages.basket import adamic_adar_pairs
+
+    rng = _rng(13)
+    df = _rand_baskets(rng)
+    out = adamic_adar_pairs(
+        rd.from_pandas(df).repartition(5), "g", "it", top_k=10, num_buckets=8
+    ).to_pandas()
+    # brute force
+    import collections
+    groups = df.drop_duplicates().groupby("g")["it"].apply(sorted)
+    scores = collections.defaultdict(lambda: [0, 0])
+    for items in groups:
+        if len(items) < 2:
+            continue
+        wt = int(np.floor(1e12 / np.log(len(items)) + 0.5))
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                s = scores[(items[i], items[j])]
+                s[0] += wt
+                s[1] += 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert len(out) == min(10, len(ranked))
+    for row, (pair, (micro, common)) in zip(out.itertuples(), ranked):
+        assert (row.item_a, row.item_b) == pair
+        assert row.aa_micro == micro and row.common_groups == common
+        assert row.aa == micro / 1e12
+
+
+def test_pair_lift_matches_bruteforce(ray_session):
+    from vaero_ray.stages.basket import pair_lift
+
+    rng = _rng(17)
+    df = _rand_baskets(rng, n_groups=120, max_items=6, domain=12)
+    out = pair_lift(
+        rd.from_pandas(df).repartition(5), "g", "it",
+        min_support=3, top_k=8, num_buckets=8,
+    ).to_pandas()
+    dd = df.drop_duplicates()
+    n_groups = dd["g"].nunique()
+    cnt = dd.groupby("it")["g"].nunique()
+    import collections
+    sup = collections.Counter()
+    for _, items in dd.groupby("g")["it"].apply(sorted).items():
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                sup[(items[i], items[j])] += 1
+    cands = [
+        (a, b, s, s * n_groups, int(cnt[a]) * int(cnt[b]))
+        for (a, b), s in sup.items() if s >= 3
+    ]
+    cands.sort(key=lambda t: (-(t[3] / t[4]), t[0], t[1]))
+    for row, (a, b, s, num, den) in zip(out.itertuples(), cands[:8]):
+        assert (row.item_a, row.item_b, row.support) == (a, b, s)
+        assert (row.lift_num, row.lift_den) == (num, den)
+        assert row.lift == num / den
+
+
+def test_degree_assortativity_matches_bruteforce(ray_session):
+    from vaero_ray.stages.basket import pair_cooccurrence
+    from vaero_ray.stages.graph import degree_assortativity
+
+    rng = _rng(19)
+    df = _rand_baskets(rng, n_groups=60, max_items=5, domain=25)
+    edges_ds = pair_cooccurrence(
+        rd.from_pandas(df).repartition(4), "g", "it", num_buckets=8
+    ).drop_columns(["support"])
+    out = degree_assortativity(edges_ds).to_pylist()[0]
+    edges = set()
+    for _, items in df.drop_duplicates().groupby("g")["it"].apply(sorted).items():
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                edges.add((items[i], items[j]))
+    import collections
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    xs, ys = np.array(xs, np.int64), np.array(ys, np.int64)
+    n = len(xs)
+    sx, sxx, sxy = int(xs.sum()), int((xs * xs).sum()), int((xs * ys).sum())
+    assert (out["n"], out["sx"], out["sxx"], out["sxy"]) == (n, sx, sxx, sxy)
+    r_num, r_den = n * sxy - sx * sx, n * sxx - sx * sx
+    assert out["r_num"] == r_num and out["r_den"] == r_den
+    assert out["assortativity"] == (r_num / r_den if r_den else None)

@@ -12731,6 +12731,109 @@ FROM tot, pe
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 2: link prediction + association over the
+# co-purchase basket graph — Adamic-Adar, lift, degree assortativity
+# ------------------------------------------------------------------
+
+def q_part_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the order<->part bipartite
+    graph: top-20 part pairs by common orders discounted 1/ln(order
+    size) — degree-weighted evidence beside the raw-support
+    `part_pair_support` gate. Integer micro-unit weights keep the
+    distributed sums exact; `aa` is the raw float division."""
+    from vaero_ray.stages.basket import adamic_adar_pairs
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    return adamic_adar_pairs(ds, "l_orderkey", "l_partkey", top_k=20)
+
+
+SQL_ADAMIC_ADAR = r"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+d AS (SELECT l_orderkey, COUNT(*) AS sz FROM li GROUP BY 1),
+w AS (SELECT l_orderkey, CAST(ROUND(1000000000000.0 / LN(sz)) AS BIGINT) AS wt
+      FROM d WHERE sz >= 2),
+p AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, w.wt
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+      JOIN w ON w.l_orderkey = a.l_orderkey),
+s AS (SELECT item_a, item_b, CAST(SUM(wt) AS BIGINT) AS aa_micro,
+             CAST(COUNT(*) AS BIGINT) AS common_groups
+      FROM p GROUP BY 1, 2)
+SELECT item_a, item_b, aa_micro, common_groups,
+       CAST(aa_micro AS DOUBLE) / 1e12 AS aa
+FROM s ORDER BY aa_micro DESC, item_a, item_b LIMIT 20
+"""
+
+
+def q_part_pair_lift(sf_dir: str):
+    """Association-rule lift on the co-purchase pairs: support*N /
+    (cnt_a*cnt_b) as an exact integer rational (num/den emitted), raw
+    float division for the ranking. min_support=5 prunes the rare-pair
+    noise lift is notorious for; deterministic top-20."""
+    from vaero_ray.stages.basket import pair_lift
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    return pair_lift(ds, "l_orderkey", "l_partkey", min_support=5, top_k=20)
+
+
+SQL_PAIR_LIFT = r"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ng FROM li),
+cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+p AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+s AS (SELECT p.item_a, p.item_b, p.support,
+             ca.c AS cnt_a, cb.c AS cnt_b,
+             p.support * n.ng AS lift_num, ca.c * cb.c AS lift_den
+      FROM p JOIN cnt ca ON ca.l_partkey = p.item_a
+             JOIN cnt cb ON cb.l_partkey = p.item_b
+             CROSS JOIN n)
+SELECT item_a, item_b, support, cnt_a, cnt_b, lift_num, lift_den,
+       CAST(lift_num AS DOUBLE) / CAST(lift_den AS DOUBLE) AS lift
+FROM s ORDER BY lift DESC, item_a, item_b LIMIT 20
+"""
+
+
+def q_part_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-purchase graph (Pearson r of
+    endpoint degrees over symmetrized distinct edges) — do popular
+    parts co-occur with popular parts? Moments exact int64 per block,
+    one tiny merge; r the raw float division."""
+    from vaero_ray.stages.basket import pair_cooccurrence
+    from vaero_ray.stages.graph import degree_assortativity
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    edges = pair_cooccurrence(ds, "l_orderkey", "l_partkey").drop_columns(["support"])
+    return degree_assortativity(edges)
+
+
+SQL_DEGREE_ASSORT = r"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS pa_, b.l_partkey AS pb_
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey),
+d AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT pa_ AS k FROM e UNION ALL SELECT pb_ FROM e) GROUP BY 1),
+j AS (SELECT da.deg AS da, db.deg AS db
+      FROM e JOIN d da ON da.k = e.pa_ JOIN d db ON db.k = e.pb_),
+m AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(da + db) AS BIGINT) AS sx,
+             CAST(SUM(da * da + db * db) AS BIGINT) AS sxx,
+             CAST(2 * SUM(da * db) AS BIGINT) AS sxy
+      FROM j)
+SELECT n, sx, sxx, sxy,
+       n * sxy - sx * sx AS r_num, n * sxx - sx * sx AS r_den,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sx AS DOUBLE) / (n * sxx - sx * sx)
+       END AS assortativity
+FROM m
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13003,6 +13106,9 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_top_docs": q_bm25_top_docs,
     "length_emd_en_rest": q_length_emd_en_rest,
     "user_halves_kappa": q_user_halves_kappa,
+    "part_adamic_adar": q_part_adamic_adar,
+    "part_pair_lift": q_part_pair_lift,
+    "part_degree_assortativity": q_part_degree_assortativity,
 }
 
 ORACLES: dict[str, str] = {
@@ -13277,4 +13383,7 @@ ORACLES: dict[str, str] = {
     "bm25_top_docs": SQL_BM25,
     "length_emd_en_rest": SQL_LENGTH_EMD,
     "user_halves_kappa": SQL_HALVES_KAPPA,
+    "part_adamic_adar": SQL_ADAMIC_ADAR,
+    "part_pair_lift": SQL_PAIR_LIFT,
+    "part_degree_assortativity": SQL_DEGREE_ASSORT,
 }

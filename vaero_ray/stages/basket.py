@@ -124,3 +124,181 @@ def pair_cooccurrence(
         return tbl.filter(pc.greater_equal(tbl.column("support"), min_support))
 
     return merged.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def adamic_adar_pairs(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    top_k: int = 20,
+    num_buckets: "int | None" = None,
+    max_basket: int = DEFAULT_MAX_BASKET,
+) -> rd.Dataset:
+    """Adamic-Adar link prediction over the bipartite item<->group graph:
+    for each co-occurring unordered item pair, ``AA = sum over common
+    groups g of 1/ln(|g|)`` — common neighbors discounted by how
+    promiscuous they are (a 2-item order is strong evidence the pair
+    belongs together; a 100-item order is weak). Same in-basket pair
+    emission as :func:`pair_cooccurrence` (numpy offset arithmetic, fat
+    baskets truncated and logged), but each pair carries the group's
+    weight ``round(1e12 / ln(size))`` as integer MICRO-units
+    (half-away-from-zero, mirroring SQL ROUND), so partial sums stay
+    exact int64 and order/shard-invariant; ``aa`` is the raw float64
+    division aa_micro/1e12 (bit-identical cross-engine). Singleton
+    groups emit nothing (no pair) — ln(1)=0 never divides. Returns the
+    deterministic top-k by (aa_micro DESC, item_a, item_b)."""
+
+    def emit_partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "item_a": pd.Series([], dtype=df[item_col].dtype),
+                "item_b": pd.Series([], dtype=df[item_col].dtype),
+                "aa_micro": pd.Series([], dtype="int64"),
+                "common_groups": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df[[group_col, item_col]].drop_duplicates()
+        df = df.sort_values([group_col, item_col], kind="mergesort")
+        g = df[group_col].to_numpy()
+        items = df[item_col].to_numpy()
+        n = len(df)
+        bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        sizes = ends - starts
+        if max_basket and (sizes > max_basket).any():
+            fat = int((sizes > max_basket).sum())
+            _LOG.warning(
+                "adamic_adar_pairs: truncating %d fat basket(s) > max_basket=%d",
+                fat, max_basket,
+            )
+            rank = np.arange(n) - np.repeat(starts, sizes)
+            keep = rank < max_basket
+            g, items = g[keep], items[keep]
+            n = len(g)
+            if not n:
+                return empty
+            bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            sizes = ends - starts
+        # integer micro-unit weight per group; ln(size) valid for size>=2
+        # (size-1 groups emit no pairs anyway, their weight is never used)
+        safe = np.maximum(sizes, 2).astype(np.float64)
+        wt = np.floor(1e12 / np.log(safe) + 0.5).astype(np.int64)
+        end_at = np.repeat(ends, sizes)
+        reps = end_at - np.arange(n) - 1
+        total = int(reps.sum())
+        if not total:
+            return empty
+        left = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        right = np.arange(total) - cum[left] + left + 1
+        grp_of = np.repeat(np.arange(len(sizes)), sizes)
+        part = pd.DataFrame(
+            {
+                "item_a": items[left],
+                "item_b": items[right],
+                "aa_micro": wt[grp_of[left]],
+                "common_groups": np.ones(total, np.int64),
+            }
+        )
+        out = part.groupby(["item_a", "item_b"], sort=False, as_index=False)[
+            ["aa_micro", "common_groups"]
+        ].sum()
+        out["aa_micro"] = out["aa_micro"].astype("int64")
+        out["common_groups"] = out["common_groups"].astype("int64")
+        return out
+
+    partials = bucketed_map_groups(ds, group_col, emit_partials, num_buckets=num_buckets)
+    merged = bucketed_keyed_sum(
+        partials, ["item_a", "item_b"], ["aa_micro", "common_groups"]
+    )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        aa = pc.divide(
+            pc.cast(tbl.column("aa_micro"), pa.float64()), pa.scalar(1e12)
+        )
+        return tbl.append_column("aa", aa)
+
+    scored = merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(
+        ["aa_micro", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(top_k)
+
+
+def pair_lift(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    min_support: int = 5,
+    top_k: int = 20,
+    num_buckets: "int | None" = None,
+    max_basket: int = DEFAULT_MAX_BASKET,
+) -> rd.Dataset:
+    """Association-rule lift per co-occurring item pair:
+    ``lift = P(a,b) / (P(a)P(b)) = support * N / (cnt_a * cnt_b)`` with
+    N = distinct groups, cnt_x = distinct groups containing x — >1 means
+    the pair co-occurs more than independence predicts. All-integer
+    numerator/denominator (exact, shard-invariant); ``lift`` is the raw
+    float64 division. Composition: in-basket pair supports
+    (:func:`pair_cooccurrence`), per-item group counts off the same
+    distinct (group, item) projection, two adaptive joins to attach
+    cnt_a / cnt_b (broadcast at dimension scale, partitioned above),
+    min_support pruning BEFORE the joins. Top-k by (lift DESC, item_a,
+    item_b) via the exact integer cross ordering."""
+    from vaero_ray.stages.joins import auto_join
+
+    pairs = pair_cooccurrence(
+        ds, group_col, item_col, min_support=min_support,
+        num_buckets=num_buckets, max_basket=max_basket,
+    )
+
+    def distinct_gi(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[group_col, item_col]].drop_duplicates()
+
+    gi = bucketed_map_groups(ds, group_col, distinct_gi, num_buckets=num_buckets)
+    n_groups_tbl = bucketed_map_groups(
+        gi,
+        group_col,
+        lambda df: pd.DataFrame({"ng": [df[group_col].nunique()]}),
+        num_buckets=num_buckets,
+    )
+    n_groups = int(n_groups_tbl.sum("ng"))
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(item_col, sort=False).size().rename("cnt").reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    cnts = bucketed_map_groups(gi, item_col, cnt_partial, num_buckets=8)
+
+    def as_a(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["item_a", "cnt_a"])
+
+    def as_b(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["item_b", "cnt_b"])
+
+    j = auto_join(pairs, cnts.map_batches(as_a, batch_format="pyarrow"), keys="item_a")
+    j = auto_join(j, cnts.map_batches(as_b, batch_format="pyarrow"), keys="item_b")
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        num = pc.multiply(tbl.column("support"), pa.scalar(n_groups, pa.int64()))
+        den = pc.multiply(tbl.column("cnt_a"), tbl.column("cnt_b"))
+        lift = pc.divide(pc.cast(num, pa.float64()), pc.cast(den, pa.float64()))
+        return (
+            tbl.append_column("lift_num", num)
+            .append_column("lift_den", den)
+            .append_column("lift", lift)
+        )
+
+    scored = j.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(
+        ["lift", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(top_k)

@@ -637,3 +637,84 @@ def bfs_hops(
             "hop": pa.array([hops[k] for k in ks], pa.int64()),
         }
     )
+
+
+def degree_assortativity(
+    edges: rd.Dataset, key_a: str = "item_a", key_b: str = "item_b"
+) -> pa.Table:
+    """Degree assortativity coefficient of an undirected simple graph
+    given as a distinct-edge list: the Pearson correlation of the
+    degrees at either end of an edge, symmetrized (each edge counted as
+    both (da,db) and (db,da) — so sy=sx, syy=sxx and
+    ``r = (n*sxy - sx^2) / (n*sxx - sx^2)`` with n = 2E). Positive:
+    hubs attach to hubs; negative: hub-and-spoke.
+
+    Scale shape: degrees are one keyed count over the flattened
+    endpoint list (deg(v) = distinct-neighbor count, since edges are
+    distinct pairs); two adaptive joins attach (da, db) back to edges;
+    the moments are per-block int64 partials merged by one tiny
+    ``Dataset.sum`` — the edge set is never materialized driver-side.
+    All four moments emitted exact (python-int final fold, int64
+    guarded); ``assortativity`` is the raw float64 division."""
+    from vaero_ray.stages.joins import auto_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    edges = edges.materialize()
+
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        k = pa.concat_arrays(
+            [
+                pa.array(tbl.column(key_a).to_numpy(zero_copy_only=False)),
+                pa.array(tbl.column(key_b).to_numpy(zero_copy_only=False)),
+            ]
+        )
+        t = pa.table({"k": k}).group_by("k").aggregate([("k", "count")])
+        return t.rename_columns(["k", "deg"])
+
+    deg = bucketed_keyed_sum(
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], ["deg"], num_buckets=8,
+    )
+
+    def as_a(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns([key_a, "da"])
+
+    def as_b(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns([key_b, "db"])
+
+    j = auto_join(edges, deg.map_batches(as_a, batch_format="pyarrow"), keys=key_a)
+    j = auto_join(j, deg.map_batches(as_b, batch_format="pyarrow"), keys=key_b)
+
+    def moments(tbl: pa.Table) -> pa.Table:
+        da = tbl.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = tbl.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([2 * len(da)], pa.int64()),
+                "sx": pa.array([int(np.sum(da + db))], pa.int64()),
+                "sxx": pa.array([int(np.sum(da * da + db * db))], pa.int64()),
+                "sxy": pa.array([2 * int(np.sum(da * db))], pa.int64()),
+            }
+        )
+
+    parts = j.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sxy = int(parts["sxy"].sum())
+    r_num = n * sxy - sx * sx
+    r_den = n * sxx - sx * sx
+    if not (-(2**62) < r_num < 2**62 and r_den < 2**62):
+        raise ValueError("assortativity moments overflow int64; rescale degrees")
+    r = r_num / r_den if r_den else None
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "r_num": pa.array([r_num], pa.int64()),
+            "r_den": pa.array([r_den], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
