@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "part_adamic_adar",             # Adamic-Adar link prediction on the co-purchase graph
     "part_pair_lift",               # association-rule lift (exact integer rational)
     "part_degree_assortativity",    # endpoint-degree Pearson r of the co-purchase graph
+    "type_daily_cycle",             # first-harmonic hour-of-day seasonality per type
+    "event_chain_entropy",          # Markov H(next|prev) + step mutual information
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

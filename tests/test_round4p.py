@@ -246,3 +246,82 @@ def test_degree_assortativity_matches_bruteforce(ray_session):
     r_num, r_den = n * sxy - sx * sx, n * sxx - sx * sx
     assert out["r_num"] == r_num and out["r_den"] == r_den
     assert out["assortativity"] == (r_num / r_den if r_den else None)
+
+
+# ---------------- batch 3: seasonality + chain entropy ----------------
+
+def test_daily_cycle_bruteforce_and_flat(ray_session):
+    from vaero_ray.stages.numstats import daily_cycle_per_group
+
+    rng = _rng(23)
+    # concentrated type: all events at hod 9; flat type: uniform over 24h
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(240):
+        rows.append({"k": "peaky", "ts": base + pd.Timedelta(hours=9, days=i)})
+    for i in range(240):
+        rows.append({"k": "flat", "ts": base + pd.Timedelta(hours=i % 24, days=i // 24)})
+    df = pd.DataFrame(rows)
+    out = daily_cycle_per_group(
+        rd.from_pandas(df).repartition(4), "k", "ts"
+    ).to_pandas().set_index("k")
+    assert out.loc["flat", "rel_amp"] == 0.0  # exact cancellation over a full period
+    assert abs(out.loc["peaky", "rel_amp"] - 2.0) < 1e-9  # 2*amp/n with amp=n
+    # brute force a random profile
+    hods = rng.integers(0, 24, size=500)
+    df2 = pd.DataFrame({"k": "r", "ts": [base + pd.Timedelta(hours=int(h)) for h in hods]})
+    got = daily_cycle_per_group(rd.from_pandas(df2).repartition(3), "k", "ts").to_pylist()[0]
+    ang = (2.0 * math.pi * hods.astype(np.float64)) / 24.0
+    a1, b1 = float(np.cos(ang).sum()), float(np.sin(ang).sum())
+    assert abs(got["a1"] - round(a1, 6)) <= 1e-6 and abs(got["b1"] - round(b1, 6)) <= 1e-6
+    assert abs(got["amp"] - round(math.sqrt(a1 * a1 + b1 * b1), 6)) <= 1e-6
+
+
+def test_markov_entropy_bruteforce(ray_session):
+    from vaero_ray.stages.cep import transition_counts
+    from vaero_ray.stages.numstats import markov_entropy
+
+    rng = _rng(29)
+    rows = []
+    eid = 0
+    for u in range(60):
+        k = int(rng.integers(2, 10))
+        for t in range(k):
+            rows.append({"user_id": u, "ts": t, "event_type": str(rng.choice(list("abc"))),
+                         "event_id": eid})
+            eid += 1
+    df = pd.DataFrame(rows)
+    cells = transition_counts(
+        rd.from_pandas(df).repartition(4), "user_id", "ts", "event_type", "event_id",
+        num_buckets=8,
+    )
+    out = markov_entropy(cells.select(["prev", "cur", "n"])).to_pylist()[0]
+    # brute force transitions
+    import collections
+    cnt = collections.Counter()
+    for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        seq = g["event_type"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    nn = sum(cnt.values())
+    ra = collections.Counter()
+    mb = collections.Counter()
+    for (a, b), c in cnt.items():
+        ra[a] += c
+        mb[b] += c
+    h_cond = -sum((c / nn) * math.log(c / ra[a]) for (a, b), c in cnt.items())
+    h_next = -sum((c / nn) * math.log(c / nn) for c in mb.values())
+    assert out["n_trans"] == nn and out["n_cells"] == len(cnt)
+    assert abs(out["h_cond"] - h_cond) < 1e-6
+    assert abs(out["h_next"] - h_next) < 1e-6
+    assert abs(out["mi"] - (h_next - h_cond)) < 1e-6
+    # deterministic chain: zero conditional entropy, positive mi
+    det = pd.DataFrame(
+        {"user_id": 0, "ts": range(30), "event_id": range(30),
+         "event_type": ["a", "b", "c"] * 10}
+    )
+    cells2 = transition_counts(
+        rd.from_pandas(det), "user_id", "ts", "event_type", "event_id", num_buckets=4
+    )
+    out2 = markov_entropy(cells2.select(["prev", "cur", "n"])).to_pylist()[0]
+    assert out2["h_cond"] == 0.0 and out2["mi"] == out2["h_next"]

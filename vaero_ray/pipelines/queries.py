@@ -12834,6 +12834,72 @@ FROM m
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 3: seasonality + chain predictability — first
+# harmonic of the hour-of-day profile, Markov conditional entropy
+# ------------------------------------------------------------------
+
+def q_type_daily_cycle(sf_dir: str):
+    """First-harmonic daily-cycle amplitude per event type: how
+    concentrated is each type's activity within the 24-hour clock
+    (rel_amp 0 flat, ->1 single-phase)? Exact (type, hod, count) cells
+    are all that moves; trig enters only the final 24-term fold."""
+    from vaero_ray.stages.numstats import daily_cycle_per_group
+
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+    return daily_cycle_per_group(ds, "event_type", "ts")
+
+
+SQL_DAILY_CYCLE = r"""
+WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             SUM(n * COS(2 * PI() * hod / 24.0)) AS a1,
+             SUM(n * SIN(2 * PI() * hod / 24.0)) AS b1
+      FROM c GROUP BY 1)
+SELECT event_type, total, ROUND(a1, 6) AS a1, ROUND(b1, 6) AS b1,
+       ROUND(SQRT(a1 * a1 + b1 * b1), 6) AS amp,
+       ROUND(2.0 * SQRT(a1 * a1 + b1 * b1) / total, 6) AS rel_amp
+FROM s
+"""
+
+
+def q_event_chain_entropy(sf_dir: str):
+    """Conditional entropy H(next|prev) + next-marginal entropy + their
+    mutual information over the per-user event-type Markov chain — the
+    predictability summary on top of the `event_type_transitions`
+    matrix (same bounded-cells exchange, one extra driver fold)."""
+    from vaero_ray.stages.cep import transition_counts
+    from vaero_ray.stages.numstats import markov_entropy
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type", "event_id"])
+    cells = transition_counts(ds, "user_id", "ts", "event_type", "event_id")
+    return markov_entropy(cells.select(["prev", "cur", "n"]))
+
+
+SQL_CHAIN_ENTROPY = r"""
+WITH s AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT prev, event_type AS cur, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS cells FROM c),
+r AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+m AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS mn FROM c GROUP BY 1),
+hc AS (SELECT SUM((CAST(c.n AS DOUBLE) / t.nn)
+                  * LN(CAST(c.n AS DOUBLE) / r.rn)) AS sc
+       FROM c JOIN r USING (prev) CROSS JOIN t),
+hn AS (SELECT SUM((CAST(mn AS DOUBLE) / t.nn)
+                  * LN(CAST(mn AS DOUBLE) / t.nn)) AS sn
+       FROM m CROSS JOIN t)
+SELECT t.nn AS n_trans, t.cells AS n_cells,
+       ROUND(-hc.sc, 6) AS h_cond, ROUND(-hn.sn, 6) AS h_next,
+       ROUND(-hn.sn + hc.sc, 6) AS mi
+FROM t, hc, hn
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13109,6 +13175,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_adamic_adar": q_part_adamic_adar,
     "part_pair_lift": q_part_pair_lift,
     "part_degree_assortativity": q_part_degree_assortativity,
+    "type_daily_cycle": q_type_daily_cycle,
+    "event_chain_entropy": q_event_chain_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -13386,4 +13454,6 @@ ORACLES: dict[str, str] = {
     "part_adamic_adar": SQL_ADAMIC_ADAR,
     "part_pair_lift": SQL_PAIR_LIFT,
     "part_degree_assortativity": SQL_DEGREE_ASSORT,
+    "type_daily_cycle": SQL_DAILY_CYCLE,
+    "event_chain_entropy": SQL_CHAIN_ENTROPY,
 }

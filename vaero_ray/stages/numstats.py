@@ -1480,3 +1480,94 @@ def paired_halves_kappa(
          "kappa_den": pa.array([kappa_den], pa.int64()),
          "kappa": pa.array([kappa], pa.float64())}
     )
+
+
+def daily_cycle_per_group(
+    ds: rd.Dataset, key: str, ts_col: str, num_buckets: int = 4
+) -> pa.Table:
+    """First-harmonic (period-24h) Fourier amplitude of each key's
+    hour-of-day activity profile — THE daily-seasonality screen: with
+    hour-of-day counts c_h, ``a1 = sum c_h cos(2*pi*h/24)``, ``b1 = sum
+    c_h sin(...)``, ``amp = sqrt(a1^2+b1^2)`` and ``rel_amp = 2*amp/n``
+    (0 flat, ->1 fully concentrated at one phase). The distributed part
+    is EXACT integer (key, hod, count) cells — at most |keys| x 24 rows
+    ever move; the trig projection is one fixed driver-side fold whose
+    expression order mirrors the SQL oracle exactly (floats enter only
+    in the final 24-term dot products, 6-dp rounded)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hod = pc.cast(pc.hour(tbl.column(ts_col)), pa.int64())
+        t = (
+            pa.table({key: tbl.column(key), "hod": hod})
+            .group_by([key, "hod"])
+            .aggregate([([], "count_all")])
+        )
+        return t.rename_columns([key, "hod", "n"])
+
+    cells = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "hod"], ["n"], num_buckets=num_buckets,
+    ).to_pandas()
+    if not len(cells):
+        return pa.table(
+            {key: pa.array([], pa.string()), "total": pa.array([], pa.int64()),
+             "a1": pa.array([], pa.float64()), "b1": pa.array([], pa.float64()),
+             "amp": pa.array([], pa.float64()), "rel_amp": pa.array([], pa.float64())}
+        )
+    cells = cells.sort_values([key, "hod"], kind="mergesort")
+    out_k, out_t, out_a, out_b, out_amp, out_rel = [], [], [], [], [], []
+    for k, g in cells.groupby(key, sort=True):
+        h = g["hod"].to_numpy(np.float64)
+        n = g["n"].to_numpy(np.float64)
+        # ((2*pi)*h)/24 — the oracle's 2*PI()*hod/24.0 association
+        ang = (2.0 * math.pi * h) / 24.0
+        a1 = float(np.sum(n * np.cos(ang)))
+        b1 = float(np.sum(n * np.sin(ang)))
+        amp = math.sqrt(a1 * a1 + b1 * b1)
+        total = int(g["n"].sum())
+        out_k.append(k)
+        out_t.append(total)
+        out_a.append(round(a1, 6))
+        out_b.append(round(b1, 6))
+        out_amp.append(round(amp, 6))
+        out_rel.append(round(2.0 * amp / total, 6))
+    return pa.table(
+        {key: pa.array(out_k), "total": pa.array(out_t, pa.int64()),
+         "a1": pa.array(out_a, pa.float64()), "b1": pa.array(out_b, pa.float64()),
+         "amp": pa.array(out_amp, pa.float64()),
+         "rel_amp": pa.array(out_rel, pa.float64())}
+    )
+
+
+def markov_entropy(cells: pa.Table) -> pa.Table:
+    """Conditional entropy H(next | prev), next-marginal entropy
+    H(next) and their difference (the mutual information of consecutive
+    steps) from a first-order transition-count table (prev, cur, n) —
+    the predictability summary of a Markov chain: mi ~ 0 means the next
+    step ignores the current one. Counts are exact int64 (produced by
+    cep.transition_counts' bounded-cells exchange); the entropies are
+    one fixed-order fold over <= |states|^2 cells whose per-cell
+    expression mirrors the SQL oracle exactly, 6-dp rounded."""
+    df = cells.to_pandas()
+    if not len(df):
+        return pa.table(
+            {"n_trans": pa.array([0], pa.int64()), "n_cells": pa.array([0], pa.int64()),
+             "h_cond": pa.array([None], pa.float64()),
+             "h_next": pa.array([None], pa.float64()),
+             "mi": pa.array([None], pa.float64())}
+        )
+    n = df["n"].to_numpy(np.int64)
+    nn = int(n.sum())
+    rn = df.groupby("prev")["n"].transform("sum").to_numpy(np.int64)
+    sc = float(np.sum((n / nn) * np.log(n / rn)))
+    m = df.groupby("cur")["n"].sum().to_numpy(np.int64)
+    sn = float(np.sum((m / nn) * np.log(m / nn)))
+    return pa.table(
+        {"n_trans": pa.array([nn], pa.int64()),
+         "n_cells": pa.array([len(df)], pa.int64()),
+         "h_cond": pa.array([round(-sc, 6)], pa.float64()),
+         "h_next": pa.array([round(-sn, 6)], pa.float64()),
+         "mi": pa.array([round(-sn + sc, 6)], pa.float64())}
+    )
