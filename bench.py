@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "part_degree_assortativity",    # endpoint-degree Pearson r of the co-purchase graph
     "type_daily_cycle",             # first-harmonic hour-of-day seasonality per type
     "event_chain_entropy",          # Markov H(next|prev) + step mutual information
+    "doc_containment_dups",         # asymmetric n-gram containment (inverted-index path)
+    "streaming_cusum_peak",         # exactly-once streaming CUSUM change-point
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

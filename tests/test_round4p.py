@@ -325,3 +325,68 @@ def test_markov_entropy_bruteforce(ray_session):
     )
     out2 = markov_entropy(cells2.select(["prev", "cur", "n"])).to_pylist()[0]
     assert out2["h_cond"] == 0.0 and out2["mi"] == out2["h_next"]
+
+
+# ---------------- batch 4: containment dedup ----------------
+
+def _char_grams(text, k=5):
+    if len(text) < k:
+        return {text + " " * (k - len(text))}
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def test_containment_finds_planted_quote(ray_session):
+    from vaero_ray.stages.dedup import ngram_containment_dups
+
+    rng = _rng(37)
+    vocab = ["alpha", "bravo", "crate", "delta", "ember", "fjord", "gamma"]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(vocab, size=60)))
+    quote = docs[7][40:160]  # a 120-char span of doc 7
+    docs.append(quote)  # doc 40 is contained in doc 7
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    out = ngram_containment_dups(
+        rd.from_arrow(tbl).repartition(4), containment_num=4, containment_den=5,
+        num_shards=8, pair_buckets=4,
+    ).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (40, 7) in pairs
+    # brute force with the SAME capped semantics (df <= 256 trivially holds here)
+    grams = [_char_grams(d) for d in docs]
+    import collections
+    df_cnt = collections.Counter(g for s in grams for g in s)
+    kept = [{g for g in s if df_cnt[g] <= 256} for s in grams]
+    expect = set()
+    for a in range(len(docs)):
+        for b in range(a):
+            inter = len(kept[a] & kept[b])
+            small = min(len(kept[a]), len(kept[b]))
+            if small and 5 * inter >= 4 * small:
+                expect.add((a, b))
+    assert pairs == expect
+    # exact intersection counts match
+    for row in out.itertuples():
+        assert row.n_common == len(kept[row.doc_id] & kept[row.dup_of])
+        assert row.n_small == min(len(kept[row.doc_id]), len(kept[row.dup_of]))
+
+
+def test_containment_stop_gram_cap(ray_session):
+    from vaero_ray.stages.dedup import ngram_containment_dups
+
+    # every doc shares one boilerplate prefix; cap at df<=3 removes its
+    # grams, so only the planted near-identical pair survives
+    boiler = "COMMON HEADER TEXT " * 3
+    docs = [boiler + f"unique tail {i} " + "x" * i for i in range(8)]
+    docs.append(docs[3])  # exact dup of doc 3
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    out = ngram_containment_dups(
+        rd.from_arrow(tbl).repartition(2), containment_num=9, containment_den=10,
+        max_postings=3, num_shards=4, pair_buckets=2,
+    ).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (8, 3) in pairs
+    # boilerplate alone must not pair unrelated docs at the 0.9 bar
+    assert all((a, b) == (8, 3) for a, b in pairs)

@@ -12900,6 +12900,114 @@ FROM t, hc, hn
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 4: asymmetric containment dedup (the case
+# Jaccard-LSH misses) + streaming CUSUM change-point parity
+# ------------------------------------------------------------------
+
+def q_doc_containment_dups(sf_dir: str):
+    """Asymmetric n-gram containment pairs (quote/subset detection):
+    inverted-index candidates with a df<=256 stop-gram cap that IS the
+    mirrored semantics, integer 4/5 threshold — finds the
+    short-inside-long dups whose Jaccard is too small for the LSH
+    gates to propose."""
+    from vaero_ray.stages.dedup import ngram_containment_dups
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_containment_dups(ds, containment_num=4, containment_den=5)
+
+
+SQL_CONTAINMENT = """
+WITH s AS (
+  SELECT doc_id, list_distinct(CASE WHEN length(text) < 5 THEN [rpad(text, 5, ' ')]
+         ELSE [substr(text, CAST(i AS INT), 5) FOR i IN range(1, length(text)-3)] END) AS sh
+  FROM documents
+),
+e AS (SELECT doc_id, UNNEST(sh) AS g FROM s),
+df AS (SELECT g, COUNT(*) AS d FROM e GROUP BY 1),
+ek AS (SELECT e.doc_id, e.g FROM e JOIN df USING (g) WHERE df.d <= 256),
+ck AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ek GROUP BY 1),
+p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id > b.doc_id GROUP BY 1, 2)
+SELECT p.ida AS doc_id, p.idb AS dup_of, p.inter AS n_common,
+       LEAST(ca.n, cb.n) AS n_small
+FROM p JOIN ck ca ON ca.doc_id = p.ida JOIN ck cb ON cb.doc_id = p.idb
+WHERE 5 * p.inter >= 4 * LEAST(ca.n, cb.n)
+"""
+
+
+def q_streaming_cusum_peak(sf_dir: str):
+    """STREAMING CUSUM change-point per event type: exact hourly counts
+    ride the exactly-once windowed job (checkpointed partial/merge,
+    idempotent commit); the integer level-shift fold
+    (numstats.cusum_peak_per_group) runs downstream of the committed
+    output — stream==batch parity with the `hourly_cusum_peak` gate,
+    zero new streaming machinery."""
+    import os
+    import shutil
+
+    from vaero_ray.stages.numstats import cusum_peak_per_group
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = _stream_chunks(sf_dir, "cusum_in", ["event_type", "ts"])
+    base = os.path.dirname(ind)
+    out_d, ckpt_d = f"{base}/cusum_out", f"{base}/cusum_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["event_type"],
+        aggs=[AggSpec(None, "count", "c")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+    )
+    job.run()
+
+    def to_hr(tbl: pa.Table) -> pa.Table:
+        hr = pc.divide(
+            pc.cast(tbl.column("window_start"), pa.int64()),
+            pa.scalar(3_600_000_000, pa.int64()),
+        )
+        return pa.table(
+            {"event_type": tbl.column("event_type"), "hr": hr, "c": tbl.column("c")}
+        )
+
+    series = job.committed_output().map_batches(
+        to_hr, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = cusum_peak_per_group(series, "event_type", "hr", "c")
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["event_type", "n_points", "total", "peak_dev", "peak_hr"]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_STREAMING_CUSUM = r"""
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, hr, x,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY hr) AS pref,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS k,
+             SUM(x) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+d AS (SELECT event_type, hr, n, tot, abs(n * pref - k * tot) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * pref - k * tot) DESC, hr) AS rn
+      FROM w)
+SELECT event_type, CAST(n AS BIGINT) AS n_points, CAST(tot AS BIGINT) AS total,
+       CAST(dev AS BIGINT) AS peak_dev, CAST(hr AS BIGINT) AS peak_hr
+FROM d WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13177,6 +13285,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_degree_assortativity": q_part_degree_assortativity,
     "type_daily_cycle": q_type_daily_cycle,
     "event_chain_entropy": q_event_chain_entropy,
+    "doc_containment_dups": q_doc_containment_dups,
+    "streaming_cusum_peak": q_streaming_cusum_peak,
 }
 
 ORACLES: dict[str, str] = {
@@ -13456,4 +13566,6 @@ ORACLES: dict[str, str] = {
     "part_degree_assortativity": SQL_DEGREE_ASSORT,
     "type_daily_cycle": SQL_DAILY_CYCLE,
     "event_chain_entropy": SQL_CHAIN_ENTROPY,
+    "doc_containment_dups": SQL_CONTAINMENT,
+    "streaming_cusum_peak": SQL_STREAMING_CUSUM,
 }

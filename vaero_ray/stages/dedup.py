@@ -1518,3 +1518,154 @@ def dedup_keep_best(
         )
 
     return bucketed_map_groups(triples, "cluster", best, num_buckets=num_buckets)
+
+
+def ngram_containment_dups(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    containment_num: int = 4,
+    containment_den: int = 5,
+    max_postings: int = 256,
+    num_shards: int = 32,
+    pair_buckets: int = 16,
+) -> rd.Dataset:
+    """ASYMMETRIC n-gram containment near-dup pairs — quote / subset
+    detection, the case Jaccard-LSH structurally misses (a short doc
+    fully contained in a long one has tiny Jaccard but containment ~1,
+    so MinHash bands rarely collide): candidates come from an INVERTED
+    INDEX instead. Containment is over the CAPPED gram space:
+    ``c = |kept(A) ∩ kept(B)| / min(|kept(A)|, |kept(B)|)``, keeping a
+    pair when ``containment_den * inter >= containment_num * min`` —
+    an exact integer test (default 4/5 = 0.8), no float compare.
+
+    The stop-gram cap IS the documented semantics, not a silent recall
+    loss: grams appearing in more than ``max_postings`` docs are
+    boilerplate carrying no containment signal, and the SQL oracle
+    excludes them identically (df <= max_postings), so the gate match
+    stays exact. Scale shape: grams hash-shard (a gram's posting list
+    lives whole in ONE shard, so per-shard df IS global df); per shard
+    the pair emission is the same numpy offset arithmetic as the basket
+    emitters, bounded by df^2 <= max_postings^2 per gram; per-doc
+    kept-gram counts ride the SAME exchange as sentinel rows
+    (dup_of = -1), so one keyed-sum merge produces both the pair
+    intersections and the denominators; two adaptive joins attach the
+    denominators and the integer threshold prunes before anything
+    returns."""
+    from vaero_ray.stages.joins import auto_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        values, offs = (
+            _shingle_sets_char(tbl, text_col, shingle_k)
+            if n else (np.empty(0, np.uint64), np.zeros(1, np.int64))
+        )
+        counts = offs[1:] - offs[:-1]
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids = np.repeat(ids, counts)
+        shard = (values % np.uint64(num_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "g": pa.array(values, pa.uint64()),
+                "__shard": pa.array(shard, pa.int64()),
+            }
+        )
+
+    def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"ida": pd.Series([], dtype="int64"), "idb": pd.Series([], dtype="int64"),
+             "c": pd.Series([], dtype="int64")}
+        )
+        if not len(df):
+            return empty
+        df = df.drop_duplicates(["g", "id"])
+        dfc = df.groupby("g", sort=False)["id"].transform("size").to_numpy()
+        df = df[dfc <= max_postings]
+        if not len(df):
+            return empty
+        # per-doc kept-gram counts -> sentinel rows (idb = -1)
+        kn = df.groupby("id", sort=False).size().rename("c").reset_index()
+        sent = pd.DataFrame(
+            {"ida": kn["id"].to_numpy(np.int64),
+             "idb": np.full(len(kn), -1, np.int64),
+             "c": kn["c"].to_numpy(np.int64)}
+        )
+        # intra-gram pair emission (ida > idb), numpy offset arithmetic
+        df = df.sort_values(["g", "id"], kind="mergesort")
+        g = df["g"].to_numpy()
+        ids = df["id"].to_numpy(np.int64)
+        n = len(df)
+        bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        sizes = ends - starts
+        end_at = np.repeat(ends, sizes)
+        reps = end_at - np.arange(n) - 1
+        total = int(reps.sum())
+        if not total:
+            return sent
+        left = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        right = np.arange(total) - cum[left] + left + 1
+        # ids ascend within a gram -> right id > left id; emit ida > idb
+        part = pd.DataFrame({"ida": ids[right], "idb": ids[left]})
+        pairs = part.groupby(["ida", "idb"], sort=False).size().rename("c").reset_index()
+        pairs["c"] = pairs["c"].astype("int64")
+        return pd.concat([pairs, sent], ignore_index=True)
+
+    grams = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    partials = grams.groupby("__shard").map_groups(
+        lambda df: pa.Table.from_pandas(
+            shard_pairs(df.drop(columns=["__shard"])), preserve_index=False
+        ).replace_schema_metadata(None),
+        batch_format="pandas",
+    )
+    merged = bucketed_keyed_sum(
+        partials, ["ida", "idb"], ["c"], num_buckets=pair_buckets
+    )
+
+    def split_counts(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("idb"), pa.scalar(-1, pa.int64())))
+        return pa.table({"id": t.column("ida"), "kn": t.column("c")})
+
+    def split_pairs(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.not_equal(tbl.column("idb"), pa.scalar(-1, pa.int64())))
+        return pa.table(
+            {"ida": t.column("ida"), "idb": t.column("idb"), "inter": t.column("c")}
+        )
+
+    counts = merged.map_batches(split_counts, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = merged.map_batches(split_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def as_a(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["ida", "n_a"])
+
+    def as_b(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["idb", "n_b"])
+
+    j = auto_join(pairs, counts.map_batches(as_a, batch_format="pyarrow"), keys="ida")
+    j = auto_join(j, counts.map_batches(as_b, batch_format="pyarrow"), keys="idb")
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64()),
+                 "n_common": pa.array([], pa.int64()), "n_small": pa.array([], pa.int64())}
+            )
+        inter = tbl.column("inter").to_numpy(zero_copy_only=False)
+        small = np.minimum(
+            tbl.column("n_a").to_numpy(zero_copy_only=False),
+            tbl.column("n_b").to_numpy(zero_copy_only=False),
+        )
+        keep = containment_den * inter >= containment_num * small
+        return pa.table(
+            {id_col: pa.array(tbl.column("ida").to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "dup_of": pa.array(tbl.column("idb").to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "n_common": pa.array(inter[keep], pa.int64()),
+             "n_small": pa.array(small[keep], pa.int64())}
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
