@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "event_chain_entropy",          # Markov H(next|prev) + step mutual information
     "doc_containment_dups",         # asymmetric n-gram containment (inverted-index path)
     "streaming_cusum_peak",         # exactly-once streaming CUSUM change-point
+    "rrf_top_docs",                 # reciprocal-rank fusion of tf-idf + BM25
+    "order_basket_containment",     # generic set-containment similarity join
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

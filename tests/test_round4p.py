@@ -390,3 +390,75 @@ def test_containment_stop_gram_cap(ray_session):
     assert (8, 3) in pairs
     # boilerplate alone must not pair unrelated docs at the 0.9 bar
     assert all((a, b) == (8, 3) for a, b in pairs)
+
+
+# ---------------- batch 5: RRF fusion + set-containment join ----------------
+
+def test_rrf_fusion_bruteforce(ray_session):
+    """Brute-force both rankers in python and check the fused top-k."""
+    from vaero_ray.stages.textstats import rrf_topk_docs
+
+    rng = _rng(41)
+    vocab = ["hash", "join", "stream", "filler", "noise", "pad"]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 40))))
+            for _ in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    terms = ["hash", "join", "stream"]
+    n_docs = len(docs)
+    ntok = sum(len(d.split()) for d in docs)
+    out = rrf_topk_docs(
+        rd.from_arrow(tbl).repartition(4), terms, n_docs, ntok, k=10
+    ).to_pandas()
+    # brute force
+    import collections
+    tf = [collections.Counter(d.split()) for d in docs]
+    dfs = {t: sum(1 for c in tf if c[t] > 0) for t in terms}
+    idf = {t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0) for t in terms}
+    w = {t: (1000 * n_docs) // max(dfs[t], 1) for t in terms}
+    cands = [i for i in range(n_docs) if any(tf[i][t] for t in terms)]
+    s_int, s_bm = {}, {}
+    for i in cands:
+        dl = len(docs[i].split())
+        si, sb = 0, 0.0
+        for t in sorted(terms):
+            f = tf[i][t]
+            si += f * w[t]
+            den = float(10 * f * ntok + 3 * ntok + 9 * dl * n_docs)
+            sb = sb + idf[t] * (((22.0 * f) * ntok) / den)
+        s_int[i], s_bm[i] = si, sb
+    ra = {d: r + 1 for r, d in enumerate(sorted(cands, key=lambda d: (-s_int[d], d)))}
+    rb = {d: r + 1 for r, d in enumerate(sorted(cands, key=lambda d: (-s_bm[d], d)))}
+    fused = {
+        d: int(np.floor(1e9 / (60 + ra[d]) + 0.5)) + int(np.floor(1e9 / (60 + rb[d]) + 0.5))
+        for d in cands
+    }
+    expect = sorted(cands, key=lambda d: (-fused[d], d))[:10]
+    assert out["doc_id"].tolist() == expect
+    for row in out.itertuples():
+        assert row.rank_tfidf == ra[row.doc_id] and row.rank_bm25 == rb[row.doc_id]
+        assert row.rrf_nano == fused[row.doc_id]
+        assert row.rrf == fused[row.doc_id] / 1e9
+
+
+def test_set_containment_pairs_bruteforce(ray_session):
+    from vaero_ray.stages.dedup import set_containment_pairs
+
+    rng = _rng(43)
+    df = _rand_baskets(rng, n_groups=100, max_items=7, domain=20)
+    out = set_containment_pairs(
+        rd.from_pandas(df.rename(columns={"g": "grp", "it": "item"})).repartition(4),
+        "grp", "item", containment_num=2, containment_den=3, min_common=2,
+        num_shards=8, pair_buckets=4,
+    ).to_pandas()
+    sets = df.drop_duplicates().groupby("g")["it"].apply(set)
+    expect = {}
+    keys = sorted(sets.index)
+    for i, a in enumerate(keys):
+        for b in keys[:i]:
+            inter = len(sets[a] & sets[b])
+            small = min(len(sets[a]), len(sets[b]))
+            if inter >= 2 and 3 * inter >= 2 * small:
+                expect[(a, b)] = (inter, small)
+    got = {(r.grp, r.dup_of): (r.n_common, r.n_small) for r in out.itertuples()}
+    assert got == expect

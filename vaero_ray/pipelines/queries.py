@@ -13008,6 +13008,124 @@ FROM d WHERE rn = 1
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 5: hybrid retrieval (reciprocal-rank fusion of the
+# tf-idf and BM25 rankers) + generic set-containment join on baskets
+# ------------------------------------------------------------------
+
+def q_rrf_top_docs(sf_dir: str):
+    """Reciprocal-rank fusion of the integer tf-idf and BM25 rankings
+    for the bag-of-terms query {hash, join, stream} — the standard
+    hybrid-retrieval combiner: ranks are ROW_NUMBERs over the candidate
+    set, each reciprocal quantized to nano-units so the fused score is
+    an exact int64 sum; one query-pruned scan feeds both scorers, one
+    range sort per ranking."""
+    import pyarrow.parquet as _pq
+
+    from vaero_ray.stages.dedup import _flat_tokens
+    from vaero_ray.stages.textstats import rrf_topk_docs
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok_count(tbl: pa.Table) -> pa.Table:
+        toks, _ = _flat_tokens(tbl, "text")
+        return pa.table({"ntok": pa.array([len(toks)], pa.int64())})
+
+    ntok = int(
+        ds.map_batches(tok_count, batch_format="pyarrow", zero_copy_batch=True).sum("ntok")
+    )
+    return rrf_topk_docs(
+        ds, terms=["hash", "join", "stream"], n_docs=int(n_docs),
+        n_tokens_total=ntok, k=10,
+    )
+
+
+SQL_RRF = r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(toks)) AS BIGINT) AS ntok FROM t),
+u AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM u WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+p AS (SELECT tf.doc_id,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'hash'), 0) AS BIGINT) AS tf_a,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'join'), 0) AS BIGINT) AS tf_b,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'stream'), 0) AS BIGINT) AS tf_c
+      FROM tf GROUP BY 1),
+idf AS (SELECT
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'hash'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'hash'), 0) + 0.5) + 1.0) AS ia,
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'join'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'join'), 0) + 0.5) + 1.0) AS ib,
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'stream'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'stream'), 0) + 0.5) + 1.0) AS ic
+  FROM n),
+w AS (SELECT
+  (1000 * n.n) // GREATEST(COALESCE((SELECT df FROM dfc WHERE tok = 'hash'), 0), 1) AS wa,
+  (1000 * n.n) // GREATEST(COALESCE((SELECT df FROM dfc WHERE tok = 'join'), 0), 1) AS wb,
+  (1000 * n.n) // GREATEST(COALESCE((SELECT df FROM dfc WHERE tok = 'stream'), 0), 1) AS wc
+  FROM n),
+s AS (SELECT p.doc_id,
+             CAST(p.tf_a * w.wa + p.tf_b * w.wb + p.tf_c * w.wc AS BIGINT) AS s_tfidf,
+             idf.ia * ((22.0 * p.tf_a) * n.ntok
+                       / (10 * p.tf_a * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n))
+           + idf.ib * ((22.0 * p.tf_b) * n.ntok
+                       / (10 * p.tf_b * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n))
+           + idf.ic * ((22.0 * p.tf_c) * n.ntok
+                       / (10 * p.tf_c * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n)) AS s_bm25
+      FROM p JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN idf CROSS JOIN w),
+r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s_tfidf DESC, doc_id) AS rank_tfidf,
+             ROW_NUMBER() OVER (ORDER BY s_bm25 DESC, doc_id) AS rank_bm25
+      FROM s),
+f AS (SELECT doc_id, CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+             CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+             CAST(ROUND(1e9 / (60 + rank_tfidf)) AS BIGINT)
+           + CAST(ROUND(1e9 / (60 + rank_bm25)) AS BIGINT) AS rrf_nano
+      FROM r)
+SELECT doc_id, rank_tfidf, rank_bm25, rrf_nano,
+       CAST(rrf_nano AS DOUBLE) / 1e9 AS rrf
+FROM f ORDER BY rrf_nano DESC, doc_id LIMIT 10
+"""
+
+
+def q_order_basket_containment(sf_dir: str):
+    """Set-containment similarity join on order baskets: order pairs
+    where >= 2/3 of the smaller basket's distinct parts (and >= 2
+    parts) appear in the other — near-identical-order detection, the
+    generic form of the containment dedup with raw part keys as the
+    posting space (no hashing; the oracle joins on values)."""
+    from vaero_ray.stages.dedup import set_containment_pairs
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    return set_containment_pairs(
+        ds, "l_orderkey", "l_partkey",
+        containment_num=2, containment_den=3, min_common=2,
+    )
+
+
+SQL_BASKET_CONTAINMENT = r"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+df AS (SELECT l_partkey, COUNT(*) AS d FROM li GROUP BY 1),
+ek AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN df USING (l_partkey)
+       WHERE df.d <= 4096),
+ck AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n FROM ek GROUP BY 1),
+p AS (SELECT a.l_orderkey AS ida, b.l_orderkey AS idb, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ek a JOIN ek b ON a.l_partkey = b.l_partkey
+                          AND a.l_orderkey > b.l_orderkey
+      GROUP BY 1, 2)
+SELECT p.ida AS l_orderkey, p.idb AS dup_of, p.inter AS n_common,
+       LEAST(ca.n, cb.n) AS n_small
+FROM p JOIN ck ca ON ca.l_orderkey = p.ida JOIN ck cb ON cb.l_orderkey = p.idb
+WHERE 3 * p.inter >= 2 * LEAST(ca.n, cb.n) AND p.inter >= 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13287,6 +13405,8 @@ QUERIES: dict[str, QueryFn] = {
     "event_chain_entropy": q_event_chain_entropy,
     "doc_containment_dups": q_doc_containment_dups,
     "streaming_cusum_peak": q_streaming_cusum_peak,
+    "rrf_top_docs": q_rrf_top_docs,
+    "order_basket_containment": q_order_basket_containment,
 }
 
 ORACLES: dict[str, str] = {
@@ -13568,4 +13688,6 @@ ORACLES: dict[str, str] = {
     "event_chain_entropy": SQL_CHAIN_ENTROPY,
     "doc_containment_dups": SQL_CONTAINMENT,
     "streaming_cusum_peak": SQL_STREAMING_CUSUM,
+    "rrf_top_docs": SQL_RRF,
+    "order_basket_containment": SQL_BASKET_CONTAINMENT,
 }

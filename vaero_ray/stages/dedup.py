@@ -1552,9 +1552,8 @@ def ngram_containment_dups(
     (dup_of = -1), so one keyed-sum merge produces both the pair
     intersections and the denominators; two adaptive joins attach the
     denominators and the integer threshold prunes before anything
-    returns."""
-    from vaero_ray.stages.joins import auto_join
-    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    returns. Thin wrapper over :func:`_containment_core` (shared with
+    the generic :func:`set_containment_pairs`)."""
 
     def explode(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
@@ -1573,6 +1572,70 @@ def ngram_containment_dups(
                 "__shard": pa.array(shard, pa.int64()),
             }
         )
+
+    grams = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return _containment_core(
+        grams, id_col, containment_num, containment_den,
+        max_postings, pair_buckets,
+    )
+
+
+def set_containment_pairs(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    containment_num: int = 2,
+    containment_den: int = 3,
+    min_common: int = 1,
+    max_postings: int = 4096,
+    num_shards: int = 32,
+    pair_buckets: int = 16,
+) -> rd.Dataset:
+    """Generic SET-CONTAINMENT SIMILARITY JOIN over (group, item) rows
+    — which groups' item sets are substantially contained in another's
+    (near-identical orders, users with subset behavior, duplicated
+    playlists)? Same inverted-index machinery as
+    :func:`ngram_containment_dups` with the group's items as the
+    "grams": integer items pass through EXACTLY (uint64 reinterpret, no
+    hashing — the oracle joins on raw values), the df cap drops
+    ubiquitous items (documented semantics, mirrored in SQL), and
+    ``min_common`` prunes trivial one-item overlaps. Output:
+    (``group_col``, dup_of, n_common, n_small), group id > dup_of."""
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = tbl.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (g.astype(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "g": pa.array(g.astype(np.uint64), pa.uint64()),
+                "__shard": pa.array(shard, pa.int64()),
+            }
+        )
+
+    grams = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = _containment_core(
+        grams, group_col, containment_num, containment_den,
+        max_postings, pair_buckets, min_common=min_common,
+    )
+    return out
+
+
+def _containment_core(
+    grams: rd.Dataset,
+    id_col: str,
+    containment_num: int,
+    containment_den: int,
+    max_postings: int,
+    pair_buckets: int,
+    min_common: int = 1,
+) -> rd.Dataset:
+    """Shared posting-list containment machinery: ``grams`` rows are
+    (id:int64, g:uint64, __shard:int64) — see the two public wrappers
+    for the semantics and the scale shape."""
+    from vaero_ray.stages.joins import auto_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
 
     def shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1616,7 +1679,6 @@ def ngram_containment_dups(
         pairs["c"] = pairs["c"].astype("int64")
         return pd.concat([pairs, sent], ignore_index=True)
 
-    grams = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     partials = grams.groupby("__shard").map_groups(
         lambda df: pa.Table.from_pandas(
             shard_pairs(df.drop(columns=["__shard"])), preserve_index=False
@@ -1660,7 +1722,9 @@ def ngram_containment_dups(
             tbl.column("n_a").to_numpy(zero_copy_only=False),
             tbl.column("n_b").to_numpy(zero_copy_only=False),
         )
-        keep = containment_den * inter >= containment_num * small
+        keep = (containment_den * inter >= containment_num * small) & (
+            inter >= min_common
+        )
         return pa.table(
             {id_col: pa.array(tbl.column("ida").to_numpy(zero_copy_only=False)[keep], pa.int64()),
              "dup_of": pa.array(tbl.column("idb").to_numpy(zero_copy_only=False)[keep], pa.int64()),

@@ -998,40 +998,18 @@ def query_topk_docs(
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
 
 
-def bm25_topk_docs(
-    ds,
-    terms: "list[str]",
-    n_docs: int,
-    n_tokens_total: int,
-    k: int = 10,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-):
-    """Okapi BM25 top-``k`` retrieval (Lucene defaults k1=1.2, b=0.75)
-    — the length-normalized, tf-saturating upgrade of the integer
-    tf-idf gate (:func:`query_topk_docs`): long documents stop winning
-    on raw term counts, and repeated terms saturate instead of scoring
-    linearly.
-
-    Engine-independence trick: with k1=6/5 and b=3/4 the tf-saturation
-    factor collapses to the exact int64 rational
-    ``22*tf*Ntok / (10*tf*Ntok + 3*Ntok + 9*dl*N)`` (Ntok = corpus
-    tokens, N = corpus docs, dl = doc length), so the ONLY floats are
-    |terms| idf constants ``ln((N-df+0.5)/(df+0.5)+1)`` and the final
-    fixed-order weighted sum over the (sorted) query terms — the
-    identical expression the SQL oracle writes, no order-dependent
-    float aggregation anywhere.
-
-    Scale shape mirrors query_topk_docs: tokens pruned to the query set
-    inside the scan (dl rides each surviving pair row), df is a
-    |terms|-row driver aggregate closed over, scoring is per-block
-    (a doc lives in one row), and the one exchange is the sort-limit."""
-    from vaero_ray.stages.dedup import _flat_tokens
-
-    tsorted = sorted(set(terms))
+def _query_tf_pairs(ds, tsorted: "list[str]", text_col: str, id_col: str):
+    """Shared query-pruned (doc, term, tf, dl) scan for the retrieval
+    operators (BM25 / RRF): tokens are pruned to the query term set
+    INSIDE the scan, each surviving pair row carries its doc length, a
+    doc lives in one block so pairs are globally unique. Returns a
+    MATERIALIZED Dataset (the callers consume it 2-3 times: df
+    aggregate + scoring)."""
     term_set = pa.array(tsorted, pa.string())
 
     def tf_pairs(tbl: pa.Table) -> pa.Table:
+        from vaero_ray.stages.dedup import _flat_tokens
+
         toks, off = _flat_tokens(tbl, text_col)
         empty = pa.table(
             {
@@ -1070,7 +1048,41 @@ def bm25_topk_docs(
             }
         )
 
-    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return ds.map_batches(tf_pairs, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+
+def bm25_topk_docs(
+    ds,
+    terms: "list[str]",
+    n_docs: int,
+    n_tokens_total: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 top-``k`` retrieval (Lucene defaults k1=1.2, b=0.75)
+    — the length-normalized, tf-saturating upgrade of the integer
+    tf-idf gate (:func:`query_topk_docs`): long documents stop winning
+    on raw term counts, and repeated terms saturate instead of scoring
+    linearly.
+
+    Engine-independence trick: with k1=6/5 and b=3/4 the tf-saturation
+    factor collapses to the exact int64 rational
+    ``22*tf*Ntok / (10*tf*Ntok + 3*Ntok + 9*dl*N)`` (Ntok = corpus
+    tokens, N = corpus docs, dl = doc length), so the ONLY floats are
+    |terms| idf constants ``ln((N-df+0.5)/(df+0.5)+1)`` and the final
+    fixed-order weighted sum over the (sorted) query terms — the
+    identical expression the SQL oracle writes, no order-dependent
+    float aggregation anywhere.
+
+    Scale shape mirrors query_topk_docs: tokens pruned to the query set
+    inside the scan (dl rides each surviving pair row), df is a
+    |terms|-row driver aggregate closed over, scoring is per-block
+    (a doc lives in one row), and the one exchange is the sort-limit."""
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    tsorted = sorted(set(terms))
+    pairs = _query_tf_pairs(ds, tsorted, text_col, id_col)
     df_rows = pairs.groupby("term").count().take_all()
     dfs = {r["term"]: int(r["count()"]) for r in df_rows}
     idf = {
@@ -1106,3 +1118,99 @@ def bm25_topk_docs(
             "score": pa.array(np.round(top["score"].to_numpy(np.float64), 6), pa.float64()),
         }
     )
+
+
+def rrf_topk_docs(
+    ds,
+    terms: "list[str]",
+    n_docs: int,
+    n_tokens_total: int,
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Reciprocal-rank fusion of the engine's two lexical rankers —
+    integer tf-idf (:func:`query_topk_docs` weighting) and Okapi BM25
+    (:func:`bm25_topk_docs` integer-rational form) — the standard
+    hybrid-retrieval combiner: ``rrf = sum_r 1/(rrf_k + rank_r)``.
+    Ranks are dense ROW_NUMBERs over the candidate set (docs matching
+    >= 1 query term), ordered (score DESC, doc_id); the per-ranker
+    reciprocal is quantized to ``round(1e9/(rrf_k+rank))`` NANO-units
+    (half-away, mirroring SQL ROUND) so the fused score is an exact
+    int64 sum — order/engine-invariant — and ``rrf`` is the raw float64
+    division by 1e9.
+
+    Scale shape: ONE query-pruned tf scan feeds both scorers (each doc
+    scores inside its own block; df / idf are |terms|-row driver
+    constants); each ranking is one range-partitioning sort +
+    block-offset prefix sum (``rowwindow.global_row_number`` — no rows
+    leave their post-sort block); one adaptive join aligns the two rank
+    columns; the final top-k is a sort-limit over candidates only."""
+    from vaero_ray.stages.joins import auto_join
+    from vaero_ray.stages.rowwindow import global_row_number
+
+    tsorted = sorted(set(terms))
+    pairs = _query_tf_pairs(ds, tsorted, text_col, id_col)
+    df_rows = pairs.groupby("term").count().take_all()
+    dfs = {r["term"]: int(r["count()"]) for r in df_rows}
+    idf = {
+        t: math.log((n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0)
+        for t in tsorted
+    }
+    w_tfidf = {t: (1000 * n_docs) // max(dfs.get(t, 0), 1) for t in tsorted}
+
+    def score_both(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "s_tfidf": pd.Series([], dtype=np.int64),
+                                 "neg_tfidf": pd.Series([], dtype=np.int64),
+                                 "s_bm25": pd.Series([], dtype=np.float64),
+                                 "neg_bm25": pd.Series([], dtype=np.float64)})
+        piv = df.pivot_table(
+            index=id_col, columns="term", values="tf", aggfunc="sum", fill_value=0
+        )
+        dl = df.groupby(id_col)["dl"].first().loc[piv.index].to_numpy(np.int64)
+        s_int = np.zeros(len(piv), np.int64)
+        s_bm = np.zeros(len(piv), np.float64)
+        for t in tsorted:  # FIXED lex order: same float association as the oracle
+            tf = (
+                piv[t].to_numpy(np.int64) if t in piv.columns
+                else np.zeros(len(piv), np.int64)
+            )
+            s_int = s_int + tf * w_tfidf[t]
+            den = (10 * tf * n_tokens_total + 3 * n_tokens_total + 9 * dl * n_docs).astype(np.float64)
+            s_bm = s_bm + idf[t] * (((22.0 * tf) * n_tokens_total) / den)
+        return pd.DataFrame(
+            {id_col: piv.index.to_numpy(np.int64),
+             "s_tfidf": s_int, "neg_tfidf": -s_int,
+             "s_bm25": s_bm, "neg_bm25": -s_bm}
+        )
+
+    scored = pairs.map_batches(score_both, batch_format="pandas").materialize()
+    ra = global_row_number(scored, ["neg_tfidf", id_col], out_col="rank_tfidf")
+    rb = global_row_number(
+        scored.select_columns([id_col, "neg_bm25"]), ["neg_bm25", id_col],
+        out_col="rank_bm25",
+    ).select_columns([id_col, "rank_bm25"])
+    both = auto_join(
+        ra.select_columns([id_col, "rank_tfidf"]), rb, keys=id_col
+    )
+
+    def fuse(tbl: pa.Table) -> pa.Table:
+        raa = tbl.column("rank_tfidf").to_numpy(zero_copy_only=False).astype(np.int64)
+        rbb = tbl.column("rank_bm25").to_numpy(zero_copy_only=False).astype(np.int64)
+        micro = (
+            np.floor(1e9 / (rrf_k + raa) + 0.5).astype(np.int64)
+            + np.floor(1e9 / (rrf_k + rbb) + 0.5).astype(np.int64)
+        )
+        return pa.table(
+            {id_col: tbl.column(id_col), "rank_tfidf": pa.array(raa, pa.int64()),
+             "rank_bm25": pa.array(rbb, pa.int64()),
+             "rrf_nano": pa.array(micro, pa.int64()),
+             "rrf": pa.array(micro / 1e9, pa.float64())}
+        )
+
+    fused = both.map_batches(fuse, batch_format="pyarrow", zero_copy_batch=True)
+    top = fused.sort(["rrf_nano", id_col], descending=[True, False]).limit(k)
+    return top
