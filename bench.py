@@ -276,6 +276,9 @@ BENCH_QUERIES = [
     "streaming_cusum_peak",         # exactly-once streaming CUSUM change-point
     "rrf_top_docs",                 # reciprocal-rank fusion of tf-idf + BM25
     "order_basket_containment",     # generic set-containment similarity join
+    "referential_integrity",        # cross-table FK orphan audit (keys-only anti joins)
+    "user_count_powerlaw",          # Hill tail exponent of per-user activity
+    "embedding_gram",               # exact integer Gram matrix of the embedding corpus
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

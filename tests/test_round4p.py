@@ -462,3 +462,76 @@ def test_set_containment_pairs_bruteforce(ray_session):
                 expect[(a, b)] = (inter, small)
     got = {(r.grp, r.dup_of): (r.n_common, r.n_small) for r in out.itertuples()}
     assert got == expect
+
+
+# ---------------- batch 6: FK audit, Hill alpha, embedding Gram ----------------
+
+def test_hill_alpha_recovers_planted_exponent(ray_session):
+    from vaero_ray.stages.numstats import hill_alpha
+
+    rng = _rng(47)
+    # discrete samples from a Pareto(alpha=2.5) tail, xmin=5
+    alpha_true = 2.5
+    x = np.floor(5.0 * (1.0 - rng.random(60_000)) ** (-1.0 / (alpha_true - 1.0))).astype(np.int64)
+    cells = pd.DataFrame({"v": x}).groupby("v", as_index=False).size().rename(
+        columns={"size": "c"}
+    )
+    out = hill_alpha(rd.from_pandas(cells).repartition(3), "v", xmin=5).to_pylist()[0]
+    assert out["n_tail"] == len(x)
+    assert abs(out["alpha"] - alpha_true) < 0.15  # MLE consistency at 60k samples
+    # brute-force identity on the exact fold
+    lnsum = float(np.sum(np.log(np.sort(x) / 5.0)))
+    assert abs(out["alpha"] - round(1.0 + len(x) / lnsum, 6)) <= 2e-6
+
+
+def test_hill_alpha_empty_tail(ray_session):
+    from vaero_ray.stages.numstats import hill_alpha
+
+    cells = pd.DataFrame({"v": [1, 2, 3], "c": [5, 5, 5]})
+    out = hill_alpha(rd.from_pandas(cells), "v", xmin=10).to_pylist()[0]
+    assert out["n_tail"] == 0 and out["alpha"] is None
+
+
+def test_embedding_gram_matches_numpy(ray_session):
+    from vaero_ray.stages.ann import embedding_gram
+
+    rng = _rng(53)
+    n, d = 200, 8
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {"embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float32()), d)}
+    )
+    out = embedding_gram(rd.from_arrow(tbl).repartition(5), "embedding").to_pandas()
+    micro = np.floor(m.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    g = micro.T @ micro
+    assert len(out) == d * (d + 1) // 2
+    for row in out.itertuples():
+        assert row.gram_micro2 == g[row.i - 1, row.j - 1]
+        assert row.n_vecs == n
+        assert row.gram == g[row.i - 1, row.j - 1] / 1e12
+
+
+def test_referential_integrity_detects_planted_orphans(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+    from vaero_ray.pipelines.queries import q_referential_integrity
+
+    src = "/root/testdata/sf0.001"
+    import shutil
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    # plant 3 orphan lineitem rows pointing at a nonexistent order
+    li = pq2.read_table(tmp_path / "lineitem.parquet")
+    extra = li.slice(0, 3).to_pandas()
+    extra["l_orderkey"] = [999_999_001, 999_999_001, 999_999_002]
+    pq2.write_table(
+        pa.concat_tables([li, pa.Table.from_pandas(extra, schema=li.schema)]),
+        tmp_path / "lineitem.parquet",
+    )
+    out = q_referential_integrity(str(tmp_path)).to_pandas().set_index("fk")
+    row = out.loc["lineitem.l_orderkey->orders"]
+    assert row["n_orphan_rows"] == 3 and row["n_orphan_keys"] == 2
+    assert row["n_rows"] == li.num_rows + 3
+    # untouched FKs stay clean
+    assert out.loc["orders.o_custkey->customer", "n_orphan_rows"] == 0

@@ -13126,6 +13126,203 @@ WHERE 3 * p.inter >= 2 * LEAST(ca.n, cb.n) AND p.inter >= 2
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 6: data-QA referential-integrity audit, Hill
+# power-law tail exponent, embedding Gram matrix
+# ------------------------------------------------------------------
+
+_FK_SPECS = [
+    # (fk label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_referential_integrity(sf_dir: str):
+    """Cross-table referential-integrity audit — the data-QA gate a
+    warehouse runs before trusting joins: for each FK edge, exact child
+    row count (parquet footer), orphan ROW count and distinct orphan
+    KEY count. Scale shape per FK: the child projects to per-block
+    (key, count) partials (keys-only — no payload ever moves), one
+    keyed-sum exchange, then the anti semi-join against the parent's
+    key projection; orphan totals are a tiny fold over surviving keys."""
+    import pandas as _pd
+
+    from vaero_ray.stages.joins import semi_join
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    rows = []
+    for label, child, ck, parent, pk in _FK_SPECS:
+        n_rows = pq.ParquetFile(f"{sf_dir}/{child}.parquet").metadata.num_rows
+        cds = _read_pq(f"{sf_dir}/{child}.parquet", columns=[ck])
+
+        def partial(tbl: pa.Table, _ck=ck) -> pa.Table:
+            g = tbl.group_by(_ck).aggregate([([], "count_all")])
+            return pa.table(
+                {"k": pc.cast(g.column(_ck), pa.int64()),
+                 "c": g.column("count_all")}
+            )
+
+        cnts = bucketed_keyed_sum(
+            cds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["k"], ["c"], num_buckets=4,
+        )
+        pds = _read_pq(f"{sf_dir}/{parent}.parquet", columns=[pk])
+
+        def pkeys(tbl: pa.Table, _pk=pk) -> pa.Table:
+            return pa.table({"k": pc.cast(tbl.column(_pk), pa.int64())})
+
+        parent_keys = pds.map_batches(pkeys, batch_format="pyarrow", zero_copy_batch=True)
+        orphans = semi_join(cnts, parent_keys, keys="k", anti=True).to_pandas()
+        rows.append(
+            {
+                "fk": label,
+                "n_rows": int(n_rows),
+                "n_orphan_rows": int(orphans["c"].sum()) if len(orphans) else 0,
+                "n_orphan_keys": int(len(orphans)),
+            }
+        )
+    df = _pd.DataFrame(rows)
+    return pa.table(
+        {
+            "fk": pa.array(df["fk"], pa.string()),
+            "n_rows": pa.array(df["n_rows"], pa.int64()),
+            "n_orphan_rows": pa.array(df["n_orphan_rows"], pa.int64()),
+            "n_orphan_keys": pa.array(df["n_orphan_keys"], pa.int64()),
+        }
+    )
+
+
+SQL_REF_INTEGRITY = r"""
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT l.l_orderkey) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphan_keys
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT l.l_partkey) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT l.l_suppkey) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT o.o_custkey) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT c.c_nationkey) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT s.s_nationkey) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT n.n_regionkey) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q_user_count_powerlaw(sf_dir: str):
+    """Hill / continuous-MLE tail exponent of the per-user activity
+    distribution (is user activity power-law, and how fat?) — the
+    per-entity sibling of the vocabulary Zipf slope. Per-user counts
+    via one keyed sum; the fold runs over distinct-count cells only."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.numstats import hill_alpha
+
+    ds = _events(sf_dir, columns=["user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"), "c": g.column("count_all")})
+
+    per_user = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], ["c"], num_buckets=4,
+    ).materialize()
+    n_keys = int(per_user.count())
+
+    def cells(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = df.groupby("c", sort=False).size().rename("m").reset_index()
+        return out.rename(columns={"c": "v", "m": "c"})
+
+    comp = per_user.map_batches(cells, batch_format="pandas").to_pandas()
+    comp = comp.groupby("v", as_index=False)["c"].sum()
+    import ray.data as _rd
+
+    tail = hill_alpha(_rd.from_pandas(comp), "v", xmin=5)
+    t = tail.to_pylist()[0]
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "n_tail": pa.array([t["n_tail"]], pa.int64()),
+            "lnsum": pa.array([t["lnsum"]], pa.float64()),
+            "alpha": pa.array([t["alpha"]], pa.float64()),
+        }
+    )
+
+
+SQL_POWERLAW = r"""
+WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+cells AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pu WHERE x >= 5 GROUP BY 1),
+t AS (SELECT CAST((SELECT COUNT(*) FROM pu) AS BIGINT) AS n_keys,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tail,
+             SUM(c * LN(v / 5.0)) AS lnsum FROM cells)
+SELECT n_keys, n_tail, ROUND(lnsum, 6) AS lnsum,
+       CASE WHEN lnsum > 0 THEN ROUND(1.0 + n_tail / lnsum, 6) END AS alpha
+FROM t
+"""
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact integer Gram matrix of the embedding corpus (upper
+    triangle, 2080 cells at d=64) — the list-column linear-algebra
+    primitive under PCA/whitening: one int64 X^T X matmul per block,
+    zero row exchange, tiny keyed merge."""
+    from vaero_ray.stages.ann import embedding_gram
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return embedding_gram(ds, "embedding")
+
+
+SQL_EMBEDDING_GRAM = r"""
+WITH u AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+           FROM embeddings),
+p AS (SELECT a.dim AS i, b.dim AS j,
+             CAST(SUM(a.m * b.m) AS BIGINT) AS gram_micro2,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, gram_micro2, n_vecs,
+       CAST(gram_micro2 AS DOUBLE) / 1000000000000.0 AS gram
+FROM p
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13407,6 +13604,9 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_cusum_peak": q_streaming_cusum_peak,
     "rrf_top_docs": q_rrf_top_docs,
     "order_basket_containment": q_order_basket_containment,
+    "referential_integrity": q_referential_integrity,
+    "user_count_powerlaw": q_user_count_powerlaw,
+    "embedding_gram": q_embedding_gram,
 }
 
 ORACLES: dict[str, str] = {
@@ -13690,4 +13890,7 @@ ORACLES: dict[str, str] = {
     "streaming_cusum_peak": SQL_STREAMING_CUSUM,
     "rrf_top_docs": SQL_RRF,
     "order_basket_containment": SQL_BASKET_CONTAINMENT,
+    "referential_integrity": SQL_REF_INTEGRITY,
+    "user_count_powerlaw": SQL_POWERLAW,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
 }

@@ -440,3 +440,63 @@ def embedding_dim_stats(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_gram(
+    ds: rd.Dataset,
+    emb_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """EXACT Gram matrix of an embedding column (upper triangle,
+    1-based dims): the list-column linear-algebra primitive under PCA /
+    whitening / covariance drift. Components fixed-pointed once
+    (``floor(v*scale + 0.5)``, exact in float64 both engines), then
+    each block contributes ONE vectorized ``X^T @ X`` int64 matmul
+    collapsed to d(d+1)/2 (i, j, gram_micro2, n_vecs) partial rows —
+    zero row exchange, merged through one tiny keyed sum (2080 rows per
+    block at d=64). ``gram`` is the raw float64 division by scale^2.
+    Int64 headroom: |v|*scale squared times corpus rows must fit
+    (|v|<=2 at scale=1e6 holds to ~5e5 vectors per partial and the
+    merge is exact past that; rescale for wider corpora)."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "gram_micro2": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+        if not tbl.num_rows:
+            return empty
+        m = _mat(tbl, emb_col, dtype=np.float64)
+        micro = np.floor(m * scale + 0.5).astype(np.int64)
+        g = micro.T @ micro
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64) + 1),
+                "j": pa.array(ju.astype(np.int64) + 1),
+                "gram_micro2": pa.array(g[iu, ju], pa.int64()),
+                "n_vecs": pa.array(np.full(len(iu), tbl.num_rows, np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = bucketed_keyed_sum(
+        parts, ["i", "j"], ["gram_micro2", "n_vecs"], num_buckets=4
+    )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        gram = pc.divide(
+            pc.cast(tbl.column("gram_micro2"), pa.float64()),
+            pa.scalar(float(scale) * float(scale)),
+        )
+        return tbl.append_column("gram", gram)
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -1571,3 +1571,42 @@ def markov_entropy(cells: pa.Table) -> pa.Table:
          "h_next": pa.array([round(-sn, 6)], pa.float64()),
          "mi": pa.array([round(-sn + sc, 6)], pa.float64())}
     )
+
+
+def hill_alpha(cells: rd.Dataset, val_col: str, xmin: int, c_col: str = "c") -> pa.Table:
+    """Hill / continuous-MLE power-law tail exponent over a
+    distinct-value compressed (value, count) table:
+    ``alpha = 1 + n_tail / sum(c * ln(v / xmin))`` for values >= xmin —
+    the heavy-tail screen for activity distributions (Zipf slope's
+    per-entity sibling: is user activity / conversation length
+    power-law, and how fat?). The exchange is the compressed cells
+    (bounded value domain); n_tail exact int64; lnsum is the one
+    fixed-order float fold (ascending value), 6-dp, with alpha derived
+    from the UNROUNDED sum exactly as the oracle writes it."""
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {"n_tail": pa.array([0], pa.int64()),
+                 "lnsum": pa.array([None], pa.float64()),
+                 "alpha": pa.array([None], pa.float64())}
+            )
+        v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl.column(c_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = v >= xmin
+        v, c = v[keep], c[keep]
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        n_tail = int(c.sum())
+        lnsum = float(np.sum(c * np.log(v / float(xmin))))
+        alpha = round(1.0 + n_tail / lnsum, 6) if lnsum > 0 else None
+        return pa.table(
+            {"n_tail": pa.array([n_tail], pa.int64()),
+             "lnsum": pa.array([round(lnsum, 6)], pa.float64()),
+             "alpha": pa.array([alpha], pa.float64())}
+        )
+
+    out = cells.repartition(1).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pa.Table.from_pylist(out.take_all())
