@@ -13156,8 +13156,14 @@ def q_referential_integrity(sf_dir: str):
     from vaero_ray.stages.joins import semi_join
     from vaero_ray.stages.keyed import bucketed_keyed_sum
 
-    rows = []
-    for label, child, ck, parent, pk in _FK_SPECS:
+    # each FK audit is its own small pipeline (keys-only keyed sum +
+    # anti semi-join), run sequentially: ~2 s fixed premium per audit at
+    # toy scale (the documented multi-execution cost — measured: driver
+    # threads contend instead of overlapping, 18 s; a union-everything
+    # single pipeline defeats stage fusion, 48 s; sequential is 15 s and
+    # the per-audit shape is the one that matters at 100 TB)
+    def audit(spec):
+        label, child, ck, parent, pk = spec
         n_rows = pq.ParquetFile(f"{sf_dir}/{child}.parquet").metadata.num_rows
         cds = _read_pq(f"{sf_dir}/{child}.parquet", columns=[ck])
 
@@ -13178,15 +13184,17 @@ def q_referential_integrity(sf_dir: str):
             return pa.table({"k": pc.cast(tbl.column(_pk), pa.int64())})
 
         parent_keys = pds.map_batches(pkeys, batch_format="pyarrow", zero_copy_batch=True)
-        orphans = semi_join(cnts, parent_keys, keys="k", anti=True).to_pandas()
-        rows.append(
-            {
-                "fk": label,
-                "n_rows": int(n_rows),
-                "n_orphan_rows": int(orphans["c"].sum()) if len(orphans) else 0,
-                "n_orphan_keys": int(len(orphans)),
-            }
-        )
+        orphans = semi_join(
+            cnts, parent_keys, keys="k", anti=True, num_buckets=8
+        ).to_pandas()
+        return {
+            "fk": label,
+            "n_rows": int(n_rows),
+            "n_orphan_rows": int(orphans["c"].sum()) if len(orphans) else 0,
+            "n_orphan_keys": int(len(orphans)),
+        }
+
+    rows = [audit(spec) for spec in _FK_SPECS]
     df = _pd.DataFrame(rows)
     return pa.table(
         {

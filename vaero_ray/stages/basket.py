@@ -256,7 +256,28 @@ def pair_lift(
     pairs = pair_cooccurrence(
         ds, group_col, item_col, min_support=min_support,
         num_buckets=num_buckets, max_basket=max_basket,
-    )
+    ).materialize()
+    if not pairs.count():
+        # an empty pruned pair set would propagate a schemaless dataset
+        # through the joins (auto_join needs .schema().names) — return
+        # the typed empty result instead
+        it = pa.int64()
+        try:
+            sch = ds.schema()
+            it = sch.types[sch.names.index(item_col)]
+        except Exception:
+            pass
+        empty = pa.table(
+            {
+                "item_a": pa.array([], it), "item_b": pa.array([], it),
+                "support": pa.array([], pa.int64()),
+                "cnt_a": pa.array([], pa.int64()), "cnt_b": pa.array([], pa.int64()),
+                "lift_num": pa.array([], pa.int64()),
+                "lift_den": pa.array([], pa.int64()),
+                "lift": pa.array([], pa.float64()),
+            }
+        )
+        return rd.from_arrow(empty)
 
     def distinct_gi(df: pd.DataFrame) -> pd.DataFrame:
         return df[[group_col, item_col]].drop_duplicates()
