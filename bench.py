@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "referential_integrity",        # cross-table FK orphan audit (keys-only anti joins)
     "user_count_powerlaw",          # Hill tail exponent of per-user activity
     "embedding_gram",               # exact integer Gram matrix of the embedding corpus
+    "label_silhouette",             # centroid silhouette clustering-quality eval
+    "bm25_ndcg_eval",               # NDCG@10 retrieval-quality eval of the BM25 ranker
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

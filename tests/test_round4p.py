@@ -535,3 +535,68 @@ def test_referential_integrity_detects_planted_orphans(ray_session, tmp_path):
     assert row["n_rows"] == li.num_rows + 3
     # untouched FKs stay clean
     assert out.loc["orders.o_custkey->customer", "n_orphan_rows"] == 0
+
+
+# ---------------- batch 7: ML-eval operators ----------------
+
+def test_label_silhouette_separated_vs_mixed(ray_session):
+    from vaero_ray.stages.ann import label_silhouette
+
+    rng = _rng(59)
+    d = 6
+    # well-separated clusters -> silhouette near 1
+    a = rng.normal(0, 0.05, size=(150, d)) + np.r_[np.ones(3), np.zeros(3)]
+    b = rng.normal(0, 0.05, size=(150, d)) - np.r_[np.zeros(3), np.ones(3)]
+    m = np.vstack([a, b]).astype(np.float32)
+    lab = np.r_[np.zeros(150, np.int32), np.ones(150, np.int32)]
+    tbl = pa.table(
+        {"embedding": pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1), pa.float32()), d),
+         "label": pa.array(lab, pa.int32())}
+    )
+    out = label_silhouette(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    assert set(out["label"]) == {0, 1}
+    assert (out["mean_sil"] > 0.8).all()
+    # random labels on one blob -> silhouette near 0 (can be slightly negative)
+    lab2 = rng.integers(0, 2, size=300).astype(np.int32)
+    tbl2 = tbl.set_column(1, "label", pa.array(lab2, pa.int32()))
+    out2 = label_silhouette(rd.from_arrow(tbl2).repartition(4)).to_pandas()
+    assert (out2["mean_sil"].abs() < 0.4).all()
+    # exact identity vs a brute-force recomputation of the same formula
+    cents = {}
+    for lv in (0, 1):
+        micro = np.floor(m[lab2 == lv].astype(np.float64) * 1e6 + 0.5)
+        cents[lv] = micro.sum(axis=0) / (float((lab2 == lv).sum()) * 1e6)
+    x = np.floor(m.astype(np.float64) * 1e6 + 0.5) / 1e6
+    sums = {0: 0, 1: 0}
+    for i in range(300):
+        da = {lv: math.sqrt(float(((x[i] - cents[lv]) ** 2).sum())) for lv in (0, 1)}
+        own = int(lab2[i])
+        aa, bb = da[own], da[1 - own]
+        mx = max(aa, bb)
+        s = (bb - aa) / mx if mx > 0 else 0.0
+        sums[own] += int(np.floor(s * 1_000_000 + 0.5))
+    got = dict(zip(out2["label"], out2["sum_sil_micro"]))
+    # brute force sums dims in a different association; allow 1-micro slack per vec
+    for lv in (0, 1):
+        assert abs(got[lv] - sums[lv]) <= 300
+
+
+def test_bm25_ndcg_perfect_when_ranking_matches_relevance(ray_session):
+    from vaero_ray.stages.textstats import bm25_ndcg
+
+    # corpus where coverage and BM25 agree: docs with all 3 terms rank first
+    docs = (["hash join stream"] * 3 + ["hash join x"] * 4
+            + ["hash y z"] * 5 + ["plain filler text"] * 8)
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    ntok = sum(len(d.split()) for d in docs)
+    out = bm25_ndcg(
+        rd.from_arrow(tbl).repartition(3), ["hash", "join", "stream"],
+        len(docs), ntok, k=10,
+    ).to_pylist()[0]
+    assert out["n_candidates"] == 12
+    assert out["ndcg"] == 1.0  # ranking order equals relevance order
+    # sanity: dcg equals the hand-computed ideal over rels [3,3,3,2,2,2,2,1,1,1]
+    rels = [3, 3, 3, 2, 2, 2, 2, 1, 1, 1]
+    idcg = sum((2.0 ** r - 1.0) / np.log2(i + 2.0) for i, r in enumerate(rels))
+    assert abs(out["idcg"] - round(idcg, 6)) <= 1e-6

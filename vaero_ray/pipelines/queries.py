@@ -13331,6 +13331,125 @@ FROM p
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 7: ML evaluation operators — clustering quality
+# (centroid silhouette) and retrieval quality (NDCG@10)
+# ------------------------------------------------------------------
+
+def q_label_silhouette(sf_dir: str):
+    """Simplified silhouette score of the labeled embedding corpus
+    (clustering-quality eval): per-vector (b-a)/max(a,b) against exact
+    integer centroids, micro-quantized per row so the per-label sums
+    are exact int64 — two passes, zero row exchange."""
+    from vaero_ray.stages.ann import label_silhouette
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+    return label_silhouette(ds, "embedding", "label")
+
+
+SQL_LABEL_SILHOUETTE = r"""
+WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  unnest(range(1, len(embedding) + 1)) AS dim,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+           FROM embeddings),
+cs AS (SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sum_micro,
+              CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1, 2),
+c AS (SELECT label, dim,
+             CAST(sum_micro AS DOUBLE) / (n * 1000000.0) AS cc FROM cs),
+d AS (SELECT u.vec_id, u.label AS own, c.label AS cl,
+             SQRT(SUM((CAST(u.m AS DOUBLE) / 1000000.0 - c.cc)
+                      * (CAST(u.m AS DOUBLE) / 1000000.0 - c.cc))) AS dist
+      FROM u JOIN c ON u.dim = c.dim GROUP BY 1, 2, 3),
+aa AS (SELECT vec_id, own, dist AS a FROM d WHERE cl = own),
+bb AS (SELECT vec_id, MIN(dist) AS b FROM d WHERE cl <> own GROUP BY 1),
+s AS (SELECT aa.own AS label,
+             CASE WHEN GREATEST(aa.a, bb.b) > 0
+                  THEN CAST(floor((bb.b - aa.a) / GREATEST(aa.a, bb.b) * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS micro
+      FROM aa JOIN bb USING (vec_id))
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(micro) AS BIGINT) AS sum_sil_micro,
+       CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_sil
+FROM s GROUP BY 1
+"""
+
+
+def q_bm25_ndcg_eval(sf_dir: str):
+    """NDCG@10 of the BM25 ranking against graded term-coverage
+    relevance (rel = # distinct query terms present, 0-3) — the
+    retrieval-quality eval beside the rankers themselves: DCG over the
+    engine's own top-10, ideal DCG from the global relevance
+    spectrum (a 4-cell aggregate), one number a regression can watch."""
+    import pyarrow.parquet as _pq
+
+    from vaero_ray.stages.dedup import _flat_tokens
+    from vaero_ray.stages.textstats import bm25_ndcg
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok_count(tbl: pa.Table) -> pa.Table:
+        toks, _ = _flat_tokens(tbl, "text")
+        return pa.table({"ntok": pa.array([len(toks)], pa.int64())})
+
+    ntok = int(
+        ds.map_batches(tok_count, batch_format="pyarrow", zero_copy_batch=True).sum("ntok")
+    )
+    return bm25_ndcg(
+        ds, terms=["hash", "join", "stream"], n_docs=int(n_docs),
+        n_tokens_total=ntok, k=10,
+    )
+
+
+SQL_BM25_NDCG = r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(toks)) AS BIGINT) AS ntok FROM t),
+u AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM u WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+p AS (SELECT tf.doc_id,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'hash'), 0) AS BIGINT) AS tf_a,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'join'), 0) AS BIGINT) AS tf_b,
+             CAST(COALESCE(SUM(tf) FILTER (tok = 'stream'), 0) AS BIGINT) AS tf_c
+      FROM tf GROUP BY 1),
+idf AS (SELECT
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'hash'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'hash'), 0) + 0.5) + 1.0) AS ia,
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'join'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'join'), 0) + 0.5) + 1.0) AS ib,
+  LN((n.n - COALESCE((SELECT df FROM dfc WHERE tok = 'stream'), 0) + 0.5)
+     / (COALESCE((SELECT df FROM dfc WHERE tok = 'stream'), 0) + 0.5) + 1.0) AS ic
+  FROM n),
+s AS (SELECT p.doc_id,
+             CAST((CASE WHEN p.tf_a > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN p.tf_b > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN p.tf_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rel,
+             idf.ia * ((22.0 * p.tf_a) * n.ntok
+                       / (10 * p.tf_a * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n))
+           + idf.ib * ((22.0 * p.tf_b) * n.ntok
+                       / (10 * p.tf_b * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n))
+           + idf.ic * ((22.0 * p.tf_c) * n.ntok
+                       / (10 * p.tf_c * n.ntok + 3 * n.ntok + 9 * dl.dl * n.n)) AS score
+      FROM p JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN idf),
+r AS (SELECT doc_id, rel,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM s),
+ideal AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rnk FROM s),
+dcg AS (SELECT SUM((POW(2.0, rel) - 1.0) / LOG2(rnk + 1.0)) AS v
+        FROM r WHERE rnk <= 10),
+idcg AS (SELECT SUM((POW(2.0, rel) - 1.0) / LOG2(rnk + 1.0)) AS v
+         FROM ideal WHERE rnk <= 10)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_candidates,
+       ROUND(dcg.v, 6) AS dcg, ROUND(idcg.v, 6) AS idcg,
+       CASE WHEN idcg.v > 0 THEN ROUND(dcg.v / idcg.v, 6) END AS ndcg
+FROM dcg, idcg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13615,6 +13734,8 @@ QUERIES: dict[str, QueryFn] = {
     "referential_integrity": q_referential_integrity,
     "user_count_powerlaw": q_user_count_powerlaw,
     "embedding_gram": q_embedding_gram,
+    "label_silhouette": q_label_silhouette,
+    "bm25_ndcg_eval": q_bm25_ndcg_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -13901,4 +14022,6 @@ ORACLES: dict[str, str] = {
     "referential_integrity": SQL_REF_INTEGRITY,
     "user_count_powerlaw": SQL_POWERLAW,
     "embedding_gram": SQL_EMBEDDING_GRAM,
+    "label_silhouette": SQL_LABEL_SILHOUETTE,
+    "bm25_ndcg_eval": SQL_BM25_NDCG,
 }

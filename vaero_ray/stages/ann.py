@@ -500,3 +500,98 @@ def embedding_gram(
         return tbl.append_column("gram", gram)
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def label_silhouette(
+    ds: rd.Dataset,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """Simplified (centroid-based) silhouette score per label — the
+    clustering-quality evaluation at corpus scale: for each vector,
+    ``a`` = euclidean distance to its OWN label centroid, ``b`` = the
+    nearest OTHER centroid, ``s = (b - a)/max(a, b)`` (the O(n*k)
+    medoid-free form — the O(n^2) pairwise silhouette cannot exist at
+    100 TB). Two passes, zero row exchange: pass 1 is the exact integer
+    centroid accumulator (:func:`label_centroid_sums`, labels x dims
+    rows move); pass 2 broadcasts the centroid matrix and each block
+    reduces to per-label (n, sum of floor(s*1e6 + 0.5)) partials — the
+    per-vector float chain (micro components, fixed dim order) is
+    engine-deterministic, so the micro-quantized sums are exact int64
+    and the per-label mean is a raw division."""
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    cents = label_centroid_sums(ds, emb_col, label_col, scale=scale).to_pandas()
+    cents = cents.sort_values(["label", "dim"], kind="mergesort")
+    labels = np.sort(cents["label"].unique())
+    d = int(cents["dim"].max())
+    k = len(labels)
+    cmat = np.zeros((k, d), np.float64)
+    li = {int(l): i for i, l in enumerate(labels)}
+    cmat[
+        cents["label"].map(li).to_numpy(np.int64),
+        cents["dim"].to_numpy(np.int64) - 1,
+    ] = cents["sum_micro"].to_numpy(np.float64) / (
+        cents["n_vecs"].to_numpy(np.float64) * scale
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+                "sum_sil_micro": pa.array([], pa.int64()),
+            }
+        )
+        if not tbl.num_rows:
+            return empty
+        m = _mat(tbl, emb_col, dtype=np.float64)
+        x = np.floor(m * scale + 0.5) / scale  # micro-quantized components
+        lab = tbl.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.array([li[int(v)] for v in np.unique(lab)])
+        code_of = np.searchsorted(np.unique(lab), lab)
+        own = codes[code_of]
+        # n x k squared distances: |x|^2 + |c|^2 - 2 x.c  would lose the
+        # fixed per-dim association the oracle writes; with d<=64 and k
+        # small, the explicit (x - c)^2 sum in dim order is cheap and
+        # bit-faithful
+        d2 = np.zeros((len(x), k), np.float64)
+        for dim in range(x.shape[1]):
+            diff = x[:, dim : dim + 1] - cmat[None, :, dim]
+            d2 = d2 + diff * diff
+        dist = np.sqrt(d2)
+        a = dist[np.arange(len(x)), own]
+        if k < 2:  # silhouette undefined with one cluster: s = 0
+            s = np.zeros(len(x), np.float64)
+        else:
+            masked = dist.copy()
+            masked[np.arange(len(x)), own] = np.inf
+            b = masked.min(axis=1)
+            mx = np.maximum(a, b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.where(mx > 0, (b - a) / mx, 0.0)
+        micro = np.floor(s * 1_000_000 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"label": lab, "n_vecs": 1, "sum_sil_micro": micro})
+        g = out.groupby("label", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(
+            g.astype({"label": "int64", "n_vecs": "int64", "sum_sil_micro": "int64"}),
+            preserve_index=False,
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = bucketed_keyed_sum(
+        parts, ["label"], ["n_vecs", "sum_sil_micro"], num_buckets=4
+    ).to_pandas().sort_values("label")
+    n = merged["n_vecs"].to_numpy(np.int64)
+    ssum = merged["sum_sil_micro"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "label": pa.array(merged["label"].to_numpy(np.int64), pa.int64()),
+            "n_vecs": pa.array(n, pa.int64()),
+            "sum_sil_micro": pa.array(ssum, pa.int64()),
+            "mean_sil": pa.array(ssum / (n * 1e6), pa.float64()),
+        }
+    )

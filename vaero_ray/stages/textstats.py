@@ -1214,3 +1214,79 @@ def rrf_topk_docs(
     fused = both.map_batches(fuse, batch_format="pyarrow", zero_copy_batch=True)
     top = fused.sort(["rrf_nano", id_col], descending=[True, False]).limit(k)
     return top
+
+
+def bm25_ndcg(
+    ds,
+    terms: "list[str]",
+    n_docs: int,
+    n_tokens_total: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """NDCG@k of the BM25 ranking against graded TERM-COVERAGE
+    relevance (rel = number of distinct query terms present) — the
+    self-contained retrieval-quality metric: no human labels at corpus
+    scale, but coverage grades are deterministic and the metric still
+    moves when the ranker regresses. DCG uses the engine's own top-k
+    (one sort-limit); the ideal DCG needs only the global relevance
+    SPECTRUM (a <=|terms|+1-cell aggregate), never a second ranking.
+    Same integer-rational BM25 score and fixed-order float chain as
+    :func:`bm25_topk_docs`."""
+    tsorted = sorted(set(terms))
+    pairs = _query_tf_pairs(ds, tsorted, text_col, id_col)
+    df_rows = pairs.groupby("term").count().take_all()
+    dfs = {r["term"]: int(r["count()"]) for r in df_rows}
+    idf = {
+        t: math.log((n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0)
+        for t in tsorted
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "rel": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        piv = df.pivot_table(
+            index=id_col, columns="term", values="tf", aggfunc="sum", fill_value=0
+        )
+        dl = df.groupby(id_col)["dl"].first().loc[piv.index].to_numpy(np.int64)
+        sc = np.zeros(len(piv), np.float64)
+        rel = np.zeros(len(piv), np.int64)
+        for t in tsorted:  # FIXED lex order: same float association as the oracle
+            tf = (
+                piv[t].to_numpy(np.int64) if t in piv.columns
+                else np.zeros(len(piv), np.int64)
+            )
+            rel = rel + (tf > 0).astype(np.int64)
+            den = (10 * tf * n_tokens_total + 3 * n_tokens_total + 9 * dl * n_docs).astype(np.float64)
+            sc = sc + idf[t] * (((22.0 * tf) * n_tokens_total) / den)
+        return pd.DataFrame({id_col: piv.index.to_numpy(np.int64), "rel": rel, "score": sc})
+
+    scored = pairs.map_batches(score, batch_format="pandas").materialize()
+    n_cand = int(scored.count())
+    top = scored.sort(["score", id_col], descending=[True, False]).limit(k).to_pandas()
+    spectrum = scored.groupby("rel").count().to_pandas()
+    rels_ideal: "list[int]" = []
+    for rel_v in sorted(spectrum["rel"], reverse=True):
+        cnt = int(spectrum.loc[spectrum["rel"] == rel_v, "count()"].iloc[0])
+        take = min(cnt, k - len(rels_ideal))
+        rels_ideal.extend([int(rel_v)] * take)
+        if len(rels_ideal) >= k:
+            break
+    dcg = 0.0
+    for i, rel_v in enumerate(top["rel"].tolist()):
+        dcg += (2.0 ** rel_v - 1.0) / np.log2(i + 2.0)
+    idcg = 0.0
+    for i, rel_v in enumerate(rels_ideal):
+        idcg += (2.0 ** rel_v - 1.0) / np.log2(i + 2.0)
+    ndcg = round(dcg / idcg, 6) if idcg > 0 else None
+    return pa.table(
+        {
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "dcg": pa.array([round(dcg, 6)], pa.float64()),
+            "idcg": pa.array([round(idcg, 6)], pa.float64()),
+            "ndcg": pa.array([ndcg], pa.float64()),
+        }
+    )
