@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "embedding_gram",               # exact integer Gram matrix of the embedding corpus
     "label_silhouette",             # centroid silhouette clustering-quality eval
     "bm25_ndcg_eval",               # NDCG@10 retrieval-quality eval of the BM25 ranker
+    "doc_unigram_xent",             # perplexity-proxy quality filter (corpus unigram LM)
+    "lang_confusion_matrix",        # lang-ID confusion cells vs the label column
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -600,3 +600,54 @@ def test_bm25_ndcg_perfect_when_ranking_matches_relevance(ray_session):
     rels = [3, 3, 3, 2, 2, 2, 2, 1, 1, 1]
     idcg = sum((2.0 ** r - 1.0) / np.log2(i + 2.0) for i, r in enumerate(rels))
     assert abs(out["idcg"] - round(idcg, 6)) <= 1e-6
+
+
+# ---------------- batch 8: perplexity filter + lang confusion ----------------
+
+def test_unigram_xent_bruteforce(ray_session):
+    from vaero_ray.stages.textstats import unigram_xent
+
+    rng = _rng(61)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 30))))
+            for _ in range(80)] + [""]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    out = unigram_xent(
+        rd.from_arrow(tbl).repartition(4), top_v=20
+    ).to_pandas().set_index("doc_id").sort_index()
+    # brute force with identical quantization
+    import collections
+    cnt = collections.Counter(t for d in docs for t in d.split())
+    n_total = sum(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    denom = float(n_total + 21)
+    lp = {t: int(np.floor(math.log((c + 1) / denom) * 1e9 + 0.5)) for t, c in top}
+    oov_c = n_total - sum(c for _, c in top)
+    lp_oov = int(np.floor(math.log((oov_c + 1) / denom) * 1e9 + 0.5))
+    for i, d in enumerate(docs):
+        toks = d.split()
+        s = sum(lp.get(t, lp_oov) for t in toks)
+        assert out.loc[i, "n_toks"] == len(toks)
+        assert out.loc[i, "sum_lp_nano"] == s
+        if toks:
+            assert out.loc[i, "xent"] == -s / (len(toks) * 1e9)
+        else:
+            assert np.isnan(out.loc[i, "xent"]) or out.loc[i, "xent"] is None
+    # a gibberish doc must score higher xent than a common-word doc
+    docs2 = ["the the the the the"] * 50 + ["zzq qqz zqz qzz zzz"]
+    tbl2 = pa.table({"doc_id": pa.array(range(len(docs2)), pa.int64()),
+                     "text": pa.array(docs2, pa.string())})
+    o2 = unigram_xent(rd.from_arrow(tbl2), top_v=3).to_pandas().set_index("doc_id")
+    assert o2.loc[50, "xent"] > o2.loc[0, "xent"]
+
+
+def test_lang_confusion_cells_sum_to_corpus(ray_session):
+    from vaero_ray.pipelines.queries import q_lang_confusion_matrix
+
+    out = q_lang_confusion_matrix("/root/testdata/sf0.001").to_pandas()
+    assert out["n"].sum() == 500
+    # the stopword classifier beats the 1/5 chance rate (the synthetic
+    # lorem corpus keeps absolute accuracy modest: 177/500 here)
+    diag = out[out["true_lang"] == out["pred_lang"]]["n"].sum()
+    assert diag > 100

@@ -10872,6 +10872,19 @@ def q_hourly_friedman(sf_dir: str):
     )
     g = sub.groupby("event_type", sort=True)["two_rank"].sum()
     b = int(len(complete))
+    if not b:  # no complete block: the oracle's rank CTE is empty -> 0 rows
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "two_r": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "tie_sum": pa.array([], pa.int64()),
+                "chi2": pa.array([], pa.float64()),
+                "chi2_tie": pa.array([], pa.float64()),
+                "kendall_w": pa.array([], pa.float64()),
+            }
+        )
     tc = sub.groupby(["hr", "n"]).size().to_numpy(np.int64)
     tie_sum = int(np.sum(tc * tc * tc - tc))
     s = float(np.sum(g.to_numpy(np.float64) ** 2 / 4.0))
@@ -11525,6 +11538,16 @@ def q_hourly_page_trend(sf_dir: str):
     )
     g = sub.groupby("event_type", sort=True)["two_rank"].sum()
     b = int(len(complete))
+    if not b:  # no complete block: oracle emits (0, k, NULL, NULL, NULL)
+        return pa.table(
+            {
+                "b": pa.array([0], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "two_l": pa.array([None], pa.int64()),
+                "chi2_l": pa.array([None], pa.float64()),
+                "z": pa.array([None], pa.float64()),
+            }
+        )
     j = np.arange(1, k + 1, dtype=np.int64)
     two_l = int(np.sum(j * g.to_numpy(np.int64)))
     num = 6.0 * two_l - 3.0 * b * k * (k + 1) * (k + 1)
@@ -13450,6 +13473,111 @@ FROM dcg, idcg
 """
 
 
+# ------------------------------------------------------------------
+# Session-13 batch 8: perplexity-proxy quality filter + lang-ID
+# confusion matrix (classifier eval against the label column)
+# ------------------------------------------------------------------
+
+def q_doc_unigram_xent(sf_dir: str):
+    """Per-document cross-entropy under the corpus unigram LM — the
+    CCNet-style perplexity filter: per-term log-probs quantized ONCE to
+    nano-units so every document's sum is exact int64 (token/shard
+    order drop out); vocabulary pass moves vocabulary, never tokens;
+    scoring is in-block with the broadcast top-V table."""
+    from vaero_ray.stages.textstats import unigram_xent
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_xent(ds, top_v=1000)
+
+
+SQL_UNIGRAM_XENT = r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+u AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+topv AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 1000),
+iv AS (SELECT CAST(SUM(c) AS BIGINT) AS in_total FROM topv),
+lp AS (SELECT term,
+              CAST(floor(LN((c + 1) / (tot.n_total + 1001.0)) * 1000000000 + 0.5) AS BIGINT) AS nano
+       FROM topv, tot),
+oov AS (SELECT CAST(floor(LN((tot.n_total - iv.in_total + 1) / (tot.n_total + 1001.0))
+                          * 1000000000 + 0.5) AS BIGINT) AS nano
+        FROM tot, iv),
+sc AS (SELECT u.doc_id, CAST(SUM(COALESCE(lp.nano, oov.nano)) AS BIGINT) AS s,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM u LEFT JOIN lp USING (term) CROSS JOIN oov GROUP BY 1)
+SELECT d.doc_id, COALESCE(sc.n, 0) AS n_toks, COALESCE(sc.s, 0) AS sum_lp_nano,
+       CASE WHEN sc.n > 0 THEN -CAST(sc.s AS DOUBLE) / (sc.n * 1000000000.0) END AS xent
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+def q_lang_confusion_matrix(sf_dir: str):
+    """Confusion matrix of the engine's own language-ID against the
+    corpus label column — classifier eval at scale: the lang_id scan
+    appends pred_lang in-block, then one bounded (true, pred) cell
+    merge. Exact integer cells; accuracy derives from the diagonal."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.textstats import lang_id_batch
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def cells(tbl: pa.Table) -> pa.Table:
+        scored = lang_id_batch(tbl)
+        g = (
+            pa.table(
+                {"true_lang": scored.column("lang"),
+                 "pred_lang": scored.column("pred_lang")}
+            )
+            .group_by(["true_lang", "pred_lang"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["true_lang", "pred_lang", "n"])
+
+    return bucketed_keyed_sum(
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        ["true_lang", "pred_lang"], ["n"], num_buckets=4,
+    )
+
+
+SQL_LANG_CONFUSION = r"""
+WITH toks AS (
+  SELECT d.doc_id, t.tok FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿäöüß]+'), x -> x <> '')[1:200] AS toks
+    FROM documents) d, UNNEST(d.toks) AS t(tok)
+),
+sw(lang, word, prio) AS (VALUES
+  ('en','the',1),('en','and',1),('en','of',1),('en','to',1),('en','a',1),
+  ('en','in',1),('en','is',1),('en','it',1),('en','you',1),('en','that',1),
+  ('de','der',2),('de','die',2),('de','das',2),('de','und',2),('de','ist',2),
+  ('de','nicht',2),('de','ein',2),('de','ich',2),('de','zu',2),('de','sie',2),
+  ('fr','le',3),('fr','la',3),('fr','les',3),('fr','et',3),('fr','est',3),
+  ('fr','un',3),('fr','une',3),('fr','je',3),('fr','de',3),('fr','que',3),
+  ('es','el',4),('es','la',4),('es','los',4),('es','y',4),('es','es',4),
+  ('es','un',4),('es','una',4),('es','yo',4),('es','de',4),('es','que',4)),
+hits AS (
+  SELECT t.doc_id, s.lang, s.prio, COUNT(*) AS h
+  FROM toks t JOIN sw s ON t.tok = s.word GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, prio ASC) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT d.doc_id, d.lang AS true_lang, COALESCE(b.lang, 'unknown') AS pred_lang
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13736,6 +13864,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_gram": q_embedding_gram,
     "label_silhouette": q_label_silhouette,
     "bm25_ndcg_eval": q_bm25_ndcg_eval,
+    "doc_unigram_xent": q_doc_unigram_xent,
+    "lang_confusion_matrix": q_lang_confusion_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -14024,4 +14154,6 @@ ORACLES: dict[str, str] = {
     "embedding_gram": SQL_EMBEDDING_GRAM,
     "label_silhouette": SQL_LABEL_SILHOUETTE,
     "bm25_ndcg_eval": SQL_BM25_NDCG,
+    "doc_unigram_xent": SQL_UNIGRAM_XENT,
+    "lang_confusion_matrix": SQL_LANG_CONFUSION,
 }

@@ -749,8 +749,8 @@ def kmv_overlap_stats(
     bottom-k(A ∪ B) is computable from the two sketches alone
     (any union-bottom-k hash belonging to A is necessarily in A's own
     bottom-k), so union size, Jaccard and intersection all derive from
-    ≤2k integers. Requires both sets to have ≥k distinct values (the
-    estimator's standard regime; callers assert upstream).
+    ≤2k integers. Sides with fewer than k distinct values are legal
+    (bottom-k = the whole side, same as the SQL LIMIT-k).
 
     Returns exact ints (h_k of each sketch and of the union, the shared
     count among the union bottom-k) plus the closed-form float
@@ -759,8 +759,12 @@ def kmv_overlap_stats(
     ``est_intersection = (n_shared / k) * (((k-1) * M61) / h_union_k)``."""
     a = np.unique(minima_a.astype(np.int64))[:k]
     b = np.unique(minima_b.astype(np.int64))[:k]
-    if len(a) < k or len(b) < k:
-        raise ValueError("kmv_overlap_stats needs >=k distinct values per side")
+    if not len(a) or not len(b):
+        raise ValueError("kmv_overlap_stats needs at least one value per side")
+    # fewer than k distinct values on a side is legal: the bottom-k IS
+    # the whole set, h_k = its max, and the closed forms below (which
+    # keep the k / k-1 constants) match the SQL twin's LIMIT-k verbatim
+    # — the estimator is then an overcount, but both engines agree
     u = np.unique(np.concatenate([a, b]))[:k]
     shared = np.intersect1d(u, a, assume_unique=True)
     n_shared = int(np.isin(shared, b, assume_unique=True).sum())

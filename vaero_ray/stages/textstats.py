@@ -1290,3 +1290,92 @@ def bm25_ndcg(
             "ndcg": pa.array([ndcg], pa.float64()),
         }
     )
+
+
+def unigram_xent(
+    ds,
+    n_docs_hint: "int | None" = None,
+    top_v: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document cross-entropy under the corpus UNIGRAM language
+    model — the perplexity-filter stage of a training-data pipeline
+    (CCNet-style: documents whose token stream the corpus LM finds
+    surprising are boilerplate, noise, or wrong-language): with
+    add-one-smoothed probabilities over the top-``top_v`` vocabulary
+    (OOV collapses to one UNK class), ``xent(doc) = -sum_t ln p(t) /
+    n_tokens``.
+
+    Engine-independence: each vocabulary term's log-probability is
+    quantized ONCE to nano-units (``floor(ln(p)*1e9 + 0.5)``, a
+    per-term constant), so every document's sum is an exact int64 —
+    token order, shard order and float association all drop out; the
+    only division is the final raw float64 ``-sum/(n*1e9)``.
+
+    Scale shape: the vocabulary pass is the standard per-block partial
+    count + small merge (moves vocabulary, not tokens); the top-V +
+    total fit the driver (lineage-size) and broadcast into the scoring
+    scan; each doc scores inside its own block — no shuffle at all
+    beyond the vocab aggregate. Returns (doc_id, n_toks, sum_lp_nano,
+    xent)."""
+    from ray.data.aggregate import Sum
+
+    from vaero_ray.stages.dedup import _flat_tokens
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks, _ = _flat_tokens(tbl, text_col)
+        if not len(toks):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"term": toks}).group_by("term").aggregate([([], "count_all")])
+        return t.rename_columns(["term", "c"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    # deterministic top-V: count DESC, term ASC; total over ALL terms
+    top = counts.sort(["c", "term"], descending=[True, False]).limit(top_v).to_pandas()
+    n_total = int(counts.sum("c"))
+    vocab = dict(zip(top["term"], top["c"].astype(np.int64)))
+    in_vocab_total = int(top["c"].sum())
+    denom = float(n_total + top_v + 1)
+    lp_nano = {
+        t: int(np.floor(math.log((int(c) + 1) / denom) * 1e9 + 0.5))
+        for t, c in vocab.items()
+    }
+    # OOV class: all out-of-vocab tokens share one smoothed mass
+    oov_c = n_total - in_vocab_total
+    lp_oov = int(np.floor(math.log((oov_c + 1) / denom) * 1e9 + 0.5))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        toks, off = _flat_tokens(tbl, text_col)
+        n = tbl.num_rows
+        n_toks = (off[1:] - off[:-1]).astype(np.int64)
+        if not len(toks):
+            return pa.table(
+                {id_col: tbl.column(id_col),
+                 "n_toks": pa.array(np.zeros(n, np.int64)),
+                 "sum_lp_nano": pa.array(np.zeros(n, np.int64)),
+                 "xent": pa.array([None] * n, pa.float64())}
+            )
+        tv = pd.Series(toks.to_pandas()).map(lp_nano).fillna(lp_oov).to_numpy(np.int64)
+        sums = np.zeros(n, np.int64)
+        nz = n_toks > 0
+        if nz.any():
+            csum = np.concatenate(([0], np.cumsum(tv)))
+            sums[nz] = csum[off[1:][nz]] - csum[off[:-1][nz]]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xent = np.where(n_toks > 0, -sums / (n_toks * 1e9), np.nan)
+        return pa.table(
+            {id_col: tbl.column(id_col),
+             "n_toks": pa.array(n_toks),
+             "sum_lp_nano": pa.array(sums),
+             "xent": pa.array(
+                 [None if not k else float(x) for k, x in zip(n_toks, xent)],
+                 pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
