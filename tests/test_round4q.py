@@ -1,0 +1,117 @@
+"""Session-14 batch 1: ML-eval tier — exact ROC AUC / PR curve /
+bucket lift over compressed (score, pos, neg) cells, brute-force
+pairwise oracles on randomized inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _rng(seed=47):
+    return np.random.default_rng(seed)
+
+
+def _cells(scores, labels):
+    df = pd.DataFrame({"score": np.asarray(scores, np.int64),
+                       "pos": np.asarray(labels, np.int64)})
+    df["neg"] = 1 - df["pos"]
+    return (df.groupby("score", as_index=False)
+              .agg({"pos": "sum", "neg": "sum"})
+              .sort_values("score").reset_index(drop=True))
+
+
+def _auc_brute(scores, labels):
+    """O(P*N) pairwise: concordant + 0.5*ties."""
+    s = np.asarray(scores, np.float64)
+    y = np.asarray(labels)
+    sp, sn = s[y == 1], s[y == 0]
+    num = (sp[:, None] > sn[None, :]).sum() + 0.5 * (sp[:, None] == sn[None, :]).sum()
+    return num / (len(sp) * len(sn))
+
+
+def test_roc_auc_matches_pairwise_bruteforce(ray_session):
+    from vaero_ray.stages.mleval import roc_auc
+
+    rng = _rng()
+    for trial in range(5):
+        n = 200
+        y = (rng.random(n) < 0.4).astype(np.int64)
+        # correlated integer scores with heavy ties
+        scores = (rng.poisson(4, n) + 3 * y + rng.integers(0, 3, n)).astype(np.int64)
+        t = roc_auc(_cells(scores, y)).to_pandas()
+        p, q = int(y.sum()), int((1 - y).sum())
+        assert int(t["n_pos"][0]) == p and int(t["n_neg"][0]) == q
+        brute = _auc_brute(scores, y)
+        assert abs(t["auc"][0] - brute) < 1e-6
+        # exact integer numerator: num2 == 2 * brute * P * N
+        assert int(t["auc_num2"][0]) == int(round(2 * brute * p * q))
+
+
+def test_roc_auc_perfect_and_inverted(ray_session):
+    from vaero_ray.stages.mleval import roc_auc
+
+    y = np.array([0] * 50 + [1] * 50)
+    s = np.arange(100)  # perfectly separating
+    assert roc_auc(_cells(s, y)).to_pandas()["auc"][0] == 1.0
+    assert roc_auc(_cells(-s + 200, y)).to_pandas()["auc"][0] == 0.0
+
+
+def test_pr_curve_matches_per_threshold_bruteforce(ray_session):
+    from vaero_ray.stages.mleval import pr_curve
+
+    rng = _rng(7)
+    n = 300
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    s = (rng.poisson(5, n) + 2 * y).astype(np.int64)
+    t = pr_curve(_cells(s, y)).to_pandas()
+    p = int(y.sum())
+    for _, row in t.iterrows():
+        thr = row["threshold"]
+        pred = s >= thr
+        tp = int((pred & (y == 1)).sum())
+        fp = int((pred & (y == 0)).sum())
+        assert row["tp"] == tp and row["fp"] == fp and row["fn"] == p - tp
+        assert abs(row["prec"] - tp / (tp + fp)) < 1e-6
+        assert abs(row["rec"] - tp / p) < 1e-6
+    # lowest threshold captures everything: recall 1, precision = base rate
+    last = t.iloc[-1]
+    assert last["rec"] == 1.0
+    assert abs(last["prec"] - p / n) < 1e-6
+
+
+def test_bucket_lift_weighted_average_is_one(ray_session):
+    from vaero_ray.stages.mleval import bucket_lift
+
+    rng = _rng(11)
+    n = 500
+    y = (rng.random(n) < 0.5).astype(np.int64)
+    s = (rng.integers(0, 40, n) + 5 * y).astype(np.int64)
+    t = bucket_lift(_cells(s, y), k=10).to_pandas()
+    assert int(t["n_users"].sum()) == n
+    assert int(t["n_pos"].sum()) == int(y.sum())
+    # sum(n_b * rate_b) == total positives; weighted lift == 1
+    assert abs((t["n_users"] * t["pos_rate"]).sum() - y.sum()) < 1e-2
+    base = y.sum() / n
+    wl = (t["n_users"] * t["lift"]).sum() / n
+    assert abs(wl - 1.0) < 1e-2
+    assert t["bucket"].is_monotonic_increasing
+    assert t["bucket"].min() >= 0 and t["bucket"].max() <= 9
+
+
+def test_user_score_label_cells_known_tiny_input(ray_session):
+    from vaero_ray.stages.mleval import user_score_label_cells
+
+    # 4 users: purchase counts 1,1,2,3 -> lower median 1; labels 0,0,1,1
+    rows = []
+    views = {1: 2, 2: 5, 3: 5, 4: 9}
+    purch = {1: 1, 2: 1, 3: 2, 4: 3}
+    for u in views:
+        rows += [{"user_id": u, "event_type": "view"}] * views[u]
+        rows += [{"user_id": u, "event_type": "purchase"}] * purch[u]
+        rows += [{"user_id": u, "event_type": "click"}] * 2
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    cells = user_score_label_cells(ds)
+    got = {int(r["score"]): (int(r["pos"]), int(r["neg"]))
+           for _, r in cells.iterrows()}
+    assert got == {2: (0, 1), 5: (1, 1), 9: (1, 0)}

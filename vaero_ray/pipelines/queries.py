@@ -13578,6 +13578,106 @@ FROM pred GROUP BY 1, 2
 """
 
 
+def q_user_score_auc(sf_dir: str):
+    """Exact ROC AUC of view-count 'score' predicting the balanced
+    above-lower-median purchase label — rank-statistic AUC over
+    compressed (score,pos,neg) cells: the events stream is scanned once,
+    the keyed exchange moves per-user partials, and the finalizer sees
+    one row per DISTINCT score whatever the population size. auc_num2
+    is the doubled concordant+tie integer numerator (shard-exact)."""
+    from vaero_ray.stages.mleval import roc_auc, user_score_label_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return roc_auc(user_score_label_cells(ds))
+
+
+_SQL_SCORE_CELLS = r"""
+u AS (SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pc
+      FROM events GROUP BY 1),
+med AS (SELECT pc AS m FROM (
+          SELECT pc, ROW_NUMBER() OVER (ORDER BY pc) AS rn,
+                 COUNT(*) OVER () AS n FROM u)
+        WHERE rn = (n + 1) // 2),
+lab AS (SELECT score, CASE WHEN pc > (SELECT m FROM med) THEN 1 ELSE 0 END AS y FROM u),
+cells AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(SUM(1 - y) AS BIGINT) AS neg
+          FROM lab GROUP BY 1)
+"""
+
+SQL_USER_SCORE_AUC = (
+    "WITH " + _SQL_SCORE_CELLS + r""",
+c2 AS (SELECT pos, neg,
+              COALESCE(SUM(neg) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+       FROM cells),
+agg AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS auc_num2
+        FROM c2)
+SELECT n_pos, n_neg, auc_num2,
+       ROUND(CAST(auc_num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg
+""")
+
+
+def q_score_threshold_pr(sf_dir: str):
+    """Full precision/recall/F1 curve (one row per distinct score
+    threshold, predict-positive at score >= t) from the SAME compressed
+    cell exchange as `user_score_auc` — cumulative tp/fp from the top,
+    exact int64 counts, 6-dp mirrored ratios."""
+    from vaero_ray.stages.mleval import pr_curve, user_score_label_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return pr_curve(user_score_label_cells(ds))
+
+
+SQL_SCORE_THRESHOLD_PR = (
+    "WITH " + _SQL_SCORE_CELLS + r""",
+c2 AS (SELECT score,
+              CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+              CAST(SUM(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+       FROM cells),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM cells)
+SELECT score AS threshold, tp, fp, CAST((SELECT p FROM tot) - tp AS BIGINT) AS fn,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+       ROUND(CAST(tp AS DOUBLE) / (SELECT p FROM tot), 6) AS rec,
+       ROUND(2.0 * tp / (2.0 * tp + fp + ((SELECT p FROM tot) - tp)), 6) AS f1
+FROM c2
+""")
+
+
+def q_score_bucket_lift(sf_dir: str):
+    """Equal-width score-range lift table (k=10): deterministic integer
+    bucketing (score - lo) * 10 // (hi - lo + 1) — no NTILE, no global
+    sort, no tie ambiguity — per-bucket positive rate and lift vs the
+    base rate, riding the same cell exchange as `user_score_auc`."""
+    from vaero_ray.stages.mleval import bucket_lift, user_score_label_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return bucket_lift(user_score_label_cells(ds), k=10)
+
+
+SQL_SCORE_BUCKET_LIFT = (
+    "WITH " + _SQL_SCORE_CELLS + r""",
+mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM cells),
+b AS (SELECT (score - (SELECT lo FROM mm)) * 10
+               // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1) AS bucket,
+             pos, neg
+      FROM cells),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(pos + neg) AS BIGINT) AS n FROM cells)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(pos + neg) AS BIGINT) AS n_users,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       ROUND(SUM(pos) * 1.0 / SUM(pos + neg), 6) AS pos_rate,
+       ROUND((SUM(pos) * 1.0 / SUM(pos + neg))
+             / ((SELECT p FROM tot) * 1.0 / (SELECT n FROM tot)), 6) AS lift
+FROM b GROUP BY bucket
+""")
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13866,6 +13966,9 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_ndcg_eval": q_bm25_ndcg_eval,
     "doc_unigram_xent": q_doc_unigram_xent,
     "lang_confusion_matrix": q_lang_confusion_matrix,
+    "user_score_auc": q_user_score_auc,
+    "score_threshold_pr": q_score_threshold_pr,
+    "score_bucket_lift": q_score_bucket_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -14156,4 +14259,7 @@ ORACLES: dict[str, str] = {
     "bm25_ndcg_eval": SQL_BM25_NDCG,
     "doc_unigram_xent": SQL_UNIGRAM_XENT,
     "lang_confusion_matrix": SQL_LANG_CONFUSION,
+    "user_score_auc": SQL_USER_SCORE_AUC,
+    "score_threshold_pr": SQL_SCORE_THRESHOLD_PR,
+    "score_bucket_lift": SQL_SCORE_BUCKET_LIFT,
 }

@@ -1,0 +1,186 @@
+"""Model-evaluation operators over compressed (score, pos, neg) cells.
+
+The classifier-eval tier a training-data pipeline needs once it starts
+scoring documents/users with a model: exact ROC AUC, a full
+precision/recall curve over every decision threshold, and range-bucket
+lift — all computed from ONE compressed exchange.
+
+Scale shape (the whole point): the raw stream (events at 100 TB) is
+collapsed per-block to per-key partials inside ``map_batches``, merged
+once by ``bucketed_keyed_sum`` (the only keyed exchange), and then
+re-compressed to (score, pos, neg) CELLS — one row per distinct score
+value. Every metric below is a function of the cells alone, so the
+finalizers run over thousands of rows regardless of input size. This
+requires an integer (or quantized) score domain; for continuous model
+scores, quantize to fixed micro-units first (house convention, see
+ann.label_centroid_sums) so the cell count stays bounded and the math
+stays order/shard-exact.
+
+AUC is the exact rank-statistic form: with cells sorted ascending by
+score, ``auc_num2 = sum_i pos_i * (2 * cumneg_below_i + neg_i)`` counts
+concordant pairs twice and ties once, so ``AUC = auc_num2 / (2 * P * N)``
+equals P(score_pos > score_neg) + 0.5 * P(tie) with no sampling and no
+per-pair work — the cells make it O(distinct scores).
+
+No reference counterpart (the reference has no eval/metric surface at
+all); the tier is mandated by the training-data extension goals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+
+def user_score_label_cells(ds: rd.Dataset) -> pd.DataFrame:
+    """Per-user (score = view count, label = purchase count above the
+    corpus lower-median) compressed to (score, pos, neg) cells.
+
+    Three passes, each moving less data than the last: (1) per-block
+    user partials -> one keyed exchange -> per-user table (n_users
+    rows, materialized once and reused); (2) purchase-count histogram
+    (tiny) -> lower median on the driver; (3) per-user labels -> cell
+    compression. The events stream itself is scanned exactly once.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "vc": (et == "view").astype(np.int64),
+                "pc": (et == "purchase").astype(np.int64),
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"vc": "sum", "pc": "sum"}
+        )
+
+    per_user = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], ["vc", "pc"],
+    ).materialize()  # n_users rows — the small side; reused twice below
+
+    def pc_cells(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"pc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({"pc": tbl.column("pc")}).group_by(["pc"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["pc", "n"])
+
+    hist = bucketed_keyed_sum(
+        per_user.map_batches(pc_cells, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["pc"], ["n"], num_buckets=4,
+    ).to_pandas().sort_values("pc")
+    n_users = int(hist["n"].sum())
+    if n_users == 0:
+        return pd.DataFrame({"score": pd.Series([], dtype=np.int64),
+                             "pos": pd.Series([], dtype=np.int64),
+                             "neg": pd.Series([], dtype=np.int64)})
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    # lower median: smallest value whose cumulative count reaches
+    # ceil(n/2) — the (n+1)//2-th order statistic, exact from the
+    # histogram (no sort of the per-user table)
+    med = int(hist["pc"].to_numpy(np.int64)[
+        np.searchsorted(cum, (n_users + 1) // 2, side="left")])
+
+    def sc(df: pd.DataFrame) -> pd.DataFrame:
+        y = (df["pc"].to_numpy(np.int64) > med).astype(np.int64)
+        out = pd.DataFrame(
+            {"score": df["vc"].to_numpy(np.int64), "pos": y, "neg": 1 - y}
+        )
+        return out.groupby("score", sort=False, as_index=False).agg(
+            {"pos": "sum", "neg": "sum"}
+        )
+
+    cells = bucketed_keyed_sum(
+        per_user.map_batches(sc, batch_format="pandas"),
+        ["score"], ["pos", "neg"], num_buckets=4,
+    ).to_pandas()
+    return cells.sort_values("score").reset_index(drop=True)
+
+
+def roc_auc(cells: pd.DataFrame) -> pa.Table:
+    """Exact AUC from sorted (score, pos, neg) cells — one row:
+    (n_pos, n_neg, auc_num2, auc). auc_num2 is the doubled integer
+    rank-sum numerator (concordant pairs x2 + ties x1), exact int64 and
+    independent of shard/row order; the only float op is the final
+    division, mirrored verbatim in the SQL oracle."""
+    pos = cells["pos"].to_numpy(np.int64)
+    neg = cells["neg"].to_numpy(np.int64)
+    p = int(pos.sum())
+    n = int(neg.sum())
+    cumneg = np.concatenate(([0], np.cumsum(neg)[:-1]))
+    num2 = int(np.sum(pos * (2 * cumneg + neg)))
+    auc = round(num2 / (2.0 * p * n), 6) if p and n else None
+    return pa.table(
+        {
+            "n_pos": pa.array([p], pa.int64()),
+            "n_neg": pa.array([n], pa.int64()),
+            "auc_num2": pa.array([num2], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )
+
+
+def pr_curve(cells: pd.DataFrame) -> pa.Table:
+    """Precision/recall/F1 at EVERY decision threshold (predict positive
+    when score >= t, one row per distinct score): cumulative tp/fp from
+    the top of the score range — exact int64 counts, 6-dp ratio floats.
+    O(distinct scores) rows however large the scored population."""
+    c = cells.sort_values("score", ascending=False)
+    score = c["score"].to_numpy(np.int64)
+    tp = np.cumsum(c["pos"].to_numpy(np.int64))
+    fp = np.cumsum(c["neg"].to_numpy(np.int64))
+    p = int(tp[-1]) if len(tp) else 0
+    fn = p - tp
+    prec = np.round(tp / (tp + fp), 6)
+    rec = np.round(tp / float(p), 6) if p else np.full(len(tp), np.nan)
+    f1 = np.round(2.0 * tp / (2.0 * tp + fp + fn), 6)
+    return pa.table(
+        {
+            "threshold": pa.array(score, pa.int64()),
+            "tp": pa.array(tp, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            "fn": pa.array(fn, pa.int64()),
+            "prec": pa.array(prec, pa.float64()),
+            "rec": pa.array(rec, pa.float64()),
+            "f1": pa.array(f1, pa.float64()),
+        }
+    )
+
+
+def bucket_lift(cells: pd.DataFrame, k: int = 10) -> pa.Table:
+    """Range-bucket lift table: scores split into k equal-width integer
+    ranges (bucket = (score - lo) * k // (hi - lo + 1) — deterministic,
+    NO global ordering or NTILE, so no sort and no tie ambiguity at any
+    scale), per-bucket size, positives, positive rate, and lift vs the
+    base rate. Buckets with no scores are absent (cells are the domain)."""
+    score = cells["score"].to_numpy(np.int64)
+    pos = cells["pos"].to_numpy(np.int64)
+    neg = cells["neg"].to_numpy(np.int64)
+    lo, hi = int(score.min()), int(score.max())
+    bucket = (score - lo) * k // (hi - lo + 1)
+    df = pd.DataFrame({"bucket": bucket, "pos": pos, "n": pos + neg})
+    g = df.groupby("bucket", as_index=False).agg({"pos": "sum", "n": "sum"})
+    p_tot = int(pos.sum())
+    n_tot = int((pos + neg).sum())
+    gp = g["pos"].to_numpy(np.int64)
+    gn = g["n"].to_numpy(np.int64)
+    rate = np.round(gp * 1.0 / gn, 6)
+    lift = np.round((gp * 1.0 / gn) / (p_tot * 1.0 / n_tot), 6)
+    return pa.table(
+        {
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(gn, pa.int64()),
+            "n_pos": pa.array(gp, pa.int64()),
+            "pos_rate": pa.array(rate, pa.float64()),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )
