@@ -99,6 +99,31 @@ def test_bucket_lift_weighted_average_is_one(ray_session):
     assert t["bucket"].min() >= 0 and t["bucket"].max() <= 9
 
 
+def test_confusion_mcc_bruteforce(ray_session):
+    import math
+
+    from vaero_ray.stages.mleval import confusion_mcc
+
+    rng = _rng(23)
+    n = 400
+    y = (rng.random(n) < 0.45).astype(np.int64)
+    s = (rng.poisson(6, n) + 3 * y).astype(np.int64)
+    t = confusion_mcc(_cells(s, y)).to_pandas()
+    med = int(np.sort(s)[(n + 1) // 2 - 1])  # lower median
+    assert int(t["threshold"][0]) == med
+    pred = s > med
+    tp = int((pred & (y == 1)).sum())
+    fp = int((pred & (y == 0)).sum())
+    fn = int((~pred & (y == 1)).sum())
+    tn = int((~pred & (y == 0)).sum())
+    assert (int(t["tp"][0]), int(t["fp"][0]), int(t["fn"][0]), int(t["tn"][0])) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert abs(t["mcc"][0] - mcc) < 1e-6
+    assert abs(t["acc"][0] - (tp + tn) / n) < 1e-6
+    # a strongly informative score must beat chance decisively
+    assert t["mcc"][0] > 0.3
+
+
 def test_user_score_label_cells_known_tiny_input(ray_session):
     from vaero_ray.stages.mleval import user_score_label_cells
 

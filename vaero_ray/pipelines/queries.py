@@ -13678,6 +13678,40 @@ FROM b GROUP BY bucket
 """)
 
 
+def q_purchase_confusion_mcc(sf_dir: str):
+    """Confusion matrix + accuracy/F1/MCC of the view-count score at its
+    lower-median threshold against the balanced purchase label — the
+    single-operating-point companion to `score_threshold_pr`, riding the
+    same compressed cell exchange: exact int64 confusion cells, 6-dp
+    mirrored ratios, O(distinct scores) finalizer."""
+    from vaero_ray.stages.mleval import confusion_mcc, user_score_label_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return confusion_mcc(user_score_label_cells(ds))
+
+
+SQL_PURCHASE_CONFUSION_MCC = (
+    "WITH " + _SQL_SCORE_CELLS + r""",
+thr AS (SELECT score AS m FROM (
+          SELECT score, SUM(pos + neg) OVER (ORDER BY score) AS cum,
+                 (SELECT SUM(pos + neg) FROM cells) AS n
+          FROM cells)
+        WHERE cum >= (n + 1) // 2 ORDER BY score LIMIT 1),
+c AS (SELECT
+        CAST(SUM(CASE WHEN score > (SELECT m FROM thr) THEN pos ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN score > (SELECT m FROM thr) THEN neg ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN score <= (SELECT m FROM thr) THEN pos ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN score <= (SELECT m FROM thr) THEN neg ELSE 0 END) AS BIGINT) AS tn
+      FROM cells)
+SELECT (SELECT m FROM thr) AS threshold, tp, fp, fn, tn,
+       ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS acc,
+       ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       ROUND((tp * 1.0 * tn - fp * 1.0 * fn)
+             / SQRT((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc
+FROM c
+""")
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -13969,6 +14003,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_score_auc": q_user_score_auc,
     "score_threshold_pr": q_score_threshold_pr,
     "score_bucket_lift": q_score_bucket_lift,
+    "purchase_confusion_mcc": q_purchase_confusion_mcc,
 }
 
 ORACLES: dict[str, str] = {
@@ -14262,4 +14297,5 @@ ORACLES: dict[str, str] = {
     "user_score_auc": SQL_USER_SCORE_AUC,
     "score_threshold_pr": SQL_SCORE_THRESHOLD_PR,
     "score_bucket_lift": SQL_SCORE_BUCKET_LIFT,
+    "purchase_confusion_mcc": SQL_PURCHASE_CONFUSION_MCC,
 }

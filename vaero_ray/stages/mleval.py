@@ -156,6 +156,43 @@ def pr_curve(cells: pd.DataFrame) -> pa.Table:
     )
 
 
+def confusion_mcc(cells: pd.DataFrame) -> pa.Table:
+    """Confusion counts + accuracy/F1/MCC at the natural operating point
+    (threshold = lower-median score, predict positive when score > t):
+    one row of exact int64 cells and 6-dp mirrored ratios. The median
+    comes from the CELL histogram (weighted order statistic — no sort of
+    the population), so the finalizer stays O(distinct scores)."""
+    import math
+
+    score = cells["score"].to_numpy(np.int64)
+    pos = cells["pos"].to_numpy(np.int64)
+    neg = cells["neg"].to_numpy(np.int64)
+    n = int((pos + neg).sum())
+    cum = (pos + neg).cumsum()
+    med = int(score[np.searchsorted(cum, (n + 1) // 2, side="left")])
+    pred = score > med
+    tp = int(pos[pred].sum())
+    fp = int(neg[pred].sum())
+    fn = int(pos[~pred].sum())
+    tn = int(neg[~pred].sum())
+    acc = round((tp + tn) * 1.0 / n, 6)
+    f1 = round(2.0 * tp / (2.0 * tp + fp + fn), 6) if tp + fp + fn else None
+    den = ((tp + fp) * 1.0) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc = round((tp * 1.0 * tn - fp * 1.0 * fn) / math.sqrt(den), 6) if den else None
+    return pa.table(
+        {
+            "threshold": pa.array([med], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "tn": pa.array([tn], pa.int64()),
+            "acc": pa.array([acc], pa.float64()),
+            "f1": pa.array([f1], pa.float64()),
+            "mcc": pa.array([mcc], pa.float64()),
+        }
+    )
+
+
 def bucket_lift(cells: pd.DataFrame, k: int = 10) -> pa.Table:
     """Range-bucket lift table: scores split into k equal-width integer
     ranges (bucket = (score - lo) * k // (hi - lo + 1) — deterministic,
