@@ -140,3 +140,79 @@ def test_user_score_label_cells_known_tiny_input(ray_session):
     got = {int(r["score"]): (int(r["pos"]), int(r["neg"]))
            for _, r in cells.iterrows()}
     assert got == {2: (0, 1), 5: (1, 1), 9: (1, 0)}
+
+
+# ---------------- winnowing fingerprint dedup ----------------
+
+
+def _winnow_brute(text, k=8, w=4):
+    """Scalar reference: poly hash base 31 mod FP_MOD per k-gram,
+    min per full window of w grams, distinct selected values."""
+    import re
+
+    M = 1099511627689
+    norm = re.sub(r"\s+", " ", text).lower()
+    if len(norm) < k:
+        return set()
+    grams = []
+    for i in range(len(norm) - k + 1):
+        h = 0
+        for c in norm[i:i + k]:
+            h = (h * 31 + ord(c)) % M
+        grams.append(h)
+    if len(grams) < w:
+        return set()
+    return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+
+def _rand_text(rng, n):
+    return "".join(chr(rng.integers(97, 123)) for _ in range(n))
+
+
+def test_winnow_fingerprints_match_scalar_reference(ray_session):
+    from vaero_ray.stages.dedup import winnow_fingerprints
+
+    rng = _rng(3)
+    texts = [_rand_text(rng, int(rng.integers(0, 80))) for _ in range(60)]
+    texts += ["", "  ", "ab", "a b c d e f"]  # short/degenerate
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = winnow_fingerprints(tbl).to_pandas()
+    got = {i: set() for i in range(len(texts))}
+    for _, r in out.iterrows():
+        got[int(r["doc_id"])].add(int(r["fp"]))
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_brute(t), f"doc {i}: {t!r}"
+
+
+def test_winnow_guarantee_shared_substring(ray_session):
+    from vaero_ray.stages.dedup import winnow_fingerprints
+
+    rng = _rng(9)
+    # shared substring of length k + w - 1 = 11 guarantees >= 1 shared fp
+    shared = "zqxjkvwpbyg"
+    a = _rand_text(rng, 40) + shared + _rand_text(rng, 40)
+    b = _rand_text(rng, 55) + shared + _rand_text(rng, 25)
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([a, b])})
+    out = winnow_fingerprints(tbl).to_pandas()
+    s1 = set(out[out["doc_id"] == 1]["fp"])
+    s2 = set(out[out["doc_id"] == 2]["fp"])
+    assert s1 & s2
+
+
+def test_winnow_dup_pairs_planted_and_stop_fp(ray_session):
+    from vaero_ray.stages.dedup import winnow_dup_pairs
+
+    rng = _rng(17)
+    boiler = "copyright acme corp all rights reserved "  # in EVERY doc
+    texts = [boiler + _rand_text(rng, 120) for _ in range(40)]
+    texts[7] = texts[3] + " tail"        # planted near-dup pair (3, 7)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts})).repartition(4)
+    out = winnow_dup_pairs(ds, min_shared=5, max_df=8).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (7, 3) in pairs
+    # boilerplate fingerprints (df = 40 > max_df) must not pair
+    # unrelated docs: the planted pair is the ONLY edge
+    assert pairs == {(7, 3)}

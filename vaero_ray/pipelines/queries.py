@@ -13712,6 +13712,41 @@ FROM c
 """)
 
 
+def q_winnow_dup_pairs(sf_dir: str):
+    """Winnowing-fingerprint near-dup pairs (MOSS local sampling): docs
+    sharing >= 10 selected window-min gram hashes, stop-fingerprints
+    (df > 16) dropped by contract. Fingerprint selection is bit-exact to
+    the SQL reconstruction (poly char hash base 31 mod FP_MOD, w=4
+    window mins, full windows only); counts are exact int64."""
+    from vaero_ray.stages.dedup import winnow_dup_pairs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_dup_pairs(ds, k=8, w=4, min_shared=10, max_df=16)
+
+
+SQL_WINNOW_DUPS = r"""
+WITH d AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents),
+g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        list_reduce([CAST(unicode(substr(norm, CAST(t.i + j AS INT), 1)) AS BIGINT)
+                     FOR j IN range(0, 8)],
+                    (a, c) -> (a * 31 + c) % 1099511627689) AS h
+      FROM d, UNNEST(range(1, length(norm) - 8 + 2)) AS t(i)),
+wm AS (SELECT doc_id, i,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+              COUNT(*) OVER (PARTITION BY doc_id) AS s
+       FROM g),
+fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= s - 4 + 1),
+df AS (SELECT mh, COUNT(*) AS c FROM fp GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+                 CAST(COUNT(*) AS BIGINT) AS shared_fps
+          FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id > b.doc_id
+          WHERE a.mh IN (SELECT mh FROM df WHERE c <= 16)
+          GROUP BY 1, 2)
+SELECT doc_id, dup_of, shared_fps FROM pairs WHERE shared_fps >= 10
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14004,6 +14039,7 @@ QUERIES: dict[str, QueryFn] = {
     "score_threshold_pr": q_score_threshold_pr,
     "score_bucket_lift": q_score_bucket_lift,
     "purchase_confusion_mcc": q_purchase_confusion_mcc,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -14298,4 +14334,5 @@ ORACLES: dict[str, str] = {
     "score_threshold_pr": SQL_SCORE_THRESHOLD_PR,
     "score_bucket_lift": SQL_SCORE_BUCKET_LIFT,
     "purchase_confusion_mcc": SQL_PURCHASE_CONFUSION_MCC,
+    "winnow_dup_pairs": SQL_WINNOW_DUPS,
 }

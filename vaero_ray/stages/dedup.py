@@ -1733,3 +1733,181 @@ def _containment_core(
         )
 
     return j.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- Winnowing
+
+
+def winnow_fingerprints(
+    tbl: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local-sampling scheme): k-char gram hashes of the normalized
+    text, then the MIN hash of every full window of ``w`` consecutive
+    grams; the per-doc fingerprint set is the DISTINCT selected values.
+    Winnowing guarantees any shared substring of length >= k + w - 1
+    yields at least one shared fingerprint (position-free, unlike
+    MinHash's whole-doc sampling).
+
+    SQL-reproducible by construction: gram hash = polynomial char-code
+    fold base 31 mod FP_MOD over the lowercased whitespace-collapsed
+    text (the `_FP_SQL` family), window min via MIN() OVER w-row frames,
+    full windows only (docs with < k+w-1 normalized chars select
+    nothing). All-vectorized: k shifted-add passes over the flat byte
+    buffer for the grams, one sliding_window_view min for the windows,
+    one segmented unique for the sets — no per-doc Python.
+
+    Returns exploded rows (id_col, fp) — one row per distinct
+    fingerprint per doc.
+    """
+    from vaero_ray.stages.textstats import FP_BASE, FP_MOD
+
+    norm = pc.utf8_lower(pc.replace_substring_regex(tbl.column(text_col), r"\s+", " "))
+    data, off = _flat_texts(pa.table({"__t": norm}), "__t")
+    lens = off[1:] - off[:-1]
+    n = len(lens)
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+    )
+    s = np.maximum(lens - k + 1, 0)  # grams per doc (full grams only)
+    wins = np.maximum(s - w + 1, 0)  # full windows per doc
+    if not int(wins.sum()):
+        return empty
+    # all flat-buffer k-gram hashes mod FP_MOD (per-term products stay
+    # < FP_MOD * 255 < 2^48; the k-term sum < 2^52 -- int64-safe with a
+    # single final reduction)
+    n_flat = len(data) - k + 1
+    d = data.astype(np.int64)
+    pows = np.empty(k, dtype=np.int64)
+    acc = 1
+    for j in range(k - 1, -1, -1):
+        pows[j] = acc
+        acc = (acc * FP_BASE) % FP_MOD
+    h = np.zeros(n_flat, dtype=np.int64)
+    for j in range(k):
+        h += d[j : j + n_flat] * pows[j] % FP_MOD
+    h %= FP_MOD
+    # per-doc gram positions in the flat hash array
+    gpos = np.repeat(off[:-1][s > 0], s[s > 0]) + _seg_arange(s[s > 0])
+    gh = h[gpos]
+    goff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(s, out=goff[1:])
+    # sliding min over the per-doc gram stream; windows crossing doc
+    # boundaries are excluded by indexing only each doc's full windows
+    fm = np.lib.stride_tricks.sliding_window_view(gh, w).min(axis=1)
+    wpos = np.repeat(goff[:-1][wins > 0], wins[wins > 0]) + _seg_arange(wins[wins > 0])
+    sel = fm[wpos]
+    fp_vals, fp_off = _unique_per_seg(sel, wins)
+    counts = fp_off[1:] - fp_off[:-1]
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+            "fp": pa.array(fp_vals.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def winnow_dup_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 10,
+    max_df: int = 16,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    num_shards: int = 32,
+    pair_buckets: int = 16,
+) -> rd.Dataset:
+    """Near-duplicate pairs by SHARED WINNOWING FINGERPRINTS: docs whose
+    fingerprint sets overlap in >= ``min_shared`` values, with
+    fingerprints occurring in more than ``max_df`` docs dropped as
+    stop-fingerprints (boilerplate grams would otherwise pair half the
+    corpus; the cap is part of the CONTRACT, mirrored by the SQL
+    oracle, not a silent heuristic).
+
+    Scale shape: fingerprints emitted per block (no shuffle), ONE
+    exchange sharded by fp hash co-locates each fingerprint's posting
+    list (df filter is exact within a shard — a fingerprint lives in
+    exactly one shard), pairs emitted array-sliced (right element x its
+    left partners, no per-group Python), then a second small exchange
+    sums shared counts per pair. ``max_bucket`` caps adversarial
+    posting lists ABOVE the df filter only if ``max_df`` is raised past
+    it. Output: (doc_id, dup_of, shared_fps), doc_id > dup_of.
+    """
+
+    def fps(tbl: pa.Table) -> pa.Table:
+        return winnow_fingerprints(tbl, text_col, id_col, k, w)
+
+    def shard(tbl: pa.Table) -> pa.Table:
+        # fp is already a well-mixed polynomial hash mod a prime — its
+        # residue shards evenly; no second hash needed
+        fp = tbl.column("fp").to_numpy(zero_copy_only=False)
+        return tbl.append_column("__shard", pa.array(fp % num_shards, pa.int64()))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.array([], dtype="int64"),
+             "dup_of": pd.array([], dtype="int64"),
+             "shared": pd.array([], dtype="int64")}
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["fp", id_col], kind="mergesort", ignore_index=True)
+        sizes = df.groupby("fp", sort=False)[id_col].transform("size").to_numpy()
+        keep = (sizes > 1) & (sizes <= max_df)
+        df = df[keep]
+        if not len(df):
+            return empty
+        if max_df > max_bucket:
+            df = pd.concat(
+                [_cap_bucket(g, max_bucket, "winnow_dup_pairs", fpk)
+                 for fpk, g in df.groupby("fp", sort=False)],
+                ignore_index=True,
+            )
+        fp = df["fp"].to_numpy()
+        ids = df[id_col].to_numpy(np.int64)
+        first = np.ones(len(fp), dtype=bool)
+        first[1:] = fp[1:] != fp[:-1]
+        grp = np.cumsum(first) - 1
+        gstart = np.flatnonzero(first)
+        within = np.arange(len(fp), dtype=np.int64) - gstart[grp]
+        # each element pairs (as the id-larger side) with its `within`
+        # left neighbours of the same fingerprint group
+        rights = np.repeat(np.arange(len(fp), dtype=np.int64), within)
+        lefts = rights - (_seg_arange(within) + 1)
+        return pd.DataFrame(
+            {id_col: ids[rights], "dup_of": ids[lefts],
+             "shared": np.ones(len(rights), dtype=np.int64)}
+        )
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    pairs = (
+        ds.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__shard")
+        .map_groups(lambda df: emit(df.drop(columns=["__shard"])), batch_format="pandas")
+    )
+    merged = bucketed_keyed_sum(pairs, [id_col, "dup_of"], ["shared"], num_buckets=pair_buckets)
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64()),
+                 "shared_fps": pa.array([], pa.int64())}
+            )
+        sh = tbl.column("shared").to_numpy(zero_copy_only=False)
+        keepm = sh >= min_shared
+        return pa.table(
+            {id_col: pa.array(tbl.column(id_col).to_numpy(zero_copy_only=False)[keepm], pa.int64()),
+             "dup_of": pa.array(tbl.column("dup_of").to_numpy(zero_copy_only=False)[keepm], pa.int64()),
+             "shared_fps": pa.array(sh[keepm], pa.int64())}
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
