@@ -216,3 +216,39 @@ def test_winnow_dup_pairs_planted_and_stop_fp(ray_session):
     # boilerplate fingerprints (df = 40 > max_df) must not pair
     # unrelated docs: the planted pair is the ONLY edge
     assert pairs == {(7, 3)}
+
+
+def test_ks_separation_bruteforce(ray_session):
+    from vaero_ray.stages.mleval import ks_separation
+
+    rng = _rng(29)
+    n = 300
+    y = (rng.random(n) < 0.4).astype(np.int64)
+    s = (rng.poisson(5, n) + 2 * y).astype(np.int64)
+    t = ks_separation(_cells(s, y)).to_pandas()
+    sp, sn = np.sort(s[y == 1]), np.sort(s[y == 0])
+    grid = np.unique(s)
+    f1 = np.searchsorted(sp, grid, side="right") / len(sp)
+    f2 = np.searchsorted(sn, grid, side="right") / len(sn)
+    d = float(np.max(np.abs(f1 - f2)))
+    assert abs(t["d_stat"][0] - d) < 1e-6
+    assert int(t["d_scaled"][0]) == int(round(d * len(sp) * len(sn)))
+
+
+def test_blocklist_scan_counts(ray_session):
+    from vaero_ray.stages.textstats import blocklist_scan
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["Spark and sPark and sharks",   # 2x spark (case-insensitive)
+                 "vector stream vector",          # 2x vector, 1x stream
+                 "nothing here",
+                 "shuffle shuffle shuffle shuffle shuffle"],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    out = blocklist_scan(
+        ds, ["spark", "vector", "stream", "shuffle"], min_hits=3
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["total_hits"]) == [2, 3, 0, 5]
+    assert list(out["n_terms"]) == [1, 2, 0, 1]
+    assert list(out["flagged"]) == [0, 1, 0, 1]

@@ -13747,6 +13747,54 @@ SELECT doc_id, dup_of, shared_fps FROM pairs WHERE shared_fps >= 10
 """
 
 
+def q_score_ks_separation(sf_dir: str):
+    """KS separation of the view-count score between purchase-label
+    positives and negatives (classic scoring-power statistic): exact
+    integer d_scaled over the same compressed cell exchange as
+    `user_score_auc`, one mirrored float division at the end."""
+    from vaero_ray.stages.mleval import ks_separation, user_score_label_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return ks_separation(user_score_label_cells(ds))
+
+
+SQL_SCORE_KS_SEPARATION = (
+    "WITH " + _SQL_SCORE_CELLS + r"""
+, w AS (SELECT score, SUM(pos) OVER (ORDER BY score) AS cump,
+               SUM(neg) OVER (ORDER BY score) AS cumn FROM cells),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n FROM cells)
+SELECT t.p AS n_pos, t.n AS n_neg,
+       CAST(MAX(ABS(t.n * w.cump - t.p * w.cumn)) AS BIGINT) AS d_scaled,
+       ROUND(CAST(MAX(ABS(t.n * w.cump - t.p * w.cumn)) AS DOUBLE) / (1.0 * t.p * t.n), 6) AS d_stat
+FROM w, t GROUP BY t.p, t.n
+""")
+
+
+def q_blocklist_hits(sf_dir: str):
+    """Blocklist tagger over the corpus: per-doc total occurrences of a
+    4-term dictionary, distinct terms hit, flag at >= 5 total hits —
+    stateless zero-copy scan, one count_substring kernel per term."""
+    from vaero_ray.stages.textstats import blocklist_scan
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return blocklist_scan(ds, ["spark", "vector", "stream", "shuffle"], min_hits=5)
+
+
+SQL_BLOCKLIST_HITS = r"""
+WITH h AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), 'spark')) AS BIGINT) AS t1,
+  CAST(len(regexp_extract_all(lower(text), 'vector')) AS BIGINT) AS t2,
+  CAST(len(regexp_extract_all(lower(text), 'stream')) AS BIGINT) AS t3,
+  CAST(len(regexp_extract_all(lower(text), 'shuffle')) AS BIGINT) AS t4
+  FROM documents)
+SELECT doc_id, t1 + t2 + t3 + t4 AS total_hits,
+       CAST((CASE WHEN t1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN t2 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN t3 > 0 THEN 1 ELSE 0 END) + (CASE WHEN t4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+       CAST(CASE WHEN t1 + t2 + t3 + t4 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM h
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14040,6 +14088,8 @@ QUERIES: dict[str, QueryFn] = {
     "score_bucket_lift": q_score_bucket_lift,
     "purchase_confusion_mcc": q_purchase_confusion_mcc,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "score_ks_separation": q_score_ks_separation,
+    "blocklist_hits": q_blocklist_hits,
 }
 
 ORACLES: dict[str, str] = {
@@ -14335,4 +14385,6 @@ ORACLES: dict[str, str] = {
     "score_bucket_lift": SQL_SCORE_BUCKET_LIFT,
     "purchase_confusion_mcc": SQL_PURCHASE_CONFUSION_MCC,
     "winnow_dup_pairs": SQL_WINNOW_DUPS,
+    "score_ks_separation": SQL_SCORE_KS_SEPARATION,
+    "blocklist_hits": SQL_BLOCKLIST_HITS,
 }

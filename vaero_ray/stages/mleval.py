@@ -156,6 +156,32 @@ def pr_curve(cells: pd.DataFrame) -> pa.Table:
     )
 
 
+def ks_separation(cells: pd.DataFrame) -> pa.Table:
+    """KS separation of the score distributions of positives vs
+    negatives — the classic scoring-power statistic (credit-scoring
+    'KS'): max over thresholds of |F_pos - F_neg|. Integer-exact
+    d_scaled = max |N*cumpos - P*cumneg| over the cells (same
+    compression trick as numstats.ks_two_sample: one row per distinct
+    score moves, never the population); d_stat is the single mirrored
+    float division."""
+    pos = cells["pos"].to_numpy(np.int64)
+    neg = cells["neg"].to_numpy(np.int64)
+    p = int(pos.sum())
+    n = int(neg.sum())
+    cump = np.cumsum(pos)
+    cumn = np.cumsum(neg)
+    d_scaled = int(np.max(np.abs(n * cump - p * cumn))) if len(cump) else 0
+    d_stat = round(d_scaled / (1.0 * p * n), 6) if p and n else None
+    return pa.table(
+        {
+            "n_pos": pa.array([p], pa.int64()),
+            "n_neg": pa.array([n], pa.int64()),
+            "d_scaled": pa.array([d_scaled], pa.int64()),
+            "d_stat": pa.array([d_stat], pa.float64()),
+        }
+    )
+
+
 def confusion_mcc(cells: pd.DataFrame) -> pa.Table:
     """Confusion counts + accuracy/F1/MCC at the natural operating point
     (threshold = lower-median score, predict positive when score > t):

@@ -1379,3 +1379,48 @@ def unigram_xent(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def blocklist_scan(
+    ds,
+    terms: "list[str]",
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Blocklist/dictionary tagger — the safety-filter primitive of a
+    corpus-curation pipeline: per document, total occurrences of the
+    blocklist terms (case-insensitive substring count), how many
+    distinct terms hit, and a flag at ``min_hits`` total occurrences.
+
+    Stateless one-pass ``map_batches``: one vectorized
+    ``pc.count_substring`` kernel per term per batch (T kernels over
+    zero-copy Arrow — no per-row Python, no shuffle; at 100 TB this is
+    a pure scan that prunes to three int64 columns). For large
+    dictionaries, swap the per-term kernels for one Aho-Corasick actor
+    pool; the per-doc output contract stays identical.
+    """
+    import pyarrow.compute as _pc
+
+    terms = list(terms)
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        total = np.zeros(n, np.int64)
+        nterm = np.zeros(n, np.int64)
+        if n:
+            low = _pc.utf8_lower(tbl.column(text_col))
+            for t in terms:
+                c = _pc.count_substring(low, t).to_numpy(zero_copy_only=False).astype(np.int64)
+                total += c
+                nterm += c > 0
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "total_hits": pa.array(total, pa.int64()),
+                "n_terms": pa.array(nterm, pa.int64()),
+                "flagged": pa.array((total >= min_hits).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
