@@ -252,3 +252,59 @@ def test_blocklist_scan_counts(ray_session):
     assert list(out["total_hits"]) == [2, 3, 0, 5]
     assert list(out["n_terms"]) == [1, 2, 0, 1]
     assert list(out["flagged"]) == [0, 1, 0, 1]
+
+
+# ---------------- embedding compression ops ----------------
+
+
+def test_jl_project_preserves_distances_roughly(ray_session):
+    from vaero_ray.stages.ann import jl_project
+
+    rng = _rng(41)
+    n, d, k = 80, 64, 8
+    m = rng.normal(0, 1, (n, d)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(n), "embedding": [row.tolist() for row in m]
+    })).repartition(3)
+    out = jl_project(ds, out_dim=k).to_pandas()
+    assert len(out) == n * k
+    proj = np.zeros((n, k))
+    for _, r in out.iterrows():
+        proj[int(r["vec_id"]), int(r["out_dim"])] = r["proj_micro"] / 1e6
+    proj /= np.sqrt(k)
+    # JL: projected pairwise sq-distances concentrate around the originals
+    idx = rng.integers(0, n, (60, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d0 = ((m[idx[:, 0]].astype(np.float64) - m[idx[:, 1]]) ** 2).sum(1)
+    d1 = ((proj[idx[:, 0]] - proj[idx[:, 1]]) ** 2).sum(1)
+    ratio = d1 / d0
+    assert 0.6 < np.median(ratio) < 1.6
+    # determinism: same input twice -> identical integer coordinates
+    out2 = jl_project(ds, out_dim=k).to_pandas()
+    a = out.sort_values(["vec_id", "out_dim"]).reset_index(drop=True)
+    b = out2.sort_values(["vec_id", "out_dim"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_int8_quantize_bounds_and_monotone(ray_session):
+    from vaero_ray.stages.ann import int8_quantize
+
+    rng = _rng(43)
+    n, d = 50, 6
+    m = rng.normal(0, 3, (n, d)).astype(np.float32)
+    m[:, 2] = 1.25  # constant dim -> all codes 0
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": range(n), "embedding": [row.tolist() for row in m]
+    })).repartition(4)
+    out = int8_quantize(ds).to_pandas()
+    assert len(out) == n * d
+    assert out["code"].min() >= 0 and out["code"].max() <= 255
+    wide = out.pivot(index="vec_id", columns="dim", values="code")
+    assert (wide[3] == 0).all()  # constant dim (1-based dim=3)
+    for dim in (1, 4):
+        col = m[:, dim - 1].astype(np.float64)
+        codes = wide[dim].to_numpy()
+        assert codes[np.argmin(col)] == 0 and codes[np.argmax(col)] == 255
+        # monotone: higher component never gets a lower code
+        order = np.argsort(col)
+        assert (np.diff(codes[order]) >= 0).all()

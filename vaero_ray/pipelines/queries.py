@@ -13795,6 +13795,49 @@ FROM h
 """
 
 
+def q_embedding_jl_projection(sf_dir: str):
+    """Rademacher JL projection 64 -> 8 dims of the embedding corpus —
+    integer matmul over micro-int components with a deterministic sign
+    matrix, exact int64 projected coordinates, zero shuffles."""
+    from vaero_ray.stages.ann import jl_project
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return jl_project(ds, out_dim=8)
+
+
+SQL_EMBEDDING_JL = r"""
+WITH e AS (SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+             CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+           FROM embeddings, UNNEST(range(1, 65)) AS t(i))
+SELECT vec_id, CAST(j.jd AS BIGINT) AS out_dim,
+       CAST(SUM(CASE WHEN (i * 1103515245 + j.jd * 12345) % 97 < 48 THEN m ELSE -m END) AS BIGINT) AS proj_micro
+FROM e, UNNEST(range(0, 8)) AS j(jd)
+GROUP BY 1, 2
+"""
+
+
+def q_embedding_int8_codes(sf_dir: str):
+    """Per-dimension int8 quantization of the embedding corpus: tiny
+    min/max exchange (d rows per block), broadcast bounds, pure-integer
+    code mapping (m - min) * 255 // (max - min) — exact on any engine."""
+    from vaero_ray.stages.ann import int8_quantize
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return int8_quantize(ds)
+
+
+SQL_EMBEDDING_INT8 = r"""
+WITH e AS (SELECT vec_id, CAST(t.i AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+           FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+mm AS (SELECT dim, MIN(m) AS mn, MAX(m) AS mx FROM e GROUP BY 1)
+SELECT e.vec_id, e.dim,
+       CAST(CASE WHEN mm.mx = mm.mn THEN 0
+            ELSE (e.m - mm.mn) * 255 // (mm.mx - mm.mn) END AS BIGINT) AS code
+FROM e JOIN mm USING (dim)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14090,6 +14133,8 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "score_ks_separation": q_score_ks_separation,
     "blocklist_hits": q_blocklist_hits,
+    "embedding_jl_projection": q_embedding_jl_projection,
+    "embedding_int8_codes": q_embedding_int8_codes,
 }
 
 ORACLES: dict[str, str] = {
@@ -14387,4 +14432,6 @@ ORACLES: dict[str, str] = {
     "winnow_dup_pairs": SQL_WINNOW_DUPS,
     "score_ks_separation": SQL_SCORE_KS_SEPARATION,
     "blocklist_hits": SQL_BLOCKLIST_HITS,
+    "embedding_jl_projection": SQL_EMBEDDING_JL,
+    "embedding_int8_codes": SQL_EMBEDDING_INT8,
 }

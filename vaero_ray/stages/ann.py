@@ -595,3 +595,119 @@ def label_silhouette(
             "mean_sil": pa.array(ssum / (n * 1e6), pa.float64()),
         }
     )
+
+
+def jl_project(
+    ds: rd.Dataset,
+    out_dim: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Johnson-Lindenstrauss Rademacher projection d -> ``out_dim``: the
+    width-reduction stage run before ANN / clustering on a wide vector
+    corpus. Components are fixed-pointed once (micro-int convention of
+    :func:`embedding_dim_stats`), then projected with a DETERMINISTIC
+    +/-1 sign matrix (sign(i,j) = [(i*1103515245 + j*12345) mod 97 < 48],
+    i 1-based input dim) — an integer matmul, so every projected
+    coordinate is EXACT int64 and shard/order-independent (the unbiased
+    JL estimator is proj/sqrt(out_dim); callers rescale when they need
+    the metric, the stored codes stay integers).
+
+    Scale shape: stateless zero-copy scan, no shuffle; the sign matrix
+    is a d x out_dim constant rebuilt per batch (trivial) rather than
+    broadcast. Output exploded (id, out_dim, proj_micro)."""
+
+    def project(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "out_dim": pa.array([], pa.int64()),
+                 "proj_micro": pa.array([], pa.int64())}
+            )
+        m = _mat(tbl, emb_col, dtype=np.float64)
+        micro = np.floor(m * scale + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        i = np.arange(1, d + 1, dtype=np.int64)[:, None]
+        j = np.arange(out_dim, dtype=np.int64)[None, :]
+        signs = np.where((i * 1103515245 + j * 12345) % 97 < 48, 1, -1).astype(np.int64)
+        proj = micro @ signs
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dim), pa.int64()),
+                "out_dim": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), len(ids))),
+                "proj_micro": pa.array(proj.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def int8_quantize(
+    ds: rd.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-dimension int8 vector quantization (the 4x storage compressor
+    run before shipping a vector corpus): pass 1 reduces each block to d
+    rows of (dim, min_micro, max_micro) and merges them in a tiny keyed
+    exchange; the d-row table is collected and closed over (broadcast by
+    value — it is the ONLY thing that crosses passes); pass 2 re-scans
+    and emits codes. The code mapping is PURE INTEGER —
+    ``(m - min) * 255 // (max - min)`` on the micro-int components — so
+    outputs are exact on any engine, with constant dims pinned to 0.
+    Output exploded (id, dim [1-based], code)."""
+    from vaero_ray.stages.keyed import bucketed_keyed_agg
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dim": pa.array([], pa.int64()),
+             "mn": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64())}
+        )
+        if not tbl.num_rows:
+            return empty
+        m = _mat(tbl, emb_col, dtype=np.float64)
+        micro = np.floor(m * scale + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "mn": pa.array(micro.min(axis=0)),
+                "mx": pa.array(micro.max(axis=0)),
+            }
+        )
+
+    mm = bucketed_keyed_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["dim"], {"mn": "min", "mx": "max"}, num_buckets=4,
+    ).to_pandas().sort_values("dim")
+    mn = mm["mn"].to_numpy(np.int64)
+    mx = mm["mx"].to_numpy(np.int64)
+    rng = mx - mn
+    safe = np.where(rng == 0, 1, rng)
+
+    def codes(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "dim": pa.array([], pa.int64()),
+                 "code": pa.array([], pa.int64())}
+            )
+        m = _mat(tbl, emb_col, dtype=np.float64)
+        micro = np.floor(m * scale + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        c = (micro - mn[None, :]) * 255 // safe[None, :]
+        c[:, rng == 0] = 0
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(ids))),
+                "code": pa.array(c.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(codes, batch_format="pyarrow", zero_copy_batch=True)
