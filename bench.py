@@ -283,6 +283,13 @@ BENCH_QUERIES = [
     "bm25_ndcg_eval",               # NDCG@10 retrieval-quality eval of the BM25 ranker
     "doc_unigram_xent",             # perplexity-proxy quality filter (corpus unigram LM)
     "lang_confusion_matrix",        # lang-ID confusion cells vs the label column
+    "user_score_auc",               # exact cell-based ROC AUC (rank-statistic form)
+    "score_threshold_pr",           # full PR curve over every decision threshold
+    "purchase_confusion_mcc",       # confusion cells + MCC at the median operating point
+    "winnow_dup_pairs",             # winnowing-fingerprint near-dup pairs (MOSS sampling)
+    "blocklist_hits",               # dictionary tagger (count_substring kernels)
+    "embedding_jl_projection",      # Rademacher JL projection (integer matmul)
+    "embedding_int8_codes",         # per-dim int8 quantization (pure-integer mapping)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).
