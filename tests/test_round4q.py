@@ -308,3 +308,62 @@ def test_int8_quantize_bounds_and_monotone(ray_session):
         # monotone: higher component never gets a lower code
         order = np.argsort(col)
         assert (np.diff(codes[order]) >= 0).all()
+
+
+def test_snm_pairs_halo_invariant_to_bucket_rows(ray_session):
+    """Bucket size must not change the pair set: halo replication makes
+    every in-window pair materialize in exactly one bucket."""
+    from vaero_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = _rng(53)
+    base = ["the quick brown fox %02d" % i for i in range(30)]
+    base += ["the quick brown cat %02d" % i for i in range(10)]
+    base += [_rand_text(rng, 40) for _ in range(30)]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(base)), "text": base})).repartition(5)
+
+    def run(bucket_rows):
+        return (sorted_neighborhood_pairs(ds, window=5, min_lcp=10,
+                                          bucket_rows=bucket_rows)
+                .to_pandas().sort_values(["doc_id", "dup_of"])
+                .reset_index(drop=True))
+
+    big = run(65536)   # single bucket
+    small = run(7)     # many buckets, heavy halo traffic
+    assert len(big) > 0
+    assert big.equals(small)
+
+
+def test_snm_pairs_bruteforce_window(ray_session):
+    import re
+
+    from vaero_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = _rng(59)
+    texts = ["prefix%04d tail %s" % (rng.integers(0, 30), _rand_text(rng, 20))
+             for _ in range(50)]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts})).repartition(3)
+    got = sorted_neighborhood_pairs(ds, key_len=12, window=4, min_lcp=6,
+                                    bucket_rows=11).to_pandas()
+    gotset = {(int(r["doc_id"]), int(r["dup_of"]), int(r["rn_gap"]), int(r["key_lcp"]))
+              for _, r in got.iterrows()}
+    keys = [(re.sub(r"\s+", " ", t).lower()[:12].ljust(12), i)
+            for i, t in enumerate(texts)]
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    want = set()
+    for a in range(len(order)):
+        for g in range(1, 4):
+            b = a + g
+            if b >= len(order):
+                continue
+            ka, ia = keys[order[a]]
+            kb, ib = keys[order[b]]
+            lcp = 0
+            for x, y in zip(ka, kb):
+                if x != y:
+                    break
+                lcp += 1
+            if lcp >= 6:
+                want.add((ib, ia, g, lcp))
+    assert gotset == want

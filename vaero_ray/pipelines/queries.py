@@ -13838,6 +13838,31 @@ FROM e JOIN mm USING (dim)
 """
 
 
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood (SNM) blocking candidate pairs: total-order
+    sort on a 16-char normalized key, window-8 neighborhood, pairs with
+    key LCP >= 8 — the sort-based dedup family beside hash/LSH/winnow.
+    Pair emission is halo-bucketed local work after ONE sort."""
+    from vaero_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sorted_neighborhood_pairs(ds, key_len=16, window=8, min_lcp=8)
+
+
+SQL_SNM_PAIRS = r"""
+WITH d AS (SELECT doc_id,
+             substr(lower(regexp_replace(text, '\s+', ' ', 'g')) || repeat(' ', 16), 1, 16) AS key
+           FROM documents),
+r AS (SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS rn FROM d),
+p AS (SELECT b.doc_id AS doc_id, a.doc_id AS dup_of,
+             CAST(b.rn - a.rn AS BIGINT) AS rn_gap,
+             CAST(list_max([CASE WHEN substr(a.key, 1, CAST(x AS INT)) = substr(b.key, 1, CAST(x AS INT))
+                                 THEN CAST(x AS BIGINT) ELSE 0 END FOR x IN range(1, 17)]) AS BIGINT) AS key_lcp
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8)
+SELECT doc_id, dup_of, rn_gap, key_lcp FROM p WHERE key_lcp >= 8
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14135,6 +14160,7 @@ QUERIES: dict[str, QueryFn] = {
     "blocklist_hits": q_blocklist_hits,
     "embedding_jl_projection": q_embedding_jl_projection,
     "embedding_int8_codes": q_embedding_int8_codes,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -14434,4 +14460,5 @@ ORACLES: dict[str, str] = {
     "blocklist_hits": SQL_BLOCKLIST_HITS,
     "embedding_jl_projection": SQL_EMBEDDING_JL,
     "embedding_int8_codes": SQL_EMBEDDING_INT8,
+    "sorted_neighborhood_pairs": SQL_SNM_PAIRS,
 }

@@ -1911,3 +1911,116 @@ def winnow_dup_pairs(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- Sorted-neighborhood
+
+
+def sorted_neighborhood_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 16,
+    window: int = 8,
+    min_lcp: int = 8,
+    bucket_rows: int = 65536,
+) -> rd.Dataset:
+    """Sorted-neighborhood-method (SNM) candidate pairs — the classic
+    sort-based entity-resolution blocking that complements the hash
+    (exact), LSH (minhash/simhash), and fingerprint (winnowing)
+    families: sort the corpus by a fixed-width blocking key (first
+    ``key_len`` chars of the normalized text, space-padded), slide a
+    ``window``-row neighborhood over the TOTAL order, and emit every
+    in-window pair whose keys share a common prefix of >= ``min_lcp``
+    chars. SNM catches near-keys that hash into different buckets
+    (typo in char 12) which pure blocking misses.
+
+    Scale shape: one total-order sort (``global_row_number`` — the
+    unavoidable all-to-all), then pair emission is LOCAL: rows route to
+    ``rn // bucket_rows`` with the first ``window - 1`` rows of each
+    bucket replicated to the previous bucket (halo), so every in-window
+    pair materializes in exactly one bucket (the left row's native
+    bucket) with no quadratic blowup — per-bucket work is
+    O(rows x window). LCP is a vectorized codepoint-matrix cumprod.
+    Output: (id_col = later-in-order doc, dup_of = earlier, rn_gap,
+    key_lcp), exact-mirrorable by a ROW_NUMBER self-join."""
+    from vaero_ray.stages.rowwindow import global_row_number
+
+    def key_stage(tbl: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(
+            pc.replace_substring_regex(tbl.column(text_col), r"\s+", " ")
+        )
+        key = pc.utf8_rpad(pc.utf8_slice_codeunits(norm, 0, key_len), key_len, " ")
+        return pa.table({id_col: tbl.column(id_col), "key": key})
+
+    numbered = global_row_number(
+        ds.map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["key", id_col], out_col="rn", start=0,
+    )
+
+    def route(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "key": pa.array([], pa.string()),
+                 "rn": pa.array([], pa.int64()), "__bkt": pa.array([], pa.int64())}
+            )
+        rn = tbl.column("rn").to_numpy(zero_copy_only=False)
+        b = rn // bucket_rows
+        halo = (rn % bucket_rows < window - 1) & (b > 0)
+        out = pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate([tbl.column(id_col).to_numpy(zero_copy_only=False),
+                                    tbl.column(id_col).to_numpy(zero_copy_only=False)[halo]]),
+                    pa.int64(),
+                ),
+                "key": pa.concat_arrays(
+                    [tbl.column("key").combine_chunks(),
+                     tbl.column("key").combine_chunks().filter(pa.array(halo))]
+                ),
+                "rn": pa.array(np.concatenate([rn, rn[halo]]), pa.int64()),
+                "__bkt": pa.array(np.concatenate([b, b[halo] - 1]), pa.int64()),
+            }
+        )
+        return out
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.array([], dtype="int64"), "dup_of": pd.array([], dtype="int64"),
+             "rn_gap": pd.array([], dtype="int64"), "key_lcp": pd.array([], dtype="int64")}
+        )
+        if len(df) < 2:
+            return empty
+        bkt = int(df["__bkt"].iloc[0])
+        df = df.sort_values("rn", ignore_index=True)
+        rn = df["rn"].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        kmat = df["key"].to_numpy().astype(f"U{key_len}")
+        k32 = kmat.view(np.uint32).reshape(len(kmat), key_len)
+        native = rn // bucket_rows == bkt
+        outs = []
+        for g in range(1, window):
+            if g >= len(rn):
+                break
+            li = np.arange(len(rn) - g)
+            ri = li + g
+            ok = native[li] & (rn[ri] - rn[li] == g)
+            li, ri = li[ok], ri[ok]
+            if not len(li):
+                continue
+            eq = k32[li] == k32[ri]
+            lcp = np.cumprod(eq, axis=1).sum(axis=1)
+            keepm = lcp >= min_lcp
+            if keepm.any():
+                outs.append(pd.DataFrame(
+                    {id_col: ids[ri][keepm], "dup_of": ids[li][keepm],
+                     "rn_gap": np.full(int(keepm.sum()), g, np.int64),
+                     "key_lcp": lcp[keepm].astype(np.int64)}
+                ))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        numbered.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bkt")
+        .map_groups(emit, batch_format="pandas")
+    )
