@@ -367,3 +367,34 @@ def test_snm_pairs_bruteforce_window(ray_session):
             if lcp >= 6:
                 want.add((ib, ia, g, lcp))
     assert gotset == want
+
+
+def test_isotonic_rates_minimax_bruteforce(ray_session):
+    from vaero_ray.stages.mleval import isotonic_rates
+
+    rng = _rng(61)
+    for trial in range(6):
+        m = int(rng.integers(3, 15))
+        pos = rng.integers(0, 20, m).astype(np.int64)
+        neg = rng.integers(1, 20, m).astype(np.int64)
+        cells = pd.DataFrame({"score": np.arange(m, dtype=np.int64),
+                              "pos": pos, "neg": neg})
+        t = isotonic_rates(cells).to_pandas()
+        n = pos + neg
+        cp = np.concatenate(([0], np.cumsum(pos)))
+        cn = np.concatenate(([0], np.cumsum(n)))
+        # minimax identity: fitted[k] = max_{i<=k} min_{j>=k} avg(i, j)
+        want = []
+        for k in range(m):
+            best = -1.0
+            for i in range(k + 1):
+                worst = 2.0
+                for j in range(k, m):
+                    worst = min(worst, (cp[j + 1] - cp[i]) / (cn[j + 1] - cn[i]))
+                best = max(best, worst)
+            want.append(best)
+        got = t["iso_rate"].to_numpy()
+        assert np.allclose(got, np.round(want, 6), atol=2e-6)
+        # monotone nondecreasing and mass-preserving
+        assert (np.diff(got) >= -1e-12).all()
+        assert abs((got * n).sum() - pos.sum()) < 1e-3 * max(1, pos.sum())

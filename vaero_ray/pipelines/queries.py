@@ -13863,6 +13863,36 @@ SELECT doc_id, dup_of, rn_gap, key_lcp FROM p WHERE key_lcp >= 8
 """
 
 
+def q_score_isotonic_calibration(sf_dir: str):
+    """Isotonic (PAV) calibration of purchase rate vs the view-count
+    score: exact-rational pool-adjacent-violators over the same cell
+    exchange as `user_score_auc`; the SQL oracle recomputes the fit via
+    the minimax identity max_{i<=k} min_{j>=k} avg(i,j) from the same
+    integer sums (correctly-rounded IEEE division makes them equal)."""
+    from vaero_ray.stages.mleval import isotonic_rates, user_score_label_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return isotonic_rates(user_score_label_cells(ds))
+
+
+SQL_SCORE_ISOTONIC = (
+    "WITH " + _SQL_SCORE_CELLS + r""",
+idx AS (SELECT score, pos, pos + neg AS n,
+               ROW_NUMBER() OVER (ORDER BY score) AS k FROM cells),
+pre AS (SELECT k, SUM(pos) OVER (ORDER BY k) AS cp,
+               SUM(n) OVER (ORDER BY k) AS cn FROM idx),
+a AS (SELECT i.k AS i, j.k AS j,
+             (j.cp - COALESCE(ip.cp, 0)) * 1.0 / (j.cn - COALESCE(ip.cn, 0)) AS avg
+      FROM pre j JOIN pre i ON i.k <= j.k
+      LEFT JOIN pre ip ON ip.k = i.k - 1),
+m1 AS (SELECT a.i, x.k, MIN(a.avg) AS mn
+       FROM a JOIN idx x ON a.i <= x.k AND a.j >= x.k GROUP BY 1, 2),
+fit AS (SELECT k, MAX(mn) AS iso FROM m1 GROUP BY 1)
+SELECT idx.score, idx.n, idx.pos, ROUND(fit.iso, 6) AS iso_rate
+FROM idx JOIN fit USING (k)
+""")
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14161,6 +14191,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_jl_projection": q_embedding_jl_projection,
     "embedding_int8_codes": q_embedding_int8_codes,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "score_isotonic_calibration": q_score_isotonic_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -14461,4 +14492,5 @@ ORACLES: dict[str, str] = {
     "embedding_jl_projection": SQL_EMBEDDING_JL,
     "embedding_int8_codes": SQL_EMBEDDING_INT8,
     "sorted_neighborhood_pairs": SQL_SNM_PAIRS,
+    "score_isotonic_calibration": SQL_SCORE_ISOTONIC,
 }

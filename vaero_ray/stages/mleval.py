@@ -219,6 +219,48 @@ def confusion_mcc(cells: pd.DataFrame) -> pa.Table:
     )
 
 
+def isotonic_rates(cells: pd.DataFrame) -> pa.Table:
+    """Isotonic (PAV) calibration of the positive rate over the score
+    cells: the least-squares NONDECREASING fit to the per-score rates —
+    the standard post-hoc calibrator. Pool-adjacent-violators with
+    EXACT rational comparisons (cross-multiplied int64, no float
+    compares), so the pooled blocks are the unique exact solution; each
+    fitted value is ONE correctly-rounded division of exact integer
+    block sums, which equals the minimax formula
+    max_{i<=k} min_{j>=k} avg(i,j) a SQL oracle computes from the same
+    integers (IEEE division is correctly rounded, so equal rationals
+    give bit-equal doubles whatever integer pair produced them).
+    O(distinct scores) after the cell exchange. Returns one row per
+    cell: (score, n, pos, iso_rate 6-dp)."""
+    score = cells["score"].to_numpy(np.int64)
+    pos = cells["pos"].to_numpy(np.int64)
+    n = (cells["pos"] + cells["neg"]).to_numpy(np.int64)
+    # PAV stack: merge while the previous block's rate >= current's
+    bp: list[int] = []  # block pos sums
+    bn: list[int] = []  # block n sums
+    bc: list[int] = []  # block cell counts
+    for k in range(len(score)):
+        cp, cn, cc = int(pos[k]), int(n[k]), 1
+        while bp and bp[-1] * cn >= cp * bn[-1]:
+            cp += bp.pop()
+            cn += bn.pop()
+            cc += bc.pop()
+        bp.append(cp)
+        bn.append(cn)
+        bc.append(cc)
+    iso = np.concatenate(
+        [np.full(c, round(p / (1.0 * q), 6)) for p, q, c in zip(bp, bn, bc)]
+    ) if bp else np.empty(0)
+    return pa.table(
+        {
+            "score": pa.array(score, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "iso_rate": pa.array(iso, pa.float64()),
+        }
+    )
+
+
 def bucket_lift(cells: pd.DataFrame, k: int = 10) -> pa.Table:
     """Range-bucket lift table: scores split into k equal-width integer
     ranges (bucket = (score - lo) * k // (hi - lo + 1) — deterministic,
