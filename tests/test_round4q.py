@@ -398,3 +398,19 @@ def test_isotonic_rates_minimax_bruteforce(ray_session):
         # monotone nondecreasing and mass-preserving
         assert (np.diff(got) >= -1e-12).all()
         assert abs((got * n).sum() - pos.sum()) < 1e-3 * max(1, pos.sum())
+
+
+def test_streaming_window_auc_gate_bounds(ray_session):
+    from vaero_ray.pipelines.queries import q_streaming_window_auc
+
+    out = q_streaming_window_auc("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 100  # one row per hour window
+    have = out.dropna(subset=["auc"])
+    assert len(have) > 0
+    assert ((have["auc"] >= 0) & (have["auc"] <= 1)).all()
+    # auc_num2 consistency: 0 <= num2 <= 2 * P * N on every window
+    assert (have["auc_num2"] >= 0).all()
+    assert (have["auc_num2"] <= 2 * have["n_pos"] * have["n_neg"]).all()
+    # degenerate windows (single class) must carry a NULL auc, not a crash
+    degen = out[(out["n_pos"] == 0) | (out["n_neg"] == 0)]
+    assert degen["auc"].isna().all()

@@ -13893,6 +13893,118 @@ FROM idx JOIN fit USING (k)
 """)
 
 
+def q_streaming_window_auc(sf_dir: str):
+    """STREAMING per-window model-quality monitor: exact ROC AUC of the
+    view-count score vs the above-window-median purchase label, PER
+    tumbling hour window, through the exactly-once machinery. The
+    streaming part is the standard checkpointed tumbling job keyed by
+    user (count partials are mergeable across epochs — no new
+    machinery); the AUC derives DOWNSTREAM of the committed
+    per-(window, user) sums via one window-bucketed exchange whose
+    per-window kernel is the same cell compression as
+    `user_score_auc` (windows are tiny after the per-user collapse, so
+    the per-window loop runs over score cells, not events)."""
+    import os
+    import shutil
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.streaming import StreamingWindowedJob
+
+    ind = _stream_chunks(sf_dir, "auc_in", ["user_id", "event_type", "ts"])
+    base = os.path.dirname(ind)
+    out_d, ckpt_d = f"{base}/auc_out", f"{base}/auc_ckpt"
+    shutil.rmtree(out_d, ignore_errors=True)
+    shutil.rmtree(ckpt_d, ignore_errors=True)
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def per_batch(tbl: pa.Table) -> pa.Table:
+            et = tbl.column("event_type")
+            return pa.table(
+                {
+                    "user_id": tbl.column("user_id"),
+                    "ts": tbl.column("ts"),
+                    "vc": pc.cast(pc.equal(et, "view"), pa.int64()),
+                    "pcv": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    job = StreamingWindowedJob(
+        input_dir=ind,
+        out_dir=out_d,
+        ckpt_dir=ckpt_d,
+        keys=["user_id"],
+        aggs=[AggSpec("vc", "sum", "vc"), AggSpec("pcv", "sum", "pcv")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=0,
+        num_partitions=4,
+        transform=pre,
+    )
+    job.run()
+    committed = job.committed_output()
+
+    import pandas as _pdmod
+
+    def derive(df: _pdmod.DataFrame) -> _pdmod.DataFrame:
+        rows = []
+        for w, g in df.groupby("window_start", sort=False):
+            pcs = np.sort(g["pcv"].to_numpy(np.int64))
+            med = int(pcs[(len(pcs) + 1) // 2 - 1])
+            y = (g["pcv"].to_numpy(np.int64) > med).astype(np.int64)
+            cells = (
+                _pdmod.DataFrame({"score": g["vc"].to_numpy(np.int64),
+                                  "pos": y, "neg": 1 - y})
+                .groupby("score", as_index=False).sum().sort_values("score")
+            )
+            pos = cells["pos"].to_numpy(np.int64)
+            neg = cells["neg"].to_numpy(np.int64)
+            p, n = int(pos.sum()), int(neg.sum())
+            cumneg = np.concatenate(([0], np.cumsum(neg)[:-1]))
+            num2 = int(np.sum(pos * (2 * cumneg + neg)))
+            auc = round(num2 / (2.0 * p * n), 6) if p and n else None
+            rows.append({"window_start": w, "n_pos": p, "n_neg": n,
+                         "auc_num2": num2, "auc": auc})
+        out = _pdmod.DataFrame(rows)
+        return out.astype({"window_start": "datetime64[us]", "n_pos": "int64",
+                           "n_neg": "int64", "auc_num2": "int64",
+                           "auc": "float64"})
+
+    return bucketed_map_groups(committed, "window_start", derive, num_buckets=4)
+
+
+SQL_STREAMING_WINDOW_AUC = r"""
+WITH u AS (SELECT date_trunc('hour', ts) AS window_start, user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pc
+           FROM events GROUP BY 1, 2),
+med AS (SELECT window_start, pc AS m FROM (
+          SELECT window_start, pc,
+                 ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY pc) AS rn,
+                 COUNT(*) OVER (PARTITION BY window_start) AS n FROM u)
+        WHERE rn = (n + 1) // 2),
+lab AS (SELECT u.window_start, u.score,
+               CASE WHEN u.pc > med.m THEN 1 ELSE 0 END AS y
+        FROM u JOIN med USING (window_start)),
+cells AS (SELECT window_start, score, CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(SUM(1 - y) AS BIGINT) AS neg
+          FROM lab GROUP BY 1, 2),
+c2 AS (SELECT window_start, pos, neg,
+              COALESCE(SUM(neg) OVER (PARTITION BY window_start ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+       FROM cells),
+agg AS (SELECT window_start, CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS auc_num2
+        FROM c2 GROUP BY 1)
+SELECT window_start, n_pos, n_neg, auc_num2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ROUND(CAST(auc_num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END AS auc
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14192,6 +14304,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_int8_codes": q_embedding_int8_codes,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "score_isotonic_calibration": q_score_isotonic_calibration,
+    "streaming_window_auc": q_streaming_window_auc,
 }
 
 ORACLES: dict[str, str] = {
@@ -14493,4 +14606,5 @@ ORACLES: dict[str, str] = {
     "embedding_int8_codes": SQL_EMBEDDING_INT8,
     "sorted_neighborhood_pairs": SQL_SNM_PAIRS,
     "score_isotonic_calibration": SQL_SCORE_ISOTONIC,
+    "streaming_window_auc": SQL_STREAMING_WINDOW_AUC,
 }
