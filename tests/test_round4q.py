@@ -414,3 +414,42 @@ def test_streaming_window_auc_gate_bounds(ray_session):
     # degenerate windows (single class) must carry a NULL auc, not a crash
     degen = out[(out["n_pos"] == 0) | (out["n_neg"] == 0)]
     assert degen["auc"].isna().all()
+
+
+def test_bipartite_butterflies_bruteforce(ray_session):
+    from itertools import combinations
+
+    from vaero_ray.stages.basket import bipartite_butterflies
+
+    rng = _rng(67)
+    rows = []
+    for g in range(40):
+        items = rng.choice(25, size=rng.integers(1, 7), replace=False)
+        for i in items:
+            rows.append({"g": g, "i": int(i)})
+            if rng.random() < 0.2:
+                rows.append({"g": g, "i": int(i)})  # duplicate edge rows
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(4)
+    t = bipartite_butterflies(ds, "g", "i").to_pandas()
+
+    edges = set(map(tuple, df[["g", "i"]].drop_duplicates().to_numpy()))
+    groups = {}
+    items = {}
+    for g, i in edges:
+        groups.setdefault(g, set()).add(i)
+        items.setdefault(i, set()).add(g)
+    assert int(t["n_edges"][0]) == len(edges)
+    wg = sum(len(v) * (len(v) - 1) // 2 for v in groups.values())
+    wi = sum(len(v) * (len(v) - 1) // 2 for v in items.values())
+    assert int(t["wedges_group"][0]) == wg
+    assert int(t["wedges_item"][0]) == wi
+    cat = sum((len(groups[g]) - 1) * (len(items[i]) - 1) for g, i in edges)
+    assert int(t["n_caterpillars"][0]) == cat
+    bf = 0
+    for i1, i2 in combinations(sorted(items), 2):
+        co = len(items[i1] & items[i2])
+        bf += co * (co - 1) // 2
+    assert int(t["n_butterflies"][0]) == bf
+    if cat:
+        assert abs(t["bcc"][0] - 4.0 * bf / cat) < 1e-6

@@ -14005,6 +14005,38 @@ FROM agg
 """
 
 
+def q_copurchase_butterflies(sf_dir: str):
+    """Butterfly census of the order x part bipartite graph: 4-cycles,
+    3-paths, both wedge counts, bipartite clustering coefficient 4B/C.
+    Caterpillars via the one-exchange identity sum_i (c_i-1)*s_i (no
+    edge x degree join); butterflies ride the in-basket pair emission."""
+    from vaero_ray.stages.basket import bipartite_butterflies
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    return bipartite_butterflies(ds, "l_orderkey", "l_partkey")
+
+
+SQL_COPURCHASE_BUTTERFLIES = r"""
+WITH e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+dg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+di AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+pp AS (SELECT a.i AS i1, b.i AS i2, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e a JOIN e b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) FROM dg) AS wedges_group,
+       (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) FROM di) AS wedges_item,
+       (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) FROM pp) AS n_butterflies,
+       (SELECT CAST(SUM((dg.c - 1) * (di.c - 1)) AS BIGINT)
+        FROM e JOIN dg ON e.g = dg.g JOIN di ON e.i = di.i) AS n_caterpillars,
+       CASE WHEN (SELECT SUM((dg.c - 1) * (di.c - 1))
+                  FROM e JOIN dg ON e.g = dg.g JOIN di ON e.i = di.i) > 0
+            THEN ROUND(4.0 * (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) FROM pp)
+                       / (SELECT SUM((dg.c - 1) * (di.c - 1))
+                          FROM e JOIN dg ON e.g = dg.g JOIN di ON e.i = di.i), 6)
+       END AS bcc
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14305,6 +14337,7 @@ QUERIES: dict[str, QueryFn] = {
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "score_isotonic_calibration": q_score_isotonic_calibration,
     "streaming_window_auc": q_streaming_window_auc,
+    "copurchase_butterflies": q_copurchase_butterflies,
 }
 
 ORACLES: dict[str, str] = {
@@ -14607,4 +14640,5 @@ ORACLES: dict[str, str] = {
     "sorted_neighborhood_pairs": SQL_SNM_PAIRS,
     "score_isotonic_calibration": SQL_SCORE_ISOTONIC,
     "streaming_window_auc": SQL_STREAMING_WINDOW_AUC,
+    "copurchase_butterflies": SQL_COPURCHASE_BUTTERFLIES,
 }

@@ -323,3 +323,83 @@ def pair_lift(
     return scored.sort(
         ["lift", "item_a", "item_b"], descending=[True, False, False]
     ).limit(top_k)
+
+
+def bipartite_butterflies(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    num_buckets: "int | None" = None,
+) -> "pa.Table":
+    """Butterfly (bipartite 4-cycle) census of a group-item graph — the
+    bipartite analogue of triangle counting (motif density of the
+    co-purchase structure): butterflies B, caterpillars (3-paths) C,
+    both wedge counts, and the bipartite clustering coefficient
+    4B / C.
+
+    Identities that keep everything ONE-exchange sized: with per-group
+    degrees d_g and per-item degrees c_i over DISTINCT edges,
+    caterpillars = sum over edges of (d_g-1)(c_i-1) = sum_i (c_i-1)*s_i
+    where s_i = sum of (d_g - 1) over the item's incident groups — so
+    ONE basket pass emits (item, d_g-1, 1) partials, one keyed exchange
+    sums (s_i, c_i), and group-side wedges fall out as sum(s_i)/2
+    without any group-side aggregate. Butterflies ride the existing
+    in-basket quadratic pair emission (`pair_cooccurrence`) as
+    sum C(co, 2). All counts exact int64; the coefficient is the one
+    mirrored float division."""
+    pairs = pair_cooccurrence(ds, group_col, item_col, min_support=1,
+                              num_buckets=num_buckets)
+
+    def bf_partial(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"b": pa.array([], pa.int64())})
+        n = tbl.column("support").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"b": pa.array([int((n * (n - 1) // 2).sum())], pa.int64())})
+
+    bsum = pairs.map_batches(bf_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    butterflies = int(bsum["b"].sum())
+
+    def item_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"item": pd.Series([], dtype=df[item_col].dtype),
+                                 "s": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        df = df[[group_col, item_col]].drop_duplicates()
+        sizes = df.groupby(group_col, sort=False)[item_col].transform("size").to_numpy(np.int64)
+        out = pd.DataFrame({"item": df[item_col].to_numpy(), "s": sizes - 1,
+                            "c": np.ones(len(df), np.int64)})
+        return out.groupby("item", sort=False, as_index=False).sum()
+
+    merged = bucketed_map_groups(
+        ds, group_col,
+        lambda df: item_partials(df), num_buckets=num_buckets,
+    )
+    merged = bucketed_keyed_sum(merged, ["item"], ["s", "c"])
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            z = [0, 0, 0, 0]
+        else:
+            s = tbl.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            c = tbl.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            z = [int(c.sum()), int(s.sum()), int((c * (c - 1) // 2).sum()),
+                 int(((c - 1) * s).sum())]
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in zip(["e", "ss", "wi", "cat"], z)})
+
+    agg = merged.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n_edges = int(agg["e"].sum())
+    wedges_group = int(agg["ss"].sum()) // 2
+    wedges_item = int(agg["wi"].sum())
+    caterpillars = int(agg["cat"].sum())
+    bcc = round(4.0 * butterflies / caterpillars, 6) if caterpillars else None
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "wedges_group": pa.array([wedges_group], pa.int64()),
+            "wedges_item": pa.array([wedges_item], pa.int64()),
+            "n_butterflies": pa.array([butterflies], pa.int64()),
+            "n_caterpillars": pa.array([caterpillars], pa.int64()),
+            "bcc": pa.array([bcc], pa.float64()),
+        }
+    )
