@@ -290,6 +290,10 @@ BENCH_QUERIES = [
     "blocklist_hits",               # dictionary tagger (count_substring kernels)
     "embedding_jl_projection",      # Rademacher JL projection (integer matmul)
     "embedding_int8_codes",         # per-dim int8 quantization (pure-integer mapping)
+    "score_isotonic_calibration",   # exact-rational PAV calibration (minimax-identity oracle)
+    "sorted_neighborhood_pairs",    # SNM sort-based blocking (halo-bucketed window emission)
+    "streaming_window_auc",         # streaming per-window model-quality monitor (exactly-once)
+    "copurchase_butterflies",       # bipartite 4-cycle census (one-exchange caterpillar identity)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -453,3 +453,31 @@ def test_bipartite_butterflies_bruteforce(ray_session):
     assert int(t["n_butterflies"][0]) == bf
     if cat:
         assert abs(t["bcc"][0] - 4.0 * bf / cat) < 1e-6
+
+
+def test_delong_auc_ci_bruteforce(ray_session):
+    import math
+
+    from vaero_ray.stages.mleval import delong_auc_ci
+
+    rng = _rng(71)
+    n = 250
+    y = (rng.random(n) < 0.4).astype(np.int64)
+    s = (rng.poisson(5, n) + 2 * y).astype(np.int64)
+    t = delong_auc_ci(_cells(s, y)).to_pandas()
+    sp, sn = s[y == 1].astype(float), s[y == 0].astype(float)
+    p, q = len(sp), len(sn)
+    # per-observation placements (textbook DeLong)
+    v10 = np.array([((x > sn).sum() + 0.5 * (x == sn).sum()) / q for x in sp])
+    v01 = np.array([((sp > x).sum() + 0.5 * (sp == x).sum()) / p for x in sn])
+    theta = v10.mean()
+    s10 = ((v10 - theta) ** 2).sum() / (p - 1)
+    s01 = ((v01 - theta) ** 2).sum() / (q - 1)
+    se = math.sqrt(s10 / p + s01 / q)
+    assert abs(t["auc"][0] - theta) < 1e-6
+    assert abs(t["auc_se"][0] - se) < 1e-6
+    assert abs(t["ci_lo"][0] - (theta - 1.96 * se)) < 2e-6
+    assert abs(t["ci_hi"][0] - (theta + 1.96 * se)) < 2e-6
+    # degenerate single-class input: no crash, NULL uncertainty
+    d = delong_auc_ci(_cells(np.arange(5), np.ones(5, np.int64))).to_pandas()
+    assert np.isnan(d["auc_se"][0]) and np.isnan(d["auc"][0])

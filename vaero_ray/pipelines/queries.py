@@ -14037,6 +14037,54 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
 """
 
 
+def q_user_score_auc_delong(sf_dir: str):
+    """DeLong variance + 95% CI for the view-count AUC: exact integer
+    component sums U10/U01 over the same cell exchange (HUGEINT-mirror
+    recipe), one shared float expression for se/ci."""
+    from vaero_ray.stages.mleval import delong_auc_ci, user_score_label_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return delong_auc_ci(user_score_label_cells(ds))
+
+
+SQL_USER_SCORE_AUC_DELONG = (
+    "WITH " + _SQL_SCORE_CELLS + r""",
+c2 AS (SELECT score, pos, neg,
+              COALESCE(SUM(neg) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg,
+              COALESCE(SUM(pos) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpos
+       FROM cells),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n,
+             CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS num2 FROM c2),
+comp AS (SELECT
+        CAST(SUM(CAST(pos AS HUGEINT)
+                 * CAST(((2 * cumneg + neg) * t.p - t.num2) AS HUGEINT)
+                 * CAST(((2 * cumneg + neg) * t.p - t.num2) AS HUGEINT)) AS BIGINT) AS u10,
+        CAST(SUM(CAST(neg AS HUGEINT)
+                 * CAST(((2 * t.p - 2 * cumpos - pos) * t.n - t.num2) AS HUGEINT)
+                 * CAST(((2 * t.p - 2 * cumpos - pos) * t.n - t.num2) AS HUGEINT)) AS BIGINT) AS u01
+      FROM c2, t GROUP BY t.p, t.n, t.num2)
+SELECT t.p AS n_pos, t.n AS n_neg, t.num2 AS auc_num2, comp.u10, comp.u01,
+       ROUND(CAST(t.num2 AS DOUBLE) / (2.0 * t.p * t.n), 6) AS auc,
+       CASE WHEN t.p > 1 AND t.n > 1 THEN
+         ROUND(SQRT( (CAST(comp.u10 AS DOUBLE) / ((t.p - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.p
+                   + (CAST(comp.u01 AS DOUBLE) / ((t.n - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.n ), 6)
+       END AS auc_se,
+       CASE WHEN t.p > 1 AND t.n > 1 THEN
+         ROUND(CAST(t.num2 AS DOUBLE) / (2.0 * t.p * t.n)
+               - 1.96 * SQRT( (CAST(comp.u10 AS DOUBLE) / ((t.p - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.p
+                            + (CAST(comp.u01 AS DOUBLE) / ((t.n - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.n ), 6)
+       END AS ci_lo,
+       CASE WHEN t.p > 1 AND t.n > 1 THEN
+         ROUND(CAST(t.num2 AS DOUBLE) / (2.0 * t.p * t.n)
+               + 1.96 * SQRT( (CAST(comp.u10 AS DOUBLE) / ((t.p - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.p
+                            + (CAST(comp.u01 AS DOUBLE) / ((t.n - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.n ), 6)
+       END AS ci_hi
+FROM t, comp
+""")
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14338,6 +14386,7 @@ QUERIES: dict[str, QueryFn] = {
     "score_isotonic_calibration": q_score_isotonic_calibration,
     "streaming_window_auc": q_streaming_window_auc,
     "copurchase_butterflies": q_copurchase_butterflies,
+    "user_score_auc_delong": q_user_score_auc_delong,
 }
 
 ORACLES: dict[str, str] = {
@@ -14641,4 +14690,5 @@ ORACLES: dict[str, str] = {
     "score_isotonic_calibration": SQL_SCORE_ISOTONIC,
     "streaming_window_auc": SQL_STREAMING_WINDOW_AUC,
     "copurchase_butterflies": SQL_COPURCHASE_BUTTERFLIES,
+    "user_score_auc_delong": SQL_USER_SCORE_AUC_DELONG,
 }

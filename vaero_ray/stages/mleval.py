@@ -156,6 +156,56 @@ def pr_curve(cells: pd.DataFrame) -> pa.Table:
     )
 
 
+def delong_auc_ci(cells: pd.DataFrame) -> pa.Table:
+    """DeLong variance and 95% CI for the AUC — the standard
+    uncertainty estimate, computed EXACTLY from the cells: every
+    positive in cell c has placement (2*cumneg_c + neg_c)/(2N), so the
+    DeLong component sums reduce to integer numerators
+    U10 = sum_c pos_c*(a_c*P - num2)^2 (and symmetrically U01) over the
+    common denominator (2NP)^2 — accumulated in arbitrary-precision
+    Python ints (the HUGEINT-mirror recipe of the Spearman gate), with
+    ONE shared float expression tree for se/ci at the end. O(distinct
+    scores); P<2 or N<2 yields NULL uncertainty, not a crash."""
+    import math
+
+    pos = cells["pos"].to_numpy(np.int64)
+    neg = cells["neg"].to_numpy(np.int64)
+    p = int(pos.sum())
+    n = int(neg.sum())
+    cumneg = np.concatenate(([0], np.cumsum(neg)[:-1]))
+    cumpos = np.concatenate(([0], np.cumsum(pos)[:-1]))
+    a = 2 * cumneg + neg   # placement numerator per positive (over 2N)
+    # placement numerator per negative (over 2P): positives ABOVE + ties
+    b = 2 * (p - cumpos - pos) + pos
+    num2 = int(np.sum(pos * a))
+    u10 = sum(int(pc_) * (int(ac) * p - num2) ** 2 for pc_, ac in zip(pos, a))
+    u01 = sum(int(nc) * (int(bc) * n - num2) ** 2 for nc, bc in zip(neg, b))
+    auc = round(num2 / (2.0 * p * n), 6) if p and n else None
+    se = lo = hi = None
+    if p > 1 and n > 1:
+        d = (2.0 * n * p) * (2.0 * n * p)
+        s10 = u10 / ((p - 1) * d)
+        s01 = u01 / ((n - 1) * d)
+        se_raw = math.sqrt(s10 / p + s01 / n)
+        theta = num2 / (2.0 * p * n)
+        se = round(se_raw, 6)
+        lo = round(theta - 1.96 * se_raw, 6)
+        hi = round(theta + 1.96 * se_raw, 6)
+    return pa.table(
+        {
+            "n_pos": pa.array([p], pa.int64()),
+            "n_neg": pa.array([n], pa.int64()),
+            "auc_num2": pa.array([num2], pa.int64()),
+            "u10": pa.array([u10], pa.int64()),
+            "u01": pa.array([u01], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+            "auc_se": pa.array([se], pa.float64()),
+            "ci_lo": pa.array([lo], pa.float64()),
+            "ci_hi": pa.array([hi], pa.float64()),
+        }
+    )
+
+
 def ks_separation(cells: pd.DataFrame) -> pa.Table:
     """KS separation of the score distributions of positives vs
     negatives — the classic scoring-power statistic (credit-scoring
