@@ -481,3 +481,41 @@ def test_delong_auc_ci_bruteforce(ray_session):
     # degenerate single-class input: no crash, NULL uncertainty
     d = delong_auc_ci(_cells(np.arange(5), np.ones(5, np.int64))).to_pandas()
     assert np.isnan(d["auc_se"][0]) and np.isnan(d["auc"][0])
+
+
+def test_delong_paired_bruteforce(ray_session):
+    import math
+
+    from vaero_ray.stages.mleval import delong_paired
+
+    rng = _rng(77)
+    n = 300
+    y = (rng.random(n) < 0.45).astype(np.int64)
+    s1 = (rng.poisson(5, n) + 2 * y).astype(np.int64)
+    s2 = (rng.poisson(5, n) + y).astype(np.int64)
+    jc = (pd.DataFrame({"s1": s1, "s2": s2, "pos": y, "neg": 1 - y})
+          .groupby(["s1", "s2"], as_index=False)
+          .agg({"pos": "sum", "neg": "sum"})
+          .sort_values(["s1", "s2"]).reset_index(drop=True))
+    t = delong_paired(jc).to_pandas()
+    sp1, sp2 = s1[y == 1].astype(float), s2[y == 1].astype(float)
+    sn1, sn2 = s1[y == 0].astype(float), s2[y == 0].astype(float)
+    P, N = len(sp1), len(sn1)
+    v10_1 = np.array([((x > sn1).sum() + .5 * (x == sn1).sum()) / N for x in sp1])
+    v01_1 = np.array([((sp1 > x).sum() + .5 * (sp1 == x).sum()) / P for x in sn1])
+    v10_2 = np.array([((x > sn2).sum() + .5 * (x == sn2).sum()) / N for x in sp2])
+    v01_2 = np.array([((sp2 > x).sum() + .5 * (sp2 == x).sum()) / P for x in sn2])
+    th1, th2 = v10_1.mean(), v10_2.mean()
+
+    def sij(a, b, ta, tb, dof):
+        return ((a - ta) * (b - tb)).sum() / (dof - 1)
+
+    var1 = sij(v10_1, v10_1, th1, th1, P) / P + sij(v01_1, v01_1, th1, th1, N) / N
+    var2 = sij(v10_2, v10_2, th2, th2, P) / P + sij(v01_2, v01_2, th2, th2, N) / N
+    cov = sij(v10_1, v10_2, th1, th2, P) / P + sij(v01_1, v01_2, th1, th2, N) / N
+    z = (th1 - th2) / math.sqrt(var1 + var2 - 2 * cov)
+    assert abs(t["auc1"][0] - th1) < 1e-6
+    assert abs(t["auc2"][0] - th2) < 1e-6
+    assert abs(t["z"][0] - z) < 1e-5
+    # the stronger predictor (s1 carries 2x the signal) must win
+    assert t["auc1"][0] > t["auc2"][0] and t["z"][0] > 0

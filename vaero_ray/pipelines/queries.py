@@ -14085,6 +14085,85 @@ FROM t, comp
 """)
 
 
+def q_auc_pair_delong(sf_dir: str):
+    """Paired DeLong model comparison: does view count or click count
+    better predict the purchase label on the SAME users? Correlated-AUC
+    z test with exact integer component/cross sums over ONE joint-cell
+    exchange (the model-A/B primitive at scale)."""
+    from vaero_ray.stages.mleval import delong_paired, user_two_score_cells
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return delong_paired(user_two_score_cells(ds))
+
+
+SQL_AUC_PAIR_DELONG = r"""
+WITH u2 AS (SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pc
+      FROM events GROUP BY 1),
+med2 AS (SELECT pc AS m FROM (
+          SELECT pc, ROW_NUMBER() OVER (ORDER BY pc) AS rn,
+                 COUNT(*) OVER () AS n FROM u2)
+        WHERE rn = (n + 1) // 2),
+lab2 AS (SELECT s1, s2, CASE WHEN pc > (SELECT m FROM med2) THEN 1 ELSE 0 END AS y FROM u2),
+jc AS (SELECT s1, s2, CAST(SUM(y) AS BIGINT) AS pos,
+              CAST(SUM(1 - y) AS BIGINT) AS neg FROM lab2 GROUP BY 1, 2),
+tp AS (SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n FROM jc),
+m1 AS (SELECT s1, CAST(SUM(pos) AS BIGINT) AS p1, CAST(SUM(neg) AS BIGINT) AS n1
+       FROM jc GROUP BY 1),
+m1c AS (SELECT s1,
+          2 * COALESCE(SUM(n1) OVER (ORDER BY s1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n1 AS a1,
+          2 * ((SELECT p FROM tp) - COALESCE(SUM(p1) OVER (ORDER BY s1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - p1) + p1 AS b1
+        FROM m1),
+m2 AS (SELECT s2, CAST(SUM(pos) AS BIGINT) AS p2, CAST(SUM(neg) AS BIGINT) AS n2
+       FROM jc GROUP BY 1),
+m2c AS (SELECT s2,
+          2 * COALESCE(SUM(n2) OVER (ORDER BY s2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n2 AS a2,
+          2 * ((SELECT p FROM tp) - COALESCE(SUM(p2) OVER (ORDER BY s2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - p2) + p2 AS b2
+        FROM m2),
+jx AS (SELECT jc.pos, jc.neg, m1c.a1, m1c.b1, m2c.a2, m2c.b2
+       FROM jc JOIN m1c USING (s1) JOIN m2c USING (s2)),
+t AS (SELECT (SELECT p FROM tp) AS p, (SELECT n FROM tp) AS n,
+        CAST(SUM(pos * a1) AS BIGINT) AS num2_1,
+        CAST(SUM(pos * a2) AS BIGINT) AS num2_2 FROM jx),
+comp AS (SELECT
+   CAST(SUM(CAST(pos AS HUGEINT) * CAST(a1 * t.p - t.num2_1 AS HUGEINT)
+            * CAST(a1 * t.p - t.num2_1 AS HUGEINT)) AS BIGINT) AS u10_1,
+   CAST(SUM(CAST(pos AS HUGEINT) * CAST(a2 * t.p - t.num2_2 AS HUGEINT)
+            * CAST(a2 * t.p - t.num2_2 AS HUGEINT)) AS BIGINT) AS u10_2,
+   CAST(SUM(CAST(neg AS HUGEINT) * CAST(b1 * t.n - t.num2_1 AS HUGEINT)
+            * CAST(b1 * t.n - t.num2_1 AS HUGEINT)) AS BIGINT) AS u01_1,
+   CAST(SUM(CAST(neg AS HUGEINT) * CAST(b2 * t.n - t.num2_2 AS HUGEINT)
+            * CAST(b2 * t.n - t.num2_2 AS HUGEINT)) AS BIGINT) AS u01_2,
+   CAST(SUM(CAST(pos AS HUGEINT) * CAST(a1 * t.p - t.num2_1 AS HUGEINT)
+            * CAST(a2 * t.p - t.num2_2 AS HUGEINT)) AS BIGINT) AS c10,
+   CAST(SUM(CAST(neg AS HUGEINT) * CAST(b1 * t.n - t.num2_1 AS HUGEINT)
+            * CAST(b2 * t.n - t.num2_2 AS HUGEINT)) AS BIGINT) AS c01
+   FROM jx, t GROUP BY t.p, t.n, t.num2_1, t.num2_2),
+f AS (SELECT t.p, t.n, t.num2_1, t.num2_2, comp.c10, comp.c01,
+   (CAST(comp.u10_1 AS DOUBLE) / ((t.p - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.p
+     + (CAST(comp.u01_1 AS DOUBLE) / ((t.n - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.n AS var1,
+   (CAST(comp.u10_2 AS DOUBLE) / ((t.p - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.p
+     + (CAST(comp.u01_2 AS DOUBLE) / ((t.n - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.n AS var2,
+   (CAST(comp.c10 AS DOUBLE) / ((t.p - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.p
+     + (CAST(comp.c01 AS DOUBLE) / ((t.n - 1) * ((2.0 * t.n * t.p) * (2.0 * t.n * t.p)))) / t.n AS cov
+   FROM t, comp)
+SELECT p AS n_pos, n AS n_neg, num2_1 AS auc1_num2, num2_2 AS auc2_num2, c10, c01,
+   ROUND(CAST(num2_1 AS DOUBLE) / (2.0 * p * n), 6) AS auc1,
+   ROUND(CAST(num2_2 AS DOUBLE) / (2.0 * p * n), 6) AS auc2,
+   CASE WHEN p > 1 AND n > 1 AND var1 + var2 - 2 * cov > 0 THEN
+     ROUND((CAST(num2_1 AS DOUBLE) / (2.0 * p * n) - CAST(num2_2 AS DOUBLE) / (2.0 * p * n))
+           / SQRT(var1 + var2 - 2 * cov), 6)
+   END AS z
+FROM f
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14387,6 +14466,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_window_auc": q_streaming_window_auc,
     "copurchase_butterflies": q_copurchase_butterflies,
     "user_score_auc_delong": q_user_score_auc_delong,
+    "auc_pair_delong": q_auc_pair_delong,
 }
 
 ORACLES: dict[str, str] = {
@@ -14691,4 +14771,5 @@ ORACLES: dict[str, str] = {
     "streaming_window_auc": SQL_STREAMING_WINDOW_AUC,
     "copurchase_butterflies": SQL_COPURCHASE_BUTTERFLIES,
     "user_score_auc_delong": SQL_USER_SCORE_AUC_DELONG,
+    "auc_pair_delong": SQL_AUC_PAIR_DELONG,
 }

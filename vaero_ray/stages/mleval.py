@@ -339,3 +339,134 @@ def bucket_lift(cells: pd.DataFrame, k: int = 10) -> pa.Table:
             "lift": pa.array(lift, pa.float64()),
         }
     )
+
+
+def user_two_score_cells(ds: rd.Dataset) -> pd.DataFrame:
+    """Joint (s1 = view count, s2 = click count, pos, neg) cells per
+    user, same label rule as :func:`user_score_label_cells` — the input
+    of the paired model comparison. One keyed exchange; the joint cell
+    count is bounded by distinct (s1, s2) pairs."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "vc": (et == "view").astype(np.int64),
+                "cc": (et == "click").astype(np.int64),
+                "pc": (et == "purchase").astype(np.int64),
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"vc": "sum", "cc": "sum", "pc": "sum"}
+        )
+
+    per_user = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], ["vc", "cc", "pc"],
+    ).materialize()
+
+    def pc_cells(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"pc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({"pc": tbl.column("pc")}).group_by(["pc"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["pc", "n"])
+
+    hist = bucketed_keyed_sum(
+        per_user.map_batches(pc_cells, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["pc"], ["n"], num_buckets=4,
+    ).to_pandas().sort_values("pc")
+    n_users = int(hist["n"].sum())
+    if n_users == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("s1", "s2", "pos", "neg")})
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    med = int(hist["pc"].to_numpy(np.int64)[
+        np.searchsorted(cum, (n_users + 1) // 2, side="left")])
+
+    def sc(df: pd.DataFrame) -> pd.DataFrame:
+        y = (df["pc"].to_numpy(np.int64) > med).astype(np.int64)
+        out = pd.DataFrame(
+            {"s1": df["vc"].to_numpy(np.int64),
+             "s2": df["cc"].to_numpy(np.int64), "pos": y, "neg": 1 - y}
+        )
+        return out.groupby(["s1", "s2"], sort=False, as_index=False).agg(
+            {"pos": "sum", "neg": "sum"}
+        )
+
+    cells = bucketed_keyed_sum(
+        per_user.map_batches(sc, batch_format="pandas"),
+        ["s1", "s2"], ["pos", "neg"], num_buckets=4,
+    ).to_pandas()
+    return cells.sort_values(["s1", "s2"]).reset_index(drop=True)
+
+
+def delong_paired(jcells: pd.DataFrame) -> pa.Table:
+    """Paired DeLong test: are two scores of the SAME population
+    different predictors of the label? The model-A/B comparison at
+    scale — correlated AUCs, so the covariance of the placement vectors
+    enters the z denominator. Everything up to the final expression is
+    exact integer arithmetic over the joint cells: per-score marginal
+    placements a_k (positives) / b_k (negatives), component sums
+    U10/U01 per score and cross sums C10/C01 as arbitrary-precision
+    ints over the common denominator (2NP)^2 (HUGEINT-mirror recipe),
+    then ONE shared float tree for z. O(distinct joint cells)."""
+    import math
+
+    pos = jcells["pos"].to_numpy(np.int64)
+    neg = jcells["neg"].to_numpy(np.int64)
+    p = int(pos.sum())
+    n = int(neg.sum())
+
+    def marginal(col: str):
+        m = (jcells.groupby(col, as_index=False)[["pos", "neg"]].sum()
+             .sort_values(col).reset_index(drop=True))
+        cn = np.concatenate(([0], np.cumsum(m["neg"].to_numpy(np.int64))[:-1]))
+        cp = np.concatenate(([0], np.cumsum(m["pos"].to_numpy(np.int64))[:-1]))
+        a = 2 * cn + m["neg"].to_numpy(np.int64)
+        b = 2 * (p - cp - m["pos"].to_numpy(np.int64)) + m["pos"].to_numpy(np.int64)
+        amap = dict(zip(m[col], a))
+        bmap = dict(zip(m[col], b))
+        return (jcells[col].map(amap).to_numpy(np.int64),
+                jcells[col].map(bmap).to_numpy(np.int64))
+
+    a1, b1 = marginal("s1")
+    a2, b2 = marginal("s2")
+    num2_1 = int(np.sum(pos * a1))
+    num2_2 = int(np.sum(pos * a2))
+    u10_1 = sum(int(w) * (int(x) * p - num2_1) ** 2 for w, x in zip(pos, a1))
+    u10_2 = sum(int(w) * (int(x) * p - num2_2) ** 2 for w, x in zip(pos, a2))
+    u01_1 = sum(int(w) * (int(x) * n - num2_1) ** 2 for w, x in zip(neg, b1))
+    u01_2 = sum(int(w) * (int(x) * n - num2_2) ** 2 for w, x in zip(neg, b2))
+    c10 = sum(int(w) * (int(x) * p - num2_1) * (int(y2) * p - num2_2)
+              for w, x, y2 in zip(pos, a1, a2))
+    c01 = sum(int(w) * (int(x) * n - num2_1) * (int(y2) * n - num2_2)
+              for w, x, y2 in zip(neg, b1, b2))
+    auc1 = round(num2_1 / (2.0 * p * n), 6) if p and n else None
+    auc2 = round(num2_2 / (2.0 * p * n), 6) if p and n else None
+    z = None
+    if p > 1 and n > 1:
+        d = (2.0 * n * p) * (2.0 * n * p)
+        var1 = (u10_1 / ((p - 1) * d)) / p + (u01_1 / ((n - 1) * d)) / n
+        var2 = (u10_2 / ((p - 1) * d)) / p + (u01_2 / ((n - 1) * d)) / n
+        cov = (c10 / ((p - 1) * d)) / p + (c01 / ((n - 1) * d)) / n
+        den = var1 + var2 - 2 * cov
+        if den > 0:
+            z = round((num2_1 / (2.0 * p * n) - num2_2 / (2.0 * p * n))
+                      / math.sqrt(den), 6)
+    return pa.table(
+        {
+            "n_pos": pa.array([p], pa.int64()),
+            "n_neg": pa.array([n], pa.int64()),
+            "auc1_num2": pa.array([num2_1], pa.int64()),
+            "auc2_num2": pa.array([num2_2], pa.int64()),
+            "c10": pa.array([c10], pa.int64()),
+            "c01": pa.array([c01], pa.int64()),
+            "auc1": pa.array([auc1], pa.float64()),
+            "auc2": pa.array([auc2], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        }
+    )
