@@ -519,3 +519,29 @@ def test_delong_paired_bruteforce(ray_session):
     assert abs(t["z"][0] - z) < 1e-5
     # the stronger predictor (s1 carries 2x the signal) must win
     assert t["auc1"][0] > t["auc2"][0] and t["z"][0] > 0
+
+
+def test_grouped_roc_auc_matches_per_group_bruteforce(ray_session):
+    from vaero_ray.stages.mleval import grouped_roc_auc
+
+    rng = _rng(83)
+    rows = []
+    for grp in ("a", "b", "c", "onlypos"):
+        m = 120
+        y = (rng.random(m) < 0.5).astype(np.int64) if grp != "onlypos" else np.ones(m, np.int64)
+        s = (rng.poisson(6, m) + (2 if grp == "b" else 1) * y).astype(np.int64)
+        for sc, yy in zip(s, y):
+            rows.append({"grp": grp, "score": int(sc), "pos": int(yy), "neg": int(1 - yy)})
+    cells = (pd.DataFrame(rows)
+             .groupby(["grp", "score"], as_index=False)
+             .agg({"pos": "sum", "neg": "sum"}))
+    t = grouped_roc_auc(cells).to_pandas().set_index("grp")
+    for grp in ("a", "b", "c"):
+        sub = pd.DataFrame(rows)
+        sub = sub[sub["grp"] == grp]
+        expanded_s = np.repeat(sub["score"].to_numpy(), 1)
+        y = sub["pos"].to_numpy()
+        brute = _auc_brute(expanded_s, y)
+        assert abs(t.loc[grp, "auc"] - brute) < 1e-6
+    assert np.isnan(t.loc["onlypos", "auc"])
+    assert t.loc["onlypos", "n_neg"] == 0

@@ -14164,6 +14164,60 @@ FROM f
 """
 
 
+def q_source_lang_auc_slices(sf_dir: str):
+    """Slice metrics: per-SOURCE exact AUC of document length predicting
+    lang == 'en' — one keyed (source, length) cell exchange, segmented
+    vectorized finalizer, NULL auc on single-class slices."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.mleval import grouped_roc_auc
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        en = pc.equal(t.column("lang"), "en").to_numpy(zero_copy_only=False)
+        df = _pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas(),
+                "score": t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64),
+                "pos": en.astype(np.int64),
+                "neg": (~en).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["source", "score"], sort=False, as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    cells = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "score"], ["pos", "neg"], num_buckets=4,
+    ).to_pandas()
+    return grouped_roc_auc(cells, group_col="source")
+
+
+SQL_SOURCE_LANG_AUC = r"""
+WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+           FROM documents GROUP BY 1, 2),
+c2 AS (SELECT source, pos, neg,
+         COALESCE(SUM(neg) OVER (PARTITION BY source ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+       FROM c),
+a AS (SELECT source, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(neg) AS BIGINT) AS n_neg,
+        CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS auc_num2
+      FROM c2 GROUP BY 1)
+SELECT source, n_pos, n_neg, auc_num2,
+   CASE WHEN n_pos > 0 AND n_neg > 0
+        THEN ROUND(CAST(auc_num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END AS auc
+FROM a
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14467,6 +14521,7 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_butterflies": q_copurchase_butterflies,
     "user_score_auc_delong": q_user_score_auc_delong,
     "auc_pair_delong": q_auc_pair_delong,
+    "source_lang_auc_slices": q_source_lang_auc_slices,
 }
 
 ORACLES: dict[str, str] = {
@@ -14772,4 +14827,5 @@ ORACLES: dict[str, str] = {
     "copurchase_butterflies": SQL_COPURCHASE_BUTTERFLIES,
     "user_score_auc_delong": SQL_USER_SCORE_AUC_DELONG,
     "auc_pair_delong": SQL_AUC_PAIR_DELONG,
+    "source_lang_auc_slices": SQL_SOURCE_LANG_AUC,
 }

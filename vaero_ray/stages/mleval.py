@@ -470,3 +470,45 @@ def delong_paired(jcells: pd.DataFrame) -> pa.Table:
             "z": pa.array([z], pa.float64()),
         }
     )
+
+
+def grouped_roc_auc(cells: pd.DataFrame, group_col: str = "grp") -> pa.Table:
+    """Per-SLICE exact AUC — the fairness/slice-metrics primitive (one
+    AUC per subpopulation from ONE keyed exchange): cells carry
+    (group, score, pos, neg); the finalizer computes every group's
+    rank-statistic AUC with segmented cumulative sums (sort by
+    (group, score), per-group cumneg via offset subtraction — fully
+    vectorized across groups, no per-group Python). Single-class
+    slices yield NULL auc, not a crash."""
+    c = cells.sort_values([group_col, "score"], kind="mergesort",
+                          ignore_index=True)
+    g = c[group_col].to_numpy()
+    pos = c["pos"].to_numpy(np.int64)
+    neg = c["neg"].to_numpy(np.int64)
+    first = np.ones(len(c), dtype=bool)
+    first[1:] = g[1:] != g[:-1]
+    gid = np.cumsum(first) - 1
+    cum = np.cumsum(neg)
+    # exclusive cumulative negatives, re-based per group segment
+    sh = np.concatenate(([0], cum[:-1]))
+    cumneg = sh - np.repeat(sh[np.flatnonzero(first)], np.bincount(gid))
+    term = pos * (2 * cumneg + neg)
+    df = pd.DataFrame({group_col: g, "p": pos, "n": neg, "t": term})
+    agg = df.groupby(group_col, sort=True, as_index=False).agg(
+        {"p": "sum", "n": "sum", "t": "sum"}
+    )
+    p = agg["p"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    num2 = agg["t"].to_numpy(np.int64)
+    auc = np.where((p > 0) & (n > 0),
+                   np.round(num2 / (2.0 * np.maximum(p, 1) * np.maximum(n, 1)), 6),
+                   np.nan)
+    return pa.table(
+        {
+            group_col: pa.array(agg[group_col]),
+            "n_pos": pa.array(p, pa.int64()),
+            "n_neg": pa.array(n, pa.int64()),
+            "auc_num2": pa.array(num2, pa.int64()),
+            "auc": pa.array(auc, pa.float64()),
+        }
+    )
