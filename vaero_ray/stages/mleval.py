@@ -112,6 +112,11 @@ def roc_auc(cells: pd.DataFrame) -> pa.Table:
     rank-sum numerator (concordant pairs x2 + ties x1), exact int64 and
     independent of shard/row order; the only float op is the final
     division, mirrored verbatim in the SQL oracle."""
+    if not len(cells):
+        return pa.table({"n_pos": pa.array([0], pa.int64()),
+                         "n_neg": pa.array([0], pa.int64()),
+                         "auc_num2": pa.array([0], pa.int64()),
+                         "auc": pa.array([None], pa.float64())})
     pos = cells["pos"].to_numpy(np.int64)
     neg = cells["neg"].to_numpy(np.int64)
     p = int(pos.sum())
@@ -166,6 +171,13 @@ def delong_auc_ci(cells: pd.DataFrame) -> pa.Table:
     Python ints (the HUGEINT-mirror recipe of the Spearman gate), with
     ONE shared float expression tree for se/ci at the end. O(distinct
     scores); P<2 or N<2 yields NULL uncertainty, not a crash."""
+    if not len(cells):
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_pos": z, "n_neg": z, "auc_num2": z, "u10": z,
+                         "u01": z, "auc": pa.array([None], pa.float64()),
+                         "auc_se": pa.array([None], pa.float64()),
+                         "ci_lo": pa.array([None], pa.float64()),
+                         "ci_hi": pa.array([None], pa.float64())})
     import math
 
     pos = cells["pos"].to_numpy(np.int64)
@@ -214,6 +226,10 @@ def ks_separation(cells: pd.DataFrame) -> pa.Table:
     compression trick as numstats.ks_two_sample: one row per distinct
     score moves, never the population); d_stat is the single mirrored
     float division."""
+    if not len(cells):
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_pos": z, "n_neg": z, "d_scaled": z,
+                         "d_stat": pa.array([None], pa.float64())})
     pos = cells["pos"].to_numpy(np.int64)
     neg = cells["neg"].to_numpy(np.int64)
     p = int(pos.sum())
@@ -238,6 +254,12 @@ def confusion_mcc(cells: pd.DataFrame) -> pa.Table:
     one row of exact int64 cells and 6-dp mirrored ratios. The median
     comes from the CELL histogram (weighted order statistic — no sort of
     the population), so the finalizer stays O(distinct scores)."""
+    if not len(cells):
+        z = pa.array([0], pa.int64())
+        return pa.table({"threshold": z, "tp": z, "fp": z, "fn": z, "tn": z,
+                         "acc": pa.array([None], pa.float64()),
+                         "f1": pa.array([None], pa.float64()),
+                         "mcc": pa.array([None], pa.float64())})
     import math
 
     score = cells["score"].to_numpy(np.int64)
@@ -317,6 +339,11 @@ def bucket_lift(cells: pd.DataFrame, k: int = 10) -> pa.Table:
     NO global ordering or NTILE, so no sort and no tie ambiguity at any
     scale), per-bucket size, positives, positive rate, and lift vs the
     base rate. Buckets with no scores are absent (cells are the domain)."""
+    if not len(cells):
+        z = pa.array([], pa.int64())
+        return pa.table({"bucket": z, "n_users": z, "n_pos": z,
+                         "pos_rate": pa.array([], pa.float64()),
+                         "lift": pa.array([], pa.float64())})
     score = cells["score"].to_numpy(np.int64)
     pos = cells["pos"].to_numpy(np.int64)
     neg = cells["neg"].to_numpy(np.int64)
@@ -414,6 +441,13 @@ def delong_paired(jcells: pd.DataFrame) -> pa.Table:
     U10/U01 per score and cross sums C10/C01 as arbitrary-precision
     ints over the common denominator (2NP)^2 (HUGEINT-mirror recipe),
     then ONE shared float tree for z. O(distinct joint cells)."""
+    if not len(jcells):
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_pos": z, "n_neg": z, "auc1_num2": z,
+                         "auc2_num2": z, "c10": z, "c01": z,
+                         "auc1": pa.array([None], pa.float64()),
+                         "auc2": pa.array([None], pa.float64()),
+                         "z": pa.array([None], pa.float64())})
     import math
 
     pos = jcells["pos"].to_numpy(np.int64)
