@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "sorted_neighborhood_pairs",    # SNM sort-based blocking (halo-bucketed window emission)
     "streaming_window_auc",         # streaming per-window model-quality monitor (exactly-once)
     "copurchase_butterflies",       # bipartite 4-cycle census (one-exchange caterpillar identity)
+    "auc_pair_delong",              # paired correlated-AUC z test (model A/B primitive)
+    "source_lang_auc_slices",       # per-slice grouped AUC (fairness metrics)
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

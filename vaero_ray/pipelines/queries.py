@@ -14218,6 +14218,88 @@ FROM a
 """
 
 
+def q_hourly_mase_backtest(sf_dir: str):
+    """Forecast-eval backtest per event type: seasonal-naive (lag-24h)
+    forecast scored by MASE over the second half of the hour range —
+    integer-exact SAE sums over the DENSE hourly grid (missing hours
+    count 0), one bounded (type, hour) cell exchange, single mirrored
+    ratio-of-ratios float."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        h = pc.divide(us, 3_600_000_000)
+        g = (
+            pa.table({"event_type": t.column("event_type"), "h": h})
+            .group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "h", "c"])
+
+    cells = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "h"], ["c"], num_buckets=4,
+    ).to_pandas()
+    lo, hi = int(cells["h"].min()), int(cells["h"].max())
+    span = hi - lo + 1
+    split = lo + span // 2
+    rows = []
+    for et, g in cells.groupby("event_type", sort=True):
+        y = np.zeros(span, dtype=np.int64)
+        y[g["h"].to_numpy(np.int64) - lo] = g["c"].to_numpy(np.int64)
+        if span <= 24:
+            rows.append({"event_type": et, "n_train": 0, "sae_train": 0,
+                         "n_test": 0, "sae_test": 0, "mase": None})
+            continue
+        ad = np.abs(y[24:] - y[:-24])  # |y_t - y_{t-24}| for t = lo+24..hi
+        hs = np.arange(lo + 24, hi + 1)
+        tr = hs < split
+        te = ~tr
+        sae_tr, n_tr = int(ad[tr].sum()), int(tr.sum())
+        sae_te, n_te = int(ad[te].sum()), int(te.sum())
+        mase = (
+            round((sae_te * 1.0 / n_te) / (sae_tr * 1.0 / n_tr), 6)
+            if sae_tr > 0 and n_te > 0 and n_tr > 0 else None
+        )
+        rows.append({"event_type": et, "n_train": n_tr, "sae_train": sae_tr,
+                     "n_test": n_te, "sae_test": sae_te, "mase": mase})
+    out = _pd.DataFrame(rows).astype(
+        {"n_train": "int64", "sae_train": "int64", "n_test": "int64",
+         "sae_test": "int64", "mase": "float64"}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_HOURLY_MASE = r"""
+WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+lim AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM b),
+grid AS (SELECT t.event_type, g.h
+         FROM (SELECT DISTINCT event_type FROM b) t,
+              (SELECT UNNEST(range((SELECT lo FROM lim), (SELECT hi FROM lim) + 1)) AS h) g),
+y AS (SELECT grid.event_type, grid.h, COALESCE(b.c, 0) AS c
+      FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.h = grid.h),
+d AS (SELECT a.event_type, a.h, ABS(a.c - p.c) AS ad
+      FROM y a JOIN y p ON p.event_type = a.event_type AND p.h = a.h - 24),
+sp AS (SELECT (SELECT lo FROM lim)
+              + ((SELECT hi FROM lim) - (SELECT lo FROM lim) + 1) // 2 AS s),
+agg AS (SELECT event_type,
+         CAST(SUM(CASE WHEN h < (SELECT s FROM sp) THEN ad ELSE 0 END) AS BIGINT) AS sae_train,
+         CAST(SUM(CASE WHEN h < (SELECT s FROM sp) THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN h >= (SELECT s FROM sp) THEN ad ELSE 0 END) AS BIGINT) AS sae_test,
+         CAST(SUM(CASE WHEN h >= (SELECT s FROM sp) THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       FROM d GROUP BY 1)
+SELECT event_type, n_train, sae_train, n_test, sae_test,
+  CASE WHEN sae_train > 0 AND n_test > 0 AND n_train > 0 THEN
+    ROUND((sae_test * 1.0 / n_test) / (sae_train * 1.0 / n_train), 6) END AS mase
+FROM agg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14522,6 +14604,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_score_auc_delong": q_user_score_auc_delong,
     "auc_pair_delong": q_auc_pair_delong,
     "source_lang_auc_slices": q_source_lang_auc_slices,
+    "hourly_mase_backtest": q_hourly_mase_backtest,
 }
 
 ORACLES: dict[str, str] = {
@@ -14828,4 +14911,5 @@ ORACLES: dict[str, str] = {
     "user_score_auc_delong": SQL_USER_SCORE_AUC_DELONG,
     "auc_pair_delong": SQL_AUC_PAIR_DELONG,
     "source_lang_auc_slices": SQL_SOURCE_LANG_AUC,
+    "hourly_mase_backtest": SQL_HOURLY_MASE,
 }
