@@ -561,3 +561,32 @@ def test_hourly_mase_perfect_seasonal_signal(ray_session):
     for _, r in have.iterrows():
         assert abs(r["mase"] - (r["sae_test"] / r["n_test"])
                    / (r["sae_train"] / r["n_train"])) < 1e-6
+
+
+def test_cuped_reduces_variance_on_correlated_covariate(ray_session):
+    """Synthetic events where pre-period activity strongly predicts
+    post-period purchases: the CUPED-adjusted variance must be below
+    the raw outcome variance in both arms, and theta > 0."""
+    from vaero_ray.stages.mleval import cuped_ab_arms
+
+    rng = _rng(97)
+    rows = []
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    for uid in range(200):
+        activity = int(rng.integers(1, 20))
+        for _ in range(activity):  # pre-period events
+            rows.append({"user_id": uid, "event_type": "view",
+                         "ts": t0 + np.timedelta64(int(rng.integers(0, 1000)), "s")})
+        npur = int(activity // 2 + rng.integers(0, 3))  # correlated outcome
+        for _ in range(npur):
+            rows.append({"user_id": uid, "event_type": "purchase",
+                         "ts": t0 + np.timedelta64(100_000 + int(rng.integers(0, 1000)), "s")})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    t = cuped_ab_arms(ds).to_pandas().sort_values("arm")
+    assert list(t["arm"]) == [0, 1]
+    assert (t["theta"] > 0).all()
+    for _, r in t.iterrows():
+        # variance reduction is the whole point of CUPED
+        assert 0 <= r["adj_var"] < r["raw_var"]
+    # adjusted means of the two arms agree closely (same DGP both arms)
+    assert abs(t["adj_mean"].iloc[0] - t["adj_mean"].iloc[1]) < 1.0

@@ -14300,6 +14300,46 @@ FROM agg
 """
 
 
+def q_cuped_ab_arms(sf_dir: str):
+    """CUPED variance-reduced A/B arm summary (arms = user-id parity,
+    pre-period covariate = first-half activity, outcome = second-half
+    purchases): exact integer moment sums per arm, pooled theta, one
+    shared float tree for adjusted mean/variance."""
+    from vaero_ray.stages.mleval import cuped_ab_arms
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+    return cuped_ab_arms(ds)
+
+
+SQL_CUPED_AB = r"""
+WITH sp AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts)) + 1) // 2 AS s FROM events),
+u AS (SELECT user_id, user_id % 2 AS arm,
+        CAST(SUM(CASE WHEN epoch_us(ts) < (SELECT s FROM sp) THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT s FROM sp)
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+m AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM u GROUP BY 1),
+p AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+        CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxy) AS BIGINT) AS sxy,
+        CAST(SUM(sxx) AS BIGINT) AS sxx FROM m),
+th AS (SELECT CASE WHEN p.n * p.sxx - p.sx * p.sx > 0 THEN
+          CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE) * 1.0 / (p.n * p.sxx - p.sx * p.sx)
+          ELSE 0.0 END AS theta,
+          CAST(p.sx AS DOUBLE) * 1.0 / p.n AS xbar FROM p)
+SELECT arm, n, sx, sy,
+  ROUND(sy * 1.0 / n - th.theta * (sx * 1.0 / n - th.xbar), 6) AS adj_mean,
+  ROUND(syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n), 6) AS raw_var,
+  ROUND((syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n))
+        - 2 * th.theta * (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+        + th.theta * th.theta * (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)), 6) AS adj_var,
+  ROUND(th.theta, 6) AS theta
+FROM m, th
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14605,6 +14645,7 @@ QUERIES: dict[str, QueryFn] = {
     "auc_pair_delong": q_auc_pair_delong,
     "source_lang_auc_slices": q_source_lang_auc_slices,
     "hourly_mase_backtest": q_hourly_mase_backtest,
+    "cuped_ab_arms": q_cuped_ab_arms,
 }
 
 ORACLES: dict[str, str] = {
@@ -14912,4 +14953,5 @@ ORACLES: dict[str, str] = {
     "auc_pair_delong": SQL_AUC_PAIR_DELONG,
     "source_lang_auc_slices": SQL_SOURCE_LANG_AUC,
     "hourly_mase_backtest": SQL_HOURLY_MASE,
+    "cuped_ab_arms": SQL_CUPED_AB,
 }

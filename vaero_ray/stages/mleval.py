@@ -546,3 +546,100 @@ def grouped_roc_auc(cells: pd.DataFrame, group_col: str = "grp") -> pa.Table:
             "auc": pa.array(auc, pa.float64()),
         }
     )
+
+
+def cuped_ab_arms(ds: rd.Dataset) -> pa.Table:
+    """CUPED-adjusted A/B arm summary — the experimentation primitive at
+    scale: users split into arms by id parity, pre-period covariate
+    x = first-time-half event count, outcome y = second-half purchase
+    count; theta = cov(x,y)/var(x) POOLED, each arm's outcome mean
+    adjusted by theta*(xbar_arm - xbar_pooled) (variance-reduced
+    estimate). Everything that moves is exact int64 moment sums
+    (n, Sx, Sy, Sxy, Sxx, Syy per arm — 2 rows); theta/means/vars are
+    ONE shared float expression tree. Two scans of the events input
+    (split bound needs global min/max ts first), one keyed exchange."""
+    import pyarrow.compute as _pc
+
+    bounds = ds.map_batches(
+        lambda t: pa.table(
+            {"lo": pa.array([_pc.min(t.column("ts")).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+                             if t.num_rows else (1 << 62)], pa.int64()),
+             "hi": pa.array([_pc.max(t.column("ts")).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+                             if t.num_rows else -(1 << 62)], pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    split = (lo + hi + 1) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "x": (us < split).astype(np.int64),
+                "y": ((us >= split) & (et == "purchase")).astype(np.int64),
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"x": "sum", "y": "sum"}
+        )
+
+    per_user = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], ["x", "y"]
+    )
+
+    def moments(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("arm", "n", "sx", "sy", "sxy", "sxx", "syy")})
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = tbl.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = tbl.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"arm": uid % 2, "n": 1, "sx": x, "sy": y,
+                           "sxy": x * y, "sxx": x * x, "syy": y * y})
+        return pa.Table.from_pandas(
+            df.groupby("arm", sort=False, as_index=False).sum(), preserve_index=False
+        )
+
+    m = bucketed_keyed_sum(
+        per_user.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        ["arm"], ["n", "sx", "sy", "sxy", "sxx", "syy"], num_buckets=2,
+    ).to_pandas().sort_values("arm").reset_index(drop=True)
+    pn = int(m["n"].sum())
+    psx = int(m["sx"].sum())
+    psy = int(m["sy"].sum())
+    psxy = int(m["sxy"].sum())
+    psxx = int(m["sxx"].sum())
+    den = pn * psxx - psx * psx
+    theta = (pn * psxy - psx * psy) * 1.0 / den if den > 0 else 0.0
+    xbar = psx * 1.0 / pn if pn else 0.0
+    rows = []
+    for _, r in m.iterrows():
+        n = int(r["n"])
+        sx, sy = int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        adj_mean = round(sy * 1.0 / n - theta * (sx * 1.0 / n - xbar), 6)
+        raw_var = round(syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n), 6)
+        adj_var = round(
+            (syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n))
+            - 2 * theta * (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+            + theta * theta * (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)),
+            6,
+        )
+        rows.append((int(r["arm"]), n, sx, sy, adj_mean, raw_var, adj_var,
+                     round(theta, 6)))
+    cols = list(zip(*rows)) if rows else [[]] * 8
+    return pa.table(
+        {
+            "arm": pa.array(cols[0], pa.int64()),
+            "n": pa.array(cols[1], pa.int64()),
+            "sx": pa.array(cols[2], pa.int64()),
+            "sy": pa.array(cols[3], pa.int64()),
+            "adj_mean": pa.array(cols[4], pa.float64()),
+            "raw_var": pa.array(cols[5], pa.float64()),
+            "adj_var": pa.array(cols[6], pa.float64()),
+            "theta": pa.array(cols[7], pa.float64()),
+        }
+    )
