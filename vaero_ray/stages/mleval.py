@@ -38,71 +38,14 @@ from vaero_ray.stages.keyed import bucketed_keyed_sum
 
 def user_score_label_cells(ds: rd.Dataset) -> pd.DataFrame:
     """Per-user (score = view count, label = purchase count above the
-    corpus lower-median) compressed to (score, pos, neg) cells.
-
-    Three passes, each moving less data than the last: (1) per-block
-    user partials -> one keyed exchange -> per-user table (n_users
-    rows, materialized once and reused); (2) purchase-count histogram
-    (tiny) -> lower median on the driver; (3) per-user labels -> cell
-    compression. The events stream itself is scanned exactly once.
-    """
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        et = df["event_type"].to_numpy()
-        out = pd.DataFrame(
-            {
-                "user_id": df["user_id"],
-                "vc": (et == "view").astype(np.int64),
-                "pc": (et == "purchase").astype(np.int64),
-            }
-        )
-        return out.groupby("user_id", sort=False, as_index=False).agg(
-            {"vc": "sum", "pc": "sum"}
-        )
-
-    per_user = bucketed_keyed_sum(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["user_id"], ["vc", "pc"],
-    ).materialize()  # n_users rows — the small side; reused twice below
-
-    def pc_cells(tbl: pa.Table) -> pa.Table:
-        if not tbl.num_rows:
-            return pa.table({"pc": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        g = pa.table({"pc": tbl.column("pc")}).group_by(["pc"]).aggregate(
-            [([], "count_all")]
-        )
-        return g.rename_columns(["pc", "n"])
-
-    hist = bucketed_keyed_sum(
-        per_user.map_batches(pc_cells, batch_format="pyarrow",
-                             zero_copy_batch=True),
-        ["pc"], ["n"], num_buckets=4,
-    ).to_pandas().sort_values("pc")
-    n_users = int(hist["n"].sum())
-    if n_users == 0:
-        return pd.DataFrame({"score": pd.Series([], dtype=np.int64),
-                             "pos": pd.Series([], dtype=np.int64),
-                             "neg": pd.Series([], dtype=np.int64)})
-    cum = hist["n"].to_numpy(np.int64).cumsum()
-    # lower median: smallest value whose cumulative count reaches
-    # ceil(n/2) — the (n+1)//2-th order statistic, exact from the
-    # histogram (no sort of the per-user table)
-    med = int(hist["pc"].to_numpy(np.int64)[
-        np.searchsorted(cum, (n_users + 1) // 2, side="left")])
-
-    def sc(df: pd.DataFrame) -> pd.DataFrame:
-        y = (df["pc"].to_numpy(np.int64) > med).astype(np.int64)
-        out = pd.DataFrame(
-            {"score": df["vc"].to_numpy(np.int64), "pos": y, "neg": 1 - y}
-        )
-        return out.groupby("score", sort=False, as_index=False).agg(
-            {"pos": "sum", "neg": "sum"}
-        )
-
-    cells = bucketed_keyed_sum(
-        per_user.map_batches(sc, batch_format="pandas"),
-        ["score"], ["pos", "neg"], num_buckets=4,
-    ).to_pandas()
+    corpus lower-median) compressed to (score, pos, neg) cells —
+    the MARGINAL of :func:`user_two_score_cells` over its first score
+    (same exchange implementation, same label rule; the joint cell
+    table is tiny, so marginalizing costs nothing and keeps one code
+    path for every cell-family gate)."""
+    j = user_two_score_cells(ds)
+    cells = (j.rename(columns={"s1": "score"})
+              .groupby("score", as_index=False)[["pos", "neg"]].sum())
     return cells.sort_values("score").reset_index(drop=True)
 
 
