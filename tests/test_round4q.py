@@ -590,3 +590,24 @@ def test_cuped_reduces_variance_on_correlated_covariate(ray_session):
         assert 0 <= r["adj_var"] < r["raw_var"]
     # adjusted means of the two arms agree closely (same DGP both arms)
     assert abs(t["adj_mean"].iloc[0] - t["adj_mean"].iloc[1]) < 1.0
+
+
+def test_k_anonymity_audit_planted_singletons(ray_session):
+    from vaero_ray.pipelines.queries import q_k_anonymity_audit
+
+    t = q_k_anonymity_audit("/root/testdata/sf0.001").to_pandas()
+    assert int(t["n_rows"][0]) == 500
+    assert 0 < int(t["n_violating"][0]) <= int(t["n_groups"][0])
+    assert int(t["rows_at_risk"][0]) < int(t["n_rows"][0])
+    assert abs(t["risk_share"][0]
+               - t["rows_at_risk"][0] / t["n_rows"][0]) < 1e-6
+
+
+def test_lsh_recall_bounds(ray_session):
+    from vaero_ray.pipelines.queries import q_lsh_recall_eval
+
+    t = q_lsh_recall_eval("/root/testdata/sf0.001").to_pandas()
+    # LSH candidates are verified on true cosine -> subset of exact
+    assert int(t["n_lsh"][0]) <= int(t["n_exact"][0])
+    if t["n_exact"][0] > 0:
+        assert 0 <= t["recall"][0] <= 1

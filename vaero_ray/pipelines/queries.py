@@ -14340,6 +14340,102 @@ FROM m, th
 """
 
 
+def q_k_anonymity_audit(sf_dir: str):
+    """Privacy QA: k-anonymity audit of the (source, lang, length-band)
+    quasi-identifier over the corpus — group sizes via one bounded cell
+    exchange, single summary row of exact counts + one mirrored ratio
+    (share of rows in under-k groups)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    K = 5
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        band = pc.divide(pc.cast(t.column("n_chars"), pa.int64()), 100)
+        g = (
+            pa.table({"source": t.column("source"), "lang": t.column("lang"),
+                      "band": band})
+            .group_by(["source", "lang", "band"]).aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source", "lang", "band", "c"])
+
+    cells = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang", "band"], ["c"], num_buckets=4,
+    ).to_pandas()
+    c = cells["c"].to_numpy(np.int64)
+    n_rows = int(c.sum())
+    viol = c < K
+    return pa.table(
+        {
+            "k": pa.array([K], pa.int64()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_groups": pa.array([len(c)], pa.int64()),
+            "n_violating": pa.array([int(viol.sum())], pa.int64()),
+            "rows_at_risk": pa.array([int(c[viol].sum())], pa.int64()),
+            "min_group_size": pa.array([int(c.min()) if len(c) else 0], pa.int64()),
+            "risk_share": pa.array(
+                [round(int(c[viol].sum()) * 1.0 / n_rows, 6) if n_rows else None],
+                pa.float64()),
+        }
+    )
+
+
+SQL_K_ANONYMITY = r"""
+WITH g AS (SELECT source, lang, n_chars // 100 AS band,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2, 3)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(MIN(c) AS BIGINT) AS min_group_size,
+       ROUND(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) * 1.0 / SUM(c), 6) AS risk_share
+FROM g
+"""
+
+
+def q_lsh_recall_eval(sf_dir: str):
+    """Eval-of-the-engine: recall of the hyperplane-LSH near-dup pass
+    against the exact cosine pair set at the same threshold — exact
+    integer pair counts from the two existing verified stages, one
+    mirrored ratio. The standard banding-quality measurement."""
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_exact = embedding_cosine_dups(ds, threshold=0.45).count()
+    ds2 = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_lsh = embedding_lsh_dups(ds2, threshold=0.45, n_planes=2, n_tables=8,
+                               planes_mode="axes").count()
+    return pa.table(
+        {
+            "n_exact": pa.array([int(n_exact)], pa.int64()),
+            "n_lsh": pa.array([int(n_lsh)], pa.int64()),
+            "recall": pa.array(
+                [round(int(n_lsh) * 1.0 / int(n_exact), 6) if n_exact else None],
+                pa.float64()),
+        }
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45),
+ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings a
+       JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.45
+         AND ({" OR ".join(_axes_band_sql(t) for t in range(8))}))
+SELECT ex.n AS n_exact, ls.n AS n_lsh,
+       CASE WHEN ex.n > 0 THEN ROUND(ls.n * 1.0 / ex.n, 6) END AS recall
+FROM ex, ls
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14646,6 +14742,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_lang_auc_slices": q_source_lang_auc_slices,
     "hourly_mase_backtest": q_hourly_mase_backtest,
     "cuped_ab_arms": q_cuped_ab_arms,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "lsh_recall_eval": q_lsh_recall_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -14954,4 +15052,6 @@ ORACLES: dict[str, str] = {
     "source_lang_auc_slices": SQL_SOURCE_LANG_AUC,
     "hourly_mase_backtest": SQL_HOURLY_MASE,
     "cuped_ab_arms": SQL_CUPED_AB,
+    "k_anonymity_audit": SQL_K_ANONYMITY,
+    "lsh_recall_eval": SQL_LSH_RECALL,
 }
