@@ -224,6 +224,100 @@ def rehearse_int8():
     return {"op": "int8_quantize_1m_x64", "rows_out": int(n), "wall_s": round(wall, 1)}
 
 
+def rehearse_streaming_auc():
+    """16M turns through the exactly-once StreamingWindowedJob keyed by
+    conversation (high-cardinality: bucketed merge backend), then the
+    per-window AUC derive downstream of the committed sums — the
+    streaming_window_auc gate's shape at corpus scale."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pqm
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.streaming import StreamingWindowedJob
+    from vaero_ray.streaming.job import AggSpec
+
+    sorted_dir = CORPUS.rstrip("/") + "_tsorted"
+    if not os.path.isdir(sorted_dir):
+        src_files = sorted(glob.glob(os.path.join(CORPUS, "*.parquet")))
+        t = pqm.read_table(src_files, columns=["conv_id", "role", "ts"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        tmp = sorted_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        n_files = len(src_files)
+        for i in range(n_files):
+            lo, hi = i * t.num_rows // n_files, (i + 1) * t.num_rows // n_files
+            pqm.write_table(t.slice(lo, hi - lo),
+                            os.path.join(tmp, f"chunk-{i:05d}.parquet"))
+        del t
+        os.replace(tmp, sorted_dir)
+    work = "/tmp/s14_streaming_auc"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+
+    def pre(ds: rd.Dataset) -> rd.Dataset:
+        def per_batch(tbl: pa.Table) -> pa.Table:
+            role = tbl.column("role")
+            return pa.table(
+                {
+                    "conv": pc.cast(pc.utf8_slice_codeunits(
+                        tbl.column("conv_id"), 5, 13), pa.int64()),
+                    "ts": tbl.column("ts"),
+                    "u": pc.cast(pc.equal(role, "user"), pa.int64()),
+                    "tl": pc.cast(pc.equal(role, "tool"), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    job = StreamingWindowedJob(
+        input_dir=sorted_dir,
+        out_dir=f"{work}/out",
+        ckpt_dir=f"{work}/ckpt",
+        keys=["conv"],
+        aggs=[AggSpec("u", "sum", "u"), AggSpec("tl", "sum", "tl")],
+        ts_col="ts",
+        size_s=3600,
+        allowed_lateness_s=60,
+        num_partitions=32,
+        max_files_per_epoch=32,
+        merge_backend="bucketed",
+        transform=pre,
+        extra_read_kw={"columns": ["conv_id", "role", "ts"]},
+    )
+    t0 = time.time()
+    ms = job.run()
+    committed = job.committed_output()
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for w, g in df.groupby("window_start", sort=False):
+            pcs = np.sort(g["tl"].to_numpy(np.int64))
+            med = int(pcs[(len(pcs) + 1) // 2 - 1])
+            y = (g["tl"].to_numpy(np.int64) > med).astype(np.int64)
+            cells = (pd.DataFrame({"score": g["u"].to_numpy(np.int64),
+                                   "pos": y, "neg": 1 - y})
+                     .groupby("score", as_index=False).sum().sort_values("score"))
+            pos = cells["pos"].to_numpy(np.int64)
+            neg = cells["neg"].to_numpy(np.int64)
+            p, n = int(pos.sum()), int(neg.sum())
+            cn = np.concatenate(([0], np.cumsum(neg)[:-1]))
+            num2 = int(np.sum(pos * (2 * cn + neg)))
+            rows.append({"window_start": w, "n": p + n,
+                         "auc": round(num2 / (2.0 * p * n), 6) if p and n else None})
+        return pd.DataFrame(rows)
+
+    out = bucketed_map_groups(committed, "window_start", derive, num_buckets=8).to_pandas()
+    wall = time.time() - t0
+    have = out.dropna(subset=["auc"])
+    return {"op": "streaming_window_auc_16m", "epochs": len(ms),
+            "windows": len(out), "windows_with_auc": len(have),
+            "committed_rows": int(sum(m.rows_out for m in ms)),
+            "wall_s": round(wall, 1)}
+
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", default="all")
@@ -243,6 +337,7 @@ if __name__ == "__main__":
         "blocklist": rehearse_blocklist,
         "snm": rehearse_snm,
         "winnow": rehearse_winnow,
+        "streaming-auc": rehearse_streaming_auc,
         "jl": rehearse_jl,
         "int8": rehearse_int8,
     }
