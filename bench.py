@@ -360,9 +360,20 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
             lambda b: b, batch_format="pyarrow"
         ).count()
 
+        # optional wall budget (seconds): if the harness running this
+        # script enforces a timeout, stop ADDING entries once the budget
+        # is spent and report what completed (truncated flag + skip list)
+        # rather than dying mid-suite with nothing recorded. Unset = run
+        # everything (default).
+        budget = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "0") or 0)
+        suite_t0 = time.perf_counter()
         timings: dict[str, float] = {}
         rows: dict[str, int] = {}
+        skipped: list[str] = []
         for name in names:
+            if budget and time.perf_counter() - suite_t0 > budget:
+                skipped.append(name)
+                continue
             t0 = time.perf_counter()
             rows[name] = _consume(QUERIES[name](sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -386,6 +397,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
             "num_cpus": num_cpus,
             "turns_per_sec": tps,
             "rows": rows,
+            **({"truncated_by_budget_s": budget, "skipped": skipped} if skipped else {}),
         }
     finally:
         ray.shutdown()
