@@ -611,3 +611,19 @@ def test_lsh_recall_bounds(ray_session):
     assert int(t["n_lsh"][0]) <= int(t["n_exact"][0])
     if t["n_exact"][0] > 0:
         assert 0 <= t["recall"][0] <= 1
+
+
+def test_winnow_derived_shards_and_equivalence(ray_session):
+    """num_shards=None derives from lineage metadata; the pair set is
+    invariant to the shard count (a fingerprint lives in exactly one
+    shard either way)."""
+    from vaero_ray.stages.dedup import winnow_dup_pairs
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    auto = (winnow_dup_pairs(ds, min_shared=5).to_pandas()
+            .sort_values(["doc_id", "dup_of"]).reset_index(drop=True))
+    manual = (winnow_dup_pairs(ds, min_shared=5, num_shards=7).to_pandas()
+              .sort_values(["doc_id", "dup_of"]).reset_index(drop=True))
+    assert len(auto) > 0
+    assert auto.equals(manual)

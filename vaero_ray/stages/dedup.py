@@ -1821,7 +1821,7 @@ def winnow_dup_pairs(
     min_shared: int = 10,
     max_df: int = 16,
     max_bucket: int = DEFAULT_MAX_BUCKET,
-    num_shards: int = 32,
+    num_shards: "int | None" = None,
     pair_buckets: int = 16,
 ) -> rd.Dataset:
     """Near-duplicate pairs by SHARED WINNOWING FINGERPRINTS: docs whose
@@ -1838,8 +1838,19 @@ def winnow_dup_pairs(
     left partners, no per-group Python), then a second small exchange
     sums shared counts per pair. ``max_bucket`` caps adversarial
     posting lists ABOVE the df filter only if ``max_df`` is raised past
-    it. Output: (doc_id, dup_of, shared_fps), doc_id > dup_of.
+    it. ``num_shards`` defaults DATA-SIZE-AWARE: the exploded
+    fingerprint table is ~(len/k)x the input bytes in (doc, fp) rows,
+    so the shard count derives from the read lineage like
+    ``keyed.derive_num_buckets`` (explicit values always win). Output:
+    (doc_id, dup_of, shared_fps), doc_id > dup_of.
     """
+    if num_shards is None:
+        from vaero_ray.stages.keyed import derive_num_buckets
+
+        # fingerprints explode ~2x the text bytes into fixed 16-byte
+        # rows; derive against a halved per-task budget to absorb it
+        num_shards = derive_num_buckets(ds, target_task_bytes=128 << 20,
+                                        floor=32)
 
     def fps(tbl: pa.Table) -> pa.Table:
         return winnow_fingerprints(tbl, text_col, id_col, k, w)
