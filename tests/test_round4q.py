@@ -627,3 +627,19 @@ def test_winnow_derived_shards_and_equivalence(ray_session):
               .sort_values(["doc_id", "dup_of"]).reset_index(drop=True))
     assert len(auto) > 0
     assert auto.equals(manual)
+
+
+def test_leakage_safe_split_keeps_clusters_together(ray_session):
+    from vaero_ray.pipelines.queries import q_dup_clusters, q_leakage_safe_split
+
+    sf = "/root/testdata/sf0.001"
+    split = q_leakage_safe_split(sf).to_pandas().set_index("doc_id")["split"]
+    labels = q_dup_clusters(sf)
+    labels = (labels.to_pandas() if not isinstance(labels, pd.DataFrame)
+              else labels)
+    # every member of a dup cluster gets the SAME split as its cluster
+    for cl, g in labels.groupby("cluster"):
+        splits = {split[d] for d in g["doc_id"]}
+        assert len(splits) == 1, f"cluster {cl} straddles splits {splits}"
+    # both splits are populated
+    assert set(split.unique()) == {"train", "val"}

@@ -14436,6 +14436,90 @@ FROM ex, ls
 """
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Group-aware train/val split — the leakage-prevention primitive:
+    near-dup CLUSTERS (word-3-gram true-Jaccard edges -> connected
+    components) are assigned as a UNIT (split key = cluster label;
+    singletons use their own id), so no near-duplicate pair ever
+    straddles train/val. Keys-only composition of three verified
+    shapes: dup edges, cluster labels, deterministic hll_hash split —
+    one final doc-keyed exchange resolves label-or-self and hashes
+    in-bucket."""
+    import pandas as _pd
+
+    from vaero_ray.stages.graph import connected_components
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.sketch import hll_hash
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges = ngram_jaccard_dups(ds, shingle_k=3, threshold=0.5, unit="word")
+    labels = connected_components(edges, a_col="doc_id", b_col="dup_of")
+
+    def tag_docs(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"),
+             "cluster": pa.array(np.full(tbl.num_rows, -1, np.int64))}
+        )
+
+    def tag_lab(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:  # post-shuffle empty blocks carry no columns
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "cluster": tbl.column("cluster")})
+
+    keys = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    u = keys.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(tag_lab, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def resolve(df: _pd.DataFrame) -> _pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["cluster"].max()
+        key = np.where(g["cluster"].to_numpy(np.int64) >= 0,
+                       g["cluster"].to_numpy(np.int64),
+                       g["doc_id"].to_numpy(np.int64)).astype(np.uint64)
+        h = hll_hash(key) % np.uint64(1000)
+        return _pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "split": np.where(h < 900, "train", "val")}
+        )
+
+    return bucketed_map_groups(u, "doc_id", resolve, num_buckets=16)
+
+
+def _fmt_leakage_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    return f"""
+WITH RECURSIVE dup_pairs AS ({SQL_MINHASH_WORD}),
+dup_edges AS (SELECT doc_id AS src, dup_of AS dst FROM dup_pairs
+              UNION SELECT dup_of, doc_id FROM dup_pairs),
+dup_nodes AS (SELECT DISTINCT src AS node FROM dup_edges),
+reach(node, m) AS (
+  SELECT node, node FROM dup_nodes
+  UNION
+  SELECT r.node, de.dst FROM reach r JOIN dup_edges de ON de.src = r.m
+),
+lab AS (SELECT node AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster FROM reach GROUP BY 1),
+k AS (SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS key
+      FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+m AS (SELECT CAST(2305843009213693951 AS HUGEINT) AS M,
+             CAST({int(HLL_A)} AS HUGEINT) AS A,  CAST({int(HLL_B)} AS HUGEINT) AS B,
+             CAST({int(HLL_A2)} AS HUGEINT) AS A2, CAST({int(HLL_B2)} AS HUGEINT) AS B2),
+h1 AS (SELECT doc_id,
+         CAST(((A * (CAST(key AS HUGEINT) % M)) % M + B) % M AS BIGINT) AS v1
+       FROM k, m)
+SELECT doc_id,
+  CASE WHEN CAST(((A2 * CAST(xor(v1, v1 >> {HLL_XS}) AS HUGEINT)) % M + B2) % M AS BIGINT)
+            % 1000 < 900
+       THEN 'train' ELSE 'val' END AS split
+FROM h1, m
+"""
+
+
+SQL_LEAKAGE_SPLIT = _fmt_leakage_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14744,6 +14828,7 @@ QUERIES: dict[str, QueryFn] = {
     "cuped_ab_arms": q_cuped_ab_arms,
     "k_anonymity_audit": q_k_anonymity_audit,
     "lsh_recall_eval": q_lsh_recall_eval,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -15054,4 +15139,5 @@ ORACLES: dict[str, str] = {
     "cuped_ab_arms": SQL_CUPED_AB,
     "k_anonymity_audit": SQL_K_ANONYMITY,
     "lsh_recall_eval": SQL_LSH_RECALL,
+    "leakage_safe_split": SQL_LEAKAGE_SPLIT,
 }
