@@ -14520,6 +14520,115 @@ FROM h1, m
 SQL_LEAKAGE_SPLIT = _fmt_leakage_sql()
 
 
+def q_dedup_savings_report(sf_dir: str):
+    """Operational dedup impact report: how much of the corpus would
+    near-dedup remove? Near-dup clusters (same edges/labels as
+    `dup_clusters`) joined with per-doc sizes in ONE doc-keyed
+    exchange, per-cluster sums in a second tiny exchange, single
+    summary row: docs/dup docs/clusters, chars total/removed (keep =
+    cluster-min member), removal share."""
+    import pandas as _pd
+
+    from vaero_ray.stages.graph import connected_components
+    from vaero_ray.stages.keyed import bucketed_keyed_sum, bucketed_map_groups
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges = ngram_jaccard_dups(ds, shingle_k=3, threshold=0.5, unit="word")
+    labels = connected_components(edges, a_col="doc_id", b_col="dup_of")
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def tag_docs(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"),
+             "cluster": pa.array(np.full(tbl.num_rows, -1, np.int64)),
+             "chars": pc.cast(tbl.column("n_chars"), pa.int64())}
+        )
+
+    def tag_lab(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "chars": pa.array([], pa.int64())})
+        return pa.table({"doc_id": tbl.column("doc_id"),
+                         "cluster": tbl.column("cluster"),
+                         "chars": pa.array(np.zeros(tbl.num_rows, np.int64))})
+
+    u = docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(tag_lab, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def resolve(df: _pd.DataFrame) -> _pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            {"cluster": "max", "chars": "sum"}
+        )
+        return g
+
+    per_doc = bucketed_map_groups(u, "doc_id", resolve, num_buckets=16)
+
+    def part(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({k: pa.array([], pa.int64()) for k in
+                             ("n_docs", "chars_total", "n_dup_docs",
+                              "chars_dup", "chars_kept", "n_clusters")})
+        cl = tbl.column("cluster").to_numpy(zero_copy_only=False)
+        ch = tbl.column("chars").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = cl >= 0
+        kept = dup & (did == cl)
+        return pa.table(
+            {"n_docs": pa.array([tbl.num_rows], pa.int64()),
+             "chars_total": pa.array([int(ch.sum())], pa.int64()),
+             "n_dup_docs": pa.array([int(dup.sum())], pa.int64()),
+             "chars_dup": pa.array([int(ch[dup].sum())], pa.int64()),
+             "chars_kept": pa.array([int(ch[kept].sum())], pa.int64()),
+             "n_clusters": pa.array([int(kept.sum())], pa.int64())}
+        )
+
+    agg = per_doc.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n_docs = int(agg["n_docs"].sum())
+    chars_total = int(agg["chars_total"].sum())
+    n_dup = int(agg["n_dup_docs"].sum())
+    removed = int(agg["chars_dup"].sum()) - int(agg["chars_kept"].sum())
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_dup_docs": pa.array([n_dup], pa.int64()),
+            "n_clusters": pa.array([int(agg["n_clusters"].sum())], pa.int64()),
+            "chars_total": pa.array([chars_total], pa.int64()),
+            "chars_removed": pa.array([removed], pa.int64()),
+            "removal_share": pa.array(
+                [round(removed * 1.0 / chars_total, 6) if chars_total else None],
+                pa.float64()),
+        }
+    )
+
+
+SQL_DEDUP_SAVINGS = f"""
+WITH RECURSIVE dup_pairs AS ({SQL_MINHASH_WORD}),
+dup_edges AS (SELECT doc_id AS src, dup_of AS dst FROM dup_pairs
+              UNION SELECT dup_of, doc_id FROM dup_pairs),
+dup_nodes AS (SELECT DISTINCT src AS node FROM dup_edges),
+reach(node, m) AS (
+  SELECT node, node FROM dup_nodes
+  UNION
+  SELECT r.node, de.dst FROM reach r JOIN dup_edges de ON de.src = r.m
+),
+lab AS (SELECT node AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster FROM reach GROUP BY 1),
+j AS (SELECT d.doc_id, d.n_chars, lab.cluster
+      FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cluster IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN cluster = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN cluster IS NOT NULL AND cluster <> doc_id
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed,
+       ROUND(SUM(CASE WHEN cluster IS NOT NULL AND cluster <> doc_id
+                      THEN n_chars ELSE 0 END) * 1.0 / SUM(n_chars), 6) AS removal_share
+FROM j
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14829,6 +14938,7 @@ QUERIES: dict[str, QueryFn] = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "lsh_recall_eval": q_lsh_recall_eval,
     "leakage_safe_split": q_leakage_safe_split,
+    "dedup_savings_report": q_dedup_savings_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -15140,4 +15250,5 @@ ORACLES: dict[str, str] = {
     "k_anonymity_audit": SQL_K_ANONYMITY,
     "lsh_recall_eval": SQL_LSH_RECALL,
     "leakage_safe_split": SQL_LEAKAGE_SPLIT,
+    "dedup_savings_report": SQL_DEDUP_SAVINGS,
 }
