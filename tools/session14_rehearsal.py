@@ -18,8 +18,11 @@
 - jl / int8: Rademacher projection and int8 quantization over a
   synthetic 1M x 64 float32 vector corpus (cached parquet) — linear
   scan walls for the vector-compression tier.
+- streaming-auc: 16M turns through the exactly-once
+  StreamingWindowedJob keyed by conversation (bucketed merge backend),
+  per-window AUC derive downstream of the committed sums.
 
-Run: python tools/session14_rehearsal.py [--op auc|blocklist|snm|winnow|jl|int8|all]
+Run: python tools/session14_rehearsal.py [--op auc|blocklist|snm|winnow|jl|int8|streaming-auc|all]
 """
 import argparse
 import json
