@@ -13940,6 +13940,10 @@ def q_streaming_window_auc(sf_dir: str):
         size_s=3600,
         allowed_lateness_s=0,
         num_partitions=4,
+        # (window, user) keys are high-cardinality: the bucketed merge
+        # backend exists for exactly this shape (native Ray aggregate
+        # costs seconds per column over many tiny partial blocks)
+        merge_backend="bucketed",
         transform=pre,
     )
     job.run()
