@@ -643,3 +643,41 @@ def test_leakage_safe_split_keeps_clusters_together(ray_session):
         assert len(splits) == 1, f"cluster {cl} straddles splits {splits}"
     # both splits are populated
     assert set(split.unique()) == {"train", "val"}
+
+
+def test_weighted_hops_bruteforce(ray_session):
+    from vaero_ray.stages.graph import weighted_hops
+
+    rng = _rng(101)
+    n_nodes = 30
+    edges = []
+    seen = set()
+    for _ in range(70):
+        a, b = sorted(rng.integers(0, n_nodes, 2))
+        if a == b or (a, b) in seen:
+            continue
+        seen.add((a, b))
+        edges.append({"u": int(a), "v": int(b), "w": int(rng.integers(1, 10))})
+    df = pd.DataFrame(edges)
+    ds = rd.from_pandas(df).repartition(4)
+    seeds = [0, 7]
+    K = 3
+    got = weighted_hops(ds, "u", "v", "w", seeds, max_rounds=K).to_pandas()
+    # brute force: min weight over paths of <= K edges (synchronous BF)
+    INF = 1 << 60
+    dist = {s: 0 for s in seeds}
+    und = [(r["u"], r["v"], r["w"]) for _, r in df.iterrows()]
+    und += [(v, u, w) for u, v, w in und]
+    for _ in range(K):
+        cur = dict(dist)
+        for u, v, w in und:
+            if u in cur and cur[u] + w < dist.get(v, INF):
+                dist[v] = min(dist.get(v, INF), cur[u] + w)
+        # synchronous: recompute from the frozen snapshot
+        nd = dict(cur)
+        for u, v, w in und:
+            if u in cur:
+                nd[v] = min(nd.get(v, INF), cur[u] + w)
+        dist = nd
+    gotmap = dict(zip(got["node"], got["dist"]))
+    assert gotmap == {int(k): int(v) for k, v in dist.items()}

@@ -14633,6 +14633,73 @@ FROM j
 """
 
 
+def q_part_weighted_hops(sf_dir: str):
+    """Bounded Bellman-Ford over the weighted co-purchase graph: min
+    total tie-distance (w = 1000 // support + 1 — strong ties are
+    short) within <= 3 edges of the {part % 23 == 0} seed set. The
+    weighted companion of `part_bfs_hops`; synchronous broadcast-relax
+    rounds, per-block min-deduped candidates only."""
+    from vaero_ray.stages.basket import pair_cooccurrence
+    from vaero_ray.stages.graph import weighted_hops
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pairs = pair_cooccurrence(ds, "l_orderkey", "l_partkey", min_support=2)
+
+    def weight(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"item_a": pa.array([], pa.int64()),
+                             "item_b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        sup = tbl.column("support").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"item_a": tbl.column("item_a"),
+                         "item_b": tbl.column("item_b"),
+                         "w": pa.array(1000 // sup + 1, pa.int64())})
+
+    wedges = pairs.map_batches(weight, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def seed_part(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"node": pa.array([], pa.int64())})
+        a = tbl.column("item_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column("item_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        sset = np.unique(np.concatenate([a[a % 23 == 0], b[b % 23 == 0]]))
+        return pa.table({"node": pa.array(sset, pa.int64())})
+
+    seed_rows = pa.Table.from_pylist(
+        wedges.map_batches(seed_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    )
+    seeds = (
+        np.unique(seed_rows.column("node").to_numpy(zero_copy_only=False))
+        if seed_rows.num_rows else np.empty(0, np.int64)
+    )
+    return weighted_hops(wedges, "item_a", "item_b", "w", seeds, max_rounds=3)
+
+
+SQL_PART_WEIGHTED_HOPS = r"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e2 AS (SELECT u, v, 1000 // sup + 1 AS w FROM p
+       UNION ALL SELECT v, u, 1000 // sup + 1 FROM p),
+seeds AS (SELECT DISTINCT u AS node FROM e2 WHERE u % 23 = 0),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds),
+r1 AS (SELECT e2.v AS node, d0.d + e2.w AS d FROM d0 JOIN e2 ON e2.u = d0.node
+       UNION ALL SELECT node, d FROM d0),
+d1 AS (SELECT node, MIN(d) AS d FROM r1 GROUP BY 1),
+r2 AS (SELECT e2.v AS node, d1.d + e2.w AS d FROM d1 JOIN e2 ON e2.u = d1.node
+       UNION ALL SELECT node, d FROM d1),
+d2 AS (SELECT node, MIN(d) AS d FROM r2 GROUP BY 1),
+r3 AS (SELECT e2.v AS node, d2.d + e2.w AS d FROM d2 JOIN e2 ON e2.u = d2.node
+       UNION ALL SELECT node, d FROM d2),
+d3 AS (SELECT node, MIN(d) AS d FROM r3 GROUP BY 1)
+SELECT node, CAST(d AS BIGINT) AS dist FROM d3
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -14943,6 +15010,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_eval": q_lsh_recall_eval,
     "leakage_safe_split": q_leakage_safe_split,
     "dedup_savings_report": q_dedup_savings_report,
+    "part_weighted_hops": q_part_weighted_hops,
 }
 
 ORACLES: dict[str, str] = {
@@ -15255,4 +15323,5 @@ ORACLES: dict[str, str] = {
     "lsh_recall_eval": SQL_LSH_RECALL,
     "leakage_safe_split": SQL_LEAKAGE_SPLIT,
     "dedup_savings_report": SQL_DEDUP_SAVINGS,
+    "part_weighted_hops": SQL_PART_WEIGHTED_HOPS,
 }

@@ -718,3 +718,88 @@ def degree_assortativity(
             "assortativity": pa.array([r], pa.float64()),
         }
     )
+
+
+def weighted_hops(
+    edges: rd.Dataset,
+    u_col: str,
+    v_col: str,
+    w_col: str,
+    seeds,
+    max_rounds: int,
+) -> pa.Table:
+    """Bounded-round Bellman-Ford over an UNDIRECTED weighted edge set:
+    minimum total edge weight from the seed set along paths of at most
+    ``max_rounds`` edges — the weighted companion of :func:`bfs_hops`
+    (strong-tie distance instead of hop count).
+
+    Same scale shape as ``bfs_hops``: the (pair-mined, corpus-reduced)
+    edge set is materialized once and re-scanned per round; each round
+    broadcasts the CURRENT distance map once via ``ray.put`` (sorted
+    key + value arrays, read zero-copy per task) and exchanges only
+    per-block MIN-DEDUPED relaxation candidates. The distance map lives
+    on the driver — it IS the result. Rounds stop early when no
+    distance improves (Bellman-Ford fixpoint)."""
+    import ray
+
+    edges = edges.materialize()
+    dist: "dict[int, int]" = {int(s): 0 for s in np.asarray(list(seeds), np.int64)}
+    for _ in range(max_rounds):
+        if not dist:
+            break
+        keys = np.fromiter(dist, np.int64, len(dist))
+        order = np.argsort(keys)
+        keys = keys[order]
+        vals = np.fromiter((dist[int(k)] for k in keys), np.int64, len(keys))
+        dref = ray.put((keys, vals))
+
+        def relax(tbl: pa.Table, _dref=dref) -> pa.Table:
+            empty = pa.table({"node": pa.array([], pa.int64()),
+                              "d": pa.array([], pa.int64())})
+            if not tbl.num_rows:  # empty derived block: no columns
+                return empty
+            k, dv = ray.get(_dref)
+            u = tbl.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = tbl.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = tbl.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            outs = []
+            for a, b in ((u, v), (v, u)):
+                idx = np.searchsorted(k, a)
+                idx[idx >= len(k)] = 0
+                hit = (len(k) > 0) & (k[idx] == a)
+                if hit.any():
+                    outs.append((b[hit], dv[idx[hit]] + w[hit]))
+            if not outs:
+                return empty
+            node = np.concatenate([o[0] for o in outs])
+            d = np.concatenate([o[1] for o in outs])
+            # per-block min dedup: sort by (node, d), keep first per node
+            o2 = np.lexsort((d, node))
+            node, d = node[o2], d[o2]
+            first = np.ones(len(node), dtype=bool)
+            first[1:] = node[1:] != node[:-1]
+            return pa.table({"node": pa.array(node[first], pa.int64()),
+                             "d": pa.array(d[first], pa.int64())})
+
+        part = pa.Table.from_pylist(
+            edges.map_batches(relax, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        )
+        changed = False
+        if part.num_rows:
+            nodes = part.column("node").to_numpy(zero_copy_only=False)
+            ds_ = part.column("d").to_numpy(zero_copy_only=False)
+            for nd, dd in zip(nodes, ds_):
+                nd, dd = int(nd), int(dd)
+                if dd < dist.get(nd, 1 << 62):
+                    dist[nd] = dd
+                    changed = True
+        if not changed:
+            break
+    ks = sorted(dist)
+    return pa.table(
+        {
+            "node": pa.array(ks, pa.int64()),
+            "dist": pa.array([dist[k] for k in ks], pa.int64()),
+        }
+    )
