@@ -1,0 +1,87 @@
+"""Exactly-once output compaction: rows identical before/after, file
+count reduced, crash-safe fallback, idempotent re-run, GC only after
+commit."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from vaero_ray.sources.transcripts import make_transcripts
+from vaero_ray.stages.windows import AggSpec
+from vaero_ray.streaming import CheckpointStore, StreamingWindowedJob
+from vaero_ray.streaming.compact import (
+    compact_committed_output,
+    compacted_output_files,
+    gc_replaced,
+)
+
+
+def _mk_job(tmp_path, ray_session):
+    d = str(tmp_path / "stream")
+    tbl = make_transcripts(n_convs=60, mean_turns=12, seed=11, disorder_frac=0.1)
+    idx = pc.sort_indices(tbl, sort_keys=[("ts", "ascending")])
+    tbl = tbl.take(idx)
+    os.makedirs(d, exist_ok=True)
+    n = tbl.num_rows
+    for i in range(5):
+        lo, hi = i * n // 5, (i + 1) * n // 5
+        pq.write_table(tbl.slice(lo, hi - lo), os.path.join(d, f"chunk-{i:04d}.parquet"))
+    job = StreamingWindowedJob(
+        input_dir=d, out_dir=str(tmp_path / "out"), ckpt_dir=str(tmp_path / "ckpt"),
+        keys=["role"],
+        aggs=[AggSpec(None, "count", "n_turns")],
+        ts_col="ts", size_s=600, allowed_lateness_s=30,
+        num_partitions=4, max_files_per_epoch=1,
+    )
+    job.run()
+    return job
+
+
+def _rows(files):
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+    return df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
+
+
+def test_compaction_preserves_rows_and_shrinks_files(tmp_path, ray_session):
+    job = _mk_job(tmp_path, ray_session)
+    store = CheckpointStore(job.ckpt_dir)
+    before_files = store.committed_output_files()
+    before = _rows(before_files)
+    assert len(before_files) > 4  # several epochs x partitions
+
+    side = compact_committed_output(store, job.out_dir)
+    after_files = compacted_output_files(store, job.out_dir)
+    after = _rows(after_files)
+    pd.testing.assert_frame_equal(before, after)
+    assert len(after_files) < len(before_files)
+    assert side["through_epoch"] == max(store.committed_epochs())
+
+    # idempotent: re-running compaction changes nothing (single input
+    # file per partition -> carried through)
+    side2 = compact_committed_output(store, job.out_dir)
+    after2 = _rows(compacted_output_files(store, job.out_dir))
+    pd.testing.assert_frame_equal(after, after2)
+    assert side2["partitions"] == side["partitions"]
+
+    # GC removes replaced epoch files but never the compacted ones
+    n_gc = gc_replaced(job.out_dir)
+    assert n_gc > 0
+    final = _rows(compacted_output_files(store, job.out_dir))
+    pd.testing.assert_frame_equal(before, final)
+
+
+def test_corrupt_sidecar_falls_back_to_epoch_files(tmp_path, ray_session):
+    job = _mk_job(tmp_path, ray_session)
+    store = CheckpointStore(job.ckpt_dir)
+    before = _rows(store.committed_output_files())
+    # simulate a crash mid-commit: partial JSON on disk
+    with open(os.path.join(job.out_dir, "compaction.json"), "w") as fh:
+        fh.write('{"through_epoch": 2, "partitio')
+    files = compacted_output_files(store, job.out_dir)
+    assert sorted(files) == sorted(store.committed_output_files())
+    pd.testing.assert_frame_equal(before, _rows(files))
