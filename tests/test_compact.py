@@ -85,3 +85,18 @@ def test_corrupt_sidecar_falls_back_to_epoch_files(tmp_path, ray_session):
     files = compacted_output_files(store, job.out_dir)
     assert sorted(files) == sorted(store.committed_output_files())
     pd.testing.assert_frame_equal(before, _rows(files))
+
+
+def test_cli_compact_verb(tmp_path, ray_session):
+    from vaero_ray.__main__ import main
+
+    job = _mk_job(tmp_path, ray_session)
+    store = CheckpointStore(job.ckpt_dir)
+    before = _rows(store.committed_output_files())
+    rc = main(["compact", job.out_dir, job.ckpt_dir, "--gc"])
+    assert rc == 0
+    after = _rows(compacted_output_files(store, job.out_dir))
+    pd.testing.assert_frame_equal(before, after)
+    # GC ran: only compacted files remain on disk per partition
+    leftover = glob.glob(os.path.join(job.out_dir, "part-*", "epoch-*.parquet"))
+    assert leftover == []

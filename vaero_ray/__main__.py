@@ -115,6 +115,25 @@ def cmd_detail(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact a streaming job's committed output (sidecar manifest,
+    epoch manifests untouched); optionally GC the replaced files."""
+    import ray
+
+    from vaero_ray.streaming import CheckpointStore
+    from vaero_ray.streaming.compact import compact_committed_output, gc_replaced
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    store = CheckpointStore(args.ckpt_dir)
+    side = compact_committed_output(store, args.out_dir, min_files=args.min_files)
+    n_parts = len(side["partitions"])
+    removed = gc_replaced(args.out_dir) if args.gc else 0
+    print(json.dumps({"through_epoch": side["through_epoch"],
+                      "partitions_compacted": n_parts, "files_gc": removed}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="python -m vaero_ray", description=__doc__.split("\n")[0])
     p.add_argument("--registry", default=None, help="registry dir (default $VAERO_RAY_HOME or ~/.vaero_ray)")
@@ -137,6 +156,13 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("list")
     sp.set_defaults(fn=cmd_list)
+
+    sp = sub.add_parser("compact", help="compact a streaming job's committed output")
+    sp.add_argument("out_dir")
+    sp.add_argument("ckpt_dir")
+    sp.add_argument("--min-files", type=int, default=2)
+    sp.add_argument("--gc", action="store_true", help="delete replaced files after commit")
+    sp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)
