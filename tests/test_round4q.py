@@ -681,3 +681,14 @@ def test_weighted_hops_bruteforce(ray_session):
         dist = nd
     gotmap = dict(zip(got["node"], got["dist"]))
     assert gotmap == {int(k): int(v) for k, v in dist.items()}
+
+
+def test_sketch_quantile_error_within_contract(ray_session):
+    from vaero_ray.pipelines.queries import q_sketch_quantile_error
+
+    t = q_sketch_quantile_error("/root/testdata/sf0.001").to_pandas()
+    assert list(t["q_pct"]) == [25, 50, 90, 99]
+    # lower-edge estimate: within one bin width of the exact value,
+    # worst case 12.5% relative (1/8 of the lower edge)
+    assert (t["err_ppm"] <= 125000).all()
+    assert (t["sketch_est"] <= t["exact"]).all()  # lower-bound estimate

@@ -14700,6 +14700,70 @@ SELECT node, CAST(d AS BIGINT) AS dist FROM d3
 """
 
 
+def q_sketch_quantile_error(sf_dir: str):
+    """Eval-of-the-engine: accuracy of the mergeable log-histogram
+    quantile sketch against the EXACT radix-selection quantiles of the
+    same column — per quantile (p25/50/90/99), the sketch's bin-lower
+    estimate, the exact value, and the integer ppm relative error.
+    The bins are <= 6.25% wide relative to their UPPER edge, so the
+    one-sided lower-edge estimate is within 12.5% of the exact value
+    in the worst case (half that on average). Both numbers come from
+    verified stages; the comparison is pure integers."""
+    from vaero_ray.stages.selection import exact_quantiles_disc
+    from vaero_ray.stages.sketch import lhq_registers
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    bins = lhq_registers(ds, "n_chars").to_pandas().sort_values("bin")
+    b = bins["bin"].to_numpy(np.int64)
+    cnt = bins["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    lo = np.where(b < 8, b, (8 + (b & 7)) << np.maximum((b >> 3) - 4, 0))
+    ds2 = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    qs = [0.25, 0.5, 0.9, 0.99]
+    exact = exact_quantiles_disc(ds2, "n_chars", qs)
+    rows = {"q_pct": [], "exact": [], "sketch_est": [], "err_ppm": []}
+    for q, ex in zip(qs, exact):
+        rank = int(np.floor((n - 1) * q)) + 1
+        est = int(lo[np.searchsorted(cum, rank, side="left")])
+        rows["q_pct"].append(int(q * 100))
+        rows["exact"].append(int(ex))
+        rows["sketch_est"].append(est)
+        rows["err_ppm"].append(abs(est - int(ex)) * 1000000 // int(ex))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+SQL_SKETCH_QERR = r"""
+WITH b AS (
+  SELECT n_chars AS v,
+         CASE WHEN n_chars = 0 THEN 0 ELSE length(bin(n_chars)) END AS bl
+  FROM documents),
+reg AS (SELECT CAST(CASE WHEN v < 8 THEN v
+               ELSE (bl << 3) | ((v >> greatest(bl - 4, 0)) & 7) END AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1),
+w AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+             (SELECT SUM(cnt) FROM reg) AS n,
+             CASE WHEN bin < 8 THEN bin
+                  ELSE (8 + (bin & 7)) << greatest((bin >> 3) - 4, 0) END AS lo
+      FROM reg),
+q(q_pct, qf) AS (VALUES (25, 0.25), (50, 0.50), (90, 0.90), (99, 0.99)),
+est AS (SELECT q.q_pct,
+          (SELECT w.lo FROM w
+           WHERE w.cum >= CAST(floor((w.n - 1) * q.qf) AS BIGINT) + 1
+           ORDER BY w.bin LIMIT 1) AS sketch_est
+        FROM q),
+ex(q_pct, exact) AS (
+  SELECT 25, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) FROM documents
+  UNION ALL SELECT 50, CAST(quantile_disc(n_chars, 0.50) AS BIGINT) FROM documents
+  UNION ALL SELECT 90, CAST(quantile_disc(n_chars, 0.90) AS BIGINT) FROM documents
+  UNION ALL SELECT 99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents)
+SELECT CAST(ex.q_pct AS BIGINT) AS q_pct, ex.exact, est.sketch_est,
+       CAST(ABS(est.sketch_est - ex.exact) * 1000000 // ex.exact AS BIGINT) AS err_ppm
+FROM ex JOIN est ON est.q_pct = ex.q_pct
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15011,6 +15075,7 @@ QUERIES: dict[str, QueryFn] = {
     "leakage_safe_split": q_leakage_safe_split,
     "dedup_savings_report": q_dedup_savings_report,
     "part_weighted_hops": q_part_weighted_hops,
+    "sketch_quantile_error": q_sketch_quantile_error,
 }
 
 ORACLES: dict[str, str] = {
@@ -15324,4 +15389,5 @@ ORACLES: dict[str, str] = {
     "leakage_safe_split": SQL_LEAKAGE_SPLIT,
     "dedup_savings_report": SQL_DEDUP_SAVINGS,
     "part_weighted_hops": SQL_PART_WEIGHTED_HOPS,
+    "sketch_quantile_error": SQL_SKETCH_QERR,
 }
