@@ -692,3 +692,13 @@ def test_sketch_quantile_error_within_contract(ray_session):
     # worst case 12.5% relative (1/8 of the lower edge)
     assert (t["err_ppm"] <= 125000).all()
     assert (t["sketch_est"] <= t["exact"]).all()  # lower-bound estimate
+
+
+def test_hll_error_eval_reasonable(ray_session):
+    from vaero_ray.pipelines.queries import q_hll_error_eval
+
+    t = q_hll_error_eval("/root/testdata/sf0.01").to_pandas()
+    assert int(t["n_exact"][0]) == 150  # known fixture cardinality
+    # p=8 HLL: ~6.5% std error; anything under 20% is a sane sketch
+    assert abs(t["rel_err"][0]) < 0.2
+    assert t["estimate"][0] > 0

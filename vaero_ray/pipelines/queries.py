@@ -14764,6 +14764,77 @@ FROM ex JOIN est ON est.q_pct = ex.q_pct
 """
 
 
+def q_hll_error_eval(sf_dir: str):
+    """Eval-of-the-engine: signed relative error of the HLL distinct
+    sketch vs the EXACT distinct user count. The estimator denominator
+    is accumulated as an INTEGER (sum of 2^(64-rho) in Python big ints
+    / HUGEINT — dyadic terms are exact, so both engines convert the
+    same integer to double once), making the float expression tree
+    identical on both sides; the exact count comes from a value-salted
+    distinct exchange (unique per block, bucket-disjoint union)."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.sketch import hll_registers
+
+    ds = _events(sf_dir, columns=["user_id"])
+    regs = hll_registers(ds, "user_id", p=_HLL_P).to_pandas()
+    m = 1 << _HLL_P
+    zeros = m - len(regs)
+    s_int = sum(1 << (64 - int(r)) for r in regs["max_rho"]) + zeros * (1 << 64)
+    den = float(s_int) / 18446744073709551616.0
+    raw = (0.7213 / (1 + 1.079 / m)) * m * m / den
+    est = m * math.log(m * 1.0 / zeros) if raw <= 2.5 * m and zeros > 0 else raw
+
+    def uniq(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        return pa.table({"user_id": pa.array(np.unique(
+            tbl.column("user_id").to_numpy(zero_copy_only=False)), pa.int64())})
+
+    def cnt(df: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame({"n": [int(df["user_id"].nunique())]})
+
+    parts = bucketed_map_groups(
+        _events(sf_dir, columns=["user_id"]).map_batches(
+            uniq, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", cnt, num_buckets=8,
+    ).to_pandas()
+    n_exact = int(parts["n"].sum())
+    return pa.table(
+        {
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "estimate": pa.array([round(est, 6)], pa.float64()),
+            "rel_err": pa.array([round((est - n_exact) / n_exact, 6)], pa.float64()),
+        }
+    )
+
+
+def _fmt_hll_error_sql() -> str:
+    from vaero_ray.stages.sketch import HLL_A, HLL_A2, HLL_B, HLL_B2, HLL_XS
+
+    reg = SQL_HLL_REGISTERS  # already formatted with the live constants
+    return f"""
+WITH reg AS ({reg}),
+z AS (SELECT 256 - COUNT(*) AS zeros,
+             SUM(CAST(1 AS HUGEINT) << (64 - max_rho)) AS s FROM reg),
+d AS (SELECT zeros,
+        CAST(s + CAST(zeros AS HUGEINT) * (CAST(1 AS HUGEINT) << 64) AS DOUBLE)
+          / 18446744073709551616.0 AS den
+      FROM z),
+e AS (SELECT zeros, (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / den AS raw FROM d),
+f AS (SELECT CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                  THEN 256 * LN(256.0 / zeros) ELSE raw END AS est FROM e),
+x AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT x.n_exact, ROUND(f.est, 6) AS estimate,
+       ROUND((f.est - x.n_exact) / x.n_exact, 6) AS rel_err
+FROM x, f
+"""
+
+
+SQL_HLL_ERROR = _fmt_hll_error_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15076,6 +15147,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_savings_report": q_dedup_savings_report,
     "part_weighted_hops": q_part_weighted_hops,
     "sketch_quantile_error": q_sketch_quantile_error,
+    "hll_error_eval": q_hll_error_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -15390,4 +15462,5 @@ ORACLES: dict[str, str] = {
     "dedup_savings_report": SQL_DEDUP_SAVINGS,
     "part_weighted_hops": SQL_PART_WEIGHTED_HOPS,
     "sketch_quantile_error": SQL_SKETCH_QERR,
+    "hll_error_eval": SQL_HLL_ERROR,
 }
