@@ -702,3 +702,15 @@ def test_hll_error_eval_reasonable(ray_session):
     # p=8 HLL: ~6.5% std error; anything under 20% is a sane sketch
     assert abs(t["rel_err"][0]) < 0.2
     assert t["estimate"][0] > 0
+
+
+def test_cms_error_eval_upper_bound(ray_session):
+    from vaero_ray.pipelines.queries import q_cms_error_eval
+
+    t = q_cms_error_eval("/root/testdata/sf0.01").to_pandas()
+    assert len(t) == 10
+    # CMS point estimates are UPPER bounds: overcount never negative
+    assert (t["overcount"] >= 0).all()
+    assert (t["cms_est"] >= t["exact"]).all()
+    # with 150 users in 1024-wide rows, collisions are rare: most exact
+    assert (t["overcount"] == 0).mean() > 0.5

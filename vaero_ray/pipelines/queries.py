@@ -14835,6 +14835,81 @@ FROM x, f
 SQL_HLL_ERROR = _fmt_hll_error_sql()
 
 
+def q_cms_error_eval(sf_dir: str):
+    """Eval-of-the-engine: Count-Min overcount on the top-10 heaviest
+    users — exact per-user counts (keyed exchange, deterministic
+    (count DESC, user ASC) top-10) beside the sketch's min-over-rows
+    upper bound; overcount = est - exact >= 0 by construction (the CMS
+    guarantee, here VERIFIED against ground truth). All integers."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.sketch import cms_estimate, cms_registers
+
+    ds = _events(sf_dir, columns=["user_id"])
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        out = _pd.DataFrame({"user_id": df["user_id"],
+                             "n": np.ones(len(df), np.int64)})
+        return out.groupby("user_id", sort=False, as_index=False).sum()
+
+    per_user = bucketed_keyed_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], ["n"]
+    ).to_pandas()
+    top = per_user.sort_values(["n", "user_id"], ascending=[False, True],
+                               kind="mergesort").head(10)
+    regs = cms_registers(
+        _events(sf_dir, columns=["user_id"]), "user_id",
+        width=_CMS_W, depth=_CMS_D,
+    ).to_pandas()
+    keys = top["user_id"].to_numpy(np.int64)
+    est = cms_estimate(regs, keys, width=_CMS_W, depth=_CMS_D)
+    exact = top["n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "exact": pa.array(exact, pa.int64()),
+            "cms_est": pa.array(est, pa.int64()),
+            "overcount": pa.array(est - exact, pa.int64()),
+        }
+    )
+
+
+def _fmt_cms_error_sql() -> str:
+    from vaero_ray.stages.sketch import CMS_A, CMS_B
+
+    slot_parts = []
+    for r in range(_CMS_D):
+        slot_parts.append(
+            f"""
+SELECT ex.user_id, ex.n, CAST({r} AS BIGINT) AS row,
+  CAST(((CAST({int(CMS_A[r])} AS HUGEINT)
+     * ((CASE WHEN ex.user_id < 0
+          THEN CAST(ex.user_id AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+          ELSE CAST(ex.user_id AS HUGEINT) END) % CAST(2305843009213693951 AS HUGEINT)))
+     % CAST(2305843009213693951 AS HUGEINT)
+     + CAST({int(CMS_B[r])} AS HUGEINT)) % CAST(2305843009213693951 AS HUGEINT)
+     AS BIGINT) % {_CMS_W} AS slot
+FROM ex"""
+        )
+    slots = " UNION ALL ".join(slot_parts)
+    return f"""
+WITH regs AS ({SQL_CMS}),
+ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+       GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10),
+slots AS ({slots}),
+est AS (SELECT slots.user_id, slots.n,
+          CAST(MIN(COALESCE(regs.cnt, 0)) AS BIGINT) AS cms_est
+        FROM slots LEFT JOIN regs
+          ON regs.row = slots.row AND regs.slot = slots.slot
+        GROUP BY 1, 2)
+SELECT user_id, n AS exact, cms_est, cms_est - n AS overcount FROM est
+"""
+
+
+SQL_CMS_ERROR = _fmt_cms_error_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15148,6 +15223,7 @@ QUERIES: dict[str, QueryFn] = {
     "part_weighted_hops": q_part_weighted_hops,
     "sketch_quantile_error": q_sketch_quantile_error,
     "hll_error_eval": q_hll_error_eval,
+    "cms_error_eval": q_cms_error_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -15463,4 +15539,5 @@ ORACLES: dict[str, str] = {
     "part_weighted_hops": SQL_PART_WEIGHTED_HOPS,
     "sketch_quantile_error": SQL_SKETCH_QERR,
     "hll_error_eval": SQL_HLL_ERROR,
+    "cms_error_eval": SQL_CMS_ERROR,
 }
