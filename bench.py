@@ -296,6 +296,16 @@ BENCH_QUERIES = [
     "copurchase_butterflies",       # bipartite 4-cycle census (one-exchange caterpillar identity)
     "auc_pair_delong",              # paired correlated-AUC z test (model A/B primitive)
     "source_lang_auc_slices",       # per-slice grouped AUC (fairness metrics)
+    "hourly_mase_backtest",         # seasonal-naive forecast backtest (MASE)
+    "cuped_ab_arms",                # CUPED variance-reduced A/B arm summary
+    "k_anonymity_audit",            # privacy QA: quasi-identifier group sizes
+    "lsh_recall_eval",              # banding-quality recall vs exact cosine pairs
+    "leakage_safe_split",           # group-aware split over near-dup clusters
+    "dedup_savings_report",         # chars removed by near-dedup (cluster-min keep)
+    "part_weighted_hops",           # bounded Bellman-Ford weighted tie-distance
+    "sketch_quantile_error",        # log-histogram sketch vs exact quantiles
+    "hll_error_eval",               # HLL estimate vs exact distinct
+    "cms_error_eval",               # CMS overcount vs exact top-10 counts
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).
