@@ -714,3 +714,16 @@ def test_cms_error_eval_upper_bound(ray_session):
     assert (t["cms_est"] >= t["exact"]).all()
     # with 150 users in 1024-wide rows, collisions are rare: most exact
     assert (t["overcount"] == 0).mean() > 0.5
+
+
+def test_bloom_fpr_eval_bound(ray_session):
+    import math
+
+    from vaero_ray.pipelines.queries import q_bloom_fpr_eval
+
+    t = q_bloom_fpr_eval("/root/testdata/sf0.01").to_pandas()
+    assert int(t["n_probes"][0]) == 1000
+    # theory: (1 - e^{-kn/m})^k with k=3, n=150 distinct, m=65536 -> ~3e-7
+    theory = (1 - math.exp(-3 * 150 / 65536)) ** 3
+    # measured FPR should be the same order (here: almost surely 0)
+    assert t["fpr"][0] <= max(0.01, 100 * theory)

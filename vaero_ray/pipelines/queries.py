@@ -14910,6 +14910,66 @@ SELECT user_id, n AS exact, cms_est, cms_est - n AS overcount FROM est
 SQL_CMS_ERROR = _fmt_cms_error_sql()
 
 
+def q_bloom_fpr_eval(sf_dir: str):
+    """Eval-of-the-engine: measured Bloom false-positive rate on 1000
+    deterministic ABSENT probe keys (10^9 + i — far above any real
+    user id, asserted) against the committed registers. No false
+    negatives by construction; the positives here are ALL false, so
+    fpr = positives / probes exactly. Integer counts + one mirrored
+    ratio."""
+    from vaero_ray.stages.sketch import bloom_may_contain, bloom_registers
+
+    regs = bloom_registers(
+        _events(sf_dir, columns=["user_id"]), "user_id", m_bits=_BLOOM_M
+    ).to_pandas()
+    probes = np.arange(1_000_000_000, 1_000_001_000, dtype=np.int64)
+    ok = bloom_may_contain(regs, probes, m_bits=_BLOOM_M)
+    fp = int(ok.sum())
+    return pa.table(
+        {
+            "n_probes": pa.array([len(probes)], pa.int64()),
+            "n_false_pos": pa.array([fp], pa.int64()),
+            "fpr": pa.array([round(fp * 1.0 / len(probes), 6)], pa.float64()),
+        }
+    )
+
+
+def _fmt_bloom_fpr_sql() -> str:
+    from vaero_ray.stages.sketch import _BLOOM_K, _WORD_BITS, CMS_A, CMS_B
+
+    checks = []
+    for r in range(_BLOOM_K):
+        checks.append(
+            f"""
+SELECT pr.k,
+  CAST(((CAST({int(CMS_A[r])} AS HUGEINT)
+     * (CAST(pr.k AS HUGEINT) % CAST(2305843009213693951 AS HUGEINT)))
+     % CAST(2305843009213693951 AS HUGEINT)
+     + CAST({int(CMS_B[r])} AS HUGEINT)) % CAST(2305843009213693951 AS HUGEINT)
+     AS BIGINT) % {_BLOOM_M} AS p
+FROM probes pr"""
+        )
+    union = " UNION ALL ".join(checks)
+    return f"""
+WITH regs AS ({SQL_BLOOM}),
+probes AS (SELECT UNNEST(range(1000000000, 1000001000)) AS k),
+pp AS ({union}),
+hit AS (SELECT pp.k,
+          CASE WHEN (COALESCE(regs.bits, 0) >> (pp.p % {_WORD_BITS})) & 1 = 1
+               THEN 1 ELSE 0 END AS b
+        FROM pp LEFT JOIN regs ON regs.word = pp.p // {_WORD_BITS}),
+mem AS (SELECT k, CASE WHEN SUM(b) = {_BLOOM_K} THEN 1 ELSE 0 END AS pos
+        FROM hit GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(pos) AS BIGINT) AS n_false_pos,
+       ROUND(SUM(pos) * 1.0 / COUNT(*), 6) AS fpr
+FROM mem
+"""
+
+
+SQL_BLOOM_FPR = _fmt_bloom_fpr_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15224,6 +15284,7 @@ QUERIES: dict[str, QueryFn] = {
     "sketch_quantile_error": q_sketch_quantile_error,
     "hll_error_eval": q_hll_error_eval,
     "cms_error_eval": q_cms_error_eval,
+    "bloom_fpr_eval": q_bloom_fpr_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -15540,4 +15601,5 @@ ORACLES: dict[str, str] = {
     "sketch_quantile_error": SQL_SKETCH_QERR,
     "hll_error_eval": SQL_HLL_ERROR,
     "cms_error_eval": SQL_CMS_ERROR,
+    "bloom_fpr_eval": SQL_BLOOM_FPR,
 }
