@@ -306,6 +306,8 @@ BENCH_QUERIES = [
     "sketch_quantile_error",        # log-histogram sketch vs exact quantiles
     "hll_error_eval",               # HLL estimate vs exact distinct
     "cms_error_eval",               # CMS overcount vs exact top-10 counts
+    "bloom_fpr_eval",               # measured Bloom FPR on absent probes
+    "kmv_error_eval",               # KMV estimate vs exact distinct
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -727,3 +727,15 @@ def test_bloom_fpr_eval_bound(ray_session):
     theory = (1 - math.exp(-3 * 150 / 65536)) ** 3
     # measured FPR should be the same order (here: almost surely 0)
     assert t["fpr"][0] <= max(0.01, 100 * theory)
+
+
+def test_kmv_error_eval_both_branches(ray_session):
+    from vaero_ray.pipelines.queries import q_kmv_error_eval
+
+    # sf0.001: 15 distinct users < k=64 -> exact fallback, rel_err == 0
+    small = q_kmv_error_eval("/root/testdata/sf0.001").to_pandas()
+    assert small["rel_err"][0] == 0.0
+    # sf0.01: 150 > 64 -> live estimator; k=64 std error ~ 1/sqrt(62) ~ 13%
+    big = q_kmv_error_eval("/root/testdata/sf0.01").to_pandas()
+    assert int(big["n_exact"][0]) == 150
+    assert abs(big["rel_err"][0]) < 0.4

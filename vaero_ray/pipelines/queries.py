@@ -14970,6 +14970,66 @@ FROM mem
 SQL_BLOOM_FPR = _fmt_bloom_fpr_sql()
 
 
+def q_kmv_error_eval(sf_dir: str):
+    """Eval-of-the-engine, completing the sketch-accuracy tier for all
+    four sketches: KMV distinct estimate ((k-1)*M61/h_k, k=64) vs the
+    exact distinct user count — h_k is hash-exact int64 on both
+    engines, the estimate is one mirrored float expression, and the
+    exact count rides the same salted distinct exchange as
+    `hll_error_eval`."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_map_groups
+    from vaero_ray.stages.sketch import M61, kmv_minima
+
+    minima = kmv_minima(
+        _events(sf_dir, columns=["user_id"]), "user_id", k=_KMV_K
+    ).to_pandas().sort_values("rk")
+    hv = minima["hv"].to_numpy(np.int64)
+    est = (
+        float(len(hv)) if len(hv) < _KMV_K
+        else (_KMV_K - 1) * float(M61) / float(hv[_KMV_K - 1])
+    )
+
+    def uniq(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        return pa.table({"user_id": pa.array(np.unique(
+            tbl.column("user_id").to_numpy(zero_copy_only=False)), pa.int64())})
+
+    def cnt(df: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame({"n": [int(df["user_id"].nunique())]})
+
+    parts = bucketed_map_groups(
+        _events(sf_dir, columns=["user_id"]).map_batches(
+            uniq, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", cnt, num_buckets=8,
+    ).to_pandas()
+    n_exact = int(parts["n"].sum())
+    return pa.table(
+        {
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "estimate": pa.array([round(est, 6)], pa.float64()),
+            "rel_err": pa.array([round((est - n_exact) / n_exact, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_KMV_ERROR = f"""
+WITH mins AS ({SQL_KMV}),
+hk AS (SELECT hv FROM mins WHERE rk = {_KMV_K} - 1),
+nmin AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM mins),
+e AS (SELECT CASE WHEN nmin.c < {_KMV_K} THEN CAST(nmin.c AS DOUBLE)
+             ELSE ({_KMV_K} - 1) * CAST(2305843009213693951 AS DOUBLE)
+                  / CAST((SELECT hv FROM hk) AS DOUBLE) END AS est
+      FROM nmin),
+x AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT x.n_exact, ROUND(e.est, 6) AS estimate,
+       ROUND((e.est - x.n_exact) / x.n_exact, 6) AS rel_err
+FROM x, e
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15285,6 +15345,7 @@ QUERIES: dict[str, QueryFn] = {
     "hll_error_eval": q_hll_error_eval,
     "cms_error_eval": q_cms_error_eval,
     "bloom_fpr_eval": q_bloom_fpr_eval,
+    "kmv_error_eval": q_kmv_error_eval,
 }
 
 ORACLES: dict[str, str] = {
@@ -15602,4 +15663,5 @@ ORACLES: dict[str, str] = {
     "hll_error_eval": SQL_HLL_ERROR,
     "cms_error_eval": SQL_CMS_ERROR,
     "bloom_fpr_eval": SQL_BLOOM_FPR,
+    "kmv_error_eval": SQL_KMV_ERROR,
 }
