@@ -14764,27 +14764,13 @@ FROM ex JOIN est ON est.q_pct = ex.q_pct
 """
 
 
-def q_hll_error_eval(sf_dir: str):
-    """Eval-of-the-engine: signed relative error of the HLL distinct
-    sketch vs the EXACT distinct user count. The estimator denominator
-    is accumulated as an INTEGER (sum of 2^(64-rho) in Python big ints
-    / HUGEINT — dyadic terms are exact, so both engines convert the
-    same integer to double once), making the float expression tree
-    identical on both sides; the exact count comes from a value-salted
-    distinct exchange (unique per block, bucket-disjoint union)."""
+def _exact_distinct_users(sf_dir: str) -> int:
+    """Exact COUNT(DISTINCT user_id) via the salted distinct shape:
+    unique per block, hash-bucket exchange (disjoint value spaces), per
+    bucket nunique, integer sum — shared by the sketch-accuracy gates."""
     import pandas as _pd
 
     from vaero_ray.stages.keyed import bucketed_map_groups
-    from vaero_ray.stages.sketch import hll_registers
-
-    ds = _events(sf_dir, columns=["user_id"])
-    regs = hll_registers(ds, "user_id", p=_HLL_P).to_pandas()
-    m = 1 << _HLL_P
-    zeros = m - len(regs)
-    s_int = sum(1 << (64 - int(r)) for r in regs["max_rho"]) + zeros * (1 << 64)
-    den = float(s_int) / 18446744073709551616.0
-    raw = (0.7213 / (1 + 1.079 / m)) * m * m / den
-    est = m * math.log(m * 1.0 / zeros) if raw <= 2.5 * m and zeros > 0 else raw
 
     def uniq(tbl: pa.Table) -> pa.Table:
         if not tbl.num_rows:
@@ -14800,7 +14786,28 @@ def q_hll_error_eval(sf_dir: str):
             uniq, batch_format="pyarrow", zero_copy_batch=True),
         "user_id", cnt, num_buckets=8,
     ).to_pandas()
-    n_exact = int(parts["n"].sum())
+    return int(parts["n"].sum())
+
+
+def q_hll_error_eval(sf_dir: str):
+    """Eval-of-the-engine: signed relative error of the HLL distinct
+    sketch vs the EXACT distinct user count. The estimator denominator
+    is accumulated as an INTEGER (sum of 2^(64-rho) in Python big ints
+    / HUGEINT — dyadic terms are exact, so both engines convert the
+    same integer to double once), making the float expression tree
+    identical on both sides; the exact count comes from
+    `_exact_distinct_users` (value-salted distinct exchange)."""
+    from vaero_ray.stages.sketch import hll_registers
+
+    ds = _events(sf_dir, columns=["user_id"])
+    regs = hll_registers(ds, "user_id", p=_HLL_P).to_pandas()
+    m = 1 << _HLL_P
+    zeros = m - len(regs)
+    s_int = sum(1 << (64 - int(r)) for r in regs["max_rho"]) + zeros * (1 << 64)
+    den = float(s_int) / 18446744073709551616.0
+    raw = (0.7213 / (1 + 1.079 / m)) * m * m / den
+    est = m * math.log(m * 1.0 / zeros) if raw <= 2.5 * m and zeros > 0 else raw
+    n_exact = _exact_distinct_users(sf_dir)
     return pa.table(
         {
             "n_exact": pa.array([n_exact], pa.int64()),
@@ -14975,11 +14982,7 @@ def q_kmv_error_eval(sf_dir: str):
     four sketches: KMV distinct estimate ((k-1)*M61/h_k, k=64) vs the
     exact distinct user count — h_k is hash-exact int64 on both
     engines, the estimate is one mirrored float expression, and the
-    exact count rides the same salted distinct exchange as
-    `hll_error_eval`."""
-    import pandas as _pd
-
-    from vaero_ray.stages.keyed import bucketed_map_groups
+    exact count rides `_exact_distinct_users`."""
     from vaero_ray.stages.sketch import M61, kmv_minima
 
     minima = kmv_minima(
@@ -14990,22 +14993,7 @@ def q_kmv_error_eval(sf_dir: str):
         float(len(hv)) if len(hv) < _KMV_K
         else (_KMV_K - 1) * float(M61) / float(hv[_KMV_K - 1])
     )
-
-    def uniq(tbl: pa.Table) -> pa.Table:
-        if not tbl.num_rows:
-            return pa.table({"user_id": pa.array([], pa.int64())})
-        return pa.table({"user_id": pa.array(np.unique(
-            tbl.column("user_id").to_numpy(zero_copy_only=False)), pa.int64())})
-
-    def cnt(df: _pd.DataFrame) -> _pd.DataFrame:
-        return _pd.DataFrame({"n": [int(df["user_id"].nunique())]})
-
-    parts = bucketed_map_groups(
-        _events(sf_dir, columns=["user_id"]).map_batches(
-            uniq, batch_format="pyarrow", zero_copy_batch=True),
-        "user_id", cnt, num_buckets=8,
-    ).to_pandas()
-    n_exact = int(parts["n"].sum())
+    n_exact = _exact_distinct_users(sf_dir)
     return pa.table(
         {
             "n_exact": pa.array([n_exact], pa.int64()),
