@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "cms_error_eval",               # CMS overcount vs exact top-10 counts
     "bloom_fpr_eval",               # measured Bloom FPR on absent probes
     "kmv_error_eval",               # KMV estimate vs exact distinct
+    "user_delta_movers",            # heavy-hitter drift between time halves
 ]
 
 # Scaling-run input size (~5.3 GB parquet / ~16 GB of in-memory text).

@@ -739,3 +739,15 @@ def test_kmv_error_eval_both_branches(ray_session):
     big = q_kmv_error_eval("/root/testdata/sf0.01").to_pandas()
     assert int(big["n_exact"][0]) == 150
     assert abs(big["rel_err"][0]) < 0.4
+
+
+def test_user_delta_movers_planted_mover(ray_session):
+    from vaero_ray.stages.keyed import bucketed_keyed_sum  # noqa: F401
+    from vaero_ray.pipelines.queries import q_user_delta_movers
+
+    t = q_user_delta_movers("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 10
+    assert (t["delta"] == t["n_second"] - t["n_first"]).all()
+    # sorted by |delta| descending with deterministic ties
+    absd = t["delta"].abs().to_numpy()
+    assert (absd[:-1] >= absd[1:]).all()

@@ -15018,6 +15018,70 @@ FROM x, e
 """
 
 
+def q_user_delta_movers(sf_dir: str):
+    """Heavy-hitter DRIFT: the top-10 users by absolute activity change
+    between the two time halves (emerging + declining accounts — the
+    who-moved companion of the distributional drift gates). Per-user
+    (first-half, second-half) counts ride one keyed exchange; the
+    midpoint split is the same (min+max+1)//2 rule as `cuped_ab_arms`;
+    top-10 by (|delta| DESC, user ASC) is deterministic."""
+    import pandas as _pd
+
+    from vaero_ray.stages.keyed import bucketed_keyed_sum
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    bounds = ds.map_batches(
+        lambda t: pa.table(
+            {"lo": pa.array([pc.min(t.column("ts")).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+                             if t.num_rows else (1 << 62)], pa.int64()),
+             "hi": pa.array([pc.max(t.column("ts")).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+                             if t.num_rows else -(1 << 62)], pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    split = (int(bounds["lo"].min()) + int(bounds["hi"].max()) + 1) // 2
+
+    def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = _pd.DataFrame(
+            {"user_id": df["user_id"],
+             "n1": (us < split).astype(np.int64),
+             "n2": (us >= split).astype(np.int64)}
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            {"n1": "sum", "n2": "sum"}
+        )
+
+    per_user = bucketed_keyed_sum(
+        _events(sf_dir, columns=["user_id", "ts"]).map_batches(
+            partial, batch_format="pandas"),
+        ["user_id"], ["n1", "n2"],
+    ).to_pandas()
+    per_user["delta"] = per_user["n2"] - per_user["n1"]
+    per_user["absd"] = per_user["delta"].abs()
+    top = per_user.sort_values(["absd", "user_id"], ascending=[False, True],
+                               kind="mergesort").head(10)
+    return pa.table(
+        {
+            "user_id": pa.array(top["user_id"].to_numpy(np.int64), pa.int64()),
+            "n_first": pa.array(top["n1"].to_numpy(np.int64), pa.int64()),
+            "n_second": pa.array(top["n2"].to_numpy(np.int64), pa.int64()),
+            "delta": pa.array(top["delta"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_USER_DELTA_MOVERS = r"""
+WITH sp AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts)) + 1) // 2 AS s FROM events),
+u AS (SELECT user_id,
+        CAST(SUM(CASE WHEN epoch_us(ts) < (SELECT s FROM sp) THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT s FROM sp) THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      FROM events GROUP BY 1)
+SELECT user_id, n_first, n_second, n_second - n_first AS delta
+FROM u ORDER BY ABS(n_second - n_first) DESC, user_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15334,6 +15398,7 @@ QUERIES: dict[str, QueryFn] = {
     "cms_error_eval": q_cms_error_eval,
     "bloom_fpr_eval": q_bloom_fpr_eval,
     "kmv_error_eval": q_kmv_error_eval,
+    "user_delta_movers": q_user_delta_movers,
 }
 
 ORACLES: dict[str, str] = {
@@ -15652,4 +15717,5 @@ ORACLES: dict[str, str] = {
     "cms_error_eval": SQL_CMS_ERROR,
     "bloom_fpr_eval": SQL_BLOOM_FPR,
     "kmv_error_eval": SQL_KMV_ERROR,
+    "user_delta_movers": SQL_USER_DELTA_MOVERS,
 }
