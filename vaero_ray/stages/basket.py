@@ -330,6 +330,7 @@ def bipartite_butterflies(
     group_col: str,
     item_col: str,
     num_buckets: "int | None" = None,
+    max_basket: int = DEFAULT_MAX_BASKET,
 ) -> "pa.Table":
     """Butterfly (bipartite 4-cycle) census of a group-item graph — the
     bipartite analogue of triangle counting (motif density of the
@@ -346,9 +347,16 @@ def bipartite_butterflies(
     without any group-side aggregate. Butterflies ride the existing
     in-basket quadratic pair emission (`pair_cooccurrence`) as
     sum C(co, 2). All counts exact int64; the coefficient is the one
-    mirrored float division."""
+    mirrored float division.
+
+    ``max_basket`` is the SHARED fat-basket cap: the same deterministic
+    truncation (each basket's ``max_basket`` smallest items) is applied
+    to BOTH the butterfly pass and the wedge/caterpillar pass, so the
+    census stays internally consistent (bcc = 4B/C over one edge set)
+    even when a basket exceeds the cap. Pass ``max_basket=0`` for exact
+    counts over the untruncated graph (quadratic in the fattest basket)."""
     pairs = pair_cooccurrence(ds, group_col, item_col, min_support=1,
-                              num_buckets=num_buckets)
+                              num_buckets=num_buckets, max_basket=max_basket)
 
     def bf_partial(tbl: pa.Table) -> pa.Table:
         if not tbl.num_rows:
@@ -365,6 +373,17 @@ def bipartite_butterflies(
                                  "s": pd.Series([], dtype="int64"),
                                  "c": pd.Series([], dtype="int64")})
         df = df[[group_col, item_col]].drop_duplicates()
+        # identical truncation to pair_cooccurrence's: keep each basket's
+        # max_basket smallest items, so wedges/caterpillars are computed
+        # over exactly the edge set the butterfly pass saw
+        if max_basket:
+            df = df.sort_values([group_col, item_col], kind="mergesort")
+            rank = df.groupby(group_col, sort=False).cumcount().to_numpy()
+            df = df[rank < max_basket]
+            if not len(df):
+                return pd.DataFrame({"item": pd.Series([], dtype=df[item_col].dtype),
+                                     "s": pd.Series([], dtype="int64"),
+                                     "c": pd.Series([], dtype="int64")})
         sizes = df.groupby(group_col, sort=False)[item_col].transform("size").to_numpy(np.int64)
         out = pd.DataFrame({"item": df[item_col].to_numpy(), "s": sizes - 1,
                             "c": np.ones(len(df), np.int64)})

@@ -1402,7 +1402,10 @@ def blocklist_scan(
     """
     import pyarrow.compute as _pc
 
-    terms = list(terms)
+    # the contract is case-insensitive matching: text is lowercased per
+    # batch, so the terms must be lowercased too or an uppercase term
+    # could never match
+    terms = [t.lower() for t in terms]
 
     def scan(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
