@@ -3,7 +3,29 @@ butterfly census fat-basket consistency) and new round-5 guards."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
+
+
+def test_compressed_finalize_max_distinct_guard(ray_session):
+    """A high-cardinality column breaks the distinct-value-compression
+    contract: the driver-side finalize must raise loudly instead of
+    silently materializing millions of rows; under the cap the result
+    is unchanged."""
+    from vaero_ray.stages.numstats import rank_sum_test, shape_per_group
+
+    df = pd.DataFrame({"v": np.arange(1000, dtype=np.int64),
+                       "g": ["a", "b"] * 500})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="max_distinct"):
+        rank_sum_test(ds, "v", "g", "a", "b", max_distinct=100)
+    with pytest.raises(ValueError, match="max_distinct"):
+        shape_per_group(ds, "v", "g", max_distinct=100)
+    t = rank_sum_test(ds, "v", "g", "a", "b").to_pandas()
+    # exact check: ranks of evens (a) among 0..999
+    assert int(t["n1"][0]) == 500 and int(t["n2"][0]) == 500
+    two_r1 = int(2 * sum(range(1, 1001, 2)))  # a holds values 0,2,..,998 -> ranks 1,3,..,999
+    assert int(t["two_r1"][0]) == two_r1
 
 
 def test_blocklist_uppercase_terms_match(ray_session):

@@ -15401,6 +15401,83 @@ QUERIES: dict[str, QueryFn] = {
     "user_delta_movers": q_user_delta_movers,
 }
 
+# Driver correctness window (rotated in round 5). The external gate
+# harness hashes the FIRST 50 registry entries against their SQL
+# oracles; rounds 3-4 kept the same 50 while the registry grew to 316,
+# leaving 266 gates with no driver-issued correctness row. The window
+# below keeps the reference-transform core (the seven §2a gates) and
+# the streaming window matrix, and otherwise rotates onto entries the
+# driver has never checked — 40 of these 50 are first-time driver
+# checks, prioritizing the capstones (near-dedup, SFT/preference
+# assembly, mixture resampling, revenue rollup, interval join, EWMA).
+_DRIVER_WINDOW = [
+    # §2a reference-transform core
+    "vaero_add_rename_delete",
+    "vaero_filter_regexp",
+    "vaero_mask",
+    "vaero_parse_regexp",
+    "vaero_parse_json",
+    "vaero_select",
+    "streaming_transform_route",
+    # streaming window matrix + stateful streaming ops
+    "streaming_tumbling_agg",
+    "streaming_sliding_count",
+    "streaming_session_stats",
+    "streaming_stitch",
+    "streaming_interval_join",
+    "streaming_user_ewma",
+    # capstones
+    "training_data_pipeline",
+    "near_dedup_docs",
+    "conversation_sft_pipeline",
+    "revenue_by_nation",
+    "preference_pairs",
+    "mixture_resample",
+    "leakage_safe_split",
+    # dedup tier
+    "line_dedup_docs",
+    "winnow_dup_pairs",
+    "sorted_neighborhood_pairs",
+    "dedup_keep_best",
+    "conv_fingerprint_dedup",
+    "dedup_savings_report",
+    # joins / relational
+    "user_stats_skew_join",
+    "cheapest_supplier_per_part",
+    "top_unshipped_orders",
+    "latest_event_per_user",
+    "cohort_retention",
+    # text / curation
+    "doc_normalize_text",
+    "doc_pii_redact",
+    "stratified_sample_docs",
+    "docs_length_band",
+    "sft_examples",
+    "inverted_index",
+    "bm25_top_docs",
+    "heavy_hitter_users",
+    # embeddings / ANN
+    "kmeans_embeddings",
+    "embedding_jl_projection",
+    "lsh_recall_eval",
+    # sketches + accuracy evals
+    "bloom_user_filter",
+    "sketch_quantile_error",
+    "hll_error_eval",
+    # ML eval
+    "user_score_auc",
+    "auc_pair_delong",
+    # row windows / sessions
+    "sessionize_events",
+    "event_lag_lead",
+    "user_value_ewma",
+]
+assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
+QUERIES = {
+    k: QUERIES[k]
+    for k in (_DRIVER_WINDOW + [k for k in QUERIES if k not in set(_DRIVER_WINDOW)])
+}
+
 ORACLES: dict[str, str] = {
     "vaero_add_rename_delete": SQL_ADD_RENAME_DELETE,
     "vaero_filter_regexp": SQL_FILTER_REGEXP,

@@ -240,6 +240,33 @@ def _compressed_counts(ds: rd.Dataset, key: str, val_col: str) -> rd.Dataset:
     return bucketed_keyed_sum(counts, [key, val_col], ["c"])
 
 
+DEFAULT_MAX_DISTINCT = 4_000_000
+
+
+def _finalize_compressed(merged: rd.Dataset, what: str,
+                         max_distinct: int = DEFAULT_MAX_DISTINCT) -> pd.DataFrame:
+    """Guarded driver-side materialization of a distinct-value-compressed
+    exchange. The compression contract — one row per distinct (key,
+    value) cell, bounded value domain — is COUNTED before collecting,
+    not assumed: a high-cardinality continuous column (raw micros,
+    float scores) would otherwise silently pull tens of millions of
+    rows onto the driver. Same guard pattern as
+    ranking.global_percent_rank; the count rides the already-merged
+    exchange, so it costs one metadata pass on the materialized blocks.
+    """
+    mat = merged.materialize()
+    n = mat.count()
+    if n > max_distinct:
+        raise ValueError(
+            f"{what}: {n} compressed (key, value) rows exceed "
+            f"max_distinct={max_distinct}; the distinct-value-compression "
+            "contract (bounded value domain) does not hold for this column "
+            "— bin it first (length_equidepth_bins / fixed-width bucketing) "
+            "or raise max_distinct explicitly"
+        )
+    return mat.to_pandas()
+
+
 def gini_per_group(ds: rd.Dataset, key: str, val_col: str) -> rd.Dataset:
     """Exact Gini coefficient of non-negative INTEGER ``val_col`` per
     ``key`` without a row sort: with 1-based ascending positions i,
@@ -287,7 +314,8 @@ def gini_per_group(ds: rd.Dataset, key: str, val_col: str) -> rd.Dataset:
 
 
 def rank_sum_test(
-    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str
+    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
 ) -> pa.Table:
     """Mann-Whitney rank-sum between two groups, exact with ties:
     average-rank doubling keeps everything integer — a tie-block of
@@ -314,7 +342,7 @@ def rank_sum_test(
     parts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
     # compressed table: one row per distinct value — small by contract
-    comp = merged.to_pandas().sort_values(val_col, kind="stable")
+    comp = _finalize_compressed(merged, "rank_sum_test", max_distinct).sort_values(val_col, kind="stable")
     c1 = comp["c1"].to_numpy(np.int64)
     c2 = comp["c2"].to_numpy(np.int64)
     c = c1 + c2
@@ -738,7 +766,8 @@ def ordinal_association_from_pairs(xs, ys, cs) -> dict:
     }
 
 
-def cliffs_delta(ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str) -> pa.Table:
+def cliffs_delta(ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str,
+                 max_distinct: int = DEFAULT_MAX_DISTINCT) -> pa.Table:
     """Cliff's delta ordinal effect size between two groups: the
     probability a g1 value exceeds a g2 value minus the reverse,
     delta = (#{v1 > v2} - #{v1 < v2}) / (n1 * n2) — the EFFECT-SIZE
@@ -768,7 +797,7 @@ def cliffs_delta(ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str)
 
     parts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
-    comp = merged.to_pandas().sort_values(val_col, kind="stable")
+    comp = _finalize_compressed(merged, "cliffs_delta", max_distinct).sort_values(val_col, kind="stable")
     c1 = comp["c1"].to_numpy(np.int64)
     c2 = comp["c2"].to_numpy(np.int64)
     n1 = int(c1.sum())
@@ -812,7 +841,8 @@ def theil_sen_slope_e6(h: np.ndarray, n: np.ndarray) -> int:
 
 
 def kruskal_rank_ingredients(
-    ds: rd.Dataset, val_col: str, group_col: str
+    ds: rd.Dataset, val_col: str, group_col: str,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
 ) -> pa.Table:
     """Kruskal-Wallis rank ingredients across ALL groups — the k-group
     generalization of :func:`rank_sum_test`, same distinct-value
@@ -839,7 +869,7 @@ def kruskal_rank_ingredients(
 
     parts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_keyed_sum(parts, [val_col, group_col], ["c"])
-    comp = merged.to_pandas().sort_values([val_col, group_col], kind="stable")
+    comp = _finalize_compressed(merged, "kruskal_rank_ingredients", max_distinct).sort_values([val_col, group_col], kind="stable")
     # tie blocks over distinct values (across ALL groups)
     per_val = comp.groupby(val_col, sort=True)["c"].sum()
     vstart = per_val.cumsum() - per_val  # 0-based start rank per value
@@ -873,7 +903,8 @@ def kruskal_rank_ingredients(
 
 
 def jsd_two_sample(
-    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str
+    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
 ) -> pa.Table:
     """Jensen-Shannon divergence (nats) between two groups' value
     distributions — the bounded symmetric companion to KS
@@ -903,7 +934,7 @@ def jsd_two_sample(
 
     parts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
-    comp = merged.to_pandas().sort_values(val_col, kind="stable")
+    comp = _finalize_compressed(merged, "jsd_two_sample", max_distinct).sort_values(val_col, kind="stable")
     c1 = comp["c1"].to_numpy(np.int64)
     c2 = comp["c2"].to_numpy(np.int64)
     n1, n2 = int(c1.sum()), int(c2.sum())
@@ -958,7 +989,8 @@ def siegel_slope_e6(h: np.ndarray, n: np.ndarray) -> int:
 
 
 def hodges_lehmann_shift(
-    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str
+    ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str,
+    max_distinct: int = DEFAULT_MAX_DISTINCT,
 ) -> pa.Table:
     """Hodges-Lehmann location-shift estimator between two groups: the
     median of ALL pairwise differences v1 - v2 — the ESTIMATOR
@@ -986,7 +1018,7 @@ def hodges_lehmann_shift(
 
     parts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
-    comp = merged.to_pandas()
+    comp = _finalize_compressed(merged, "hodges_lehmann_shift", max_distinct)
     v = comp[val_col].to_numpy(np.int64)
     c1 = comp["c1"].to_numpy(np.int64)
     c2 = comp["c2"].to_numpy(np.int64)
@@ -1015,7 +1047,8 @@ def hodges_lehmann_shift(
     )
 
 
-def mood_median_test(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+def mood_median_test(ds: rd.Dataset, val_col: str, group_col: str,
+                     max_distinct: int = DEFAULT_MAX_DISTINCT) -> pa.Table:
     """Mood's median test across ALL groups: pooled grand median (the
     quantile_disc 0-based rank rule ``max(ceil(q*n)-1, 0)``), then the
     per-group 2xk contingency of above-median counts — every emitted
@@ -1031,7 +1064,7 @@ def mood_median_test(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
 
     parts = ds.map_batches(partial, batch_format="pandas")
     merged = bucketed_keyed_sum(parts, [val_col, group_col], ["c"])
-    comp = merged.to_pandas().sort_values([val_col, group_col], kind="stable")
+    comp = _finalize_compressed(merged, "mood_median_test", max_distinct).sort_values([val_col, group_col], kind="stable")
     per_val = comp.groupby(val_col, sort=True)["c"].sum()
     cum = per_val.cumsum().to_numpy(np.int64)
     n = int(cum[-1])
@@ -1153,7 +1186,8 @@ def welch_t_test(
     )
 
 
-def shape_per_group(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+def shape_per_group(ds: rd.Dataset, val_col: str, group_col: str,
+                    max_distinct: int = DEFAULT_MAX_DISTINCT) -> pa.Table:
     """Per-group skewness (Fisher g1) and excess kurtosis (g2) from
     DISTINCT-VALUE COMPRESSED power sums: the exchange carries one
     (group, value, count) row per distinct value; s1..s4 = sum c*v^p
@@ -1161,7 +1195,7 @@ def shape_per_group(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
     n * max(v^4) < 2^63, fine for length-like domains) and the two
     shape statistics are the 6-dp floats from the textbook central-
     moment identities, written identically in the oracle."""
-    merged = _compressed_counts(ds, group_col, val_col).to_pandas()
+    merged = _finalize_compressed(_compressed_counts(ds, group_col, val_col), "shape_per_group", max_distinct)
     merged = merged.sort_values([group_col, val_col], kind="stable")
     out = {k: [] for k in (group_col, "n", "s1", "s2", "s3", "s4", "skew", "ex_kurt")}
     for g, grp in merged.groupby(group_col, sort=True):
@@ -1203,7 +1237,8 @@ def shape_per_group(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
     )
 
 
-def brown_forsythe(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+def brown_forsythe(ds: rd.Dataset, val_col: str, group_col: str,
+                   max_distinct: int = DEFAULT_MAX_DISTINCT) -> pa.Table:
     """Brown-Forsythe test of equal SPREAD across groups: one-way
     ANOVA on z_ij = |v_ij - median_j| — the robust (median-centered)
     Levene variant, and the one whose ingredients stay INTEGER (the
@@ -1212,7 +1247,7 @@ def brown_forsythe(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
     :func:`shape_per_group`; per-group medians and the z power sums
     fold over the compressed rows; F is the one 6-dp ratio float
     (identical expression in the oracle)."""
-    merged = _compressed_counts(ds, group_col, val_col).to_pandas()
+    merged = _finalize_compressed(_compressed_counts(ds, group_col, val_col), "brown_forsythe", max_distinct)
     merged = merged.sort_values([group_col, val_col], kind="stable")
     rows = {k: [] for k in (group_col, "n_j", "med", "sz", "szz")}
     for g, grp in merged.groupby(group_col, sort=True):
@@ -1250,7 +1285,8 @@ def brown_forsythe(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
     )
 
 
-def jonckheere_trend(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
+def jonckheere_trend(ds: rd.Dataset, val_col: str, group_col: str,
+                     max_distinct: int = DEFAULT_MAX_DISTINCT) -> pa.Table:
     """Jonckheere-Terpstra ordered-alternative test: does ``val_col``
     trend monotonically across groups taken in ASCENDING ``group_col``
     order (the ordered sibling of Kruskal-Wallis — KW asks "any
@@ -1268,7 +1304,7 @@ def jonckheere_trend(ds: rd.Dataset, val_col: str, group_col: str) -> pa.Table:
     ``var = A/72 + B1*B2/(36 n(n-1)(n-2)) + C1*C2/(8 n(n-1))``) are all
     exact int64 sums; z is the ONE float expression the oracle mirrors
     (6-dp). Formula guarded by a permutation Monte-Carlo test."""
-    comp = _compressed_counts(ds, group_col, val_col).to_pandas()
+    comp = _finalize_compressed(_compressed_counts(ds, group_col, val_col), "jonckheere_terpstra", max_distinct)
     comp = comp.sort_values([group_col, val_col], kind="stable")
     groups = sorted(comp[group_col].unique())
     vals = np.sort(comp[val_col].unique())
