@@ -28,6 +28,84 @@ def test_compressed_finalize_max_distinct_guard(ray_session):
     assert int(t["two_r1"][0]) == two_r1
 
 
+def _gw_source(**kw):
+    import json
+
+    from vaero_ray.cdk.source_google_workspace import TOKEN_URL, GoogleWorkspaceSource
+
+    state = {"clock": 1_700_000_000.0, "exchanges": [], "signed": []}
+
+    def token_transport(url, params, headers):
+        assert url == TOKEN_URL
+        assert params["grant_type"] == "urn:ietf:params:oauth:grant-type:jwt-bearer"
+        state["exchanges"].append(dict(params))
+        return 200, json.dumps(
+            {"access_token": f"tok-{len(state['exchanges'])}", "expires_in": 3599}
+        )
+
+    def signer(claims, key):
+        assert key == "PEMKEY"
+        state["signed"].append(claims)
+        return f"signed-assertion-{len(state['signed'])}"
+
+    src = GoogleWorkspaceSource(
+        secrets={
+            "email": "admin@corp.test",
+            "auth_file": {
+                "client_email": "svc@p.iam",
+                "private_key": "PEMKEY",
+                "type": "service_account",
+            },
+        },
+        token_transport=token_transport,
+        signer=signer,
+        now_fn=lambda: state["clock"],
+        clock=lambda: state["clock"],
+        sleep=lambda s: None,
+        **kw,
+    )
+    return src, state
+
+
+def test_google_workspace_oauth_token_exchange():
+    """Assertion -> token -> Bearer path through the injectable transport
+    (mirrors reference source_google_workspace.py:139-180): correct JWT
+    claims, POSTed grant, token cached until expiry, fresh exchange after."""
+    from vaero_ray.cdk.source_google_workspace import TOKEN_URL
+
+    src, state = _gw_source()
+    assert src.authorize() == "tok-1"
+    c = state["signed"][0]
+    assert c["iss"] == "svc@p.iam" and c["sub"] == "admin@corp.test"
+    assert c["aud"] == TOKEN_URL and c["exp"] - c["iat"] == 3599
+    assert state["exchanges"][0]["assertion"] == "signed-assertion-1"
+    # cached: no second exchange within the expiry window
+    assert src.authorize() == "tok-1" and len(state["exchanges"]) == 1
+    assert src.headers()["Authorization"] == "Bearer tok-1"
+    # past expiry: a fresh exchange with a fresh assertion
+    state["clock"] += 4000
+    assert src.authorize() == "tok-2" and len(state["exchanges"]) == 2
+
+
+def test_google_workspace_401_refreshes_token():
+    """A 401 on the read path invalidates the cached token and retries
+    once with a freshly exchanged one."""
+    import json
+
+    served = []
+
+    def read_transport(url, params, headers):
+        served.append(headers["Authorization"])
+        if headers["Authorization"] == "Bearer tok-1":
+            return 401, "{}", {}
+        return 200, json.dumps({"items": []}), {}
+
+    src, state = _gw_source(apps=["admin"], transport=read_transport)
+    assert src.poll() == []
+    assert served == ["Bearer tok-1", "Bearer tok-2"]
+    assert len(state["exchanges"]) == 2
+
+
 def test_blocklist_uppercase_terms_match(ray_session):
     """Case-insensitive contract holds for terms containing uppercase:
     the text is lowercased per batch, so terms must be folded too."""

@@ -27,7 +27,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta, timezone
 from typing import Any, Callable
 
-from vaero_ray.cdk.http_connector import HTTPConnector
+from vaero_ray.cdk.http_connector import HTTPConnector, HTTPError
 
 _FLAG = "__FLAG__"
 
@@ -47,6 +47,25 @@ SCOPES = [
 ]
 
 
+TOKEN_URL = "https://www.googleapis.com/oauth2/v4/token"
+
+
+def urllib_post_transport(url: str, params: dict, headers: dict) -> tuple[int, str]:
+    """Form-POST transport for the OAuth token exchange (the read-path
+    ``urllib_transport`` is GET-only)."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    data = urllib.parse.urlencode(params).encode()
+    req = urllib.request.Request(url, data=data, headers=headers, method="POST")
+    try:  # pragma: no cover - needs network
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read().decode("utf-8", "replace")
+    except urllib.error.HTTPError as e:  # pragma: no cover - needs network
+        return e.code, e.read().decode("utf-8", "replace")
+
+
 class GoogleWorkspaceSource(HTTPConnector):
     def __init__(
         self,
@@ -56,6 +75,8 @@ class GoogleWorkspaceSource(HTTPConnector):
         secrets: dict | None = None,
         now_fn: Callable[[], float] | None = None,
         max_results: int = 20,
+        token_transport: Callable[..., tuple] | None = None,
+        signer: Callable[[dict, str], str] | None = None,
         **kw,
     ):
         super().__init__(host, **kw)
@@ -63,44 +84,85 @@ class GoogleWorkspaceSource(HTTPConnector):
         self.token_provider = token_provider
         self.secrets = secrets or {}
         self.max_results = max_results
+        self.token_transport = token_transport or urllib_post_transport
+        self.signer = signer
         import time as _time
 
         self._now = now_fn or _time.time
         self._app_idx = 0
         self._cursor_work: dict = {}
         self._init_time = 0.0
+        self._token: str | None = None
+        self._token_expiry = 0.0
+        # a 401 on the read path invalidates the cached token and retries
+        # ONCE with a fresh exchange (reference re-authorizes per poll)
+        self.transport = self._auth_refreshing(self.transport)
 
     # -- auth ----------------------------------------------------------
+    def _auth_refreshing(self, inner):
+        def t(url, params, headers):
+            res = inner(url, params, headers)
+            if res[0] == 401 and self.token_provider is None and self._token:
+                self.invalidate_token()
+                fresh = dict(headers)
+                fresh["Authorization"] = f"Bearer {self.authorize()}"
+                res = inner(url, params, fresh)
+            return res
+
+        return t
+
+    def invalidate_token(self) -> None:
+        self._token, self._token_expiry = None, 0.0
+
+    def _sign(self, claims: dict, private_key: str) -> str:
+        if self.signer is not None:
+            return self.signer(claims, private_key)
+        try:  # pragma: no cover - jwt not installed in this container
+            import jwt  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "service-account JWT signing needs the 'jwt' package; "
+                "inject signer= or token_provider="
+            ) from e
+        return jwt.encode(claims, private_key, algorithm="RS256")  # pragma: no cover
+
     def authorize(self) -> str:
         """Bearer token: injected provider, else the reference's
-        service-account JWT exchange (needs the ``jwt`` package and
-        network — stubbed in this container)."""
+        service-account flow — RS256-signed JWT assertion POSTed to
+        ``oauth2/v4/token``, access token cached until expiry
+        (reference :139-180)."""
         if self.token_provider is not None:
             return self.token_provider()
+        now = float(self._now())
+        if self._token and now < self._token_expiry - 60:
+            return self._token
         auth_file = self.secrets.get("auth_file", {})
         missing = [k for k in ("client_email", "private_key", "type") if k not in auth_file]
         if missing or auth_file.get("type") != "service_account" or "@" not in self.secrets.get("email", ""):
             raise ValueError(f"google_workspace: bad service-account config (missing {missing})")
-        now = int(self._now())
         claims = {  # reference :146-156
             "iss": auth_file["client_email"],
             "scope": " ".join(SCOPES),
-            "aud": "https://www.googleapis.com/oauth2/v4/token",
-            "exp": now + 3599,
-            "iat": now,
+            "aud": TOKEN_URL,
+            "exp": int(now) + 3599,
+            "iat": int(now),
             "sub": self.secrets["email"],
         }
-        try:  # pragma: no cover - jwt not installed in this container
-            import jwt  # type: ignore
+        assertion = self._sign(claims, auth_file["private_key"])
+        params = {
+            "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+            "assertion": assertion,
+        }
+        res = self.token_transport(TOKEN_URL, params, {"Accept": "application/json"})
+        status, body = res[0], res[1]
+        if status != 200:
+            raise HTTPError(f"google_workspace token exchange failed: HTTP {status}")
+        import json as _json
 
-            assertion = jwt.encode(claims, auth_file["private_key"], algorithm="RS256")
-        except ImportError as e:
-            raise NotImplementedError(
-                "service-account JWT signing needs the 'jwt' package; inject token_provider"
-            ) from e
-        raise NotImplementedError(  # pragma: no cover - needs network
-            f"wire the oauth2/v4/token exchange here (assertion built: {len(assertion)} bytes)"
-        )
+        j = _json.loads(body)
+        self._token = j["access_token"]
+        self._token_expiry = now + float(j.get("expires_in", 3599))
+        return self._token
 
     def headers(self) -> dict:
         tok = self.authorize()

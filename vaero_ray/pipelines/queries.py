@@ -18,6 +18,7 @@ insensitive value-hash):
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Callable
 
@@ -541,30 +542,47 @@ ORDER BY cosine_sim DESC, vec_id LIMIT 10
 # same rows as a batch/SQL tumbling aggregate once the stream ends.
 # ------------------------------------------------------------------
 
+# Arrival chunks per streaming GATE (not a job-semantics knob): each
+# chunk is one exactly-once epoch, and every epoch pays the full commit
+# barrier (merge shuffle + canonical write + fsync'd manifest). 2 chunks
+# still exercise the incremental path the gates exist to check — state
+# carried across an epoch boundary plus the finalize flush (3 commits) —
+# while halving the fixed premium the 4-chunk fixture paid (5 commits);
+# production epoch sizes amortize this cost, gate inputs do not. The
+# multi-epoch / kill-resume machinery keeps its own deeper pytest
+# coverage (test_streaming, test_compact, test_*_job).
+GATE_STREAM_CHUNKS = int(os.environ.get("VAERO_GATE_STREAM_CHUNKS", "2"))
+
+
 def _stream_chunks(sf_dir: str, subdir: str, columns: "list[str]",
-                   table: str = "events", n_chunks: int = 4) -> str:
+                   table: str = "events", n_chunks: int | None = None) -> str:
     """Arrival-chunk fixture for the streaming gates: ``n_chunks``
-    ts-sorted parquet chunks of ``table``'s ``columns`` under
-    ``/tmp/vaero_ray_gate/<sf>/<subdir>``, built atomically (tmp dir +
-    os.replace). The cache is keyed by the sf-dir BASENAME, so it is
-    re-built whenever the source row count changes (regenerated testdata
-    previously replayed stale chunks against a fresh oracle)."""
+    (default ``GATE_STREAM_CHUNKS``) ts-sorted parquet chunks of
+    ``table``'s ``columns`` under ``/tmp/vaero_ray_gate/<sf>/<subdir>``,
+    built atomically (tmp dir + os.replace). The cache is keyed by the
+    sf-dir BASENAME plus (row count, chunk count), so it is re-built
+    whenever the source row count OR the chunking changes (regenerated
+    testdata previously replayed stale chunks against a fresh oracle)."""
     import os
     import shutil
 
+    if n_chunks is None:
+        n_chunks = GATE_STREAM_CHUNKS
     src = f"{sf_dir}/{table}.parquet"
     n_src = pq.ParquetFile(src).metadata.num_rows
     base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}"
     ind = f"{base}/{subdir}"
     if os.path.isdir(ind):
         try:
+            files = [f for f in sorted(os.listdir(ind)) if f.endswith(".parquet")]
             cached = sum(
                 pq.ParquetFile(os.path.join(ind, f)).metadata.num_rows
-                for f in sorted(os.listdir(ind)) if f.endswith(".parquet")
+                for f in files
             )
+            n_files = len(files)
         except Exception:
-            cached = -1
-        if cached == n_src:
+            cached, n_files = -1, -1
+        if cached == n_src and n_files == n_chunks:
             return ind
         shutil.rmtree(ind, ignore_errors=True)
     tmp = ind + ".tmp"
@@ -652,14 +670,20 @@ SQL_STREAMING_SLIDING = SQL_SLIDING  # identical final answer by design
 
 
 def _transcript_chunks(sf_dir: str) -> str:
-    """Shared streaming fixture: the derived transcript table as 4
-    ts-sorted arrival chunks under /tmp (built once per scale; prep runs
-    INSIDE a Ray task — the driver holds only the row-count ack)."""
+    """Shared streaming fixture: the derived transcript table as
+    ``GATE_STREAM_CHUNKS`` ts-sorted arrival chunks under /tmp (built
+    once per scale; prep runs INSIDE a Ray task — the driver holds only
+    the row-count ack). Cache re-built when the chunk count changes."""
     import os
     import shutil
 
+    k = GATE_STREAM_CHUNKS
     base = f"/tmp/vaero_ray_gate/{os.path.basename(os.path.normpath(sf_dir))}/stitch"
     ind = f"{base}/in"
+    if os.path.isdir(ind):
+        n_files = len([f for f in os.listdir(ind) if f.endswith(".parquet")])
+        if n_files != k:
+            shutil.rmtree(ind, ignore_errors=True)
     if not os.path.isdir(ind):
         tmp = ind + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -671,8 +695,8 @@ def _transcript_chunks(sf_dir: str) -> str:
             t = pa.concat_tables(tabs, promote_options="permissive").combine_chunks()
             t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
             n = t.num_rows
-            for i in range(4):
-                lo, hi = i * n // 4, (i + 1) * n // 4
+            for i in range(k):
+                lo, hi = i * n // k, (i + 1) * n // k
                 pq.write_table(t.slice(lo, hi - lo), f"{tmp}/chunk-{i:04d}.parquet")
             return n
 

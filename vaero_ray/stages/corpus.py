@@ -18,11 +18,29 @@ the training-data tier mandated by the task.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from vaero_ray.stages.keyed import bucketed_map_groups
+
+
+def _group_positions(t: pa.Table, key: str) -> "np.ndarray":
+    """0-based within-group position per row of a table ALREADY sorted
+    with ``key`` as the primary sort column: dictionary-encode the key
+    (equal keys -> equal codes, contiguous post-sort; nulls -> one -1
+    run, also contiguous since nulls sort together) and run one numpy
+    segment cumcount. No pandas conversion of the block."""
+    codes = pc.dictionary_encode(t.column(key).combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
+    )
+    codes = np.where(pd.isna(codes), -1, codes).astype(np.int64)
+    n = len(codes)
+    idx = np.arange(n)
+    seg_first = np.r_[True, codes[1:] != codes[:-1]]
+    return idx - np.maximum.accumulate(np.where(seg_first, idx, 0))
 
 
 def cap_per_key(
@@ -47,13 +65,16 @@ def cap_per_key(
     """
     sort_cols = [order_col] if tie_col is None else [order_col, tie_col]
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized per-block combiner: smallest cap per key
-        return (
-            df.sort_values(sort_cols, kind="stable")
-            .groupby(key, sort=False, dropna=False)
-            .head(cap)
-        )
+    def prune(tbl: pa.Table) -> pa.Table:
+        # Arrow-native per-block combiner: smallest cap per key. Sorting
+        # key-first does not change the survivor set (per-key order under
+        # sort_cols is preserved), and the order-sensitive `final` below
+        # re-sorts inside its bucket anyway.
+        if not tbl.num_rows:
+            return tbl
+        order = [(key, "ascending")] + [(c, "ascending") for c in sort_cols]
+        t = tbl.take(pc.sort_indices(tbl, sort_keys=order))
+        return t.filter(pa.array(_group_positions(t, key) < cap))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -63,7 +84,7 @@ def cap_per_key(
             .reset_index(drop=True)
         )
 
-    partial = ds.map_batches(prune, batch_format="pandas")
+    partial = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_map_groups(partial, key, final, num_buckets=num_buckets)
 
 
@@ -218,14 +239,18 @@ def resample_to_mixture(
 
     from vaero_ray.stages.sketch import hll_hash
 
-    def block_counts(df):
-        vc = df[strata_col].value_counts(dropna=False)
-        return vc.rename_axis(strata_col).reset_index(name="__n")
+    def block_counts(tbl):
+        out = tbl.select([strata_col]).group_by(
+            [strata_col], use_threads=False
+        ).aggregate([([], "count_all")])
+        return out.rename_columns([strata_col, "__n"])
 
     counts: dict = {}
     # per-block partials -> driver sum: the counts pass is a pure scan
     # (blocks x strata tiny rows out), not a sort-based shuffle
-    for r in ds.map_batches(block_counts, batch_format="pandas").take_all():
+    for r in ds.map_batches(
+        block_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
         counts[r[strata_col]] = counts.get(r[strata_col], 0) + int(r["__n"])
     live = sorted(s for s, w in weights.items() if w > 0 and counts.get(s, 0) > 0)
     if not live:
@@ -233,16 +258,24 @@ def resample_to_mixture(
     m = min(live, key=lambda s: (Fraction(counts[s], weights[s]), s))
     quota = {s: (counts[m] * weights[s]) // weights[m] for s in live}
 
-    def prune(df):
-        lim = df[strata_col].map(quota)
-        df = df[lim.notna()]
-        if not len(df):
-            return df
-        ids = df[id_col].to_numpy().astype(np.uint64)
-        df = df.assign(__h=hll_hash(ids).astype(np.int64))
-        df = df.sort_values(["__h", id_col], kind="mergesort")
-        cc = df.groupby(strata_col, sort=False).cumcount().to_numpy()
-        return df[cc < df[strata_col].map(quota).to_numpy()]
+    def prune(tbl):
+        # Arrow-native: quota-filter, hash, stratum-first sort (same
+        # per-stratum (__h, id) survivor order as the global sort), one
+        # segment cumcount against the per-stratum quota
+        t = tbl.filter(
+            pc.is_in(tbl.column(strata_col), value_set=pa.array(list(quota)))
+        )
+        if not t.num_rows:
+            return t.append_column("__h", pa.array([], pa.int64()))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = t.append_column("__h", pa.array(hll_hash(ids).astype(np.int64), pa.int64()))
+        order = [(strata_col, "ascending"), ("__h", "ascending"), (id_col, "ascending")]
+        t = t.take(pc.sort_indices(t, sort_keys=order))
+        pos = _group_positions(t, strata_col)
+        d = pc.dictionary_encode(t.column(strata_col).combine_chunks())
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        qs = np.asarray([quota[s] for s in d.dictionary.to_pylist()], dtype=np.int64)
+        return t.filter(pa.array(pos < qs[codes]))
 
     def final(df):
         df = df.sort_values(["__h", id_col], kind="mergesort")
@@ -253,7 +286,7 @@ def resample_to_mixture(
             .reset_index(drop=True)
         )
 
-    partial = ds.map_batches(prune, batch_format="pandas")
+    partial = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_map_groups(partial, strata_col, final, num_buckets=num_buckets)
 
 

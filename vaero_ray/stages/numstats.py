@@ -134,6 +134,25 @@ def corr_matrix(ds: rd.Dataset, cols: "list[str]") -> pa.Table:
     )
 
 
+
+def _cell_counts_arrow(ds: rd.Dataset, keys: "list[str]",
+                       drop_null_keys: bool, out_name: str = "c") -> rd.Dataset:
+    """Per-block exact cell counts, Arrow-native: zero-copy block input,
+    column-pruned, one hash-groupby kernel (`pa.Table.group_by`) — the
+    full scan never converts to pandas; only the tiny (keys, count)
+    cells leave the block. ``drop_null_keys`` mirrors pandas' groupby
+    ``dropna`` (Arrow groups nulls; pandas drops them by default)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select(keys)
+        if drop_null_keys:
+            t = t.drop_null()
+        out = t.group_by(keys, use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(keys + [out_name])
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def regression_per_group(ds: rd.Dataset, key: str, x_col: str, y_col: str) -> rd.Dataset:
     """Per-key simple OLS of INTEGER ``y`` on INTEGER ``x`` — slope,
     intercept and r² derived in closed form from grouped_moments' exact
@@ -192,11 +211,7 @@ def entropy_per_group(ds: rd.Dataset, key: str, cat_col: str) -> rd.Dataset:
     end; only the final H is float (6-dp, the identical ln expression
     the oracle writes). Single-category keys emit 0.0."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby([key, cat_col], sort=False, dropna=False).size()
-        return g.rename("c").reset_index()
-
-    counts = ds.map_batches(partial, batch_format="pandas")
+    counts = _cell_counts_arrow(ds, [key, cat_col], drop_null_keys=False)
     merged = bucketed_keyed_sum(counts, [key, cat_col], ["c"])
     return entropy_from_counts(merged, key)
 
@@ -232,11 +247,7 @@ def _compressed_counts(ds: rd.Dataset, key: str, val_col: str) -> rd.Dataset:
     """Distinct-value compression: exact counts per (key, value) — the
     shared front half of gini_per_group / rank_sum_test."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby([key, val_col], sort=False).size()
-        return g.rename("c").reset_index()
-
-    counts = ds.map_batches(partial, batch_format="pandas")
+    counts = _cell_counts_arrow(ds, [key, val_col], drop_null_keys=True)
     return bucketed_keyed_sum(counts, [key, val_col], ["c"])
 
 
@@ -265,6 +276,34 @@ def _finalize_compressed(merged: rd.Dataset, what: str,
             "or raise max_distinct explicitly"
         )
     return mat.to_pandas()
+
+
+
+def _two_group_cells(ds: rd.Dataset, val_col: str, group_col: str,
+                     g1: str, g2: str) -> rd.Dataset:
+    """Per-block (value, c1, c2) cells for the two-sample family,
+    Arrow-native: column-pruned zero-copy input, `is_in` filter + one
+    hash-groupby kernel per block; only the tiny distinct-value cell
+    table is pivoted in pandas."""
+    import pyarrow.compute as pc
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select([val_col, group_col])
+        t = t.filter(pc.is_in(t.column(group_col), value_set=pa.array([g1, g2])))
+        cells = t.group_by([val_col, group_col], use_threads=False).aggregate(
+            [([], "count_all")]
+        ).to_pandas()
+        out = pd.DataFrame(
+            {
+                val_col: cells[val_col],
+                "c1": np.where(cells[group_col] == g1, cells["count_all"], 0).astype(np.int64),
+                "c2": np.where(cells[group_col] == g2, cells["count_all"], 0).astype(np.int64),
+            }
+        )
+        out = out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def gini_per_group(ds: rd.Dataset, key: str, val_col: str) -> rd.Dataset:
@@ -327,19 +366,7 @@ def rank_sum_test(
     small sort + cumsum (contract: bounded value domain). Returns a
     1-row table (n1, n2, two_r1, two_u1) — all exact int64."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[group_col].isin([g1, g2])]
-        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
-        out = pd.DataFrame(
-            {
-                val_col: p[val_col],
-                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
-                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
-            }
-        )
-        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
-
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = _two_group_cells(ds, val_col, group_col, g1, g2)
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
     # compressed table: one row per distinct value — small by contract
     comp = _finalize_compressed(merged, "rank_sum_test", max_distinct).sort_values(val_col, kind="stable")
@@ -368,11 +395,7 @@ def simpson_per_group(ds: rd.Dataset, key: str, cat_col: str) -> rd.Dataset:
     deterministic division). Same two bounded exchanges as
     :func:`entropy_per_group`; keys with n < 2 emit NULL."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby([key, cat_col], sort=False, dropna=False).size()
-        return g.rename("c").reset_index()
-
-    counts = ds.map_batches(partial, batch_format="pandas")
+    counts = _cell_counts_arrow(ds, [key, cat_col], drop_null_keys=False)
     merged = bucketed_keyed_sum(counts, [key, cat_col], ["c"])
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
@@ -783,19 +806,7 @@ def cliffs_delta(ds: rd.Dataset, val_col: str, group_col: str, g1: str, g2: str,
     delta_e6 is the one float, floor(delta * 1e6 + 0.5), identical
     expression in the oracle. Contract: n1 * n2 < 2^63."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[group_col].isin([g1, g2])]
-        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
-        out = pd.DataFrame(
-            {
-                val_col: p[val_col],
-                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
-                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
-            }
-        )
-        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
-
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = _two_group_cells(ds, val_col, group_col, g1, g2)
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
     comp = _finalize_compressed(merged, "cliffs_delta", max_distinct).sort_values(val_col, kind="stable")
     c1 = comp["c1"].to_numpy(np.int64)
@@ -857,17 +868,7 @@ def kruskal_rank_ingredients(
     float64 expression a SQL oracle writes over the same integers
     (6-dp rounded)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        p = (
-            df.groupby([val_col, group_col], sort=False)
-            .size()
-            .rename("c")
-            .reset_index()
-        )
-        p["c"] = p["c"].astype(np.int64)
-        return p
-
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = _cell_counts_arrow(ds, [val_col, group_col], drop_null_keys=True)
     merged = bucketed_keyed_sum(parts, [val_col, group_col], ["c"])
     comp = _finalize_compressed(merged, "kruskal_rank_ingredients", max_distinct).sort_values([val_col, group_col], kind="stable")
     # tie blocks over distinct values (across ALL groups)
@@ -915,24 +916,7 @@ def jsd_two_sample(
     contributing 0 — then one sum, 6-dp rounded. Also emits the exact
     integers: n1, n2, support size and overlap count."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[group_col].isin([g1, g2])]
-        p = (
-            df.groupby([val_col, group_col], sort=False)
-            .size()
-            .rename("c")
-            .reset_index()
-        )
-        out = pd.DataFrame(
-            {
-                val_col: p[val_col],
-                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
-                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
-            }
-        )
-        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
-
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = _two_group_cells(ds, val_col, group_col, g1, g2)
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
     comp = _finalize_compressed(merged, "jsd_two_sample", max_distinct).sort_values(val_col, kind="stable")
     c1 = comp["c1"].to_numpy(np.int64)
@@ -1004,19 +988,7 @@ def hodges_lehmann_shift(
     Median interpolation only ever averages two INTEGER diffs, so
     hl_e6 is exact. Contract: n1 * n2 < 2^63."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[group_col].isin([g1, g2])]
-        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
-        out = pd.DataFrame(
-            {
-                val_col: p[val_col],
-                "c1": np.where(p[group_col] == g1, p["c"], 0).astype(np.int64),
-                "c2": np.where(p[group_col] == g2, p["c"], 0).astype(np.int64),
-            }
-        )
-        return out.groupby(val_col, sort=False, as_index=False)[["c1", "c2"]].sum()
-
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = _two_group_cells(ds, val_col, group_col, g1, g2)
     merged = bucketed_keyed_sum(parts, [val_col], ["c1", "c2"])
     comp = _finalize_compressed(merged, "hodges_lehmann_shift", max_distinct)
     v = comp[val_col].to_numpy(np.int64)
@@ -1057,12 +1029,7 @@ def mood_median_test(ds: rd.Dataset, val_col: str, group_col: str,
     compressed exchange as :func:`kruskal_rank_ingredients`; the
     pooled-median fold is a cumsum over the compressed rows."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        p = df.groupby([val_col, group_col], sort=False).size().rename("c").reset_index()
-        p["c"] = p["c"].astype(np.int64)
-        return p
-
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = _cell_counts_arrow(ds, [val_col, group_col], drop_null_keys=True)
     merged = bucketed_keyed_sum(parts, [val_col, group_col], ["c"])
     comp = _finalize_compressed(merged, "mood_median_test", max_distinct).sort_values([val_col, group_col], kind="stable")
     per_val = comp.groupby(val_col, sort=True)["c"].sum()
@@ -1099,19 +1066,19 @@ def _group_moments12(ds: rd.Dataset, val_col: str, group_col: str) -> pd.DataFra
     exchange of the parametric location-test family (one-way ANOVA,
     Welch). Contract: n * max(v^2) < 2^63."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[val_col].to_numpy(np.int64)
-        g = pd.DataFrame(
-            {
-                group_col: df[group_col],
-                "n_j": np.int64(1),
-                "s1": v,
-                "s2": v * v,
-            }
-        )
-        return g.groupby(group_col, sort=False, as_index=False)[["n_j", "s1", "s2"]].sum()
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    parts = ds.map_batches(partial, batch_format="pandas")
+        t0 = tbl.select([group_col, val_col]).drop_null()
+        v = t0.column(val_col).cast(pa.int64())
+        t = pa.table({group_col: t0.column(group_col), "s1": v,
+                      "s2": pc.multiply(v, v)})
+        out = t.group_by([group_col], use_threads=False).aggregate(
+            [("s1", "count"), ("s1", "sum"), ("s2", "sum")]
+        )
+        return out.rename_columns([group_col, "n_j", "s1", "s2"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = bucketed_keyed_sum(parts, [group_col], ["n_j", "s1", "s2"])
     return merged.to_pandas().sort_values(group_col, kind="stable").reset_index(drop=True)
 

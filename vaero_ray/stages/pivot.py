@@ -37,9 +37,12 @@ def pivot_counts(
     cats = list(categories)
     out_cols = [prefix + c for c in cats]
 
-    def partial(df: pd.DataFrame) -> "pa.Table":
+    def partial(tbl: "pa.Table") -> "pa.Table":
         import pyarrow as pa
 
+        # column-pruned conversion: only the two grouping columns leave
+        # Arrow; the wide rest of the block stays zero-copy
+        df = tbl.select([key, cat_col]).to_pandas()
         kcodes, kuniq = pd.factorize(df[key], use_na_sentinel=False)
         ccodes = pd.Categorical(df[cat_col], categories=cats).codes.astype(np.int64)
         mask = ccodes >= 0
@@ -60,7 +63,7 @@ def pivot_counts(
     # 5-column sum) vs ~1 s for one hash-bucket exchange + a vectorized
     # pandas groupby-sum per bucket. The exchange stays bounded: partial
     # rows <= keys x categories per block regardless of input rows.
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(key, sort=False, as_index=False, dropna=False)[out_cols].sum()

@@ -512,7 +512,8 @@ def winsorized_stats_per_group(
     hi = np.array([gq[g][1] for g in keys], np.int64)
     bounds_ref = ray.put((keys, lo, hi))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(tbl: "pa.Table") -> pd.DataFrame:
+        df = tbl.select([group, col]).to_pandas()  # column-pruned conversion
         b_keys, b_lo, b_hi = ray.get(bounds_ref)
         codes = pd.Categorical(df[group], categories=b_keys).codes
         v = df[col].to_numpy()
@@ -529,7 +530,7 @@ def winsorized_stats_per_group(
         )
         return g
 
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = bucketed_keyed_sum(parts, [group], ["n_rows", "sum_w"])
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
