@@ -15,6 +15,15 @@ same intermediate) becomes a nested list of sub-chains
 Node construction mirrors stream.py line-for-line in behavior: same arg
 names, same defaults (source defaults stream.py:19-22, sink defaults
 :35-43), ``.option``/``.option_file``/``.secret`` modifiers (:83-109).
+
+Beyond the reference's seven transforms, the fluent surface also exposes
+the engine's relational/window tier (the reference has no such ops —
+SURVEY.md §2b) as ``"rel"`` nodes: ``.window(...)`` (two-phase grouped /
+tumbling aggregate), ``.join(other, on=...)`` (adaptive broadcast-vs-
+partitioned hash join), ``.dedup(...)`` (exact content dedup). A join's
+right side is a detached chain built with ``Vaero.side()`` — same fluent
+verbs, but it never claims the module-global graph root and is embedded
+into the join node as a nested sub-graph IR.
 """
 
 from __future__ import annotations
@@ -33,12 +42,20 @@ class Vaero:
 
     tg_start: Mapping[str, Any] | None = None  # first node of the global graph
 
-    def __init__(self, ptr: Mapping[str, Any] | None = None):
+    def __init__(self, ptr: Mapping[str, Any] | None = None, root: Mapping[str, Any] | None = None, detached: bool = False):
         self._ptr = ptr
+        self._root = root
+        self._detached = detached
 
     @classmethod
     def reset(cls) -> None:
         cls.tg_start = None
+
+    @classmethod
+    def side(cls) -> "Vaero":
+        """A detached chain root — build a join's right side with the same
+        fluent verbs without claiming the module-global graph start."""
+        return cls(detached=True)
 
     # --- sources (defaults per vaero/stream.py:19-31) -------------------
     def source(
@@ -133,6 +150,79 @@ class Vaero:
     def select(self, path: str) -> "Vaero":
         return self._add({"type": "tn", "op": "select", "args": {"path": path}})
 
+    # --- relational tier (engine extension; no reference counterpart) ---
+    def window(
+        self,
+        keys: List[str],
+        aggs: List[Any],
+        ts_col: str = "ts",
+        size_s: int | None = 60,
+        window_col: str = "window_start",
+    ) -> "Vaero":
+        """Two-phase grouped aggregate, optionally windowed (tumbling when
+        ``size_s`` is set, plain group-by when ``None``). ``aggs`` is a list
+        of ``[col, fn, alias]`` (fn in sum/min/max/count/mean)."""
+        return self._add(
+            {
+                "type": "rel",
+                "op": "window",
+                "args": {
+                    "keys": list(keys),
+                    "aggs": [list(a) for a in aggs],
+                    "ts_col": ts_col,
+                    "size_s": size_s,
+                    "window_col": window_col,
+                },
+            }
+        )
+
+    def join(
+        self,
+        right: "Vaero | list",
+        on: str | List[str],
+        how: str = "inner",
+        suffix: str = "_r",
+    ) -> "Vaero":
+        """Adaptive join against a detached chain (``Vaero.side()...``) or
+        a pre-built sub-graph IR. Compiles to ``stages.joins.auto_join``:
+        broadcast when the build side is small, partitioned hash join
+        otherwise."""
+        if isinstance(right, Vaero):
+            if right._root is None:
+                raise ValueError(".join right side is an empty chain")
+            right_ir = Vaero.linked_list_to_arr(right._root)
+        else:
+            right_ir = right
+        return self._add(
+            {
+                "type": "rel",
+                "op": "join",
+                "args": {
+                    "on": [on] if isinstance(on, str) else list(on),
+                    "how": how,
+                    "suffix": suffix,
+                },
+                "right": right_ir,
+            }
+        )
+
+    def dedup(
+        self,
+        path: str = "text",
+        id_path: str = "doc_id",
+        mode: str = "auto",
+    ) -> "Vaero":
+        """Exact content dedup: keep the min-``id_path`` row per distinct
+        ``path`` value (``stages.dedup.exact_dedup``; mode in
+        carry/project/auto picks the exchange shape)."""
+        return self._add(
+            {
+                "type": "rel",
+                "op": "dedup",
+                "args": {"path": path, "id_path": id_path, "mode": mode},
+            }
+        )
+
     # --- modifiers (vaero/stream.py:83-109) -----------------------------
     def option(self, arg_name: str, value: Any) -> "Vaero":
         self._ptr["args"][arg_name] = value
@@ -163,10 +253,13 @@ class Vaero:
         node["next"] = []
         node.setdefault("args", {})
         if self._ptr is None:
-            self._ptr = Vaero.tg_start = node
+            self._ptr = node
+            self._root = node
+            if not self._detached:
+                Vaero.tg_start = node
         else:
             self._ptr["next"].append(node)
-        return Vaero(node)
+        return Vaero(node, root=self._root or node, detached=self._detached)
 
     @classmethod
     def start(cls, print_json: bool = False) -> list:

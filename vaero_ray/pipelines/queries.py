@@ -15106,6 +15106,56 @@ FROM u ORDER BY ABS(n_second - n_first) DESC, user_id LIMIT 10
 """
 
 
+def q_dsl_windowed_join(sf_dir: str):
+    """Fluent-DSL exposure of the relational tier (VERDICT r4 item 6): the
+    reference's ``.source().add().sink()`` builder style
+    (/root/reference/vaero/stream.py) extended with ``.window()`` /
+    ``.join()`` verbs, compiled through the SAME planner/runner path as
+    ``python -m vaero_ray add/start``. Grouped count+min+max over orders,
+    adaptively joined (broadcast here — the build side is tiny after
+    column pruning) to the customer segment via a detached side chain."""
+    from vaero_ray.dsl import Vaero
+    from vaero_ray.runner import run_batch
+
+    Vaero.reset()
+    right = (
+        Vaero.side()
+        .source("parquet", path=f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_mktsegment"])
+        .rename("c_custkey", "o_custkey")
+    )
+    (
+        Vaero()
+        .source("parquet", path=f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_orderkey"])
+        .window(
+            keys=["o_custkey"],
+            aggs=[
+                [None, "count", "n_orders"],
+                ["o_orderkey", "min", "first_order"],
+                ["o_orderkey", "max", "last_order"],
+            ],
+            size_s=None,
+        )
+        .join(right, on="o_custkey", how="inner")
+        .sink("stdout")
+    )
+    graph = Vaero.start()
+    Vaero.reset()
+    return next(iter(run_batch(graph).values()))
+
+
+SQL_DSL_WINDOWED_JOIN = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS first_order,
+       MAX(o_orderkey) AS last_order,
+       c_mktsegment
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY o_custkey, c_mktsegment
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15423,6 +15473,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_fpr_eval": q_bloom_fpr_eval,
     "kmv_error_eval": q_kmv_error_eval,
     "user_delta_movers": q_user_delta_movers,
+    "dsl_windowed_join": q_dsl_windowed_join,
 }
 
 # Driver correctness window (rotated in round 5). The external gate
@@ -15819,4 +15870,5 @@ ORACLES: dict[str, str] = {
     "bloom_fpr_eval": SQL_BLOOM_FPR,
     "kmv_error_eval": SQL_KMV_ERROR,
     "user_delta_movers": SQL_USER_DELTA_MOVERS,
+    "dsl_windowed_join": SQL_DSL_WINDOWED_JOIN,
 }

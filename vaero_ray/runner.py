@@ -95,6 +95,62 @@ def resolve_source(spec, source_data=None) -> rd.Dataset:
     raise ValueError(f"unsupported batch source: {spec.op!r}")
 
 
+def apply_steps(src: rd.Dataset, branch, out_dir: str | None = None) -> rd.Dataset:
+    """Execute a branch's ordered steps over ``src``: each ``("tn", ...)``
+    segment is one fused zero-copy ``map_batches``; each :class:`RelStep`
+    calls the corresponding stage function (windows/joins/dedup), which
+    owns its own shuffle/broadcast strategy."""
+    from vaero_ray.planner import RelStep
+    from vaero_ray.transforms import compile_chain
+
+    ds = src
+    for step in branch.steps:
+        if isinstance(step, RelStep):
+            ds = _apply_rel(ds, step)
+        else:
+            fn = compile_chain(step[1])
+            ds = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
+
+
+def _apply_rel(ds: rd.Dataset, step) -> rd.Dataset:
+    if step.op == "window":
+        from vaero_ray.stages.windows import AggSpec, windowed_aggregate
+
+        a = step.args
+        aggs = [AggSpec(c, f, alias) for c, f, alias in a["aggs"]]
+        return windowed_aggregate(
+            ds,
+            list(a["keys"]),
+            aggs,
+            ts_col=a.get("ts_col", "ts"),
+            size_s=a.get("size_s", 60),
+            window_col=a.get("window_col", "window_start"),
+        )
+    if step.op == "join":
+        from vaero_ray.stages.joins import auto_join
+
+        rplan = step.right
+        if rplan is None:
+            raise ValueError("join step has no right-side plan")
+        rds = apply_steps(resolve_source(rplan.source), rplan.branches[0])
+        a = step.args
+        return auto_join(
+            ds, rds, list(a["on"]), join_type=a.get("how", "inner"), suffix=a.get("suffix", "_r")
+        )
+    if step.op == "dedup":
+        from vaero_ray.stages.dedup import exact_dedup
+
+        a = step.args
+        return exact_dedup(
+            ds,
+            text_col=a.get("path", "text"),
+            id_col=a.get("id_path", "doc_id"),
+            payload_mode=a.get("mode", "auto"),
+        )
+    raise ValueError(f"unsupported rel op: {step.op!r}")
+
+
 def run_batch(
     plan_or_graph: Plan | list,
     source_data: Any = None,
@@ -113,8 +169,7 @@ def run_batch(
 
     results: dict[str, Any] = {}
     for i, branch in enumerate(plan.branches):
-        fn = branch.compile()
-        ds = src.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        ds = apply_steps(src, branch)
         sink = branch.sink
         key = f"b{i}:{sink.op}" if sink else f"b{i}:none"
         if sink is None:

@@ -84,7 +84,7 @@ class StreamingTransformJob:
         for i, branch in enumerate(self.plan.branches):
             sink = branch.sink
             bkey = f"b{i}_{sink.op if sink else 'none'}"
-            fused = branch.compile()
+            fused = None if branch.has_rel else branch.compile()
             ts_key = sink.args.get("timestamp_key", "timestamp") if sink else "timestamp"
             fmt = (sink.args.get("filename_prefix", "%Y/%m/%d") if sink else "%Y/%m/%d").replace(
                 "/", "-"
@@ -107,8 +107,22 @@ class StreamingTransformJob:
                     {"partition": [pdir_safe], "rows": [rows], "path": [final], "sha256": [sha]}
                 )
 
+            if fused is None:
+                # relational branch (window/join/dedup steps): the epoch's
+                # materialized src IS the bounded batch; apply the step plan
+                # then derive the sink prefix in its own zero-copy pass
+                from vaero_ray.runner import apply_steps
+
+                def prefix_only(tbl: pa.Table, ts_key=ts_key, fmt=fmt) -> pa.Table:
+                    return derive_prefix(tbl, ts_key, fmt)
+
+                staged = apply_steps(src, branch).map_batches(
+                    prefix_only, batch_format="pyarrow", zero_copy_batch=True
+                )
+            else:
+                staged = src.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
             lineage = (
-                src.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+                staged
                 .groupby(PREFIX_COL)
                 .map_groups(write_prefix, batch_format="pandas")
                 .take_all()
