@@ -314,3 +314,91 @@ def test_cli_windowed_join_e2e(tmp_path, ray_session):
     # windows: [03:00, 03:01) k=1 -> 30, k=2 -> 5; [03:01, 03:02) k=1 -> 30
     assert got == {(1, 30, "one"), (2, 5, "two"), (1, 30, "one")} or len(out) == 3
     assert sorted(out["v_sum"].tolist()) == [5, 30, 30]
+
+
+# ------------------------------------------- exchange sizing unification
+
+
+def test_derive_num_buckets_snaps_to_cpu_band(tmp_path, ray_session):
+    """keyed.derive_num_buckets applies the join snap rule: bytes-derived
+    counts in [cpus/3, 2*cpus] become exactly the CPU count; explicit
+    floors still win; unresolvable sizes keep DEFAULT_BUCKETS."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vaero_ray.stages.keyed import (
+        DEFAULT_BUCKETS,
+        derive_num_buckets,
+        snap_to_cpu_band,
+    )
+
+    # pure snap rule on a synthetic count
+    assert snap_to_cpu_band(15, n_cpus=32) == 32     # in band -> one wave
+    assert snap_to_cpu_band(64, n_cpus=32) == 32     # band top inclusive
+    assert snap_to_cpu_band(65, n_cpus=32) == 65     # above band: bytes rule
+    assert snap_to_cpu_band(9, n_cpus=32) == 9       # below band: floor rule
+    assert snap_to_cpu_band(5, n_cpus=8) == 8
+
+    # synthetic manifest: one parquet file of known size
+    p = tmp_path / "m.parquet"
+    pq.write_table(pa.table({"v": pa.array(range(200_000), pa.int64())}), p)
+    sz = p.stat().st_size
+    ds = rd.read_parquet(str(p))
+    # pick a target so 3*sz/target lands mid-band at 32 cpus
+    target = (3 * sz) // 20
+    assert derive_num_buckets(ds, target_task_bytes=target, n_cpus=32) == 32
+    # explicit floor wins over the snapped count
+    assert derive_num_buckets(ds, target_task_bytes=target, floor=50, n_cpus=32) == 50
+    # tiny derived count floors at one wave of cpus/4 tasks, not 64
+    assert derive_num_buckets(ds, n_cpus=32) == 8
+    # unresolvable lineage (from_pandas) keeps the conservative default
+    ds2 = rd.from_pandas(pd.DataFrame({"v": [1, 2]}))
+    assert derive_num_buckets(ds2, n_cpus=32) == DEFAULT_BUCKETS
+
+
+def test_winnow_stop_fp_precollapse_exact(ray_session):
+    """The within-block over-cap pre-collapse is exactness-preserving:
+    the pair set equals the brute-force global-df-filtered reference, for
+    both one fat block (markers trigger) and many tiny blocks (per-block
+    df under the cap, so only the summed-cnt path can drop the
+    boilerplate)."""
+    import pyarrow as pa
+
+    from vaero_ray.stages.dedup import winnow_dup_pairs, winnow_fingerprints
+
+    k, w, max_df, min_shared = 4, 2, 8, 1
+    boiler = "zqxj" * 3          # shared gram block in every doc: df 42 > cap
+    rng = np.random.default_rng(7)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    texts, ids = [], []
+    for i in range(40):
+        filler = "".join(rng.choice(letters, size=14))
+        texts.append(boiler + " " + filler)
+        ids.append(i)
+    texts += ["kw8yv3mmz9 rare pair text", "kw8yv3mmz9 rare pair text"]
+    ids += [100, 101]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    # brute-force reference: global df filter over the raw fingerprints
+    fps = winnow_fingerprints(tbl, k=k, w=w).to_pandas()
+    dfc = fps.groupby("fp")["doc_id"].size()          # fps are per-doc distinct
+    ok = dfc[(dfc > 1) & (dfc <= max_df)].index
+    assert (dfc > max_df).any(), "fixture must contain over-cap fingerprints"
+    sub = fps[fps["fp"].isin(ok)]
+    m = sub.merge(sub, on="fp")
+    m = m[m["doc_id_x"] > m["doc_id_y"]]
+    pc_ = m.groupby(["doc_id_x", "doc_id_y"]).size()
+    want = sorted(pc_[pc_ >= min_shared].index.tolist())
+
+    def pairs(ds):
+        out = winnow_dup_pairs(
+            ds, k=k, w=w, min_shared=min_shared, max_df=max_df,
+            num_shards=4, pair_buckets=2,
+        ).to_pandas()
+        return sorted(map(tuple, out[["doc_id", "dup_of"]].to_numpy()))
+
+    got_one = pairs(rd.from_arrow(tbl))                  # markers trigger
+    got_many = pairs(rd.from_arrow(tbl).repartition(20)) # per-block df < cap
+    assert got_one == want
+    assert got_many == want
+    assert (101, 100) in want                            # the rare dup survives

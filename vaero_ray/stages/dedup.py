@@ -984,13 +984,30 @@ def _pairwise_intersections(flat_vals: np.ndarray, lens: np.ndarray) -> np.ndarr
 
 
 def _unique_per_seg(vals: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted-unique values per segment: lexsort by (seg, value) +
-    first-occurrence mask. Returns (values, offsets[n+1])."""
+    """Sorted-unique values per segment. Returns (values, offsets[n+1]).
+
+    Fast path: when (seg_bits + value_bits) fit an int64, pack
+    ``seg << vbits | val`` and run ONE flat ``np.sort`` — ~3x faster
+    than the two-pass stable lexsort on the winnowing workload (4.6 ->
+    1.5 s per 27M-value block), with identical output (the shared shift
+    preserves within-segment value order). Wide values (e.g. 61-bit
+    shingle hashes) take the lexsort fallback."""
     n = len(counts)
     offs = np.zeros(n + 1, dtype=np.int64)
     if not len(vals):
         return vals, offs
     seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    vmin = int(vals.min())
+    if vmin >= 0:
+        vbits = max(1, int(vals.max()).bit_length())
+        sbits = max(1, int(n - 1).bit_length()) if n > 1 else 1
+        if vbits + sbits <= 63:
+            comb = np.sort((seg << vbits) | vals)
+            first = np.ones(len(comb), dtype=bool)
+            first[1:] = comb[1:] != comb[:-1]
+            comb = comb[first]
+            np.cumsum(np.bincount(comb >> vbits, minlength=n), out=offs[1:])
+            return comb & ((np.int64(1) << vbits) - 1), offs
     order = np.lexsort((vals, seg))
     v_s, seg_s = vals[order], seg[order]
     first = np.ones(len(v_s), dtype=bool)
@@ -1790,7 +1807,10 @@ def winnow_fingerprints(
         acc = (acc * FP_BASE) % FP_MOD
     h = np.zeros(n_flat, dtype=np.int64)
     for j in range(k):
-        h += d[j : j + n_flat] * pows[j] % FP_MOD
+        # no per-term mod: each product < 256 * FP_MOD < 2^48 and the
+        # k-term running sum < 2^51 — one final reduction is exact by
+        # modular arithmetic and saves k full-array modulo passes
+        h += d[j : j + n_flat] * pows[j]
     h %= FP_MOD
     # per-doc gram positions in the flat hash array
     gpos = np.repeat(off[:-1][s > 0], s[s > 0]) + _seg_arange(s[s > 0])
@@ -1843,6 +1863,20 @@ def winnow_dup_pairs(
     so the shard count derives from the read lineage like
     ``keyed.derive_num_buckets`` (explicit values always win). Output:
     (doc_id, dup_of, shared_fps), doc_id > dup_of.
+
+    Stop-fingerprint pre-collapse (exactness-preserving): a fingerprint
+    whose WITHIN-BLOCK document frequency already exceeds ``max_df`` is
+    certainly over the cap globally (block rows are a subset), so its
+    posting rows collapse to ONE marker row per block — (fp, doc_id=-1,
+    cnt=block_df) — before the exchange. The shard-side df filter sums
+    ``cnt`` (real rows carry 1), so the total per fingerprint is the
+    exact global df and any marker forces the group over the cap —
+    bit-identical output to the naive explode, with boilerplate grams
+    (the bulk of the exploded volume on real corpora) never shipped.
+    This is the inverted-index sampled-df trick (textstats.py) in its
+    zero-extra-pass form: the "sample" is each block itself, and the
+    certainty direction (subset df is a lower bound) makes the drop
+    decision exact without a confirmation pass.
     """
     if num_shards is None:
         from vaero_ray.stages.keyed import derive_num_buckets
@@ -1853,7 +1887,35 @@ def winnow_dup_pairs(
                                         floor=32)
 
     def fps(tbl: pa.Table) -> pa.Table:
-        return winnow_fingerprints(tbl, text_col, id_col, k, w)
+        out = winnow_fingerprints(tbl, text_col, id_col, k, w)
+        fp = out.column("fp").to_numpy(zero_copy_only=False)
+        ids = out.column(id_col).to_numpy(zero_copy_only=False)
+        # within-block df per fp; over-cap fps collapse to one marker row
+        # carrying the replaced count (see docstring: subset df > max_df
+        # proves global df > max_df, so the drop is exact)
+        uniq, inv, counts = np.unique(fp, return_inverse=True, return_counts=True)
+        over = counts > max_df
+        if not over.any():
+            cnt = np.ones(len(fp), dtype=np.int64)
+            return out.append_column("cnt", pa.array(cnt))
+        keep = ~over[inv]
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate([ids[keep], np.full(int(over.sum()), -1, np.int64)]),
+                    pa.int64(),
+                ),
+                "fp": pa.array(
+                    np.concatenate([fp[keep], uniq[over]]).astype(np.int64), pa.int64()
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [np.ones(int(keep.sum()), np.int64), counts[over].astype(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
 
     def shard(tbl: pa.Table) -> pa.Table:
         # fp is already a well-mixed polynomial hash mod a prime — its
@@ -1870,11 +1932,16 @@ def winnow_dup_pairs(
         if not len(df):
             return empty
         df = df.sort_values(["fp", id_col], kind="mergesort", ignore_index=True)
-        sizes = df.groupby("fp", sort=False)[id_col].transform("size").to_numpy()
+        # exact global df = sum of cnt (real rows carry 1; a marker row
+        # carries its block's collapsed count and forces the group over
+        # the cap — its doc_id=-1 sorts first and is dropped with the
+        # whole group here)
+        sizes = df.groupby("fp", sort=False)["cnt"].transform("sum").to_numpy()
         keep = (sizes > 1) & (sizes <= max_df)
         df = df[keep]
         if not len(df):
             return empty
+        df = df.drop(columns=["cnt"])
         if max_df > max_bucket:
             df = pd.concat(
                 [_cap_bucket(g, max_bucket, "winnow_dup_pairs", fpk)
@@ -1892,12 +1959,15 @@ def winnow_dup_pairs(
         # left neighbours of the same fingerprint group
         rights = np.repeat(np.arange(len(fp), dtype=np.int64), within)
         lefts = rights - (_seg_arange(within) + 1)
+        # NOT pre-aggregated: in-shard pair repeats are <1% (measured
+        # 169.1M -> 168.4M at the 4M-turn rehearsal) — a lexsort of the
+        # full pair stream buys nothing; the bucketed merge sums exactly
         return pd.DataFrame(
             {id_col: ids[rights], "dup_of": ids[lefts],
              "shared": np.ones(len(rights), dtype=np.int64)}
         )
 
-    from vaero_ray.stages.keyed import bucketed_keyed_sum
+    from vaero_ray.stages.keyed import bucketed_map_groups
 
     pairs = (
         ds.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
@@ -1905,23 +1975,18 @@ def winnow_dup_pairs(
         .groupby("__shard")
         .map_groups(lambda df: emit(df.drop(columns=["__shard"])), batch_format="pandas")
     )
-    merged = bucketed_keyed_sum(pairs, [id_col, "dup_of"], ["shared"], num_buckets=pair_buckets)
 
-    def finalize(tbl: pa.Table) -> pa.Table:
-        if not tbl.num_rows:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64()),
-                 "shared_fps": pa.array([], pa.int64())}
-            )
-        sh = tbl.column("shared").to_numpy(zero_copy_only=False)
-        keepm = sh >= min_shared
-        return pa.table(
-            {id_col: pa.array(tbl.column(id_col).to_numpy(zero_copy_only=False)[keepm], pa.int64()),
-             "dup_of": pa.array(tbl.column("dup_of").to_numpy(zero_copy_only=False)[keepm], pa.int64()),
-             "shared_fps": pa.array(sh[keepm], pa.int64())}
-        )
+    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # sum the per-shard pre-aggregated counts, then apply min_shared
+        # INSIDE the bucket — the overwhelming majority of candidate
+        # pairs fall below the threshold, and emitting them only to
+        # filter downstream materializes a table ~10^4x the answer
+        # (measured 77M rows vs 6.7k at the 4M-turn rehearsal)
+        g = df.groupby([id_col, "dup_of"], sort=False, as_index=False)["shared"].sum()
+        g = g[g["shared"] >= min_shared]
+        return g.rename(columns={"shared": "shared_fps"})
 
-    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_map_groups(pairs, id_col, merge_pairs, num_buckets=pair_buckets)
 
 
 # ------------------------------------------------- Sorted-neighborhood

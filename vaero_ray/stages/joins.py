@@ -193,18 +193,21 @@ def hash_join(
         if num_buckets is not None:
             n_parts = num_buckets
         else:
-            from vaero_ray.stages.keyed import MAX_DERIVED_BUCKETS, lineage_inmemory_bytes
+            from vaero_ray.stages.keyed import (
+                MAX_DERIVED_BUCKETS,
+                lineage_inmemory_bytes,
+                snap_to_cpu_band,
+            )
 
             est = (lineage_inmemory_bytes(left) or 0) + (lineage_inmemory_bytes(right) or 0)
-            need = int((est + JOIN_TARGET_INMEM_BYTES - 1) // JOIN_TARGET_INMEM_BYTES)
-            if n_cpus // 3 <= need <= 2 * n_cpus:
-                # mid band: join OUTPUT blocks = partitions, so this count
-                # is the parallelism of every post-join stage — snap to one
-                # full wave of cores (32M-turn rehearsal, 32 CPUs: derived
-                # 15 -> 260 s, 30 -> 194 s, 45 -> 223 s). Below the band,
-                # actor spawn dominates (keep cpus/4 floor); above it, the
-                # ~1 GiB/partition bytes rule governs (aggregator heap).
-                need = n_cpus
+            # mid band snaps to one full wave of cores (join OUTPUT blocks
+            # = partitions = every post-join stage's parallelism); below
+            # it actor spawn dominates (cpus/4 floor); above it the
+            # ~1 GiB/partition bytes rule governs (aggregator heap).
+            # Rule + measurements: keyed.snap_to_cpu_band.
+            need = snap_to_cpu_band(
+                int((est + JOIN_TARGET_INMEM_BYTES - 1) // JOIN_TARGET_INMEM_BYTES), n_cpus
+            )
             n_parts = max(2, n_cpus // 4, min(need, MAX_DERIVED_BUCKETS))
         return left.join(
             right,

@@ -95,31 +95,65 @@ def lineage_inmemory_bytes(ds: rd.Dataset) -> "int | None":
         return None
 
 
+def _session_cpus(n_cpus: "int | None" = None) -> int:
+    if n_cpus is not None:
+        return n_cpus
+    import ray as _ray
+
+    return int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+
+
+def snap_to_cpu_band(need: int, n_cpus: "int | None" = None) -> int:
+    """The join partition-count snap rule (stages/joins.hash_join),
+    shared by every bytes-derived exchange: a bytes-derived count that
+    lands in the [cpus/3, 2*cpus] band becomes exactly the CPU count.
+    Bucket/partition count is the parallelism every post-exchange stage
+    inherits (output blocks = buckets), and one full wave of cores beats
+    both a starved under-count and per-object slicing churn — measured
+    on the 32M-turn join rehearsal (derived 15 -> 260 s, snapped 30 ->
+    194 s, 45 -> 223 s at 32 CPUs). Below the band the caller's floor
+    governs; above it the bytes rule governs (bounds per-task heap at
+    256-node scale)."""
+    n_cpus = _session_cpus(n_cpus)
+    if n_cpus // 3 <= need <= 2 * n_cpus:
+        return n_cpus
+    return need
+
+
 def derive_num_buckets(
     ds: rd.Dataset,
     target_task_bytes: int = TARGET_TASK_BYTES,
-    floor: int = DEFAULT_BUCKETS,
+    floor: "int | None" = None,
+    n_cpus: "int | None" = None,
 ) -> int:
     """Bucket count from input-file metadata: enough buckets that one
     bucket's in-memory rows (~3x the parquet bytes) fit one task's
-    ~``target_task_bytes`` heap budget, never below ``floor`` (small
-    inputs keep the round-1 default) and capped at
+    ~``target_task_bytes`` heap budget, SNAPPED to the CPU count when
+    the bytes-derived count lands in the [cpus/3, 2*cpus] band (same
+    rule as hash_join — see :func:`snap_to_cpu_band`), and capped at
     ``MAX_DERIVED_BUCKETS`` (beyond that, callers should size
     explicitly). map_batches severs ``input_files()``, so DERIVED
     datasets fall back to the read lineage's in-memory estimate
     (``lineage_inmemory_bytes`` — parquet-footer metadata resolvable
     through map stages; an UPPER bound, the safe direction for shuffle
-    sizing). Only when neither resolves (from_pandas inputs) does the
-    ``floor`` apply — explicit num_buckets always wins."""
+    sizing).
+
+    ``floor``: explicit values always win as the minimum (callers that
+    pre-scale for a known explosion factor, e.g. winnow's fingerprint
+    blowup). Default ``None`` floors a RESOLVED size at one wave of
+    ``max(2, cpus/4)`` tasks (tiny inputs don't need 64 near-empty
+    groups) and keeps the round-1 ``DEFAULT_BUCKETS`` when neither size
+    estimate resolves (from_pandas inputs — unknown size, err large)."""
     sz = input_file_bytes(ds)
     if sz:
         est = _EXPANSION * sz
     else:
         est = lineage_inmemory_bytes(ds)
         if not est:
-            return floor
-    derived = (est + target_task_bytes - 1) // target_task_bytes
-    return max(floor, min(int(derived), MAX_DERIVED_BUCKETS))
+            return floor if floor is not None else DEFAULT_BUCKETS
+    derived = snap_to_cpu_band(int((est + target_task_bytes - 1) // target_task_bytes), n_cpus)
+    lo = floor if floor is not None else max(2, _session_cpus(n_cpus) // 4)
+    return max(lo, min(derived, MAX_DERIVED_BUCKETS))
 
 
 def hash_bucket(values, num_buckets: int) -> "pd.Series":
