@@ -402,3 +402,18 @@ def test_winnow_stop_fp_precollapse_exact(ray_session):
     assert got_one == want
     assert got_many == want
     assert (101, 100) in want                            # the rare dup survives
+
+
+def test_dsl_filter_expr_and_limit(ray_session):
+    import pyarrow as pa
+
+    from vaero_ray.dsl import Vaero
+    from vaero_ray.runner import run_batch
+
+    tbl = pa.table({"v": pa.array(range(100), pa.int64())})
+    Vaero.reset()
+    Vaero().source("parquet", path="unused").filter_expr("v >= 90").limit(4).sink("stdout")
+    graph = Vaero.start()
+    Vaero.reset()
+    out = next(iter(run_batch(graph, source_data=tbl).values())).to_pandas()
+    assert len(out) == 4 and (out["v"] >= 90).all()

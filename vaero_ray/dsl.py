@@ -206,6 +206,16 @@ class Vaero:
             }
         )
 
+    def filter_expr(self, expr: str) -> "Vaero":
+        """Dataset-level row filter by an Arrow expression string (e.g.
+        ``"n_chars >= 100 and lang == 'en'"``) — pushed into the scan
+        where Ray Data can, unlike the per-event ``filter_regexp``."""
+        return self._add({"type": "rel", "op": "filter", "args": {"expr": expr}})
+
+    def limit(self, n: int) -> "Vaero":
+        """Keep the first ``n`` rows (streaming-truncates the pipeline)."""
+        return self._add({"type": "rel", "op": "limit", "args": {"n": int(n)}})
+
     def dedup(
         self,
         path: str = "text",

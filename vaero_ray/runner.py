@@ -138,6 +138,10 @@ def _apply_rel(ds: rd.Dataset, step) -> rd.Dataset:
         return auto_join(
             ds, rds, list(a["on"]), join_type=a.get("how", "inner"), suffix=a.get("suffix", "_r")
         )
+    if step.op == "filter":
+        return ds.filter(expr=step.args["expr"])
+    if step.op == "limit":
+        return ds.limit(int(step.args["n"]))
     if step.op == "dedup":
         from vaero_ray.stages.dedup import exact_dedup
 
