@@ -45,20 +45,29 @@ import pyarrow.parquet as pq
 
 
 def spill_stats() -> dict:
-    """Cumulative plasma spill/restore counters for this session."""
-    from ray._private.internal_api import memory_summary
+    """Cumulative plasma spill/restore counters for this session, parsed
+    from the raylet's periodic log lines ("Spilled N MiB, M objects",
+    cumulative — the last occurrence is the running total). The gRPC
+    ``memory_summary`` API needs the ``grpc`` package, absent here."""
+    import glob
+    import subprocess
 
-    txt = memory_summary(stats_only=True)
     out = {"spilled_mib": 0, "spilled_objects": 0, "restored_mib": 0, "restored_objects": 0}
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
-    if m:
-        out["spilled_mib"], out["spilled_objects"] = int(m.group(1)), int(m.group(2))
-    m = re.search(r"Restored (\d+) MiB, (\d+) objects", txt)
-    if m:
-        out["restored_mib"], out["restored_objects"] = int(m.group(1)), int(m.group(2))
-    m = re.search(r"Plasma memory usage (\d+) MiB", txt)
-    if m:
-        out["plasma_now_mib"] = int(m.group(1))
+    sessions = sorted(glob.glob("/tmp/ray/*/session_latest/logs")) + sorted(
+        glob.glob("/tmp/ray/session_latest/logs")
+    )
+    if not sessions:
+        return out
+    txt = subprocess.run(
+        ["grep", "-rhoE",
+         r"(Spilled|Restored) [0-9]+ MiB, [0-9]+ objects", sessions[-1]],
+        capture_output=True, text=True,
+    ).stdout
+    for kind in ("Spilled", "Restored"):
+        hits = re.findall(rf"{kind} (\d+) MiB, (\d+) objects", txt)
+        if hits:
+            mib, objs = max(((int(a), int(b)) for a, b in hits))
+            out[f"{kind.lower()}_mib"], out[f"{kind.lower()}_objects"] = mib, objs
     return out
 
 
