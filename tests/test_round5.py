@@ -344,13 +344,15 @@ def test_derive_num_buckets_snaps_to_cpu_band(tmp_path, ray_session):
     pq.write_table(pa.table({"v": pa.array(range(200_000), pa.int64())}), p)
     sz = p.stat().st_size
     ds = rd.read_parquet(str(p))
-    # pick a target so 3*sz/target lands mid-band at 32 cpus
-    target = (3 * sz) // 20
-    assert derive_num_buckets(ds, target_task_bytes=target, n_cpus=32) == 32
-    # explicit floor wins over the snapped count
-    assert derive_num_buckets(ds, target_task_bytes=target, floor=50, n_cpus=32) == 50
-    # tiny derived count floors at one wave of cpus/4 tasks, not 64
-    assert derive_num_buckets(ds, n_cpus=32) == 8
+    # pick a target so 3*sz/target derives ~100, mid-band for a 128-cpu
+    # cluster: the snap governs the large-derived regime
+    target = (3 * sz) // 100
+    assert derive_num_buckets(ds, target_task_bytes=target, n_cpus=128) == 128
+    # explicit floor above the snapped count wins
+    assert derive_num_buckets(ds, target_task_bytes=target, floor=200, n_cpus=128) == 200
+    # small resolved inputs keep the 64-bucket floor (the cpus/4 floor
+    # experiment measured 10-30% slower at sf0.1 and was reverted)
+    assert derive_num_buckets(ds, n_cpus=32) == DEFAULT_BUCKETS
     # unresolvable lineage (from_pandas) keeps the conservative default
     ds2 = rd.from_pandas(pd.DataFrame({"v": [1, 2]}))
     assert derive_num_buckets(ds2, n_cpus=32) == DEFAULT_BUCKETS

@@ -140,10 +140,13 @@ def derive_num_buckets(
 
     ``floor``: explicit values always win as the minimum (callers that
     pre-scale for a known explosion factor, e.g. winnow's fingerprint
-    blowup). Default ``None`` floors a RESOLVED size at one wave of
-    ``max(2, cpus/4)`` tasks (tiny inputs don't need 64 near-empty
-    groups) and keeps the round-1 ``DEFAULT_BUCKETS`` when neither size
-    estimate resolves (from_pandas inputs — unknown size, err large)."""
+    blowup); default ``DEFAULT_BUCKETS``. The snap therefore governs the
+    LARGE-derived regime (a corpus whose bytes-derived count lands in
+    the band of a big cluster's CPU count), while small inputs keep the
+    64-bucket floor — a round-5 sweep that floored resolved tiny inputs
+    at cpus/4 instead was measured 10-30% SLOWER across the sf0.1
+    bucketed gates (8 per-bucket tasks starve a 32-CPU box) and
+    reverted."""
     sz = input_file_bytes(ds)
     if sz:
         est = _EXPANSION * sz
@@ -152,7 +155,7 @@ def derive_num_buckets(
         if not est:
             return floor if floor is not None else DEFAULT_BUCKETS
     derived = snap_to_cpu_band(int((est + target_task_bytes - 1) // target_task_bytes), n_cpus)
-    lo = floor if floor is not None else max(2, _session_cpus(n_cpus) // 4)
+    lo = floor if floor is not None else DEFAULT_BUCKETS
     return max(lo, min(derived, MAX_DERIVED_BUCKETS))
 
 
