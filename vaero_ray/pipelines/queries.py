@@ -15156,6 +15156,35 @@ GROUP BY o_custkey, c_mktsegment
 """
 
 
+def q_dsl_dedup_select(sf_dir: str):
+    """DSL relational tier, rel->tn interleave: `.dedup()` (exact content
+    dedup, min-id survivor) followed by the reference's per-row `.select`
+    transform — the fused tn segment runs AFTER the dataset-level stage,
+    exercising the planner's mixed-step branch execution."""
+    from vaero_ray.dsl import Vaero
+    from vaero_ray.runner import run_batch
+
+    Vaero.reset()
+    (
+        Vaero()
+        .source("parquet", path=f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"])
+        .dedup(path="text", id_path="doc_id")
+        .select("doc_id")
+        .sink("stdout")
+    )
+    graph = Vaero.start()
+    Vaero.reset()
+    return next(iter(run_batch(graph).values()))
+
+
+SQL_DSL_DEDUP_SELECT = """
+-- .select stringifies (reference select.go: the event BECOMES the
+-- string value at path), hence the VARCHAR cast
+SELECT CAST(MIN(doc_id) AS VARCHAR) AS doc_id FROM documents GROUP BY text
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "vaero_add_rename_delete": q_vaero_add_rename_delete,
     "vaero_filter_regexp": q_vaero_filter_regexp,
@@ -15474,6 +15503,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmv_error_eval": q_kmv_error_eval,
     "user_delta_movers": q_user_delta_movers,
     "dsl_windowed_join": q_dsl_windowed_join,
+    "dsl_dedup_select": q_dsl_dedup_select,
 }
 
 # Driver correctness window (rotated in round 5). The external gate
@@ -15871,4 +15901,5 @@ ORACLES: dict[str, str] = {
     "kmv_error_eval": SQL_KMV_ERROR,
     "user_delta_movers": SQL_USER_DELTA_MOVERS,
     "dsl_windowed_join": SQL_DSL_WINDOWED_JOIN,
+    "dsl_dedup_select": SQL_DSL_DEDUP_SELECT,
 }
