@@ -419,3 +419,25 @@ def test_dsl_filter_expr_and_limit(ray_session):
     Vaero.reset()
     out = next(iter(run_batch(graph, source_data=tbl).values())).to_pandas()
     assert len(out) == 4 and (out["v"] >= 90).all()
+
+
+def test_unique_per_seg_packed_vs_lexsort():
+    """The packed-int64 fast path equals the lexsort reference for int64
+    inputs; uint64 (the 64-bit shingle hashes) and wide int64 inputs take
+    the fallback and agree too."""
+    from vaero_ray.stages.dedup import _unique_per_seg
+
+    rng = np.random.default_rng(0)
+    for dtype, hi in [(np.int64, 1 << 40), (np.uint64, 1 << 63), (np.int64, 1 << 62)]:
+        counts = rng.integers(0, 30, size=200)
+        vals = rng.integers(0, hi, size=int(counts.sum()), dtype=dtype)
+        v, o = _unique_per_seg(vals.copy(), counts)
+        seg = np.repeat(np.arange(200), counts)
+        order = np.lexsort((vals, seg))
+        vs, ss = vals[order], seg[order]
+        first = np.ones(len(vs), bool)
+        first[1:] = (vs[1:] != vs[:-1]) | (ss[1:] != ss[:-1])
+        refo = np.zeros(201, np.int64)
+        np.cumsum(np.bincount(ss[first], minlength=200), out=refo[1:])
+        assert np.array_equal(v.astype(np.uint64), vs[first].astype(np.uint64))
+        assert np.array_equal(o, refo)

@@ -997,8 +997,10 @@ def _unique_per_seg(vals: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, n
     if not len(vals):
         return vals, offs
     seg = np.repeat(np.arange(n, dtype=np.int64), counts)
-    vmin = int(vals.min())
-    if vmin >= 0:
+    # int64-only: the 64-bit shingle hashes are uint64, whose | with the
+    # int64 seg would raise — they keep the lexsort path regardless (64
+    # value bits never fit beside seg bits)
+    if vals.dtype == np.int64 and int(vals.min()) >= 0:
         vbits = max(1, int(vals.max()).bit_length())
         sbits = max(1, int(n - 1).bit_length()) if n > 1 else 1
         if vbits + sbits <= 63:

@@ -110,7 +110,12 @@ class StreamingTransformJob:
             if fused is None:
                 # relational branch (window/join/dedup steps): the epoch's
                 # materialized src IS the bounded batch; apply the step plan
-                # then derive the sink prefix in its own zero-copy pass
+                # then derive the sink prefix in its own zero-copy pass.
+                # Window semantics here are PER-EPOCH (each poll's batch
+                # windows independently — the reference's per-capsule batch
+                # model); cross-epoch event-time windows with watermarks
+                # and open-window state carry are StreamingWindowedJob
+                # (streaming/job.py), not this path.
                 from vaero_ray.runner import apply_steps
 
                 def prefix_only(tbl: pa.Table, ts_key=ts_key, fmt=fmt) -> pa.Table:
